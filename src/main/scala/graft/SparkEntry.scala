@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator family registers named queries here; each
+  * SQL-expressible one carries a DuckDB oracle in [[oracleSql]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks
+    * rows>0): star join (orders ⋈ broadcast customer ⋈ broadcast nation)
+    * + ranking window + filter — top-3 orders per nation by price. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ops.Relational.q7WindowTopPerNation(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ gap-fill
+    * relational set, scalar functions, event analytics, LLM-data ops). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    cdc.CdcQueries.queries ++
+      ops.Relational.queries ++
+      ops.Functions.queries ++
+      ops.Events.queries ++
+      llm.TextOps.queries ++
+      llm.Dedup.queries ++
+      llm.Similarity.queries ++
+      llm.Multimodal.queries
+
+  /** DuckDB-equivalent ANSI SQL per query; omitted for the estimator /
+    * hash-family ops (approx_count_distinct, MinHash/SimHash internals,
+    * IVF probe, stub decode) which get ScalaTest property coverage
+    * instead — the driver records a rows-only check for those. */
+  def oracleSql: Map[String, String] =
+    cdc.CdcQueries.oracles ++
+      ops.Relational.oracles ++
+      ops.Functions.oracles ++
+      ops.Events.oracles ++
+      llm.TextOps.oracles ++
+      llm.Dedup.oracles ++
+      llm.Similarity.oracles ++
+      llm.Multimodal.oracles
 }

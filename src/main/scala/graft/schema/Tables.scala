@@ -1,0 +1,31 @@
+package graft.schema
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided analytic tables at
+  * /root/testdata/sf&#42; (TESTDATA.md / FIXTURES.md B). Centralizing the
+  * reads keeps scan-level concerns (column pruning via select-at-source,
+  * the events nanosecond-timestamp normalization) in one place.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case other    => spark.read.parquet(s"$dir/$other.parquet")
+    }
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS). Spark has no
+    * nanosecond timestamp type; with spark.sql.legacy.parquet.nanosAsLong
+    * (set by [[graft.Sessions]]) it surfaces as a long which we floor-divide
+    * to microseconds — the same truncation DuckDB applies reading the file,
+    * so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _      => raw
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc._
+import graft.schema.Schemas
+
+/** CDC protocol tests over the in-repo fixtures (FIXTURES.md §A.3):
+  * decode fidelity, offset resume, empty delta, at-least-once replay,
+  * tombstones, malformed JSON, unknown-table fallback.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4", "cdc-spec")
+  val fixtures = CdcQueries.FixtureDir
+  def source = new FileCdcSource(fixtures)
+
+  def freshDirs(): (String, OffsetStore, SyncJob) = {
+    val base = Files.createTempDirectory("graft-sync").toString
+    val store = new OffsetStore(s"$base/offsets")
+    (base, store, new SyncJob(source, store, s"$base/warehouse", singleFile = true))
+  }
+
+  test("decode orders: schema, projection order, provenance columns") {
+    val df = Envelope.decode(
+      source.read(spark, Schemas.topicFor("orders"), StartingOffsets.Earliest), "orders")
+    assert(df.columns.toSeq == Seq("order_id", "customer_id", "order_date", "status",
+      "total_amount", "shipping_address", "kafka_timestamp", "topic", "kafka_offset"))
+    assert(df.count() == 10)
+    val first = df.orderBy(col("kafka_offset")).head()
+    assert(first.getAs[Int]("order_id") == 1)
+    assert(first.getAs[Long]("order_date") == 1709287200000000L)
+    assert(first.getAs[String]("total_amount") == "100.99")
+  }
+
+  test("offset-bounded read returns only the delta") {
+    val st = StartingOffsets.PerPartition(Map(Schemas.topicFor("orders") -> Map(0 -> 6L)))
+    val df = source.read(spark, Schemas.topicFor("orders"), st)
+    assert(df.agg(min(col("offset"))).head().getLong(0) == 6L)
+    assert(df.count() == 4)
+  }
+
+  test("startingOffsets JSON rendering matches the Kafka option format") {
+    assert(StartingOffsets.toJson(StartingOffsets.Earliest) == "earliest")
+    assert(StartingOffsets.toJson(
+      StartingOffsets.PerPartition(Map("t" -> Map(0 -> 42L)))) == """{"t": {"0": 42}}""")
+  }
+
+  test("sync job: full first sync, then empty delta, then idempotent state") {
+    val (_, store, job) = freshDirs()
+    val r1 = job.sync(spark, "orders")
+    assert(r1.records == 10 && r1.maxOffset == 9 && r1.wrote)
+    assert(store.lastOffset("orders") == 9)
+    // warehouse got exactly the decoded rows, one file (coalesce(1) parity mode)
+    val counts = job.verifyCounts(spark, Seq("orders"))
+    assert(counts("orders") == 10)
+    // second sync: no new offsets → empty delta, no write, state unchanged
+    val r2 = job.sync(spark, "orders")
+    assert(r2.records == 0 && !r2.wrote)
+    assert(store.lastOffset("orders") == 9)
+    assert(job.verifyCounts(spark, Seq("orders"))("orders") == 10)
+  }
+
+  test("at-least-once: replaying a committed batch duplicates rows (reference semantics)") {
+    val (_, store, job) = freshDirs()
+    job.sync(spark, "orders")
+    store.commit("orders", 5, 6) // simulate a crash that lost the last commit
+    val r = job.sync(spark, "orders")
+    assert(r.records == 4) // offsets 6..9 re-read
+    assert(job.verifyCounts(spark, Seq("orders"))("orders") == 14) // duplicated append
+  }
+
+  test("offset store: missing and corrupt state read as -1") {
+    val (base, store, _) = freshDirs()
+    assert(store.lastOffset("nope") == -1L)
+    Files.write(Paths.get(s"$base/offsets/bad.json"), "not json".getBytes)
+    assert(store.lastOffset("bad") == -1L)
+  }
+
+  test("sync all four tables concurrently") {
+    val (_, _, job) = freshDirs()
+    val rs = job.syncAll(spark, Seq("orders", "customers", "products", "order_items"))
+    assert(rs.map(r => r.table -> r.records).toMap ==
+      Map("orders" -> 10, "customers" -> 6, "products" -> 6, "order_items" -> 8))
+  }
+
+  test("tombstone (null value) decodes to an all-null row; malformed JSON null-fills") {
+    val df = Envelope.decode(
+      source.read(spark, Schemas.topicFor("weird"), StartingOffsets.Earliest), "weird")
+    val rows = df.orderBy(col("kafka_offset")).collect()
+    assert(rows.length == 3)
+    // offset 0: unknown table falls back to orders schema; matching fields bind
+    assert(rows(0).getAs[Int]("order_id") == 42)
+    assert(rows(0).getAs[String]("status") == "MYSTERY")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("customer_id")))
+    // offset 1: tombstone → all value fields null, provenance intact
+    assert(rows(1).isNullAt(rows(1).fieldIndex("order_id")))
+    assert(rows(1).getAs[Long]("kafka_offset") == 1L)
+    // offset 2: malformed JSON → PERMISSIVE null-fill, no failure
+    assert(rows(2).isNullAt(rows(2).fieldIndex("order_id")))
+  }
+
+  test("precise-decimal decode: base64 unscaled bytes → Decimal(10,2)") {
+    import spark.implicits._
+    // 12345 unscaled at scale 2 = 123.45; big-endian bytes 0x30 0x39
+    val b64 = java.util.Base64.getEncoder.encodeToString(Array[Byte](0x30, 0x39))
+    val df = Seq(b64, null).toDF("amount")
+      .select(Envelope.preciseDecimal(col("amount")).as("dec"))
+    val got = df.collect()
+    assert(got(0).getDecimal(0) == new java.math.BigDecimal("123.45"))
+    assert(got(1).isNullAt(0))
+    // negative two's complement: 0xFF 0x85 = -123 → -1.23
+    val neg = java.util.Base64.getEncoder.encodeToString(Array[Byte](0xFF.toByte, 0x85.toByte))
+    val g2 = Seq(neg).toDF("amount")
+      .select(Envelope.preciseDecimal(col("amount")).as("dec")).head()
+    assert(g2.getDecimal(0) == new java.math.BigDecimal("-1.23"))
+  }
+
+  test("epoch-micros extension converts reference long to timestamp") {
+    import spark.implicits._
+    val got = Seq(1709287200000000L).toDF("d")
+      .select(Envelope.epochMicrosToTimestamp(col("d")).as("ts")).head().getTimestamp(0)
+    assert(got.toInstant.toString == "2024-03-01T10:00:00Z")
+  }
+}

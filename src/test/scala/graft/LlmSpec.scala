@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions._
+import graft.llm.{Dedup, Similarity, TextOps}
+
+/** Property tests for the LLM-data operators whose internals a SQL oracle
+  * can't express: MinHash estimate quality, LSH recall, SimHash locality,
+  * IVF recall vs brute force, fingerprint determinism.
+  */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4", "llm-spec")
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash est_jaccard tracks exact jaccard on LSH candidates") {
+    val est = Dedup.minhashCandidates(spark, sf)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.0)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val joined = est.join(exact, Seq("doc_a", "doc_b")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      val j = r.getAs[Double]("jaccard")
+      assert(math.abs(e - j) < 0.2, s"pair ${r.get(0)}-${r.get(1)}: est=$e exact=$j")
+    }
+  }
+
+  test("LSH finds the planted near-duplicates (exact jaccard >= 0.9 pairs)") {
+    val found = Dedup.ngramJaccard(spark, sf, threshold = 0.9).count()
+    assert(found > 0, "expected planted near-dup pairs at jaccard >= 0.9")
+  }
+
+  test("simhash: identical docs get identical hashes; near-dups land close") {
+    val sim = Dedup.simhashPairs(spark, sf, maxHamming = 10)
+    val pairs = sim.collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 10))
+  }
+
+  test("ivf top-k recall vs brute force >= 0.5 at nprobe=4/16") {
+    val brute = Similarity.bruteForceTopK(spark, sf).select($"vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sf).select($"vec_id").as[Long].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("embedding near-dup: top-k bucketed pairs, descending cosine, a<b") {
+    val rows = Dedup.embeddingNearDup(spark, sf).collect()
+    assert(rows.length == 20)
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+
+  test("ivf clusters cover all vectors exactly once") {
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val assigned = Similarity.ivfClusterSizes(spark, sf)
+      .agg(sum($"n_vectors")).head().getLong(0)
+    assert(assigned == total)
+  }
+
+  test("vec_cosine agrees with a reference implementation") {
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(vec_cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-9)
+    val self = df.select(vec_cosine($"a", $"a")).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  test("rolling-hash fingerprint is deterministic and shift-sensitive") {
+    val a = Seq("the quick brown fox").toDF("t").select(rolling_hash($"t")).head().getLong(0)
+    val b = Seq("the quick brown fox").toDF("t").select(rolling_hash($"t")).head().getLong(0)
+    val c = Seq("quick brown fox the").toDF("t").select(rolling_hash($"t")).head().getLong(0)
+    assert(a == b && a != c)
+  }
+
+  test("minhash signature deterministic across evaluations") {
+    val s1 = Dedup.minhashSignatures(spark, sf).collect().map(_.toString)
+    val s2 = Dedup.minhashSignatures(spark, sf).collect().map(_.toString)
+    assert(s1.sameElements(s2))
+  }
+
+  test("langid is deterministic and total") {
+    val df = TextOps.langId(spark, sf)
+    assert(df.filter($"predicted_lang".isNull).count() == 0)
+    assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational
+
+/** Plan-level and semantic checks for the relational set. Value-level
+  * correctness is driver-verified against DuckDB; these tests pin the
+  * properties the oracle can't see: join strategies, pushdown, top-k
+  * physical plan, estimator error bounds.
+  */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4", "relational-spec")
+  val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no fact shuffle)") {
+    val plan = physicalPlan(Relational.q2JoinRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("semi/anti joins plan as semi/anti") {
+    assert(physicalPlan(Relational.q4SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(physicalPlan(Relational.q5AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("filter and projection push into the parquet scan") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"))
+    // only the 7 needed columns are read, not all 11
+    assert(!scan.contains("l_partkey") && !scan.contains("l_suppkey"))
+  }
+
+  test("global top-k avoids a total sort (TakeOrderedAndProject)") {
+    assert(physicalPlan(Relational.q11TopK(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("approx_count_distinct within configured 2% relative error") {
+    val r = Relational.q16ApproxDistinct(spark, sf).head()
+    val approx = r.getAs[Long]("approx_orders").toDouble
+    val exact = r.getAs[Long]("exact_orders").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("rollup emits per-group, subtotal and grand-total rows") {
+    val rows = Relational.q9Rollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(grand.head.getAs[Long]("n") == total)
+  }
+
+  test("set ops agree with each other: |union| = |a|+|b|-|intersect|") {
+    val u = Relational.q12Union(spark, sf).count()
+    val i = Relational.q13Intersect(spark, sf).count()
+    val e = Relational.q14Except(spark, sf).count()
+    // except = a - intersect ⇒ union = except + b-side
+    assert(u >= i && u > e)
+  }
+
+  test("whole-stage codegen covers the agg pipeline") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    // "*(n)" node prefixes mark whole-stage-codegen spans in the plan string
+    assert(physicalPlan(df).contains("*(1)"))
+  }
+}
