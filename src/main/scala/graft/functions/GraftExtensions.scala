@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT vec_cosine(a, b)…")`
+  * works next to the Column API. Activate with either
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(s"$name must be a long literal, got $other")
+  }
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name, usage), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("vec_cosine",
+      "vec_cosine(a, b) - cosine similarity of two float vectors") {
+      case Seq(a, b) => VecCosine(a, b)
+    })
+    ext.injectFunction(fn("minhash_signature",
+      "minhash_signature(hashes[, numHashes, seed]) - MinHash signature of pre-hashed shingles") {
+      case Seq(c)       => MinHashSignature(c, 128, 42L)
+      case Seq(c, n)    => MinHashSignature(c, intArg(n, "numHashes"), 42L)
+      case Seq(c, n, s) => MinHashSignature(c, intArg(n, "numHashes"), longArg(s, "seed"))
+    })
+    ext.injectFunction(fn("simhash64",
+      "simhash64(hashes) - 64-bit SimHash of pre-hashed tokens") {
+      case Seq(c) => SimHash64(c)
+    })
+    ext.injectFunction(fn("rolling_hash",
+      "rolling_hash(str[, base]) - polynomial rolling-hash fingerprint") {
+      case Seq(c)    => RollingHash(c, 1000003L)
+      case Seq(c, b) => RollingHash(c, longArg(b, "base"))
+    })
+    ext.injectFunction(fn("big_endian_decimal",
+      "big_endian_decimal(bytes[, precision, scale]) - Debezium precise-decimal decode") {
+      case Seq(c)       => BigEndianDecimal(c, 10, 2)
+      case Seq(c, p, s) => BigEndianDecimal(c, intArg(p, "precision"), intArg(s, "scale"))
+    })
+  }
+}
