@@ -66,7 +66,22 @@ object CdcQueries {
         col("kafka_offset"))),
     // T7: unknown-table schema dispatch falls back to the orders schema —
     // fields present in the payload bind, the rest null-fill
-    "cdc_unknown_table_fallback" -> ((s, _) => parse(s, "weird"))
+    "cdc_unknown_table_fallback" -> ((s, _) => parse(s, "weird")),
+    // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
+    // SQL surface (temp views + spark.sql), the engine-side equivalent of
+    // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
+    // cdc_auto_sync_every_5min.py:181)
+    "cdc_reconcile_counts" -> ((s, _) => {
+      Seq("orders", "customers", "products", "order_items").foreach { t =>
+        parse(s, t).createOrReplaceTempView(s"cdc_$t")
+      }
+      s.sql(
+        """SELECT 'customers' AS tbl, COUNT(*) AS n FROM cdc_customers
+          |UNION ALL SELECT 'order_items', COUNT(*) FROM cdc_order_items
+          |UNION ALL SELECT 'orders', COUNT(*) FROM cdc_orders
+          |UNION ALL SELECT 'products', COUNT(*) FROM cdc_products
+          |ORDER BY tbl""".stripMargin)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,6 +131,12 @@ object CdcQueries {
          |  CAST(json_extract_string(value, '$$.total_amount') AS DECIMAL(10,2)) AS total_amount_dec,
          |  "offset" AS kafka_offset
          |FROM ${wireSql("orders")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_reconcile_counts" ->
+      s"""SELECT 'customers' AS tbl, count(*) AS n FROM ${wireSql("customers")}
+         |UNION ALL SELECT 'order_items', count(*) FROM ${wireSql("order_items")}
+         |UNION ALL SELECT 'orders', count(*) FROM ${wireSql("orders")}
+         |UNION ALL SELECT 'products', count(*) FROM ${wireSql("products")}
+         |ORDER BY tbl""".stripMargin,
     "cdc_unknown_table_fallback" ->
       s"""SELECT CAST(CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.order_id') END AS INTEGER) AS order_id,
          |  CAST(CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.customer_id') END AS INTEGER) AS customer_id,

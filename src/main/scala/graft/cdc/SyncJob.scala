@@ -25,7 +25,7 @@ import graft.schema.Schemas
 final case class SyncResult(table: String, records: Long, maxOffset: Long, wrote: Boolean)
 
 final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: String,
-                    singleFile: Boolean = false) {
+                    singleFile: Boolean = false, debugSink: Boolean = false) {
 
   def sync(spark: SparkSession, table: String): SyncResult = {
     val topic = Schemas.topicFor(table)
@@ -44,6 +44,10 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
         val out = if (singleFile) decoded.coalesce(1) else decoded
         out.write.mode("append").parquet(s"$warehouseDir/${table}_parquet")
         offsets.commit(table, maxOffset, n) // commit strictly after the write
+        if (debugSink) { // reference's sample display (kafka_to_s3_enhanced.py:219)
+          decoded.show(3, truncate = false)
+          decoded.printSchema()
+        }
         SyncResult(table, n, maxOffset, wrote = true)
       }
     } finally decoded.unpersist()

@@ -38,6 +38,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(c, n)    => MinHashSignature(c, intArg(n, "numHashes"), 42L)
       case Seq(c, n, s) => MinHashSignature(c, intArg(n, "numHashes"), longArg(s, "seed"))
     })
+    ext.injectFunction(fn("shingle_hashes",
+      "shingle_hashes(text[, k]) - distinct xxhash64 set of word k-grams") {
+      case Seq(c)     => ShingleHashes(c, 3)
+      case Seq(c, kk) => ShingleHashes(c, intArg(kk, "k"))
+    })
+    ext.injectFunction(fn("shingles",
+      "shingles(text[, k]) - distinct word k-gram strings") {
+      case Seq(c)     => Shingles(c, 3)
+      case Seq(c, kk) => Shingles(c, intArg(kk, "k"))
+    })
     ext.injectFunction(fn("simhash64",
       "simhash64(hashes) - 64-bit SimHash of pre-hashed tokens") {
       case Seq(c) => SimHash64(c)

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the operators Spark lacks. Preference
   * order per the build brief: built-ins first; these expressions exist only
@@ -148,6 +149,75 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Distinct hashed word-k-gram set of a document in one compiled pass:
+  * split on single spaces, xxhash64 (seed 42) each k-word shingle, dedup.
+  *
+  * Semantically equal to the built-in composition
+  * `transform(array_distinct(transform(sequence(...), i ->
+  * concat_ws(" ", slice(split(text," "), i+1, k)))), xxhash64)` — but that
+  * composition evaluates interpreted (higher-order functions don't codegen)
+  * and re-evaluates `split` for every lambda element, i.e. O(words²)
+  * string allocations per document. This expression is the documented
+  * hot-path fix: one split, one hash per shingle, a long-set dedup.
+  * Documents with fewer than k words yield an empty set (downstream
+  * MinHash/SimHash then null out, matching the oracle's len>=k gate).
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size k must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val space = UTF8String.fromString(" ")
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](2 * (n - k + 1))
+    val out = new Array[Long](n - k + 1)
+    var m = 0
+    val window = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { window(j) = words(i + j); j += 1 }
+      val h = XxHash64Function.hash(UTF8String.concatWs(space, window: _*), StringType, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** Distinct word-k-gram strings of a document in one compiled pass — the
+  * string-typed sibling of [[ShingleHashes]], used where downstream needs
+  * the actual shingles (exact Jaccard verification) rather than hashes.
+  * Same rationale: the equivalent built-in higher-order-function
+  * composition evaluates interpreted and re-splits the text per element.
+  * Fewer than k words yields an empty array.
+  */
+case class Shingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle size k must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val space = UTF8String.fromString(" ")
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](2 * (n - k + 1))
+    val window = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { window(j) = words(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+  override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+}
+
 /** Polynomial rolling-hash fingerprint of a string (Karp–Rabin over UTF-16
   * code units, mod 2^64): a cheap whole-document fingerprint for content
   * addressing / shift-tolerant chunk hashing in dedup pipelines.
@@ -172,6 +242,8 @@ object GraftFunctions {
 
   def big_endian_decimal(bytes: Column, precision: Int = 10, scale: Int = 2): Column =
     c(BigEndianDecimal(e(bytes), precision, scale))
+  def shingle_hashes(text: Column, k: Int = 3): Column = c(ShingleHashes(e(text), k))
+  def shingles(text: Column, k: Int = 3): Column = c(Shingles(e(text), k))
   def vec_cosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
   def minhash_signature(shingleHashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     c(MinHashSignature(e(shingleHashes), numHashes, seed))

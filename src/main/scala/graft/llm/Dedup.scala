@@ -37,28 +37,32 @@ object Dedup {
 
   /** MinHash signatures (doc_id → 128-long signature prefix shown). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
       .select(col("doc_id"), slice(col("sig"), 1, 4).as("sig_prefix"))
       .orderBy(col("doc_id"))
 
-  /** doc_id → MinHash signature, persisted: the self-join below reads it
-    * from both sides, and signatures are the expensive part (|shingles| ×
-    * 128 multiply-adds per doc). At 100 TB this is the signature table a
+  /** doc_id → MinHash signature, persisted: downstream stages read it 2-3
+    * times, and signatures are the expensive part (|shingles| × 128
+    * multiply-adds per doc). At 100 TB this is the signature table a
     * production pipeline would materialize once per corpus snapshot. */
   private def signatureTable(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
       .filter(col("sig").isNotNull)
       .persist()
 
   /** Banded-LSH candidate generation: explode 32 (band, bucket-hash) keys
-    * per doc, self-join on the key — never all-pairs. */
-  private def candidatePairs(banded: DataFrame): DataFrame = {
-    val l = banded.as("l")
-    val r = banded.as("r")
+    * per doc and self-join on the key — never all-pairs. Only the 20-byte
+    * (doc_id, band, bucket) triple crosses the exchange; the ~1 KB
+    * signature payload is projected out first and joined back to the
+    * (small) pair set afterwards where needed.
+    */
+  private def candidatePairs(keys: DataFrame): DataFrame = {
+    val l = keys.as("l")
+    val r = keys.as("r")
     l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -66,19 +70,20 @@ object Dedup {
       .distinct()
   }
 
-  private def banded(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("sig"),
+  /** (doc_id, band, bucket) LSH keys — the join-ready projection. */
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
                     xxhash64(b, slice(col("sig"), b * lit(RowsPerBand) + 1, lit(RowsPerBand))).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
   /** Candidate pairs with estimated Jaccard (fraction of equal signature
     * components — the MinHash estimator). */
   def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sigs = signatureTable(spark, dir)
-    candidatePairs(banded(sigs))
+    candidatePairs(bandKeys(sigs))
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -93,9 +98,10 @@ object Dedup {
     * at the threshold is ~1, which the band shape guarantees — that makes
     * this query DuckDB-oracle-able against the brute-force definition. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = Tables(spark, dir, "documents")
+    val sh = Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-    val cands = candidatePairs(banded(signatureTable(spark, dir)))
+      .persist() // read from both sides of the pair join
+    val cands = candidatePairs(bandKeys(signatureTable(spark, dir)))
     cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -112,7 +118,7 @@ object Dedup {
     * Hamming distance 3 shares ≥1 exact chunk), then exact bit_count
     * verification — again no all-pairs. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         GraftFunctions.simhash64(TextOps.shingleHashes(col("text"))).as("sim"))
       .filter(col("sim").isNotNull)

@@ -42,7 +42,9 @@ object Similarity {
     val emb = Tables(spark, dir, "embeddings")
     val centroids = emb.filter(col("vec_id") < nClusters)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    emb.crossJoin(broadcast(centroids))
+    // parallelized: the local single-row-group file is one split; the
+    // ×nClusters cross join and downstream pair join need the cores
+    Tables.parallelized(emb).crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
         vec_cosine(col("embedding"), col("c_emb")).as("sim"))
       .withColumn("rk", row_number().over(

@@ -14,17 +14,19 @@ import graft.schema.Tables
 object TextOps {
 
   /** Word-shingle array (k-grams of whitespace tokens) as a Column —
-    * shared by dedup and fingerprint ops. Pure higher-order built-ins. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(words) - k),
-        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-  }
+    * shared by dedup and fingerprint ops. Native one-pass expression
+    * ([[graft.functions.Shingles]]); see [[shingleHashes]] for why the
+    * built-in higher-order composition is quadratic per document. */
+  def shingles(text: Column, k: Int = 3): Column =
+    GraftFunctions.shingles(text, k)
 
-  /** Hashed shingle set (xxhash64 per shingle) — input to MinHash/SimHash. */
+  /** Hashed shingle set (xxhash64 per shingle) — input to MinHash/SimHash.
+    * Native one-pass expression ([[graft.functions.ShingleHashes]]): the
+    * equivalent built-in composition is interpreted (higher-order functions
+    * don't codegen) and re-evaluates split() per element — O(words²) string
+    * churn per document on the dedup hot path. */
   def shingleHashes(text: Column, k: Int = 3): Column =
-    transform(shingles(text, k), s => xxhash64(s))
+    GraftFunctions.shingle_hashes(text, k)
 
   /** Per-document quality stats: lengths, word counts, mean word length,
     * stopword ratio, uppercase/whitespace ratios. */

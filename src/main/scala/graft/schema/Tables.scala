@@ -21,6 +21,17 @@ object Tables {
     * to microseconds — the same truncation DuckDB applies reading the file,
     * so oracle comparisons agree.
     */
+  /** Widen a narrow scan to the session's default parallelism before
+    * CPU-heavy per-row work. The local testdata files are single-row-group
+    * parquet (one non-splittable partition), which would serialize e.g.
+    * signature computation onto one core; on a real corpus the scan has
+    * splits >= cores and this is a no-op.
+    */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType.typeName match {

@@ -40,6 +40,32 @@ class ExtensionsSpec extends AnyFunSuite {
       (('a'.toLong * 1000003L + 'b'.toLong) * 1000003L + 'c'.toLong))
   }
 
+  test("shingle_hashes via SQL equals the built-in HOF composition") {
+    val row = spark.sql(
+      """WITH d AS (SELECT 'the quick brown fox jumps over the lazy dog' AS t)
+        |SELECT shingle_hashes(t) AS fast,
+        |       transform(array_distinct(transform(
+        |         sequence(0, size(split(t, ' ')) - 3),
+        |         i -> concat_ws(' ', slice(split(t, ' '), i + 1, 3)))),
+        |         s -> xxhash64(s)) AS slow
+        |FROM d""".stripMargin).head()
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1))
+    // short doc (< k words) -> empty shingle set
+    val short = spark.sql("SELECT size(shingle_hashes('one two')) AS s").head().getInt(0)
+    assert(short == 0)
+  }
+
+  test("shingles via SQL equals the built-in HOF composition") {
+    val row = spark.sql(
+      """WITH d AS (SELECT 'a b c a b c d' AS t)
+        |SELECT shingles(t) AS fast,
+        |       array_distinct(transform(
+        |         sequence(0, size(split(t, ' ')) - 3),
+        |         i -> concat_ws(' ', slice(split(t, ' '), i + 1, 3)))) AS slow
+        |FROM d""".stripMargin).head()
+    assert(row.getSeq[String](0) == row.getSeq[String](1))
+  }
+
   test("big_endian_decimal via SQL") {
     val d = spark.sql("SELECT big_endian_decimal(unbase64('MDk=')) AS d").head().getDecimal(0)
     assert(d == new java.math.BigDecimal("123.45"))
