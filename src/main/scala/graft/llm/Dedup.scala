@@ -141,6 +141,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup resolution: collapse the LSH-verified pair graph into
+    * connected components and pick each component's keeper (min doc_id) —
+    * the step a production dedup pipeline actually ends with (drop
+    * everything whose keeper isn't itself).
+    *
+    * Min-label propagation: each iteration is one keyed join + min-agg
+    * (labels never leave the cluster; the driver sees only a scalar
+    * convergence count per iteration). Iteration count = component
+    * diameter — near-dup components are shallow (clusters of variants of
+    * one source doc), so this converges in a few rounds at any corpus
+    * size; maxIters bounds the pathological chain case.
+    */
+  def resolveKeepers(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                     maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr_id"), col("label").as("nbr_label")),
+          col("doc_b") === col("nbr_id"))
+        .groupBy(col("doc_a").as("prop_id"))
+        .agg(min(col("nbr_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("doc_id") === col("prop_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize before comparing / unpersisting the old generation
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() // scalar convergence probe, not a data collect
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("keeper"))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup: cluster-bucketed pairs (same IVF cell ⇒
     * candidate), exact codegen'd cosine verification, top-20 most similar.
     * The all-pairs O(n²) scan never happens — candidates come from the
@@ -166,7 +216,8 @@ object Dedup {
     "dedup_minhash_candidates" -> minhashCandidates,
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
-    "dedup_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d))
+    "dedup_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
+    "dedup_resolve_keepers" -> ((s, d) => resolveKeepers(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,6 +242,29 @@ object Dedup {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // keeper resolution == min doc_id over each connected component of the
+    // brute-force pair graph; DuckDB computes the transitive closure with a
+    // recursive CTE (fine at oracle scale; the engine's label propagation
+    // is the distributed form of the same fixpoint)
+    "dedup_resolve_keepers" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a)
+        |SELECT s AS doc_id, min(t) AS keeper, (s <> min(t)) AS is_dup
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
   )
 }

@@ -98,11 +98,48 @@ object TextOps {
         xxhash64(col("text")).as("xx64"))
       .orderBy(col("doc_id"))
 
+  /** Quality-filter pipeline: per-document keep/drop decision with the
+    * first failing rule as the reason — the gate a training-data pipeline
+    * runs before tokenization. Pure map-side predicates; at scale the
+    * filter co-locates with the scan and feeds the keep-branch downstream
+    * without a shuffle. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(words).as("n_words"),
+        round(size(array_distinct(words)).cast("double") / size(words), 4).as("unique_ratio"))
+      .withColumn("drop_reason",
+        when(col("n_words") < 20, "too_short")
+          .when(col("n_words") > 5000, "too_long")
+          .when(col("unique_ratio") < 0.35, "repetitive")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language corpus statistics with exact percentiles (partial+final
+    * agg; the percentile state is per-group, merged across partitions). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(col("lang"), size(words).as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_tokens"),
+        round(avg(col("n_words")), 4).as("avg_tokens"),
+        round(percentile(col("n_words"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("n_words"), lit(0.9)), 4).as("p90_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> stats,
     "text_tokens" -> tokens,
     "text_langid" -> langId,
-    "text_fingerprint" -> fingerprint
+    "text_fingerprint" -> fingerprint,
+    "text_quality_filter" -> qualityFilter,
+    "text_corpus_stats" -> corpusStats
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +156,30 @@ object TextOps {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |          len(string_split(text, ' ')), 4) AS unique_ratio
+        |  FROM documents),
+        |d AS (
+        |  SELECT *, CASE WHEN n_words < 20 THEN 'too_short'
+        |                 WHEN n_words > 5000 THEN 'too_long'
+        |                 WHEN unique_ratio < 0.35 THEN 'repetitive'
+        |            END AS drop_reason
+        |  FROM t)
+        |SELECT doc_id, lang, n_words, unique_ratio, drop_reason,
+        |  drop_reason IS NULL AS keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "text_corpus_stats" ->
+      """WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_words FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  round(avg(n_words), 4) AS avg_tokens,
+        |  round(quantile_cont(n_words, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(n_words, 0.9), 4) AS p90_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -40,6 +40,24 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 10))
   }
 
+  test("resolve_keepers: components collapse to their min doc_id") {
+    val rows = Dedup.resolveKeepers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val keepers = rows.filter(!_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("doc_id")).toSet
+    // every row's keeper is a non-dup member of the output, and is the
+    // smallest id the row can reach (keeper <= doc_id by min-label fixpoint)
+    rows.foreach { r =>
+      assert(keepers.contains(r.getAs[Long]("keeper")))
+      assert(r.getAs[Long]("keeper") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("is_dup") == (r.getAs[Long]("doc_id") != r.getAs[Long]("keeper")))
+    }
+    // keepers are exactly the docs that keep themselves
+    val pairDocs = Dedup.ngramJaccard(spark, sf)
+      .select($"doc_a").union(Dedup.ngramJaccard(spark, sf).select($"doc_b"))
+      .distinct().count()
+    assert(rows.length.toLong == pairDocs)
+  }
+
   test("ivf top-k recall vs brute force >= 0.5 at nprobe=4/16") {
     val brute = Similarity.bruteForceTopK(spark, sf).select($"vec_id").as[Long].collect().toSet
     val ivf = Similarity.ivfTopK(spark, sf).select($"vec_id").as[Long].collect().toSet
