@@ -181,6 +181,30 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
            countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Skew-resilient salted join: the fact side gets a deterministic salt
+    * in [0, S); the dimension is replicated ×S; the join key becomes
+    * (key, salt), spreading any hot key over S tasks. Result is
+    * join-equivalent to the unsalted query (the oracle is the plain join).
+    * At 100 TB this is the manual fallback for skewed keys that AQE's
+    * skew-join splitting can't reach (e.g. broadcast-ineligible dims on
+    * engines without AQE); S multiplies only the SMALL side.
+    */
+  def q17SaltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+    val salted = li.withColumn("salt",
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
+    val replicated = sup.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated,
+        salted("l_suppkey") === replicated("s_suppkey") &&
+          salted("salt") === replicated("salt"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q1_pricing_summary" -> q1PricingSummary,
     "rel_q2_join_revenue" -> q2JoinRevenue,
@@ -197,7 +221,8 @@ object Relational {
     "rel_q13_intersect" -> q13Intersect,
     "rel_q14_except" -> q14Except,
     "rel_q15_distinct" -> q15Distinct,
-    "rel_q16_approx_distinct" -> q16ApproxDistinct
+    "rel_q16_approx_distinct" -> q16ApproxDistinct,
+    "rel_q17_salted_join" -> ((s, d) => q17SaltedJoin(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -287,6 +312,12 @@ object Relational {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the salted join is result-equivalent to the plain join — that IS the test
+    "rel_q17_salted_join" ->
+      """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }

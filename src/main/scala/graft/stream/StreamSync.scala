@@ -1,10 +1,17 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import graft.cdc.Envelope
 import graft.schema.Schemas
+
+/** Typed event row for the custom-state operators. */
+final case class Ev(event_id: Long, user_id: Long, event_type: String,
+                    value: Double, ts: java.sql.Timestamp)
+
+/** Per-user running aggregate held in the state store. */
+final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming replacement for the reference's cron-plus-offset-
   * file model (SURVEY.md §2.5): the checkpoint's offset log subsumes
@@ -58,4 +65,36 @@ object StreamSync {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
+
+  /** Gap-based sessionization with the native `session_window` grouping —
+    * the streaming form of [[graft.ops.Events.sessionize]]'s lag+cumsum.
+    * Session state merges windows within the 30-min gap and is evicted
+    * once the watermark passes, so memory is bounded by open sessions. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("n_events"))
+
+  /** Custom per-key state via mapGroupsWithState: running per-user totals
+    * that survive across micro-batches and restarts (state store is
+    * checkpointed). This is the escape hatch for stateful logic the
+    * built-in window/dedup operators can't express; state is partitioned
+    * by key, so it scales with the cluster like any keyed shuffle. */
+  import org.apache.spark.sql.{Encoder, Encoders}
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+  private implicit val totalsEnc: Encoder[UserTotals] = Encoders.product[UserTotals]
+
+  def userRunningTotals(events: Dataset[Ev]): Dataset[UserTotals] =
+    events.groupByKey(_.user_id).mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotals]) =>
+        val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+        val next = evs.foldLeft(prev) { (acc, e) =>
+          UserTotals(uid, acc.n_events + 1, acc.total_value + e.value)
+        }
+        state.update(next)
+        next
+    }
 }

@@ -66,6 +66,78 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session windows match the batch session_window grouping") {
+    val base = Files.createTempDirectory("graft-stream-sess").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val q = StreamSync.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sess_out").collect()
+    assert(got.nonEmpty)
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1)) -> r.getLong(2)).toMap
+    // append mode emits only watermark-closed sessions; each must match batch
+    got.foreach { r =>
+      assert(expected((r.getLong(0), r.get(1))) == r.getLong(2))
+    }
+  }
+
+  test("mapGroupsWithState: running totals accumulate across drains via checkpointed state") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-state").toString
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("ts"))
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    half1.write.mode("overwrite").parquet(s"$base/in")
+
+    def drain(outDir: String): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+        .as[graft.stream.Ev]
+      val q = StreamSync.userRunningTotals(stream)
+        .toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(s"$base/out1")
+    half2.write.mode("append").parquet(s"$base/in")
+    drain(s"$base/out2")
+    // after the second drain, every user updated in batch 2 reports totals
+    // over the FULL input — i.e. state survived the restart; per user take
+    // the newest update (max n_events) in case the drain ran >1 micro-batch
+    val expected = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got2 = spark.read.parquet(s"$base/out2")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("total_value")).as("total_value"))
+      .collect()
+    assert(got2.nonEmpty)
+    got2.foreach { r =>
+      val uid = r.getLong(0)
+      val (en, ev) = expected(uid)
+      assert(r.getLong(1) == en, s"user $uid n_events")
+      assert(math.abs(r.getDouble(2) - ev) < 1e-6, s"user $uid total_value")
+    }
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val base = Files.createTempDirectory("graft-stream-dedup").toString
     val events = Tables.events(spark, sf).limit(100)
