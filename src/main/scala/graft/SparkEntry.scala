@@ -24,7 +24,8 @@ object SparkEntry {
       llm.TextOps.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
-      llm.Multimodal.queries
+      llm.Multimodal.queries ++
+      llm.Curation.queries
 
   /** DuckDB-equivalent ANSI SQL per query; omitted for the estimator /
     * hash-family ops (approx_count_distinct, MinHash/SimHash internals,
@@ -38,5 +39,6 @@ object SparkEntry {
       llm.TextOps.oracles ++
       llm.Dedup.oracles ++
       llm.Similarity.oracles ++
-      llm.Multimodal.oracles
+      llm.Multimodal.oracles ++
+      llm.Curation.oracles
 }

@@ -1,0 +1,222 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.schema.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingestion and tokenization: deterministic train/val/test splitting,
+  * PII/markup scrubbing, repetition (Gopher-style) quality signals,
+  * eval-set decontamination, and source-mixture planning.
+  *
+  * Scale posture (100 TB): splitting / scrubbing / repetition are map-side
+  * per-document work (repetition adds one keyed agg); decontamination joins
+  * the corpus against a BROADCAST eval-shingle set (the eval set is tiny by
+  * construction — benchmarks are MBs, corpora are TBs), so the corpus is
+  * never shuffled; the mixture plan reduces to one row per source.
+  */
+object Curation {
+
+  /** Deterministic, content-addressed train/val/test assignment: bucket by
+    * the first hex nibble of md5(doc_id) → 12/2/2 of 16 buckets. Stable
+    * under re-runs, re-partitioning, and corpus growth (a doc never changes
+    * split), unlike `randomSplit`. Pure projection — zero shuffle. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < "c", "train")
+          .when(bucket.isin("c", "d"), "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII / markup scrub: redact emails, URLs, and long digit runs with
+    * typed placeholders and collapse whitespace; emit per-doc redaction
+    * counts and the md5 of the cleaned text (compact, verifiable).
+    * All regexes are RE2-compatible (portable to the DuckDB oracle). */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9]{4,}"
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          url, "<URL>"),
+        digits, "<NUM>"),
+      " +", " ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(url)).as("n_urls"),
+        regexp_count(col("text"), lit(digits)).as("n_num_runs"),
+        md5(cleaned).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition quality signals (Gopher-style): fraction of tokens taken
+    * by the single most frequent word / bigram, and the duplicate-word
+    * fraction. Two keyed aggregations on doc_id (unigram + bigram passes)
+    * joined back — the doc_id key is unique per doc so both aggregations
+    * and the join hash-partition evenly at any corpus size. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+           max(col("c")).as("top_word_count"),
+           count(lit(1)).as("n_unique"))
+    // Shingles(k=2) is the distinct bigram set, so occurrence counting
+    // re-derives bigrams positionally from the word sequence instead.
+    val bigrams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .withColumn("nxt", lead(col("w"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), col("w"), col("nxt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_count"))
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(col("top_word_count").cast("double") / col("n_words"), 4)
+          .as("top_word_fraction"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_words"), 4)
+          .as("dup_word_fraction"),
+        round(col("top_bigram_count").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Eval-set decontamination: flag corpus documents whose distinct
+    * 3-shingle overlap with any held-out eval document reaches
+    * [[ContaminationThreshold]]. The eval set here is carved from the
+    * corpus by doc_id (mod 97) to stay self-contained; in production it is
+    * the benchmark suite. The eval shingle set is broadcast — the corpus
+    * side is map-only explode + local semi-join, then one agg by doc_id. */
+  val ContaminationThreshold = 5
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val isEval = col("doc_id") % 97 === 0
+    val shingled = docs.select(col("doc_id"),
+      explode(GraftFunctions.shingles(col("text"), 3)).as("sh"))
+    val evalShingles = shingled.filter(isEval).select(col("sh")).distinct()
+    val overlap = shingled.filter(!isEval)
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= ContaminationThreshold)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Source-mixture plan: per-source doc/token counts, the actual corpus
+    * share, and the deterministic sample rate that moves the mixture toward
+    * a uniform target share (capped at 1.0 — we never upsample here).
+    * One partial+final agg to ~|sources| rows, then a window over that tiny
+    * aggregate — driver-safe at any corpus size. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("total_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val total = sum(col("n_docs")).over(w)
+    val nSources = count(lit(1)).over(w)
+    val share = col("n_docs").cast("double") / total
+    val target = lit(1.0) / nSources
+    perSource
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round(share, 6).as("actual_share"),
+        round(least(target / share, lit(1.0)), 6).as("sample_rate"),
+        round(col("n_docs") * least(target / share, lit(1.0)), 2).as("expected_docs"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_split_assign" -> splitAssign,
+    "cur_scrub" -> scrub,
+    "cur_repetition" -> repetition,
+    "cur_decontaminate" -> decontaminate,
+    "cur_mixture_plan" -> mixturePlan
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cur_split_assign" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cur_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_num_runs,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g'),
+        |    ' +', ' ', 'g')) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cur_repetition" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         CAST(max(c) AS BIGINT) AS top_word_count,
+        |         count(*) AS n_unique
+        |  FROM (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |bex AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |       unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+        |bi AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(max(c) AS BIGINT) AS top_bigram_count
+        |  FROM (SELECT doc_id, b, count(*) AS c FROM bex GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT uni.doc_id, n_words,
+        |  round(CAST(top_word_count AS DOUBLE) / n_words, 4) AS top_word_fraction,
+        |  round(1.0 - CAST(n_unique AS DOUBLE) / n_words, 4) AS dup_word_fraction,
+        |  round(CAST(top_bigram_count AS DOUBLE) / n_bigrams, 4) AS top_bigram_fraction
+        |FROM uni JOIN bi ON uni.doc_id = bi.doc_id
+        |ORDER BY uni.doc_id""".stripMargin,
+    "cur_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+        |       FROM sh s JOIN ev USING (sh)
+        |       WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  coalesce(ov.n_overlap, 0) >= 5 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "cur_mixture_plan" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS actual_share,
+        |  round(least((1.0 / count(*) OVER ()) /
+        |        (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 1.0), 6) AS sample_rate,
+        |  round(n_docs * least((1.0 / count(*) OVER ()) /
+        |        (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 1.0), 2) AS expected_docs
+        |FROM s ORDER BY source""".stripMargin
+  )
+}
