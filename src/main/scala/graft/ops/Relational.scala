@@ -205,6 +205,63 @@ object Relational {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Pivot (long→wide conditional aggregation): order counts per priority
+    * pivoted over status. Explicit pivot values keep the plan a single
+    * partial+final agg (no extra distinct-values job, fixed output schema
+    * — required for a stable plan when the fact table is huge). */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-status totals and per-priority totals in one Expand + one
+    * exchange, instead of two scans + a union. */
+  def q19GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Scalar subquery: orders above 90% of the global max price. The
+    * subquery is one scalar agg broadcast into the filter — max (not avg)
+    * so the threshold is float-exact and oracle-stable across engines. */
+  def q20ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_ss")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders_ss
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders_ss)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Navigation/distribution window functions (lag, lead, ntile,
+    * percent_rank) over each customer's order history — one hash
+    * partition by custkey serves all four. */
+  def q21Navigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q1_pricing_summary" -> q1PricingSummary,
     "rel_q2_join_revenue" -> q2JoinRevenue,
@@ -222,7 +279,11 @@ object Relational {
     "rel_q14_except" -> q14Except,
     "rel_q15_distinct" -> q15Distinct,
     "rel_q16_approx_distinct" -> q16ApproxDistinct,
-    "rel_q17_salted_join" -> ((s, d) => q17SaltedJoin(s, d))
+    "rel_q17_salted_join" -> ((s, d) => q17SaltedJoin(s, d)),
+    "rel_q18_pivot" -> q18Pivot,
+    "rel_q19_grouping_sets" -> q19GroupingSets,
+    "rel_q20_scalar_subquery" -> q20ScalarSubquery,
+    "rel_q21_navigation" -> q21Navigation
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,6 +379,32 @@ object Relational {
       """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "rel_q18_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_q19_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_q20_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_q21_navigation" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

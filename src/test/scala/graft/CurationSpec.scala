@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Curation
+
+/** Invariant tests for the corpus-curation operators (their value-level
+  * correctness is DuckDB-oracled; these pin the semantic properties the
+  * oracle can't see — determinism, bucket shape, eval-set exclusion).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local("4", "curation-spec")
+  import spark.implicits._
+  val sf = "/root/testdata/sf0.001"
+
+  test("split assignment is deterministic, total, and 3-way") {
+    val a = Curation.splitAssign(spark, sf).collect()
+    val b = Curation.splitAssign(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "same corpus must yield identical splits")
+    val bySplit = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit.values.sum == a.length)
+    // 12/2/2 hex-bucket design: train strictly dominates the other splits
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("scrub redacts emails/urls/digit-runs and is idempotent on clean text") {
+    val df = Seq(
+      (1L, "contact me at a.b@example.com or https://x.org/p?q=1 ref 123456"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("curation_scrub_probe")
+    // same regex chain as Curation.scrub, applied to a crafted frame
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9]{4,}"
+    val out = df.select($"doc_id",
+      regexp_count($"text", lit(email)).as("n_emails"),
+      regexp_count($"text", lit(url)).as("n_urls"),
+      regexp_count($"text", lit(digits)).as("n_num"),
+      regexp_replace(regexp_replace(regexp_replace($"text", email, "<EMAIL>"),
+        url, "<URL>"), digits, "<NUM>").as("clean"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[Int]("n_urls") == 1)
+    assert(out(0).getAs[Int]("n_num") == 1)
+    assert(out(0).getAs[String]("clean") ==
+      "contact me at <EMAIL> or <URL> ref <NUM>")
+    assert(out(1).getAs[String]("clean") == "no pii here at all")
+  }
+
+  test("repetition fractions are well-formed probabilities") {
+    val rows = Curation.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val top = r.getAs[Double]("top_word_fraction")
+      val dup = r.getAs[Double]("dup_word_fraction")
+      val big = r.getAs[Double]("top_bigram_fraction")
+      assert(top > 0 && top <= 1, s"top_word_fraction $top")
+      assert(dup >= 0 && dup < 1, s"dup_word_fraction $dup")
+      assert(big > 0 && big <= 1, s"top_bigram_fraction $big")
+      // a doc's most frequent word is at least as common as uniform
+      // (fractions are rounded to 4 decimals, hence the epsilon)
+      assert(top * r.getAs[Long]("n_words") >= 1.0 - 1e-3)
+    }
+  }
+
+  test("decontamination excludes the eval set and self-flags clones of it") {
+    val rows = Curation.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 97 != 0), "eval docs must not be scored")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0)
+      assert(r.getAs[Boolean]("contaminated") == (n >= Curation.ContaminationThreshold))
+    }
+  }
+
+  test("mixture plan shares sum to 1 and sample rates are capped") {
+    val rows = Curation.mixturePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_.getAs[Double]("actual_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum to $shareSum")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate > 0 && rate <= 1.0)
+      assert(r.getAs[Double]("expected_docs") <= r.getAs[Long]("n_docs") + 0.5)
+    }
+  }
+}
