@@ -51,9 +51,48 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One sampled "frame" of a media payload (STUB: a fixed-stride byte
+    * chunk standing in for a decoded video frame / audio window). */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int, n_bytes: Int,
+                   checksum: Long)
+
+  /** STUB frame sampling via mapPartitions — the imperative per-partition
+    * batch path a real codec needs (iterator in, iterator out, no
+    * driver involvement, memory bounded by one row's payload at a time).
+    * Samples every `stride`-th fixed-size chunk of the payload; a video
+    * decoder would instead seek keyframes. Column-expression ops can't
+    * express per-element imperative decode loops, which is exactly the
+    * case where mapPartitions (Scala) / mapInPandas (Python) is the right
+    * tool — everything before and after stays declarative. */
+  def frameSample(spark: SparkSession, dir: String,
+                  frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    val frames = blobbed(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, payload) =>
+          val nChunks = (payload.length + frameBytes - 1) / frameBytes
+          (0 until nChunks by stride).iterator.map { chunk =>
+            val off = chunk * frameBytes
+            val len = math.min(frameBytes, payload.length - off)
+            // STUB "decode": FNV-1a over the chunk stands in for the
+            // decoded frame tensor; deterministic for the oracle-less test
+            var h = 0xcbf29ce484222325L
+            var i = off
+            while (i < off + len) { h = (h ^ (payload(i) & 0xff)) * 0x100000001b3L; i += 1 }
+            Frame(docId, chunk / stride, off, len, h)
+          }
+        }
+      }
+    frames.toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> meta,
-    "mm_decode_features" -> ((s, d) => fakeDecodeFeatures(s, d))
+    "mm_decode_features" -> ((s, d) => fakeDecodeFeatures(s, d)),
+    "mm_frame_sample" -> ((s, d) => frameSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(

@@ -106,4 +106,26 @@ class LlmSpec extends AnyFunSuite {
     assert(df.filter($"predicted_lang".isNull).count() == 0)
     assert(df.count() == spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("frame sampling covers every payload at the configured stride") {
+    val frameBytes = 64
+    val stride = 4
+    val frames = llm.Multimodal.frameSample(spark, sf, frameBytes, stride).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", octet_length($"text".cast("binary")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (docId, fs) =>
+      val nChunks = (lens(docId) + frameBytes - 1) / frameBytes
+      assert(fs.length == (nChunks + stride - 1) / stride, s"doc $docId frame count")
+      fs.foreach { f =>
+        assert(f.getAs[Int]("offset") % (frameBytes * stride) == 0)
+        assert(f.getAs[Int]("n_bytes") > 0 && f.getAs[Int]("n_bytes") <= frameBytes)
+      }
+    }
+    // stub decode is deterministic across evaluations
+    val again = llm.Multimodal.frameSample(spark, sf, frameBytes, stride).collect()
+    assert(frames.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
