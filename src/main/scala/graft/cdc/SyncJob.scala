@@ -25,14 +25,24 @@ import graft.schema.Schemas
 final case class SyncResult(table: String, records: Long, maxOffset: Long, wrote: Boolean)
 
 final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: String,
-                    singleFile: Boolean = false, debugSink: Boolean = false) {
+                    singleFile: Boolean = false, debugSink: Boolean = false,
+                    partitionBySyncDate: Boolean = false) {
 
   def sync(spark: SparkSession, table: String): SyncResult = {
     val topic = Schemas.topicFor(table)
     val starting = offsets.startingOffsetsFor(table, topic)
     val wire = source.read(spark, topic, starting)
 
-    val decoded = Envelope.decode(wire, table)
+    val decoded0 = Envelope.decode(wire, table)
+    // Scale extension (off in parity mode): lay the warehouse out as
+    // sync_date=YYYY-MM-DD partition directories derived from the Kafka
+    // record timestamp. Readers filtering on sync_date then prune whole
+    // partitions at plan time instead of scanning the full history — the
+    // difference between a bounded daily read and a 100 TB table scan.
+    val decoded =
+      if (partitionBySyncDate)
+        decoded0.withColumn("sync_date", to_date(col("kafka_timestamp")))
+      else decoded0
     decoded.persist()
     try {
       val n = decoded.count()
@@ -42,7 +52,9 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
       } else {
         val maxOffset = decoded.agg(max("kafka_offset")).head().getLong(0)
         val out = if (singleFile) decoded.coalesce(1) else decoded
-        out.write.mode("append").parquet(s"$warehouseDir/${table}_parquet")
+        val writer = out.write.mode("append")
+        (if (partitionBySyncDate) writer.partitionBy("sync_date") else writer)
+          .parquet(s"$warehouseDir/${table}_parquet")
         offsets.commit(table, maxOffset, n) // commit strictly after the write
         if (debugSink) { // reference's sample display (kafka_to_s3_enhanced.py:219)
           decoded.show(3, truncate = false)

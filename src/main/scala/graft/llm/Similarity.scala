@@ -84,10 +84,34 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Batched retrieval: exact per-query top-k for a SET of query vectors
+    * in one corpus pass — the production shape (a query batch arrives,
+    * the corpus is scored once, results fan back per query). The query
+    * batch is broadcast (batches are KBs, corpora are TBs); only the
+    * (query_id, vec_id, cosine) triple reaches the ranking window's
+    * shuffle, partitioned by query_id. */
+  def batchTopK(spark: SparkSession, dir: String, k: Int = 5,
+                queryStride: Int = 100): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val queryBatch = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    Tables.parallelized(emb).crossJoin(broadcast(queryBatch))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vec_cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
-    "sim_ivf_cluster_sizes" -> ivfClusterSizes
+    "sim_ivf_cluster_sizes" -> ivfClusterSizes,
+    "sim_batch_topk" -> ((s, d) => batchTopK(s, d))
   )
 
   /** Brute-force cosine is SQL-expressible in DuckDB via
@@ -100,6 +124,17 @@ object Similarity {
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "sim_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS c
+        |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, round(c, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
   )
 }

@@ -61,6 +61,25 @@ class CdcSpec extends AnyFunSuite {
     assert(job.verifyCounts(spark, Seq("orders"))("orders") == 10)
   }
 
+  test("partitioned warehouse layout: sync_date dirs exist and prune on read") {
+    val base = Files.createTempDirectory("graft-sync-part").toString
+    val store = new OffsetStore(s"$base/offsets")
+    val job = new SyncJob(source, store, s"$base/warehouse", partitionBySyncDate = true)
+    val res = job.sync(spark, "orders")
+    assert(res.wrote && res.records > 0)
+    val tableDir = new java.io.File(s"$base/warehouse/orders_parquet")
+    val partDirs = tableDir.listFiles().filter(_.getName.startsWith("sync_date="))
+    assert(partDirs.nonEmpty, "expected sync_date=... partition directories")
+    val back = spark.read.parquet(tableDir.toString)
+    assert(back.count() == res.records)
+    // a sync_date equality filter must reach the scan as a partition filter
+    val someDate = back.select(col("sync_date")).head().getDate(0).toString
+    val plan = back.filter(col("sync_date") === someDate)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sync_date"),
+      s"partition pruning missing from plan:\n$plan")
+  }
+
   test("at-least-once: replaying a committed batch duplicates rows (reference semantics)") {
     val (_, store, job) = freshDirs()
     job.sync(spark, "orders")
