@@ -22,6 +22,17 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** Sliding 1-hour windows every 15 minutes (overlap factor 4): the
+    * Expand-style ×4 row replication happens map-side; one exchange on the
+    * window start aggregates — same shape as the streaming sliding window
+    * with watermark-bounded state. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes")
+        .getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start"))
+
   /** Latest-state materialization: one row per user — the newest event by
     * (ts, event_id). At scale: single hash-partition shuffle on user_id. */
   def latestState(spark: SparkSession, dir: String): DataFrame = {
@@ -53,6 +64,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> tumbling,
+    "ev_sliding" -> sliding,
     "ev_latest_state" -> latestState,
     "ev_sessionize" -> sessionize
   )
@@ -62,6 +74,15 @@ object Events {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum("value"), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // each event belongs to exactly 4 of the 15-min-slide 1-hour windows;
+    // window_start = 15-min epoch floor minus i*15min, i in 0..3
+    "ev_sliding" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // 900000000) - i) * 900000000)
+        |           AS window_start, "value"
+        |  FROM events, unnest(generate_series(0, 3)) AS t(i))
+        |SELECT window_start, count(*) AS n, round(sum("value"), 2) AS sum_value
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
     "ev_latest_state" ->
       """SELECT user_id, event_id, event_type, round("value", 4) AS value, ts FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id
