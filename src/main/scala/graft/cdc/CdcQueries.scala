@@ -67,6 +67,22 @@ object CdcQueries {
     // T7: unknown-table schema dispatch falls back to the orders schema —
     // fields present in the payload bind, the rest null-fill
     "cdc_unknown_table_fallback" -> ((s, _) => parse(s, "weird")),
+    // DLQ side-output (the engine-side analog of the reference's Debezium
+    // error topic, config/debezium-config.json:26-27): classify each wire
+    // record as ok / tombstone (null value, drop.tombstones=false) /
+    // corrupt (unparseable JSON under PERMISSIVE decode) so bad records
+    // are routed instead of silently null-filling the warehouse
+    "cdc_dlq_split" -> ((s, _) => {
+      val wire = source.read(s, Schemas.topicFor("weird"), StartingOffsets.Earliest)
+      val parsed = from_json(col("value").cast("string"), Schemas.forTable("weird"))
+      wire.select(
+          col("offset").as("kafka_offset"),
+          col("value").cast("string").as("raw_value"),
+          when(col("value").isNull, "tombstone")
+            .when(parsed.isNull, "corrupt")
+            .otherwise("ok").as("kind"))
+        .orderBy(col("kafka_offset"))
+    }),
     // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
     // SQL surface (temp views + spark.sql), the engine-side equivalent of
     // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
@@ -145,6 +161,12 @@ object CdcQueries {
          |  CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.total_amount') END AS total_amount,
          |  CASE WHEN json_valid(value) THEN json_extract_string(value, '$$.shipping_address') END AS shipping_address,
          |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset
+         |FROM ${wireSql("weird")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_dlq_split" ->
+      s"""SELECT "offset" AS kafka_offset, value AS raw_value,
+         |  CASE WHEN value IS NULL THEN 'tombstone'
+         |       WHEN NOT json_valid(value) THEN 'corrupt'
+         |       ELSE 'ok' END AS kind
          |FROM ${wireSql("weird")} ORDER BY kafka_offset""".stripMargin
   )
 }

@@ -262,6 +262,39 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: the one genuine fact⋈fact join in
+    * the set (orders ⋈ lineitem on orderkey — both too big to broadcast at
+    * scale, so it shuffles on the join key and AQE picks SMJ/SHJ and
+    * handles skew). customer stays a broadcast dim; date filters push to
+    * both parquet scans before the join. */
+  def q22ShippingPriority(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Post-aggregation predicate (HAVING): brands whose discounted revenue
+    * clears a floor — the filter runs on the ~|brands| aggregate, after
+    * the single partial+final exchange. */
+  def q23Having(spark: SparkSession, dir: String, floor: Double = 1.0e6): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .filter(col("revenue") > floor)
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q1_pricing_summary" -> q1PricingSummary,
     "rel_q2_join_revenue" -> q2JoinRevenue,
@@ -283,7 +316,9 @@ object Relational {
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
-    "rel_q21_navigation" -> q21Navigation
+    "rel_q21_navigation" -> q21Navigation,
+    "rel_q22_shipping_priority" -> ((s, d) => q22ShippingPriority(s, d)),
+    "rel_q23_having" -> ((s, d) => q23Having(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -405,6 +440,25 @@ object Relational {
         |  round(percent_rank() OVER w, 6) AS pct_rank
         |FROM orders WHERE o_custkey <= 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_q22_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-30'
+        |  AND l_shipdate > TIMESTAMP '1998-06-30'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_q23_having" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |HAVING round(sum(l_extendedprice * (1 - l_discount)), 4) > 1000000
+        |ORDER BY p_brand""".stripMargin
   )
 }
