@@ -1,6 +1,38 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
 object Bench {
+
+  /** Streaming throughput probe: replay the events table as `nFiles`
+    * single-file micro-batches through the watermarked windowed-count
+    * pipeline ([[graft.stream.StreamSync.windowedCounts]]) with
+    * AvailableNow, and time the drain. Semantics are pinned in StreamSpec;
+    * this measures the rate. */
+  private def streamReplay(spark: SparkSession, sfDir: String,
+                           nFiles: Int = 8): (Double, Long, Int) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
+    val src = s"$tmp/in"; val chk = s"$tmp/chk"; val out = s"$tmp/out"
+    val ev = graft.schema.Tables.events(spark, sfDir)
+    val n = ev.count()
+    ev.repartition(nFiles).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = graft.stream.StreamSync.windowedCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.length
+    val dt = (System.nanoTime() - t0) / 1e9
+    (dt, n, batches)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,14 +45,24 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Drop cross-query session state (cached relations, stale broadcast
-      // refs) so one query's footprint can't distort the next measurement.
+      // Drop cross-query session state so one query's footprint can't
+      // distort the next measurement: clearCache() empties the SQL
+      // CacheManager (persist()), but localCheckpoint() blocks live only
+      // in the block manager — unpersist those explicitly (r2 bench: the
+      // leaked checkpoint blocks inflated 8 queries 20-40×).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (streamSec, streamRows, streamBatches) =
+      try streamReplay(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_replay: ${e.getMessage}"); (-1.0, 0L, 0) }
+    val all = results :+ ("stream_replay" -> streamSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    val streamRate = if (streamSec > 0) streamRows / streamSec else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate}""")
     spark.stop()
   }
 }

@@ -74,12 +74,18 @@ object CdcQueries {
     // are routed instead of silently null-filling the warehouse
     "cdc_dlq_split" -> ((s, _) => {
       val wire = source.read(s, Schemas.topicFor("weird"), StartingOffsets.Earliest)
-      val parsed = from_json(col("value").cast("string"), Schemas.forTable("weird"))
+      // PERMISSIVE from_json yields a NON-null struct with all-null fields
+      // for malformed input, so struct-null is not a corruption signal;
+      // the explicit corrupt-record column is.
+      val schemaWithCorrupt = Schemas.forTable("weird")
+        .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      val parsed = from_json(col("value").cast("string"), schemaWithCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
       wire.select(
           col("offset").as("kafka_offset"),
           col("value").cast("string").as("raw_value"),
           when(col("value").isNull, "tombstone")
-            .when(parsed.isNull, "corrupt")
+            .when(parsed.getField("_corrupt_record").isNotNull, "corrupt")
             .otherwise("ok").as("kind"))
         .orderBy(col("kafka_offset"))
     }),

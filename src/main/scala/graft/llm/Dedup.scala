@@ -35,12 +35,16 @@ object Dedup {
            sum(col("copies") - 1).as("n_removed"))
       .orderBy(col("lang"))
 
-  /** MinHash signatures (doc_id → 128-long signature prefix shown). */
+  /** MinHash signatures (doc_id → 128-long signature; 4-long prefix
+    * shown, JSON-serialized — the driver's pandas compare can't hash raw
+    * array cells). The hash family is engine-internal (xxhash64 shingles +
+    * SplitMix64 permutations), so there is no SQL oracle; determinism and
+    * estimator accuracy are pinned in LlmSpec. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
-      .select(col("doc_id"), slice(col("sig"), 1, 4).as("sig_prefix"))
+      .select(col("doc_id"), to_json(slice(col("sig"), 1, 4)).as("sig_prefix_json"))
       .orderBy(col("doc_id"))
 
   /** doc_id → MinHash signature, persisted: downstream stages read it 2-3
@@ -156,6 +160,21 @@ object Dedup {
     */
   def resolveKeepers(spark: SparkSession, dir: String, threshold: Double = 0.8,
                      maxIters: Int = 25): DataFrame = {
+    // Checkpoint-block hygiene: localCheckpoint blocks live in the block
+    // manager until the ContextCleaner GCs the RDD, so a 25-round loop
+    // would otherwise pin ~50 stale frames of blocks for the whole query
+    // (and leak past it — the r2 bench distortion). Track the RDD ids each
+    // checkpoint creates (id-set diff; the session is single-threaded
+    // here) and free a frame's blocks as soon as its last consumer has
+    // materialized.
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true) // eager: materialized on return
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     // Eager localCheckpoint, not persist, at every multi-consumer boundary:
     //  (1) `pairs` — the LSH+verify pipeline is consumed by both union
     //      branches below; materializing it once prevents the first loop
@@ -168,14 +187,14 @@ object Dedup {
     //      frame re-plans in milliseconds.
     // The same calls scale out (executor-local blocks; switch to reliable
     // checkpoint() if executor loss must be survivable mid-job).
-    val pairs = ngramJaccard(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    val (pairs, pairIds) = checkpointed(
+      ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+    val (edges, edgeIds) = checkpointed(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    free(pairIds) // edges (materialized) is pairs' only consumer
+    var (labels, labelIds) = checkpointed(
+      edges.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -186,24 +205,25 @@ object Dedup {
         .agg(min(col("nbr_label")).as("nbr_min"))
       // One frame carries old + hop-min labels: the convergence probe and
       // the jump both read the materialized blocks (no second join pass).
-      val hopped = labels
+      val (hopped, hopIds) = checkpointed(labels
         .join(nbrMin, col("doc_id") === col("prop_id"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("hop_label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("hop_label")))
       val changed = hopped.filter(col("hop_label") =!= col("old_label"))
         .limit(1).count() // scalar convergence probe, not a data collect
       // Pointer jump: hop_label is always some node's id, so resolving it
       // through that node's own hop label halves the remaining depth —
       // O(log diameter) rounds overall instead of O(diameter).
-      labels = hopped.as("h")
+      val (next, nextIds) = checkpointed(hopped.as("h")
         .join(hopped.select(col("doc_id").as("t_id"), col("hop_label").as("t_label")),
           col("h.hop_label") === col("t_id"))
-        .select(col("h.doc_id").as("doc_id"), col("t_label").as("label"))
-        .localCheckpoint(true)
+        .select(col("h.doc_id").as("doc_id"), col("t_label").as("label")))
+      free(labelIds); free(hopIds) // next (materialized) read both
+      labels = next; labelIds = nextIds
       converged = changed == 0
       iters += 1
     }
+    free(edgeIds)
     labels.select(col("doc_id"), col("label").as("keeper"))
       .withColumn("is_dup", col("doc_id") =!= col("keeper"))
       .orderBy(col("doc_id"))
@@ -239,6 +259,24 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // oracle-able since the IVF assignment became deterministic (first-16
+    // centroids, lowest-id tie-break): DuckDB reproduces cell assignment,
+    // same-cell candidate pairs, and the exact-cosine top-20
+    "dedup_embedding_neardup" ->
+      """WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+        |             CAST(embedding AS DOUBLE[]) AS c_emb
+        |           FROM embeddings WHERE vec_id < 16),
+        |s AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC,
+        |                   c.centroid_id) AS rk
+        |      FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, embedding, centroid_id FROM s WHERE rk = 1),
+        |p AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+        |        list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) AS c
+        |      FROM a l JOIN a r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id)
+        |SELECT vec_a, vec_b, round(c, 6) AS cosine
+        |FROM p ORDER BY c DESC, vec_a, vec_b LIMIT 20""".stripMargin,
     "dedup_exact" ->
       """WITH per_text AS (
         |  SELECT lang, sha256(text) AS h, min(doc_id) AS keeper, count(*) AS copies

@@ -40,14 +40,23 @@ object Multimodal {
 
   /** STUB decode → feature extraction: a real codec (JPEG decode, mel
     * spectrogram, frame sampling) would replace `fakeDecodeFeatures`; the
-    * batch shape (binary in, fixed-width float array out, map-side only)
-    * is what a Pandas-UDF/mapInPandas equivalent needs at scale. */
+    * batch shape (binary in, fixed-width float vector out, map-side only)
+    * is what a Pandas-UDF/mapInPandas equivalent needs at scale.
+    *
+    * The stub features are md5-nibble-derived (feature i = i-th hex digit
+    * of md5(payload) scaled to [0,1)) — deterministic AND reproducible in
+    * the DuckDB oracle, unlike a Spark-private hash. The vector leaves the
+    * query serialized (fixed %.4f CSV): the driver's pandas compare can't
+    * hash raw array cells, and the fixed-point rendering sidesteps
+    * float-formatting drift between engines. */
   def fakeDecodeFeatures(spark: SparkSession, dir: String, nFeatures: Int = 4): DataFrame = {
-    val features = (0 until nFeatures).map(i =>
-      round((pmod(xxhash64(col("payload"), lit(i)), lit(1000000L)).cast("double") / 1e6), 6))
+    val features = (0 until nFeatures).map { i =>
+      val nibble = expr(s"instr('0123456789abcdef', substring(md5(payload), ${i + 1}, 1)) - 1")
+      format_string("%.4f", nibble.cast("double") / 16.0)
+    }
     blobbed(spark, dir)
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-        array(features: _*).as("features"))
+        concat_ws(",", features: _*).as("features_csv"))
       .orderBy(col("doc_id"))
   }
 
@@ -96,6 +105,15 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) / 16.0)
+        |    || ',' || printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) / 16.0)
+        |    || ',' || printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) / 16.0)
+        |    || ',' || printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / 16.0)
+        |    AS features_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

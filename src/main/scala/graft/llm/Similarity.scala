@@ -36,21 +36,33 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Cluster assignment: nearest of the broadcast centroids per vector.
-    * Deterministic argmax tie-break toward the lowest centroid id. */
+  /** Cluster assignment: nearest centroid per vector, computed entirely
+    * map-side. The centroid set is a MODEL, not data (nClusters × dim
+    * floats, a few KB): it is collected once and inlined as array literals,
+    * so every vector scores all centroids inside one codegen'd projection —
+    * the corpus is never replicated, shuffled, or window-sorted. (The
+    * previous formulation ran row_number() over a ×nClusters-replicated
+    * corpus: a full exchange of 16× the data, fatal at 100 TB.)
+    * Deterministic argmax tie-break toward the lowest centroid id via
+    * greatest(struct(sim, -id, id)). */
   def assignClusters(spark: SparkSession, dir: String, nClusters: Int = 16): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
-    val centroids = emb.filter(col("vec_id") < nClusters)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val centroids: Array[(Int, Array[Float])] = emb.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val scored = centroids.map { case (cid, vec) =>
+      struct(
+        vec_cosine(col("embedding"), typedLit(vec)).as("sim"),
+        lit(-cid).as("ord"),
+        lit(cid).as("centroid_id"))
+    }
     // parallelized: the local single-row-group file is one split; the
-    // ×nClusters cross join and downstream pair join need the cores
-    Tables.parallelized(emb).crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
-        vec_cosine(col("embedding"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+    // downstream pair join / probe need the cores
+    Tables.parallelized(emb)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        greatest(scored.toIndexedSeq: _*).getField("centroid_id").as("centroid_id"))
   }
 
   /** Cluster population histogram (diagnostic + oracle-free smoke). */
@@ -124,6 +136,39 @@ object Similarity {
         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cosine
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    // IVF is oracle-able because the centroids are deterministic (the
+    // first nClusters vec_ids): DuckDB reproduces assignment (argmax
+    // cosine, ties to the lowest centroid id), probe, and ranked scan.
+    "sim_ivf_cluster_sizes" ->
+      """WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+        |             CAST(embedding AS DOUBLE[]) AS c_emb
+        |           FROM embeddings WHERE vec_id < 16),
+        |s AS (SELECT e.vec_id, c.centroid_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC,
+        |                   c.centroid_id) AS rk
+        |      FROM embeddings e CROSS JOIN c)
+        |SELECT centroid_id, count(*) AS n_vectors
+        |FROM s WHERE rk = 1 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+        |        CAST(embedding AS DOUBLE[]) AS c_emb
+        |      FROM embeddings WHERE vec_id < 16),
+        |probe AS (SELECT centroid_id FROM c, q
+        |          ORDER BY list_cosine_similarity(c_emb, q_emb) DESC, centroid_id LIMIT 4),
+        |s AS (SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC,
+        |                   c.centroid_id) AS rk
+        |      FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, label, embedding FROM s
+        |      WHERE rk = 1 AND centroid_id IN (SELECT centroid_id FROM probe))
+        |SELECT a.vec_id, a.label,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.q_emb), 6) AS cosine
+        |FROM a, q WHERE a.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), q.q_emb) DESC, a.vec_id
         |LIMIT 10""".stripMargin,
     "sim_batch_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb

@@ -133,7 +133,23 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Corpus vocabulary heavy hitters: top-k tokens by frequency — the
+    * tokenizer-vocab / stopword-mining primitive. explode is map-side; the
+    * token group-by does partial (map-side combine) + final aggregation, so
+    * only per-partition distinct tokens cross the exchange, and the top-k
+    * is TakeOrdered over the ~|vocab| aggregate, never a global sort of
+    * occurrences. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_stats" -> stats,
     "text_tokens" -> tokens,
     "text_langid" -> langId,
@@ -143,6 +159,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // lexicon argmax is deterministic and SQL-expressible: the cascading
+    // CASE fires on the FIRST language reaching the global max score —
+    // exactly the engine's greatest(struct(score, -ord)) tie-break
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(words, w -> w IN ('the','a','and','of'))) AS INTEGER) AS s_en,
+        |  CAST(len(list_filter(words, w -> w IN ('la','el','los','de'))) AS INTEGER) AS s_es,
+        |  CAST(len(list_filter(words, w -> w IN ('der','die','das','und'))) AS INTEGER) AS s_de,
+        |  CAST(len(list_filter(words, w -> w IN ('le','les','des','et'))) AS INTEGER) AS s_fr,
+        |  CAST(len(list_filter(words, w -> w IN ('de5','shi4','le5','he2'))) AS INTEGER) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS predicted_lang,
+        |  CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS INTEGER) AS marker_hits
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       """WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents)
         |SELECT doc_id, lang,

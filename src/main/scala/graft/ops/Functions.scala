@@ -51,7 +51,11 @@ object Functions {
         round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
         floor(col("l_extendedprice")).cast("long").as("price_floor"),
         ceil(col("l_tax") * 100).cast("long").as("tax_pct_ceil"),
-        abs(col("l_discount") - lit(0.05)).cast("decimal(10,4)").as("disc_dev"),
+        // double, not DECIMAL(10,4): a decimal's trailing-zero scale
+        // ('0.0100') hashes differently from the oracle's float 0.01 in the
+        // driver compare even though the values are equal; decimal-cast
+        // coverage lives in cdc_typed_orders where the scale is exact
+        round(abs(col("l_discount") - lit(0.05)), 4).as("disc_dev"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
@@ -127,7 +131,7 @@ object Functions {
         |  round(ln(l_extendedprice + 1), 6) AS price_ln,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
-        |  CAST(abs(l_discount - 0.05) AS DECIMAL(10,4)) AS disc_dev,
+        |  round(abs(l_discount - 0.05), 4) AS disc_dev,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_orderkey <= 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
