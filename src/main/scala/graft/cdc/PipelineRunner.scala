@@ -1,0 +1,115 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import graft.schema.Schemas
+
+/** End-to-end pipeline driver — the engine-side composition of the
+  * reference's orchestration DAG (/root/reference/airflow/dags/
+  * cdc_auto_sync_every_5min.py:262-264: configure → health → [4-table
+  * sync fan-out] → verify → reconcile) and its bootstrap runner
+  * (/root/reference/run_pipeline.py:1-143).
+  *
+  * Stage mapping:
+  *  - configure  = ensure the warehouse root exists (the `aws s3 mb`
+  *                 bucket ensure-exists, cdc_auto_sync_every_5min.py:38-69)
+  *  - health     = per-topic source availability probe (the Debezium
+  *                 connector-status GET, :72-87 — failures are reported
+  *                 but tolerated, matching the DAG's lenient `:84-86`)
+  *  - sync       = [[SyncJob.syncAll]] over the 4 tables, concurrent
+  *                 (the DAG's parallel `process_<table>` tasks, :89-114)
+  *  - verify     = parquet read-back counts ([[SyncJob.verifyCounts]],
+  *                 the `aws s3 ls` file-count check, :117-171)
+  *  - reconcile  = source-vs-sink row counts (the Postgres COUNT(*)
+  *                 reconciliation, :174-184 / run_pipeline.sh:174-182)
+  *
+  * CLI accepts the reference's argument style (`--key=value` and
+  * `--key value`, kafka_to_s3_enhanced.py:14-34).
+  */
+object PipelineRunner {
+
+  final case class TableReport(table: String, synced: Long, maxOffset: Long,
+                               sourceRows: Long, sinkRows: Long) {
+    def consistent: Boolean = sourceRows == sinkRows
+  }
+  final case class PipelineReport(healthy: Map[String, Boolean],
+                                  tables: Seq[TableReport]) {
+    def allConsistent: Boolean = tables.forall(_.consistent)
+  }
+
+  val DefaultTables: Seq[String] = Seq("orders", "customers", "products", "order_items")
+
+  /** `--key=value` and `--key value` into a map (reference arg surface). */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        val eq = a.indexOf('=')
+        if (eq >= 0) { out(a.substring(2, eq)) = a.substring(eq + 1); i += 1 }
+        else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          out(a.substring(2)) = args(i + 1); i += 2
+        } else { out(a.substring(2)) = "true"; i += 1 }
+      } else i += 1
+    }
+    out.toMap
+  }
+
+  /** One full pipeline pass; idempotent given a persistent offset dir
+    * (a re-run with no new source records syncs 0 and stays consistent). */
+  def run(spark: SparkSession, fixtureDir: String, warehouseDir: String,
+          offsetDir: String, tables: Seq[String] = DefaultTables,
+          singleFile: Boolean = false): PipelineReport = {
+    // configure: warehouse root must exist before the first append
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouseDir))
+
+    // health: is each topic's source present? (tolerated like the DAG)
+    val healthy = tables.map { t =>
+      val topicFile = s"$fixtureDir/${Schemas.topicFor(t)}.jsonl"
+      t -> java.nio.file.Files.exists(java.nio.file.Paths.get(topicFile))
+    }.toMap
+    healthy.collect { case (t, false) => t }
+      .foreach(t => System.err.println(s"[pipeline] WARNING: no source for $t (continuing)"))
+
+    // sync fan-out (concurrent per-table jobs in one session)
+    val source = new FileCdcSource(fixtureDir)
+    val offsets = new OffsetStore(offsetDir)
+    val job = new SyncJob(source, offsets, warehouseDir, singleFile = singleFile)
+    val synced = job.syncAll(spark, tables.filter(healthy))
+
+    // verify: sink read-back
+    val sinkCounts = job.verifyCounts(spark, tables)
+
+    // reconcile: source truth = current wire record count per topic
+    val reports = tables.map { t =>
+      val src =
+        if (healthy(t))
+          source.read(spark, Schemas.topicFor(t), StartingOffsets.Earliest).count()
+        else 0L
+      val s = synced.find(_.table == t)
+      TableReport(t, s.map(_.records).getOrElse(0L), s.map(_.maxOffset).getOrElse(-1L),
+        src, sinkCounts.getOrElse(t, 0L))
+    }
+    PipelineReport(healthy, reports)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val fixtureDir = a.getOrElse("fixture_dir", CdcQueries.FixtureDir)
+    val warehouseDir = a.getOrElse("warehouse", "/tmp/graft_warehouse")
+    val offsetDir = a.getOrElse("offset_dir", "/tmp/graft_offsets")
+    val tables = a.get("tables").map(_.split(",").toSeq).getOrElse(DefaultTables)
+    val singleFile = a.get("single_file").contains("true")
+    val spark = graft.Sessions.local(appName = a.getOrElse("JOB_NAME", "graft-pipeline"))
+    try {
+      val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables, singleFile)
+      // the reference's eyeball source-vs-sink report, machine-checkable
+      println(f"${"table"}%-12s ${"synced"}%8s ${"hwm"}%6s ${"source"}%8s ${"sink"}%8s  status")
+      report.tables.foreach { r =>
+        val status = if (r.consistent) "OK" else "MISMATCH"
+        println(f"${r.table}%-12s ${r.synced}%8d ${r.maxOffset}%6d ${r.sourceRows}%8d ${r.sinkRows}%8d  $status")
+      }
+      if (!report.allConsistent) sys.exit(2)
+    } finally spark.stop()
+  }
+}

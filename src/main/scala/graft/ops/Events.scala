@@ -62,14 +62,60 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** As-of join: each `click` matched to the same user's latest
+    * prior-or-simultaneous `purchase` (left as-of). Spark has no ASOF
+    * operator; the scale-correct composition is union-the-sides + one
+    * window per user carrying the last purchase payload forward
+    * (`last(..., ignoreNulls)` over rows UNBOUNDED PRECEDING..CURRENT) —
+    * a single hash-partition shuffle on user_id, no range-join row
+    * explosion, no per-row probe. Purchases sort before clicks at equal
+    * ts so a same-instant purchase is visible (ASOF `>=` semantics). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("long").as("p_event_id"),
+        lit(null).cast("timestamp").as("p_ts"),
+        lit(null).cast("double").as("p_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        col("event_id").as("p_event_id"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .select(col("user_id"), col("ts"), col("side"), col("event_id"),
+        last(col("p_event_id"), ignoreNulls = true).over(w).as("purchase_id"),
+        last(col("p_ts"), ignoreNulls = true).over(w).as("purchase_ts"),
+        last(col("p_value"), ignoreNulls = true).over(w).as("purchase_value"))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("purchase_id"), col("purchase_ts"),
+        col("purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
     "ev_latest_state" -> latestState,
-    "ev_sessionize" -> sessionize
+    "ev_sessionize" -> sessionize,
+    "ev_asof_join" -> asofJoin
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN is the reference semantics for the engine's
+    // union+window composition (event timestamps are unique, so the match
+    // is deterministic on both sides)
+    "ev_asof_join" ->
+      """SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
+        |  r.event_id AS purchase_id, r.ts AS purchase_ts,
+        |  r."value" AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY click_id""".stripMargin,
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, round(sum("value"), 2) AS sum_value

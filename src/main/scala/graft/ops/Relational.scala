@@ -205,6 +205,20 @@ object Relational {
       .orderBy(col("s_nationkey"))
   }
 
+  /** The UNsalted form of [[q17SaltedJoin]] — same result, plain join keys.
+    * Registered as its own query so the bench shows the salting overhead/
+    * benefit explicitly (the salted variant buys skew resilience at the
+    * cost of replicating the small side ×salts). */
+  def q17bPlainJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Pivot (long→wide conditional aggregation): order counts per priority
     * pivoted over status. Explicit pivot values keep the plan a single
     * partial+final agg (no extra distinct-values job, fixed output schema
@@ -313,6 +327,7 @@ object Relational {
     "rel_q15_distinct" -> q15Distinct,
     "rel_q16_approx_distinct" -> q16ApproxDistinct,
     "rel_q17_salted_join" -> ((s, d) => q17SaltedJoin(s, d)),
+    "rel_q17b_plain_join" -> q17bPlainJoin,
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
@@ -410,6 +425,11 @@ object Relational {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the salted join is result-equivalent to the plain join — that IS the test
+    "rel_q17b_plain_join" ->
+      """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "rel_q17_salted_join" ->
       """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue,
         |  count(*) AS n_items

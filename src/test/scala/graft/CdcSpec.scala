@@ -141,4 +141,30 @@ class CdcSpec extends AnyFunSuite {
       .select(Envelope.epochMicrosToTimestamp(col("d")).as("ts")).head().getTimestamp(0)
     assert(got.toInstant.toString == "2024-03-01T10:00:00Z")
   }
+
+  test("pipeline runner: configure → health → sync ×4 → verify → reconcile") {
+    val base = Files.createTempDirectory("graft-pipeline").toString
+    val r1 = PipelineRunner.run(spark, fixtures, s"$base/warehouse", s"$base/offsets")
+    assert(r1.healthy.values.forall(identity))
+    assert(r1.tables.map(_.table) == PipelineRunner.DefaultTables)
+    assert(r1.allConsistent, s"source-vs-sink mismatch: ${r1.tables}")
+    val orders = r1.tables.find(_.table == "orders").get
+    assert(orders.synced == 10 && orders.maxOffset == 9 && orders.sinkRows == 10)
+    // second pass: empty delta everywhere, reconciliation still consistent
+    val r2 = PipelineRunner.run(spark, fixtures, s"$base/warehouse", s"$base/offsets")
+    assert(r2.tables.forall(_.synced == 0))
+    assert(r2.allConsistent)
+    // a missing topic is tolerated (health=false, zero rows, no crash)
+    val r3 = PipelineRunner.run(spark, fixtures, s"$base/w2", s"$base/o2",
+      tables = Seq("orders", "nonexistent_table"))
+    assert(r3.healthy("orders") && !r3.healthy("nonexistent_table"))
+    assert(r3.tables.find(_.table == "orders").get.consistent)
+  }
+
+  test("pipeline runner arg parsing accepts both reference styles") {
+    val got = PipelineRunner.parseArgs(Array(
+      "--JOB_NAME=cdc-sync", "--kafka_topic", "t1", "--single_file=true", "--flag"))
+    assert(got == Map("JOB_NAME" -> "cdc-sync", "kafka_topic" -> "t1",
+      "single_file" -> "true", "flag" -> "true"))
+  }
 }

@@ -16,6 +16,28 @@ class RelationalSpec extends AnyFunSuite {
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("as-of join: latest prior-or-equal purchase per click, null when none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // user 1: purchase@10, click@20 (→10), purchase@30, click@30 (same
+    // instant → 30), click@5 (before any purchase → null); user 2: no
+    // purchases → null
+    val rows = Seq(
+      (100L, 1L, "purchase", 5.0, t(10)),
+      (101L, 1L, "click", 0.0, t(20)),
+      (102L, 1L, "purchase", 7.0, t(30)),
+      (103L, 1L, "click", 0.0, t(30)),
+      (104L, 1L, "click", 0.0, t(5)),
+      (105L, 2L, "click", 0.0, t(50)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.ops.Events.asofJoin(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(101L -> 100L, 103L -> 102L, 104L -> -1L, 105L -> -1L))
+  }
+
   test("dimension joins broadcast (no fact shuffle)") {
     val plan = physicalPlan(Relational.q2JoinRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
