@@ -39,7 +39,12 @@ object Bench {
     val spark = Sessions.local(cpus, "graft-bench")
     // Deterministic execution order; failures surface as -1 so a broken
     // query can't silently shrink the measured set.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for isolated re-measurement
+    // (SPARK_GRAFT_ONLY=q1,q2; unset = full suite, what the driver runs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -55,9 +60,11 @@ object Bench {
       name -> (if (ok) dt else -1.0)
     }
     val (streamSec, streamRows, streamBatches) =
-      try streamReplay(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] stream_replay: ${e.getMessage}"); (-1.0, 0L, 0) }
+      if (only.isDefined) (-1.0, 0L, 0)
+      else
+        try streamReplay(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stream_replay: ${e.getMessage}"); (-1.0, 0L, 0) }
     val all = results :+ ("stream_replay" -> streamSec)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

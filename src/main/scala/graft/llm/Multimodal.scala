@@ -105,6 +105,28 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the mapPartitions stride/chunk walk and the FNV-1a checksum
+    // in SQL (HUGEINT mod-2^64; the 8-bit xor folds through BIGINT xor on
+    // the low byte) — ASCII corpus, so string index == byte offset
+    "mm_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L FROM documents),
+        |f AS (
+        |  SELECT doc_id, c AS chunk, (c*64) AS off, LEAST(64, L - c*64) AS n_bytes, text
+        |  FROM d, unnest(generate_series(0, CAST(ceil(L/64.0) AS INTEGER) - 1, 4)) AS t(c)),
+        |chk AS (
+        |  SELECT doc_id, chunk // 4 AS frame_idx, off, n_bytes,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(off + 1, off + n_bytes + 1),
+        |          i -> CAST(unicode(text[i]) AS HUGEINT))),
+        |      (acc, b) -> (((acc - acc % 256) + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT)) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS m
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(off AS INTEGER) AS "offset", CAST(n_bytes AS INTEGER) AS n_bytes,
+        |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+        |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS checksum
+        |FROM chk ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -88,14 +88,15 @@ object TextOps {
 
   /** Whole-document fingerprint: polynomial rolling hash over the
     * normalized (lowercased, space-collapsed) text — custom native
-    * expression [[graft.functions.RollingHash]]. Golden-pinned in tests. */
+    * expression [[graft.functions.RollingHash]]. Golden-pinned in tests
+    * AND oracled: the Karp–Rabin recurrence (h·base + codeunit mod 2^64)
+    * is reproduced in DuckDB with HUGEINT arithmetic. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
         GraftFunctions.rolling_hash(
-          regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
-        xxhash64(col("text")).as("xx64"))
+          regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   /** Quality-filter pipeline: per-document keep/drop decision with the
@@ -164,6 +165,24 @@ object TextOps {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // the engine's wrapping-long Karp–Rabin recurrence, replayed with
+    // HUGEINT mod-2^64 arithmetic and folded back to signed BIGINT
+    // (code-unit == codepoint holds: the corpus is ASCII)
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::HUGEINT,
+        |        list_transform(range(1, length(norm) + 1),
+        |          i -> CAST(unicode(norm[i]) AS HUGEINT))),
+        |      (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS m
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+        |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fingerprint
+        |FROM h ORDER BY doc_id""".stripMargin,
     // lexicon argmax is deterministic and SQL-expressible: the cascading
     // CASE fires on the FIRST language reaching the global max score —
     // exactly the engine's greatest(struct(score, -ord)) tie-break
