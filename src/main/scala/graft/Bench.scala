@@ -39,6 +39,10 @@ object Bench {
     val spark = Sessions.local(cpus, "graft-bench")
     // Deterministic execution order; failures surface as -1 so a broken
     // query can't silently shrink the measured set.
+    // Session warm-up (codegen compiler, block manager, scheduler paths)
+    // so the alphabetically-first query doesn't absorb ~5 s of one-time
+    // startup cost in its measurement.
+    spark.range(1000).selectExpr("sum(id)").count()
     // Optional comma-separated filter for isolated re-measurement
     // (SPARK_GRAFT_ONLY=q1,q2; unset = full suite, what the driver runs).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -38,6 +38,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Map(101L -> 100L, 103L -> 102L, 104L -> -1L, 105L -> -1L))
   }
 
+  test("bucketed fact tables join and aggregate with zero exchange") {
+    import graft.ops.Bucketed
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    Bucketed.writeBucketed(orders, "orders_b", "o_orderkey", 8, s"$tmp/orders_b")
+    Bucketed.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8, s"$tmp/lineitem_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val df = Bucketed.cocolocatedOrderRevenue(spark, "orders_b", "lineitem_b")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      // and it computes the same revenue as the unbucketed join
+      val expected = orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("dimension joins broadcast (no fact shuffle)") {
     val plan = physicalPlan(Relational.q2JoinRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
