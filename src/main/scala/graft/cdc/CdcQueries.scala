@@ -89,6 +89,21 @@ object CdcQueries {
             .otherwise("ok").as("kind"))
         .orderBy(col("kafka_offset"))
     }),
+    // Upsert compaction: latest visible row per primary key from the
+    // append-only change stream — the materialization step the reference's
+    // append-only warehouse never runs (every UPDATE lingers as a
+    // duplicate row). One hash-partition window on the key; at scale this
+    // is the periodic compaction job over the warehouse.
+    "cdc_latest_state" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
+      parse(s, "orders")
+        .filter(col("order_id").isNotNull) // tombstones decode key-less
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .drop("rk")
+        .orderBy(col("order_id"))
+    }),
     // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
     // SQL surface (temp views + spark.sql), the engine-side equivalent of
     // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
@@ -153,6 +168,15 @@ object CdcQueries {
          |  CAST(json_extract_string(value, '$$.total_amount') AS DECIMAL(10,2)) AS total_amount_dec,
          |  "offset" AS kafka_offset
          |FROM ${wireSql("orders")} ORDER BY kafka_offset""".stripMargin,
+    "cdc_latest_state" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT order_id, customer_id, order_date, status, total_amount,
+         |  shipping_address, kafka_timestamp, topic, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE order_id IS NOT NULL) t
+         |WHERE rk = 1 ORDER BY order_id""".stripMargin,
     "cdc_reconcile_counts" ->
       s"""SELECT 'customers' AS tbl, count(*) AS n FROM ${wireSql("customers")}
          |UNION ALL SELECT 'order_items', count(*) FROM ${wireSql("order_items")}

@@ -234,8 +234,10 @@ object Dedup {
     * The all-pairs O(n²) scan never happens — candidates come from the
     * broadcast-assigned cluster key, one shuffle. */
   def embeddingNearDup(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val assigned = Similarity.assignClusters(spark, dir)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    // parallelized: the local single-split file would serialize the
+    // CPU-heavy same-cell pair join onto one core
+    val assigned = Tables.parallelized(Similarity.assignClusters(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("centroid_id")))
       .persist()
     val l = assigned.as("l")
     val r = assigned.as("r")

@@ -58,11 +58,11 @@ object Similarity {
         lit(-cid).as("ord"),
         lit(cid).as("centroid_id"))
     }
-    // parallelized: the local single-row-group file is one split; the
-    // downstream pair join / probe need the cores
-    Tables.parallelized(emb)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        greatest(scored.toIndexedSeq: _*).getField("centroid_id").as("centroid_id"))
+    // deliberately NOT repartitioned here: assignment is a narrow
+    // scan→project; consumers that fan out CPU-heavy work afterwards
+    // (the near-dup pair join) widen with Tables.parallelized themselves
+    emb.select(col("vec_id"), col("label"), col("embedding"),
+      greatest(scored.toIndexedSeq: _*).getField("centroid_id").as("centroid_id"))
   }
 
   /** Cluster population histogram (diagnostic + oracle-free smoke). */

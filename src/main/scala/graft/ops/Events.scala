@@ -96,7 +96,42 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** Bounded-interval (range) join: purchases within 30 minutes AFTER each
+    * click, per user. A naive range join explodes (every click × every
+    * purchase per user); the scale composition buckets time into
+    * window-sized slots and replicates only the SMALL side (each purchase
+    * to its own and the previous bucket, ×2), so the equi-join on
+    * (user_id, bucket) bounds candidates to adjacent slots and the exact
+    * interval predicate filters inside the join. One keyed shuffle, no
+    * row explosion beyond ×2. The oracle states the same semantics as a
+    * plain inequality join — algorithm differs, result must not. */
+  def rangeJoin(spark: SparkSession, dir: String, windowMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val win = windowMinutes * 60L * 1000000L // microseconds
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"),
+        floor(unix_micros(col("ts")) / win).cast("long").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"),
+        floor(unix_micros(col("ts")) / win).cast("long").as("pb"))
+      .withColumn("bucket", explode(array(col("pb") - 1, col("pb"))))
+      .drop("pb")
+    clicks.join(purchases,
+        clicks("user_id") === purchases("p_user") &&
+          clicks("bucket") === purchases("bucket") &&
+          col("p_ts") >= col("click_ts") &&
+          unix_micros(col("p_ts")) - unix_micros(col("click_ts")) <= win,
+        "left")
+      .groupBy(col("click_id"), col("user_id"), col("click_ts"))
+      .agg(count(col("p_value")).as("n_purchases"),
+           round(coalesce(sum(col("p_value")), lit(0.0)), 2).as("purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_range_join" -> ((s, d) => rangeJoin(s, d)),
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
     "ev_latest_state" -> latestState,
@@ -115,6 +150,16 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY click_id""".stripMargin,
+    "ev_range_join" ->
+      """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |  count(p."value") AS n_purchases,
+        |  round(coalesce(sum(p."value"), 0), 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) <= 30 * 60 * 1000000
+        |GROUP BY c.event_id, c.user_id, c.ts
         |ORDER BY click_id""".stripMargin,
     "ev_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
