@@ -58,15 +58,32 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .persist()
 
+  /** Per-bucket population cap: a boilerplate bucket holding b documents
+    * contributes b²/2 candidate pairs, so one 1M-doc near-identical
+    * cluster at 100 TB would dominate the whole join. Buckets above the
+    * cap are dropped BEFORE the self-join (keys-only window count, one
+    * exchange of 20-byte rows). Recall note: a pair is lost only if EVERY
+    * band that collides for it is over-crowded — for true near-dups
+    * (which collide in many of the 32 bands) the surviving-band
+    * probability stays ≈1, and the dropped mega-clusters are precisely
+    * the ones exact-dedup/fingerprinting already catch. */
+  val MaxBucket = 1000
+
   /** Banded-LSH candidate generation: explode 32 (band, bucket-hash) keys
     * per doc and self-join on the key — never all-pairs. Only the 20-byte
     * (doc_id, band, bucket) triple crosses the exchange; the ~1 KB
     * signature payload is projected out first and joined back to the
     * (small) pair set afterwards where needed.
     */
-  private def candidatePairs(keys: DataFrame): DataFrame = {
-    val l = keys.as("l")
-    val r = keys.as("r")
+  private def candidatePairs(keys: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = keys
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val l = capped.as("l")
+    val r = capped.as("r")
     l.join(r,
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
