@@ -139,7 +139,27 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Token-budget sharding: chunk each source's corpus into ~`budget`-token
+    * shards by running token count — the layout step before tokenization
+    * writes fixed-size training shards. One window per source (running sum
+    * over a deterministic doc order), shard id = cumulative tokens div
+    * budget; at scale the window partitions by source and streams, no
+    * second pass. */
+  def tokenShards(spark: SparkSession, dir: String, budget: Long = 20000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"CAST((cum_tokens - 1) DIV $budget AS INT)"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_token_shards" -> ((s, d) => tokenShards(s, d)),
     "cur_split_assign" -> splitAssign,
     "cur_scrub" -> scrub,
     "cur_repetition" -> repetition,
@@ -148,6 +168,15 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "cur_token_shards" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - 1) // 20000 AS INTEGER) AS shard
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "cur_split_assign" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'

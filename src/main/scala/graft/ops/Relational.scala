@@ -309,7 +309,25 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Time-RANGE window frame: 30-day trailing revenue per supplier —
+    * the value-based frame (peers by ORDER BY value, not row position)
+    * that rows-frames can't express. Same single hash partition by
+    * suppkey as the rows-frame query; the range bound is evaluated
+    * against the sorted run, no extra pass. RANGE frames are
+    * tie-inclusive, so the result is deterministic even when ship dates
+    * repeat within a supplier. */
+  def q24RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_rf")
+    spark.sql(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM lineitem_rf WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q24_range_frame" -> q24RangeFrame,
     "rel_q1_pricing_summary" -> q1PricingSummary,
     "rel_q2_join_revenue" -> q2JoinRevenue,
     "rel_q3_brand_volume" -> q3BrandVolume,
@@ -337,6 +355,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_q24_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "rel_q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
