@@ -14,6 +14,20 @@ class LlmSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
+  test("IVF assignment plan is a narrow scan→project (no exchange, no window)") {
+    val plan = Similarity.assignClusters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window-sort the corpus:\n$plan")
+  }
+
+  test("IVF cluster-sizes plan scans only the embedding column") {
+    val qe = Similarity.ivfClusterSizes(spark, sf).queryExecution
+    val scans = qe.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scans.contains("embedding") && !scans.contains("label"),
+      s"scan should prune to the embedding column:\n$scans")
+  }
+
   test("minhash est_jaccard tracks exact jaccard on LSH candidates") {
     val est = Dedup.minhashCandidates(spark, sf)
       .select($"doc_a", $"doc_b", $"est_jaccard")
