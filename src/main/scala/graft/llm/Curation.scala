@@ -139,6 +139,24 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Apply the mixture plan: deterministic per-document downsampling at
+    * each source's planned rate. The uniform draw is content-addressed
+    * (first 4 md5 nibbles of the doc id, salted → u = k/65536, an EXACT
+    * binary fraction), so the decision is reproducible under re-runs and
+    * repartitioning with zero RNG state; the ~|sources| rate table rides
+    * along as a broadcast — the corpus is never shuffled. */
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val rates = mixturePlan(spark, dir).select(col("source"), col("sample_rate"))
+    val u = (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 4),
+      16, 10).cast("double") / 65536.0)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), round(u, 10).as("u"))
+      .join(broadcast(rates), "source")
+      .withColumn("kept", col("u") < col("sample_rate"))
+      .select(col("doc_id"), col("source"), col("u"), col("sample_rate"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget sharding: chunk each source's corpus into ~`budget`-token
     * shards by running token count — the layout step before tokenization
     * writes fixed-size training shards. One window per source (running sum
@@ -159,6 +177,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_mixture_apply" -> mixtureApply,
     "cur_token_shards" -> ((s, d) => tokenShards(s, d)),
     "cur_split_assign" -> splitAssign,
     "cur_scrub" -> scrub,
@@ -168,6 +187,27 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // u = first-4-md5-nibbles/65536 is an exact binary fraction, so the
+    // keep decision compares identical doubles in both engines
+    "cur_mixture_apply" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source,
+        |    round(least((1.0 / count(*) OVER ()) /
+        |          (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 1.0), 6) AS sample_rate
+        |  FROM s),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    round((
+        |      (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 4, 1)) - 1)
+        |    ) / 65536.0, 10) AS u
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, d.u, r.sample_rate, d.u < r.sample_rate AS kept
+        |FROM d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
     "cur_token_shards" ->
       """WITH t AS (SELECT source, doc_id,
         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
