@@ -95,13 +95,58 @@ object Functions {
           org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k_struct"))
       .orderBy(col("event_id"))
 
+  /** Statistical aggregates (corr / covariance / stddev): one partial+final
+    * pass using mergeable central-moment accumulators — the distributed
+    * formulation both Spark and DuckDB implement, so values agree to FP
+    * noise and the rounding below absorbs accumulation-order drift
+    * (tighter rounding on the [−1,1]-scale corr, looser on price-scale
+    * moments). */
+  def fStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        round(stddev_pop(col("l_quantity")), 6).as("qty_stddev_pop"),
+        round(avg(col("l_discount")), 6).as("avg_discount"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact percentiles: Spark's `percentile` sorts the group and linearly
+    * interpolates at p·(n−1) — the same definition as ANSI
+    * percentile_cont, so the oracle is exact, not an estimator. (The
+    * estimator twin, approx_percentile/t-digest, is deliberately NOT here:
+    * like approx_count_distinct it has no cross-engine oracle.) */
+  def fPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("price_p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("price_p75"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"))
+      .orderBy(col("l_returnflag"))
+
+  /** Lateral expansion: posexplode flattens each document's token array to
+    * (pos, token) rows — the Generate operator. Row count multiplies by
+    * ~|tokens|, so at scale this runs AFTER any document-level filter
+    * (here the doc_id bound) and never before a join. */
+  def fExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fString,
     "fn_date" -> fDate,
     "fn_math" -> fMath,
     "fn_array" -> fArray,
     "fn_map" -> fMap,
-    "fn_json" -> fJson
+    "fn_json" -> fJson,
+    "fn_stats" -> fStats,
+    "fn_percentile" -> fPercentile,
+    "fn_explode" -> fExplode
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +199,28 @@ object Functions {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
-        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "fn_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+        |  round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
+        |  round(avg(l_discount), 6) AS avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_percentile" ->
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p25,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p50,
+        |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p75,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_explode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id,
+        |  CAST(unnest(range(len(words))) AS INTEGER) AS pos,
+        |  unnest(words) AS word
+        |FROM t ORDER BY doc_id, pos""".stripMargin
   )
 }

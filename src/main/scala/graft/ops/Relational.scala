@@ -326,6 +326,76 @@ object Relational {
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)
   }
 
+  /** IN-subquery membership (TPC-H Q18 shape): orders whose total lineitem
+    * quantity clears a floor. Catalyst rewrites the IN into a left-semi
+    * join against the pre-aggregated subquery — the fact table shuffles
+    * once on the join key and the HAVING floor shrinks the build side
+    * before the join ever runs. */
+  def q25InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_q25")
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q25")
+    spark.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders_q25
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_q25
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** TPC-H Q5-shaped 6-way local-supplier join: region→nation dims are
+    * broadcast; customer joins orders broadcast-side; the only real
+    * shuffle is the fact⋈fact orders⋈lineitem on orderkey; the
+    * supplier co-nationality predicate rides the supplier broadcast.
+    * At 100 TB this is THE canonical star-join plan: one exchange. */
+  def q26LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Conditional aggregation (TPC-H Q12 shape): CASE-gated sums split one
+    * pass over the joined fact into per-class tallies — the idiom that
+    * replaces N filtered scans with 1 scan + N conditional counters. */
+  def q27ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"),
+        round(sum(when(high, col("l_extendedprice")).otherwise(0d)), 2)
+          .as("high_revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+    * their part's average quantity. Written as correlated SQL on purpose —
+    * Catalyst's decorrelation rewrites it into groupBy(partkey)+join, so
+    * the plan is one aggregate and one join, not a per-row re-scan. */
+  def q28CorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q28")
+    spark.sql(
+      """SELECT count(*) AS n_small, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem_q28 l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem_q28 l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q24_range_frame" -> q24RangeFrame,
     "rel_q1_pricing_summary" -> q1PricingSummary,
@@ -351,7 +421,11 @@ object Relational {
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
     "rel_q21_navigation" -> q21Navigation,
     "rel_q22_shipping_priority" -> ((s, d) => q22ShippingPriority(s, d)),
-    "rel_q23_having" -> ((s, d) => q23Having(s, d))
+    "rel_q23_having" -> ((s, d) => q23Having(s, d)),
+    "rel_q25_in_subquery" -> q25InSubquery,
+    "rel_q26_local_supplier" -> q26LocalSupplier,
+    "rel_q27_conditional_agg" -> q27ConditionalAgg,
+    "rel_q28_correlated_scalar" -> q28CorrelatedScalar
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,6 +577,38 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |HAVING round(sum(l_extendedprice * (1 - l_discount)), 4) > 1000000
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+    "rel_q25_in_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_q26_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "rel_q27_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS high_line_count,
+        |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |    AS low_line_count,
+        |  round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                 THEN l_extendedprice ELSE 0 END), 2) AS high_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_q28_correlated_scalar" ->
+      """SELECT count(*) AS n_small, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
   )
 }

@@ -110,6 +110,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(u >= i && u > e)
   }
 
+  test("IN-subquery plans as a semi join against the pre-aggregated build side") {
+    val plan = physicalPlan(Relational.q25InSubquery(spark, sf))
+    assert(plan.contains("LeftSemi"), s"IN should decorrelate to semi join:\n$plan")
+  }
+
+  test("6-way local-supplier join broadcasts every dimension") {
+    val df = Relational.q26LocalSupplier(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"))
+    // only the fact⋈fact orders⋈lineitem join may shuffle: the exchanges
+    // in the plan are its two sides plus the final agg/sort, never a dim
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"))
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("conditional agg splits one scan into per-class tallies that sum to total") {
+    val rows = Relational.q27ConditionalAgg(spark, sf).collect()
+    val joined = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum == joined)
+  }
+
+  test("correlated scalar subquery decorrelates to aggregate + join") {
+    val df = Relational.q28CorrelatedScalar(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("HashAggregate") && plan.toLowerCase.contains("join"),
+      s"expected decorrelated agg+join plan:\n$plan")
+    val r = df.head()
+    assert(r.getAs[Long]("n_small") > 0)
+  }
+
+  test("exact percentiles are ordered within each group") {
+    graft.ops.Functions.fPercentile(spark, sf).collect().foreach { r =>
+      val p25 = r.getAs[Double]("price_p25")
+      val p50 = r.getAs[Double]("price_p50")
+      val p75 = r.getAs[Double]("price_p75")
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
   test("whole-stage codegen covers the agg pipeline") {
     val df = Relational.q1PricingSummary(spark, sf)
     df.collect() // materialize so AQE finalizes the plan
