@@ -176,7 +176,28 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Stratified sampling: exactly `k` docs per stratum (source), chosen by
+    * content-addressed hash order — md5(doc_id:sample) ranks each stratum
+    * deterministically, so the sample is reproducible, uniform-ish within
+    * the stratum, and stable under corpus repartitioning. One window per
+    * stratum over (source, doc_id, hash) triples only — the documents'
+    * text never shuffles. The fixed-k-per-stratum shape (vs mixtureApply's
+    * fixed-RATE) is what eval-set construction and per-source inspection
+    * samples use. */
+  def sampleStratified(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":sample")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("h"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_mixture_apply" -> mixtureApply,
     "cur_token_shards" -> ((s, d) => tokenShards(s, d)),
     "cur_split_assign" -> splitAssign,
@@ -187,6 +208,15 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "cur_sample_stratified" ->
+      """WITH h AS (SELECT source, doc_id,
+        |             md5(CAST(doc_id AS VARCHAR) || ':sample') AS h
+        |           FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        |      FROM h)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, h
+        |FROM r WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
     // u = first-4-md5-nibbles/65536 is an exact binary fraction, so the
     // keep decision compares identical doubles in both engines
     "cur_mixture_apply" ->

@@ -119,7 +119,51 @@ object Similarity {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  /** Embedding hygiene stats: dimension, L2 norm, mean component, max
+    * |component| per vector — the pre-index sanity pass (catch zero /
+    * denormalized / broken vectors before building an ANN index). Pure
+    * map-side higher-order-function arithmetic; every element is cast to
+    * double BEFORE multiplication so the accumulation matches the oracle's
+    * DOUBLE[] arithmetic bit-for-bit. */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val sumSq = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val sumV = aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double"))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(v).as("dim"),
+        round(sqrt(sumSq), 4).as("l2_norm"),
+        round(sumV / size(v), 6).as("mean_val"),
+        round(array_max(transform(v, x => abs(x))).cast("double"), 6).as("max_abs"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Symmetric int8 quantization preview: per-vector scale = max|v|/127,
+    * q_i = round(v_i/scale) ∈ [−127, 127] (no clamp needed — the scale is
+    * the vector's own max). Emits scalar digests (first code, code sum,
+    * saturated count) rather than the int8 array itself, keeping the
+    * output hashable for the driver while pinning every element through
+    * the sum. Map-side only — the quantizer is a projection, applied
+    * before vectors ever reach an index build or shuffle (4× less traffic
+    * than float32 at 100 TB). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    val scale = array_max(transform(v, x => abs(x))).cast("double") / lit(127.0)
+    Tables(spark, dir, "embeddings")
+      .withColumn("scale", scale)
+      .withColumn("qv", transform(v, x => round(x.cast("double") / col("scale")).cast("int")))
+      .select(col("vec_id"),
+        round(col("scale"), 8).as("scale"),
+        element_at(col("qv"), 1).as("q0"),
+        aggregate(col("qv"), lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+        size(filter(col("qv"), q => abs(q) === 127)).as("n_saturated"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embedding_norms" -> embeddingNorms,
+    "sim_quantize_int8" -> quantizeInt8,
     "sim_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d)),
     "sim_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "sim_ivf_cluster_sizes" -> ivfClusterSizes,
@@ -130,6 +174,25 @@ object Similarity {
     * list_cosine_similarity (agrees with the engine's double-accumulating
     * loop to well past the rounded 6 decimals). */
   val oracles: Map[String, String] = Map(
+    "sim_embedding_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INTEGER) AS dim,
+        |  round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2_norm,
+        |  round(list_sum(v) / len(v), 6) AS mean_val,
+        |  round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs
+        |FROM e ORDER BY vec_id""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv FROM m)
+        |SELECT vec_id, round(scale, 8) AS scale,
+        |  qv[1] AS q0,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_saturated
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

@@ -149,7 +149,53 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document TF-IDF top terms — the keyword/topic-signal primitive.
+    * Dataflow: explode tokens (map-side, after any doc filter) → tf per
+    * (doc, term) with map-side combine → df per term over the ~|vocab|
+    * aggregate → idf joins BACK as a broadcast (vocab is small relative to
+    * the corpus; a 100 TB corpus has a bounded vocabulary) → per-doc
+    * ranking window shuffles only (doc, term, score) triples. The corpus
+    * text itself crosses no exchange. N (total docs) rides along as a
+    * broadcast 1-row aggregate, not a driver-side count. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val score = col("tf") * log(col("n_docs").cast("double") / col("df"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(score.desc, col("token"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("token"), round(score, 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Text normalization ahead of tokenization: lowercase, strip
+    * non-alphanumerics, collapse whitespace, trim. Map-side projection;
+    * emits the normalized text plus before/after lengths so shrinkage is
+    * auditable. */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        length(norm).as("n_chars_norm"),
+        md5(norm).as("norm_md5"),
+        substring(norm, 1, 40).as("norm_prefix"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
+    "text_normalize" -> normalize,
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
     "text_stats" -> stats,
     "text_tokens" -> tokens,
@@ -160,6 +206,31 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // tf, N, df are integers, so tf·ln(N/df) is computed from identical
+    // operands in both engines — scores (and thus ranks) agree exactly
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+        |       GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS score,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC, tf.token) AS rk
+        |      FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, round(score, 6) AS tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_raw,
+        |  CAST(length(norm) AS INTEGER) AS n_chars_norm,
+        |  md5(norm) AS norm_md5,
+        |  substring(norm, 1, 40) AS norm_prefix
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_vocab_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

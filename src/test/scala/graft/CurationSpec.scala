@@ -76,6 +76,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample takes at most k per stratum, deterministically") {
+    val k = 5
+    val rows = Curation.sampleStratified(spark, sf, k).collect()
+    assert(rows.nonEmpty)
+    val perSource = rows.groupBy(_.getAs[String]("source"))
+    perSource.values.foreach { g =>
+      assert(g.length <= k)
+      assert(g.map(_.getAs[Int]("rk")).sorted.sameElements(1 to g.length))
+    }
+    val again = Curation.sampleStratified(spark, sf, k).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("mixture plan shares sum to 1 and sample rates are capped") {
     val rows = Curation.mixturePlan(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -115,6 +115,40 @@ class LlmSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("embedding norms are positive and bound max_abs") {
+    val rows = llm.Similarity.embeddingNorms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l2 = r.getAs[Double]("l2_norm")
+      val maxAbs = r.getAs[Double]("max_abs")
+      assert(l2 > 0 && maxAbs > 0)
+      // any single |component| can't exceed the L2 norm (up to rounding)
+      assert(maxAbs <= l2 + 1e-3, s"max_abs $maxAbs > l2 $l2")
+      assert(r.getAs[Int]("dim") == 64)
+    }
+  }
+
+  test("int8 quantization: codes within range, max component saturates") {
+    val rows = llm.Similarity.quantizeInt8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("scale") > 0)
+      assert(math.abs(r.getAs[Int]("q0")) <= 127)
+      // the per-vector max element quantizes to exactly ±127 by construction
+      assert(r.getAs[Int]("n_saturated") >= 1)
+    }
+  }
+
+  test("tf-idf ranks a stratum-unique token above corpus-wide fillers") {
+    val rows = llm.TextOps.tfidfTopK(spark, sf, 3).collect()
+    assert(rows.nonEmpty)
+    // scores are non-increasing within each doc's ranked list
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val byRk = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("tfidf"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
   test("langid is deterministic and total") {
     val df = TextOps.langId(spark, sf)
     assert(df.filter($"predicted_lang".isNull).count() == 0)
