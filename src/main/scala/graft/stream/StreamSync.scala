@@ -97,4 +97,67 @@ object StreamSync {
         state.update(next)
         next
     }
+
+  /** Stream-stream interval join: click events joined to same-user
+    * purchase events that land within `horizonMinutes` AFTER the click.
+    * Both sides carry watermarks and the join condition bounds event time
+    * in both directions, so Spark can size the join state and evict rows
+    * once the watermark passes — unbounded-state stream joins never ship.
+    * State is partitioned by user_id like any keyed shuffle. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        horizonMinutes: Int = 60): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
+  /** A closed (inactivity-terminated) per-user session. */
+  final case class ClosedSession(user_id: Long, n_events: Long,
+                                 last_ts: java.sql.Timestamp)
+  private implicit val closedEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+
+  /** Event-time-timeout sessionization via flatMapGroupsWithState: a
+    * user's session stays open while events keep arriving; once the
+    * WATERMARK (not wall clock — deterministic under replay) passes
+    * last-event-time + gap, the timeout fires and the closed session is
+    * emitted and its state dropped. This is the custom-state form of
+    * [[sessionCounts]] for when the session payload outgrows what
+    * session_window aggregates can hold. */
+  def inactivitySessions(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[ClosedSession] =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserTotals]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.n_events,
+              new java.sql.Timestamp(s.total_value.toLong)))
+          } else {
+            val batch = evs.toSeq
+            val lastTs = batch.map(_.ts.getTime).max
+            val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+            // reuse UserTotals as state: total_value slot carries last-event
+            // millis (the state payload, not a metric)
+            val next = UserTotals(uid, prev.n_events + batch.size,
+              math.max(prev.total_value, lastTs.toDouble))
+            state.update(next)
+            state.setTimeoutTimestamp(next.total_value.toLong + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
 }

@@ -138,6 +138,65 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val base = Files.createTempDirectory("graft-stream-join").toString
+    val events = Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+    val purchases = events.filter(col("event_type") === "purchase")
+    clicks.write.mode("overwrite").parquet(s"$base/clicks")
+    purchases.write.mode("overwrite").parquet(s"$base/purchases")
+    val cs = spark.readStream.schema(events.schema).parquet(s"$base/clicks")
+    val ps = spark.readStream.schema(events.schema).parquet(s"$base/purchases")
+    val q = StreamSync.clickPurchaseJoin(cs, ps)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ssj_out").count()
+    val expected = StreamSync.clickPurchaseJoin(clicks, purchases).count()
+    // the batch plan runs the same code path un-watermarked; in a single
+    // AvailableNow drain nothing is late, so the counts must agree
+    assert(got == expected && expected > 0, s"stream=$got batch=$expected")
+  }
+
+  test("event-time timeout closes inactive sessions deterministically") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-timeout").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val first = Seq(
+      (1L, 1L, "click", 0.0, ts(0)),
+      (2L, 1L, "click", 0.0, ts(5))).toDF("event_id", "user_id", "event_type", "value", "ts")
+    first.write.mode("overwrite").parquet(s"$base/in")
+
+    def drain(out: String): Unit = {
+      val stream = spark.readStream.schema(first.schema).parquet(s"$base/in")
+        .as[graft.stream.Ev]
+      val q = StreamSync.inactivitySessions(stream, gapMinutes = 30)
+        .toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(s"$base/out1")
+    // user 1 is still open: watermark == last ts, gap not yet passed
+    // a much-later event from ANOTHER user pushes the watermark past
+    // user 1's timeout → the closed session must be emitted
+    Seq((3L, 2L, "click", 0.0, ts(180)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("append").parquet(s"$base/in")
+    drain(s"$base/out2")
+    val closed = spark.read.parquet(s"$base/out2").collect()
+    assert(closed.exists(r => r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("n_events") == 2L), s"got ${closed.mkString(";")}")
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val base = Files.createTempDirectory("graft-stream-dedup").toString
     val events = Tables.events(spark, sf).limit(100)
