@@ -161,6 +161,27 @@ class CdcSpec extends AnyFunSuite {
     assert(r3.tables.find(_.table == "orders").get.consistent)
   }
 
+  test("warehouse round-trips through ORC and CSV with values preserved") {
+    // format coverage beyond the reference's parquet-only sink: the same
+    // decoded frame written/read via ORC (typed, columnar) and CSV
+    // (header+schema re-applied) must reproduce every cell
+    val base = java.nio.file.Files.createTempDirectory("graft-formats").toString
+    val orders = Envelope.decode(
+      source.read(spark, Schemas.topicFor("orders"), StartingOffsets.Earliest), "orders")
+      .select("order_id", "customer_id", "status", "total_amount", "kafka_offset")
+    val expected = orders.orderBy("kafka_offset").collect().map(_.toString)
+
+    orders.write.mode("overwrite").orc(s"$base/orders_orc")
+    val fromOrc = spark.read.orc(s"$base/orders_orc")
+    assert(fromOrc.schema == orders.schema)
+    assert(fromOrc.orderBy("kafka_offset").collect().map(_.toString).sameElements(expected))
+
+    orders.write.mode("overwrite").option("header", "true").csv(s"$base/orders_csv")
+    val fromCsv = spark.read.schema(orders.schema)
+      .option("header", "true").csv(s"$base/orders_csv")
+    assert(fromCsv.orderBy("kafka_offset").collect().map(_.toString).sameElements(expected))
+  }
+
   test("pipeline runner arg parsing accepts both reference styles") {
     val got = PipelineRunner.parseArgs(Array(
       "--JOB_NAME=cdc-sync", "--kafka_topic", "t1", "--single_file=true", "--flag"))
