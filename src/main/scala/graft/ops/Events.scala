@@ -130,7 +130,37 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** Ordered funnel over the signup cohort: first signup → first click
+    * after it → first purchase after that click, per user; `stage` is how
+    * far the user got (1–3). Each step is a keyed min-aggregate + left
+    * join on user_id — one partitioning reused across all three steps (no
+    * per-step reshuffle at scale), no window over the raw event stream,
+    * and the event table is filtered by type BEFORE any join. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstAfter(eventType: String, lower: DataFrame, lowerTs: String, outTs: String) =
+      ev.filter(col("event_type") === eventType)
+        .join(lower.select(col("user_id").as("u"), col(lowerTs)),
+          col("user_id") === col("u") && col("ts") >= col(lowerTs))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val click = firstAfter("click", signup, "t_signup", "t_click")
+    val purchase = firstAfter("purchase", click, "t_click", "t_purchase")
+    signup
+      .join(click.select(col("user_id").as("cu"), col("t_click")),
+        col("user_id") === col("cu"), "left")
+      .join(purchase.select(col("user_id").as("pu"), col("t_purchase")),
+        col("user_id") === col("pu"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+        (lit(1) + col("t_click").isNotNull.cast("int") +
+          col("t_purchase").isNotNull.cast("int")).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> funnel,
     "ev_range_join" -> ((s, d) => rangeJoin(s, d)),
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
@@ -140,6 +170,21 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t_signup
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+        |  CAST(1 + (c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT
+        |       AS INTEGER) AS stage
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
     // DuckDB's native ASOF JOIN is the reference semantics for the engine's
     // union+window composition (event timestamps are unique, so the match
     // is deterministic on both sides)
