@@ -161,7 +161,25 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** One Lloyd (k-means) update step for the IVF centroids: assign every
+    * vector map-side (zero corpus shuffle, see [[assignClusters]]), then
+    * average per (cluster, dimension). This is the training loop the
+    * deterministic first-16 seeding stands in for — expressed as a query,
+    * it shows the full k-means fit is runnable in-engine: iterate
+    * assignment→mean with the new centroids re-broadcast each round.
+    * Output is (centroid, dim, mean) rows — 16×64 scalars, not arrays, so
+    * the driver compare can hash it and the exchange carries k·d partial
+    * sums, never vectors. */
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    assignClusters(spark, dir)
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mean_val"),
+           count(lit(1)).as("n_assigned"))
+      .orderBy(col("centroid_id"), col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_step" -> kmeansStep,
     "sim_embedding_norms" -> embeddingNorms,
     "sim_quantize_int8" -> quantizeInt8,
     "sim_bruteforce_topk" -> ((s, d) => bruteForceTopK(s, d)),
@@ -174,6 +192,26 @@ object Similarity {
     * list_cosine_similarity (agrees with the engine's double-accumulating
     * loop to well past the rounded 6 decimals). */
   val oracles: Map[String, String] = Map(
+    // assignment replayed like sim_ivf_cluster_sizes, then per-(cluster,
+    // dim) means over the same double-cast elements
+    "sim_kmeans_step" ->
+      """WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+        |             CAST(embedding AS DOUBLE[]) AS c_emb
+        |           FROM embeddings WHERE vec_id < 16),
+        |s AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC,
+        |                   c.centroid_id) AS rk
+        |      FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT centroid_id, v FROM s WHERE rk = 1),
+        |x AS (SELECT centroid_id,
+        |        CAST(unnest(range(len(v))) AS INTEGER) AS dim,
+        |        unnest(v) AS x
+        |      FROM a)
+        |SELECT centroid_id, dim, round(avg(x), 6) AS mean_val,
+        |  count(*) AS n_assigned
+        |FROM x GROUP BY centroid_id, dim
+        |ORDER BY centroid_id, dim""".stripMargin,
     "sim_embedding_norms" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,

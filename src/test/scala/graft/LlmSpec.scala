@@ -115,6 +115,21 @@ class LlmSpec extends AnyFunSuite {
     assert(s1.sameElements(s2))
   }
 
+  test("k-means step: full cover, consistent cluster sizes") {
+    val rows = llm.Similarity.kmeansStep(spark, sf).collect()
+    val dims = rows.map(_.getAs[Int]("dim")).distinct.sorted
+    assert(dims.head == 0 && dims.last == 63)
+    // every (cluster, dim) cell has the SAME n_assigned within a cluster,
+    // and cluster sizes sum to the corpus size for each dim
+    val byCluster = rows.groupBy(_.getAs[Int]("centroid_id"))
+    byCluster.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("n_assigned")).distinct.length == 1)
+    }
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val perDim = rows.filter(_.getAs[Int]("dim") == 0).map(_.getAs[Long]("n_assigned")).sum
+    assert(perDim == corpus)
+  }
+
   test("embedding norms are positive and bound max_abs") {
     val rows = llm.Similarity.embeddingNorms(spark, sf).collect()
     assert(rows.nonEmpty)

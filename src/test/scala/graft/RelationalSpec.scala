@@ -150,6 +150,16 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints select BHJ / SMJ / SHJ as requested") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+    def plan(hint: String) = physicalPlan(
+      li.join(sup.hint(hint), li("l_suppkey") === sup("s_suppkey")))
+    assert(plan("broadcast").contains("BroadcastHashJoin"))
+    assert(plan("merge").contains("SortMergeJoin"))
+    assert(plan("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("whole-stage codegen covers the agg pipeline") {
     val df = Relational.q1PricingSummary(spark, sf)
     df.collect() // materialize so AQE finalizes the plan
