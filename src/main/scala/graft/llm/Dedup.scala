@@ -267,7 +267,38 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Blocked fuzzy match: edit-distance near-dup detection over SHORT
+    * normalized prefixes, candidates bounded by a blocking key (first two
+    * tokens) — the string-similarity twin of the LSH pipeline. Blocking
+    * keeps the quadratic levenshtein off all-pairs: only same-block pairs
+    * are compared, and the per-block window cap (same rationale as
+    * [[MaxBucket]]) bounds a degenerate block's b²/2 blow-up. Distance
+    * runs on the 40-char normalized prefix, so each comparison is O(40²)
+    * regardless of document length. */
+  def fuzzyPrefix(spark: SparkSession, dir: String, maxDist: Int = 10,
+                  maxBlock: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(norm, 1, 40).as("prefix"),
+        concat_ws(" ", slice(split(norm, " "), 1, 2)).as("block"))
+    val capped = docs
+      .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("block"))))
+      .filter(col("block_n") <= maxBlock)
+      .drop("block_n")
+    val l = capped.as("l")
+    val r = capped.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        levenshtein(col("l.prefix"), col("r.prefix")).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy_prefix" -> ((s, d) => fuzzyPrefix(s, d)),
     "dedup_exact" -> exact,
     "dedup_minhash_signatures" -> minhashSignatures,
     "dedup_minhash_candidates" -> minhashCandidates,
@@ -278,6 +309,27 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // same blocking + cap + distance, replayed in SQL (DuckDB levenshtein
+    // agrees with Spark's on ASCII)
+    "dedup_fuzzy_prefix" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, substring(norm, 1, 40) AS prefix,
+        |    array_to_string((string_split(norm, ' '))[1:2], ' ') AS block
+        |  FROM n),
+        |capped AS (
+        |  SELECT * FROM (SELECT d.*, count(*) OVER (PARTITION BY block) AS bn FROM d)
+        |  WHERE bn <= 200)
+        |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |  CAST(levenshtein(l.prefix, r.prefix) AS INTEGER) AS edit_dist
+        |FROM capped l JOIN capped r
+        |  ON l.block = r.block AND l.doc_id < r.doc_id
+        |WHERE levenshtein(l.prefix, r.prefix) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // oracle-able since the IVF assignment became deterministic (first-16
     // centroids, lowest-id tie-break): DuckDB reproduces cell assignment,
     // same-cell candidate pairs, and the exact-cosine top-20

@@ -396,7 +396,27 @@ object Relational {
         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
   }
 
+  /** Remaining analytic window functions (first_value / nth_value /
+    * cume_dist / dense_rank) over each supplier's shipment history —
+    * completes the window-function surface alongside q7 (ranking),
+    * q8/q24 (frames) and q21 (navigation). One hash partition by
+    * suppkey serves all four. */
+  def q29WindowExtras(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(first_value(col("l_extendedprice")).over(wAll), 2).as("first_price"),
+        round(nth_value(col("l_extendedprice"), 3).over(wAll), 2).as("third_price"),
+        round(cume_dist().over(w), 6).as("ship_cume_dist"),
+        dense_rank().over(w).as("ship_dense_rank"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q29_window_extras" -> q29WindowExtras,
     "rel_q24_range_frame" -> q24RangeFrame,
     "rel_q1_pricing_summary" -> q1PricingSummary,
     "rel_q2_join_revenue" -> q2JoinRevenue,
@@ -429,6 +449,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_q29_window_extras" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(first_value(l_extendedprice) OVER wa, 2) AS first_price,
+        |  round(nth_value(l_extendedprice, 3) OVER wa, 2) AS third_price,
+        |  round(cume_dist() OVER w, 6) AS ship_cume_dist,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS ship_dense_rank
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |  wa AS (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "rel_q24_range_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
