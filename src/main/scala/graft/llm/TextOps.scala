@@ -193,7 +193,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-distribution entropy per document — the information-density
+    * quality signal (low entropy ⇒ repetitive/templated text; with
+    * [[qualityFilter]]'s unique_ratio it covers both tails). Computed as
+    * H = ln(n) − (Σ tf·ln tf)/n so one tf aggregation feeds everything —
+    * no second pass for the total. Shuffles carry (doc_id, token) counts
+    * only. */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(
+          log(sum(col("tf")).cast("double")) -
+            sum(col("tf").cast("double") * log(col("tf").cast("double"))) /
+              sum(col("tf")).cast("double"),
+          6).as("token_entropy"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> entropy,
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_normalize" -> normalize,
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
@@ -206,6 +228,15 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+        |       GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(sum(tf) AS DOUBLE)) -
+        |        sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) / sum(tf), 6)
+        |    AS token_entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // tf, N, df are integers, so tf·ln(N/df) is computed from identical
     // operands in both engines — scores (and thus ranks) agree exactly
     "text_tfidf_topk" ->

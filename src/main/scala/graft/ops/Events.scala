@@ -159,7 +159,26 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention matrix: users grouped by first-active day, counted
+    * on each later active day (day_offset 0, 1, 2, …). Two keyed aggs —
+    * distinct (user, day) activity and min-day cohort — joined on
+    * user_id, then one count-distinct per (cohort, offset) cell. The raw
+    * event stream collapses to per-user-per-day rows before anything
+    * joins, so the matrix agg sees |users|·|days| rows, not |events|. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val active = ev.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day")).distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention" -> retention,
     "ev_funnel" -> funnel,
     "ev_range_join" -> ((s, d) => rangeJoin(s, d)),
     "ev_tumbling" -> tumbling,
@@ -170,6 +189,15 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(datediff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_day, datediff('day', c.cohort_day, a.day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "ev_funnel" ->
       """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
         |           WHERE event_type = 'signup' GROUP BY user_id),
