@@ -26,10 +26,30 @@ object Tables {
     * parquet (one non-splittable partition), which would serialize e.g.
     * signature computation onto one core; on a real corpus the scan has
     * splits >= cores and this is a no-op.
+    *
+    * Split width is estimated from the source files' sizes against
+    * spark.sql.files.maxPartitionBytes — a metadata-only probe. (The
+    * previous `df.rdd.getNumPartitions` probe was exact but built the
+    * whole RDD conversion plan eagerly on every call; for a non-file
+    * relation, where no file estimate exists, that remains the fallback.)
     */
   def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    val splits =
+      if (files.isEmpty) df.rdd.getNumPartitions.toLong
+      else {
+        val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen
+          math.max(1L, (len + maxBytes - 1) / maxBytes)
+        }.sum
+      }
+    if (splits < target) df.repartition(target) else df
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
