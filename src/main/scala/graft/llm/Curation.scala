@@ -196,7 +196,40 @@ object Curation {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** The composed curation pipeline as one query: quality-filter →
+    * exact-dedup (keep the min-doc_id copy) → deterministic split
+    * assignment → per-(split, lang) corpus summary. Each stage is the
+    * registered operator's exact semantics, so the composition is
+    * DuckDB-oracle-able end-to-end — the summary row counts prove the
+    * stages compose without row leakage. Plan shape: map-side filter,
+    * one hash partition by content hash (dedup window), map-side split,
+    * one final agg — the corpus text crosses one exchange, total. */
+  def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), " ")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(words).as("n_words"),
+        round(size(array_distinct(words)).cast("double") / size(words), 4).as("ur"))
+    val kept = docs.filter(col("n_words") >= 20 && col("n_words") <= 5000 &&
+      col("ur") >= 0.35)
+    val unique = kept
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(sha2(col("text"), 256))))
+      .filter(col("doc_id") === col("keeper"))
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    unique
+      .withColumn("split",
+        when(bucket < "c", "train").when(bucket.isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).cast("long").as("total_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_pipeline_summary" -> pipelineSummary,
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_mixture_apply" -> mixtureApply,
     "cur_token_shards" -> ((s, d) => tokenShards(s, d)),
@@ -208,6 +241,24 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "cur_pipeline_summary" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |          len(string_split(text, ' ')), 4) AS ur
+        |  FROM documents),
+        |kept AS (SELECT * FROM q WHERE n_words >= 20 AND n_words <= 5000 AND ur >= 0.35),
+        |uniq AS (
+        |  SELECT * FROM (SELECT kept.*,
+        |    min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper FROM kept)
+        |  WHERE doc_id = keeper),
+        |s AS (SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket FROM uniq)
+        |SELECT CASE WHEN bucket < 'c' THEN 'train'
+        |            WHEN bucket IN ('c', 'd') THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cur_sample_stratified" ->
       """WITH h AS (SELECT source, doc_id,
         |             md5(CAST(doc_id AS VARCHAR) || ':sample') AS h

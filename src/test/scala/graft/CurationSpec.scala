@@ -76,6 +76,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline summary conserves rows across the composed stages") {
+    val summary = Curation.pipelineSummary(spark, sf).collect()
+    assert(summary.nonEmpty)
+    val total = summary.map(_.getAs[Long]("n_docs")).sum
+    // never more docs out than in, and the quality gate plus dedup keep a
+    // sane majority of the synthetic corpus
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total <= corpus && total > 0)
+    // splits present and disjoint by construction
+    val splits = summary.map(_.getAs[String]("split")).distinct.sorted
+    assert(splits.forall(Set("train", "val", "test")))
+  }
+
   test("stratified sample takes at most k per stratum, deterministically") {
     val k = 5
     val rows = Curation.sampleStratified(spark, sf, k).collect()
