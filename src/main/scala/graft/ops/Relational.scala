@@ -410,7 +410,12 @@ object Relational {
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         round(first_value(col("l_extendedprice")).over(wAll), 2).as("first_price"),
         round(nth_value(col("l_extendedprice"), 3).over(wAll), 2).as("third_price"),
-        round(cume_dist().over(w), 6).as("ship_cume_dist"),
+        // floor-scaled ppm, not round(…, 6): cume_dist is rank/n, whose
+        // shortest decimal often ends in 5 exactly at the rounding digit
+        // (e.g. 41/640 = .0640625) — Spark rounds the decimal string
+        // (HALF_UP), DuckDB rounds the binary double, and they disagree on
+        // those ties; floor of the same double is engine-independent
+        floor(cume_dist().over(w) * 1000000).cast("long").as("ship_cume_ppm"),
         dense_rank().over(w).as("ship_dense_rank"))
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
@@ -453,7 +458,7 @@ object Relational {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(first_value(l_extendedprice) OVER wa, 2) AS first_price,
         |  round(nth_value(l_extendedprice, 3) OVER wa, 2) AS third_price,
-        |  round(cume_dist() OVER w, 6) AS ship_cume_dist,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS ship_cume_ppm,
         |  CAST(dense_rank() OVER w AS INTEGER) AS ship_dense_rank
         |FROM lineitem WHERE l_suppkey <= 5
         |WINDOW w AS (PARTITION BY l_suppkey
