@@ -150,6 +150,37 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // one hot key carrying ~98% of the fact side — the shape the manual
+    // salted join (rel_q17) guards against; here we pin that AQE's
+    // runtime skew handling also catches it when thresholds allow
+    val fact = spark.range(0, 60000)
+      .select(when(col("id") < 59000, 0L).otherwise(col("id") % 10).as("k"),
+        col("id").as("payload"))
+    val dim = (0L until 10L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it SMJ
+      val joined = fact.join(dim.hint("merge"), "k")
+      // collect (not count) so THIS dataset's QueryExecution is the one
+      // that runs — AQE finalizes the plan on it
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew split:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("join strategy hints select BHJ / SMJ / SHJ as requested") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val sup = spark.read.parquet(s"$sf/supplier.parquet")
