@@ -297,7 +297,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Corpus-wide boilerplate-span detection — the line/paragraph-dedup
+    * analogue (CCNet-style) for unstructured single-line text: count each
+    * distinct word-5-gram's document frequency across the corpus, mark
+    * grams appearing in ≥ minDf documents as boilerplate, and report each
+    * document's boilerplate coverage (which downstream filtering/cleaning
+    * would act on).
+    *
+    * 100 TB posture: the only corpus-wide exchange carries (gram) keys
+    * after map-side combine — never document payloads. The boilerplate set
+    * is by construction the high-df tail (small relative to |distinct
+    * grams|), so it joins BACK as a broadcast left-semi: the corpus is
+    * never re-shuffled for the lookup. The per-doc count's exchange is ~1
+    * row per (partition, doc) thanks to partial aggregation (a document's
+    * grams are co-located at the source). Grams are distinct per doc
+    * ([[graft.functions.Shingles]] dedupes), so document frequency is a
+    * plain count. boiler_ppm is floor(1e6·frac) — floor of an identically
+    * computed double, not round, so no cross-engine half-way ties. */
+  def spanCoverage(spark: SparkSession, dir: String, k: Int = 5, minDf: Int = 2): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), TextOps.shingles(col("text"), k).as("grams"))
+      .persist() // read by the df-count branch and the per-doc stats branch
+    val grams = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val boiler = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("gram"))
+    val perDoc = grams.join(broadcast(boiler), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    docs.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_grams") > 0,
+          floor(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_grams") * lit(1e6)).cast("long")).as("boiler_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_coverage" -> ((s, d) => spanCoverage(s, d)),
     "dedup_fuzzy_prefix" -> ((s, d) => fuzzyPrefix(s, d)),
     "dedup_exact" -> exact,
     "dedup_minhash_signatures" -> minhashSignatures,
@@ -309,6 +348,26 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // distinct word-5-grams per doc; df over the distinct sets; coverage
+    // replayed exactly (floor(1e6·frac) on identically computed doubles)
+    "dedup_span_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(ws) - 4),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |                ws[i+3] || ' ' || ws[i+4])) AS grams
+        |       FROM w),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |b AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |      WHERE df >= 2),
+        |pb AS (SELECT doc_id, count(*) AS n_boiler FROM g JOIN b USING (gram)
+        |       GROUP BY doc_id)
+        |SELECT g0.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(pb.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CASE WHEN len(grams) > 0
+        |       THEN CAST(floor(CAST(coalesce(pb.n_boiler, 0) AS DOUBLE) /
+        |                       len(grams) * 1e6) AS BIGINT) END AS boiler_ppm
+        |FROM g0 LEFT JOIN pb USING (doc_id) ORDER BY g0.doc_id""".stripMargin,
     // same blocking + cap + distance, replayed in SQL (DuckDB levenshtein
     // agrees with Spark's on ASCII)
     "dedup_fuzzy_prefix" ->

@@ -54,6 +54,37 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Int]("hamming") <= 10))
   }
 
+  test("span coverage: bounds hold and exact-dup docs are fully boilerplate") {
+    val cov = Dedup.spanCoverage(spark, sf).collect()
+    assert(cov.nonEmpty)
+    cov.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"))
+      assert(b >= 0 && b <= n, s"doc ${r.get(0)}: n_boiler=$b outside [0, $n]")
+      if (n > 0) {
+        val ppm = r.getAs[Long]("boiler_ppm")
+        assert(ppm == math.floor(b.toDouble / n * 1e6).toLong)
+      } else assert(r.isNullAt(r.fieldIndex("boiler_ppm")))
+    }
+    // exact semantics pinned on a controlled corpus: duplicated text ⇒
+    // every gram has df >= 2 ⇒ coverage exactly 1e6 ppm; unique text
+    // sharing no 5-gram ⇒ 0; a 4-word doc has no grams ⇒ null ppm
+    val tmp = java.nio.file.Files.createTempDirectory("spancov").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, a, "en", "web", a.length.toLong),
+        (2L, a, "en", "web", a.length.toLong),
+        (3L, "one two three four five six seven", "en", "web", 34L),
+        (4L, "just four words here", "en", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val syn = Dedup.spanCoverage(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(syn(1L).getAs[Long]("boiler_ppm") == 1000000L)
+    assert(syn(2L).getAs[Long]("boiler_ppm") == 1000000L)
+    assert(syn(3L).getAs[Long]("boiler_ppm") == 0L)
+    assert(syn(4L).getAs[Long]("n_grams") == 0L &&
+      syn(4L).isNullAt(syn(4L).fieldIndex("boiler_ppm")))
+  }
+
   test("resolve_keepers: components collapse to their min doc_id") {
     val rows = Dedup.resolveKeepers(spark, sf).collect()
     assert(rows.nonEmpty)
