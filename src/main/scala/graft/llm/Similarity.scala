@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.vec_cosine
@@ -178,7 +178,75 @@ object Similarity {
            count(lit(1)).as("n_assigned"))
       .orderBy(col("centroid_id"), col("dim"))
 
+  /** Random-hyperplane (SimHash-for-vectors) LSH — the second ANN scale
+    * path beside IVF. Plane j's components are ±1 by the parity of the
+    * first hex digit of md5("j_d"): deterministic, seedless, and exactly
+    * replayable in SQL (DuckDB md5 agrees byte-for-byte), which is what
+    * makes the whole family oracle-able. Planes are a MODEL (nBits × dim
+    * doubles, ~KB) inlined as literals, so signatures are one codegen'd
+    * map-side projection — the corpus is never shuffled to be signed. */
+  private def rpPlanes(nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (j, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${d}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }
+
+  /** nBits-bit signature: bit j set iff v · plane_j ≥ 0. Elements cast to
+    * double before multiply-accumulate so DuckDB DOUBLE[] replay agrees. */
+  private def rpSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(aggregate(zip_with(v, typedLit(p.toSeq), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val RpBits = 16
+
+  /** Signature-bucket histogram (the LSH twin of [[ivfClusterSizes]]):
+    * bucket = exact 16-bit signature. At scale, batch ANN joins corpus and
+    * queries on this key (plus multiprobe neighbors) — only (vec_id, sig)
+    * pairs ever cross an exchange. */
+  def rpBucketSizes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(rpSignature(col("embedding"), rpPlanes(RpBits, 64)).as("signature"))
+      .groupBy(col("signature")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("signature"))
+
+  /** LSH approximate top-k for one query: candidates = vectors whose
+    * signature is within `maxHamming` bits of the query's (P(a bit
+    * differs) = angle/π, so near neighbors land close in Hamming space),
+    * verified with exact codegen'd cosine. The signature scan is a
+    * map-side filter over 2-byte sigs + broadcast query — the corpus is
+    * pruned to P(Binomial(16, angle/π) ≤ maxHamming) before any cosine
+    * is computed. Radius tuning is the recall knob: on corpora with true
+    * near-duplicates (cosine ≥ 0.8 ⇒ expected Hamming ≤ ~3) a tight
+    * radius gives both high recall and ~100× pruning; this synthetic
+    * corpus's nearest neighbors sit at cosine ≈ 0.3–0.5 (near the random
+    * regime), so the default radius 6 trades ~4× pruning for ~0.4
+    * recall@10 — measured, and pinned alongside IVF's recall in LlmSpec. */
+  def rpTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+             maxHamming: Int = 6): DataFrame = {
+    val planes = rpPlanes(RpBits, 64)
+    val sigs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        rpSignature(col("embedding"), planes).as("sig"))
+    val q = sigs.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+    sigs.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", bit_count(col("sig").bitwiseXOR(col("q_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("vec_id"), col("label"), col("hamming").cast("int").as("hamming"),
+        vec_cosine(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_rp_bucket_sizes" -> rpBucketSizes,
+    "sim_rp_topk" -> ((s, d) => rpTopK(s, d)),
     "sim_kmeans_step" -> kmeansStep,
     "sim_embedding_norms" -> embeddingNorms,
     "sim_quantize_int8" -> quantizeInt8,
@@ -191,7 +259,38 @@ object Similarity {
   /** Brute-force cosine is SQL-expressible in DuckDB via
     * list_cosine_similarity (agrees with the engine's double-accumulating
     * loop to well past the rounded 6 decimals). */
+  /** Shared SQL for the random-hyperplane replay: planes from md5 parity,
+    * dots in ascending-dimension order (list_sum matches the engine's
+    * left-fold), signature = Σ 2^j over non-negative dots. */
+  private val rpSigSql: String =
+    """p AS (SELECT j, list_transform(generate_series(0, 63),
+      |        d -> CASE WHEN strpos('13579bdf', substring(md5(j || '_' || d), 1, 1)) > 0
+      |                  THEN 1.0 ELSE -1.0 END) AS s
+      |      FROM generate_series(0, 15) AS t(j)),
+      |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dots AS (SELECT e.vec_id, p.j,
+      |        list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * p.s[i])) AS dot
+      |      FROM e CROSS JOIN p),
+      |sigs AS (SELECT vec_id,
+      |        CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS INTEGER) AS sig
+      |      FROM dots GROUP BY vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_rp_bucket_sizes" ->
+      s"""WITH $rpSigSql
+         |SELECT sig AS signature, count(*) AS n_vectors
+         |FROM sigs GROUP BY sig ORDER BY signature""".stripMargin,
+    "sim_rp_topk" ->
+      s"""WITH $rpSigSql,
+         |q AS (SELECT s.sig AS q_sig, e.v AS q_emb
+         |      FROM sigs s JOIN e ON s.vec_id = e.vec_id WHERE s.vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  CAST(bit_count(xor(s.sig, q.q_sig)) AS INTEGER) AS hamming,
+         |  round(list_cosine_similarity(e.v, q.q_emb), 6) AS cosine
+         |FROM e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN q
+         |WHERE e.vec_id <> 0 AND bit_count(xor(s.sig, q.q_sig)) <= 6
+         |ORDER BY list_cosine_similarity(e.v, q.q_emb) DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
     // assignment replayed like sim_ivf_cluster_sizes, then per-(cluster,
     // dim) means over the same double-cast elements
     "sim_kmeans_step" ->

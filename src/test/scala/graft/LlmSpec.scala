@@ -110,6 +110,31 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("rp-lsh: recall vs brute force and real pruning at the default radius") {
+    val bf = Similarity.bruteForceTopK(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val rp = Similarity.rpTopK(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (bf & rp).size.toDouble / bf.size
+    assert(recall >= 0.4, s"rp-lsh recall $recall too low")
+    // the Hamming-radius filter must genuinely prune (this corpus's
+    // neighbors are near the random regime — see rpTopK scaladoc)
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val candidates = Similarity.rpTopK(spark, sf, k = Int.MaxValue).count()
+    assert(candidates < n / 2, s"radius admits $candidates of $n — no pruning")
+  }
+
+  test("rp-lsh signature plan is map-side (no exchange before the bucket agg)") {
+    val plan = Similarity.rpBucketSizes(spark, sf)
+      .queryExecution.executedPlan.toString
+    // signatures are literal-plane projections: nothing but the agg's
+    // partial→final exchange and the presentation sort may appear
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected agg+sort exchanges only:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"signature computation must be join- and window-free:\n$plan")
+  }
+
   test("embedding near-dup: top-k bucketed pairs, descending cosine, a<b") {
     val rows = Dedup.embeddingNearDup(spark, sf).collect()
     assert(rows.length == 20)
