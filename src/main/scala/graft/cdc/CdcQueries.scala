@@ -104,6 +104,25 @@ object CdcQueries {
         .drop("rk")
         .orderBy(col("order_id"))
     }),
+    // SCD Type-2 history view: each change event becomes a versioned row
+    // with [valid_from_offset, valid_to_offset) bounds from lead() over
+    // the per-key change sequence; the open row (null valid_to) is the
+    // current version. With cdc_latest_state this completes the warehouse
+    // pair the reference's append-only sink implies but never builds:
+    // latest-state for serving, full history for audit/time-travel. One
+    // hash-partition window per key — the same exchange the compaction
+    // already pays, at any scale.
+    "cdc_scd2_history" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset"))
+      parse(s, "orders")
+        .filter(col("order_id").isNotNull) // tombstones decode key-less
+        .select(col("order_id"), col("status"), col("total_amount"),
+          col("kafka_offset").as("valid_from_offset"),
+          lead(col("kafka_offset"), 1).over(w).as("valid_to_offset"))
+        .withColumn("is_current", col("valid_to_offset").isNull)
+        .orderBy(col("order_id"), col("valid_from_offset"))
+    }),
     // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
     // SQL surface (temp views + spark.sql), the engine-side equivalent of
     // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
@@ -177,6 +196,17 @@ object CdcQueries {
          |                                   ORDER BY kafka_offset DESC) AS rk
          |      FROM p WHERE order_id IS NOT NULL) t
          |WHERE rk = 1 ORDER BY order_id""".stripMargin,
+    "cdc_scd2_history" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT order_id, status, total_amount,
+         |  kafka_offset AS valid_from_offset,
+         |  lead(kafka_offset) OVER (PARTITION BY order_id
+         |                           ORDER BY kafka_offset) AS valid_to_offset,
+         |  lead(kafka_offset) OVER (PARTITION BY order_id
+         |                           ORDER BY kafka_offset) IS NULL AS is_current
+         |FROM p WHERE order_id IS NOT NULL
+         |ORDER BY order_id, valid_from_offset""".stripMargin,
     "cdc_reconcile_counts" ->
       s"""SELECT 'customers' AS tbl, count(*) AS n FROM ${wireSql("customers")}
          |UNION ALL SELECT 'order_items', count(*) FROM ${wireSql("order_items")}

@@ -244,7 +244,34 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Retrieval + rerank, the two-stage production search shape: ANN
+    * retrieval pulls kRetrieve candidates by embedding cosine, then the
+    * rerank stage joins ONLY those candidates (broadcast — k rows, never
+    * the corpus) against the document store by key and re-scores with a
+    * text-quality prior (cosine × unique-token ratio). The corpus is
+    * touched once by retrieval; rerank cost is O(k). vec_id ↔ doc_id is
+    * the testdata's cross-modal key. Score is floor-ppm of a product of
+    * values both engines already agree on bit-for-bit (rounded cosine,
+    * small-int ratio) — no rounding ties. */
+  def retrieveRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+                     kRetrieve: Int = 50, k: Int = 10): DataFrame = {
+    val cands = bruteForceTopK(spark, dir, queryId, kRetrieve)
+      .select(col("vec_id"), col("cosine"))
+    val words = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .join(broadcast(cands), col("doc_id") === col("vec_id"))
+      .withColumn("unique_ratio",
+        size(array_distinct(words)).cast("double") / size(words))
+      .select(col("doc_id"), col("lang"), col("cosine"),
+        round(col("unique_ratio"), 4).as("unique_ratio"),
+        floor(col("cosine") * col("unique_ratio") * lit(1e6))
+          .cast("long").as("rerank_ppm"))
+      .orderBy(col("rerank_ppm").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_retrieve_rerank" -> ((s, d) => retrieveRerank(s, d)),
     "sim_rp_bucket_sizes" -> rpBucketSizes,
     "sim_rp_topk" -> ((s, d) => rpTopK(s, d)),
     "sim_kmeans_step" -> kmeansStep,
@@ -276,6 +303,20 @@ object Similarity {
       |      FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_retrieve_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb), 6) AS cosine
+        |      FROM embeddings e, q WHERE e.vec_id <> 0
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb) DESC, e.vec_id
+        |      LIMIT 50),
+        |d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |r AS (SELECT d.doc_id, d.lang, c.cosine,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ur
+        |      FROM d JOIN c ON d.doc_id = c.vec_id)
+        |SELECT doc_id, lang, cosine, round(ur, 4) AS unique_ratio,
+        |  CAST(floor(cosine * ur * 1e6) AS BIGINT) AS rerank_ppm
+        |FROM r ORDER BY rerank_ppm DESC, doc_id LIMIT 10""".stripMargin,
     "sim_rp_bucket_sizes" ->
       s"""WITH $rpSigSql
          |SELECT sig AS signature, count(*) AS n_vectors

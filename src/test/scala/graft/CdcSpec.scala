@@ -103,6 +103,26 @@ class CdcSpec extends AnyFunSuite {
       Map("orders" -> 10, "customers" -> 6, "products" -> 6, "order_items" -> 8))
   }
 
+  test("scd2 history: version chains are contiguous and agree with latest-state") {
+    val hist = cdc.CdcQueries.queries("cdc_scd2_history")(spark, "").collect()
+    assert(hist.nonEmpty)
+    // per key: exactly one open (current) version, and each closed
+    // version's valid_to equals the next version's valid_from
+    hist.groupBy(_.getAs[Int]("order_id")).foreach { case (oid, vs) =>
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1, s"order $oid")
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from_offset"))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("valid_to_offset") == b.getAs[Long]("valid_from_offset"),
+          s"order $oid: gap in version chain")
+      }
+    }
+    val current = hist.filter(_.getAs[Boolean]("is_current"))
+      .map(r => r.getAs[Int]("order_id") -> r.getAs[String]("status")).toMap
+    val latest = cdc.CdcQueries.queries("cdc_latest_state")(spark, "").collect()
+      .map(r => r.getAs[Int]("order_id") -> r.getAs[String]("status")).toMap
+    assert(current == latest, "SCD2 current versions must equal the compacted state")
+  }
+
   test("tombstone (null value) decodes to an all-null row; malformed JSON null-fills") {
     val df = Envelope.decode(
       source.read(spark, Schemas.topicFor("weird"), StartingOffsets.Earliest), "weird")
