@@ -98,13 +98,65 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** One resized row of a media payload (STUB: 1-D block-average
+    * downsample standing in for an image resize kernel). */
+  case class Resized(doc_id: Long, n_bytes: Int, resized_csv: String)
+
+  /** STUB resize via mapPartitions — completes the decode / feature-extract
+    * / resize / frame-sample multimodal quartet. The payload byte stream is
+    * downsampled to `target` "pixels" by area averaging (block i covers
+    * [⌊iL/T⌋, ⌊(i+1)L/T⌋), value = floor-mean of its bytes) — the 1-D
+    * analogue of the box filter an image resize applies per channel, in
+    * the same imperative per-partition batch shape a real kernel needs.
+    * All arithmetic is integer (sum / count floor division), so the DuckDB
+    * oracle replays it exactly; output leaves as CSV ints for the driver's
+    * pandas compare. */
+  def resizeStub(spark: SparkSession, dir: String, target: Int = 16): DataFrame = {
+    import spark.implicits._
+    blobbed(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.filter(_._2.length >= target).map { case (id, p) =>
+          val L = p.length
+          val vals = (0 until target).map { i =>
+            val s = (i.toLong * L / target).toInt
+            val e = ((i + 1).toLong * L / target).toInt
+            var sum = 0L
+            var j = s
+            while (j < e) { sum += (p(j) & 0xff); j += 1 }
+            (sum / (e - s)).toString // integer floor-mean: exact both engines
+          }
+          Resized(id, L, vals.mkString(","))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> ((s, d) => resizeStub(s, d)),
     "mm_meta" -> meta,
     "mm_decode_features" -> ((s, d) => fakeDecodeFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    // block-average downsample replayed with integer arithmetic (`//` is
+    // floor division; unicode(text[j]) == byte for the ASCII corpus)
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L
+        |           FROM documents WHERE octet_length(encode(text)) >= 16),
+        |b AS (SELECT doc_id, L, i,
+        |        (i * L) // 16 AS s, ((i + 1) * L) // 16 AS e
+        |      FROM d, generate_series(0, 15) AS t(i)),
+        |v AS (SELECT b.doc_id, b.L, b.i,
+        |        CAST(list_sum(list_transform(range(b.s + 1, b.e + 1),
+        |          j -> unicode(d.text[j]))) AS BIGINT) // (b.e - b.s) AS pix
+        |      FROM b JOIN d ON b.doc_id = d.doc_id)
+        |SELECT doc_id, CAST(max(L) AS INTEGER) AS n_bytes,
+        |  string_agg(CAST(pix AS VARCHAR), ',' ORDER BY i) AS resized_csv
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays the mapPartitions stride/chunk walk and the FNV-1a checksum
     // in SQL (HUGEINT mod-2^64; the 8-bit xor folds through BIGINT xor on
     // the low byte) — ASCII corpus, so string index == byte offset
