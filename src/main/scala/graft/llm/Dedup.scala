@@ -335,7 +335,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup pipeline's end cap as one query: LSH candidates → exact
+    * verification → connected components → keeper election, folded to the
+    * per-language removal report a curation run ships. Documents outside
+    * the pair graph are implicit keepers (left join, null ⇒ not dup).
+    * Adds one broadcast join (the keeper table is |dup-graph|-sized, small
+    * by construction) and a ~|langs|-row aggregate on top of
+    * [[resolveKeepers]]'s cost. removal_ppm uses floor, not round — no
+    * cross-engine half-way ties. */
+  def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = resolveKeepers(spark, dir)
+      .select(col("doc_id"), col("is_dup"))
+    Tables(spark, dir, "documents")
+      .join(broadcast(keepers), Seq("doc_id"), "left")
+      .select(col("lang"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("is_dup").cast("long")).as("n_removed"))
+      .select(col("lang"), col("n_docs"), col("n_removed"),
+        (col("n_docs") - col("n_removed")).as("n_kept"),
+        floor(col("n_removed").cast("double") / col("n_docs") * lit(1e6))
+          .cast("long").as("removal_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_pipeline_summary" -> pipelineSummary,
     "dedup_span_coverage" -> ((s, d) => spanCoverage(s, d)),
     "dedup_fuzzy_prefix" -> ((s, d) => fuzzyPrefix(s, d)),
     "dedup_exact" -> exact,
@@ -348,6 +374,32 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the keeper-resolution recursive CTE, folded to per-language counts
+    "dedup_pipeline_summary" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a),
+        |k AS (SELECT s AS doc_id, (s <> min(t)) AS is_dup FROM reach GROUP BY s),
+        |j AS (SELECT d.lang, coalesce(k.is_dup, false) AS is_dup
+        |      FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(count(*) - sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(floor(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e6) AS BIGINT) AS removal_ppm
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // distinct word-5-grams per doc; df over the distinct sets; coverage
     // replayed exactly (floor(1e6·frac) on identically computed doubles)
     "dedup_span_coverage" ->
