@@ -306,14 +306,18 @@ object Dedup {
     *
     * 100 TB posture: the only corpus-wide exchange carries (gram) keys
     * after map-side combine — never document payloads. The boilerplate set
-    * is by construction the high-df tail (small relative to |distinct
-    * grams|), so it joins BACK as a broadcast left-semi: the corpus is
-    * never re-shuffled for the lookup. The per-doc count's exchange is ~1
-    * row per (partition, doc) thanks to partial aggregation (a document's
-    * grams are co-located at the source). Grams are distinct per doc
-    * ([[graft.functions.Shingles]] dedupes), so document frequency is a
-    * plain count. boiler_ppm is floor(1e6·frac) — floor of an identically
-    * computed double, not round, so no cross-engine half-way ties. */
+    * (the high-df tail) joins BACK without a forced broadcast hint: its
+    * size is data-dependent (KBs on a clean corpus, potentially GBs on a
+    * boilerplate-heavy crawl), so the join is left to AQE's runtime size
+    * check — it broadcasts the left-semi when the set is small (it is
+    * here; the plan shows BroadcastHashJoin LeftSemi) and degrades to a
+    * shuffle join instead of an executor OOM when it isn't. The per-doc
+    * count's exchange is ~1 row per (partition, doc) thanks to partial
+    * aggregation (a document's grams are co-located at the source). Grams
+    * are distinct per doc ([[graft.functions.Shingles]] dedupes), so
+    * document frequency is a plain count. boiler_ppm is floor(1e6·frac) —
+    * floor of an identically computed double, not round, so no
+    * cross-engine half-way ties. */
   def spanCoverage(spark: SparkSession, dir: String, k: Int = 5, minDf: Int = 2): DataFrame = {
     val docs = Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.shingles(col("text"), k).as("grams"))
@@ -323,7 +327,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("gram"))
-    val perDoc = grams.join(broadcast(boiler), Seq("gram"), "left_semi")
+    val perDoc = grams.join(boiler, Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
     docs.select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -339,15 +343,18 @@ object Dedup {
     * verification → connected components → keeper election, folded to the
     * per-language removal report a curation run ships. Documents outside
     * the pair graph are implicit keepers (left join, null ⇒ not dup).
-    * Adds one broadcast join (the keeper table is |dup-graph|-sized, small
-    * by construction) and a ~|langs|-row aggregate on top of
-    * [[resolveKeepers]]'s cost. removal_ppm uses floor, not round — no
-    * cross-engine half-way ties. */
+    * Adds one keeper join and a ~|langs|-row aggregate on top of
+    * [[resolveKeepers]]'s cost. The keeper table is |dup-graph|-sized —
+    * tiny on a clean corpus, corpus-scale on a dup-heavy one — so the
+    * join deliberately carries NO broadcast hint: AQE broadcasts it when
+    * its runtime size allows and falls back to a doc_id hash join when
+    * not. removal_ppm uses floor, not round — no cross-engine half-way
+    * ties. */
   def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
     val keepers = resolveKeepers(spark, dir)
       .select(col("doc_id"), col("is_dup"))
     Tables(spark, dir, "documents")
-      .join(broadcast(keepers), Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
       .select(col("lang"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
       .groupBy(col("lang"))
