@@ -420,7 +420,33 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** NOT IN over a nullable vs clean subquery — the null-aware anti-join
+    * corner of SQL's three-valued logic. custkey 0 exists in the data, so
+    * `nullif(o_custkey, 0)` puts real NULLs in the first variant's list
+    * and `x NOT IN (S)` is never TRUE: 0 survivors, by the standard, in
+    * both engines. The clean variant is the plain anti join (hundreds of
+    * survivors). Spark plans the nullable branch through its null-aware
+    * anti-join machinery (single-column broadcast NAAJ) instead of a
+    * naive LeftAnti that would wrongly return rows. Both build sides are
+    * small filtered key sets and broadcast; the probe never shuffles. */
+  def q30NotInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_q30")
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_q30")
+    spark.sql(
+      """SELECT 'null_in_list' AS variant, count(*) AS n_survivors
+        |FROM customer_q30
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 0) FROM orders_q30
+        |                        WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'clean_list', count(*)
+        |FROM customer_q30
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_q30
+        |                        WHERE o_totalprice > 400000)
+        |ORDER BY variant""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q30_not_in_null_aware" -> q30NotInNullAware,
     "rel_q29_window_extras" -> q29WindowExtras,
     "rel_q24_range_frame" -> q24RangeFrame,
     "rel_q1_pricing_summary" -> q1PricingSummary,
@@ -454,6 +480,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_q30_not_in_null_aware" ->
+      """SELECT 'null_in_list' AS variant, count(*) AS n_survivors
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 0) FROM orders
+        |                        WHERE o_totalprice > 400000)
+        |UNION ALL
+        |SELECT 'clean_list', count(*)
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_totalprice > 400000)
+        |ORDER BY variant""".stripMargin,
     "rel_q29_window_extras" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(first_value(l_extendedprice) OVER wa, 2) AS first_price,

@@ -141,6 +141,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_small") > 0)
   }
 
+  test("NOT IN plans null-aware anti joins; a NULL in the list empties the result") {
+    val df = Relational.q30NotInNullAware(spark, sf)
+    val plan = physicalPlan(df)
+    // both branches: BroadcastHashJoin [...], LeftAnti, BuildRight, true —
+    // the trailing flag is isNullAwareAntiJoin
+    assert("LeftAnti, BuildRight, true".r.findAllIn(plan).size == 2,
+      s"expected two null-aware anti joins:\n$plan")
+    val rows = df.collect().map(r => r.getString(0) -> r.getAs[Long]("n_survivors")).toMap
+    assert(rows("null_in_list") == 0L,
+      "three-valued logic: NOT IN over a list containing NULL is never TRUE")
+    assert(rows("clean_list") > 0L, "clean variant must keep the anti-join survivors")
+  }
+
   test("exact percentiles are ordered within each group") {
     graft.ops.Functions.fPercentile(spark, sf).collect().foreach { r =>
       val p25 = r.getAs[Double]("price_p25")
