@@ -137,7 +137,31 @@ object Functions {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Argmax/argmin aggregates (max_by / min_by): per market segment, the
+    * order that carries the extreme price. Ties on the raw price would
+    * make the picked key engine-dependent, so the ordering value is
+    * de-tied deterministically: cents·10⁷ + orderkey (prices have 2
+    * decimals ⇒ round(price·100) is exact; orderkey < 10⁷ keeps the
+    * packing collision-free). Same partial+final shape as min/max — the
+    * argmax state is one (value, key) pair per group per partition. */
+  def fMinMaxBy(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val tieKey = round(col("o_totalprice") * 100).cast("long") * lit(10000000L) +
+      col("o_orderkey")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("tie_key", tieKey)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max_by(col("o_orderkey"), col("tie_key")).as("priciest_order"),
+        min_by(col("o_orderkey"), col("tie_key")).as("cheapest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_minmax_by" -> fMinMaxBy,
     "fn_string" -> fString,
     "fn_date" -> fDate,
     "fn_math" -> fMath,
@@ -150,6 +174,17 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_minmax_by" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000000 + o.o_orderkey AS tie_key
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment,
+        |  arg_max(o_orderkey, tie_key) AS priciest_order,
+        |  arg_min(o_orderkey, tie_key) AS cheapest_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "fn_string" ->
       """SELECT c_custkey,
         |  upper(c_name) AS upper_name,
