@@ -160,7 +160,26 @@ object Functions {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Fixed-width histogram + percent-of-total: bin = ⌊price/50k⌋, share in
+    * ppm against a broadcast 1-row total (the tfidf N pattern — no
+    * driver-side count, no whole-frame window). The binning agg is
+    * partial+final on ~|bins| keys; everything downstream operates on the
+    * bin-sized aggregate. floor-ppm, not round — no half-way ties. */
+  def fHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val total = o.agg(count(lit(1)).as("total"))
+    o.select(floor(col("o_totalprice") / 50000).cast("long").as("price_bin"))
+      .groupBy(col("price_bin"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(total))
+      .select(col("price_bin"), col("n_orders"),
+        floor(col("n_orders").cast("double") / col("total") * lit(1e6))
+          .cast("long").as("share_ppm"))
+      .orderBy(col("price_bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_histogram" -> fHistogram,
     "fn_minmax_by" -> fMinMaxBy,
     "fn_string" -> fString,
     "fn_date" -> fDate,
@@ -174,6 +193,15 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bin,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM orders)
+        |SELECT price_bin, n_orders,
+        |  CAST(floor(CAST(n_orders AS DOUBLE) / t.total * 1e6) AS BIGINT) AS share_ppm
+        |FROM b CROSS JOIN t ORDER BY price_bin""".stripMargin,
     "fn_minmax_by" ->
       """WITH j AS (
         |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
