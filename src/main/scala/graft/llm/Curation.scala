@@ -228,7 +228,34 @@ object Curation {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Fixed-size chunking with overlap — the tokenize-ready layout step: a
+    * window of `chunkTokens` whitespace tokens starts every `stride`
+    * tokens (stride < chunk ⇒ overlapping context, the usual LM-training
+    * layout). Pure map-side Generate (sequence + posexplode), so chunking
+    * parallelizes with the scan and multiplies rows only AFTER any
+    * document-level filtering; each chunk carries its md5 so downstream
+    * chunk-level dedup/addressing needs no re-read of the text. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens_doc"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("ws")), lit(1)), lit(stride)),
+          s => struct(
+            s.as("start_token"),
+            least(lit(chunkTokens), size(col("ws")) - s + 1).as("n_tokens"),
+            md5(concat_ws(" ", slice(col("ws"), s, lit(chunkTokens)))).as("chunk_md5"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.start_token").as("start_token"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_md5").as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_chunk_documents" -> ((s, d) => chunkDocuments(s, d)),
     "cur_pipeline_summary" -> pipelineSummary,
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "cur_mixture_apply" -> mixtureApply,
@@ -241,6 +268,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the stride walk replayed with generate_series; 1-based list slicing
+    // mirrors slice(); md5 of the space-joined window agrees byte-for-byte
+    "cur_chunk_documents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |         unnest(range(1, greatest(len(ws), 1) + 1, 48)) AS s
+        |       FROM w)
+        |SELECT doc_id,
+        |  CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+        |  CAST(s AS INTEGER) AS start_token,
+        |  CAST(least(64, len(ws) - s + 1) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(ws[s : least(s + 63, len(ws))], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "cur_pipeline_summary" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text,
