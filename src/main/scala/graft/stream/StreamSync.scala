@@ -66,6 +66,28 @@ object StreamSync {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Streaming corpus curation — incremental ingestion of a document
+    * stream through the batch pipeline's gates: a stateless quality
+    * filter (same thresholds as [[graft.llm.TextOps.qualityFilter]])
+    * followed by stateful exact dedup on the content hash, so a document
+    * replayed in any later micro-batch is dropped. State is one 32-byte
+    * hash per distinct kept document; at true corpus scale this moves to
+    * the RocksDB state store or a watermarked horizon — the dataflow is
+    * unchanged. Batch-equivalence (same kept-hash set as the one-shot
+    * pipeline over identical input) is pinned in StreamSpec. */
+  def curatedDocs(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withColumn("n_words", size(words))
+      .withColumn("unique_ratio",
+        size(array_distinct(words)).cast("double") / size(words))
+      .filter(col("n_words") >= 20 && col("n_words") <= 5000 &&
+        col("unique_ratio") >= 0.35)
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .dropDuplicates("content_sha")
+      .select(col("doc_id"), col("lang"), col("n_words"), col("content_sha"))
+  }
+
   /** Gap-based sessionization with the native `session_window` grouping —
     * the streaming form of [[graft.ops.Events.sessionize]]'s lag+cumsum.
     * Session state merges windows within the 30-min gap and is evicted

@@ -197,6 +197,29 @@ class StreamSpec extends AnyFunSuite {
       r.getAs[Long]("n_events") == 2L), s"got ${closed.mkString(";")}")
   }
 
+  test("streaming curation keeps exactly the batch pipeline's distinct quality hashes") {
+    val base = Files.createTempDirectory("graft-stream-cur").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(s"$base/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = StreamSync.curatedDocs(stream)
+      .writeStream.format("memory").queryName("cur_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("cur_out").collect()
+    // the kept doc per duplicate group depends on micro-batch arrival
+    // order, but the kept HASH SET and its size are order-invariant and
+    // must equal the one-shot batch pipeline over the same staged input
+    val expected = StreamSync.curatedDocs(spark.read.parquet(s"$base/in"))
+      .select(col("content_sha")).collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[String]("content_sha")).toSet == expected)
+    assert(got.length == expected.size, "stream must emit each content hash once")
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val base = Files.createTempDirectory("graft-stream-dedup").toString
     val events = Tables.events(spark, sf).limit(100)
