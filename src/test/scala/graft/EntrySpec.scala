@@ -19,6 +19,17 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("only the known estimator/hash-family queries lack oracles") {
+    // every new operator must ship with a DuckDB oracle unless it is
+    // genuinely un-replayable (engine-internal hash families, HLL); keep
+    // this list in sync deliberately, not by omission
+    val allowed = Set("dedup_minhash_candidates", "dedup_minhash_signatures",
+      "dedup_simhash_pairs", "rel_q16_approx_distinct")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == allowed,
+      s"unexpected oracle-less queries: ${unoracled -- allowed}")
+  }
+
   test("every query runs and is non-empty at sf0.001") {
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
