@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name, usage), builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: native as-of join (marker → analyzer rule
+    // → logical node → strategy → co-partitioned merge exec).
+    ext.injectResolutionRule(_ => new graft.plans.AsOfJoinResolution)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(fn("vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two float vectors") {
       case Seq(a, b) => VecCosine(a, b)

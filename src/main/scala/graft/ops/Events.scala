@@ -96,6 +96,26 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** Same as-of semantics through the NATIVE operator ([[graft.plans.AsOf]]):
+    * marker → analyzer rule → custom logical node → strategy → co-partitioned
+    * single-pass merge exec. One hash exchange per side + per-partition sort,
+    * O(1) merge state — vs the composed variant's full-width union carried
+    * through its window sort. Shares `ev_asof_join`'s DuckDB ASOF oracle. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    graft.plans.AsOf.join(clicks, purchases,
+        Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("p_event_id").as("purchase_id"),
+        col("p_ts").as("purchase_ts"), col("p_value").as("purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
   /** Bounded-interval (range) join: purchases within 30 minutes AFTER each
     * click, per user. A naive range join explodes (every click × every
     * purchase per user); the scale composition buckets time into
@@ -185,7 +205,8 @@ object Events {
     "ev_sliding" -> sliding,
     "ev_latest_state" -> latestState,
     "ev_sessionize" -> sessionize,
-    "ev_asof_join" -> asofJoin
+    "ev_asof_join" -> asofJoin,
+    "ev_asof_join_native" -> asofJoinNative
   )
 
   val oracles: Map[String, String] = Map(
@@ -217,6 +238,14 @@ object Events {
     // union+window composition (event timestamps are unique, so the match
     // is deterministic on both sides)
     "ev_asof_join" ->
+      """SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
+        |  r.event_id AS purchase_id, r.ts AS purchase_ts,
+        |  r."value" AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY click_id""".stripMargin,
+    "ev_asof_join_native" ->
       """SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
         |  r.event_id AS purchase_id, r.ts AS purchase_ts,
         |  r."value" AS purchase_value
