@@ -61,6 +61,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(c)    => RollingHash(c, 1000003L)
       case Seq(c, b) => RollingHash(c, longArg(b, "base"))
     })
+    ext.injectFunction(fn("topk_by",
+      "topk_by(ord, value, k) - k values with the greatest ord, descending") {
+      case Seq(o, v, kk) => TopKByAgg(o, v, intArg(kk, "k"))
+    })
+    ext.injectFunction(fn("bloom_build",
+      "bloom_build(key[, numBits, numHashes]) - bloom bitset over long keys") {
+      case Seq(c)       => BloomBuildAgg(c, 1 << 20, 5)
+      case Seq(c, b, h) => BloomBuildAgg(c, intArg(b, "numBits"), intArg(h, "numHashes"))
+    })
+    ext.injectFunction(fn("bloom_might_contain",
+      "bloom_might_contain(bloom, key[, numHashes]) - bloom membership probe") {
+      case Seq(bf, k)    => BloomMightContain(bf, k, 5)
+      case Seq(bf, k, h) => BloomMightContain(bf, k, intArg(h, "numHashes"))
+    })
     ext.injectFunction(fn("big_endian_decimal",
       "big_endian_decimal(bytes[, precision, scale]) - Debezium precise-decimal decode") {
       case Seq(c)       => BigEndianDecimal(c, 10, 2)

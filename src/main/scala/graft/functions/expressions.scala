@@ -249,4 +249,10 @@ object GraftFunctions {
     c(MinHashSignature(e(shingleHashes), numHashes, seed))
   def simhash64(tokenHashes: Column): Column = c(SimHash64(e(tokenHashes)))
   def rolling_hash(s: Column, base: Long = 1000003L): Column = c(RollingHash(e(s), base))
+  def topk_by(ord: Column, value: Column, k: Int): Column =
+    c(TopKByAgg(e(ord), e(value), k).toAggregateExpression())
+  def bloom_build(key: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
+    c(BloomBuildAgg(e(key), numBits, numHashes).toAggregateExpression())
+  def bloom_might_contain(bloom: Column, key: Column, numHashes: Int = 5): Column =
+    c(BloomMightContain(e(bloom), e(key), numHashes))
 }

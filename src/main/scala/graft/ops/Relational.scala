@@ -445,7 +445,58 @@ object Relational {
         |ORDER BY variant""".stripMargin)
   }
 
+  /** Same result as rel_q7 (top-3 orders per nation) through the native
+    * bounded-heap aggregate [[graft.functions.TopKByAgg]] instead of a
+    * ranking window: each partition keeps a size-3 heap per nation, so
+    * only ≤3 (ord, value) pairs per nation per partition cross the
+    * exchange — vs the window plan shuffling and sorting EVERY joined
+    * order row. Ord is (price, -orderkey) so ties break exactly like the
+    * window's ORDER BY price DESC, orderkey ASC. */
+  def q31TopKAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(graft.functions.GraftFunctions.topk_by(
+        struct(col("o_totalprice"), (-col("o_orderkey")).as("neg_key")),
+        struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+      .select(col("n_name"), posexplode(col("top")))
+      .select(col("n_name"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.o_orderkey").as("o_orderkey"),
+        round(col("col.o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  /** Runtime bloom-filter join pruning: build a bloom bitset over the
+    * small side's keys ([[graft.functions.BloomBuildAgg]], fixed-size
+    * partial states OR-merged), broadcast the one-row result, and
+    * prefilter the fact scan with the codegen'd probe BEFORE the exact
+    * semi join. At 100 TB this is the difference between shuffling the
+    * whole fact and shuffling only rows that can possibly match; no false
+    * negatives ⇒ result identical to the plain semi join the oracle
+    * states. */
+  def q32BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_build, bloom_might_contain}
+    val li = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part").filter(col("p_size") <= 5)
+    val bloom = part.agg(bloom_build(col("p_partkey"), 1 << 16, 5).as("bf"))
+    li.join(broadcast(bloom))
+      .filter(bloom_might_contain(col("bf"), col("l_partkey"), 5))
+      .drop("bf")
+      .join(part.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q31_topk_agg" -> q31TopKAgg,
+    "rel_q32_bloom_semi_join" -> q32BloomSemiJoin,
     "rel_q30_not_in_null_aware" -> q30NotInNullAware,
     "rel_q29_window_extras" -> q29WindowExtras,
     "rel_q24_range_frame" -> q24RangeFrame,
@@ -553,6 +604,23 @@ object Relational {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    // same statement as rel_q7: the native bounded-heap aggregate must
+    // reproduce the ranking window exactly, ties included
+    "rel_q31_topk_agg" ->
+      """SELECT n_name, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM (
+        |  SELECT n_name, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY n_name
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    // the bloom prefilter must be invisible in the result: plain semi join
+    "rel_q32_bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_q8_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
