@@ -123,6 +123,38 @@ object CdcQueries {
         .withColumn("is_current", col("valid_to_offset").isNull)
         .orderBy(col("order_id"), col("valid_from_offset"))
     }),
+    // Incremental MERGE (upsert) — the MERGE INTO dataflow the reference's
+    // append-only warehouse implies but never runs: the compacted snapshot
+    // (events at/below the saved offset watermark, here 5 — the same
+    // watermark cdc_incremental_orders resumes from) absorbs the new
+    // micro-batch's delta as broadcast-joined updates + inserts. The
+    // warehouse side never shuffles: updates are a broadcast left join
+    // (delta wins where matched — presence decided by the join key, so a
+    // legitimate NULL in an updated column still wins), inserts are a
+    // broadcast anti join. Invariant (and the oracle): merge(snapshot,
+    // delta) == full-stream compaction.
+    "cdc_merge_snapshot" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      def compact(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
+        df.filter(col("order_id").isNotNull) // tombstones decode key-less
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .drop("rk")
+      }
+      val all = parse(s, "orders")
+      val snapshot = compact(all.filter(col("kafka_offset") <= 5))
+      val delta = compact(all.filter(col("kafka_offset") >= 6))
+      val cols = snapshot.columns
+      val updated = snapshot.as("s")
+        .join(broadcast(delta.as("d")), col("s.order_id") === col("d.order_id"), "left")
+        .select(cols.map(c =>
+          when(col("d.order_id").isNotNull, col(s"d.$c"))
+            .otherwise(col(s"s.$c")).as(c)): _*)
+      val inserted = delta.join(snapshot.select(col("order_id")), Seq("order_id"), "left_anti")
+      updated.unionByName(inserted.select(cols.map(col): _*))
+        .orderBy(col("order_id"))
+    }),
     // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
     // SQL surface (temp views + spark.sql), the engine-side equivalent of
     // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
@@ -188,6 +220,17 @@ object CdcQueries {
          |  "offset" AS kafka_offset
          |FROM ${wireSql("orders")} ORDER BY kafka_offset""".stripMargin,
     "cdc_latest_state" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT order_id, customer_id, order_date, status, total_amount,
+         |  shipping_address, kafka_timestamp, topic, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE order_id IS NOT NULL) t
+         |WHERE rk = 1 ORDER BY order_id""".stripMargin,
+    // the merge invariant IS the oracle: merging the watermark snapshot
+    // with the post-watermark delta must reproduce full-stream compaction
+    "cdc_merge_snapshot" ->
       s"""WITH p AS (SELECT $ordersProj
          |  FROM ${wireSql("orders")})
          |SELECT order_id, customer_id, order_date, status, total_amount,

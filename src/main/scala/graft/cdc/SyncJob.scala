@@ -13,14 +13,16 @@ import graft.schema.Schemas
   *   append → offset commit (write BEFORE commit = at-least-once).
   *
   * Deliberate divergences from the reference, each flagged:
-  *  - the delta is counted ONCE (`persist` + single count) instead of the
-  *    reference's 2-3 re-scans per job (kafka_to_s3_batch.py:74,77,110);
+  *  - the reference scans the delta 2-3× (count at
+  *    kafka_to_s3_batch.py:74,77, again for the write at :110); here the
+  *    record count and max-offset HWM ride the WRITE pass itself as
+  *    `observe()` metrics, so a non-empty sync scans the delta exactly
+  *    once — no persist footprint, no separate count/agg jobs. The
+  *    empty-delta gate is a limit-1 existence probe, the only extra read.
   *  - `coalesce(1)` — the reference's one-file-per-sync invariant
   *    (kafka_to_s3_enhanced.py:203) — is a parity flag, default OFF: at
   *    scale it serializes the write into a single task. The engine's own
   *    mode lets the write inherit the scan's parallelism.
-  *  - max-offset is computed with a scalar agg (partial+final, no row
-  *    collect) — the only `.collect()` in the pipeline, and it's one row.
   */
 final case class SyncResult(table: String, records: Long, maxOffset: Long, wrote: Boolean)
 
@@ -43,26 +45,29 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
       if (partitionBySyncDate)
         decoded0.withColumn("sync_date", to_date(col("kafka_timestamp")))
       else decoded0
-    decoded.persist()
-    try {
-      val n = decoded.count()
-      if (n == 0) {
-        // empty delta: no write, no offset commit (kafka_to_s3_enhanced.py:155,220-223)
-        SyncResult(table, 0L, offsets.lastOffset(table), wrote = false)
-      } else {
-        val maxOffset = decoded.agg(max("kafka_offset")).head().getLong(0)
-        val out = if (singleFile) decoded.coalesce(1) else decoded
-        val writer = out.write.mode("append")
-        (if (partitionBySyncDate) writer.partitionBy("sync_date") else writer)
-          .parquet(s"$warehouseDir/${table}_parquet")
-        offsets.commit(table, maxOffset, n) // commit strictly after the write
-        if (debugSink) { // reference's sample display (kafka_to_s3_enhanced.py:219)
-          decoded.show(3, truncate = false)
-          decoded.printSchema()
-        }
-        SyncResult(table, n, maxOffset, wrote = true)
+    if (decoded.isEmpty) {
+      // empty delta: no write, no offset commit (kafka_to_s3_enhanced.py:155,220-223)
+      SyncResult(table, 0L, offsets.lastOffset(table), wrote = false)
+    } else {
+      // count + HWM are observe() metrics collected BY the write job:
+      // accumulator-backed, exact for a foreach-style sink action, zero
+      // extra passes over the delta at any scale
+      val obs = org.apache.spark.sql.Observation()
+      val observed = decoded.observe(obs,
+        count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"))
+      val out = if (singleFile) observed.coalesce(1) else observed
+      val writer = out.write.mode("append")
+      (if (partitionBySyncDate) writer.partitionBy("sync_date") else writer)
+        .parquet(s"$warehouseDir/${table}_parquet")
+      val m = obs.get
+      val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
+      offsets.commit(table, maxOffset, n) // commit strictly after the write
+      if (debugSink) { // reference's sample display (kafka_to_s3_enhanced.py:219)
+        decoded.show(3, truncate = false)
+        decoded.printSchema()
       }
-    } finally decoded.unpersist()
+      SyncResult(table, n, maxOffset, wrote = true)
+    }
   }
 
   /** The reference fans out 4 tables as parallel Airflow tasks

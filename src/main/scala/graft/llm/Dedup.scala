@@ -267,6 +267,45 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * arXiv:2303.09540 recipe): cluster the embedding space, then within
+    * each cluster drop every vector that sits above a cosine threshold
+    * from ANY lower-id vector in its cluster — near-duplicate *meanings*,
+    * not near-duplicate bytes, which none of the lexical dedup family
+    * (MinHash/SimHash/fingerprint) can see. Emitted as the per-cluster
+    * removal report a curation run ships.
+    *
+    * 100 TB posture: reuses [[Similarity.assignClusters]]' map-side
+    * assignment (centroids are a broadcast model — the corpus is never
+    * shuffled to be clustered), so the only exchanges are the same-cell
+    * pair join and the ~|clusters|-row final aggregate. The quadratic
+    * cosine check is confined to same-cell pairs — exactly the bound the
+    * paper's k-means partitioning exists to provide; cell population caps
+    * (the [[MaxBucket]] rationale) would bolt on unchanged for degenerate
+    * clusterings. Keep-lowest-id is the deterministic stand-in for the
+    * paper's keep-one-random policy. */
+  def semantic(spark: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    val assigned = Tables.parallelized(Similarity.assignClusters(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("centroid_id")))
+      .persist() // both sides of the same-cell pair join
+    val l = assigned.as("l")
+    val r = assigned.as("r")
+    // a vector is dropped iff SOME lower-id vector in its cell is ≥ tau
+    // close — one distinct projection of the thresholded pair set
+    val dropped = l.join(r, col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .filter(GraftFunctions.vec_cosine(col("l.embedding"), col("r.embedding")) >= tau)
+      .select(col("r.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+           sum(coalesce(col("is_dropped"), lit(false)).cast("long")).as("n_dropped"))
+      .select(col("centroid_id"), col("n_vectors"), col("n_dropped"),
+        (col("n_vectors") - col("n_dropped")).as("n_kept"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Blocked fuzzy match: edit-distance near-dup detection over SHORT
     * normalized prefixes, candidates bounded by a blocking key (first two
     * tokens) — the string-similarity twin of the LSH pipeline. Blocking
@@ -370,6 +409,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_pipeline_summary" -> pipelineSummary,
     "dedup_span_coverage" -> ((s, d) => spanCoverage(s, d)),
+    "dedup_semantic" -> ((s, d) => semantic(s, d)),
     "dedup_fuzzy_prefix" -> ((s, d) => fuzzyPrefix(s, d)),
     "dedup_exact" -> exact,
     "dedup_minhash_signatures" -> minhashSignatures,
@@ -427,6 +467,26 @@ object Dedup {
         |       THEN CAST(floor(CAST(coalesce(pb.n_boiler, 0) AS DOUBLE) /
         |                       len(grams) * 1e6) AS BIGINT) END AS boiler_ppm
         |FROM g0 LEFT JOIN pb USING (doc_id) ORDER BY g0.doc_id""".stripMargin,
+    // deterministic IVF assignment + same-cell thresholded pairs + the
+    // keep-lowest-id policy, all replayed exactly in DuckDB
+    "dedup_semantic" ->
+      """WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id,
+        |             CAST(embedding AS DOUBLE[]) AS c_emb
+        |           FROM embeddings WHERE vec_id < 16),
+        |s AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.centroid_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC,
+        |                   c.centroid_id) AS rk
+        |      FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, v, centroid_id FROM s WHERE rk = 1),
+        |d AS (SELECT DISTINCT r.vec_id
+        |      FROM a l JOIN a r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+        |      WHERE list_cosine_similarity(l.v, r.v) >= 0.3)
+        |SELECT a.centroid_id, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+        |GROUP BY a.centroid_id ORDER BY a.centroid_id""".stripMargin,
     // same blocking + cap + distance, replayed in SQL (DuckDB levenshtein
     // agrees with Spark's on ASCII)
     "dedup_fuzzy_prefix" ->

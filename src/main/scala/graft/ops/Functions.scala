@@ -114,9 +114,10 @@ object Functions {
 
   /** Exact percentiles: Spark's `percentile` sorts the group and linearly
     * interpolates at p·(n−1) — the same definition as ANSI
-    * percentile_cont, so the oracle is exact, not an estimator. (The
-    * estimator twin, approx_percentile/t-digest, is deliberately NOT here:
-    * like approx_count_distinct it has no cross-engine oracle.) */
+    * percentile_cont, so the oracle is exact, not an estimator. The
+    * estimator twin, [[fApproxPercentile]], registers separately under the
+    * no-oracle allowlist (like approx_count_distinct it has no
+    * cross-engine oracle; its error bound is spec-pinned instead). */
   def fPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -125,6 +126,24 @@ object Functions {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("price_p75"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"))
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate percentiles via approx_percentile (Greenwald-Khanna
+    * sketch): the estimator twin of [[fPercentile]], and the form that
+    * actually runs at 100 TB — the sketch is a mergeable, bounded-size
+    * aggregation buffer (here accuracy 10000 ⇒ ε = 1e-4), so only
+    * O(1/ε) state crosses the exchange instead of the full sorted group
+    * the exact percentile needs. No cross-engine oracle exists for the
+    * sketch (rel_q16's HLL precedent); the error bound vs the exact
+    * percentile is pinned in RelationalSpec. */
+  def fApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).as("price_p25"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("price_p50"),
+        round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4).as("price_p75"),
+        round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("qty_p50"))
       .orderBy(col("l_returnflag"))
 
   /** Lateral expansion: posexplode flattens each document's token array to
@@ -189,6 +208,7 @@ object Functions {
     "fn_json" -> fJson,
     "fn_stats" -> fStats,
     "fn_percentile" -> fPercentile,
+    "fn_approx_percentile" -> fApproxPercentile,
     "fn_explode" -> fExplode
   )
 

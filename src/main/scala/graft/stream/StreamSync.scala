@@ -100,6 +100,18 @@ object StreamSync {
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("n_events"))
 
+  /** Stream-static enrichment: every micro-batch of the event stream
+    * joins a STATIC dimension (a feature / profile table) — the standard
+    * serving-time enrichment shape. The static side is re-planned per
+    * micro-batch (so a refreshed dim parquet is picked up on the next
+    * trigger) and explicitly broadcast: the streaming fact never
+    * shuffles, no join state accumulates (unlike stream-stream joins),
+    * and watermarks aren't needed. At 100 TB-of-stream the per-batch
+    * cost stays map-side as long as the dim fits a broadcast; a bigger
+    * dim degrades to a shuffled join of just that micro-batch. */
+  def enrichedEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Custom per-key state via mapGroupsWithState: running per-user totals
     * that survive across micro-batches and restarts (state store is
     * checkpointed). This is the escape hatch for stateful logic the

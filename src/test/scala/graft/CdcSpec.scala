@@ -123,6 +123,18 @@ class CdcSpec extends AnyFunSuite {
     assert(current == latest, "SCD2 current versions must equal the compacted state")
   }
 
+  test("merge snapshot+delta equals full-stream compaction; delta joins broadcast") {
+    val merged = cdc.CdcQueries.queries("cdc_merge_snapshot")(spark, "")
+    val latest = cdc.CdcQueries.queries("cdc_latest_state")(spark, "")
+    assert(merged.collect().map(_.toString).sorted
+      .sameElements(latest.collect().map(_.toString).sorted),
+      "MERGE(snapshot, delta) must reproduce the compacted change stream")
+    // the warehouse side must absorb the delta via broadcast joins — at
+    // scale the snapshot never re-shuffles for a micro-batch
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"delta should broadcast:\n$plan")
+  }
+
   test("tombstone (null value) decodes to an all-null row; malformed JSON null-fills") {
     val df = Envelope.decode(
       source.read(spark, Schemas.topicFor("weird"), StartingOffsets.Earliest), "weird")

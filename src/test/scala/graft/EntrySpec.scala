@@ -24,7 +24,7 @@ class EntrySpec extends AnyFunSuite {
     // genuinely un-replayable (engine-internal hash families, HLL); keep
     // this list in sync deliberately, not by omission
     val allowed = Set("dedup_minhash_candidates", "dedup_minhash_signatures",
-      "dedup_simhash_pairs", "rel_q16_approx_distinct")
+      "dedup_simhash_pairs", "rel_q16_approx_distinct", "fn_approx_percentile")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == allowed,
       s"unexpected oracle-less queries: ${unoracled -- allowed}")

@@ -143,6 +143,43 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
 
+  test("semantic dedup: conservation, and drops recheck against brute force") {
+    val rep = Dedup.semantic(spark, sf).collect()
+    val total = rep.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == spark.read.parquet(s"$sf/embeddings.parquet").count())
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vectors"))
+    }
+    // independent driver-side recheck: a vector is dropped iff some
+    // lower-id vector in its cluster is >= tau close (double-accumulating
+    // cosine, same arithmetic as VecCosine)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = Similarity.assignClusters(spark, sf)
+      .select($"vec_id", $"embedding", $"centroid_id").collect()
+      .map(r => (r.getAs[Int]("centroid_id"), r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).toArray))
+      .groupBy(_._1)
+    val expectedDrops = byCluster.map { case (cid, vs) =>
+      val sorted = vs.sortBy(_._2)
+      cid -> sorted.count { case (_, id, v) =>
+        sorted.exists { case (_, id2, v2) => id2 < id && cos(v2, v) >= 0.3 }
+      }.toLong
+    }
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ==
+        expectedDrops(r.getAs[Int]("centroid_id")),
+        s"cluster ${r.getAs[Int]("centroid_id")}")
+    }
+  }
+
   test("ivf clusters cover all vectors exactly once") {
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
     val assigned = Similarity.ivfClusterSizes(spark, sf)

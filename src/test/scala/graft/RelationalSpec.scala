@@ -94,6 +94,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("approx_percentile tracks the exact percentile within the sketch bound") {
+    val approx = graft.ops.Functions.fApproxPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.ops.Functions.fPercentile(spark, sf).collect().foreach { ex =>
+      val ap = approx(ex.getString(0))
+      Seq("price_p25", "price_p50", "price_p75", "qty_p50").foreach { c =>
+        val e = ex.getAs[Double](c); val a = ap.getAs[Double](c)
+        // GK at ε=1e-4 returns an element within ε·n ranks; on this data
+        // that is far tighter than 1% in value space
+        assert(math.abs(a - e) <= math.max(math.abs(e) * 0.01, 1e-6),
+          s"${ex.getString(0)}.$c: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("rollup emits per-group, subtotal and grand-total rows") {
     val rows = Relational.q9Rollup(spark, sf).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))

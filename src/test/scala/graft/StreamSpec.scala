@@ -138,6 +138,29 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static broadcast enrichment matches the batch join") {
+    val base = Files.createTempDirectory("graft-stream-enrich").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(s"$base/in")
+    // static dim: per-user history profile (derived from the same events
+    // here; in production a feature table refreshed out-of-band)
+    val dim = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen"), count(lit(1)).as("hist_n"))
+    val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+    val q = StreamSync.enrichedEvents(stream, dim)
+      .select(col("event_id"), col("user_id"), col("first_seen"), col("hist_n"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("enrich_out").orderBy(col("event_id")).collect()
+    val expected = StreamSync.enrichedEvents(events, dim)
+      .select(col("event_id"), col("user_id"), col("first_seen"), col("hist_n"))
+      .orderBy(col("event_id")).collect()
+    assert(got.nonEmpty && got.map(_.toString).sameElements(expected.map(_.toString)))
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val base = Files.createTempDirectory("graft-stream-join").toString
     val events = Tables.events(spark, sf)
