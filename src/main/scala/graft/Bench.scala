@@ -5,13 +5,20 @@ import org.apache.spark.sql.streaming.Trigger
 
 object Bench {
 
-  /** Streaming throughput probe: replay the events table as `nFiles`
-    * single-file micro-batches through the watermarked windowed-count
-    * pipeline ([[graft.stream.StreamSync.windowedCounts]]) with
-    * AvailableNow, and time the drain. Semantics are pinned in StreamSpec;
-    * this measures the rate. */
+  /** Streaming throughput probe: replay the events table through the
+    * watermarked windowed-count pipeline
+    * ([[graft.stream.StreamSync.windowedCounts]]) with AvailableNow and
+    * time the drain. Semantics are pinned in StreamSpec; this measures the
+    * rate, in two shapes:
+    *   - `filesPerTrigger = Some(1)`: nFiles single-file micro-batches —
+    *     dominated by per-batch fixed cost (file listing, state store
+    *     snapshot, parquet commit), the latency-bound shape;
+    *   - `filesPerTrigger = None`: one bulk drain — the state-store path's
+    *     actual throughput once per-batch overhead is amortized, the shape
+    *     a backlogged production stream runs in. */
   private def streamReplay(spark: SparkSession, sfDir: String,
-                           nFiles: Int = 8): (Double, Long, Int) = {
+                           nFiles: Int = 8,
+                           filesPerTrigger: Option[Int] = Some(1)): (Double, Long, Int) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
     val src = s"$tmp/in"; val chk = s"$tmp/chk"; val out = s"$tmp/out"
     val ev = graft.schema.Tables.events(spark, sfDir)
@@ -26,8 +33,10 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val t0 = System.nanoTime()
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
+      val reader = spark.readStream.schema(schema)
+      val stream = filesPerTrigger
+        .fold(reader)(k => reader.option("maxFilesPerTrigger", k.toString))
+        .parquet(src)
       val q = graft.stream.StreamSync.windowedCounts(stream)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
@@ -85,17 +94,39 @@ object Bench {
       // a failure in ANY pass reports as failure; otherwise the min sample
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
-    val (streamSec, streamRows, streamBatches) =
-      if (only.exists(!_.contains("stream_replay"))) (-1.0, 0L, 0)
+    def probe(key: String, filesPerTrigger: Option[Int]): (Double, Long, Int) =
+      if (only.exists(!_.contains(key))) (-1.0, 0L, 0)
       else
-        try streamReplay(spark, sfDir)
+        try streamReplay(spark, sfDir, filesPerTrigger = filesPerTrigger)
         catch { case e: Throwable =>
-          System.err.println(s"[bench] stream_replay: ${e.getMessage}"); (-1.0, 0L, 0) }
-    val all = results :+ ("stream_replay" -> streamSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+          System.err.println(s"[bench] $key: ${e.getMessage}"); (-1.0, 0L, 0) }
+    val (streamSec, streamRows, streamBatches) = probe("stream_replay", Some(1))
+    // bulk drain: same pipeline, one batch — the amortized-throughput shape
+    val (bulkSec, bulkRows, _) = probe("stream_bulk", None)
+    val all = results :+ ("stream_replay" -> streamSec) :+ ("stream_bulk" -> bulkSec)
+    def sec(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = all.map(_._2).filter(_ >= 0).sum
-    val streamRate = if (streamSec > 0) streamRows / streamSec else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate}""")
+    val streamRate = if (streamSec > 0) math.round(streamRows / streamSec) else 0L
+    val bulkRate = if (bulkSec > 0) math.round(bulkRows / bulkSec) else 0L
+    val nFailed = all.count(_._2 < 0)
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    // Full per-query detail: an EARLIER stdout line + a JSON file. The
+    // driver's tail capture holds only ~2 KB, so the final line (below)
+    // must stay small — r3's ~2.6 KB single line came back truncated at
+    // the FRONT and unparseable.
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate}"""
+    println(s"BENCH_DETAIL $detail")
+    try {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), detail + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
+    // Final line: totals first, then only the slowest 25 queries (plus any
+    // failures — a -1 must never be hidden by the cap). Budgeted well under
+    // the ~2 KB tail capture so the driver always parses it.
+    val slowest = all.sortBy(-_._2).take(25)
+    val shown = (slowest ++ all.filter(_._2 < 0)).distinct.sortBy(_._1)
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}""")
     spark.stop()
   }
 }

@@ -15,7 +15,19 @@ object SparkEntry {
     ops.Relational.q7WindowTopPerNation(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 (+ gap-fill
-    * relational set, scalar functions, event analytics, LLM-data ops). */
+    * relational set, scalar functions, event analytics, LLM-data ops).
+    *
+    * Harness contract: a few builders persist() genuinely-expensive
+    * multi-consumer intermediates (MinHash signature/shingle tables,
+    * SimHash signatures) and [[llm.Dedup.resolveKeepers]] returns a frame
+    * backed by localCheckpoint blocks. A harness that runs MANY queries in
+    * one session must drop that state between queries —
+    * `spark.catalog.clearCache()` for persisted frames plus
+    * `sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))`
+    * for checkpoint blocks — as [[Verify]] and [[Bench]] both do. (A
+    * single-query session needs nothing: Spark's ContextCleaner frees
+    * unreachable cached RDDs with GC.) Everything else deliberately avoids
+    * caching — cheap map-side intermediates are recomputed per consumer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++
       ops.Relational.queries ++

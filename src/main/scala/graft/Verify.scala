@@ -18,7 +18,11 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // drop per-query persisted state
+        // Drop per-query session state (the SparkEntry harness contract):
+        // clearCache() frees persist()ed frames; localCheckpoint blocks
+        // live only in the block manager and need the explicit unpersist.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -23,6 +23,13 @@ object Dedup {
   val Bands = 32 // 32 bands × 4 rows: P(candidate | j=0.8) ≈ 1 − (1−0.8⁴)³² ≈ 1 − 5e-8
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** doc_id offset used to plant an exact-duplicate twin of every document
+    * (corpus ∪ id-shifted corpus) inside the invariant-oracle queries —
+    * the synthetic corpus may hold zero natural exact dups at small sf,
+    * which would make containment invariants vacuously true. Larger than
+    * any real doc_id at every test sf. */
+  val PlantOffset = 10000000L
+
   /** Exact dedup via content hash: per-language doc/unique counts plus the
     * canonical keeper id (min doc_id per distinct text). */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -38,14 +45,47 @@ object Dedup {
   /** MinHash signatures (doc_id → 128-long signature; 4-long prefix
     * shown, JSON-serialized — the driver's pandas compare can't hash raw
     * array cells). The hash family is engine-internal (xxhash64 shingles +
-    * SplitMix64 permutations), so there is no SQL oracle; determinism and
-    * estimator accuracy are pinned in LlmSpec. */
+    * SplitMix64 permutations), so there is no SQL oracle for the VALUES;
+    * determinism and estimator accuracy are pinned in LlmSpec, and the
+    * registered query [[minhashSignatureInvariants]] oracle-checks the
+    * family's invariants instead. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"),
         GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
       .select(col("doc_id"), to_json(slice(col("sig"), 1, 4)).as("sig_prefix_json"))
       .orderBy(col("doc_id"))
+
+  /** Signature invariant report, oracle-checked (replaces the r3 no-oracle
+    * `dedup_minhash_signatures` registration). The corpus is doubled with
+    * an id-offset copy of itself ([[PlantOffset]] — small sf may hold zero
+    * natural exact dups, which would make the check vacuous), every doc is
+    * signed through the real expression stack, and the report pins what IS
+    * cross-engine-checkable about a hash family:
+    *   - j=1 law: identical text ⇒ identical 128-long signature
+    *     (`n_groups_consistent` must equal `n_text_groups`);
+    *   - only sub-k-word docs are unsigned (`n_docs_signed`);
+    *   - every signature has exactly [[NumHashes]] components.
+    * A broken shingle split, permutation table, or min-fold fails one of
+    * these; the signature VALUES stay spec-pinned in LlmSpec. */
+  def minhashSignatureInvariants(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+    val sigs = doubled
+      .select(col("text"),
+        GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    sigs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sig")).as("n_sigs"),
+           min(size(col("sig"))).as("len_min"), max(size(col("sig"))).as("len_max"))
+      .agg(sum(col("n")).as("n_docs_signed"),
+           count(lit(1)).as("n_text_groups"),
+           sum(when(col("n_sigs") === 1, 1L).otherwise(0L)).as("n_groups_consistent"),
+           min(col("len_min")).as("sig_len_min"),
+           max(col("len_max")).as("sig_len_max"))
+  }
 
   /** doc_id → MinHash signature, persisted: downstream stages read it 2-3
     * times, and signatures are the expensive part (|shingles| × 128
@@ -114,6 +154,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LSH candidates with a containment + estimator oracle (replaces the
+    * r3 no-oracle `dedup_minhash_candidates` registration): emit the
+    * candidate pairs whose EXACT word-3-gram Jaccard clears `threshold`,
+    * with the exact value and a MinHash-estimator bound check. The oracle
+    * brute-forces the true pair set in DuckDB, so
+    *   - recall: a true pair the LSH bands missed would make this query
+    *     come back a row short — the driver's row compare IS the recall
+    *     check (the band math makes misses ~5e-8-probable at j≥0.8);
+    *   - estimator: |est − exact| ≤ 0.15 per pair (≈4σ for 128 hashes at
+    *     j=0.8; deterministic for the fixed hash family + data).
+    * The raw candidate set (with estimates below threshold) stays
+    * available via [[minhashCandidates]] and is spec-pinned in LlmSpec. */
+  def minhashCandidateRecall(spark: SparkSession, dir: String,
+                             threshold: Double = 0.8): DataFrame = {
+    val sh = Tables.parallelized(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .persist() // read from both sides of the pair join (harness contract)
+    minhashCandidates(spark, dir)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= 0.15).as("est_ok"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** LSH candidates verified with EXACT word-3-gram Jaccard ≥ threshold.
     * Output equals a (banned-at-scale) all-pairs scan whenever LSH recall
     * at the threshold is ~1, which the band shape guarantees — that makes
@@ -138,8 +207,16 @@ object Dedup {
     * colliding 16-bit chunks (4-chunk pigeonhole ⇒ any pair within
     * Hamming distance 3 shares ≥1 exact chunk), then exact bit_count
     * verification — again no all-pairs. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.parallelized(Tables(spark, dir, "documents"))
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsOf(
+      Tables.parallelized(Tables(spark, dir, "documents"))
+        .select(col("doc_id"), col("text")),
+      maxHamming)
+
+  /** The chunked SimHash pipeline over an arbitrary (doc_id, text) frame —
+    * shared by the natural-corpus query and the planted-twin oracle. */
+  private def simhashPairsOf(input: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val docs = input
       .select(col("doc_id"),
         GraftFunctions.simhash64(TextOps.shingleHashes(col("text"))).as("sim"))
       .filter(col("sim").isNotNull)
@@ -160,6 +237,28 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash pipeline with a planted-twin containment oracle (replaces the
+    * r3 no-oracle `dedup_simhash_pairs` registration): run the REAL
+    * chunked pipeline over the corpus doubled with an id-offset copy of
+    * itself, then keep only the planted (doc, doc+[[PlantOffset]]) twin
+    * pairs. Identical text ⇒ identical shingle set ⇒ identical SimHash ⇒
+    * Hamming 0 ⇒ the 16-bit-chunk pigeonhole MUST surface the pair — so
+    * the oracle emits exactly one row per ≥k-word document, and a pipeline
+    * that drops a chunk collision or mis-hashes anything comes back short
+    * (row compare) or nonzero (hamming column). Natural pairs (which ARE
+    * hash-family-specific) stay available via [[simhashPairs]], spec-pinned
+    * in LlmSpec. */
+  def simhashPlantedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelized(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+    simhashPairsOf(doubled)
+      .filter(col("doc_b") === col("doc_a") + PlantOffset)
+      .select(col("doc_a").as("doc_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_id"))
   }
 
   /** Near-dup resolution: collapse the LSH-verified pair graph into
@@ -252,10 +351,12 @@ object Dedup {
     * broadcast-assigned cluster key, one shuffle. */
   def embeddingNearDup(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     // parallelized: the local single-split file would serialize the
-    // CPU-heavy same-cell pair join onto one core
+    // CPU-heavy same-cell pair join onto one core. NOT persisted: the
+    // assignment is a narrow scan+argmax over 16 inlined centroids, so
+    // recomputing it per join side costs one cheap projection and leaves
+    // no cached blocks behind for the caller to clean up.
     val assigned = Tables.parallelized(Similarity.assignClusters(spark, dir)
       .select(col("vec_id"), col("embedding"), col("centroid_id")))
-      .persist()
     val l = assigned.as("l")
     val r = assigned.as("r")
     l.join(r, col("l.centroid_id") === col("r.centroid_id") &&
@@ -285,9 +386,12 @@ object Dedup {
     * clusterings. Keep-lowest-id is the deterministic stand-in for the
     * paper's keep-one-random policy. */
   def semantic(spark: SparkSession, dir: String, tau: Double = 0.3): DataFrame = {
+    // Not persisted (r3 ADVICE): map-side assignment is cheaper to
+    // recompute per consumer than a cached copy is to manage — the three
+    // reads below each re-run one scan+argmax projection and the builder
+    // leaves zero cached state behind.
     val assigned = Tables.parallelized(Similarity.assignClusters(spark, dir)
       .select(col("vec_id"), col("embedding"), col("centroid_id")))
-      .persist() // both sides of the same-cell pair join
     val l = assigned.as("l")
     val r = assigned.as("r")
     // a vector is dropped iff SOME lower-id vector in its cell is ≥ tau
@@ -412,15 +516,49 @@ object Dedup {
     "dedup_semantic" -> ((s, d) => semantic(s, d)),
     "dedup_fuzzy_prefix" -> ((s, d) => fuzzyPrefix(s, d)),
     "dedup_exact" -> exact,
-    "dedup_minhash_signatures" -> minhashSignatures,
-    "dedup_minhash_candidates" -> minhashCandidates,
+    "dedup_minhash_signatures" -> minhashSignatureInvariants,
+    "dedup_minhash_candidates" -> ((s, d) => minhashCandidateRecall(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
-    "dedup_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "dedup_simhash_pairs" -> simhashPlantedPairs,
     "dedup_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "dedup_resolve_keepers" -> ((s, d) => resolveKeepers(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    // hash-family invariants over the twin-doubled corpus: identical text
+    // ⇒ identical signature; all signatures 128-long; only <3-word docs
+    // unsigned (none exist in the testdata — the WHERE mirrors the gate)
+    "dedup_minhash_signatures" ->
+      """WITH d AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
+        |g AS (SELECT text, count(*) AS n FROM d
+        |      WHERE len(string_split(text, ' ')) >= 3 GROUP BY text)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs_signed,
+        |  count(*) AS n_text_groups,
+        |  count(*) AS n_groups_consistent,
+        |  CAST(128 AS INTEGER) AS sig_len_min,
+        |  CAST(128 AS INTEGER) AS sig_len_max
+        |FROM g""".stripMargin,
+    // brute-force true near-dup pairs: candidate recall == 1 shows up as a
+    // row-count match, and the estimator bound column must be all-true
+    "dedup_minhash_candidates" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard,
+        |  TRUE AS est_ok
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // planted-twin containment: one row per >=3-word doc, hamming must be 0
+    "dedup_simhash_pairs" ->
+      """SELECT doc_id, CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |ORDER BY doc_id""".stripMargin,
     // the keeper-resolution recursive CTE, folded to per-language counts
     "dedup_pipeline_summary" ->
       """WITH RECURSIVE sh AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 import graft.schema.Tables
@@ -133,10 +133,50 @@ object Functions {
     * actually runs at 100 TB — the sketch is a mergeable, bounded-size
     * aggregation buffer (here accuracy 10000 ⇒ ε = 1e-4), so only
     * O(1/ε) state crosses the exchange instead of the full sorted group
-    * the exact percentile needs. No cross-engine oracle exists for the
-    * sketch (rel_q16's HLL precedent); the error bound vs the exact
-    * percentile is pinned in RelationalSpec. */
-  def fApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    * the exact percentile needs.
+    *
+    * Registered in the invariant-oracle form (replaces the r3 no-oracle
+    * entry): the sketch VALUE has no cross-engine oracle, but GK's actual
+    * contract — the returned element's rank is within ε·n of p·n — is
+    * checkable in-query. For each group and percentile p the second pass
+    * counts rows strictly below / at-or-below the sketch's answer v; the
+    * rank interval [count(<v)+1, count(≤v)] must intersect
+    * [p·n − εn − 1, p·n + εn + 1] (±1 absorbs the p·(n−1) interpolation
+    * convention at the ends). The oracle emits the same group counts with
+    * all-true bounds, so a sketch drifting out of its guarantee fails the
+    * driver compare. (This is the rank-space form r3's ADVICE asked for —
+    * a rank-accurate answer can be arbitrarily far in VALUE space on
+    * sparse columns, so no value bound appears here.) */
+  def fApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("ap25"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("ap75"),
+      expr("approx_percentile(l_quantity, 0.5, 10000)").as("aq50"))
+    def below(c: String, v: String) =
+      sum((col(c) < col(v)).cast("long"))
+    def atMost(c: String, v: String) =
+      sum((col(c) <= col(v)).cast("long"))
+    def rankOk(lo: Column, hi: Column, p: Double): Column = {
+      val n = count(lit(1)).cast("double")
+      val eps = n * lit(1e-4) + lit(1.0)
+      (lo <= n * lit(p) + eps) && (hi >= n * lit(p) - eps)
+    }
+    li.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        rankOk(below("l_extendedprice", "ap25"), atMost("l_extendedprice", "ap25"), 0.25).as("p25_ok"),
+        rankOk(below("l_extendedprice", "ap50"), atMost("l_extendedprice", "ap50"), 0.50).as("p50_ok"),
+        rankOk(below("l_extendedprice", "ap75"), atMost("l_extendedprice", "ap75"), 0.75).as("p75_ok"),
+        rankOk(below("l_quantity", "aq50"), atMost("l_quantity", "aq50"), 0.50).as("qty_p50_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The raw sketch values — the user-facing estimator API (what a
+    * dashboard actually reads); the registered query above wraps it in the
+    * oracle-able rank-invariant form. */
+  def fApproxPercentileRaw(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -290,6 +330,12 @@ object Functions {
         |  round(stddev_samp(l_extendedprice), 4) AS price_stddev,
         |  round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
         |  round(avg(l_discount), 6) AS avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // GK rank-invariant form: group counts + all-true bounds (the sketch
+    // value itself has no cross-engine oracle)
+    "fn_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS qty_p50_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "fn_percentile" ->
       """SELECT l_returnflag,

@@ -174,9 +174,24 @@ object Relational {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
-  /** approx_count_distinct (HLL) — no SQL oracle (estimator-specific);
-    * correctness pinned by the RelationalSpec error-bound test. */
+  /** approx_count_distinct (HLL, rsd 0.02) with an in-query invariant
+    * oracle (replaces the r3 no-oracle registration): the ESTIMATE is
+    * engine-specific (no cross-engine oracle exists for a sketch), but the
+    * error bound is checkable — emit the exact count plus a boolean
+    * |approx − exact| ≤ 5%·exact (2.5× the requested rsd; deterministic
+    * for the fixed data + hash seed). The sketch still runs and a broken
+    * HLL fails the bound; the tighter rsd-level bound stays spec-pinned
+    * in RelationalSpec. */
   def q16ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    q16ApproxDistinctRaw(spark, dir)
+      .select(col("exact_orders"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.05)).as("approx_ok"))
+
+  /** The raw (approx, exact) pair — RelationalSpec pins the estimate at
+    * the rsd level; the registered query above emits the oracle-able
+    * invariant form. */
+  def q16ApproxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
            countDistinct(col("l_orderkey")).as("exact_orders"))
@@ -531,6 +546,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // HLL invariant form: exact count + the 5% bound the engine asserts
+    // in-query (the estimate itself has no cross-engine oracle)
+    "rel_q16_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders, TRUE AS approx_ok
+        |FROM lineitem""".stripMargin,
     "rel_q30_not_in_null_aware" ->
       """SELECT 'null_in_list' AS variant, count(*) AS n_survivors
         |FROM customer

@@ -19,15 +19,13 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("only the known estimator/hash-family queries lack oracles") {
-    // every new operator must ship with a DuckDB oracle unless it is
-    // genuinely un-replayable (engine-internal hash families, HLL); keep
-    // this list in sync deliberately, not by omission
-    val allowed = Set("dedup_minhash_candidates", "dedup_minhash_signatures",
-      "dedup_simhash_pairs", "rel_q16_approx_distinct", "fn_approx_percentile")
+  test("every registered query carries a DuckDB oracle") {
+    // r4: the former estimator/hash-family allowlist (HLL, GK sketch,
+    // MinHash/SimHash internals) is gone — those queries now register in
+    // invariant-oracle form (exact values + bound booleans / planted-twin
+    // containment), so 100% of the surface is driver-checkable.
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == allowed,
-      s"unexpected oracle-less queries: ${unoracled -- allowed}")
+    assert(unoracled.isEmpty, s"oracle-less queries: $unoracled")
   }
 
   test("every query runs and is non-empty at sf0.001") {
