@@ -127,12 +127,16 @@ object CdcQueries {
     // append-only warehouse implies but never runs: the compacted snapshot
     // (events at/below the saved offset watermark, here 5 — the same
     // watermark cdc_incremental_orders resumes from) absorbs the new
-    // micro-batch's delta as broadcast-joined updates + inserts. The
-    // warehouse side never shuffles: updates are a broadcast left join
-    // (delta wins where matched — presence decided by the join key, so a
-    // legitimate NULL in an updated column still wins), inserts are a
-    // broadcast anti join. Invariant (and the oracle): merge(snapshot,
-    // delta) == full-stream compaction.
+    // micro-batch's delta. The snapshot PAYLOAD never shuffles: the
+    // updates branch broadcasts the delta into a left join (delta wins
+    // where matched — presence decided by the join key, so a legitimate
+    // NULL in an updated column still wins). The inserts branch is a LEFT
+    // ANTI join, and Spark can only build/broadcast an anti join's RIGHT
+    // side — the snapshot — so that branch is fed snapshot KEYS ONLY
+    // (order_id projection below): at fixture scale the key set
+    // broadcasts, at production scale it degrades to a keys-only hash
+    // exchange (8-byte ids, not rows), never a payload shuffle. Invariant
+    // (and the oracle): merge(snapshot, delta) == full-stream compaction.
     "cdc_merge_snapshot" -> ((s, _) => {
       import org.apache.spark.sql.expressions.Window
       def compact(df: DataFrame): DataFrame = {

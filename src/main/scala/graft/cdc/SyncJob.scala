@@ -54,7 +54,8 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
       // extra passes over the delta at any scale
       val obs = org.apache.spark.sql.Observation()
       val observed = decoded.observe(obs,
-        count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"))
+        count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"),
+        min(col("kafka_offset")).as("lo"))
       val out = if (singleFile) observed.coalesce(1) else observed
       val writer = out.write.mode("append")
       (if (partitionBySyncDate) writer.partitionBy("sync_date") else writer)
@@ -63,7 +64,13 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
       val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
       offsets.commit(table, maxOffset, n) // commit strictly after the write
       if (debugSink) { // reference's sample display (kafka_to_s3_enhanced.py:219)
-        decoded.show(3, truncate = false)
+        // Sample from the parquet just WRITTEN (offset-pruned columnar
+        // scan) rather than re-running decode — "a non-empty sync scans
+        // the delta exactly once" stays true with the flag on.
+        // printSchema is plan-only, no job.
+        spark.read.parquet(s"$warehouseDir/${table}_parquet")
+          .filter(col("kafka_offset").between(m("lo").asInstanceOf[Long], maxOffset))
+          .show(3, truncate = false)
         decoded.printSchema()
       }
       SyncResult(table, n, maxOffset, wrote = true)

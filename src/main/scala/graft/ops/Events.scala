@@ -116,6 +116,32 @@ object Events {
       .orderBy(col("click_id"))
   }
 
+  /** The native operator's other two modes in one oracled query —
+    * `toleranceMicros` + INNER ([[graft.plans.AsOfJoinExec]] supports both;
+    * r3 oracled only left-outer/no-tolerance): each click joined to the
+    * same user's latest prior-or-simultaneous purchase no older than 30
+    * minutes, clicks with no in-tolerance purchase dropped. DuckDB states
+    * the same semantics as ASOF (inner) JOIN + an age predicate — ASOF
+    * picks the latest prior row first, then the predicate rejects stale
+    * matches, exactly the exec's tolerance check on its held row. */
+  def asofJoinTolerance(spark: SparkSession, dir: String,
+                        toleranceMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    graft.plans.AsOf.join(clicks, purchases,
+        Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"),
+        joinType = "inner",
+        toleranceMicros = Some(toleranceMinutes * 60L * 1000000L))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"), col("p_event_id").as("purchase_id"),
+        col("p_ts").as("purchase_ts"), col("p_value").as("purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
   /** Bounded-interval (range) join: purchases within 30 minutes AFTER each
     * click, per user. A naive range join explodes (every click × every
     * purchase per user); the scale composition buckets time into
@@ -206,7 +232,8 @@ object Events {
     "ev_latest_state" -> latestState,
     "ev_sessionize" -> sessionize,
     "ev_asof_join" -> asofJoin,
-    "ev_asof_join_native" -> asofJoinNative
+    "ev_asof_join_native" -> asofJoinNative,
+    "ev_asof_join_tolerance" -> ((s, d) => asofJoinTolerance(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,6 +279,17 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY click_id""".stripMargin,
+    // inner ASOF picks the latest prior purchase, then the age predicate
+    // rejects stale matches — the exec's tolerance check on its held row
+    "ev_asof_join_tolerance" ->
+      """SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
+        |  r.event_id AS purchase_id, r.ts AS purchase_ts,
+        |  r."value" AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |WHERE epoch_us(l.ts) - epoch_us(r.ts) <= 30 * 60 * 1000000
         |ORDER BY click_id""".stripMargin,
     "ev_range_join" ->
       """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,

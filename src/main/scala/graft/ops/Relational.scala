@@ -512,6 +512,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_q31_topk_agg" -> q31TopKAgg,
     "rel_q32_bloom_semi_join" -> q32BloomSemiJoin,
+    "rel_q33_bucketed_join" -> ((s, d) => Bucketed.q33BucketedJoin(s, d)),
     "rel_q30_not_in_null_aware" -> q30NotInNullAware,
     "rel_q29_window_extras" -> q29WindowExtras,
     "rel_q24_range_frame" -> q24RangeFrame,
@@ -634,6 +635,11 @@ object Relational {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    // bucketing is a physical layout choice — the oracle is the plain join
+    "rel_q33_bucketed_join" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     // the bloom prefilter must be invisible in the result: plain semi join
     "rel_q32_bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_items,

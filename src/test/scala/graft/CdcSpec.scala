@@ -129,10 +129,19 @@ class CdcSpec extends AnyFunSuite {
     assert(merged.collect().map(_.toString).sorted
       .sameElements(latest.collect().map(_.toString).sorted),
       "MERGE(snapshot, delta) must reproduce the compacted change stream")
-    // the warehouse side must absorb the delta via broadcast joins — at
-    // scale the snapshot never re-shuffles for a micro-batch
+    // The UPDATES branch must broadcast the delta (the snapshot payload
+    // never re-shuffles for a micro-batch). Assert the left-outer join's
+    // strategy specifically — a BroadcastHashJoin anywhere in the plan
+    // (e.g. the anti join at fixture scale) must not satisfy this.
     val plan = merged.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"delta should broadcast:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftOuter") && l.contains("BuildRight")),
+      s"updates join should broadcast the delta:\n$plan")
+    // The INSERTS branch can only build its RIGHT side (the snapshot's
+    // keys-only projection): broadcast here at fixture scale, a keys-only
+    // exchange at production scale — either way the anti join must consume
+    // the key projection, not snapshot payload rows.
+    assert(plan.contains("LeftAnti"), s"inserts should plan as anti join:\n$plan")
   }
 
   test("tombstone (null value) decodes to an all-null row; malformed JSON null-fills") {

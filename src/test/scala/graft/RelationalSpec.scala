@@ -64,6 +64,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("registered bucketed query joins without a hash exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val plan = graft.ops.Bucketed.q33BucketedJoin(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the only exchange is the presentation sort's range partitioning —
+      // the join + agg reuse the ingest-time bucket layout
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not hash-shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("dimension joins broadcast (no fact shuffle)") {
     val plan = physicalPlan(Relational.q2JoinRevenue(spark, sf))
     assert(plan.contains("BroadcastHashJoin"))
