@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.broadcast
 import org.apache.spark.sql.streaming.Trigger
 
 object Bench {
@@ -18,10 +19,19 @@ object Bench {
     *     a backlogged production stream runs in. */
   private def streamReplay(spark: SparkSession, sfDir: String,
                            nFiles: Int = 8,
-                           filesPerTrigger: Option[Int] = Some(1)): (Double, Long, Int) = {
+                           filesPerTrigger: Option[Int] = Some(1),
+                           replicate: Int = 1): (Double, Long, Int) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
     val src = s"$tmp/in"; val chk = s"$tmp/chk"; val out = s"$tmp/out"
-    val ev = graft.schema.Tables.events(spark, sfDir)
+    val ev0 = graft.schema.Tables.events(spark, sfDir)
+    // The bulk probe replays the table ×replicate (events are tiny at test
+    // sf): with one batch the per-batch fixed cost (listing, state-store
+    // snapshot, commit) amortizes over real volume, so the measured rate
+    // is the state path's throughput, not the constant. Only counts grow —
+    // the replication leaves the key space (window × event_type) as is.
+    val ev = if (replicate <= 1) ev0
+      else ev0.crossJoin(broadcast(
+        spark.range(replicate.toLong).toDF("rep_i"))).drop("rep_i")
     val n = ev.count()
     ev.repartition(nFiles).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
@@ -94,15 +104,18 @@ object Bench {
       // a failure in ANY pass reports as failure; otherwise the min sample
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
-    def probe(key: String, filesPerTrigger: Option[Int]): (Double, Long, Int) =
+    def probe(key: String, filesPerTrigger: Option[Int],
+              replicate: Int): (Double, Long, Int) =
       if (only.exists(!_.contains(key))) (-1.0, 0L, 0)
       else
-        try streamReplay(spark, sfDir, filesPerTrigger = filesPerTrigger)
+        try streamReplay(spark, sfDir, filesPerTrigger = filesPerTrigger,
+          replicate = replicate)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $key: ${e.getMessage}"); (-1.0, 0L, 0) }
-    val (streamSec, streamRows, streamBatches) = probe("stream_replay", Some(1))
-    // bulk drain: same pipeline, one batch — the amortized-throughput shape
-    val (bulkSec, bulkRows, _) = probe("stream_bulk", None)
+    val (streamSec, streamRows, streamBatches) = probe("stream_replay", Some(1), 1)
+    // bulk drain: same pipeline, one batch over ×10 volume — the
+    // amortized-throughput shape a backlogged production stream runs in
+    val (bulkSec, bulkRows, _) = probe("stream_bulk", None, 10)
     val all = results :+ ("stream_replay" -> streamSec) :+ ("stream_bulk" -> bulkSec)
     def sec(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val total = all.map(_._2).filter(_ >= 0).sum
