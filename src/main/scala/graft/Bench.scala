@@ -134,12 +134,18 @@ object Bench {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), detail + "\n")
     } catch { case e: Throwable => System.err.println(s"[bench] detail write: ${e.getMessage}") }
-    // Final line: totals first, then only the slowest 25 queries (plus any
-    // failures — a -1 must never be hidden by the cap). Budgeted well under
-    // the ~2 KB tail capture so the driver always parses it.
-    val slowest = all.sortBy(-_._2).take(25)
-    val shown = (slowest ++ all.filter(_._2 < 0)).distinct.sortBy(_._1)
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}""")
+    // Final line: totals first, then only the slowest queries (plus any
+    // failures — a -1 must never be hidden by the cap), shrunk until the
+    // line fits a hard byte budget well under the ~2 KB tail capture so
+    // the driver always parses it regardless of name lengths.
+    def finalLine(topN: Int): String = {
+      val slowest = all.sortBy(-_._2).take(topN)
+      val shown = (slowest ++ all.filter(_._2 < 0)).distinct.sortBy(_._1)
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
+    }
+    val line = (25 to 0 by -5).iterator.map(finalLine)
+      .find(_.length <= 1400).getOrElse(finalLine(0))
+    println(line)
     spark.stop()
   }
 }

@@ -159,6 +159,71 @@ object CdcQueries {
       updated.unionByName(inserted.select(cols.map(col): _*))
         .orderBy(col("order_id"))
     }),
+    // Incremental view maintenance (retract-based) — the aggregation twin
+    // of cdc_merge_snapshot, and the 100 TB reason to have it: a per-sync
+    // refresh of a grouped view must NOT rescan the full history. The
+    // maintained view here is per-status (n_orders, total_amount) over the
+    // COMPACTED state. Each sync applies the delta as +new-version rows
+    // and −old-version rows (retractions — an upsert can move a key
+    // BETWEEN groups, so additive-only merge is wrong), then merges the
+    // group-level increments into the stored aggregate: V_new = V_old +
+    // agg(delta) − agg(retracted old versions). Only the delta and the
+    // matched old versions of its keys are read (broadcast keyed lookup);
+    // the snapshot fact is never re-aggregated. Invariant (and the
+    // oracle): the maintained view == a full recompute over the compacted
+    // stream. Amounts aggregate as DECIMAL(10,2) (exact) and surface as
+    // DOUBLE (driver-hashable).
+    "cdc_incremental_agg" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      def compact(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
+        df.filter(col("order_id").isNotNull) // tombstones decode key-less
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .drop("rk")
+      }
+      val amt = col("total_amount").cast("decimal(10,2)")
+      val all = parse(s, "orders")
+      val snapshot = compact(all.filter(col("kafka_offset") <= 5))
+      val delta = compact(all.filter(col("kafka_offset") >= 6))
+      // the STORED view (in the fixture, computed; in production, read back)
+      val vOld = snapshot.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(amt).as("amt"))
+      // old versions of keys the delta touches — a broadcast keyed lookup,
+      // not a scan (the delta is micro-batch-sized)
+      val retracted = snapshot.join(
+        broadcast(delta.select(col("order_id"))), Seq("order_id"), "left_semi")
+      val increments = delta.select(col("status"), amt.as("s_amt"), lit(1L).as("s_n"))
+        .unionByName(retracted.select(col("status"), (-amt).as("s_amt"), lit(-1L).as("s_n")))
+      val vInc = increments.groupBy(col("status"))
+        .agg(sum(col("s_n")).as("dn"), sum(col("s_amt")).as("damt"))
+      vOld.join(vInc, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("amt"), lit(0).cast("decimal(20,2)")) +
+            coalesce(col("damt"), lit(0).cast("decimal(20,2)")))
+            .cast("double").as("total_amount"))
+        .filter(col("n_orders") > 0) // fully-retracted groups disappear
+        .orderBy(col("status"))
+    }),
+    // Schema drift across the stream: early offsets decoded under the v1
+    // (narrow) schema, later offsets under the full schema, reconciled
+    // with unionByName(allowMissingColumns) — columns absent in the old
+    // epoch null-fill, the reader sees ONE evolved schema. This is the
+    // engine-side handling for the additive column changes a CDC source
+    // ships mid-stream (Debezium schema-change events); position-based
+    // union would silently misalign, name-based union cannot.
+    "cdc_schema_drift" -> ((s, _) => {
+      val all = parse(s, "orders")
+      val v1 = all.filter(col("kafka_offset") <= 5)
+        .select(col("order_id"), col("status"), col("total_amount"),
+          col("kafka_offset"))
+      val v2 = all.filter(col("kafka_offset") >= 6)
+        .select(col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("shipping_address"), col("kafka_offset"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("kafka_offset"))
+    }),
     // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
     // SQL surface (temp views + spark.sql), the engine-side equivalent of
     // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
@@ -254,6 +319,31 @@ object CdcQueries {
          |                           ORDER BY kafka_offset) IS NULL AS is_current
          |FROM p WHERE order_id IS NOT NULL
          |ORDER BY order_id, valid_from_offset""".stripMargin,
+    // the maintenance invariant IS the oracle: the incrementally
+    // maintained grouped view must equal a full recompute over the
+    // compacted stream
+    "cdc_incremental_agg" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")}),
+         |c AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE order_id IS NOT NULL) t WHERE rk = 1)
+         |SELECT status, count(*) AS n_orders,
+         |  CAST(sum(CAST(total_amount AS DECIMAL(10,2))) AS DOUBLE) AS total_amount
+         |FROM c GROUP BY status ORDER BY status""".stripMargin,
+    // additive schema evolution: old-epoch rows null-fill the columns the
+    // narrow schema lacked; name-based union is what makes this safe
+    "cdc_schema_drift" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT order_id, CAST(NULL AS INTEGER) AS customer_id, status,
+         |  total_amount, CAST(NULL AS VARCHAR) AS shipping_address, kafka_offset
+         |FROM p WHERE kafka_offset <= 5
+         |UNION ALL
+         |SELECT order_id, customer_id, status, total_amount,
+         |  shipping_address, kafka_offset
+         |FROM p WHERE kafka_offset >= 6
+         |ORDER BY kafka_offset""".stripMargin,
     "cdc_reconcile_counts" ->
       s"""SELECT 'customers' AS tbl, count(*) AS n FROM ${wireSql("customers")}
          |UNION ALL SELECT 'order_items', count(*) FROM ${wireSql("order_items")}

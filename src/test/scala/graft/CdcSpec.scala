@@ -123,6 +123,24 @@ class CdcSpec extends AnyFunSuite {
     assert(current == latest, "SCD2 current versions must equal the compacted state")
   }
 
+  test("incremental agg maintenance equals full recompute, retractions included") {
+    val inc = CdcQueries.queries("cdc_incremental_agg")(spark, "").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // full recompute over the compacted stream — what maintenance must equal
+    val full = CdcQueries.queries("cdc_latest_state")(spark, "")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("total_amount").cast("decimal(10,2)")).cast("double").as("amt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(inc == full, s"maintained view drifted: $inc vs $full")
+    // the fixture's delta MOVES keys between groups (order 2
+    // PROCESSING→COMPLETED, order 5 PENDING→SHIPPED), so these counts can
+    // only be right if the old versions were retracted — an additive-only
+    // merge would report PROCESSING=2 and PENDING=4
+    assert(inc("PROCESSING")._1 == 1L, s"retraction missed: $inc")
+    assert(inc("PENDING")._1 == 3L, s"retraction missed: $inc")
+  }
+
   test("merge snapshot+delta equals full-stream compaction; delta joins broadcast") {
     val merged = cdc.CdcQueries.queries("cdc_merge_snapshot")(spark, "")
     val latest = cdc.CdcQueries.queries("cdc_latest_state")(spark, "")
