@@ -159,6 +159,32 @@ object CdcQueries {
       updated.unionByName(inserted.select(cols.map(col): _*))
         .orderBy(col("order_id"))
     }),
+    // Delete-aware compaction: the reference KEEPS Debezium tombstones
+    // (drop.tombstones=false, config/debezium-config.json:22) but its
+    // append-only warehouse never applies them — deleted rows linger
+    // forever. This query completes the semantics: latest event per
+    // primary key where the key comes from the record VALUE for upserts
+    // and from the record KEY for tombstones (a tombstone's value is
+    // null — that's what it is), and a key whose latest event is a
+    // tombstone is GONE from the state. Re-insert after delete works:
+    // a later value event for the same key wins by offset. Same one
+    // hash-partition window as plain compaction — delete handling adds
+    // a coalesce and a filter, zero extra exchanges at any scale.
+    "cdc_delete_aware_state" -> ((s, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Envelope.decodeKeyed(
+        source.read(s, Schemas.topicFor("orders_del"), StartingOffsets.Earliest),
+        "orders")
+        .withColumn("pk", coalesce(col("order_id"),
+          get_json_object(col("kafka_key"), "$.order_id").cast("int")))
+      val w = Window.partitionBy(col("pk")).orderBy(col("kafka_offset").desc)
+      d.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .filter(!col("is_tombstone")) // latest event is a delete ⇒ key gone
+        .select(col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"))
+        .orderBy(col("order_id"))
+    }),
     // Incremental view maintenance (retract-based) — the aggregation twin
     // of cdc_merge_snapshot, and the 100 TB reason to have it: a per-sync
     // refresh of a grouped view must NOT rescan the full history. The
@@ -319,6 +345,24 @@ object CdcQueries {
          |                           ORDER BY kafka_offset) IS NULL AS is_current
          |FROM p WHERE order_id IS NOT NULL
          |ORDER BY order_id, valid_from_offset""".stripMargin,
+    // tombstone = null value; its key column identifies the deleted row
+    "cdc_delete_aware_state" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT order_id, customer_id, status, total_amount, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p) t
+         |WHERE rk = 1 AND NOT is_tombstone
+         |ORDER BY order_id""".stripMargin,
     // the maintenance invariant IS the oracle: the incrementally
     // maintained grouped view must equal a full recompute over the
     // compacted stream

@@ -33,6 +33,28 @@ object Envelope {
     parsed.select(valueCols ++ Seq(col("kafka_timestamp"), col("topic"), col("kafka_offset")): _*)
   }
 
+  /** Like [[decode]], but keeps the Kafka record KEY and a tombstone flag.
+    * Debezium ships DELETEs as key-only tombstones (the reference keeps
+    * them: `transforms.unwrap.drop.tombstones=false`,
+    * `config/debezium-config.json:22`) — so delete-aware consumers need
+    * the key to know WHICH row died, and the value's nullity (checked on
+    * the raw bytes, BEFORE parsing — a malformed non-null value is
+    * corruption, not deletion) to know it died. */
+  def decodeKeyed(wire: DataFrame, table: String): DataFrame = {
+    val schema = Schemas.forTable(table)
+    val parsed = wire.select(
+      col("key").cast("string").as("kafka_key"),
+      col("value").isNull.as("is_tombstone"),
+      from_json(col("value").cast("string"), schema).as("data"),
+      col("timestamp").as("kafka_timestamp"),
+      col("topic"),
+      col("offset").as("kafka_offset")
+    )
+    val valueCols = schema.fieldNames.toSeq.map(f => col(s"data.$f").as(f))
+    parsed.select(Seq(col("kafka_key"), col("is_tombstone")) ++ valueCols ++
+      Seq(col("kafka_timestamp"), col("topic"), col("kafka_offset")): _*)
+  }
+
   /** Extension (off in parity mode): epoch-microsecond long → TimestampType.
     * The reference keeps order_date as a raw long (SURVEY.md §1.2). */
   def epochMicrosToTimestamp(c: Column): Column = timestamp_micros(c)

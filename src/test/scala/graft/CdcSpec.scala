@@ -123,6 +123,19 @@ class CdcSpec extends AnyFunSuite {
     assert(current == latest, "SCD2 current versions must equal the compacted state")
   }
 
+  test("delete-aware compaction applies tombstones and honors re-inserts") {
+    val rows = CdcQueries.queries("cdc_delete_aware_state")(spark, "").collect()
+    val state = rows.map(r => r.getAs[Int]("order_id") ->
+      (r.getAs[String]("status"), r.getAs[String]("total_amount"))).toMap
+    // order 1 deleted (offset-4 tombstone), order 2 updated, order 3
+    // deleted THEN re-inserted (the re-insert must win), order 4 inserted
+    assert(!state.contains(1), s"tombstoned key must leave the state: $state")
+    assert(state(2) == ("COMPLETED", "125.50"))
+    assert(state(3) == ("PENDING", "99.99"), s"re-insert after delete must win: $state")
+    assert(state(4) == ("PENDING", "175.25"))
+    assert(state.size == 3)
+  }
+
   test("incremental agg maintenance equals full recompute, retractions included") {
     val inc = CdcQueries.queries("cdc_incremental_agg")(spark, "").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
