@@ -1,0 +1,87 @@
+package graft.cdc
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Warehouse small-file compaction — the maintenance job the reference's
+  * layout implies but never runs. The reference forces ONE file per table
+  * per sync (`coalesce(1)`, `glue-jobs/kafka_to_s3_enhanced.py:203`): at a
+  * 5-minute cadence that is 288 files/table/day, and a year of syncs makes
+  * every reader list and open ~100k tiny files — the classic small-files
+  * death at scale (NameNode/S3-listing pressure, per-file open cost,
+  * row-group fragmentation). This job rewrites a table directory to
+  * size-targeted files and swaps it in, so ingest stays latency-shaped
+  * while readers see scan-shaped files.
+  *
+  * Safety: the rewrite goes to a sibling temp dir; the swap happens ONLY
+  * after the rewritten copy's row count equals the source's (cheap
+  * metadata-backed parquet count). The swap is two renames (old → .bak,
+  * tmp → live) with the .bak removed last — a crash between renames
+  * leaves either the original or a complete compacted copy plus a .bak to
+  * recover from, never a half-written live dir. Readers racing the swap
+  * see the old or the new listing, both complete (same contract as any
+  * directory-swap compaction; a table format's atomic commit is the
+  * production upgrade path).
+  *
+  * Scale posture: the rewrite is one distributed pass (scan →
+  * repartition(ceil(bytes/target)) → write); nothing is collected. For a
+  * `sync_date`-partitioned layout the same call compacts WITHIN each
+  * partition dir (partitionBy on rewrite), so daily partitions compact
+  * independently and pruning is preserved.
+  */
+object Compaction {
+
+  case class CompactionResult(table: String, filesBefore: Int, filesAfter: Int,
+                              rows: Long, bytes: Long)
+
+  private def dataFiles(spark: SparkSession, dir: Path): Seq[(Path, Long)] = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+          buf += ((f.getPath, f.getLen))
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Compact `warehouseDir/<table>_parquet` to ~`targetBytes` files.
+    * No-op (returns the current stats) when the layout is already at or
+    * under the target file count. */
+  def compact(spark: SparkSession, warehouseDir: String, table: String,
+              targetBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+    val live = new Path(s"$warehouseDir/${table}_parquet")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dataFiles(spark, live)
+    val totalBytes = files.map(_._2).sum
+    val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (files.size <= targetFiles)
+      return CompactionResult(table, files.size, files.size,
+        spark.read.parquet(live.toString).count(), totalBytes)
+
+    val df = spark.read.parquet(live.toString)
+    val partitioned = df.columns.contains("sync_date")
+    val tmp = new Path(s"$warehouseDir/${table}_parquet.compact.tmp")
+    val bak = new Path(s"$warehouseDir/${table}_parquet.compact.bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    val writer = df.repartition(targetFiles).write.mode("overwrite")
+    (if (partitioned) writer.partitionBy("sync_date") else writer)
+      .parquet(tmp.toString)
+
+    // swap only if the copy is provably complete
+    val (nOld, nNew) = (df.count(), spark.read.parquet(tmp.toString).count())
+    require(nNew == nOld,
+      s"compaction row-count mismatch for $table: $nOld -> $nNew; keeping original")
+    require(fs.rename(live, bak), s"compaction swap: could not move live dir aside")
+    require(fs.rename(tmp, live), s"compaction swap: could not install compacted dir")
+    fs.delete(bak, true)
+    val after = dataFiles(spark, live)
+    CompactionResult(table, files.size, after.size, nNew, after.map(_._2).sum)
+  }
+}

@@ -123,6 +123,37 @@ class CdcSpec extends AnyFunSuite {
     assert(current == latest, "SCD2 current versions must equal the compacted state")
   }
 
+  test("small-file compaction swaps in fewer files with identical data") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val df = spark.range(1000).selectExpr("id", "id % 7 AS v")
+    // two "syncs", 8 files each — the accumulating small-file layout
+    df.repartition(8).write.mode("append").parquet(s"$base/orders_parquet")
+    df.repartition(8).write.mode("append").parquet(s"$base/orders_parquet")
+    val r = Compaction.compact(spark, base, "orders", targetBytes = 1L << 30)
+    assert(r.filesBefore == 16 && r.filesAfter == 1 && r.rows == 2000, r.toString)
+    val back = spark.read.parquet(s"$base/orders_parquet")
+    assert(back.count() == 2000)
+    assert(back.agg(sum(col("v"))).head().getLong(0) ==
+      2 * df.agg(sum(col("v"))).head().getLong(0))
+    // second run is a no-op (already at target)
+    val r2 = Compaction.compact(spark, base, "orders", targetBytes = 1L << 30)
+    assert(r2.filesBefore == 1 && r2.filesAfter == 1 && r2.rows == 2000)
+  }
+
+  test("compaction preserves the sync_date partition layout") {
+    val base = Files.createTempDirectory("graft-compact-part").toString
+    val df = spark.range(500).selectExpr("id",
+      "CASE WHEN id % 2 = 0 THEN DATE'2026-01-01' ELSE DATE'2026-01-02' END AS sync_date")
+    df.repartition(6).write.partitionBy("sync_date").mode("append")
+      .parquet(s"$base/orders_parquet")
+    val r = Compaction.compact(spark, base, "orders", targetBytes = 1L << 30)
+    assert(r.filesAfter < r.filesBefore && r.rows == 500, r.toString)
+    val back = spark.read.parquet(s"$base/orders_parquet")
+    // partition dirs survive → pruning still works
+    assert(back.filter(col("sync_date") === "2026-01-01").count() == 250)
+    assert(back.filter(col("sync_date") === "2026-01-02").count() == 250)
+  }
+
   test("delete-aware compaction applies tombstones and honors re-inserts") {
     val rows = CdcQueries.queries("cdc_delete_aware_state")(spark, "").collect()
     val state = rows.map(r => r.getAs[Int]("order_id") ->
