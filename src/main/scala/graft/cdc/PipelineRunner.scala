@@ -56,10 +56,14 @@ object PipelineRunner {
   }
 
   /** One full pipeline pass; idempotent given a persistent offset dir
-    * (a re-run with no new source records syncs 0 and stays consistent). */
+    * (a re-run with no new source records syncs 0 and stays consistent).
+    * With `compactTargetBytes` set, a [[Compaction]] pass runs after the
+    * sync fan-out and BEFORE verify/reconcile — so the counts double as
+    * the compaction's external consistency check. */
   def run(spark: SparkSession, fixtureDir: String, warehouseDir: String,
           offsetDir: String, tables: Seq[String] = DefaultTables,
-          singleFile: Boolean = false): PipelineReport = {
+          singleFile: Boolean = false,
+          compactTargetBytes: Option[Long] = None): PipelineReport = {
     // configure: warehouse root must exist before the first append
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouseDir))
 
@@ -76,6 +80,17 @@ object PipelineRunner {
     val offsets = new OffsetStore(offsetDir)
     val job = new SyncJob(source, offsets, warehouseDir, singleFile = singleFile)
     val synced = job.syncAll(spark, tables.filter(healthy))
+
+    // maintenance (optional): compact the small-file ingest layout before
+    // verification reads it back — failures abort before the swap, so the
+    // verify stage still sees a complete warehouse either way
+    compactTargetBytes.foreach { target =>
+      tables.filter(healthy).foreach { t =>
+        val r = Compaction.compact(spark, warehouseDir, t, target)
+        if (r.filesAfter < r.filesBefore)
+          System.err.println(s"[pipeline] compacted $t: ${r.filesBefore} -> ${r.filesAfter} files")
+      }
+    }
 
     // verify: sink read-back
     val sinkCounts = job.verifyCounts(spark, tables)
@@ -100,9 +115,11 @@ object PipelineRunner {
     val offsetDir = a.getOrElse("offset_dir", "/tmp/graft_offsets")
     val tables = a.get("tables").map(_.split(",").toSeq).getOrElse(DefaultTables)
     val singleFile = a.get("single_file").contains("true")
+    val compactTarget = a.get("compact_target_bytes").map(_.toLong)
     val spark = graft.Sessions.local(appName = a.getOrElse("JOB_NAME", "graft-pipeline"))
     try {
-      val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables, singleFile)
+      val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables,
+        singleFile, compactTarget)
       // the reference's eyeball source-vs-sink report, machine-checkable
       println(f"${"table"}%-12s ${"synced"}%8s ${"hwm"}%6s ${"source"}%8s ${"sink"}%8s  status")
       report.tables.foreach { r =>

@@ -262,6 +262,11 @@ class CdcSpec extends AnyFunSuite {
       tables = Seq("orders", "nonexistent_table"))
     assert(r3.healthy("orders") && !r3.healthy("nonexistent_table"))
     assert(r3.tables.find(_.table == "orders").get.consistent)
+    // maintenance step: compaction inside the pipeline keeps reconciliation
+    // green (verify runs AFTER the swap, so it checks the compacted copy)
+    val r4 = PipelineRunner.run(spark, fixtures, s"$base/w3", s"$base/o3",
+      compactTargetBytes = Some(1L << 30))
+    assert(r4.allConsistent, s"post-compaction mismatch: ${r4.tables}")
   }
 
   test("warehouse round-trips through ORC and CSV with values preserved") {
