@@ -33,6 +33,41 @@ class StreamSpec extends AnyFunSuite {
     assert(afterSecond == 10)
   }
 
+  test("foreachBatch view maintenance equals batch recompute across drains") {
+    val base = Files.createTempDirectory("graft-stream-ivm").toString
+    val topicDir = Files.createDirectories(Paths.get(s"$base/topic")).toString
+    val fixture = Files.readAllLines(
+      Paths.get(s"${CdcQueries.FixtureDir}/dbserver1.ecommerce.orders.jsonl"))
+    def drain(): Unit = StreamSync.maintainStatusView(
+      StreamSync.wireStream(spark, topicDir), "orders",
+      s"$base/view", s"$base/chk")
+    def view(): Map[String, (Long, String)] =
+      StreamSync.readStatusView(spark, s"$base/view").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).toPlainString)).toMap
+    def expectedOver(upTo: Int): Map[String, (Long, String)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
+      CdcQueries.queries("cdc_parse_orders")(spark, "")
+        .filter(col("kafka_offset") < upTo && col("order_id").isNotNull)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_amount").cast("decimal(10,2)")).cast("decimal(20,2)").as("amt"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).toPlainString)).toMap
+    }
+    // first drain: offsets 0-5 only — the upsert at offset 3... (5 < 6)
+    Files.write(Paths.get(s"$topicDir/part-0.jsonl"), fixture.subList(0, 6))
+    drain()
+    assert(view() == expectedOver(6), s"after first drain: ${view()}")
+    // second drain: the rest — updates RETRACT their old group's counts
+    Files.write(Paths.get(s"$topicDir/part-1.jsonl"), fixture.subList(6, fixture.size))
+    drain()
+    assert(view() == expectedOver(Int.MaxValue), s"after second drain: ${view()}")
+    // third drain: nothing new — the view must not move
+    drain()
+    assert(view() == expectedOver(Int.MaxValue))
+  }
+
   test("streaming windowed agg equals the batch tumbling query") {
     val base = Files.createTempDirectory("graft-stream-win").toString
     // stage events as parquet dir for the file stream
