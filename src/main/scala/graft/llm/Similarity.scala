@@ -244,6 +244,63 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Product quantization (PQ) ANN — the third scale path beside IVF and
+    * random-hyperplane LSH, and the one that compresses the CORPUS: each
+    * 64-dim float vector (256 B) becomes M=8 one-byte codes (8 B, 32×),
+    * one code per 8-dim subspace = the argmin codeword of that subspace's
+    * codebook. A query never touches raw corpus vectors: it precomputes an
+    * M×K table of query↔codeword distances (ADC — asymmetric distance
+    * computation), and each corpus vector scores as Σ_s adc[s][code_s] —
+    * M table lookups instead of a 64-dim float loop.
+    *
+    * Determinism/oracle: codebooks are the first K=16 vectors' sub-slices
+    * (the same "deterministic sample stands in for the k-means fit"
+    * seeding as IVF — [[kmeansStep]] is the trainer the seeding stands in
+    * for, run per subspace); codeword ties break to the lowest code. That
+    * makes encode + ADC fully replayable in DuckDB SQL.
+    *
+    * Scale posture: the codebook and ADC table are a MODEL (M·K·8 doubles,
+    * ~KB) inlined as literals — encoding and scoring are one map-side
+    * projection each, zero shuffle before the top-k (TakeOrdered). At
+    * production scale the codes are computed ONCE at ingest and stored as
+    * a byte column (this query encodes inline because the fixture has no
+    * code column — the measured cost is encode + score). */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
+             subspaces: Int = 8, subDim: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val seeds: Map[Int, Array[Double]] = emb.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val qvec: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
+    // codebook[s][k] = seed k's s-th sub-slice; adc[s][k] = ||q_s − cb[s][k]||²
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      v.slice(s * subDim, (s + 1) * subDim)
+    val codebook = Array.tabulate(subspaces, codebookSize)((s, c) => sub(seeds(c), s))
+    val adc = Array.tabulate(subspaces, codebookSize) { (s, c) =>
+      sub(qvec, s).zip(codebook(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    def subCode(s: Int): Column = {
+      val slce = slice(col("embedding"), s * subDim + 1, subDim)
+      val scored = (0 until codebookSize).map { c =>
+        val d = aggregate(
+          zip_with(slce, typedLit(codebook(s)(c).toSeq),
+            (x, cw) => (x.cast("double") - cw) * (x.cast("double") - cw)),
+          lit(0.0), (acc, x) => acc + x)
+        struct((-d).as("nd"), lit(-c).as("ord"), lit(c).as("code"))
+      }
+      greatest(scored: _*).getField("code") // max(-dist) = min dist; ties → lowest code
+    }
+    val dist = (0 until subspaces)
+      .map(s => element_at(typedLit(adc(s).toSeq), subCode(s) + 1))
+      .reduce(_ + _)
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), round(dist, 6).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Retrieval + rerank, the two-stage production search shape: ANN
     * retrieval pulls kRetrieve candidates by embedding cosine, then the
     * rerank stage joins ONLY those candidates (broadcast — k rows, never
@@ -272,6 +329,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_retrieve_rerank" -> ((s, d) => retrieveRerank(s, d)),
+    "sim_pq_topk" -> ((s, d) => pqTopK(s, d)),
     "sim_rp_bucket_sizes" -> rpBucketSizes,
     "sim_rp_topk" -> ((s, d) => rpTopK(s, d)),
     "sim_kmeans_step" -> kmeansStep,
@@ -317,6 +375,35 @@ object Similarity {
         |SELECT doc_id, lang, cosine, round(ur, 4) AS unique_ratio,
         |  CAST(floor(cosine * ur * 1e6) AS BIGINT) AS rerank_ppm
         |FROM r ORDER BY rerank_ppm DESC, doc_id LIMIT 10""".stripMargin,
+    // PQ replay: codebook from the first-16 seeds' sub-slices, per-vector
+    // argmin code per subspace (ties to lowest code via row_number), ADC
+    // table from the query, score = sum of per-subspace lookups
+    "sim_pq_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT s.s, c.c, list_transform(generate_series(1, 8),
+        |         i -> e.v[s.s * 8 + i]) AS cw
+        |       FROM generate_series(0, 7) AS s(s)
+        |       CROSS JOIN generate_series(0, 15) AS c(c)
+        |       JOIN e ON e.vec_id = c.c),
+        |codes AS (
+        |  SELECT vec_id, s, c AS code FROM (
+        |    SELECT e.vec_id, cb.s, cb.c,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.s
+        |        ORDER BY list_sum(list_transform(generate_series(1, 8),
+        |          i -> (e.v[cb.s * 8 + i] - cb.cw[i]) ^ 2)) ASC, cb.c ASC) AS rk
+        |    FROM e CROSS JOIN cb) t WHERE rk = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |adc AS (SELECT cb.s, cb.c,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      i -> (q.qv[cb.s * 8 + i] - cb.cw[i]) ^ 2)) AS d
+        |  FROM cb CROSS JOIN q),
+        |dist AS (SELECT codes.vec_id, round(sum(adc.d), 6) AS adc_dist
+        |  FROM codes JOIN adc ON adc.s = codes.s AND adc.c = codes.code
+        |  GROUP BY codes.vec_id)
+        |SELECT dist.vec_id, e.label, dist.adc_dist
+        |FROM dist JOIN e ON e.vec_id = dist.vec_id
+        |WHERE dist.vec_id <> 0
+        |ORDER BY dist.adc_dist, dist.vec_id LIMIT 10""".stripMargin,
     "sim_rp_bucket_sizes" ->
       s"""WITH $rpSigSql
          |SELECT sig AS signature, count(*) AS n_vectors

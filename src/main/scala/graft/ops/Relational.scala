@@ -196,6 +196,40 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
            countDistinct(col("l_orderkey")).as("exact_orders"))
 
+  /** Mergeable-sketch distinct counting across epochs — THE pattern that
+    * makes approximate aggregates work at 100 TB: build one DataSketches
+    * HLL per month-epoch (what an incremental pipeline would persist per
+    * partition), then merge the sketches and estimate — never re-touching
+    * the epochs' rows. Invariants, both in-query and oracled:
+    *   - merge agreement: estimate(union of per-epoch sketches) within 3%
+    *     of estimate(one sketch over the whole scope). NOT exact equality:
+    *     DataSketches' union path lands in a different HLL register
+    *     representation (HLL_4 vs HLL_8 promotion) than a directly-built
+    *     sketch, so the two estimates differ within the sketch's own
+    *     error envelope — measured 14908 vs 14869 (0.26%) at sf0.01 and
+    *     150443 vs 147959 (1.7%) at sf0.1, both under the 3% bound;
+    *   - accuracy: the merged estimate sits within 5% (≈3× the lgK=12
+    *     rsd of 1.6%) of the exact distinct count; deterministic for
+    *     fixed data + hash.
+    * The oracle emits the exact count + both booleans true. */
+  def q34HllMergeEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val epochSketches = li
+      .groupBy(date_trunc("month", col("l_shipdate")).as("epoch"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+    val merged = epochSketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+    val direct = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("direct_est"),
+      countDistinct(col("l_orderkey")).as("exact_orders"))
+    direct.crossJoin(merged)
+      .select(col("exact_orders"),
+        (abs(col("merged_est") - col("direct_est")) <=
+          col("exact_orders") * lit(0.03)).as("merge_agrees"),
+        (abs(col("merged_est") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.05)).as("within_bound"))
+  }
+
   /** Skew-resilient salted join: the fact side gets a deterministic salt
     * in [0, S); the dimension is replicated ×S; the join key becomes
     * (key, salt), spreading any hot key over S tasks. Result is
@@ -513,6 +547,7 @@ object Relational {
     "rel_q31_topk_agg" -> q31TopKAgg,
     "rel_q32_bloom_semi_join" -> q32BloomSemiJoin,
     "rel_q33_bucketed_join" -> ((s, d) => Bucketed.q33BucketedJoin(s, d)),
+    "rel_q34_hll_merge_epochs" -> q34HllMergeEpochs,
     "rel_q30_not_in_null_aware" -> q30NotInNullAware,
     "rel_q29_window_extras" -> q29WindowExtras,
     "rel_q24_range_frame" -> q24RangeFrame,
@@ -635,6 +670,12 @@ object Relational {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    // sketch-merge invariants: exact count + the lossless-union and
+    // accuracy booleans the engine asserts in-query
+    "rel_q34_hll_merge_epochs" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS merge_agrees, TRUE AS within_bound
+        |FROM lineitem""".stripMargin,
     // bucketing is a physical layout choice — the oracle is the plain join
     "rel_q33_bucketed_join" ->
       """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

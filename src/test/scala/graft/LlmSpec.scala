@@ -110,6 +110,32 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("pq adc: deterministic, ascending, and measured recall vs exact L2") {
+    val pq = Similarity.pqTopK(spark, sf).collect()
+    val pq2 = Similarity.pqTopK(spark, sf).collect()
+    assert(pq.map(_.toString).sameElements(pq2.map(_.toString)), "PQ must be deterministic")
+    val dists = pq.map(_.getAs[Double]("adc_dist"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b }, "ADC ranking must ascend")
+    // exact L2 top-10 in-engine (PQ approximates L2, so that — not cosine —
+    // is the right recall reference)
+    val emb = graft.schema.Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val l2 = aggregate(
+      zip_with(col("embedding"), col("q_emb"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), l2.as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq.map(_.getLong(0)).toSet).size.toDouble / exact.size
+    // fixture-quality note, not a quantizer guarantee: 16 codewords per
+    // subspace seeded from random vectors over a near-random corpus is a
+    // COARSE quantizer (same regime as rp-lsh's 0.4 above); the oracle pins
+    // the exact encode/ADC arithmetic, this pins the measured floor
+    assert(recall >= 0.1, s"PQ recall@10 $recall below the measured fixture floor")
+  }
+
   test("rp-lsh: recall vs brute force and real pruning at the default radius") {
     val bf = Similarity.bruteForceTopK(spark, sf)
       .collect().map(_.getAs[Long]("vec_id")).toSet
