@@ -210,8 +210,11 @@ object CdcQueries {
       }
       val amt = col("total_amount").cast("decimal(10,2)")
       val all = parse(s, "orders")
-      val snapshot = compact(all.filter(col("kafka_offset") <= 5))
-      val delta = compact(all.filter(col("kafka_offset") >= 6))
+      // both sides are read twice (vOld+retracted / applied+key-broadcast);
+      // persisting stops the compaction window re-deriving per consumer
+      // (SparkEntry harness contract covers cleanup)
+      val snapshot = compact(all.filter(col("kafka_offset") <= 5)).persist()
+      val delta = compact(all.filter(col("kafka_offset") >= 6)).persist()
       // the STORED view (in the fixture, computed; in production, read back)
       val vOld = snapshot.groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(amt).as("amt"))
