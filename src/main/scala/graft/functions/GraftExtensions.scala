@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "topk_by(ord, value, k) - k values with the greatest ord, descending") {
       case Seq(o, v, kk) => TopKByAgg(o, v, intArg(kk, "k"))
     })
+    ext.injectFunction(fn("heavy_hitters",
+      "heavy_hitters(item, k) - Misra-Gries frequent-item candidates with weights") {
+      case Seq(i, kk) => MisraGriesAgg(i, intArg(kk, "k"))
+    })
     ext.injectFunction(fn("bloom_build",
       "bloom_build(key[, numBits, numHashes]) - bloom bitset over long keys") {
       case Seq(c)       => BloomBuildAgg(c, 1 << 20, 5)

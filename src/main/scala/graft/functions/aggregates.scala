@@ -108,6 +108,111 @@ case class TopKByAgg(
   override def prettyName: String = "topk_by"
 }
 
+/** Misra–Gries heavy-hitters sketch: `heavy_hitters(item, k)` keeps at
+  * most `k` (item, weight) counters. Classic stream update (Misra & Gries
+  * 1982, public): a resident item increments its counter; a non-resident
+  * item with free space starts at 1; otherwise EVERY counter decrements
+  * (dropping zeros). Partial buffers merge per Agarwal et al. 2012
+  * ("Mergeable Summaries", public): sum counters pairwise, then subtract
+  * the (k+1)-th largest weight and drop non-positives — which preserves
+  * the sketch's guarantee under Spark's partial aggregation exactly like
+  * a single sequential pass.
+  *
+  * Guarantee (what the DuckDB oracle checks): every item with true
+  * frequency > n/(k+1) is present among the returned candidates, and each
+  * returned weight lower-bounds the true frequency within n/(k+1). Only
+  * the ≤k-entry buffer crosses the exchange — the scale-correct
+  * replacement for exact vocab counting when only the frequent tail
+  * matters.
+  *
+  * Output: array of (item, weight) structs, weight-descending, item
+  * ascending on ties.
+  */
+case class MisraGriesAgg(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Any, Long]] with UnaryLike[Expression] {
+  require(k > 0, "heavy_hitters needs k > 0")
+
+  private lazy val itemOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
+    mutable.HashMap.empty[Any, Long]
+
+  override def update(buf: mutable.HashMap[Any, Long], input: InternalRow)
+      : mutable.HashMap[Any, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.get(v) match {
+        case Some(c) => buf.update(InternalRow.copyValue(v), c + 1)
+        case None if buf.size < k => buf.update(InternalRow.copyValue(v), 1L)
+        case None =>
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c > 0)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Any, Long],
+      other: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
+    other.foreach { case (item, c) =>
+      buf.update(item, buf.getOrElse(item, 0L) + c)
+    }
+    if (buf.size > k) {
+      val cut = buf.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      buf.mapValuesInPlace((_, c) => c - cut)
+      buf.filterInPlace((_, c) => c > 0)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Any, Long]): Any = {
+    val sorted = buf.toSeq.sortWith { case ((ia, wa), (ib, wb)) =>
+      if (wa != wb) wa > wb else itemOrdering.compare(ia, ib) < 0
+    }
+    new GenericArrayData(sorted.map { case (i, w) => InternalRow(i, w): Any })
+  }
+
+  private lazy val pairType = new StructType()
+    .add("item", child.dataType, nullable = false).add("est", LongType, nullable = false)
+  private lazy val serProj =
+    UnsafeProjection.create(Array[DataType](ArrayType(pairType, containsNull = false)))
+
+  override def serialize(buf: mutable.HashMap[Any, Long]): Array[Byte] = {
+    val arr = new GenericArrayData(buf.toSeq.map { case (i, w) =>
+      InternalRow(i, w): Any
+    })
+    serProj.apply(InternalRow(arr)).getBytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Long] = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getStruct(i, 2)
+      buf.update(InternalRow.copyValue(s.get(0, child.dataType)), s.getLong(1))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(pairType, containsNull = false)
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(c: Expression): MisraGriesAgg =
+    copy(child = c)
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "heavy_hitters"
+}
+
 /** Shared hashing for the bloom build/probe pair: SplitMix64-finalized
   * double hashing (public-domain constants), `numHashes` probes into a
   * power-of-two bit space. Lives in a static object so the probe's

@@ -251,6 +251,8 @@ object GraftFunctions {
   def rolling_hash(s: Column, base: Long = 1000003L): Column = c(RollingHash(e(s), base))
   def topk_by(ord: Column, value: Column, k: Int): Column =
     c(TopKByAgg(e(ord), e(value), k).toAggregateExpression())
+  def heavy_hitters(item: Column, k: Int): Column =
+    c(MisraGriesAgg(e(item), k).toAggregateExpression())
   def bloom_build(key: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
     c(BloomBuildAgg(e(key), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(bloom: Column, key: Column, numHashes: Int = 5): Column =

@@ -149,6 +149,35 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Heavy-hitter tokens via the native Misra–Gries sketch
+    * ([[graft.functions.MisraGriesAgg]]) with the frequent-items GUARANTEE
+    * as the oracle: every token with exact frequency > n/(k+1) must appear
+    * among the sketch's ≤k candidates, so emitting (exact heavy hitters ⋈
+    * sketch candidates) makes the driver's row compare the containment
+    * check — a sketch that loses a guaranteed item comes back a row short.
+    * Exact counts ride along so values are pinned too.
+    *
+    * 100 TB posture: the sketch pass moves only ≤k-entry buffers across
+    * its exchange (vs the full vocab for exact counting); the exact-count
+    * side here exists to STATE the invariant and would be dropped in
+    * production (or run rarely as an audit). */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val cands = toks
+      .agg(GraftFunctions.heavy_hitters(col("token"), k).as("cand"))
+      .select(explode(col("cand")).as("c"))
+      .select(col("c.item").as("token"))
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val exactHH = exact
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .filter(col("n") > col("total") / (k + 1))
+    exactHH.join(cands, Seq("token")) // inner: a missed guaranteed item drops a row
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Per-document TF-IDF top terms — the keyword/topic-signal primitive.
     * Dataflow: explode tokens (map-side, after any doc filter) → tf per
     * (doc, term) with map-side combine → df per term over the ~|vocab|
@@ -219,6 +248,7 @@ object TextOps {
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_normalize" -> normalize,
     "text_vocab_topk" -> ((s, d) => vocabTopK(s, d)),
+    "text_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "text_stats" -> stats,
     "text_tokens" -> tokens,
     "text_langid" -> langId,
@@ -267,6 +297,17 @@ object TextOps {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // the Misra-Gries guarantee: exact heavy hitters (> n/(k+1)) must all
+    // be sketch candidates — the engine emits exactHH ⋈ candidates, so
+    // this exact-HH oracle row-matches iff containment holds
+    "text_heavy_hitters" ->
+      """WITH t AS (SELECT token
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM t)
+        |SELECT token, n FROM c, tot WHERE n > total / 33.0
+        |ORDER BY n DESC, token""".stripMargin,
     // the engine's wrapping-long Karp–Rabin recurrence, replayed with
     // HUGEINT mod-2^64 arithmetic and folded back to signed BIGINT
     // (code-unit == codepoint holds: the corpus is ASCII)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.GraftFunctions.{bloom_build, bloom_might_contain, topk_by}
+import graft.functions.GraftFunctions.{bloom_build, bloom_might_contain, heavy_hitters, topk_by}
 
 /** Pins the typed-imperative aggregates: bounded-heap top-k (values,
   * ordering, ties, partial/merge path across many partitions, SQL
@@ -40,6 +40,43 @@ class AggregatesSpec extends AnyFunSuite {
       "SELECT g, topk_by(x, x, 2) AS top FROM topk_src GROUP BY g ORDER BY g")
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
     assert(got == Map(1 -> Seq(30L, 20L), 2 -> Seq(5L)))
+  }
+
+  test("heavy_hitters honors the Misra-Gries guarantee under any partitioning") {
+    import spark.implicits._
+    // skewed stream: item i appears 2^(10-i) times for i in 0..9, plus a
+    // long tail of singletons — n = 2047 + 500
+    val rows = (0 to 9).flatMap(i => Seq.fill(1 << (10 - i))(s"hot_$i")) ++
+      (0 until 500).map(i => s"tail_$i")
+    val n = rows.size
+    val k = 8
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val guaranteed = exact.filter { case (_, c) => c > n.toDouble / (k + 1) }.keySet
+    assert(guaranteed.nonEmpty, "fixture must have guaranteed heavy hitters")
+    // partial-merge paths differ with partitioning; the guarantee must not
+    for (parts <- Seq(1, 4, 13)) {
+      val got = rows.toDF("item").repartition(parts)
+        .agg(heavy_hitters(col("item"), k).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.item"), col("c.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= k)
+      assert(guaranteed.subsetOf(got.keySet),
+        s"parts=$parts lost guaranteed items: ${guaranteed -- got.keySet}")
+      // weights lower-bound true frequency within n/(k+1)
+      got.foreach { case (item, est) =>
+        assert(est <= exact(item), s"$item overestimated: $est > ${exact(item)}")
+        assert(est >= exact(item) - n.toDouble / (k + 1) - 1, s"$item bound too loose")
+      }
+    }
+  }
+
+  test("heavy_hitters is SQL-callable through the injected function") {
+    import spark.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("s").createOrReplaceTempView("hh_in")
+    val out = spark.sql("SELECT heavy_hitters(s, 2) AS hh FROM hh_in")
+      .select(explode(col("hh")).as("c")).select(col("c.item")).as[String].collect()
+    assert(out.contains("a"))
   }
 
   test("bloom has no false negatives and a sane false-positive rate") {
