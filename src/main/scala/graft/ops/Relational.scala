@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.schema.Tables
@@ -543,7 +543,46 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Data-quality constraint audit — the industrial form of the
+    * reference's verify/reconcile stage (its `aws s3 ls` + COUNT(*)
+    * checks), expressed as one report: per constraint, the row population
+    * and violation count. Constraints cover the classes a warehouse gate
+    * actually runs: key uniqueness, non-null, referential integrity
+    * (orders→customer FK via anti join), domain ranges, and cross-field
+    * consistency. One pass per source table + one anti join; every check
+    * is a map-side predicate aggregated with count_if-style sums, so the
+    * audit costs a scan, not a scan per constraint. */
+  def q35QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val c = Tables(spark, dir, "customer")
+    def check(name: String, pop: DataFrame, bad: Column): DataFrame =
+      pop.agg(lit(name).as("constraint"), count(lit(1)).as("n_rows"),
+        sum(bad.cast("long")).as("n_violations"))
+    val orderKeyUnique = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("dup"))
+      .agg(lit("orders.pk_unique").as("constraint"), count(lit(1)).as("n_rows"),
+        sum((col("dup") > 1).cast("long")).as("n_violations"))
+    val fkOrphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(lit("orders.custkey_fk").as("constraint"),
+        count(lit(1)).as("n_rows"), count(lit(1)).as("n_violations"))
+      // anti join emits ONLY violations; population rides in a union row
+      .unionByName(o.agg(lit("orders.custkey_fk_population").as("constraint"),
+        count(lit(1)).as("n_rows"), lit(0L).as("n_violations")))
+    check("orders.status_nonnull", o, col("o_orderstatus").isNull)
+      .unionByName(check("orders.totalprice_positive", o, !(col("o_totalprice") > 0)))
+      .unionByName(check("lineitem.qty_range", li,
+        !(col("l_quantity") >= 1 && col("l_quantity") <= 50)))
+      .unionByName(check("lineitem.discount_range", li,
+        !(col("l_discount") >= 0 && col("l_discount") <= 1)))
+      .unionByName(check("lineitem.tax_range", li,
+        !(col("l_tax") >= 0 && col("l_tax") <= 1)))
+      .unionByName(orderKeyUnique)
+      .unionByName(fkOrphans)
+      .orderBy(col("constraint"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_q35_quality_audit" -> q35QualityAudit,
     "rel_q31_topk_agg" -> q31TopKAgg,
     "rel_q32_bloom_semi_join" -> q32BloomSemiJoin,
     "rel_q33_bucketed_join" -> ((s, d) => Bucketed.q33BucketedJoin(s, d)),
@@ -670,6 +709,36 @@ object Relational {
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey) t
         |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    // the audit is plain counting — DuckDB states each constraint directly
+    "rel_q35_quality_audit" ->
+      """SELECT 'lineitem.discount_range' AS "constraint", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 1)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.qty_range', count(*),
+        |  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+        |                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.tax_range', count(*),
+        |  CAST(sum(CASE WHEN NOT (l_tax >= 0 AND l_tax <= 1)
+        |                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.custkey_fk', count(*), count(*)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orders.custkey_fk_population', count(*), CAST(0 AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.pk_unique', count(*),
+        |  CAST(sum(CASE WHEN dup > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT o_orderkey, count(*) AS dup FROM orders GROUP BY o_orderkey) t
+        |UNION ALL
+        |SELECT 'orders.status_nonnull', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'orders.totalprice_positive', count(*),
+        |  CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |ORDER BY "constraint"""".stripMargin,
     // sketch-merge invariants: exact count + the lossless-union and
     // accuracy booleans the engine asserts in-query
     "rel_q34_hll_merge_epochs" ->
