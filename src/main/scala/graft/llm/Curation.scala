@@ -32,6 +32,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-split near-duplicate LEAKAGE report — the contamination class
+    * [[decontaminate]] cannot see: if two near-duplicate corpus documents
+    * land in different splits, the held-out metric silently evaluates on
+    * (a copy of) training data. Pairs come from the LSH → exact-jaccard
+    * pipeline ([[Dedup.ngramJaccard]], never all-pairs); each pair joins
+    * its members' [[splitAssign]] labels and only cross-split pairs
+    * survive, reported per (split_a, split_b) with the leaking pair count
+    * and both ids of the worst (highest-jaccard, lowest-id) example — the
+    * go/no-go number a training run checks before trusting eval. Split
+    * labels are content-addressed md5 buckets, so the whole report is
+    * DuckDB-replayable. */
+  def crossSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    Dedup.ngramJaccard(spark, dir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_leaking_pairs"),
+        max(struct(col("jaccard"), (-col("doc_a")).as("na"), (-col("doc_b")).as("nb")))
+          .as("worst"))
+      .select(col("split_a"), col("split_b"), col("n_leaking_pairs"),
+        (-col("worst.na")).cast("long").as("worst_doc_a"),
+        (-col("worst.nb")).cast("long").as("worst_doc_b"),
+        col("worst.jaccard").as("worst_jaccard"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
   /** PII / markup scrub: redact emails, URLs, and long digit runs with
     * typed placeholders and collapse whitespace; emit per-doc redaction
     * counts and the md5 of the cleaned text (compact, verifiable).
@@ -261,6 +289,7 @@ object Curation {
     "cur_mixture_apply" -> mixtureApply,
     "cur_token_shards" -> ((s, d) => tokenShards(s, d)),
     "cur_split_assign" -> splitAssign,
+    "cur_cross_split_leakage" -> crossSplitLeakage,
     "cur_scrub" -> scrub,
     "cur_repetition" -> repetition,
     "cur_decontaminate" -> decontaminate,
@@ -338,6 +367,37 @@ object Curation {
         |SELECT source, doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - 1) // 20000 AS INTEGER) AS shard
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    // brute-force true pairs (the ngram-jaccard oracle) + the md5 split
+    // replay, folded to the per-split-pair leakage report
+    "cur_cross_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |x AS (SELECT sa.split AS split_a, sb.split AS split_b, p.doc_a, p.doc_b, p.jaccard
+        |      FROM pairs p JOIN sp sa ON p.doc_a = sa.doc_id
+        |                   JOIN sp sb ON p.doc_b = sb.doc_id
+        |      WHERE sa.split <> sb.split),
+        |w AS (SELECT split_a, split_b, doc_a, doc_b, jaccard,
+        |        row_number() OVER (PARTITION BY split_a, split_b
+        |          ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rk,
+        |        count(*) OVER (PARTITION BY split_a, split_b) AS n
+        |      FROM x)
+        |SELECT split_a, split_b, n AS n_leaking_pairs,
+        |  doc_a AS worst_doc_a, doc_b AS worst_doc_b, jaccard AS worst_jaccard
+        |FROM w WHERE rk = 1 ORDER BY split_a, split_b""".stripMargin,
     "cur_split_assign" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
