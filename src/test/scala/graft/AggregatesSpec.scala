@@ -71,6 +71,16 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters plans as a partial+final typed aggregate") {
+    import spark.implicits._
+    val plan = (0 until 100).map(i => s"t$i").toDF("item").repartition(4)
+      .agg(heavy_hitters(col("item"), 8))
+      .queryExecution.executedPlan.toString
+    // partial ObjectHashAggregate per partition ⇒ only ≤k-entry buffers
+    // cross the exchange — the aggregate's whole point at scale
+    assert(plan.contains("ObjectHashAggregate"), s"expected typed partial agg:\n$plan")
+  }
+
   test("heavy_hitters is SQL-callable through the injected function") {
     import spark.implicits._
     Seq("a", "a", "a", "b", "b", "c").toDF("s").createOrReplaceTempView("hh_in")

@@ -110,6 +110,13 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("pq plan: map-side encode+score, no exchange before the top-k") {
+    val plan = Similarity.pqTopK(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PQ encode/score must not shuffle the corpus:\n$plan")
+  }
+
   test("pq adc: deterministic, ascending, and measured recall vs exact L2") {
     val pq = Similarity.pqTopK(spark, sf).collect()
     val pq2 = Similarity.pqTopK(spark, sf).collect()
