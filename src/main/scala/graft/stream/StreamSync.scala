@@ -270,6 +270,35 @@ object StreamSync {
               col("click_ts"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickPurchaseJoin]]'s
+    * other mode, and the one with genuinely different state semantics: a
+    * click with no in-window purchase must STILL emit (null-matched), but
+    * only once the watermark proves no matching purchase can arrive —
+    * i.e. null rows materialize on state eviction, watermark-driven, not
+    * at first sight. Same bounded join state as the inner form; the
+    * outer-ness costs nothing extra at scale because eviction already
+    * happens. Clicks near the head of the stream (watermark never passes
+    * them in a finite drain) stay unmatched-unemitted — exactly the
+    * semantics a resumed production stream wants. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+                            horizonMinutes: Int = 60): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+              col("value").as("purchase_value"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** A closed (inactivity-terminated) per-user session. */
   final case class ClosedSession(user_id: Long, n_events: Long,
                                  last_ts: java.sql.Timestamp)

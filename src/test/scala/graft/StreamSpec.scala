@@ -217,6 +217,51 @@ class StreamSpec extends AnyFunSuite {
     assert(got == expected && expected > 0, s"stream=$got batch=$expected")
   }
 
+  test("stream-stream LEFT OUTER interval join: matches inner + watermark-proven null rows") {
+    val base = Files.createTempDirectory("graft-stream-loj").toString
+    val events = Tables.events(spark, sf)
+    val clicks = events.filter(col("event_type") === "click")
+    val purchases = events.filter(col("event_type") === "purchase")
+    clicks.write.mode("overwrite").parquet(s"$base/clicks")
+    purchases.write.mode("overwrite").parquet(s"$base/purchases")
+    val cs = spark.readStream.schema(events.schema).parquet(s"$base/clicks")
+    val ps = spark.readStream.schema(events.schema).parquet(s"$base/purchases")
+    val q = StreamSync.clickPurchaseLeftJoin(cs, ps)
+      .writeStream.format("memory").queryName("sslj_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sslj_out")
+    val matchedGot = got.filter(col("purchase_id").isNotNull).count()
+    val matchedBatch = StreamSync.clickPurchaseJoin(clicks, purchases).count()
+    // matched rows are identical to the inner join (nothing is late in one drain)
+    assert(matchedGot == matchedBatch && matchedBatch > 0,
+      s"matched: stream=$matchedGot batch=$matchedBatch")
+    // every emitted null row is a genuinely unmatched click...
+    val batchUnmatched = StreamSync.clickPurchaseLeftJoin(clicks, purchases)
+      .filter(col("purchase_id").isNull).select(col("click_id"))
+      .collect().map(_.getLong(0)).toSet
+    val nullGot = got.filter(col("purchase_id").isNull)
+      .select(col("click_id")).collect().map(_.getLong(0)).toSet
+    assert(nullGot.subsetOf(batchUnmatched),
+      s"spurious null rows: ${nullGot -- batchUnmatched}")
+    // ...and clicks old enough for the final watermark to prove them
+    // unmatched DID emit (state was evicted, not lost). The global
+    // watermark is the MIN over both inputs' own (max ts − delay), so
+    // compute it per side; a click is provable once watermark passes
+    // click_ts + horizon (1-min slack for strictness at the boundary).
+    val maxClick = clicks.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val maxPurchase = purchases.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wm = math.min(maxClick - 60 * 60000L, maxPurchase - 120 * 60000L)
+    val provable = StreamSync.clickPurchaseLeftJoin(clicks, purchases)
+      .filter(col("purchase_id").isNull &&
+        col("click_ts") < new java.sql.Timestamp(wm - 61 * 60000L))
+      .select(col("click_id")).collect().map(_.getLong(0)).toSet
+    assert(provable.nonEmpty, "fixture must contain provably-unmatched clicks")
+    assert(provable.subsetOf(nullGot),
+      s"watermark-proven unmatched clicks missing: ${provable -- nullGot}")
+  }
+
   test("event-time timeout closes inactive sessions deterministically") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-timeout").toString
