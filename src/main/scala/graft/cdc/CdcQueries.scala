@@ -31,6 +31,28 @@ object CdcQueries {
        |  columns={'key':'VARCHAR','value':'VARCHAR','topic':'VARCHAR',
        |           'partition':'INTEGER','offset':'BIGINT','timestamp':'TIMESTAMP'})""".stripMargin
 
+  /** DuckDB replay of the canonical-row checksum for one table: the same
+    * per-field string rendering as the engine's cast-to-string (INTEGER/
+    * BIGINT/VARCHAR/TIMESTAMP all render identically in both engines),
+    * '|'-joined, null sentinel, md5 15-hex slice, bit_xor. Generated from
+    * [[Schemas]] so the column order can never drift from the decode. */
+  private def checksumSql(table: String): String = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val casts = Schemas.forTable(table).fields.toSeq.map { f =>
+      val ex = s"json_extract_string(value, '$$.${f.name}')"
+      f.dataType match {
+        case IntegerType => s"CAST($ex AS INTEGER)::VARCHAR"
+        case LongType    => s"CAST($ex AS BIGINT)::VARCHAR"
+        case _           => ex
+      }
+    } ++ Seq("CAST(\"timestamp\" AS VARCHAR)", "topic", "CAST(\"offset\" AS VARCHAR)")
+    val canonical = casts.map(c => s"coalesce($c, '<null>')")
+      .mkString("concat_ws('|', ", ", ", ")")
+    s"""SELECT '$table' AS tbl, count(*) AS n,
+       |  bit_xor(('0x' || substring(md5($canonical), 1, 15))::BIGINT) AS checksum
+       |FROM ${wireSql(table)}""".stripMargin
+  }
+
   private val ordersProj =
     """CAST(json_extract_string(value, '$.order_id') AS INTEGER) AS order_id,
       |  CAST(json_extract_string(value, '$.customer_id') AS INTEGER) AS customer_id,
@@ -253,6 +275,27 @@ object CdcQueries {
       v1.unionByName(v2, allowMissingColumns = true)
         .orderBy(col("kafka_offset"))
     }),
+    // Value-level reconciliation — the checksum upgrade of
+    // cdc_reconcile_counts: COUNT(*) parity cannot see value corruption
+    // (a flipped status, a truncated amount), a content checksum can.
+    // Per table: bit_xor over the first-15-hex slice of md5(canonical
+    // row), canonical = all output columns cast to string, '|'-joined,
+    // nulls as a sentinel. bit_xor is ORDER-INDEPENDENT and overflow-free,
+    // so the checksum is partition-layout-agnostic and scales to any row
+    // count — one map-side hash + one agg per table, same cost shape as
+    // the count reconciliation it extends.
+    "cdc_reconcile_checksums" -> ((s, _) => {
+      Seq("customers", "order_items", "orders", "products").map { t =>
+        val d = parse(s, t)
+        val canonical = concat_ws("|",
+          d.columns.toSeq.map(c =>
+            coalesce(col(c).cast("string"), lit("<null>"))): _*)
+        d.select(conv(substring(md5(canonical), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .agg(lit(t).as("tbl"), count(lit(1)).as("n"),
+            expr("bit_xor(h)").as("checksum"))
+      }.reduce(_.unionByName(_)).orderBy(col("tbl"))
+    }),
     // A3: source-vs-sink reconciliation — per-table COUNT(*) through the
     // SQL surface (temp views + spark.sql), the engine-side equivalent of
     // the reference's Postgres reconciliation (run_pipeline.sh:127,176;
@@ -391,6 +434,9 @@ object CdcQueries {
          |  shipping_address, kafka_offset
          |FROM p WHERE kafka_offset >= 6
          |ORDER BY kafka_offset""".stripMargin,
+    "cdc_reconcile_checksums" ->
+      Seq("customers", "order_items", "orders", "products").map(checksumSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl"),
     "cdc_reconcile_counts" ->
       s"""SELECT 'customers' AS tbl, count(*) AS n FROM ${wireSql("customers")}
          |UNION ALL SELECT 'order_items', count(*) FROM ${wireSql("order_items")}
