@@ -205,6 +205,40 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Conversion-window funnel — [[funnel]] with per-stage TIME BOUNDS,
+    * the form product analytics actually ships (an unbounded funnel calls
+    * a purchase two years after signup a conversion): the click must land
+    * within `clickHours` of signup and the purchase within
+    * `purchaseHours` of that click. Same dataflow as the unbounded form —
+    * per-stage min-aggregation after a user-keyed equi-join; the window
+    * is one more predicate inside the join, so candidate rows per user
+    * SHRINK and the scale posture only improves. */
+  def windowedFunnel(spark: SparkSession, dir: String,
+                     clickHours: Int = 48, purchaseHours: Int = 48): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstWithin(eventType: String, lower: DataFrame, lowerTs: String,
+                    outTs: String, hours: Int) =
+      ev.filter(col("event_type") === eventType)
+        .join(lower.select(col("user_id").as("u"), col(lowerTs)),
+          col("user_id") === col("u") && col("ts") >= col(lowerTs) &&
+            col("ts") <= col(lowerTs) + expr(s"INTERVAL $hours HOURS"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(outTs))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val click = firstWithin("click", signup, "t_signup", "t_click", clickHours)
+    val purchase = firstWithin("purchase", click, "t_click", "t_purchase", purchaseHours)
+    signup
+      .join(click.select(col("user_id").as("cu"), col("t_click")),
+        col("user_id") === col("cu"), "left")
+      .join(purchase.select(col("user_id").as("pu"), col("t_purchase")),
+        col("user_id") === col("pu"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
+        (lit(1) + col("t_click").isNotNull.cast("int") +
+          col("t_purchase").isNotNull.cast("int")).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** Cohort retention matrix: users grouped by first-active day, counted
     * on each later active day (day_offset 0, 1, 2, …). Two keyed aggs —
     * distinct (user, day) activity and min-day cohort — joined on
@@ -226,6 +260,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_retention" -> retention,
     "ev_funnel" -> funnel,
+    "ev_funnel_windowed" -> ((s, d) => windowedFunnel(s, d)),
     "ev_range_join" -> ((s, d) => rangeJoin(s, d)),
     "ev_tumbling" -> tumbling,
     "ev_sliding" -> sliding,
@@ -254,6 +289,26 @@ object Events {
         |      WHERE e.event_type = 'click' GROUP BY e.user_id),
         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
         |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+        |  CAST(1 + (c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT
+        |       AS INTEGER) AS stage
+        |FROM s LEFT JOIN c ON s.user_id = c.user_id
+        |       LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
+    // same funnel with 48h conversion windows on each stage
+    "ev_funnel_windowed" ->
+      """WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN s ON e.user_id = s.user_id
+        |        AND e.ts >= s.t_signup
+        |        AND e.ts <= s.t_signup + INTERVAL 48 HOUR
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |        AND e.ts >= c.t_click
+        |        AND e.ts <= c.t_click + INTERVAL 48 HOUR
         |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
         |SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
         |  CAST(1 + (c.t_click IS NOT NULL)::INT + (p.t_purchase IS NOT NULL)::INT
