@@ -116,8 +116,14 @@ object Bench {
     // bulk drain: same pipeline, one batch over ×10 volume — the
     // amortized-throughput shape a backlogged production stream runs in
     val (bulkSec, bulkRows, _) = probe("stream_bulk", None, 10)
-    val all = results :+ ("stream_replay" -> streamSec) :+ ("stream_bulk" -> bulkSec)
-    def sec(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // a probe excluded by SPARK_GRAFT_ONLY is omitted, not reported failed
+    val all = results ++
+      Seq("stream_replay" -> streamSec, "stream_bulk" -> bulkSec)
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale (de_DE) would make every emitted JSON unparseable.
+    def sec(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = all.map(_._2).filter(_ >= 0).sum
     val streamRate = if (streamSec > 0) math.round(streamRows / streamSec) else 0L
     val bulkRate = if (bulkSec > 0) math.round(bulkRows / bulkSec) else 0L
@@ -145,7 +151,12 @@ object Bench {
     }
     val line = (25 to 0 by -5).iterator.map(finalLine)
       .find(_.length <= 1400).getOrElse(finalLine(0))
-    println(line)
     spark.stop()
+    // Emit the final line LAST, after Spark's shutdown chatter, on BOTH
+    // streams: stdout for the driver's tail capture (prefix-free now that
+    // run/outputStrategy inherits stdout), stderr as a redundant channel in
+    // case the capture merges or prefers it.
+    System.out.println(line); System.out.flush()
+    System.err.println(line); System.err.flush()
   }
 }

@@ -59,6 +59,10 @@ object Compaction {
     val live = new Path(s"$warehouseDir/${table}_parquet")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = dataFiles(spark, live)
+    // A healthy table whose first sync had an empty delta never creates the
+    // dir (or leaves it fileless) — nothing to do, and spark.read on it
+    // would throw, aborting the whole pipeline run.
+    if (files.isEmpty) return CompactionResult(table, 0, 0, 0L, 0L)
     val totalBytes = files.map(_._2).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.size <= targetFiles)
@@ -78,6 +82,16 @@ object Compaction {
     val (nOld, nNew) = (df.count(), spark.read.parquet(tmp.toString).count())
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; keeping original")
+    // Concurrent-WRITER guard: a file appended to the live dir after the
+    // initial listing would be swept into .bak and deleted — silent loss.
+    // Re-list immediately before the swap and abort if the set moved; the
+    // caller retries on the next maintenance run. (Racing READERS are safe
+    // per the swap contract above; racing writers must not overlap a
+    // compaction window — PipelineRunner sequences compaction after
+    // syncAll for exactly this reason.)
+    val relisted = dataFiles(spark, live).map { case (p, len) => (p.toString, len) }.toSet
+    require(relisted == files.map { case (p, len) => (p.toString, len) }.toSet,
+      s"compaction aborted for $table: live dir changed during rewrite (concurrent writer)")
     require(fs.rename(live, bak), s"compaction swap: could not move live dir aside")
     require(fs.rename(tmp, live), s"compaction swap: could not install compacted dir")
     fs.delete(bak, true)

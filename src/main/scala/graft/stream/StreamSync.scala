@@ -65,11 +65,12 @@ object StreamSync {
     * Durability/replay: every batch writes a SELF-CONTAINED snapshot dir
     * `viewDir/batch=<id>/{state,view}` finished by a `_COMMIT` marker, and
     * readers take the newest committed dir. A replayed batch recomputes
-    * against the snapshot it finds: if its own commit survived, the
-    * offset guard (only versions with kafka_offset strictly above the
-    * stored one apply) makes the replay a no-op; if not, it rebuilds the
-    * same dir from the same inputs. Either way the view stays exactly
-    * right — no torn intermediate is ever visible. The same guard makes
+    * against the newest snapshot STRICTLY OLDER than itself — never its
+    * own surviving dir (a crash after `_COMMIT` but before the stream
+    * checkpoint commits would otherwise make the batch read and overwrite
+    * the same path) — so replay is a deterministic rebuild of the same
+    * dir from the same pre-batch snapshot and the same inputs. The view
+    * stays exactly right — no torn intermediate is ever visible. The same guard makes
     * out-of-order batch arrival safe (an older version never displaces a
     * newer one). Dirs older than the previous snapshot are pruned.
     *
@@ -95,7 +96,11 @@ object StreamSync {
               fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
             .map(_.getName.stripPrefix("batch=").toLong).sorted
         }
-        val prevId = committed.lastOption
+        // Replay safety: a crash after this batch's _COMMIT but before the
+        // stream checkpoint commit leaves batch=<batchId> committed; basing
+        // on it would self-read-and-overwrite. Always base on the newest
+        // snapshot strictly older than this batch.
+        val prevId = committed.filter(_ < batchId).lastOption
         val amt = col("total_amount").cast("decimal(10,2)")
         val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
         val b = batch.filter(col("order_id").isNotNull)

@@ -140,6 +140,17 @@ class CdcSpec extends AnyFunSuite {
     assert(r2.filesBefore == 1 && r2.filesAfter == 1 && r2.rows == 2000)
   }
 
+  test("compaction is a clean no-op on a missing or fileless table dir") {
+    val base = Files.createTempDirectory("graft-compact-empty").toString
+    // dir doesn't exist at all (healthy table whose first sync had an empty delta)
+    val r = Compaction.compact(spark, base, "orders", targetBytes = 1L)
+    assert(r == Compaction.CompactionResult("orders", 0, 0, 0L, 0L), r.toString)
+    // dir exists but holds no data files
+    Files.createDirectories(Paths.get(s"$base/customers_parquet"))
+    val r2 = Compaction.compact(spark, base, "customers", targetBytes = 1L)
+    assert(r2 == Compaction.CompactionResult("customers", 0, 0, 0L, 0L), r2.toString)
+  }
+
   test("compaction preserves the sync_date partition layout") {
     val base = Files.createTempDirectory("graft-compact-part").toString
     val df = spark.range(500).selectExpr("id",

@@ -68,6 +68,33 @@ class StreamSpec extends AnyFunSuite {
     assert(view() == expectedOver(Int.MaxValue))
   }
 
+  test("view maintenance replays a batch whose _COMMIT survived (crash before checkpoint commit)") {
+    val base = Files.createTempDirectory("graft-stream-replay").toString
+    val topicDir = Files.createDirectories(Paths.get(s"$base/topic")).toString
+    val fixture = Files.readAllLines(
+      Paths.get(s"${CdcQueries.FixtureDir}/dbserver1.ecommerce.orders.jsonl"))
+    def drain(): Unit = StreamSync.maintainStatusView(
+      StreamSync.wireStream(spark, topicDir), "orders",
+      s"$base/view", s"$base/chk")
+    def view(): Map[String, (Long, String)] =
+      StreamSync.readStatusView(spark, s"$base/view").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).toPlainString)).toMap
+    Files.write(Paths.get(s"$topicDir/part-0.jsonl"), fixture.subList(0, 6))
+    drain()
+    Files.write(Paths.get(s"$topicDir/part-1.jsonl"), fixture.subList(6, fixture.size))
+    drain()
+    val settled = view()
+    // simulate a crash AFTER the view dir's _COMMIT but BEFORE the stream
+    // checkpoint committed batch 1: the checkpoint commit file vanishes,
+    // the batch=1/_COMMIT dir survives, and the next drain replays batch 1
+    Files.delete(Paths.get(s"$base/chk/commits/1"))
+    // the local fs writes a checksum sidecar alongside each commit file; a
+    // real pre-commit crash leaves neither, so remove both
+    Files.deleteIfExists(Paths.get(s"$base/chk/commits/.1.crc"))
+    drain() // must not throw (no self-read-overwrite) and must not move the view
+    assert(view() == settled, s"replay changed the view: ${view()} vs $settled")
+  }
+
   test("streaming windowed agg equals the batch tumbling query") {
     val base = Files.createTempDirectory("graft-stream-win").toString
     // stage events as parquet dir for the file stream
