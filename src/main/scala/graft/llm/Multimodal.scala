@@ -7,12 +7,20 @@ import graft.schema.Tables
 /** Multimodal-column plumbing: opaque `binary` payload columns with typed
   * metadata, batch-shaped decode/feature-extract over partitions.
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked DETERMINISTIC STUB (`fakeDecodeFeatures`): it derives a
-  * fixed-length feature vector from the payload bytes' hash. Everything
-  * around it — the binary column, the metadata struct, the partition-
-  * parallel batch shape, pushdown-friendly metadata predicates — is the
-  * real production plumbing a codec would drop into.
+  * The image path is REAL: every document gets a small RGB PNG encoded
+  * through the JDK codec (`javax.imageio`, no external dependency) into a
+  * once-per-corpus blob table, and the decode/feature/resize queries run
+  * the actual `ImageIO.read` decode over those bytes. Oracle strategy:
+  * the generated pixels are a deterministic integer function of
+  * (doc_id, x, y), and PNG is lossless — encode→decode is the identity on
+  * pixels — so DuckDB recomputes decoded-pixel statistics from the
+  * formula while the engine must run the real codec to reach them. A
+  * broken decode (channel order, row/column transposition, truncation)
+  * breaks the sums/moments and fails the value compare.
+  *
+  * The video/audio analogues (frame sampling over an opaque byte stream)
+  * keep the deterministic chunk shape — no video codec ships with the
+  * JDK — but carry the same mapPartitions batch contract a real one needs.
   */
 object Multimodal {
 
@@ -38,25 +46,125 @@ object Multimodal {
         hex(substring(col("payload"), 1, 4)).as("head_hex"))
       .orderBy(col("doc_id"))
 
-  /** STUB decode → feature extraction: a real codec (JPEG decode, mel
-    * spectrogram, frame sampling) would replace `fakeDecodeFeatures`; the
-    * batch shape (binary in, fixed-width float vector out, map-side only)
-    * is what a Pandas-UDF/mapInPandas equivalent needs at scale.
-    *
-    * The stub features are md5-nibble-derived (feature i = i-th hex digit
-    * of md5(payload) scaled to [0,1)) — deterministic AND reproducible in
-    * the DuckDB oracle, unlike a Spark-private hash. The vector leaves the
-    * query serialized (fixed %.4f CSV): the driver's pandas compare can't
-    * hash raw array cells, and the fixed-point rendering sidesteps
-    * float-formatting drift between engines. */
-  def fakeDecodeFeatures(spark: SparkSession, dir: String, nFeatures: Int = 4): DataFrame = {
-    val features = (0 until nFeatures).map { i =>
-      val nibble = expr(s"instr('0123456789abcdef', substring(md5(payload), ${i + 1}, 1)) - 1")
-      format_string("%.4f", nibble.cast("double") / 16.0)
+  /** Image dimensions for doc `id` — small and varied so resize blocks hit
+    * uneven boundaries. Shared by the generator and the oracles. */
+  private def dims(id: Long): (Int, Int) =
+    ((16 + id % 17).toInt, (16 + id % 13).toInt)
+
+  /** Generative pixel: channel value at (x, y) for doc `id`. Pure integer
+    * arithmetic so DuckDB replays it exactly. */
+  private def px(id: Long, x: Int, y: Int, a: Long, bx: Long, by: Long): Int =
+    ((id * a + x * bx + y * by) % 256).toInt
+
+  /** Once-per-(session, source-dir) PNG blob table — the ingest step a
+    * production pipeline runs when media lands in object storage. Each
+    * document gets a W×H RGB image (W,H ∈ [16,32], varying per doc) whose
+    * pixels follow the deterministic formula above, encoded to real PNG
+    * bytes by `javax.imageio` in a partition-parallel pass, materialized
+    * as an external parquet table (same pattern as
+    * [[graft.ops.Bucketed.q33BucketedJoin]]); queries then read ONLY
+    * (doc_id, payload) — opaque bytes, exactly what S3 would hand back.
+    * Scale: encode is map-side, one row in flight per task at a time; the
+    * blob table shuffles nothing. */
+  private def pngTable(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode & 0x7fffffff).toString
+    val tbl = s"graft_png_$tag"
+    if (!spark.catalog.tableExists(tbl)) {
+      import spark.implicits._
+      javax.imageio.ImageIO.setUseCache(false) // in-memory encode, no tmp spool
+      val base = java.nio.file.Files.createTempDirectory("graft-png").toString
+      Tables.parallelized(Tables(spark, dir, "documents"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val (w, h) = dims(id)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  (px(id, x, y, 31, 7, 13) << 16) |
+                  (px(id, x, y, 17, 11, 3) << 8) |
+                   px(id, x, y, 23, 5, 19))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+        .write.format("parquet").option("path", s"$base/$tbl")
+        .mode("overwrite").saveAsTable(tbl)
     }
-    blobbed(spark, dir)
-      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
-        concat_ws(",", features: _*).as("features_csv"))
+    spark.table(tbl)
+  }
+
+  /** Decoded image + per-pixel access, shared by the image queries. The
+    * decode is the genuinely imperative per-row step (a codec can't be a
+    * column expression), so it runs in mapPartitions — one image in memory
+    * at a time, map-side only, everything around it declarative. */
+  private def decodePng(payload: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+  case class ImgFeatures(doc_id: Long, width: Int, height: Int,
+                         sum_r: Long, sum_g: Long, sum_b: Long,
+                         xmom_r: Long, ymom_r: Long)
+
+  /** REAL decode → feature extraction: `ImageIO.read` over the PNG bytes,
+    * then integer pixel statistics — per-channel sums plus first moments
+    * of the red channel (Σ x·r, Σ y·r — these catch row/column
+    * transposition and channel-order bugs that plain sums cannot). All
+    * arithmetic is integer, so the oracle replays it from the generative
+    * formula exactly; a wrong decode fails the value compare. */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = decodePng(bytes)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb, xm, ym) = (0L, 0L, 0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              val r = (v >> 16) & 0xff
+              sr += r; sg += (v >> 8) & 0xff; sb += v & 0xff
+              xm += x.toLong * r; ym += y.toLong * r
+              x += 1
+            }
+            y += 1
+          }
+          ImgFeatures(id, w, h, sr, sg, sb, xm, ym)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decoded-image metadata: the engine must parse the real PNG container
+    * (magic sniff for mime, header decode for dimensions). */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pngTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val isPng = bytes.length > 8 &&
+            (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+          val img = decodePng(bytes)
+          (id, img.getWidth, img.getHeight, if (isPng) "image/png" else "application/octet-stream")
+        }
+      }
+      .toDF("doc_id", "width", "height", "mime")
       .orderBy(col("doc_id"))
   }
 
@@ -98,36 +206,40 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** One resized row of a media payload (STUB: 1-D block-average
-    * downsample standing in for an image resize kernel). */
-  case class Resized(doc_id: Long, n_bytes: Int, resized_csv: String)
+  /** One resized image row: the 8×8 box-filtered red channel, row-major. */
+  case class Resized(doc_id: Long, width: Int, height: Int, resized_csv: String)
 
-  /** STUB resize via mapPartitions — completes the decode / feature-extract
-    * / resize / frame-sample multimodal quartet. The payload byte stream is
-    * downsampled to `target` "pixels" by area averaging (block i covers
-    * [⌊iL/T⌋, ⌊(i+1)L/T⌋), value = floor-mean of its bytes) — the 1-D
-    * analogue of the box filter an image resize applies per channel, in
-    * the same imperative per-partition batch shape a real kernel needs.
-    * All arithmetic is integer (sum / count floor division), so the DuckDB
-    * oracle replays it exactly; output leaves as CSV ints for the driver's
-    * pandas compare. */
-  def resizeStub(spark: SparkSession, dir: String, target: Int = 16): DataFrame = {
+  /** REAL image resize via mapPartitions — decode the PNG, then area-
+    * average (box filter) the red channel down to `target`×`target`:
+    * output block (i,j) covers pixel rectangle
+    * [⌊iW/T⌋,⌊(i+1)W/T⌋) × [⌊jH/T⌋,⌊(j+1)H/T⌋), value = floor-mean of its
+    * pixels — the downsampling kernel production image pipelines apply per
+    * channel (shown on one channel to keep the output compact). Integer
+    * sum/count floor division throughout, so the DuckDB oracle replays the
+    * kernel over the generative pixels exactly; output leaves as CSV ints
+    * for the driver's pandas compare. */
+  def resize(spark: SparkSession, dir: String, target: Int = 8): DataFrame = {
     import spark.implicits._
-    blobbed(spark, dir)
+    pngTable(spark, dir)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.filter(_._2.length >= target).map { case (id, p) =>
-          val L = p.length
-          val vals = (0 until target).map { i =>
-            val s = (i.toLong * L / target).toInt
-            val e = ((i + 1).toLong * L / target).toInt
+        rows.map { case (id, bytes) =>
+          val img = decodePng(bytes)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val vals = for (j <- 0 until target; i <- 0 until target) yield {
+            val xs = i * w / target; val xe = (i + 1) * w / target
+            val ys = j * h / target; val ye = (j + 1) * h / target
             var sum = 0L
-            var j = s
-            while (j < e) { sum += (p(j) & 0xff); j += 1 }
-            (sum / (e - s)).toString // integer floor-mean: exact both engines
+            var y = ys
+            while (y < ye) {
+              var x = xs
+              while (x < xe) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+              y += 1
+            }
+            (sum / ((xe - xs).toLong * (ye - ys))).toString
           }
-          Resized(id, L, vals.mkString(","))
+          Resized(id, w, h, vals.mkString(","))
         }
       }
       .toDF()
@@ -135,27 +247,34 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_resize" -> ((s, d) => resizeStub(s, d)),
+    "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_meta" -> meta,
-    "mm_decode_features" -> ((s, d) => fakeDecodeFeatures(s, d)),
+    "mm_img_meta" -> imageMeta,
+    "mm_decode_features" -> decodeFeatures,
     "mm_frame_sample" -> ((s, d) => frameSample(s, d))
   )
 
   val oracles: Map[String, String] = Map(
-    // block-average downsample replayed with integer arithmetic (`//` is
-    // floor division; unicode(text[j]) == byte for the ASCII corpus)
+    // 2-D box filter replayed over the generative pixels (PNG is lossless,
+    // so decoded pixels == the formula; `//` is floor division)
     "mm_resize" ->
-      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS L
-        |           FROM documents WHERE octet_length(encode(text)) >= 16),
-        |b AS (SELECT doc_id, L, i,
-        |        (i * L) // 16 AS s, ((i + 1) * L) // 16 AS e
-        |      FROM d, generate_series(0, 15) AS t(i)),
-        |v AS (SELECT b.doc_id, b.L, b.i,
-        |        CAST(list_sum(list_transform(range(b.s + 1, b.e + 1),
-        |          j -> unicode(d.text[j]))) AS BIGINT) // (b.e - b.s) AS pix
-        |      FROM b JOIN d ON b.doc_id = d.doc_id)
-        |SELECT doc_id, CAST(max(L) AS INTEGER) AS n_bytes,
-        |  string_agg(CAST(pix AS VARCHAR), ',' ORDER BY i) AS resized_csv
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |           FROM documents),
+        |blk AS (SELECT d.doc_id, d.w, d.h, i, j,
+        |          (i * d.w) // 8 AS xs, ((i + 1) * d.w) // 8 AS xe,
+        |          (j * d.h) // 8 AS ys, ((j + 1) * d.h) // 8 AS ye
+        |        FROM d, generate_series(0, 7) AS ti(i), generate_series(0, 7) AS tj(j)),
+        |pxv AS (SELECT blk.doc_id, blk.w, blk.h, blk.i, blk.j,
+        |          (blk.doc_id * 31 + x * 7 + y * 13) % 256 AS r
+        |        FROM blk,
+        |          unnest(generate_series(blk.xs, blk.xe - 1)) AS tx(x),
+        |          unnest(generate_series(blk.ys, blk.ye - 1)) AS ty(y)),
+        |v AS (SELECT doc_id, max(w) AS w, max(h) AS h, j, i,
+        |        CAST(sum(r) AS BIGINT) // count(*) AS pix
+        |      FROM pxv GROUP BY doc_id, j, i)
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  string_agg(CAST(pix AS VARCHAR), ',' ORDER BY j, i) AS resized_csv
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // replays the mapPartitions stride/chunk walk and the FNV-1a checksum
     // in SQL (HUGEINT mod-2^64; the 8-bit xor folds through BIGINT xor on
@@ -179,14 +298,29 @@ object Multimodal {
         |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
         |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS checksum
         |FROM chk ORDER BY doc_id, frame_idx""".stripMargin,
+    // decoded-pixel statistics replayed from the generative formula: sums
+    // catch value corruption, the x/y first moments of the red channel
+    // catch row/column transposition and channel-order bugs
     "mm_decode_features" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) / 16.0)
-        |    || ',' || printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1) / 16.0)
-        |    || ',' || printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) / 16.0)
-        |    || ',' || printf('%.4f', (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) / 16.0)
-        |    AS features_csv
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, x, y,
+        |         (d.doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+        |         (d.doc_id * 17 + x * 11 + y * 3) % 256 AS g,
+        |         (d.doc_id * 23 + x * 5 + y * 19) % 256 AS b
+        |       FROM d,
+        |         unnest(generate_series(0, d.w - 1)) AS tx(x),
+        |         unnest(generate_series(0, d.h - 1)) AS ty(y))
+        |SELECT doc_id, CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(x * r) AS BIGINT) AS xmom_r,
+        |  CAST(sum(y * r) AS BIGINT) AS ymom_r
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_img_meta" ->
+      """SELECT doc_id, CAST(16 + doc_id % 17 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 13 AS INTEGER) AS height, 'image/png' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,

@@ -317,4 +317,37 @@ class LlmSpec extends AnyFunSuite {
     val again = llm.Multimodal.frameSample(spark, sf, frameBytes, stride).collect()
     assert(frames.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("real PNG decode recovers the generative pixels (features + resize + meta)") {
+    // independent of the DuckDB oracle: recompute the expected statistics
+    // directly from the formula here and demand the decoded ones match
+    def px(id: Long, x: Int, y: Int, a: Long, bx: Long, by: Long): Long =
+      (id * a + x * bx + y * by) % 256
+    val feats = llm.Multimodal.decodeFeatures(spark, sf).collect()
+    assert(feats.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    feats.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((16 + id % 17).toInt, (16 + id % 13).toInt)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val pts = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      assert(r.getAs[Long]("sum_r") == pts.map { case (x, y) => px(id, x, y, 31, 7, 13) }.sum)
+      assert(r.getAs[Long]("sum_g") == pts.map { case (x, y) => px(id, x, y, 17, 11, 3) }.sum)
+      assert(r.getAs[Long]("sum_b") == pts.map { case (x, y) => px(id, x, y, 23, 5, 19) }.sum)
+      assert(r.getAs[Long]("xmom_r") == pts.map { case (x, y) => x * px(id, x, y, 31, 7, 13) }.sum)
+      assert(r.getAs[Long]("ymom_r") == pts.map { case (x, y) => y * px(id, x, y, 31, 7, 13) }.sum)
+    }
+    val rz = llm.Multimodal.resize(spark, sf).collect().take(5)
+    rz.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((16 + id % 17).toInt, (16 + id % 13).toInt)
+      val expected = (for (j <- 0 until 8; i <- 0 until 8) yield {
+        val (xs, xe, ys, ye) = (i * w / 8, (i + 1) * w / 8, j * h / 8, (j + 1) * h / 8)
+        val block = for (y <- ys until ye; x <- xs until xe) yield px(id, x, y, 31, 7, 13)
+        block.sum / block.length
+      }).mkString(",")
+      assert(r.getAs[String]("resized_csv") == expected, s"doc $id resize")
+    }
+    val meta = llm.Multimodal.imageMeta(spark, sf).collect()
+    assert(meta.forall(_.getAs[String]("mime") == "image/png"))
+  }
 }
