@@ -17,17 +17,18 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ gap-fill
     * relational set, scalar functions, event analytics, LLM-data ops).
     *
-    * Harness contract: a few builders persist() genuinely-expensive
-    * multi-consumer intermediates (MinHash signature/shingle tables,
-    * SimHash signatures) and [[llm.Dedup.resolveKeepers]] returns a frame
-    * backed by localCheckpoint blocks. A harness that runs MANY queries in
-    * one session must drop that state between queries —
-    * `spark.catalog.clearCache()` for persisted frames plus
-    * `sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))`
-    * for checkpoint blocks — as [[Verify]] and [[Bench]] both do. (A
-    * single-query session needs nothing: Spark's ContextCleaner frees
-    * unreachable cached RDDs with GC.) Everything else deliberately avoids
-    * caching — cheap map-side intermediates are recomputed per consumer. */
+    * Caching contract (r5): NO builder persist()s into the SQL cache
+    * manager any more. Genuinely-expensive multi-consumer intermediates
+    * (MinHash signature/shingle tables, SimHash signatures, CDC snapshot
+    * windows) use EAGER `localCheckpoint(true)` instead — their blocks are
+    * freed by Spark's ContextCleaner as soon as the frame becomes
+    * unreachable (GC-triggered), and [[llm.Dedup.resolveKeepers]] frees
+    * its loop frames explicitly by RDD id. A harness that runs many
+    * queries in one session therefore needs NO cleanup between queries;
+    * [[Verify]] and [[Bench]] still call clearCache + unpersist
+    * defensively, but third-party callers inherit correct hygiene by
+    * default. Everything else deliberately avoids caching — cheap
+    * map-side intermediates are recomputed per consumer. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++
       ops.Relational.queries ++

@@ -233,10 +233,11 @@ object CdcQueries {
       val amt = col("total_amount").cast("decimal(10,2)")
       val all = parse(s, "orders")
       // both sides are read twice (vOld+retracted / applied+key-broadcast);
-      // persisting stops the compaction window re-deriving per consumer
-      // (SparkEntry harness contract covers cleanup)
-      val snapshot = compact(all.filter(col("kafka_offset") <= 5)).persist()
-      val delta = compact(all.filter(col("kafka_offset") >= 6)).persist()
+      // the eager checkpoint stops the compaction window re-deriving per
+      // consumer, and its blocks are ContextCleaner-freed once the frame
+      // is unreachable — no harness cleanup contract needed
+      val snapshot = compact(all.filter(col("kafka_offset") <= 5)).localCheckpoint(true)
+      val delta = compact(all.filter(col("kafka_offset") >= 6)).localCheckpoint(true)
       // the STORED view (in the fixture, computed; in production, read back)
       val vOld = snapshot.groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(amt).as("amt"))

@@ -96,7 +96,7 @@ object Dedup {
       .select(col("doc_id"),
         GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
       .filter(col("sig").isNotNull)
-      .persist()
+      .localCheckpoint(true) // eager; blocks GC-freed once unreachable (no harness contract)
 
   /** Per-bucket population cap: a boilerplate bucket holding b documents
     * contributes b²/2 candidate pairs, so one 1M-doc near-identical
@@ -170,7 +170,8 @@ object Dedup {
                              threshold: Double = 0.8): DataFrame = {
     val sh = Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .persist() // read from both sides of the pair join (harness contract)
+      .localCheckpoint(true) // read from both sides of the pair join; eager checkpoint
+                             // blocks are ContextCleaner-freed, not cache-pinned
     minhashCandidates(spark, dir)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -190,7 +191,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val sh = Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .persist() // read from both sides of the pair join
+      .localCheckpoint(true) // read from both sides of the pair join
     val cands = candidatePairs(bandKeys(signatureTable(spark, dir)))
     cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -220,7 +221,7 @@ object Dedup {
       .select(col("doc_id"),
         GraftFunctions.simhash64(TextOps.shingleHashes(col("text"))).as("sim"))
       .filter(col("sim").isNotNull)
-      .persist() // both sides of the chunk self-join reuse the signatures
+      .localCheckpoint(true) // both sides of the chunk self-join reuse the signatures
     val chunks = (0 until 4).map(i =>
       struct(lit(i).as("chunk"),
              shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ck")))
@@ -303,11 +304,15 @@ object Dedup {
     //      frame re-plans in milliseconds.
     // The same calls scale out (executor-local blocks; switch to reliable
     // checkpoint() if executor loss must be survivable mid-job).
-    val (pairs, pairIds) = checkpointed(
+    val preIds = sc.getPersistentRDDs.keySet.toSet
+    val (pairs, _) = checkpointed(
       ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
     val (edges, edgeIds) = checkpointed(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    free(pairIds) // edges (materialized) is pairs' only consumer
+    // edges (materialized) is the only consumer of pairs AND of the LSH
+    // pipeline's internal checkpoints (signature/shingle tables) — free
+    // everything created since the snapshot except edges itself
+    free(sc.getPersistentRDDs.keySet.toSet.diff(preIds).diff(edgeIds))
     var (labels, labelIds) = checkpointed(
       edges.select(col("doc_a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id")))
@@ -464,7 +469,7 @@ object Dedup {
   def spanCoverage(spark: SparkSession, dir: String, k: Int = 5, minDf: Int = 2): DataFrame = {
     val docs = Tables.parallelized(Tables(spark, dir, "documents"))
       .select(col("doc_id"), TextOps.shingles(col("text"), k).as("grams"))
-      .persist() // read by the df-count branch and the per-doc stats branch
+      .localCheckpoint(true) // read by the df-count branch and the per-doc stats branch
     val grams = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
     val boiler = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
