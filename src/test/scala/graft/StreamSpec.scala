@@ -128,6 +128,42 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB state store: windowed agg and dedup match their default-store results") {
+    // the 100 TB state posture (state off-heap/on-disk, not JVM heap) must
+    // be a config swap, not a semantics change
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val base = Files.createTempDirectory("graft-stream-rocks").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(s"$base/in")
+    def runWindowed(name: String): Array[org.apache.spark.sql.Row] = {
+      val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+      val q = StreamSync.windowedCounts(stream)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+        .orderBy(col("hour_start"), col("event_type")).collect()
+    }
+    def runDedup(name: String): Long = {
+      val stream = spark.readStream.schema(events.schema).parquet(s"$base/in")
+      val q = StreamSync.dedupedEvents(stream)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).count()
+    }
+    val (defWin, defDedup) = (runWindowed("rocks_base_win"), runDedup("rocks_base_dd"))
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rWin = runWindowed("rocks_win")
+      assert(rWin.nonEmpty && rWin.map(_.toString).sameElements(defWin.map(_.toString)))
+      assert(runDedup("rocks_dd") == defDedup)
+    } finally spark.conf.unset(providerKey)
+  }
+
   test("streaming session windows match the batch session_window grouping") {
     val base = Files.createTempDirectory("graft-stream-sess").toString
     val events = Tables.events(spark, sf)
