@@ -254,6 +254,30 @@ object Relational {
       .orderBy(col("s_nationkey"))
   }
 
+  /** Deliberately skewed join — the AQE-side answer to the same problem
+    * [[q17SaltedJoin]] solves by hand. ~Half the fact rows collapse onto
+    * ONE hot key (every even l_orderkey maps to orderkey 0), so one
+    * shuffle partition carries ~50% of the table; the MERGE hint keeps the
+    * join sort-merge (a broadcast would hide the skew). With AQE's skew
+    * handling (on by default; thresholds sized for the fixture in
+    * RelationalSpec, defaults at production scale) the hot partition is
+    * SPLIT across tasks at runtime — the plan assertion pins that the
+    * split actually activates. Result is oracle-checked like any join;
+    * the skew mapping is deterministic SQL both engines replay. */
+  def q36SkewJoinAqe(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .withColumn("skew_key",
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0))
+          .otherwise(col("l_orderkey")))
+    val o = Tables(spark, dir, "orders")
+    li.hint("MERGE")
+      .join(o, col("skew_key") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The UNsalted form of [[q17SaltedJoin]] — same result, plain join keys.
     * Registered as its own query so the bench shows the salting overhead/
     * benefit explicitly (the salted variant buys skew resilience at the
@@ -608,6 +632,7 @@ object Relational {
     "rel_q16_approx_distinct" -> q16ApproxDistinct,
     "rel_q17_salted_join" -> ((s, d) => q17SaltedJoin(s, d)),
     "rel_q17b_plain_join" -> q17bPlainJoin,
+    "rel_q36_skew_join_aqe" -> q36SkewJoinAqe,
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
@@ -812,6 +837,14 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // the skew mapping is plain SQL; AQE's runtime split must not change results
+    "rel_q36_skew_join_aqe" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END
+        |        AS skew_key, l_extendedprice FROM lineitem) f
+        |JOIN orders ON f.skew_key = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "rel_q18_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

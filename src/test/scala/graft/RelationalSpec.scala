@@ -64,6 +64,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the deliberately-skewed join at runtime") {
+    // fixture-scale thresholds: the hot partition (~50% of lineitem, even
+    // orderkeys → key 0) must exceed factor × median AND the byte floor;
+    // production keeps the defaults (256 MB floor) and the same plan shape
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = Relational.q36SkewJoinAqe(spark, sf)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // final adaptive plan, post-execution: the SMJ must be marked as a
+      // skew join (its shuffle reads split the hot partition across tasks)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"AQE skew-join split did not activate:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("registered bucketed query joins without a hash exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
