@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-curve harness for the dedup/ANN families (r5 VERDICT
+  * item 7): build ×1/×5/×10 corpora derived from sf0.1 and measure how
+  * candidate-pair counts and wall time grow with corpus size. The 100 TB
+  * claims rest on these families being ~O(n) (bucketed candidate
+  * generation, never all-pairs); this prints the measured curve that
+  * guards them (recorded in BASELINE.md).
+  *
+  * Corpus construction: replica r of each document gets doc_id offset
+  * r·10⁶ and a replica-unique token (`u<r>x<i>`) interleaved after every
+  * 2nd word. Every word-3-gram then contains an injected token, so
+  * replicas share NO shingles across r (no artificial mega-clusters),
+  * while near-dup pairs WITHIN a replica keep their aligned mutated
+  * shingles (the injected token at word index i is the same for both) —
+  * i.e. the natural pair structure replicates ~linearly with the corpus,
+  * which is exactly the regime the curve should probe. Embeddings
+  * replicate with vec_id offsets (cells grow uniformly ×k).
+  */
+object ScaleCurve {
+
+  private def buildCorpus(spark: SparkSession, src: String, base: String, k: Int): String = {
+    val out = s"$base/x$k"
+    if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val reps = (0 until k).map { r =>
+        if (r == 0) docs
+        else docs
+          .withColumn("doc_id", col("doc_id") + lit(r * 1000000L))
+          .withColumn("text", expr(
+            s"""array_join(flatten(transform(split(text, ' '),
+               |  (w, i) -> CASE WHEN i % 2 = 1
+               |            THEN array(w, concat('u$r', 'x', CAST(i AS STRING)))
+               |            ELSE array(w) END)), ' ')""".stripMargin))
+      }
+      reps.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until k).map { r =>
+        if (r == 0) emb else emb.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "scale-curve")
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val base = "/tmp/graft-scale"
+    for (k <- Seq(1, 5, 10)) {
+      val dir = buildCorpus(spark, src, base, k)
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      def settle(): Unit = { System.gc(); Thread.sleep(200) }
+      val (nCand, tCand) = timed(graft.llm.Dedup.minhashCandidates(spark, dir).count()); settle()
+      val (nSim, tSim) = timed(graft.llm.Dedup.simhashPairs(spark, dir).count()); settle()
+      val (nEx, tEx) = timed(graft.llm.Dedup.exact(spark, dir).count()); settle()
+      val (nKeep, tKeep) = timed(graft.llm.Dedup.resolveKeepers(spark, dir).count()); settle()
+      val (_, tIvf) = timed(graft.llm.Similarity.ivfTopK(spark, dir).count()); settle()
+      def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      println(s"SCALE x$k docs=$nDocs " +
+        s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
+        s"exact=$nEx/${s(tEx)}s keepers=$nKeep/${s(tKeep)}s ivf_topk=${s(tIvf)}s")
+    }
+    spark.stop()
+  }
+}
