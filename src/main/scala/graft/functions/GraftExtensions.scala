@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.DoubleType
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("SELECT vec_cosine(a, b)…")`
@@ -68,6 +69,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("heavy_hitters",
       "heavy_hitters(item, k) - Misra-Gries frequent-item candidates with weights") {
       case Seq(i, kk) => MisraGriesAgg(i, intArg(kk, "k"))
+    })
+    // numeric args are cast explicitly: ImplicitCastInputTypes'
+    // AbstractDataType is private[sql], so the cast lives at this seam
+    ext.injectFunction(fn("quantile_sketch",
+      "quantile_sketch(x[, k]) - mergeable MRL/KLL quantile sketch over doubles") {
+      case Seq(x)     => QuantileSketchAgg(Cast(x, DoubleType), 256)
+      case Seq(x, kk) => QuantileSketchAgg(Cast(x, DoubleType), intArg(kk, "k"))
+    })
+    ext.injectFunction(fn("quantile_merge",
+      "quantile_merge(sketch) - union of serialized quantile sketches") {
+      case Seq(s) => QuantileMergeAgg(s)
+    })
+    ext.injectFunction(fn("quantile_value",
+      "quantile_value(sketch, q) - rank-q estimate from a quantile sketch") {
+      case Seq(s, q) => QuantileValue(s, Cast(q, DoubleType))
     })
     ext.injectFunction(fn("bloom_build",
       "bloom_build(key[, numBits, numHashes]) - bloom bitset over long keys") {

@@ -306,6 +306,222 @@ case class BloomBuildAgg(
   override def prettyName: String = "bloom_build"
 }
 
+/** Mergeable quantile-sketch state: a compactor hierarchy in the
+  * MRL/KLL family (Manku–Rajagopalan–Lindsay, SIGMOD 1998; Karnin–Lang–
+  * Liberty, FOCS 2016 — both public). Level i holds ≤ 2k values, each
+  * representing weight 2^i; a full level sorts itself and promotes every
+  * second value (alternating start offset, so successive compactions'
+  * rank errors cancel instead of accumulate) to level i+1. Retained
+  * state is O(k·log(n/k)) values regardless of n — the property that
+  * lets one sketch per epoch/partition be PERSISTED and later unioned
+  * without re-touching rows, which Spark's built-in approx_percentile
+  * (an in-query GK buffer) cannot do and its DataSketches surface only
+  * covers for distinct-count (HLL), not quantiles.
+  *
+  * Guarantee (what the rank-invariant oracle checks): a quantile answer
+  * at q has normalized rank error ≤ number-of-levels / (2k) in the
+  * worst case — ≈ 2% at k=256, n=10^6 — bounded at 5% in the
+  * registered query.
+  */
+final class QuantileSketch(val k: Int) {
+  import scala.collection.mutable.ArrayBuffer
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+  var n: Long = 0L
+  var flips: Long = 0L // alternating compaction-offset counter
+
+  def update(v: Double): Unit = {
+    levels(0) += v; n += 1
+    if (levels(0).size >= 2 * k) compact(0)
+  }
+
+  private def compact(level: Int): Unit = {
+    val buf = levels(level)
+    buf.sortInPlace()
+    if (levels.size == level + 1) levels += ArrayBuffer.empty[Double]
+    val next = levels(level + 1)
+    var i = (flips & 1L).toInt
+    flips += 1
+    while (i < buf.size) { next += buf(i); i += 2 }
+    buf.clear()
+    if (next.size >= 2 * k) compact(level + 1)
+  }
+
+  def mergeIn(o: QuantileSketch): Unit = {
+    n += o.n; flips += o.flips
+    while (levels.size < o.levels.size) levels += ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < o.levels.size) {
+      levels(i) ++= o.levels(i)
+      if (levels(i).size >= 2 * k) compact(i)
+      i += 1
+    }
+  }
+
+  /** Value whose weighted rank first reaches q·(total weight). */
+  def quantile(q: Double): Double = {
+    val items = ArrayBuffer.empty[(Double, Long)]
+    var lv = 0
+    while (lv < levels.size) {
+      val w = 1L << lv
+      levels(lv).foreach(v => items += ((v, w)))
+      lv += 1
+    }
+    if (items.isEmpty) return Double.NaN
+    val sorted = items.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val target = q * total
+    var cum = 0L
+    var i = 0
+    while (i < sorted.size) {
+      cum += sorted(i)._2
+      if (cum >= target) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+
+  def serialized: Array[Byte] = {
+    val sizes = levels.map(_.size)
+    val bb = java.nio.ByteBuffer
+      .allocate(4 + 8 + 8 + 4 + sizes.size * 4 + sizes.sum * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(k).putLong(n).putLong(flips).putInt(levels.size)
+    levels.foreach { l => bb.putInt(l.size); l.foreach(bb.putDouble) }
+    bb.array()
+  }
+}
+
+object QuantileSketch {
+  /** Static entry point for [[QuantileValue]]'s generated code. */
+  def quantileOf(bytes: Array[Byte], q: Double): Double =
+    deserialize(bytes).quantile(q)
+
+  def deserialize(bytes: Array[Byte]): QuantileSketch = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sk = new QuantileSketch(bb.getInt)
+    sk.n = bb.getLong; sk.flips = bb.getLong
+    val numLevels = bb.getInt
+    var i = 0
+    while (i < numLevels) {
+      if (sk.levels.size == i) sk.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      val sz = bb.getInt
+      var j = 0
+      while (j < sz) { sk.levels(i) += bb.getDouble; j += 1 }
+      i += 1
+    }
+    sk
+  }
+}
+
+/** `quantile_sketch(x, k)`: aggregates DOUBLE values into a serialized
+  * [[QuantileSketch]] (BINARY). The epoch-persistable half of the
+  * build/merge pair — mirror of `hll_sketch_agg` for rank queries.
+  * Partial buffers merge map-side; only O(k·log(n/k)) doubles cross the
+  * exchange.
+  */
+case class QuantileSketchAgg(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch] with UnaryLike[Expression] {
+  require(k >= 8, "quantile_sketch needs k >= 8")
+  require(child.dataType == DoubleType,
+    "quantile_sketch input must be DOUBLE (the SQL registration casts)")
+
+  override def createAggregationBuffer(): QuantileSketch = new QuantileSketch(k)
+
+  override def update(buf: QuantileSketch, input: InternalRow): QuantileSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: QuantileSketch, other: QuantileSketch): QuantileSketch = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: QuantileSketch): Any = buf.serialized
+  override def serialize(buf: QuantileSketch): Array[Byte] = buf.serialized
+  override def deserialize(bytes: Array[Byte]): QuantileSketch =
+    QuantileSketch.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(c: Expression): QuantileSketchAgg =
+    copy(child = c)
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "quantile_sketch"
+}
+
+/** `quantile_merge(sketch)`: unions serialized [[QuantileSketch]]es into
+  * one (BINARY) — mirror of `hll_union_agg`. This is the cross-epoch
+  * path: per-epoch sketches persisted at ingest are merged WITHOUT
+  * re-reading the epochs' rows, and the merged sketch keeps the same
+  * rank guarantee over the union.
+  */
+case class QuantileMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketch] with UnaryLike[Expression] {
+
+  // k is carried by the serialized sketches themselves; an empty union
+  // falls back to a minimal valid sketch.
+  override def createAggregationBuffer(): QuantileSketch = new QuantileSketch(8)
+
+  override def update(buf: QuantileSketch, input: InternalRow): QuantileSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val incoming = QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf.n == 0L && buf.k < incoming.k) { incoming.mergeIn(buf); incoming }
+      else { buf.mergeIn(incoming); buf }
+    }
+  }
+
+  override def merge(buf: QuantileSketch, other: QuantileSketch): QuantileSketch =
+    if (buf.n == 0L && buf.k < other.k) { other.mergeIn(buf); other }
+    else { buf.mergeIn(other); buf }
+
+  override def eval(buf: QuantileSketch): Any = buf.serialized
+  override def serialize(buf: QuantileSketch): Array[Byte] = buf.serialized
+  override def deserialize(bytes: Array[Byte]): QuantileSketch =
+    QuantileSketch.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(c: Expression): QuantileMergeAgg =
+    copy(child = c)
+  override def withNewMutableAggBufferOffset(o: Int): QuantileMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "quantile_merge"
+}
+
+/** `quantile_value(sketch, q)`: rank-q estimate from a serialized
+  * [[QuantileSketch]]. Evaluated on aggregated sketch rows (one per
+  * epoch/group), never per input row, so the deserialize-per-call cost
+  * is off the hot path by construction.
+  */
+case class QuantileValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+  require(right.dataType == DoubleType,
+    "quantile_value q must be DOUBLE (the SQL registration casts)")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(sketch: Any, q: Any): Any =
+    QuantileSketch.quantileOf(sketch.asInstanceOf[Array[Byte]], q.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sk, q) =>
+      s"${ev.value} = graft.functions.QuantileSketch.quantileOf($sk, $q);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : QuantileValue = copy(left = l, right = r)
+  override def prettyName: String = "quantile_value"
+}
+
 /** `bloom_might_contain(bloom, key)`: membership probe against a
   * [[BloomBuildAgg]] bitset. Sits in scan-side filters, so it generates a
   * static call inside whole-stage codegen rather than falling back to

@@ -253,6 +253,12 @@ object GraftFunctions {
     c(TopKByAgg(e(ord), e(value), k).toAggregateExpression())
   def heavy_hitters(item: Column, k: Int): Column =
     c(MisraGriesAgg(e(item), k).toAggregateExpression())
+  def quantile_sketch(x: Column, k: Int = 256): Column =
+    c(QuantileSketchAgg(Cast(e(x), DoubleType), k).toAggregateExpression())
+  def quantile_merge(sketch: Column): Column =
+    c(QuantileMergeAgg(e(sketch)).toAggregateExpression())
+  def quantile_value(sketch: Column, q: Double): Column =
+    c(QuantileValue(e(sketch), Literal(q)))
   def bloom_build(key: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
     c(BloomBuildAgg(e(key), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(bloom: Column, key: Column, numHashes: Int = 5): Column =

@@ -186,6 +186,58 @@ object Functions {
         round(expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).as("qty_p50"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable quantile sketches across epochs — the rank-query twin of
+    * rel_q34's HLL pattern, built on the native
+    * [[graft.functions.QuantileSketchAgg]] family because Spark ships no
+    * persistable quantile-sketch column (approx_percentile's GK buffer
+    * lives and dies inside one query; the DataSketches surface covers
+    * only HLL). At 100 TB each ingest epoch persists its own ~KB sketch;
+    * quantile_merge unions them WITHOUT re-reading the epochs' rows.
+    *
+    * Invariant-oracle form (the sketch VALUE has no cross-engine
+    * oracle): alongside the exact percentiles (value-checked against
+    * DuckDB percentile_cont), the query re-scans lineitem once to
+    * measure each estimate's actual rank and asserts |rank − q| ≤ 5% —
+    * 2.5× the k=256 hierarchy's worst-case bound at this n — for BOTH
+    * the directly-built sketch and the per-month-merged one. A sketch
+    * or merge that drifts out of guarantee fails the driver compare.
+    */
+  def fQuantileSketchEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{quantile_merge, quantile_sketch, quantile_value}
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("price"), col("l_shipdate"))
+    val merged = li
+      .groupBy(date_trunc("month", col("l_shipdate")).as("epoch"))
+      .agg(quantile_sketch(col("price")).as("sk"))
+      .agg(quantile_merge(col("sk")).as("msk"))
+    val direct = li.agg(
+      quantile_sketch(col("price")).as("dsk"),
+      expr("percentile(price, array(0.25, 0.5, 0.75, 0.95))").as("exact"))
+    val ests = direct.crossJoin(merged).select(
+      round(element_at(col("exact"), 1), 4).as("price_p25"),
+      round(element_at(col("exact"), 2), 4).as("price_p50"),
+      round(element_at(col("exact"), 3), 4).as("price_p75"),
+      round(element_at(col("exact"), 4), 4).as("price_p95"),
+      quantile_value(col("dsk"), 0.25).as("d25"),
+      quantile_value(col("dsk"), 0.50).as("d50"),
+      quantile_value(col("dsk"), 0.75).as("d75"),
+      quantile_value(col("dsk"), 0.95).as("d95"),
+      quantile_value(col("msk"), 0.25).as("m25"),
+      quantile_value(col("msk"), 0.50).as("m50"),
+      quantile_value(col("msk"), 0.75).as("m75"),
+      quantile_value(col("msk"), 0.95).as("m95"))
+    // rank-verification pass: one more scan, estimates broadcast
+    val n = count(lit(1)).cast("double")
+    def rankOk(est: String, q: Double): Column =
+      (abs(sum((col("price") <= col(est)).cast("long")).cast("double") / n - lit(q))
+        <= lit(0.05)).as(est + "_ok")
+    li.crossJoin(broadcast(ests))
+      .groupBy(col("price_p25"), col("price_p50"), col("price_p75"), col("price_p95"))
+      .agg(count(lit(1)).as("n_rows"),
+        rankOk("d25", 0.25), rankOk("d50", 0.50), rankOk("d75", 0.75), rankOk("d95", 0.95),
+        rankOk("m25", 0.25), rankOk("m50", 0.50), rankOk("m75", 0.75), rankOk("m95", 0.95))
+  }
+
   /** Lateral expansion: posexplode flattens each document's token array to
     * (pos, token) rows — the Generate operator. Row count multiplies by
     * ~|tokens|, so at scale this runs AFTER any document-level filter
@@ -249,6 +301,7 @@ object Functions {
     "fn_stats" -> fStats,
     "fn_percentile" -> fPercentile,
     "fn_approx_percentile" -> fApproxPercentile,
+    "fn_quantile_sketch_epochs" -> fQuantileSketchEpochs,
     "fn_explode" -> fExplode
   )
 
@@ -337,6 +390,19 @@ object Functions {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS qty_p50_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // MRL/KLL rank-invariant form: exact percentiles value-checked, the
+    // direct and epoch-merged sketch estimates asserted within 5% rank
+    // error in-query (no cross-engine oracle exists for the sketch value)
+    "fn_quantile_sketch_epochs" ->
+      """SELECT
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p25,
+        |  round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p50,
+        |  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p75,
+        |  round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p95,
+        |  count(*) AS n_rows,
+        |  TRUE AS d25_ok, TRUE AS d50_ok, TRUE AS d75_ok, TRUE AS d95_ok,
+        |  TRUE AS m25_ok, TRUE AS m50_ok, TRUE AS m75_ok, TRUE AS m95_ok
+        |FROM lineitem""".stripMargin,
     "fn_percentile" ->
       """SELECT l_returnflag,
         |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS price_p25,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.GraftFunctions.{bloom_build, bloom_might_contain, heavy_hitters, topk_by}
+import graft.functions.GraftFunctions.{bloom_build, bloom_might_contain, heavy_hitters, quantile_merge, quantile_sketch, quantile_value, topk_by}
 
 /** Pins the typed-imperative aggregates: bounded-heap top-k (values,
   * ordering, ties, partial/merge path across many partitions, SQL
@@ -103,6 +103,68 @@ class AggregatesSpec extends AnyFunSuite {
     // allow two orders of magnitude slack
     val fp = (2000L until 4000L).count(probeAll(_))
     assert(fp <= 20, s"false-positive count $fp out of 2000")
+  }
+
+  test("quantile_sketch stays within its rank bound under any partitioning") {
+    import spark.implicits._
+    // adversarial-ish skewed distribution: squares (dense low, sparse
+    // high) — rank bounds must hold regardless of value distribution
+    val n = 100000
+    val xs = (0 until n).map(i => (i.toDouble * i) % 999983)
+    val sorted = xs.sorted
+    for (parts <- Seq(1, 4, 32)) {
+      val skRow = xs.toDF("x").repartition(parts)
+        .agg(quantile_sketch(col("x"), 256).as("sk"))
+      val got = skRow.select(
+        quantile_value(col("sk"), 0.25).as("q25"),
+        quantile_value(col("sk"), 0.50).as("q50"),
+        quantile_value(col("sk"), 0.95).as("q95")).head()
+      for ((q, v) <- Seq(0.25 -> got.getDouble(0), 0.50 -> got.getDouble(1),
+                         0.95 -> got.getDouble(2))) {
+        val rank = sorted.count(_ <= v).toDouble / n
+        // tighter than the registered query's 5%: the worst-case bound at
+        // k=256, n=1e5 is ~1.7%; alternating offsets keep typical error
+        // well under it
+        assert(math.abs(rank - q) <= 0.03,
+          s"parts=$parts q=$q: estimate $v has rank $rank")
+      }
+    }
+  }
+
+  test("quantile_merge of per-group sketches ≡ one sketch's guarantee") {
+    import spark.implicits._
+    val n = 60000
+    val xs = (0 until n).map(i => ((i * 37) % 1000).toDouble)
+    val sorted = xs.sorted
+    // 12 epochs built independently (the persisted-sketch-per-epoch
+    // shape), then unioned without touching rows again
+    val merged = xs.zipWithIndex.map { case (x, i) => (i % 12, x) }
+      .toDF("epoch", "x").repartition(8)
+      .groupBy(col("epoch")).agg(quantile_sketch(col("x"), 256).as("sk"))
+      .agg(quantile_merge(col("sk")).as("msk"))
+    val got = merged.select(
+      quantile_value(col("msk"), 0.10).as("q10"),
+      quantile_value(col("msk"), 0.50).as("q50"),
+      quantile_value(col("msk"), 0.90).as("q90")).head()
+    for ((q, v) <- Seq(0.10 -> got.getDouble(0), 0.50 -> got.getDouble(1),
+                       0.90 -> got.getDouble(2))) {
+      val rank = sorted.count(_ <= v).toDouble / n
+      assert(math.abs(rank - q) <= 0.03, s"q=$q: estimate $v has rank $rank")
+    }
+  }
+
+  test("quantile sketch family is SQL-callable and plans as typed partial agg") {
+    import spark.implicits._
+    (0 until 1000).map(_.toDouble).toDF("x").createOrReplaceTempView("qs_in")
+    val est = spark.sql(
+      "SELECT quantile_value(quantile_sketch(x, 64), 0.5) AS med FROM qs_in")
+      .head().getDouble(0)
+    assert(math.abs(est - 500.0) <= 50.0, s"median estimate $est")
+    val plan = spark.range(1000).select(col("id").cast("double").as("x"))
+      .repartition(4).agg(quantile_sketch(col("x"), 64))
+      .queryExecution.executedPlan.toString
+    // partial ObjectHashAggregate ⇒ only sketch buffers cross the exchange
+    assert(plan.contains("ObjectHashAggregate"), s"expected typed partial agg:\n$plan")
   }
 
   test("rel_q31 (heap top-k aggregate) ≡ rel_q7 (ranking window)") {
