@@ -212,6 +212,25 @@ object Curation {
     * text never shuffles. The fixed-k-per-stratum shape (vs mixtureApply's
     * fixed-RATE) is what eval-set construction and per-source inspection
     * samples use. */
+  /** Global deterministic uniform sample: bottom-k by content hash. Each
+    * doc's md5 over a seeded key is a uniform draw, so the k smallest
+    * hashes are a uniform k-sample — with properties RNG-based sampling
+    * (`TABLESAMPLE`, rand()) lacks at 100 TB: the SAME docs come back on
+    * every run, any partitioning, any engine; a k→2k rerun EXTENDS the
+    * sample (prefix property — bottom-k of the same hash order); and
+    * samples of two corpora MERGE into a sample of their union (bottom-k
+    * of the concatenated bags), the classic bottom-k sketch (Cohen &
+    * Kaplan, PODC 2007, public). Plans as TakeOrderedAndProject: each
+    * partition keeps its own k smallest, a single reducer merges k·P
+    * rows — the corpus is never globally sorted or shuffled.
+    */
+  def sampleBottomK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("doc_id").cast("string"), lit(":bottomk"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(k)
+
   def sampleStratified(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
     val h = md5(concat(col("doc_id").cast("string"), lit(":sample")))
     val w = org.apache.spark.sql.expressions.Window
@@ -286,6 +305,7 @@ object Curation {
     "cur_chunk_documents" -> ((s, d) => chunkDocuments(s, d)),
     "cur_pipeline_summary" -> pipelineSummary,
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "cur_sample_bottomk" -> ((s, d) => sampleBottomK(s, d)),
     "cur_mixture_apply" -> mixtureApply,
     "cur_token_shards" -> ((s, d) => tokenShards(s, d)),
     "cur_split_assign" -> splitAssign,
@@ -337,6 +357,11 @@ object Curation {
         |      FROM h)
         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, h
         |FROM r WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
+    // same md5 bytes in both engines ⇒ identical bottom-k set
+    "cur_sample_bottomk" ->
+      """SELECT doc_id, source,
+        |  md5(CAST(doc_id AS VARCHAR) || ':bottomk') AS h
+        |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin,
     // u = first-4-md5-nibbles/65536 is an exact binary fraction, so the
     // keep decision compares identical doubles in both engines
     "cur_mixture_apply" ->

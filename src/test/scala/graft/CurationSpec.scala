@@ -102,6 +102,34 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("bottom-k sample has the prefix property and plans as TakeOrdered") {
+    val k100 = Curation.sampleBottomK(spark, sf, 100).collect()
+      .map(_.getAs[Long]("doc_id"))
+    val k50 = Curation.sampleBottomK(spark, sf, 50).collect()
+      .map(_.getAs[Long]("doc_id"))
+    // prefix property: growing k extends the sample, never reshuffles it
+    assert(k50.toSeq == k100.take(50).toSeq)
+    // uniform-sample mergeability: bottom-50 of (bottom-50 of evens ∪
+    // bottom-50 of odds) == bottom-50 of the whole corpus — two corpora's
+    // samples merge into a sample of their union without re-reading either
+    // (the bottom-k sketch property)
+    val docs = graft.schema.Tables(spark, sf, "documents")
+    def bottomOf(half: org.apache.spark.sql.DataFrame) = half
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":bottomk"))).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(50)
+    val mergedTop = bottomOf(docs.filter(col("doc_id") % 2 === 0))
+      .unionAll(bottomOf(docs.filter(col("doc_id") % 2 === 1)))
+      .orderBy(col("h"), col("doc_id")).limit(50)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(mergedTop.toSeq == k50.toSeq)
+    // the scale contract: per-partition top-k + single k·P merge, never a
+    // global sort of the corpus
+    val plan = Curation.sampleBottomK(spark, sf, 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("mixture plan shares sum to 1 and sample rates are capped") {
     val rows = Curation.mixturePlan(spark, sf).collect()
     assert(rows.nonEmpty)
