@@ -167,6 +167,63 @@ object StreamSync {
     spark.read.parquet(s"$viewDir/batch=${ids.max}/view")
   }
 
+  /** Streaming quantile maintenance: each micro-batch persists ONE
+    * ~KB [[graft.functions.QuantileSketchAgg]] row (batch id, row count,
+    * serialized sketch) — the streaming face of the epoch pattern in
+    * `fn_quantile_sketch_epochs`. Any later reader answers "p95 of
+    * everything drained so far" by merging the per-batch sketches
+    * ([[readQuantileView]]) WITHOUT re-reading a single event: at 100 TB
+    * the events are gone from cache minutes after ingest, the sketches
+    * stay.
+    *
+    * Replay safety mirrors [[maintainStatusView]]'s dirs: a batch
+    * (re)writes only its own `batch=<id>` dir — no cross-batch read, so
+    * replay after any crash is a deterministic self-overwrite, and the
+    * merged answer (a bound-checked estimate, not an exact value) is
+    * unaffected by which compaction order a replayed build took.
+    */
+  def maintainQuantileSketches(events: DataFrame, sketchDir: String,
+                               checkpointDir: String): Unit = {
+    import graft.functions.GraftFunctions.quantile_sketch
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(sketchDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dst = s"$sketchDir/batch=$batchId"
+        batch.agg(quantile_sketch(col("value")).as("sk"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dst/sketch")
+        fs.create(new org.apache.hadoop.fs.Path(dst, "_COMMIT"), true).close()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Quantiles over every event drained so far, from the per-batch
+    * sketches alone: reads the committed ~KB rows, `quantile_merge`s
+    * them, probes the requested ranks. Events are never re-read. */
+  def readQuantileView(spark: SparkSession, sketchDir: String,
+                       qs: Seq[Double]): DataFrame = {
+    import graft.functions.GraftFunctions.{quantile_merge, quantile_value}
+    val root = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .map(_.getName.stripPrefix("batch=").toLong)
+    require(ids.nonEmpty, s"no committed sketches under $sketchDir")
+    val merged = spark.read
+      .parquet(ids.map(id => s"$sketchDir/batch=$id/sketch"): _*)
+      .agg(quantile_merge(col("sk")).as("msk"), sum(col("n_rows")).as("n_rows"))
+    merged.select(col("n_rows") +: qs.map(q =>
+      quantile_value(col("msk"), q).as(s"q${(q * 100).round}")): _*)
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * the streaming form of [[graft.ops.Events.tumbling]]. Late data beyond
     * the watermark is dropped; state is bounded by watermark horizon. */

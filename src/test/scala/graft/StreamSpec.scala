@@ -128,6 +128,47 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("per-batch quantile sketches merge to the whole stream's quantiles") {
+    val base = Files.createTempDirectory("graft-stream-qs").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val events = Tables.events(spark, sf)
+    def drain(): Unit = StreamSync.maintainQuantileSketches(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/sk", s"$base/chk")
+    // two incremental drains, 2 leaf files each ⇒ 4 micro-batches ⇒ 4
+    // per-batch sketches for the merge to cover
+    def addFiles(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      df.coalesce(2).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    addFiles(events.filter(col("event_id") % 3 === 0), "a")
+    drain()
+    addFiles(events.filter(col("event_id") % 3 =!= 0), "b")
+    drain()
+    val row = StreamSync.readQuantileView(spark, s"$base/sk",
+      Seq(0.25, 0.5, 0.95)).head()
+    val n = row.getLong(0)
+    assert(n == events.count(), "sketches must cover every drained event")
+    // rank-check each estimate against the full drained dataset
+    val values = events.select(col("value").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    for ((q, i) <- Seq(0.25 -> 1, 0.5 -> 2, 0.95 -> 3)) {
+      val est = row.getDouble(i)
+      val rank = values.count(_ <= est).toDouble / values.length
+      assert(math.abs(rank - q) <= 0.05, s"q=$q est=$est rank=$rank")
+    }
+    // idempotence: a drain with nothing new must not change the answer
+    drain()
+    val again = StreamSync.readQuantileView(spark, s"$base/sk",
+      Seq(0.25, 0.5, 0.95)).head()
+    assert(again.getLong(0) == n)
+  }
+
   test("RocksDB state store: windowed agg and dedup match their default-store results") {
     // the 100 TB state posture (state off-heap/on-disk, not JVM heap) must
     // be a config swap, not a semantics change
