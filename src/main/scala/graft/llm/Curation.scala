@@ -212,6 +212,50 @@ object Curation {
     * text never shuffles. The fixed-k-per-stratum shape (vs mixtureApply's
     * fixed-RATE) is what eval-set construction and per-source inspection
     * samples use. */
+  /** Bloom-filter decontamination — [[decontaminate]]'s 100 TB form. The
+    * exact path broadcasts the eval set's DISTINCT SHINGLE STRINGS, which
+    * grows with the benchmark suite (GBs once the eval pool is itself
+    * corpus-sized); this path broadcasts a CONSTANT ~128 KB
+    * [[graft.functions.BloomBuildAgg]] bitset over the shingle hashes
+    * instead, and probes it map-side (codegen'd, no join at all on the
+    * corpus side). Bloom probes have NO false negatives, so every
+    * exactly-contaminated document is still flagged — the safety property
+    * decontamination actually needs; false positives only ever
+    * over-flag, and reaching the ≥5-shingle threshold by accident is
+    * (1/2^20-ish)^5-rare.
+    *
+    * Invariant-oracle form: the flagged doc set is hash-dependent (no
+    * cross-engine oracle), but the contract is checkable — emit the
+    * exact contaminated count (DuckDB-replayed) plus in-query proofs
+    * that (a) exact-contaminated ⊆ bloom-flagged and (b) the bloom
+    * over-flag is bounded (≤ exact + 1% of docs).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_build, bloom_might_contain}
+    val isEval = col("doc_id") % 97 === 0
+    val hashed = Tables(spark, dir, "documents").select(col("doc_id"),
+      explode(GraftFunctions.shingle_hashes(col("text"), 3)).as("h"))
+    val bloom = hashed.filter(isEval)
+      .agg(bloom_build(col("h"), 1 << 20, 5).as("bf"))
+    val bloomFlagged = hashed.filter(!isEval)
+      .crossJoin(broadcast(bloom))
+      .filter(bloom_might_contain(col("bf"), col("h"), 5))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= ContaminationThreshold)
+      .select(col("doc_id"), lit(true).as("bloom_flag"))
+    decontaminate(spark, dir)
+      .join(bloomFlagged, Seq("doc_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("contaminated").cast("long")).as("n_contaminated"),
+        // every exactly-contaminated doc must carry the bloom flag
+        coalesce(min(when(col("contaminated"), coalesce(col("bloom_flag"), lit(false)))),
+          lit(true)).as("no_false_negatives"),
+        (sum(coalesce(col("bloom_flag"), lit(false)).cast("long"))
+          <= sum(col("contaminated").cast("long")) + count(lit(1)) / lit(100))
+          .as("overflag_bounded"))
+  }
+
   /** Global deterministic uniform sample: bottom-k by content hash. Each
     * doc's md5 over a seeded key is a uniform draw, so the k smallest
     * hashes are a uniform k-sample — with properties RNG-based sampling
@@ -313,6 +357,7 @@ object Curation {
     "cur_scrub" -> scrub,
     "cur_repetition" -> repetition,
     "cur_decontaminate" -> decontaminate,
+    "cur_decontaminate_bloom" -> decontaminateBloom,
     "cur_mixture_plan" -> mixturePlan
   )
 
@@ -357,6 +402,25 @@ object Curation {
         |      FROM h)
         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, h
         |FROM r WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
+    // bloom invariant form: exact contaminated count replayed, the
+    // no-false-negative and bounded-over-flag proofs asserted in-query
+    "cur_decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 2),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1] || ' ' ||
+        |           string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |ov AS (SELECT s.doc_id, count(*) AS n_overlap
+        |       FROM sh s JOIN ev USING (sh)
+        |       WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id)
+        |SELECT count(*) AS n_docs,
+        |  (SELECT count(*) FROM ov WHERE n_overlap >= 5) AS n_contaminated,
+        |  TRUE AS no_false_negatives, TRUE AS overflag_bounded
+        |FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
     // same md5 bytes in both engines ⇒ identical bottom-k set
     "cur_sample_bottomk" ->
       """SELECT doc_id, source,
