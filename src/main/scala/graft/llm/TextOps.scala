@@ -134,6 +134,36 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** GROUPED quantile sketches: per-source document-length quantiles via
+    * one [[graft.functions.QuantileSketchAgg]] buffer PER GROUP — the
+    * shape corpus monitoring runs at 100 TB, where [[corpusStats]]'s
+    * exact `percentile` would buffer every group's values in one reducer
+    * while the sketch keeps O(k·log n) doubles per group across the
+    * exchange. Same invariant-oracle form as `fn_quantile_sketch_epochs`,
+    * per group: exact percentiles value-checked against DuckDB, the
+    * sketch estimates rank-verified within 5% in-query via a broadcast-
+    * back second pass (the fApproxPercentile pattern).
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{quantile_sketch, quantile_value}
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("double").as("len"))
+    val ests = docs.groupBy(col("source")).agg(
+        quantile_sketch(col("len")).as("sk"),
+        expr("percentile(len, array(0.5, 0.9))").as("exact"))
+      .select(col("source"),
+        round(element_at(col("exact"), 1), 4).as("len_p50"),
+        round(element_at(col("exact"), 2), 4).as("len_p90"),
+        quantile_value(col("sk"), 0.5).as("e50"),
+        quantile_value(col("sk"), 0.9).as("e90"))
+    docs.join(broadcast(ests), "source")
+      .groupBy(col("source"), col("len_p50"), col("len_p90"))
+      .agg(count(lit(1)).as("n_docs"),
+        (abs(avg((col("len") <= col("e50")).cast("long")) - 0.5) <= 0.05).as("p50_ok"),
+        (abs(avg((col("len") <= col("e90")).cast("long")) - 0.9) <= 0.05).as("p90_ok"))
+      .orderBy(col("source"))
+  }
+
   /** Corpus vocabulary heavy hitters: top-k tokens by frequency — the
     * tokenizer-vocab / stopword-mining primitive. explode is map-side; the
     * token group-by does partial (map-side combine) + final aggregation, so
@@ -254,10 +284,19 @@ object TextOps {
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
     "text_quality_filter" -> qualityFilter,
-    "text_corpus_stats" -> corpusStats
+    "text_corpus_stats" -> corpusStats,
+    "text_length_quantiles" -> lengthQuantiles
   )
 
   val oracles: Map[String, String] = Map(
+    // grouped-sketch invariant form: exact per-group percentiles
+    // value-checked; the sketch rank bounds asserted in-query
+    "text_length_quantiles" ->
+      """SELECT source,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS len_p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS len_p90,
+        |  count(*) AS n_docs, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
