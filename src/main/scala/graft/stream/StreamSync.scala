@@ -224,6 +224,79 @@ object StreamSync {
       quantile_value(col("msk"), q).as(s"q${(q * 100).round}")): _*)
   }
 
+  /** Streaming heavy hitters: each micro-batch persists ONE Misra–Gries
+    * sketch row (≤k (token, weight) counters + the batch's token count)
+    * over the batch's document tokens — trending-vocabulary maintenance
+    * without any global token state. Same store layout and replay story
+    * as [[maintainQuantileSketches]].
+    */
+  def maintainHeavyHitters(docs: DataFrame, sketchDir: String,
+                           checkpointDir: String, k: Int = 32): Unit = {
+    import graft.functions.GraftFunctions.heavy_hitters
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(sketchDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dst = s"$sketchDir/batch=$batchId"
+        batch.select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .agg(heavy_hitters(col("token"), k).as("hh"),
+            count(lit(1)).as("n_tokens"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dst/sketch")
+        fs.create(new org.apache.hadoop.fs.Path(dst, "_COMMIT"), true).close()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Stream-wide heavy-hitter candidates from the per-batch sketches
+    * alone: the Agarwal-et-al mergeable-summaries merge (sum counters
+    * pairwise, subtract the (k+1)-th largest, drop non-positives)
+    * expressed as plain relational ops over the ≤k·B persisted counters.
+    * The merged candidates keep the sketch guarantee over the TOTAL
+    * drained token count N: every token with true frequency > N/(k+1)
+    * survives, and each weight lower-bounds its true frequency within
+    * N/(k+1). Tokens themselves are never re-read.
+    */
+  def readHeavyHitterView(spark: SparkSession, sketchDir: String,
+                          k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = new org.apache.hadoop.fs.Path(sketchDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .map(_.getName.stripPrefix("batch=").toLong)
+    require(ids.nonEmpty, s"no committed sketches under $sketchDir")
+    val rows = spark.read
+      .parquet(ids.map(id => s"$sketchDir/batch=$id/sketch"): _*)
+    val summed = rows.select(explode(col("hh")).as("c"))
+      .select(col("c.item").as("token"), col("c.est").as("w"))
+      .groupBy(col("token")).agg(sum(col("w")).as("w"))
+    // (k+1)-th largest summed weight (0 when ≤k survive the sum)
+    val cut = summed
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("w").desc, col("token"))))
+      .filter(col("rk") === k + 1)
+      .select(col("w").as("cut"))
+    val nTotal = rows.agg(sum(col("n_tokens")).as("n_tokens"))
+    // no (k+1)-th row ⇒ cut = 0 (weights are positive, so max picks the
+    // real cut when one exists)
+    val cutOrZero = cut.unionByName(
+        summed.sparkSession.range(1).select(lit(0L).as("cut")))
+      .agg(max(col("cut")).as("cut"))
+    summed.crossJoin(broadcast(cutOrZero))
+      .select(col("token"), (col("w") - col("cut")).as("est"))
+      .filter(col("est") > 0)
+      .crossJoin(broadcast(nTotal))
+      .orderBy(col("est").desc, col("token"))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * the streaming form of [[graft.ops.Events.tumbling]]. Late data beyond
     * the watermark is dropped; state is bounded by watermark horizon. */

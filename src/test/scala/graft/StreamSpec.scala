@@ -169,6 +169,49 @@ class StreamSpec extends AnyFunSuite {
     assert(again.getLong(0) == n)
   }
 
+  test("per-batch heavy-hitter sketches keep the Misra-Gries guarantee when merged") {
+    val base = Files.createTempDirectory("graft-stream-hh").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val k = 32
+    def drain(): Unit = StreamSync.maintainHeavyHitters(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/sk", s"$base/chk", k)
+    def addFiles(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      df.coalesce(2).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    addFiles(docs.filter(col("doc_id") % 2 === 0), "a")
+    drain()
+    addFiles(docs.filter(col("doc_id") % 2 =!= 0), "b")
+    drain()
+    val got = StreamSync.readHeavyHitterView(spark, s"$base/sk", k).collect()
+    assert(got.nonEmpty)
+    val n = got.head.getAs[Long]("n_tokens")
+    // exact token counts over everything drained
+    val exact = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == exact.values.sum, "sketches must cover every drained token")
+    val bound = n.toDouble / (k + 1)
+    val guaranteed = exact.filter(_._2 > bound).keySet
+    assert(guaranteed.nonEmpty, "fixture must have guaranteed heavy hitters")
+    val gotMap = got.map(r =>
+      r.getAs[String]("token") -> r.getAs[Long]("est")).toMap
+    assert(guaranteed.subsetOf(gotMap.keySet),
+      s"lost guaranteed tokens: ${guaranteed -- gotMap.keySet}")
+    gotMap.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overestimated: $est > ${exact(t)}")
+      assert(est >= exact(t) - bound - 1, s"$t bound too loose: $est vs ${exact(t)}")
+    }
+  }
+
   test("RocksDB state store: windowed agg and dedup match their default-store results") {
     // the 100 TB state posture (state off-heap/on-disk, not JVM heap) must
     // be a config swap, not a semantics change
