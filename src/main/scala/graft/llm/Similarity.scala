@@ -361,7 +361,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-class centroid outliers — embedding-space QA for a labeled
+    * corpus (mislabeled / off-distribution members surface as the vectors
+    * least similar to their own class centroid). Centroids are built
+    * relationally (posexplode → per-(label, dim) mean → re-assembled
+    * array), then the |labels|·d table broadcasts back and every
+    * vector's cosine-to-own-centroid is a map-side zip_with fold — the
+    * corpus never shuffles, mirroring the IVF/k-means model-broadcast
+    * posture. Bottom-k per label via one window over (label, cosine).
+    */
+  def centroidOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col("embedding")
+    val cent = Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p.getField("m")).as("cvec"))
+    val dot = aggregate(zip_with(v, col("cvec"), (a, b) => a.cast("double") * b),
+      lit(0.0), (acc, x) => acc + x)
+    val nv = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nc = sqrt(aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x))
+    Tables(spark, dir, "embeddings")
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"), (dot / (nv * nc)).as("cos_raw"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("cos_raw"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cosine"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "sim_retrieve_rerank" -> ((s, d) => retrieveRerank(s, d)),
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d)),
     "sim_rp_bucket_sizes" -> rpBucketSizes,
@@ -395,6 +431,24 @@ object Similarity {
       |      FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-(label, dim) means re-listed in dim order; cosine replayed with
+    // list_cosine_similarity (double-accumulating, same as the engine)
+    "sim_centroid_outliers" ->
+      """WITH d AS (
+        |  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cm AS (SELECT label, dim, avg(x) AS m FROM d GROUP BY label, dim),
+        |cent AS (SELECT label, list(m ORDER BY dim) AS cvec FROM cm GROUP BY label),
+        |sc AS (SELECT e.label, e.vec_id,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS cos_raw
+        |      FROM embeddings e JOIN cent c USING (label)),
+        |r AS (SELECT label, vec_id, cos_raw,
+        |        row_number() OVER (PARTITION BY label ORDER BY cos_raw, vec_id) AS rk
+        |      FROM sc)
+        |SELECT label, CAST(rk AS INTEGER) AS rk, vec_id,
+        |  round(cos_raw, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY label, rk""".stripMargin,
     "sim_retrieve_rerank" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT e.vec_id,

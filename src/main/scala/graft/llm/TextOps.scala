@@ -164,6 +164,30 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Unigram language-model scoring: train the LM from the corpus itself
+    * (token → count, one keyed agg), then score every document by its
+    * mean token log-probability — the classic cheap quality/fluency
+    * signal for pretraining curation (gibberish and boilerplate land in
+    * the tails). Two passes over the tokens, both with map-side combine;
+    * the vocab-sized count table broadcasts back, so document text
+    * crosses no exchange. At 100 TB the LM table is exactly the
+    * [[vocabTopK]] aggregate a pipeline already maintains.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks.join(broadcast(counts), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt").cast("double") / col("n_total"))), 6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary heavy hitters: top-k tokens by frequency — the
     * tokenizer-vocab / stopword-mining primitive. explode is map-side; the
     * token group-by does partial (map-side combine) + final aggregation, so
@@ -285,7 +309,8 @@ object TextOps {
     "text_fingerprint" -> fingerprint,
     "text_quality_filter" -> qualityFilter,
     "text_corpus_stats" -> corpusStats,
-    "text_length_quantiles" -> lengthQuantiles
+    "text_length_quantiles" -> lengthQuantiles,
+    "text_unigram_logprob" -> unigramLogprob
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +322,17 @@ object TextOps {
         |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS len_p90,
         |  count(*) AS n_docs, TRUE AS p50_ok, TRUE AS p90_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |n AS (SELECT count(*) AS n_total FROM tk)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_logprob
+        |FROM tk JOIN c USING (token), n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
