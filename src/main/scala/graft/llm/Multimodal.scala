@@ -246,7 +246,101 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Sample count for doc `id`'s audio clip — varied so window math hits
+    * uneven tails. Mono PCM16 at 8 kHz. */
+  private def nSamples(id: Long): Int = (800 + (id % 7) * 100).toInt
+
+  /** Generative PCM16 sample: integer sawtooth mix (period varies per
+    * doc), DuckDB-replayable exactly. Range [−1024, 1023]. */
+  private def pcm(id: Long, i: Int): Int =
+    (((id * 131 + i.toLong * (37 + id % 7)) % 2048) - 1024).toInt
+
+  /** Once-per-(session, source-dir) WAV blob table — the audio twin of
+    * [[pngTable]]: each document gets a real RIFF/WAVE container (mono
+    * 16-bit little-endian PCM, 8 kHz) written by `javax.sound.sampled`
+    * in a partition-parallel pass and materialized as an external
+    * parquet table. Queries read only (doc_id, payload) opaque bytes. */
+  private def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode & 0x7fffffff).toString
+    val tbl = s"graft_wav_$tag"
+    if (!spark.catalog.tableExists(tbl)) {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-wav").toString
+      Tables.parallelized(Tables(spark, dir, "documents"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          ids.map { id =>
+            val n = nSamples(id)
+            val raw = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val s = pcm(id, i)
+              raw(2 * i) = (s & 0xff).toByte
+              raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("doc_id", "payload")
+        .write.format("parquet").option("path", s"$base/$tbl")
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    spark.table(tbl)
+  }
+
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           peak_abs: Int, sum_sq: Long, zero_crossings: Long)
+
+  /** REAL audio decode → signal features: `AudioSystem.getAudioInputStream`
+    * parses the RIFF container (a wrong header parse surfaces as a wrong
+    * sample_rate/n_samples), the PCM16 frames are re-assembled
+    * little-endian, and the features are pure-integer signal stats —
+    * peak amplitude, energy (Σs², exact in a long), zero-crossing count
+    * (the cheap voiced/unvoiced heuristic). The oracle replays the
+    * generative waveform; PCM16 is lossless, so decode(encode(x)) == x
+    * and a broken codec path fails the value compare. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1, s"unexpected decoded format: $fmt")
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          var (peak, sumSq, zc) = (0, 0L, 0L)
+          var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumSq += s.toLong * s
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          AudioFeatures(id, fmt.getSampleRate.toInt, n, peak, sumSq, zc)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_features" -> ((s, d) => audioFeatures(s, d)),
     "mm_resize" -> ((s, d) => resize(s, d)),
     "mm_meta" -> meta,
     "mm_img_meta" -> imageMeta,
@@ -255,6 +349,24 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // PCM16 is lossless: decoded samples == the generative sawtooth, so
+    // peak / energy / zero-crossings replay exactly in integers
+    "mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, 800 + (doc_id % 7) * 100 AS n FROM documents),
+        |s AS (SELECT d.doc_id, i,
+        |        ((d.doc_id * 131 + i * (37 + d.doc_id % 7)) % 2048) - 1024 AS v
+        |      FROM d, unnest(generate_series(0, CAST(d.n AS INTEGER) - 1)) AS t(i)),
+        |z AS (SELECT doc_id, i, v,
+        |        CASE WHEN i > 0 AND (v < 0) <>
+        |          (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+        |          THEN 1 ELSE 0 END AS flip
+        |      FROM s)
+        |SELECT doc_id, 8000 AS sample_rate,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(flip) AS BIGINT) AS zero_crossings
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 2-D box filter replayed over the generative pixels (PNG is lossless,
     // so decoded pixels == the formula; `//` is floor division)
     "mm_resize" ->

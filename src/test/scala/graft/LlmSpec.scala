@@ -350,4 +350,23 @@ class LlmSpec extends AnyFunSuite {
     val meta = llm.Multimodal.imageMeta(spark, sf).collect()
     assert(meta.forall(_.getAs[String]("mime") == "image/png"))
   }
+
+  test("real WAV decode recovers the generative waveform's signal stats") {
+    def pcm(id: Long, i: Int): Int =
+      (((id * 131 + i.toLong * (37 + id % 7)) % 2048) - 1024).toInt
+    val feats = llm.Multimodal.audioFeatures(spark, sf).collect()
+    assert(feats.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    feats.take(20).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (800 + (id % 7) * 100).toInt
+      val samples = (0 until n).map(pcm(id, _))
+      // a real RIFF header parse: rate from the container, count from data
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("n_samples") == n)
+      assert(r.getAs[Int]("peak_abs") == samples.map(math.abs).max)
+      assert(r.getAs[Long]("sum_sq") == samples.map(s => s.toLong * s).sum)
+      assert(r.getAs[Long]("zero_crossings") ==
+        samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    }
+  }
 }
