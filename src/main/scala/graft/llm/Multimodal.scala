@@ -18,9 +18,12 @@ import graft.schema.Tables
   * broken decode (channel order, row/column transposition, truncation)
   * breaks the sums/moments and fails the value compare.
   *
-  * The video/audio analogues (frame sampling over an opaque byte stream)
-  * keep the deterministic chunk shape — no video codec ships with the
-  * JDK — but carry the same mapPartitions batch contract a real one needs.
+  * Audio runs the same real-codec recipe via `javax.sound.sampled`
+  * (RIFF/WAVE encode at ingest, container parse + PCM16 decode in the
+  * query — lossless, so the generative-waveform oracle is exact). Only
+  * the VIDEO analogue (frame sampling over an opaque byte stream) keeps
+  * the deterministic chunk shape — no video codec ships with the JDK —
+  * while carrying the mapPartitions batch contract a real one needs.
   */
 object Multimodal {
 
