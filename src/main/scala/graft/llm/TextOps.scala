@@ -188,6 +188,29 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** One BPE training iteration's candidate scoring: corpus-wide counts
+    * of ADJACENT token pairs, top-k as the next merge candidates — the
+    * inner loop of byte-pair-encoding tokenizer training (Sennrich et
+    * al. 2016, public) expressed as a query. Pairs are extracted
+    * map-side with zip_with over the split array (no per-token window,
+    * no position shuffle); the only exchange carries (pair, count)
+    * partials with map-side combine, and the top-k is TakeOrdered over
+    * the pair aggregate. Iterating = re-running with the merged vocab
+    * applied, exactly how a distributed BPE trainer loops.
+    */
+  def bpeMergeCandidates(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("token"), col("p.b").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"), col("next"))
+      .limit(k)
+  }
+
   /** Corpus vocabulary heavy hitters: top-k tokens by frequency — the
     * tokenizer-vocab / stopword-mining primitive. explode is map-side; the
     * token group-by does partial (map-side combine) + final aggregation, so
@@ -310,7 +333,8 @@ object TextOps {
     "text_quality_filter" -> qualityFilter,
     "text_corpus_stats" -> corpusStats,
     "text_length_quantiles" -> lengthQuantiles,
-    "text_unigram_logprob" -> unigramLogprob
+    "text_unigram_logprob" -> unigramLogprob,
+    "text_bpe_merge_candidates" -> ((s, d) => bpeMergeCandidates(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +357,14 @@ object TextOps {
         |  round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 6) AS avg_logprob
         |FROM tk JOIN c USING (token), n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // adjacent pairs replayed by list index; same tie-break order
+    "text_bpe_merge_candidates" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT ws[i] AS token, ws[i + 1] AS next
+        |      FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i))
+        |SELECT token, next, count(*) AS n
+        |FROM p GROUP BY token, next
+        |ORDER BY n DESC, token, next LIMIT 20""".stripMargin,
     "text_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
