@@ -351,6 +351,23 @@ class LlmSpec extends AnyFunSuite {
     assert(meta.forall(_.getAs[String]("mime") == "image/png"))
   }
 
+  test("r5 query plan shapes: no corpus shuffle where the docs promise none") {
+    // BPE pairs: map-side zip_with extraction + TakeOrdered — a
+    // position-window implementation would shuffle every token
+    val bpe = llm.TextOps.bpeMergeCandidates(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bpe.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$bpe")
+    assert(!bpe.contains("Window"), "pair extraction must not use a window")
+    // unigram LM scoring: the vocab table broadcasts back onto the tokens
+    val ul = llm.TextOps.unigramLogprob(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ul.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$ul")
+    // centroid outliers: the |labels|·d model broadcasts, vectors stay put
+    val co = llm.Similarity.centroidOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(co.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$co")
+  }
+
   test("real WAV decode recovers the generative waveform's signal stats") {
     def pcm(id: Long, i: Int): Int =
       (((id * 131 + i.toLong * (37 + id % 7)) % 2048) - 1024).toInt
