@@ -212,6 +212,56 @@ object Curation {
     * text never shuffles. The fixed-k-per-stratum shape (vs mixtureApply's
     * fixed-RATE) is what eval-set construction and per-source inspection
     * samples use. */
+  /** RELATIVE quality gate: keep documents at or above their own
+    * source's 25th-percentile uniqueness ratio — the "keep the best X%
+    * per domain" curation form, which adapts to each source's baseline
+    * instead of a global constant (a forum and an encyclopedia have
+    * different healthy repetition levels). One keyed agg builds the
+    * |sources|-row cutoff table, broadcast back onto a map-side
+    * comparison — the corpus text never shuffles. Cutoffs are emitted
+    * floor-scaled to ppm (engine-independent; interpolated percentiles
+    * are exactly replayed by DuckDB percentile_cont, proven by
+    * fn_percentile, but their 7th decimal can be a rounding half-point).
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        round(size(array_distinct(words)).cast("double") / size(words), 6)
+          .as("unique_ratio"))
+    val cuts = scored.groupBy(col("source"))
+      .agg(expr("percentile(unique_ratio, 0.25)").as("cut"))
+    scored.join(broadcast(cuts), "source")
+      .select(col("source"), col("doc_id"), col("unique_ratio"),
+        floor(col("cut") * lit(1e6)).cast("long").as("cut_ppm"),
+        (col("unique_ratio") >= col("cut")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence-packing manifest: assign every [[chunkDocuments]] chunk a
+    * (training-sequence id, offset) by streaming the per-source token
+    * count — the layout step that turns a curated corpus into the
+    * fixed-length sequences a trainer consumes. The running sum streams
+    * per source partition exactly like [[tokenShards]]; no global
+    * ordering is ever materialized, so at 100 TB each source packs
+    * independently (append new sources, never re-pack old ones).
+    */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunkDocuments(spark, dir)
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        expr(s"cum_before div $seqLen").as("seq_id"),
+        (col("cum_before") % seqLen).cast("int").as("seq_offset"))
+      .orderBy(col("source"), col("doc_id"), col("chunk_idx"))
+  }
+
   /** Bloom-filter decontamination — [[decontaminate]]'s 100 TB form. The
     * exact path broadcasts the eval set's DISTINCT SHINGLE STRINGS, which
     * grows with the benchmark suite (GBs once the eval pool is itself
@@ -358,6 +408,8 @@ object Curation {
     "cur_repetition" -> repetition,
     "cur_decontaminate" -> decontaminate,
     "cur_decontaminate_bloom" -> decontaminateBloom,
+    "cur_quality_gate" -> qualityGate,
+    "cur_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "cur_mixture_plan" -> mixturePlan
   )
 
@@ -402,6 +454,42 @@ object Curation {
         |      FROM h)
         |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, h
         |FROM r WHERE rk <= 25 ORDER BY source, rk""".stripMargin,
+    // the per-source percentile cutoff replayed with percentile_cont
+    // over the SAME rounded ratios; cut emitted floor-scaled to ppm
+    "cur_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 6) AS unique_ratio
+        |  FROM documents),
+        |c AS (SELECT source,
+        |        percentile_cont(0.25) WITHIN GROUP (ORDER BY unique_ratio) AS cut
+        |      FROM s GROUP BY source)
+        |SELECT s.source, s.doc_id, s.unique_ratio,
+        |  CAST(floor(c.cut * 1e6) AS BIGINT) AS cut_ppm,
+        |  s.unique_ratio >= c.cut AS keep
+        |FROM s JOIN c USING (source) ORDER BY s.doc_id""".stripMargin,
+    // the chunk walk + per-source running token sum replayed; `//` is
+    // floor division on the nonneg cumulative count
+    "cur_pack_sequences" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |         unnest(range(1, greatest(len(ws), 1) + 1, 48)) AS s
+        |       FROM w),
+        |ch AS (SELECT doc_id, CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+        |         CAST(least(64, len(ws) - s + 1) AS INTEGER) AS n_tokens
+        |       FROM st),
+        |j AS (SELECT d.source, ch.doc_id, ch.chunk_idx, ch.n_tokens
+        |      FROM ch JOIN documents d USING (doc_id)),
+        |c AS (SELECT source, doc_id, chunk_idx, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY doc_id, chunk_idx
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM j)
+        |SELECT source, doc_id, chunk_idx, n_tokens,
+        |  CAST(cb // 512 AS BIGINT) AS seq_id,
+        |  CAST(cb % 512 AS INTEGER) AS seq_offset
+        |FROM c ORDER BY source, doc_id, chunk_idx""".stripMargin,
     // bloom invariant form: exact contaminated count replayed, the
     // no-false-negative and bounded-over-flag proofs asserted in-query
     "cur_decontaminate_bloom" ->
