@@ -175,5 +175,9 @@ object Bench {
     // case the capture merges or prefers it.
     System.out.println(line); System.out.flush()
     System.err.println(line); System.err.flush()
+    // A broken query must fail the run, not just report -1: a gate keyed
+    // on exit status (sbt prints [success] on rc 0) would otherwise pass
+    // with n_failed > 0 (ADVICE r5).
+    if (nFailed > 0) sys.exit(1)
   }
 }

@@ -12,6 +12,7 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = Sessions.local(appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -24,6 +25,7 @@ object Verify {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +44,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws (e.g. fails analysis) must not silently shrink
+    // the oracle-compared set: record the failures machine-readably and
+    // exit nonzero so no gate can read a partial dump as all-green
+    // (ADVICE r5: ev_range_join/ev_sessionize vanished this way).
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] n_failed=${failed.size} failed=${failed.sorted.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

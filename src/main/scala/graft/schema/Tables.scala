@@ -15,11 +15,17 @@ object Tables {
       case other    => spark.read.parquet(s"$dir/$other.parquet")
     }
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS). Spark has no
-    * nanosecond timestamp type; with spark.sql.legacy.parquet.nanosAsLong
-    * (set by [[graft.Sessions]]) it surfaces as a long which we floor-divide
-    * to microseconds — the same truncation DuckDB applies reading the file,
-    * so oracle comparisons agree.
+  /** events.parquet's ts arrives in whatever physical form the generator
+    * last chose; normalize every variant to a session-TZ TimestampType so
+    * downstream `unix_micros`/`withWatermark` always analyze:
+    *   - TIMESTAMP(NANOS): Spark has no nanos type; with
+    *     spark.sql.legacy.parquet.nanosAsLong (set by [[graft.Sessions]])
+    *     it surfaces as a long we floor-divide to micros — the same
+    *     truncation DuckDB applies, so oracle comparisons agree.
+    *   - timestamp[us] without timezone: Spark infers TIMESTAMP_NTZ, which
+    *     `unix_micros` and event-time watermarks reject. The session runs
+    *     UTC, so the NTZ→TIMESTAMP cast is value-preserving vs DuckDB's
+    *     naive read of the same file.
     */
   /** Widen a narrow scan to the session's default parallelism before
     * CPU-heavy per-row work. The local testdata files are single-row-group
@@ -55,8 +61,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _      => raw
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
     }
   }
 }
