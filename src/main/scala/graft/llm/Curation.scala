@@ -395,7 +395,69 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Z-order (Morton-curve) data layout vs ingest-time layout, measured by
+    * FILE SKIPPING — the write-side optimization that decides whether a
+    * 100 TB scan with a two-dimensional predicate reads 100 TB or 2 TB.
+    * Events are laid out two ways into `nFiles` equal files: ingest order
+    * (sorted by ts — what a stream sink naturally writes) and Z-order
+    * (sorted by the bit-interleave of 16-bit user and time-minute dims).
+    * Each file keeps its min/max per dimension (what parquet footers /
+    * lakehouse manifests store); a file is scanned iff its [min,max]
+    * range intersects the predicate. The report counts files scanned
+    * under a user-range predicate, a time-range predicate, and their
+    * conjunction, per layout: ingest order skips on time but must scan
+    * everything for user ranges; Z-order skips on BOTH.
+    *
+    * ntile-over-global-sort stands in for `repartitionByRange` (the
+    * distributed form — range boundaries from a sample, no global window)
+    * so file boundaries are deterministic and the whole computation
+    * replays exactly in the oracle. The Z-value itself is one codegen'd
+    * map-side fold; at scale the only cost over a plain sort-write is
+    * that projection. */
+  def zorderLayout(spark: SparkSession, dir: String, nFiles: Int = 64,
+                   uLo: Int = 10, uHi: Int = 19): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val bounds = ev.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"),
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"))
+    // Min-max-normalize each dimension to the same 8-bit width before
+    // interleaving: raw dims of unequal range (150 users vs ~40k minutes)
+    // would let the wide dim's high bits dominate the curve, collapsing it
+    // back to a one-dimensional sort with no skipping on the narrow dim.
+    val dimmed = ev.crossJoin(broadcast(bounds))
+      .withColumn("ym", expr("(tus - t0) div 60000000"))
+      .withColumn("ym_max", expr("(t1 - t0) div 60000000"))
+      .withColumn("x8", expr("((user_id - u0) * 256) div (u1 - u0 + 1)"))
+      .withColumn("y8", expr("(ym * 256) div (ym_max + 1)"))
+      .withColumn("zv", expr(
+        """aggregate(sequence(0, 7), 0L, (acc, i) ->
+          |  acc + shiftleft(shiftright(x8, i) & 1, 2*i + 1)
+          |      + shiftleft(shiftright(y8, i) & 1, 2*i))""".stripMargin))
+    def layoutStats(name: String, ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val uHit = col("u_max") >= uLo && col("u_min") <= uHi
+      val tHit = col("t_max") >= expr("ym_max div 4") &&
+        col("t_min") <= expr("ym_max div 4 + 1439")
+      dimmed
+        .withColumn("file_id", ntile(nFiles).over(Window.orderBy(ord: _*)))
+        .groupBy(col("file_id"))
+        .agg(min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+             min(col("ym")).as("t_min"), max(col("ym")).as("t_max"),
+             max(col("ym_max")).as("ym_max"))
+        .agg(count(lit(1)).as("n_files"),
+             sum(uHit.cast("long")).as("scan_user"),
+             sum(tHit.cast("long")).as("scan_time"),
+             sum((uHit && tHit).cast("long")).as("scan_both"))
+        .select(lit(name).as("layout"), col("n_files"), col("scan_user"),
+                col("scan_time"), col("scan_both"))
+    }
+    layoutStats("ingest", Seq(col("tus"), col("event_id")))
+      .unionByName(layoutStats("zorder", Seq(col("zv"), col("event_id"))))
+      .orderBy(col("layout"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
     "cur_chunk_documents" -> ((s, d) => chunkDocuments(s, d)),
     "cur_pipeline_summary" -> pipelineSummary,
     "cur_sample_stratified" -> ((s, d) => sampleStratified(s, d)),
@@ -414,6 +476,37 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay: same Morton interleave (bit arithmetic), same ntile
+    // file assignment, same min/max zone-map intersection tests
+    "cur_zorder_layout" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+        |b AS (SELECT min(tus) AS t0, max(tus) AS t1,
+        |        min(user_id) AS u0, max(user_id) AS u1 FROM e),
+        |d AS (SELECT event_id, user_id, tus,
+        |        (tus - b.t0) // 60000000 AS ym,
+        |        (b.t1 - b.t0) // 60000000 AS ym_max,
+        |        ((user_id - b.u0) * 256) // (b.u1 - b.u0 + 1) AS x8,
+        |        (((tus - b.t0) // 60000000) * 256) // ((b.t1 - b.t0) // 60000000 + 1) AS y8
+        |      FROM e, b),
+        |z AS (SELECT *, list_sum(list_transform(generate_series(0, 7),
+        |        i -> ((x8 >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1))
+        |           + ((y8 >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)))) AS zv
+        |      FROM d),
+        |lay AS (
+        |  SELECT 'ingest' AS layout, ntile(64) OVER (ORDER BY tus, event_id) AS file_id,
+        |         user_id, ym, ym_max FROM z
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, ntile(64) OVER (ORDER BY zv, event_id) AS file_id,
+        |         user_id, ym, ym_max FROM z),
+        |f AS (SELECT layout, file_id, min(user_id) AS u_min, max(user_id) AS u_max,
+        |        min(ym) AS t_min, max(ym) AS t_max, max(ym_max) AS ym_max
+        |      FROM lay GROUP BY layout, file_id)
+        |SELECT layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN u_max >= 10 AND u_min <= 19 THEN 1 ELSE 0 END) AS BIGINT) AS scan_user,
+        |  CAST(sum(CASE WHEN t_max >= ym_max // 4 AND t_min <= ym_max // 4 + 1439 THEN 1 ELSE 0 END) AS BIGINT) AS scan_time,
+        |  CAST(sum(CASE WHEN u_max >= 10 AND u_min <= 19
+        |            AND t_max >= ym_max // 4 AND t_min <= ym_max // 4 + 1439 THEN 1 ELSE 0 END) AS BIGINT) AS scan_both
+        |FROM f GROUP BY layout ORDER BY layout""".stripMargin,
     // the stride walk replayed with generate_series; 1-based list slicing
     // mirrors slice(); md5 of the space-joined window agrees byte-for-byte
     "cur_chunk_documents" ->

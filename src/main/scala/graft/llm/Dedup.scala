@@ -350,6 +350,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dup admission — the shape continuous ingestion runs
+    * at 100 TB: a NEW batch (deterministic slice `doc_id % 10 >= 8`, ~20%)
+    * is deduped against the EXISTING corpus (the other ~80%) plus the
+    * earlier part of its own batch, without ever comparing
+    * corpus × corpus. The batch's band keys join the corpus's band-key
+    * table (materialized once per snapshot in production — the
+    * [[signatureTable]] pattern; recomputed here because the fixture has
+    * no snapshot store); candidates are verified with exact word-3-gram
+    * Jaccard, and each new doc is admitted iff no earlier-in-ingest-order
+    * match clears `threshold`. Match policy when several docs match: the
+    * earliest in ingest order (all corpus docs precede the batch; doc_id
+    * order within each), so re-running a batch is idempotent.
+    *
+    * Cost per batch: O(|batch| · bands) key rows probed against the
+    * corpus key table + exact verification on colliding pairs only —
+    * never O(|corpus|²), the corpus text/signatures are never reshuffled
+    * (keys-only join; AQE broadcasts the batch key side when small), and
+    * the same [[MaxBucket]] cap bounds degenerate boilerplate buckets. */
+  def incremental(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.parallelized(Tables(spark, dir, "documents"))
+    val isNew = col("doc_id") % 10 >= 8
+    // shingle sets feed both sides of the verification join
+    val sh = docs
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .localCheckpoint(true)
+    val keys = bandKeys(
+      docs.select(col("doc_id"),
+          GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
+        .filter(col("sig").isNotNull))
+      .withColumn("is_new", isNew)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bucket_n") <= MaxBucket)
+      .drop("bucket_n")
+      .localCheckpoint(true)
+    // earlier-in-ingest-order probe: batch keys vs (corpus ∪ earlier batch)
+    val cands = keys.filter(col("is_new")).as("n")
+      .join(keys.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+          (!col("o.is_new") || col("o.doc_id") < col("n.doc_id")))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("o_id"),
+        col("o.is_new").as("o_new"))
+      .distinct()
+    val verified = cands
+      .join(sh.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(sh.select(col("doc_id").as("o_id"), col("sh").as("sh_o")), "o_id")
+      .select(col("doc_id"), col("o_id"), col("o_new"),
+        (size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val pick = verified
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("o_new"), col("o_id"))))
+      .filter(col("rk") === 1)
+    docs.filter(isNew).select(col("doc_id"))
+      .join(pick.select(col("doc_id"), col("o_id"), col("jaccard")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("o_id").isNotNull.as("is_dup"),
+        col("o_id").as("dup_of"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup: cluster-bucketed pairs (same IVF cell ⇒
     * candidate), exact codegen'd cosine verification, top-20 most similar.
     * The all-pairs O(n²) scan never happens — candidates come from the
@@ -526,10 +588,37 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_simhash_pairs" -> simhashPlantedPairs,
     "dedup_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
-    "dedup_resolve_keepers" -> ((s, d) => resolveKeepers(s, d))
+    "dedup_resolve_keepers" -> ((s, d) => resolveKeepers(s, d)),
+    "dedup_incremental" -> ((s, d) => incremental(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    // brute-force replay of the incremental admission: every new-batch doc
+    // against all earlier-in-ingest-order docs; the engine's LSH probe must
+    // reproduce it exactly (band recall ≈1 at j≥0.8, same argument as
+    // dedup_ngram_jaccard)
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, doc_id % 10 >= 8 AS is_new,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |m AS (
+        |  SELECT n.doc_id, o.doc_id AS o_id, o.is_new AS o_new,
+        |    CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(n.s, o.s))) AS j
+        |  FROM sh n JOIN sh o
+        |    ON n.is_new AND (NOT o.is_new OR o.doc_id < n.doc_id)
+        |  WHERE CAST(len(list_intersect(n.s, o.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(n.s, o.s))) >= 0.8),
+        |pick AS (SELECT doc_id, o_id, j,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY o_new, o_id) AS rk
+        |  FROM m)
+        |SELECT d.doc_id, p.o_id IS NOT NULL AS is_dup, p.o_id AS dup_of,
+        |  round(p.j, 6) AS jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+        |LEFT JOIN (SELECT * FROM pick WHERE rk = 1) p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // hash-family invariants over the twin-doubled corpus: identical text
     // ⇒ identical signature; all signatures 128-long; only <3-word docs
     // unsigned (none exist in the testdata — the WHERE mirrors the gate)

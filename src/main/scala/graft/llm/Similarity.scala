@@ -396,7 +396,38 @@ object Similarity {
       .orderBy(col("label"), col("rk"))
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * anchor (every `queryStride`-th vector), the top-k most-similar
+    * vectors with a DIFFERENT label — the negatives that sit closest to
+    * the decision boundary and carry the most gradient signal. Anchors
+    * are a model-scale set (|corpus|/stride rows) broadcast to the
+    * corpus; cosines are computed map-side in one codegen'd projection
+    * and only the per-anchor top-k survives the single window exchange —
+    * the corpus is never self-joined. At 100 TB the anchor batch rides
+    * the same IVF/RP bucketing as [[ivfTopK]] to prune the scan; the
+    * brute-force form here is the exact baseline that variant must
+    * recall-match. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5,
+                    queryStride: Int = 100): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("a_emb"))
+    Tables.parallelized(emb).crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
+        col("label").as("neg_label"),
+        vec_cosine(col("embedding"), col("a_emb")).as("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("rk"), col("vec_id"), col("anchor_label"),
+        col("neg_label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "sim_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "sim_retrieve_rerank" -> ((s, d) => retrieveRerank(s, d)),
     "sim_pq_topk" -> ((s, d) => pqTopK(s, d)),
@@ -431,6 +462,22 @@ object Similarity {
       |      FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-anchor cross-label top-k replayed with list_cosine_similarity
+    // (double-accumulating, same order as the engine's fold)
+    "sim_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+        |        CAST(embedding AS DOUBLE[]) AS a_emb
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |sc AS (SELECT a.anchor_id, a.anchor_label, e.vec_id,
+        |        e.label AS neg_label,
+        |        list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.a_emb) AS c
+        |      FROM embeddings e CROSS JOIN a
+        |      WHERE e.label <> a.anchor_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY c DESC, vec_id) AS rk FROM sc)
+        |SELECT anchor_id, CAST(rk AS INTEGER) AS rk, vec_id, anchor_label,
+        |  neg_label, round(c, 6) AS cosine
+        |FROM r WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
     // per-(label, dim) means re-listed in dim order; cosine replayed with
     // list_cosine_similarity (double-accumulating, same as the engine)
     "sim_centroid_outliers" ->

@@ -13,6 +13,24 @@ class CurationSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
+  test("z-order layout skips on the narrow dim where ingest order cannot") {
+    val rows = Curation.zorderLayout(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("scan_user"),
+         r.getAs[Long]("scan_time"), r.getAs[Long]("scan_both")))
+      .toMap
+    val (nf, ingU, _, ingB) = rows("ingest")
+    val (nfz, zU, zT, zB) = rows("zorder")
+    assert(nf == 64 && nfz == 64)
+    // ingest order carries no user locality: every file hits the user range
+    assert(ingU == nf, "time-sorted files should all intersect the user range")
+    // z-order must skip most files on the user predicate AND keep real
+    // time skipping — the multi-dimensional locality the curve exists for
+    assert(zU <= nf / 2, s"z-order should skip >= half the files on user, scanned $zU")
+    assert(zT <= nf / 2, s"z-order should keep time skipping, scanned $zT")
+    assert(zB <= math.min(zU, zT) && ingB <= nf)
+  }
+
   test("split assignment is deterministic, total, and 3-way") {
     val a = Curation.splitAssign(spark, sf).collect()
     val b = Curation.splitAssign(spark, sf).collect()

@@ -42,6 +42,50 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: admissions consistent with the batch pair graph") {
+    val inc = Dedup.incremental(spark, sf).collect()
+    assert(inc.nonEmpty)
+    // output covers exactly the new-batch slice
+    assert(inc.forall(_.getAs[Long]("doc_id") % 10 >= 8))
+    val dups = inc.filter(_.getAs[Boolean]("is_dup"))
+    // every flagged dup names an earlier-in-ingest-order keeper at >= 0.8
+    dups.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val of = r.getAs[Long]("dup_of")
+      assert(of % 10 < 8 || of < id, s"dup_of $of not earlier than $id")
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+    // agreement with the batch pipeline: a new doc paired above threshold
+    // in the full pair graph with an earlier doc must be flagged here
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val expectDup = pairs.collect {
+      case (n, o) if n % 10 >= 8 && (o % 10 < 8 || o < n) => n
+    }.toSet
+    val flagged = dups.map(_.getAs[Long]("doc_id")).toSet
+    assert(expectDup == flagged,
+      s"batch graph says $expectDup, incremental flagged $flagged")
+  }
+
+  test("incremental dedup plan: corpus probed by keys, never self-joined wide") {
+    val plan = Dedup.incremental(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs scan:\n$plan")
+  }
+
+  test("hard negatives: cross-label only, descending, broadcast anchors") {
+    val hn = Similarity.hardNegatives(spark, sf).collect()
+    assert(hn.nonEmpty)
+    hn.foreach(r => assert(r.getAs[Int]("anchor_label") != r.getAs[Int]("neg_label")))
+    hn.groupBy(_.getAs[Long]("anchor_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+    }
+    val plan = Similarity.hardNegatives(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"anchors must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not be shuffled for the anchor join:\n$plan")
+  }
+
   test("LSH finds the planted near-duplicates (exact jaccard >= 0.9 pairs)") {
     val found = Dedup.ngramJaccard(spark, sf, threshold = 0.9).count()
     assert(found > 0, "expected planted near-dup pairs at jaccard >= 0.9")
