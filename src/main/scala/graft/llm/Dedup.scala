@@ -131,6 +131,19 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, band, bucket) LSH keys straight from (doc_id, text) rows —
+    * shared by the batch incremental admission and the streaming dedup
+    * index ([[graft.stream.StreamSync.maintainDedupIndex]]). */
+  def lshKeysOf(docs: DataFrame): DataFrame =
+    bandKeys(docs
+      .select(col("doc_id"),
+        GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
+      .filter(col("sig").isNotNull))
+
+  /** (doc_id, sh) distinct word-3-gram sets — the verification payload. */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+
   /** (doc_id, band, bucket) LSH keys — the join-ready projection. */
   private def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),

@@ -297,6 +297,120 @@ object StreamSync {
       .orderBy(col("est").desc, col("token"))
   }
 
+  /** Streaming near-dup ADMISSION INDEX — the continuous-ingestion form of
+    * [[graft.llm.Dedup.incremental]]: each micro-batch of documents is
+    * admitted or rejected against the index of previously ADMITTED docs
+    * (LSH band keys + shingle sets), and the admitted docs then join the
+    * index. Duplicates never become match targets across batches — the
+    * index is the kept corpus, which also bounds state by the unique
+    * fraction, not the ingest volume. Within one micro-batch, earlier
+    * docs (by doc_id) are match targets regardless of their own verdict —
+    * the one-relational-pass approximation of strictly-sequential
+    * admission; across batches the sequential semantics are exact.
+    *
+    * Snapshot layout mirrors [[maintainStatusView]]: each batch writes a
+    * self-contained `indexDir/batch=<id>/{keys,sh,decisions}` finished by
+    * a `_COMMIT` marker; a replayed batch rebuilds from the newest
+    * snapshot STRICTLY older than itself, so replay is deterministic and
+    * out-of-order arrival never corrupts the index. At 100 TB the parquet
+    * trio stands in for the signature/decision store a production
+    * pipeline keeps in a table format; per batch the work is
+    * O(|batch| · bands) key probes against the index plus exact
+    * verification on colliding pairs — the admitted corpus is never
+    * rescanned or reshuffled. */
+  def maintainDedupIndex(docs: DataFrame, indexDir: String,
+                         checkpointDir: String, threshold: Double = 0.8): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.llm.Dedup
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def committed: Seq[Long] = {
+          val root = new org.apache.hadoop.fs.Path(indexDir)
+          if (!fs.exists(root)) Seq.empty
+          else fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(p => p.getName.startsWith("batch=") &&
+              fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+            .map(_.getName.stripPrefix("batch=").toLong).sorted
+        }
+        val prevId = committed.filter(_ < batchId).lastOption
+        val b = batch.select(col("doc_id"), col("text"))
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        val shNew = Dedup.shinglesOf(b).localCheckpoint(true)
+        val keysNew = Dedup.lshKeysOf(b).localCheckpoint(true)
+        def empty(schema: org.apache.spark.sql.types.StructType) =
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val decSchema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("is_dup", "boolean")
+          .add("dup_of", "long").add("jaccard", "double")
+        val (prevKeys, prevSh, prevDec) = prevId match {
+          case Some(id) =>
+            (spark.read.parquet(s"$indexDir/batch=$id/keys"),
+             spark.read.parquet(s"$indexDir/batch=$id/sh"),
+             spark.read.parquet(s"$indexDir/batch=$id/decisions"))
+          case None => (empty(keysNew.schema), empty(shNew.schema), empty(decSchema))
+        }
+        val newSide = keysNew.withColumn("is_new", lit(true))
+        val targets = prevKeys.withColumn("is_new", lit(false)).unionByName(newSide)
+        val cands = newSide.as("n")
+          .join(targets.as("o"),
+            col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+              (!col("o.is_new") || col("o.doc_id") < col("n.doc_id")))
+          .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("o_id"),
+            col("o.is_new").as("o_new"))
+          .distinct()
+        val shAll = prevSh.unionByName(shNew)
+        val verified = cands
+          .join(shNew.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+          .join(shAll.select(col("doc_id").as("o_id"), col("sh").as("sh_o")), "o_id")
+          .select(col("doc_id"), col("o_id"), col("o_new"),
+            (size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+              size(array_union(col("sh_n"), col("sh_o")))).as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+        val pick = verified
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("o_new"), col("o_id"))))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("o_id"), col("jaccard"))
+        val decisions = b.select(col("doc_id"))
+          .join(pick, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("o_id").isNotNull.as("is_dup"),
+            col("o_id").as("dup_of"), round(col("jaccard"), 6).as("jaccard"))
+        val admitted = decisions.filter(!col("is_dup")).select(col("doc_id"))
+        val newKeys = prevKeys.unionByName(
+          keysNew.join(admitted, Seq("doc_id"), "left_semi"))
+        val newSh = prevSh.unionByName(
+          shNew.join(admitted, Seq("doc_id"), "left_semi"))
+        val newDec = prevDec.unionByName(decisions)
+        val dst = s"$indexDir/batch=$batchId"
+        newKeys.write.mode("overwrite").parquet(s"$dst/keys")
+        newSh.write.mode("overwrite").parquet(s"$dst/sh")
+        newDec.write.mode("overwrite").parquet(s"$dst/decisions")
+        fs.create(new org.apache.hadoop.fs.Path(dst, "_COMMIT"), true).close()
+        committed.dropRight(2).foreach(id =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch=$id"), true))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Cumulative admission decisions from the newest committed snapshot
+    * maintained by [[maintainDedupIndex]]. */
+  def readDedupDecisions(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .map(_.getName.stripPrefix("batch=").toLong)
+    require(ids.nonEmpty, s"no committed dedup index under $indexDir")
+    spark.read.parquet(s"$indexDir/batch=${ids.max}/decisions")
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * the streaming form of [[graft.ops.Events.tumbling]]. Late data beyond
     * the watermark is dropped; state is bounded by watermark horizon. */

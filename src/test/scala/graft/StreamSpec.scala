@@ -447,6 +447,55 @@ class StreamSpec extends AnyFunSuite {
       r.getAs[Long]("n_events") == 2L), s"got ${closed.mkString(";")}")
   }
 
+  test("streaming dedup index matches sequential admission over the pair graph") {
+    val base = Files.createTempDirectory("graft-stream-dix").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = graft.schema.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    def drain(): Unit = StreamSync.maintainDedupIndex(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/idx", s"$base/chk")
+    def addFile(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    // three ingest slices; one drain per file makes the arrival order exact
+    val slices = Seq(0, 1, 2).map(m => docs.filter(col("doc_id") % 3 === m))
+    slices.zip(Seq("a", "b", "c")).foreach { case (df, tag) =>
+      addFile(df, tag); drain()
+    }
+    val got = StreamSync.readDedupDecisions(spark, s"$base/idx").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(got.size == docs.count())
+    // expected: replay the documented admission rule over the exact pair
+    // graph (within a batch: earlier-by-id docs are targets; across
+    // batches: only admitted docs are)
+    val pairs = graft.llm.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    def matched(a: Long, b: Long) = pairs.contains(Set(a, b))
+    var admitted = Set.empty[Long]
+    val expected = scala.collection.mutable.Map.empty[Long, Boolean]
+    slices.foreach { df =>
+      val ids = df.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      ids.foreach { id =>
+        val targets = admitted ++ ids.filter(_ < id)
+        expected(id) = targets.exists(t => matched(t, id))
+      }
+      admitted ++= ids.filterNot(expected(_))
+    }
+    assert(got == expected.toMap,
+      s"mismatch: ${(got.toSet diff expected.toSet) ++ (expected.toSet diff got.toSet)}")
+    // a drain with nothing new must not change the decisions
+    drain()
+    val again = StreamSync.readDedupDecisions(spark, s"$base/idx").collect()
+    assert(again.length == got.size)
+  }
+
   test("streaming curation keeps exactly the batch pipeline's distinct quality hashes") {
     val base = Files.createTempDirectory("graft-stream-cur").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
