@@ -320,7 +320,44 @@ object TextOps {
           6).as("token_entropy"))
       .orderBy(col("doc_id"))
 
+  /** BM25 keyword retrieval — rank documents for a term query with the
+    * Okapi scoring function (Lucene's idf variant; k1 = 1.2, b = 0.75).
+    * Dataflow mirrors [[tfidfTopK]]: one (doc, term) tf aggregation
+    * feeds per-term df and per-doc length; the 3-term query hits it as a
+    * broadcast semi-filter so only matching (doc, term) rows survive;
+    * corpus-level scalars (N, avgdl) ride along as broadcast 1-row
+    * aggregates; the final top-k is a TakeOrdered over per-doc sums —
+    * the corpus text never crosses an exchange. */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("join", "stream", "window"),
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val df = tf.filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val termScore = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + (lit(1.0) - b + col("dl") / col("avgdl") * b) * k1)
+    tf.filter(col("token").isin(terms: _*))
+      .join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(termScore), 6).as("bm25"),
+           count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_entropy" -> entropy,
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
     "text_normalize" -> normalize,
@@ -338,6 +375,26 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // full Okapi BM25 replay: same tf/df/dl/avgdl, Lucene idf variant,
+    // k1=1.2 b=0.75; ln parity with Spark's log holds at round-6 (the
+    // text_unigram_logprob precedent)
+    "text_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> ''
+        |       GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT token, count(*) AS df FROM tf
+        |       WHERE token IN ('join', 'stream', 'window') GROUP BY token),
+        |s AS (SELECT tf.doc_id,
+        |        ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |          (tf.tf * (1.2 + 1.0)) /
+        |          (tf.tf + (1.0 - 0.75 + dl.dl / st.avgdl * 0.75) * 1.2) AS ts
+        |      FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st)
+        |SELECT doc_id, round(sum(ts), 6) AS bm25, count(*) AS n_terms_hit
+        |FROM s GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     // grouped-sketch invariant form: exact per-group percentiles
     // value-checked; the sketch rank bounds asserted in-query
     "text_length_quantiles" ->

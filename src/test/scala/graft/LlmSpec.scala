@@ -86,6 +86,21 @@ class LlmSpec extends AnyFunSuite {
       s"corpus must not be shuffled for the anchor join:\n$plan")
   }
 
+  test("bm25: positive non-increasing scores, bounded hits, TakeOrdered plan") {
+    val df = TextOps.bm25TopK(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bm25") > 0)
+      val hits = r.getAs[Long]("n_terms_hit")
+      assert(hits >= 1 && hits <= 3)
+    }
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"top-k must not global-sort:\n$plan")
+  }
+
   test("LSH finds the planted near-duplicates (exact jaccard >= 0.9 pairs)") {
     val found = Dedup.ngramJaccard(spark, sf, threshold = 0.9).count()
     assert(found > 0, "expected planted near-dup pairs at jaccard >= 0.9")
