@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(bf, k)    => BloomMightContain(bf, k, 5)
       case Seq(bf, k, h) => BloomMightContain(bf, k, intArg(h, "numHashes"))
     })
+    ext.injectFunction(fn("cms_merge",
+      "cms_merge(sketch) - exact union of serialized count-min sketches") {
+      case Seq(s) => CmsMergeAgg(s)
+    })
+    ext.injectFunction(fn("cms_estimate",
+      "cms_estimate(sketch, item) - point-frequency estimate from a count-min sketch") {
+      case Seq(s, i) => CmsEstimate(s, i)
+    })
     ext.injectFunction(fn("big_endian_decimal",
       "big_endian_decimal(bytes[, precision, scale]) - Debezium precise-decimal decode") {
       case Seq(c)       => BigEndianDecimal(c, 10, 2)

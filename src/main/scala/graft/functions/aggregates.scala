@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -520,6 +520,91 @@ case class QuantileValue(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : QuantileValue = copy(left = l, right = r)
   override def prettyName: String = "quantile_value"
+}
+
+/** `cms_merge(sketch)`: union of serialized Count–Min sketches (the
+  * binary column Spark's built-in `count_min_sketch` aggregate emits).
+  * CMS counters sum elementwise, so the merge is EXACT: merging
+  * per-epoch sketches yields bit-identical counters to one sketch built
+  * over all epochs' rows with the same (eps, confidence, seed) — the
+  * persisted-sketch incremental pattern ([[graft.ops.Relational
+  * .q34HllMergeEpochs]]'s HLL analogue, but with exact merge agreement).
+  * Only the KB-scale counter array crosses the exchange, never rows.
+  * Spark ships build (`count_min_sketch`) but no merge aggregate or
+  * query expression — these two close the loop.
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.util.sketch.CountMinSketch]
+  with UnaryLike[Expression] {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  // 1×1 sentinel marks "no input yet"; the first real sketch is adopted
+  // wholesale (sketch shape is carried by the inputs themselves).
+  override def createAggregationBuffer(): CountMinSketch = CountMinSketch.create(1, 1, 1)
+  private def isSentinel(s: CountMinSketch): Boolean = s.depth == 1 && s.width == 1
+
+  override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val incoming = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      if (isSentinel(buf)) incoming
+      else { buf.mergeInPlace(incoming); buf }
+    }
+  }
+
+  override def merge(buf: CountMinSketch, other: CountMinSketch): CountMinSketch =
+    if (isSentinel(buf)) other
+    else if (isSentinel(other)) buf
+    else { buf.mergeInPlace(other); buf }
+
+  override def eval(buf: CountMinSketch): Any = serialize(buf)
+  override def serialize(buf: CountMinSketch): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    buf.writeTo(out)
+    out.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): CountMinSketch =
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override protected def withNewChildInternal(c: Expression): CmsMergeAgg =
+    copy(child = c)
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "cms_merge"
+}
+
+/** `cms_estimate(sketch, item)`: point-frequency estimate from a
+  * serialized Count–Min sketch. Evaluated on aggregated sketch rows (one
+  * per epoch/group) against a handful of query items, never per input
+  * row, so the deserialize-per-call cost is off the hot path by
+  * construction. Guarantees (deterministic for a fixed seed + data):
+  * estimate ≥ true count always; estimate ≤ true + eps·N with the
+  * sketch's confidence.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sketch: Any, item: Any): Any = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch.asInstanceOf[Array[Byte]]))
+    val key: Any = item match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => other
+    }
+    java.lang.Long.valueOf(cms.estimateCount(key))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : CmsEstimate = copy(left = l, right = r)
+  override def prettyName: String = "cms_estimate"
 }
 
 /** `bloom_might_contain(bloom, key)`: membership probe against a

@@ -263,4 +263,8 @@ object GraftFunctions {
     c(BloomBuildAgg(e(key), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(bloom: Column, key: Column, numHashes: Int = 5): Column =
     c(BloomMightContain(e(bloom), e(key), numHashes))
+  def cms_merge(sketch: Column): Column =
+    c(CmsMergeAgg(e(sketch)).toAggregateExpression())
+  def cms_estimate(sketch: Column, item: Column): Column =
+    c(CmsEstimate(e(sketch), e(item)))
 }

@@ -356,7 +356,47 @@ object TextOps {
       .limit(k)
   }
 
+  /** Count–Min token-frequency sketches, built per source epoch with
+    * Spark's built-in `count_min_sketch` aggregate and unioned with the
+    * native [[graft.functions.CmsMergeAgg]] — the incremental pattern
+    * where each ingest partition persists ONE KB-scale sketch and
+    * corpus-wide point-frequency queries never re-read rows. Invariants,
+    * in-query and oracled (the rel_q34 HLL pattern, but CMS merge is
+    * EXACT — counters sum elementwise, so merged == direct bit-for-bit):
+    *   - merge_exact: estimate from the merged per-source sketches equals
+    *     the estimate from one directly-built sketch, per query token;
+    *   - no_undercount: estimate ≥ true count (structural CMS guarantee);
+    *   - within_bound: estimate ≤ true + eps·N (deterministic for the
+    *     fixed seed + data; holds at the sketch's 99% confidence).
+    * True counts are exact and DuckDB-replayable; the booleans must all
+    * come back true. */
+  def cmsEpochs(spark: SparkSession, dir: String,
+                eps: Double = 0.001,
+                queryTokens: Seq[String] = Seq("join", "scan", "stream", "table", "the"))
+      : DataFrame = {
+    import graft.functions.GraftFunctions.{cms_merge, cms_estimate}
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    def cms(c: Column) = count_min_sketch(c, lit(eps), lit(0.99), lit(42))
+    val perSource = tok.groupBy(col("source")).agg(cms(col("token")).as("sk"))
+    val merged = perSource.agg(cms_merge(col("sk")).as("msk"))
+    val direct = tok.agg(cms(col("token")).as("dsk"),
+      count(lit(1)).as("n_tokens"))
+    val exact = tok.filter(col("token").isin(queryTokens: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+    exact.crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+      .select(col("token"), col("true_n"),
+        (cms_estimate(col("msk"), col("token")) ===
+          cms_estimate(col("dsk"), col("token"))).as("merge_exact"),
+        (cms_estimate(col("dsk"), col("token")) >= col("true_n")).as("no_undercount"),
+        (cms_estimate(col("dsk"), col("token")) <=
+          col("true_n") + ceil(col("n_tokens") * eps)).as("within_bound"))
+      .orderBy(col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_epochs" -> ((s, d) => cmsEpochs(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_entropy" -> entropy,
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)),
@@ -375,6 +415,16 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact true counts replayed; the sketch invariants (exact merge,
+    // no-undercount, eps-bound) are asserted in-query and must be true
+    "text_cms_epochs" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |SELECT token, count(*) AS true_n,
+        |  TRUE AS merge_exact, TRUE AS no_undercount, TRUE AS within_bound
+        |FROM tok
+        |WHERE token IN ('join', 'scan', 'stream', 'table', 'the')
+        |GROUP BY token ORDER BY token""".stripMargin,
     // full Okapi BM25 replay: same tf/df/dl/avgdl, Lucene idf variant,
     // k1=1.2 b=0.75; ln parity with Spark's log holds at round-6 (the
     // text_unigram_logprob precedent)

@@ -167,6 +167,48 @@ class AggregatesSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), s"expected typed partial agg:\n$plan")
   }
 
+  test("cms merge is exact and estimates honor the CMS guarantees") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{cms_merge, cms_estimate}
+    // skewed synthetic stream over 5 partitions and 4 groups: every
+    // partial sketch must serialize, cross the exchange, and merge
+    val df = spark.range(20000).repartition(5)
+      .select((col("id") % 4).as("g"),
+        concat(lit("tok"), pmod(col("id") * col("id"), lit(97))).as("token"))
+    val eps = 0.001
+    def cms(c: org.apache.spark.sql.Column) =
+      count_min_sketch(c, lit(eps), lit(0.99), lit(42))
+    val merged = df.groupBy(col("g")).agg(cms(col("token")).as("sk"))
+      .agg(cms_merge(col("sk")).as("msk"))
+    val direct = df.agg(cms(col("token")).as("dsk"))
+    val trueCounts = df.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = trueCounts.keys.take(20).toSeq
+    val row = merged.crossJoin(direct)
+      .select(probes.flatMap(t => Seq(
+        cms_estimate(col("msk"), lit(t)).as(s"m_$t"),
+        cms_estimate(col("dsk"), lit(t)).as(s"d_$t"))): _*)
+      .head()
+    probes.zipWithIndex.foreach { case (t, i) =>
+      val (m, d) = (row.getLong(2 * i), row.getLong(2 * i + 1))
+      assert(m == d, s"merge must be exact for $t: merged=$m direct=$d")
+      assert(d >= trueCounts(t), s"no undercount for $t")
+      assert(d <= trueCounts(t) + math.ceil(20000 * eps).toLong + 1,
+        s"eps bound for $t: est=$d true=${trueCounts(t)}")
+    }
+  }
+
+  test("cms family is SQL-callable through the injected functions") {
+    import spark.implicits._
+    Seq(("a", "x"), ("a", "x"), ("b", "y")).toDF("g", "t")
+      .createOrReplaceTempView("cms_src")
+    val got = spark.sql(
+      """SELECT cms_estimate(cms_merge(sk), 'x') AS est FROM
+        |  (SELECT g, count_min_sketch(t, 0.01d, 0.99d, 42) AS sk
+        |   FROM cms_src GROUP BY g)""".stripMargin).head().getLong(0)
+    assert(got == 2L)
+  }
+
   test("rel_q31 (heap top-k aggregate) ≡ rel_q7 (ranking window)") {
     val a = graft.ops.Relational.q31TopKAgg(spark, sf)
     val b = graft.ops.Relational.q7WindowTopPerNation(spark, sf)
