@@ -456,7 +456,31 @@ object Curation {
       .orderBy(col("layout"))
   }
 
+  /** Deterministic WEIGHTED sample (Efraimidis–Spirakis A-ES): keep the k
+    * docs with the greatest ln(u)/w, where u is a content-addressed
+    * uniform draw (md5 nibbles → exact binary fraction in (0,1]) and
+    * w = n_chars — longer documents proportionally likelier, the
+    * length-weighted draw a mixture builder uses. Same scale posture as
+    * [[sampleBottomK]]: zero RNG state, reproducible under any
+    * partitioning, plans as TakeOrderedAndProject (each partition keeps
+    * its k best keys, one k·P driver merge — no global sort, no corpus
+    * shuffle), and samples of two corpora merge into a sample of their
+    * union by re-taking the top k keys. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    // 13 md5 nibbles = 52 uniform bits; (v+1)/2^52 is an exact binary
+    // fraction, so u is bit-identical in any engine replaying the md5
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val key = log(u) / col("n_chars")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), round(key, 6).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "cur_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
     "cur_chunk_documents" -> ((s, d) => chunkDocuments(s, d)),
     "cur_pipeline_summary" -> pipelineSummary,
@@ -476,6 +500,19 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact replay: md5 nibbles → binary fraction → A-ES key; the division
+    // by 2^52 is exact, so parity rests only on ln (the BM25 precedent)
+    "cur_sample_weighted" ->
+      """WITH h AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+        |           FROM documents),
+        |v AS (SELECT doc_id, n_chars,
+        |        list_sum(list_transform(generate_series(1, 13),
+        |          i -> (strpos('0123456789abcdef', substring(hx, i, 1)) - 1)
+        |               * (CAST(1 AS BIGINT) << (4 * (13 - i))))) AS v
+        |      FROM h)
+        |SELECT doc_id, n_chars,
+        |  round(ln((v + 1) / 4503599627370496.0) / n_chars, 6) AS es_key
+        |FROM v ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
     // full replay: same Morton interleave (bit arithmetic), same ntile
     // file assignment, same min/max zone-map intersection tests
     "cur_zorder_layout" ->

@@ -257,7 +257,27 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Per-(user, event_type) value anomalies: z-score each event against
+    * its own group's distribution, keep |z| ≥ 2.5. One keyed aggregate
+    * builds the (mean, stddev) stats table (map-side partials), which
+    * joins back on the same key — at scale the stats side is
+    * |users × types| rows, so the join reuses the aggregation's hash
+    * partitioning and the raw stream shuffles once. The monitoring /
+    * data-quality primitive over the CDC event stream. */
+  def anomalies(spark: SparkSession, dir: String, zMin: Double = 2.5): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    val z = (col("value") - col("mu")) / col("sd")
+    ev.join(stats, Seq("user_id", "event_type"))
+      .filter(col("sd").isNotNull && col("sd") > 0 && abs(z) >= zMin)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 4).as("value"), round(z, 4).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> ((s, d) => anomalies(s, d)),
     "ev_retention" -> retention,
     "ev_funnel" -> funnel,
     "ev_funnel_windowed" -> ((s, d) => windowedFunnel(s, d)),
@@ -272,6 +292,19 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // same stats join replayed; avg/stddev_samp parity at round-4 is the
+    // fn_stats precedent
+    "ev_anomaly" ->
+      """WITH s AS (SELECT user_id, event_type, avg("value") AS mu,
+        |             stddev_samp("value") AS sd
+        |           FROM events GROUP BY user_id, event_type)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  round(e."value", 4) AS value,
+        |  round((e."value" - s.mu) / s.sd, 4) AS z
+        |FROM events e JOIN s USING (user_id, event_type)
+        |WHERE s.sd IS NOT NULL AND s.sd > 0
+        |  AND abs((e."value" - s.mu) / s.sd) >= 2.5
+        |ORDER BY event_id""".stripMargin,
     "ev_retention" ->
       """WITH active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id)

@@ -13,6 +13,25 @@ class CurationSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
+  test("weighted sample: deterministic, TakeOrdered plan, biased toward weight") {
+    val df = Curation.sampleWeighted(spark, sf)
+    val a = df.collect()
+    val b = Curation.sampleWeighted(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "content-addressed draw must be reproducible")
+    assert(a.length == 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"must not global-sort:\n$plan")
+    // E-S with w = n_chars: the sample over-represents long documents
+    // (deterministic for the fixed corpus + hash)
+    val corpus = Curation.splitAssign(spark, sf).count() // |docs|
+    val corpusMean = graft.schema.Tables(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    assert(a.length < corpus, "sample must be proper")
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("z-order layout skips on the narrow dim where ingest order cannot") {
     val rows = Curation.zorderLayout(spark, sf).collect()
       .map(r => r.getAs[String]("layout") ->
