@@ -64,10 +64,16 @@ object ScaleCurve {
       val (nEx, tEx) = timed(graft.llm.Dedup.exact(spark, dir).count()); settle()
       val (nKeep, tKeep) = timed(graft.llm.Dedup.resolveKeepers(spark, dir).count()); settle()
       val (_, tIvf) = timed(graft.llm.Similarity.ivfTopK(spark, dir).count()); settle()
+      // incremental admission (r6): the batch slice grows ×k with the
+      // corpus here, so candidate counts should grow ~×k — the O(batch)
+      // claim is that they NEVER grow ×k² (a corpus×corpus probe would)
+      val (nInc, tInc) = timed(
+        graft.llm.Dedup.incremental(spark, dir).filter(col("is_dup")).count()); settle()
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
-        s"exact=$nEx/${s(tEx)}s keepers=$nKeep/${s(tKeep)}s ivf_topk=${s(tIvf)}s")
+        s"exact=$nEx/${s(tEx)}s keepers=$nKeep/${s(tKeep)}s ivf_topk=${s(tIvf)}s " +
+        s"incremental_dups=$nInc/${s(tInc)}s")
     }
     spark.stop()
   }
