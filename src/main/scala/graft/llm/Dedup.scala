@@ -425,6 +425,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Directed CONTAINMENT detection: doc A is (near-)contained in doc B
+    * when |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ `threshold` — the
+    * sub-document duplication class (quotes, embedded boilerplate,
+    * excerpt reposts) that symmetric Jaccard MISSES: a small doc inside a
+    * large one has low Jaccard but containment ≈ 1, so MinHash-LSH bands
+    * never surface the pair. The right index is the shingle
+    * inverted-index join: explode (shingle, doc_id) postings, drop
+    * shingles with df > `maxDf` (the boilerplate guard — same rationale
+    * as [[MaxBucket]]; a shingle shared by thousands of docs carries no
+    * containment signal and would fan out df² pairs), self-join on the
+    * surviving shingles, count shared shingles per pair, emit both
+    * directions that clear the threshold. The df cap is part of the
+    * SEMANTICS (deterministically replayed by the oracle), so engine and
+    * oracle agree exactly — no recall argument needed. Shuffles carry
+    * (shingle-hash, doc_id) postings and (pair, count) partials only. */
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.9,
+                  maxDf: Int = 50): DataFrame = {
+    val sh = Tables.parallelized(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint(true) // feeds postings AND both |shingles| lookups
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = postings.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    val capped = postings.join(rare, "g")
+    val shared = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val directed = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nsh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("nsh_a")).as("c_ab"),
+        (col("n_shared").cast("double") / col("nsh_b")).as("c_ba"))
+    directed.filter(col("c_ab") >= threshold)
+      .select(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
+        round(col("c_ab"), 6).as("containment"))
+      .unionByName(directed.filter(col("c_ba") >= threshold)
+        .select(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
+          round(col("c_ba"), 6).as("containment")))
+      .orderBy(col("inner_doc"), col("outer_doc"))
+  }
+
   /** Embedding-cosine near-dup: cluster-bucketed pairs (same IVF cell ⇒
     * candidate), exact codegen'd cosine verification, top-20 most similar.
     * The all-pairs O(n²) scan never happens — candidates come from the
@@ -602,10 +650,42 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPlantedPairs,
     "dedup_embedding_neardup" -> ((s, d) => embeddingNearDup(s, d)),
     "dedup_resolve_keepers" -> ((s, d) => resolveKeepers(s, d)),
-    "dedup_incremental" -> ((s, d) => incremental(s, d))
+    "dedup_incremental" -> ((s, d) => incremental(s, d)),
+    "dedup_containment" -> ((s, d) => containment(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    // exact replay of the inverted-index containment: same df cap (part
+    // of the semantics), same shared-shingle counts, both directions
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM post GROUP BY g)
+        |         WHERE df <= 50),
+        |capped AS (SELECT doc_id, g FROM post JOIN rare USING (g)),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |sz AS (SELECT doc_id, len(s) AS nsh FROM sh),
+        |d AS (SELECT s.doc_a, s.doc_b, s.n_shared,
+        |        CAST(s.n_shared AS DOUBLE) / za.nsh AS c_ab,
+        |        CAST(s.n_shared AS DOUBLE) / zb.nsh AS c_ba
+        |      FROM shared s
+        |      JOIN sz za ON s.doc_a = za.doc_id
+        |      JOIN sz zb ON s.doc_b = zb.doc_id)
+        |SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+        |  round(c_ab, 6) AS containment
+        |FROM d WHERE c_ab >= 0.9
+        |UNION ALL
+        |SELECT doc_b AS inner_doc, doc_a AS outer_doc,
+        |  round(c_ba, 6) AS containment
+        |FROM d WHERE c_ba >= 0.9
+        |ORDER BY inner_doc, outer_doc""".stripMargin,
     // brute-force replay of the incremental admission: every new-batch doc
     // against all earlier-in-ingest-order docs; the engine's LSH probe must
     // reproduce it exactly (band recall ≈1 at j≥0.8, same argument as

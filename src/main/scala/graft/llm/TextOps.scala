@@ -395,7 +395,36 @@ object TextOps {
       .orderBy(col("token"))
   }
 
+  /** Per-source distribution DRIFT vs the corpus: KL(source ‖ corpus)
+    * over the unigram distributions — the observability signal that
+    * catches a source whose content shifted (scraper broke, language
+    * flipped, spam flood) before it pollutes a training mix. Every
+    * source's tokens are a subset of the corpus's, so the divergence
+    * needs no smoothing and is exact. One (source, token) count feeds
+    * both distributions (the corpus side re-aggregates from the same
+    * partials); the per-source sum shuffles (source, token) counts only
+    * — corpus text never crosses an exchange. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n_st"))
+    val corpus = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+    val totals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val nAll = corpus.agg(sum(col("n_t")).as("n_all"))
+    val ps = col("n_st").cast("double") / col("n_s")
+    val pc = col("n_t").cast("double") / col("n_all")
+    st.join(broadcast(corpus), "token")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(nAll))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+           round(sum(ps * log(ps / pc)), 6).as("kl_divergence"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_drift" -> ((s, d) => sourceDrift(s, d)),
     "text_cms_epochs" -> ((s, d) => cmsEpochs(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_entropy" -> entropy,
@@ -415,6 +444,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same unigram distributions, same ln ratio sum (subset property of
+    // per-source vocab means no smoothing on either side)
+    "text_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |st AS (SELECT source, token, count(*) AS n_st FROM tok
+        |       WHERE token <> '' GROUP BY source, token),
+        |c AS (SELECT token, sum(n_st) AS n_t FROM st GROUP BY token),
+        |t AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY source),
+        |a AS (SELECT sum(n_t) AS n_all FROM c)
+        |SELECT st.source, CAST(max(t.n_s) AS BIGINT) AS n_tokens,
+        |  round(sum((CAST(st.n_st AS DOUBLE) / t.n_s) *
+        |            ln((CAST(st.n_st AS DOUBLE) / t.n_s) /
+        |               (CAST(c.n_t AS DOUBLE) / a.n_all))), 6) AS kl_divergence
+        |FROM st JOIN c USING (token) JOIN t USING (source), a
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
     // exact true counts replayed; the sketch invariants (exact merge,
     // no-undercount, eps-bound) are asserted in-query and must be true
     "text_cms_epochs" ->

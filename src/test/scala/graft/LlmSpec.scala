@@ -86,6 +86,34 @@ class LlmSpec extends AnyFunSuite {
       s"corpus must not be shuffled for the anchor join:\n$plan")
   }
 
+  test("containment finds a planted sub-document that Jaccard would miss") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 21).map(i => s"w$i").mkString(" ") // 19 of 38 shingles
+    spark.createDataFrame(Seq(
+        (1L, words, "en", "src0", words.length.toLong),
+        (2L, excerpt, "en", "src0", excerpt.length.toLong),
+        (3L, (100 to 140).map(i => s"v$i").mkString(" "), "en", "src0", 100L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.containment(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("inner_doc"), r.getAs[Long]("outer_doc"),
+        r.getAs[Double]("containment")))
+    assert(got.contains((2L, 1L, 1.0)),
+      s"excerpt must be detected as contained in the base doc, got ${got.mkString(";")}")
+    assert(!got.exists(_._1 == 3L), "the unrelated doc must not match")
+    // the same pair's symmetric Jaccard (19/38 = 0.5) is far below the 0.8
+    // near-dup threshold — the class this directed operator exists for
+    assert(Dedup.ngramJaccard(spark, tmp).collect().isEmpty)
+  }
+
+  test("source drift: KL is non-negative and total over sources") {
+    val rows = TextOps.sourceDrift(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[Double]("kl_divergence") >= 0.0,
+      s"KL must be >= 0: $r"))
+  }
+
   test("bm25: positive non-increasing scores, bounded hits, TakeOrdered plan") {
     val df = TextOps.bm25TopK(spark, sf)
     val rows = df.collect()
