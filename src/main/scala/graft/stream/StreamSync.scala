@@ -398,6 +398,69 @@ object StreamSync {
     q.awaitTermination()
   }
 
+  /** Streaming IVF VECTOR INDEX — continuous embedding ingestion into an
+    * ANN-queryable store: each micro-batch assigns its vectors to their
+    * nearest coarse centroid entirely map-side (the centroid set is a
+    * MODEL trained offline and inlined as literals — the
+    * [[graft.llm.Similarity.assignClusters]] posture) and appends
+    * cell-partitioned postings (`centroid_id=<c>/...`) to the index
+    * directory. Nothing shuffles: assignment is a projection and the
+    * partitioned parquet sink routes rows by cell. Queries then read
+    * ONLY the probed cells via partition pruning
+    * ([[queryVectorIndex]]) — at 100 TB the scan cost is
+    * nprobe/nClusters of the corpus, which is the entire point of IVF.
+    * The parquet file-stream + checkpoint gives exactly-once appends, so
+    * a replayed batch never double-inserts a vector. */
+  def maintainVectorIndex(vectors: DataFrame,
+                          centroids: Array[(Int, Array[Float])],
+                          indexDir: String, checkpointDir: String): Unit = {
+    val scored = centroids.map { case (cid, vec) =>
+      struct(
+        graft.functions.GraftFunctions.vec_cosine(col("embedding"), typedLit(vec)).as("sim"),
+        lit(-cid).as("ord"),
+        lit(cid).as("centroid_id"))
+    }
+    val q = vectors
+      .select(col("vec_id"), col("label"), col("embedding"),
+        greatest(scored.toIndexedSeq: _*).getField("centroid_id").as("centroid_id"))
+      .writeStream.format("parquet")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("centroid_id")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ANN top-k over the streamed index: score the query against the
+    * centroid model driver-side, then scan ONLY the `nprobe` best cells —
+    * the `centroid_id` partition filter prunes every other cell's files
+    * at planning time. Exact cosine + TakeOrdered inside the probed
+    * slice. */
+  def queryVectorIndex(spark: SparkSession, indexDir: String,
+                       centroids: Array[(Int, Array[Float])],
+                       query: Array[Float], k: Int = 10,
+                       nprobe: Int = 4): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.map { case (cid, vec) => (cos(query, vec), cid) }
+      .sortBy { case (sim, cid) => (-sim, cid) }
+      .take(nprobe).map(_._2)
+    spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probes.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("label"),
+        graft.functions.GraftFunctions.vec_cosine(col("embedding"), typedLit(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Cumulative admission decisions from the newest committed snapshot
     * maintained by [[maintainDedupIndex]]. */
   def readDedupDecisions(spark: SparkSession, indexDir: String): DataFrame = {

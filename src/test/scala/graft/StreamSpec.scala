@@ -496,6 +496,48 @@ class StreamSpec extends AnyFunSuite {
     assert(again.length == got.size)
   }
 
+  test("streamed IVF vector index: partition-pruned ANN equals the batch IVF query") {
+    val base = Files.createTempDirectory("graft-stream-vix").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def drain(): Unit = StreamSync.maintainVectorIndex(
+      spark.readStream.schema(emb.schema).parquet(s"$base/in"),
+      centroids, s"$base/idx", s"$base/chk")
+    def addFile(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    addFile(emb.filter(col("vec_id") % 2 === 0), "a"); drain()
+    addFile(emb.filter(col("vec_id") % 2 =!= 0), "b"); drain()
+    val query = emb.filter(col("vec_id") === 0)
+      .head().getSeq[Float](1).toArray
+    val res = StreamSync.queryVectorIndex(spark, s"$base/idx", centroids, query, k = 11)
+    // the cell filter must prune at the partition level, not post-scan
+    val scan = res.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("centroid_id"),
+      s"probe must prune cells via partition filters:\n$scan")
+    val got = res.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        BigDecimal(r.getAs[Double]("cosine")).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .filterNot(_._1 == 0L).take(10)
+    val want = graft.llm.Similarity.ivfTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        BigDecimal(r.getAs[Double]("cosine")).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+    assert(got.toSeq == want.toSeq,
+      s"streamed-index ANN must equal the batch IVF query:\n$got\nvs\n$want")
+    // exactly-once appends: an empty drain must not grow the index
+    val n = spark.read.parquet(s"$base/idx").count()
+    drain()
+    assert(spark.read.parquet(s"$base/idx").count() == n)
+  }
+
   test("streaming curation keeps exactly the batch pipeline's distinct quality hashes") {
     val base = Files.createTempDirectory("graft-stream-cur").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
