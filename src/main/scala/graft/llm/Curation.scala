@@ -479,7 +479,56 @@ object Curation {
       .limit(k)
   }
 
+  /** Temperature-scaled mixture weights (the multilingual/multi-source
+    * rebalancing recipe: p_i ∝ share_i^α with α < 1 flattens the
+    * distribution toward small sources without inverting it). Emits per
+    * source the natural share, the α=0.7 temperature share, and the
+    * resulting boost factor — the plan a sampler like [[mixtureApply]]
+    * consumes. ~|sources| rows end-to-end after one keyed count; the
+    * normalizing window runs over those rows, not the corpus. */
+  def mixtureTemperature(spark: SparkSession, dir: String,
+                         alpha: Double = 0.7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val share = col("n_docs").cast("double") / sum(col("n_docs")).over(w)
+    Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", share)
+      .withColumn("pw", pow(col("share"), alpha))
+      .select(col("source"), col("n_docs"),
+        round(col("share"), 6).as("actual_share"),
+        round(col("pw") / sum(col("pw")).over(w), 6).as("temp_share"),
+        round(col("pw") / sum(col("pw")).over(w) / col("share"), 6).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-epoch n-gram NOVELTY: treating sources as ingest epochs (src0,
+    * src1, … in numeric order), the fraction of each epoch's distinct
+    * word-3-grams never seen in ANY earlier epoch — the
+    * diminishing-returns signal that tells a crawl when new data stops
+    * adding new content. One distinct (epoch, gram) projection feeds a
+    * min-epoch-per-gram aggregate that joins back by gram; shuffles
+    * carry gram keys only, and the floor-ppm output is
+    * engine-independent. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir, "documents")
+      .select(substring(col("source"), 4, 10).cast("int").as("epoch"),
+        explode(graft.llm.TextOps.shingles(col("text"))).as("gram"))
+      .distinct()
+      .localCheckpoint(true) // feeds both the first-seen agg and the join
+    val first = grams.groupBy(col("gram")).agg(min(col("epoch")).as("first_epoch"))
+    grams.join(first, "gram")
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("epoch") === col("first_epoch")).cast("long")).as("n_new"))
+      .select(col("epoch"), col("n_grams"), col("n_new"),
+        floor(col("n_new").cast("double") / col("n_grams") * 1e6)
+          .cast("long").as("novelty_ppm"))
+      .orderBy(col("epoch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_mixture_temperature" -> ((s, d) => mixtureTemperature(s, d)),
+    "cur_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "cur_zorder_layout" -> ((s, d) => zorderLayout(s, d)),
     "cur_chunk_documents" -> ((s, d) => chunkDocuments(s, d)),
@@ -500,6 +549,35 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // power/ln parity at round-6 is the BM25/unigram precedent; the
+    // normalizer sums run over ~|sources| rows
+    "cur_mixture_temperature" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT source, n_docs,
+        |        CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share,
+        |        power(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 0.7) AS pw
+        |      FROM s)
+        |SELECT source, n_docs, round(share, 6) AS actual_share,
+        |  round(pw / sum(pw) OVER (), 6) AS temp_share,
+        |  round(pw / sum(pw) OVER () / share, 6) AS boost
+        |FROM t ORDER BY source""".stripMargin,
+    // same distinct (epoch, gram) projection, same min-epoch first-seen,
+    // floor-ppm output is engine-independent
+    "cur_ngram_novelty" ->
+      """WITH g AS (
+        |  SELECT DISTINCT CAST(substring(source, 4) AS INTEGER) AS epoch, gram
+        |  FROM (SELECT source,
+        |          unnest(list_distinct(list_transform(
+        |            generate_series(1, len(string_split(text,' ')) - 2),
+        |            i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS gram
+        |        FROM documents WHERE len(string_split(text,' ')) >= 3)),
+        |f AS (SELECT gram, min(epoch) AS first_epoch FROM g GROUP BY gram)
+        |SELECT g.epoch, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN g.epoch = f.first_epoch THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(floor(CAST(sum(CASE WHEN g.epoch = f.first_epoch THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*) * 1e6) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f USING (gram)
+        |GROUP BY g.epoch ORDER BY g.epoch""".stripMargin,
     // exact replay: md5 nibbles → binary fraction → A-ES key; the division
     // by 2^52 is exact, so parity rests only on ln (the BM25 precedent)
     "cur_sample_weighted" ->

@@ -464,12 +464,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         (col("n_shared").cast("double") / col("nsh_a")).as("c_ab"),
         (col("n_shared").cast("double") / col("nsh_b")).as("c_ba"))
-    directed.filter(col("c_ab") >= threshold)
-      .select(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
-        round(col("c_ab"), 6).as("containment"))
-      .unionByName(directed.filter(col("c_ba") >= threshold)
-        .select(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
-          round(col("c_ba"), 6).as("containment")))
+    // both directions in ONE pass: a union of two filters would re-derive
+    // the whole inverted-index pipeline per branch (measured: the plan
+    // duplicated every exchange); exploding the two directed candidate
+    // rows per pair keeps a single lineage
+    directed
+      .select(explode(array(
+          struct(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
+            col("c_ab").as("c")),
+          struct(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
+            col("c_ba").as("c")))).as("d"))
+      .select(col("d.inner_doc").as("inner_doc"), col("d.outer_doc").as("outer_doc"),
+        col("d.c").as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("inner_doc"), col("outer_doc"), round(col("c"), 6).as("containment"))
       .orderBy(col("inner_doc"), col("outer_doc"))
   }
 

@@ -408,7 +408,13 @@ object TextOps {
     val tok = Tables(spark, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
+    // one corpus scan: the (source, token) table is ~|sources|·|vocab|
+    // rows (tiny); materializing it eagerly keeps the three derived
+    // aggregates (corpus counts, per-source totals, grand total) from
+    // each re-exploding the corpus (the un-checkpointed plan ran the
+    // token explosion four times)
     val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n_st"))
+      .localCheckpoint(true)
     val corpus = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
     val totals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val nAll = corpus.agg(sum(col("n_t")).as("n_all"))

@@ -230,6 +230,42 @@ object Relational {
           col("exact_orders") * lit(0.05)).as("within_bound"))
   }
 
+  /** National market share (TPC-H Q8 shape) — the widest join tree in the
+    * suite: lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈
+    * supplier ⋈ nation(again), then a conditional-share aggregate per
+    * order year. Every dimension is broadcast (nation appears TWICE under
+    * different aliases — the self-join-free double role); the part filter
+    * lands before its broadcast so the fact is pruned by the join itself;
+    * the only exchange the fact crosses is lineitem ⋈ orders' key
+    * shuffle + the final per-year aggregate. The optimizer workout: 7
+    * broadcasts, join-order freedom, and a CASE-gated ratio in one
+    * aggregation pass. */
+  def q37MarketShare(spark: SparkSession, dir: String,
+                     homeNation: String = "NATION_1"): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val s = Tables(spark, dir, "supplier")
+    val n1 = Tables(spark, dir, "nation").as("n1")
+    val n2 = Tables(spark, dir, "nation").as("n2")
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "AMERICA")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), c("c_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(r), col("n1.n_regionkey") === r("r_regionkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n2), s("s_nationkey") === col("n2.n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("n2.n_name") === homeNation, vol).otherwise(lit(0.0))) /
+          sum(vol), 6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
   /** Skew-resilient salted join: the fact side gets a deterministic salt
     * in [0, S); the dimension is replicated ×S; the join key becomes
     * (key, salt), spreading any hot key over S tasks. Result is
@@ -633,6 +669,7 @@ object Relational {
     "rel_q17_salted_join" -> ((s, d) => q17SaltedJoin(s, d)),
     "rel_q17b_plain_join" -> q17bPlainJoin,
     "rel_q36_skew_join_aqe" -> q36SkewJoinAqe,
+    "rel_q37_market_share" -> ((s: SparkSession, d: String) => q37MarketShare(s, d)),
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
@@ -845,6 +882,23 @@ object Relational {
         |        AS skew_key, l_extendedprice FROM lineitem) f
         |JOIN orders ON f.skew_key = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // 8-relation Q8 shape; ratio of double sums rounds stably at 6
+    "rel_q37_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |            THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) /
+        |        sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY year(o.o_orderdate)
+        |ORDER BY o_year""".stripMargin,
     "rel_q18_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

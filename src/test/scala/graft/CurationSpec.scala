@@ -13,6 +13,26 @@ class CurationSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
+  test("temperature mixture flattens toward small sources; novelty starts total") {
+    val t = Curation.mixtureTemperature(spark, sf).collect()
+    assert(t.length == 20)
+    assert(math.abs(t.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-4)
+    // α < 1 compresses ratios: below-average sources boost ≥ 1,
+    // above-average ones ≤ 1 (monotone flattening, never inversion)
+    val mean = 1.0 / t.length
+    t.foreach { r =>
+      val (share, boost) = (r.getAs[Double]("actual_share"), r.getAs[Double]("boost"))
+      if (share < mean - 1e-9) assert(boost >= 1.0, s"small source must boost: $r")
+      if (share > mean + 1e-9) assert(boost <= 1.0, s"big source must shrink: $r")
+    }
+    val nv = Curation.ngramNovelty(spark, sf).collect()
+    assert(nv.length == 20)
+    val first = nv.find(_.getAs[Int]("epoch") == 0).get
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L,
+      "every gram of the first epoch is new by definition")
+    nv.foreach(r => assert(r.getAs[Long]("n_new") <= r.getAs[Long]("n_grams")))
+  }
+
   test("weighted sample: deterministic, TakeOrdered plan, biased toward weight") {
     val df = Curation.sampleWeighted(spark, sf)
     val a = df.collect()
