@@ -95,6 +95,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(bf, k)    => BloomMightContain(bf, k, 5)
       case Seq(bf, k, h) => BloomMightContain(bf, k, intArg(h, "numHashes"))
     })
+    ext.injectFunction(fn("zvalue",
+      "zvalue(x, y[, bits]) - Morton/Z-order bit interleave of two longs") {
+      case Seq(x, y)     => ZValue(x, y, 8)
+      case Seq(x, y, bb) => ZValue(x, y, intArg(bb, "bits"))
+    })
     ext.injectFunction(fn("cms_merge",
       "cms_merge(sketch) - exact union of serialized count-min sketches") {
       case Seq(s) => CmsMergeAgg(s)

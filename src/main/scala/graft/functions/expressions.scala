@@ -70,6 +70,43 @@ case class VecCosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Morton (Z-order) interleave of two non-negative `bits`-bit longs:
+  * x's bit i lands at position 2i+1, y's at 2i — the space-filling-curve
+  * key a write path sorts by for multi-dimensional data skipping
+  * ([[graft.llm.Curation.zorderLayout]]). Native with codegen because the
+  * equivalent `aggregate()` higher-order function evaluates interpreted
+  * per row, which is exactly the wrong cost profile for a projection
+  * that runs over every row of a 100 TB rewrite. */
+case class ZValue(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+    var z = 0L; var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i + 1)
+      z |= ((y >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    java.lang.Long.valueOf(z)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val z = ctx.freshName("z")
+      s"""
+        long $z = 0L;
+        for (int $i = 0; $i < $bits; $i++) {
+          $z |= (($a >> $i) & 1L) << (2 * $i + 1);
+          $z |= (($b >> $i) & 1L) << (2 * $i);
+        }
+        ${ev.value} = $z;
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZValue =
+    copy(left = l, right = r)
+  override def prettyName: String = "zvalue"
+}
+
 /** Deterministic 64-bit mix (SplitMix64 finalizer) used to derive the
   * MinHash permutation family from a seed. Public-domain constant set. */
 private[functions] object Mix {
@@ -267,4 +304,6 @@ object GraftFunctions {
     c(CmsMergeAgg(e(sketch)).toAggregateExpression())
   def cms_estimate(sketch: Column, item: Column): Column =
     c(CmsEstimate(e(sketch), e(item)))
+  def zvalue(x: Column, y: Column, bits: Int = 8): Column =
+    c(ZValue(e(x), e(y), bits))
 }

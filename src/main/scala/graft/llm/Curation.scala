@@ -430,10 +430,9 @@ object Curation {
       .withColumn("ym_max", expr("(t1 - t0) div 60000000"))
       .withColumn("x8", expr("((user_id - u0) * 256) div (u1 - u0 + 1)"))
       .withColumn("y8", expr("(ym * 256) div (ym_max + 1)"))
-      .withColumn("zv", expr(
-        """aggregate(sequence(0, 7), 0L, (acc, i) ->
-          |  acc + shiftleft(shiftright(x8, i) & 1, 2*i + 1)
-          |      + shiftleft(shiftright(y8, i) & 1, 2*i))""".stripMargin))
+      // native codegen'd interleave — the HOF fold form evaluates
+      // interpreted per row, wrong for a whole-corpus rewrite projection
+      .withColumn("zv", GraftFunctions.zvalue(col("x8"), col("y8"), 8))
     def layoutStats(name: String, ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
       val uHit = col("u_max") >= uLo && col("u_min") <= uHi
       val tHit = col("t_max") >= expr("ym_max div 4") &&

@@ -66,6 +66,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](0) == row.getSeq[String](1))
   }
 
+  test("zvalue via SQL equals the HOF interleave and is codegen'd") {
+    val got = spark.sql(
+      """SELECT x, y, zvalue(x, y, 8) AS z,
+        |  aggregate(sequence(0, 7), 0L, (acc, i) ->
+        |    acc + shiftleft(shiftright(x, i) & 1, 2*i + 1)
+        |        + shiftleft(shiftright(y, i) & 1, 2*i)) AS z_hof
+        |FROM VALUES (0L, 0L), (255L, 0L), (0L, 255L), (170L, 85L), (7L, 200L)
+        |  AS t(x, y)""".stripMargin).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3),
+        s"native zvalue must equal the HOF fold: $r")
+    }
+    // known value: full x bits at odd positions = 0b10101...10 = 0xAAAA
+    assert(got.find(r => r.getLong(0) == 255L && r.getLong(1) == 0L)
+      .get.getLong(2) == 0xAAAAL)
+    // the "*(n)" stage prefix marks whole-stage-codegen participation; a
+    // CodegenFallback expression would break the projection out of it
+    val plan = spark.sql("SELECT zvalue(id, id) FROM range(10)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"zvalue must stay in codegen:\n$plan")
+  }
+
   test("big_endian_decimal via SQL") {
     val d = spark.sql("SELECT big_endian_decimal(unbase64('MDk=')) AS d").head().getDecimal(0)
     assert(d == new java.math.BigDecimal("123.45"))
