@@ -62,6 +62,22 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Native session_window sessionization in batch form — the same
+    * operator the streaming path runs ([[graft.stream.StreamSync
+    * .sessionCounts]]), here over the full history: per-user sessions
+    * merge while events are within the 30-min gap; `end` is Spark's
+    * last-event + gap convention. Complements [[sessionize]] (the
+    * lag/cumsum composition): same partitioning (one hash exchange on
+    * user_id), but the session assignment happens inside the native
+    * SessionWindow aggregate instead of a window+groupBy pair. */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** As-of join: each `click` matched to the same user's latest
     * prior-or-simultaneous `purchase` (left as-of). Spark has no ASOF
     * operator; the scale-correct composition is union-the-sides + one
@@ -286,6 +302,7 @@ object Events {
     "ev_sliding" -> sliding,
     "ev_latest_state" -> latestState,
     "ev_sessionize" -> sessionize,
+    "ev_session_window" -> sessionWindowBatch,
     "ev_asof_join" -> asofJoin,
     "ev_asof_join_native" -> asofJoinNative,
     "ev_asof_join_tolerance" -> ((s, d) => asofJoinTolerance(s, d))
@@ -408,6 +425,26 @@ object Events {
         |                               ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events) t
         |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    // gap-merge replay: session id from the lag/cumsum composition; end
+    // is Spark's last-event + gap convention
+    "ev_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > 1800 * 1000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "ev_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts,

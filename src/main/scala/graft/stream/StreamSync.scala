@@ -461,6 +461,57 @@ object StreamSync {
       .limit(k)
   }
 
+  /** Streaming DRIFT MONITOR: each micro-batch of documents is scored
+    * against a REFERENCE unigram distribution (the offline corpus
+    * snapshot — a model-scale (token, p_ref) table) with Jensen–Shannon
+    * divergence, and one (batch_id, n_tokens, js_divergence) row lands
+    * in the monitor store. JS rather than KL because a live batch's
+    * vocabulary is not contained in the reference's (new tokens are the
+    * drift being detected): JS mixes the distributions, is defined on
+    * disjoint support, and is bounded by ln 2 — a stable alerting
+    * signal. Per batch: one token count aggregate + a full-outer join
+    * against the broadcast reference — the batch crosses one exchange,
+    * the monitor row is O(1). The same `batch=<id>` one-row layout as
+    * the sketch stores, so replays overwrite only their own row. */
+  def maintainDriftMonitor(docs: DataFrame, reference: DataFrame,
+                           monitorDir: String, checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val cnt = batch.select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        val total = cnt.agg(sum(col("n")).as("n_total"))
+        val joined = cnt.crossJoin(broadcast(total))
+          .select(col("token"), (col("n").cast("double") / col("n_total")).as("p"),
+            col("n_total"))
+          .join(broadcast(reference.select(col("token"), col("p_ref"))),
+            Seq("token"), "full_outer")
+          .select(coalesce(col("p"), lit(0.0)).as("p"),
+            coalesce(col("p_ref"), lit(0.0)).as("q"),
+            col("n_total"))
+        val m = (col("p") + col("q")) / 2.0
+        val term =
+          when(col("p") > 0, col("p") * log(col("p") / m) / 2.0).otherwise(0.0) +
+          when(col("q") > 0, col("q") * log(col("q") / m) / 2.0).otherwise(0.0)
+        val row = joined.agg(max(col("n_total")).as("n_tokens"),
+            sum(term).as("js_divergence"))
+          .select(lit(batchId).as("batch_id"), col("n_tokens"), col("js_divergence"))
+        row.coalesce(1).write.mode("overwrite")
+          .parquet(s"$monitorDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** All per-batch drift rows written by [[maintainDriftMonitor]]. */
+  def readDriftView(spark: SparkSession, monitorDir: String): DataFrame =
+    spark.read.parquet(monitorDir)
+      .select(col("batch_id"), col("n_tokens"), col("js_divergence"))
+      .orderBy(col("batch_id"))
+
   /** Cumulative admission decisions from the newest committed snapshot
     * maintained by [[maintainDedupIndex]]. */
   def readDedupDecisions(spark: SparkSession, indexDir: String): DataFrame = {

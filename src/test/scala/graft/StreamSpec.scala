@@ -496,6 +496,64 @@ class StreamSpec extends AnyFunSuite {
     assert(again.length == got.size)
   }
 
+  test("drift monitor: per-batch JS matches a reference replay; disjoint vocab hits ln 2") {
+    val base = Files.createTempDirectory("graft-stream-drift").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // reference = the full corpus unigram distribution
+    val refCounts = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.values.sum.toDouble
+    val reference = spark.createDataFrame(
+        refCounts.toSeq.map { case (t, n) => (t, n / refTotal) })
+      .toDF("token", "p_ref")
+    def drain(): Unit = StreamSync.maintainDriftMonitor(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      reference, s"$base/mon", s"$base/chk")
+    def addFile(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    addFile(docs.filter(col("doc_id") % 2 === 0), "a"); drain()
+    // disjoint-vocabulary batch: nothing overlaps the reference
+    addFile(docs.limit(5).select(col("doc_id") + 900000,
+      lit("qqxa qqxb qqxc qqxd qqxe").as("text"), col("lang"), col("source"),
+      lit(24L).as("n_chars")).toDF(docs.columns: _*), "b")
+    drain()
+    val rows = StreamSync.readDriftView(spark, s"$base/mon").collect()
+    assert(rows.length == 2)
+    val jsCorpus = rows(0).getAs[Double]("js_divergence")
+    val jsAlien = rows(1).getAs[Double]("js_divergence")
+    // replay batch 0's JS driver-side from exact counts
+    val slice = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sliceTotal = slice.values.sum.toDouble
+    val vocab = slice.keySet ++ refCounts.keySet
+    val expected = vocab.toSeq.map { t =>
+      val p = slice.getOrElse(t, 0L) / sliceTotal
+      val q = refCounts.getOrElse(t, 0L) / refTotal
+      val m = (p + q) / 2.0
+      (if (p > 0) p * math.log(p / m) / 2.0 else 0.0) +
+        (if (q > 0) q * math.log(q / m) / 2.0 else 0.0)
+    }.sum
+    assert(math.abs(jsCorpus - expected) < 1e-9,
+      s"engine js=$jsCorpus expected=$expected")
+    // disjoint support ⇒ JS = ln 2 exactly; and the alien batch must alarm
+    assert(math.abs(jsAlien - math.log(2.0)) < 1e-12)
+    assert(jsAlien > jsCorpus)
+  }
+
   test("streamed IVF vector index: partition-pruned ANN equals the batch IVF query") {
     val base = Files.createTempDirectory("graft-stream-vix").toString
     Files.createDirectories(Paths.get(s"$base/in"))
