@@ -112,6 +112,22 @@ object Functions {
         round(avg(col("l_discount")), 6).as("avg_discount"))
       .orderBy(col("l_returnflag"))
 
+  /** Linear-regression aggregates (regr_slope / intercept / r² / count):
+    * the per-group OLS fit both engines compute from the same mergeable
+    * moment accumulators (sums of x, y, x², xy) — one partial+final pass,
+    * no second scan. Rounding absorbs accumulation-order drift like
+    * [[fStats]]: r² lives on [0,1] (6 places), slope/intercept on data
+    * scale (4). */
+  def fRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact percentiles: Spark's `percentile` sorts the group and linearly
     * interpolates at p·(n−1) — the same definition as ANSI
     * percentile_cont, so the oracle is exact, not an estimator. The
@@ -299,6 +315,7 @@ object Functions {
     "fn_map" -> fMap,
     "fn_json" -> fJson,
     "fn_stats" -> fStats,
+    "fn_regression" -> fRegression,
     "fn_percentile" -> fPercentile,
     "fn_approx_percentile" -> fApproxPercentile,
     "fn_quantile_sketch_epochs" -> fQuantileSketchEpochs,
@@ -376,6 +393,13 @@ object Functions {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+    "fn_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "fn_stats" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
