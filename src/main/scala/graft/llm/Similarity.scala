@@ -396,6 +396,29 @@ object Similarity {
       .orderBy(col("label"), col("rk"))
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the recommendation/retrieval
+    * scoring mode where vector NORM carries signal (popularity, quality
+    * priors baked into magnitudes), so cosine's normalization is wrong by
+    * design. Same scale posture as [[bruteForceTopK]]: broadcast 1-row
+    * query, one codegen'd map-side dot pass, per-partition top-k heap via
+    * TakeOrdered. (At scale MIPS reduces to cosine-ANN by augmenting
+    * each vector with sqrt(M² − ‖x‖²); this exact form is that
+    * reduction's recall baseline.) */
+  def dotTopK(spark: SparkSession, dir: String, queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val dot = aggregate(
+      zip_with(col("embedding"), col("q_emb"), (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), dot.as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("dot"), 6).as("dot"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: for each
     * anchor (every `queryStride`-th vector), the top-k most-similar
     * vectors with a DIFFERENT label — the negatives that sit closest to
@@ -427,6 +450,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_dot_topk" -> ((s, d) => dotTopK(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "sim_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "sim_retrieve_rerank" -> ((s, d) => retrieveRerank(s, d)),
@@ -462,6 +486,18 @@ object Similarity {
       |      FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // ascending-dimension double-accumulating dot product — same fold
+    // order as the engine's zip_with/aggregate composition
+    "sim_dot_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_sum(list_transform(generate_series(1, 64),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * q.q_emb[i])), 6) AS dot
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY list_sum(list_transform(generate_series(1, 64),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * q.q_emb[i])) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     // per-anchor cross-label top-k replayed with list_cosine_similarity
     // (double-accumulating, same order as the engine's fold)
     "sim_hard_negatives" ->
