@@ -95,10 +95,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(bf, k)    => BloomMightContain(bf, k, 5)
       case Seq(bf, k, h) => BloomMightContain(bf, k, intArg(h, "numHashes"))
     })
+    // args cast to long at the seam: an int literal would otherwise crash
+    // interpreted eval (constant folding) while working under codegen
     ext.injectFunction(fn("zvalue",
       "zvalue(x, y[, bits]) - Morton/Z-order bit interleave of two longs") {
-      case Seq(x, y)     => ZValue(x, y, 8)
-      case Seq(x, y, bb) => ZValue(x, y, intArg(bb, "bits"))
+      case Seq(x, y) =>
+        ZValue(Cast(x, org.apache.spark.sql.types.LongType),
+          Cast(y, org.apache.spark.sql.types.LongType), 8)
+      case Seq(x, y, bb) =>
+        ZValue(Cast(x, org.apache.spark.sql.types.LongType),
+          Cast(y, org.apache.spark.sql.types.LongType), intArg(bb, "bits"))
     })
     ext.injectFunction(fn("cms_merge",
       "cms_merge(sketch) - exact union of serialized count-min sketches") {

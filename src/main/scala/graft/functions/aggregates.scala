@@ -541,10 +541,16 @@ case class CmsMergeAgg(
   with UnaryLike[Expression] {
   import org.apache.spark.util.sketch.CountMinSketch
 
-  // 1×1 sentinel marks "no input yet"; the first real sketch is adopted
-  // wholesale (sketch shape is carried by the inputs themselves).
+  // Empty 1×1 sentinel marks "no input yet"; the first real sketch is
+  // adopted wholesale (sketch shape is carried by the inputs themselves).
+  // totalCount == 0 keeps a legitimately 1×1-shaped NON-empty input from
+  // being mistaken for the sentinel and silently dropped — such an input
+  // instead reaches mergeInPlace, which correctly rejects the
+  // incompatible shape. An all-null group evals to NULL (below), matching
+  // the built-in aggregates' no-input convention.
   override def createAggregationBuffer(): CountMinSketch = CountMinSketch.create(1, 1, 1)
-  private def isSentinel(s: CountMinSketch): Boolean = s.depth == 1 && s.width == 1
+  private def isSentinel(s: CountMinSketch): Boolean =
+    s.depth == 1 && s.width == 1 && s.totalCount == 0
 
   override def update(buf: CountMinSketch, input: InternalRow): CountMinSketch = {
     val v = child.eval(input)
@@ -562,7 +568,8 @@ case class CmsMergeAgg(
     else if (isSentinel(other)) buf
     else { buf.mergeInPlace(other); buf }
 
-  override def eval(buf: CountMinSketch): Any = serialize(buf)
+  override def eval(buf: CountMinSketch): Any =
+    if (isSentinel(buf)) null else serialize(buf)
   override def serialize(buf: CountMinSketch): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     buf.writeTo(out)
@@ -572,7 +579,7 @@ case class CmsMergeAgg(
     CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
 
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override protected def withNewChildInternal(c: Expression): CmsMergeAgg =
     copy(child = c)
   override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg =

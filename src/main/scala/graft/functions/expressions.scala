@@ -304,6 +304,9 @@ object GraftFunctions {
     c(CmsMergeAgg(e(sketch)).toAggregateExpression())
   def cms_estimate(sketch: Column, item: Column): Column =
     c(CmsEstimate(e(sketch), e(item)))
+  // longs enforced at the seam (ImplicitCastInputTypes' AbstractDataType
+  // is private[sql]); without the casts an int input crashes interpreted
+  // eval (constant folding) while silently working under codegen
   def zvalue(x: Column, y: Column, bits: Int = 8): Column =
-    c(ZValue(e(x), e(y), bits))
+    c(ZValue(Cast(e(x), LongType), Cast(e(y), LongType), bits))
 }

@@ -433,6 +433,9 @@ object Curation {
       // native codegen'd interleave — the HOF fold form evaluates
       // interpreted per row, wrong for a whole-corpus rewrite projection
       .withColumn("zv", GraftFunctions.zvalue(col("x8"), col("y8"), 8))
+      // both layout branches consume this frame; materialize once or the
+      // union re-derives the scan + bounds agg + z projection per branch
+      .localCheckpoint(true)
     def layoutStats(name: String, ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
       val uHit = col("u_max") >= uLo && col("u_min") <= uHi
       val tHit = col("t_max") >= expr("ym_max div 4") &&

@@ -380,19 +380,21 @@ object Dedup {
     * corpus key table + exact verification on colliding pairs only —
     * never O(|corpus|²), the corpus text/signatures are never reshuffled
     * (keys-only join; AQE broadcasts the batch key side when small), and
-    * the same [[MaxBucket]] cap bounds degenerate boilerplate buckets. */
+    * the same [[MaxBucket]] cap bounds degenerate boilerplate buckets.
+    *
+    * Oracle note: like [[ngramJaccard]], the brute-force oracle does not
+    * model the bucket cap (xxhash bucket ids are engine-internal);
+    * equality holds because a pair is lost only if EVERY band that
+    * collides for it is >1000-crowded — for true j≥0.8 near-dups (which
+    * collide in many of the 32 bands) the surviving-band probability is
+    * ≈1, and no testdata bucket approaches the cap. */
   def incremental(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.parallelized(Tables(spark, dir, "documents"))
     val isNew = col("doc_id") % 10 >= 8
     // shingle sets feed both sides of the verification join
-    val sh = docs
-      .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-      .localCheckpoint(true)
-    val keys = bandKeys(
-      docs.select(col("doc_id"),
-          GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), NumHashes).as("sig"))
-        .filter(col("sig").isNotNull))
+    val sh = shinglesOf(docs).localCheckpoint(true)
+    val keys = lshKeysOf(docs)
       .withColumn("is_new", isNew)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))

@@ -279,7 +279,14 @@ object Events {
     * joins back on the same key — at scale the stats side is
     * |users × types| rows, so the join reuses the aggregation's hash
     * partitioning and the raw stream shuffles once. The monitoring /
-    * data-quality primitive over the CDC event stream. */
+    * data-quality primitive over the CDC event stream.
+    *
+    * Oracle note: row MEMBERSHIP filters on a float threshold, so a z
+    * within accumulation-order drift (~1e-12 relative) of `zMin` could in
+    * principle differ across engines; measured on every testdata sf the
+    * nearest |z| sits ≥1e-4 from the boundary — 8 orders of magnitude of
+    * margin — and a continuous z has measure zero at the boundary under
+    * regeneration. */
   def anomalies(spark: SparkSession, dir: String, zMin: Double = 2.5): DataFrame = {
     val ev = Tables.events(spark, dir)
     val stats = ev.groupBy(col("user_id"), col("event_type"))

@@ -308,16 +308,20 @@ object StreamSync {
     * the one-relational-pass approximation of strictly-sequential
     * admission; across batches the sequential semantics are exact.
     *
-    * Snapshot layout mirrors [[maintainStatusView]]: each batch writes a
-    * self-contained `indexDir/batch=<id>/{keys,sh,decisions}` finished by
-    * a `_COMMIT` marker; a replayed batch rebuilds from the newest
-    * snapshot STRICTLY older than itself, so replay is deterministic and
-    * out-of-order arrival never corrupts the index. At 100 TB the parquet
-    * trio stands in for the signature/decision store a production
-    * pipeline keeps in a table format; per batch the work is
-    * O(|batch| · bands) key probes against the index plus exact
-    * verification on colliding pairs — the admitted corpus is never
-    * rescanned or reshuffled. */
+    * Layout: the INDEX (keys + shingles of admitted docs) is a
+    * snapshot-per-batch under `indexDir/state/batch=<id>/` finished by a
+    * `_COMMIT` marker — the [[maintainStatusView]] pattern, rebuilt from
+    * the newest snapshot STRICTLY older than a replayed batch, so replay
+    * is deterministic and out-of-order arrival never corrupts it. The
+    * full-rewrite-per-batch of that snapshot is the fixture-scale parquet
+    * stand-in for the table-format / KV store a production pipeline
+    * keeps (which would MERGE the admitted delta instead). DECISIONS are
+    * different: each batch appends only its own delta under
+    * `indexDir/decisions/batch=<id>/` (committed, kept, replay
+    * overwrites its own dir), so the decision log costs O(|batch|) per
+    * batch — accumulating it into each snapshot would write O(N²) rows
+    * over N batches. The probe work itself is O(|batch| · bands) key
+    * lookups plus exact verification on colliding pairs. */
   def maintainDedupIndex(docs: DataFrame, indexDir: String,
                          checkpointDir: String, threshold: Double = 0.8): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -328,7 +332,7 @@ object StreamSync {
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def committed: Seq[Long] = {
-          val root = new org.apache.hadoop.fs.Path(indexDir)
+          val root = new org.apache.hadoop.fs.Path(s"$indexDir/state")
           if (!fs.exists(root)) Seq.empty
           else fs.listStatus(root).toSeq.map(_.getPath)
             .filter(p => p.getName.startsWith("batch=") &&
@@ -342,15 +346,11 @@ object StreamSync {
         val keysNew = Dedup.lshKeysOf(b).localCheckpoint(true)
         def empty(schema: org.apache.spark.sql.types.StructType) =
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val decSchema = new org.apache.spark.sql.types.StructType()
-          .add("doc_id", "long").add("is_dup", "boolean")
-          .add("dup_of", "long").add("jaccard", "double")
-        val (prevKeys, prevSh, prevDec) = prevId match {
+        val (prevKeys, prevSh) = prevId match {
           case Some(id) =>
-            (spark.read.parquet(s"$indexDir/batch=$id/keys"),
-             spark.read.parquet(s"$indexDir/batch=$id/sh"),
-             spark.read.parquet(s"$indexDir/batch=$id/decisions"))
-          case None => (empty(keysNew.schema), empty(shNew.schema), empty(decSchema))
+            (spark.read.parquet(s"$indexDir/state/batch=$id/keys"),
+             spark.read.parquet(s"$indexDir/state/batch=$id/sh"))
+          case None => (empty(keysNew.schema), empty(shNew.schema))
         }
         val newSide = keysNew.withColumn("is_new", lit(true))
         val targets = prevKeys.withColumn("is_new", lit(false)).unionByName(newSide)
@@ -383,14 +383,17 @@ object StreamSync {
           keysNew.join(admitted, Seq("doc_id"), "left_semi"))
         val newSh = prevSh.unionByName(
           shNew.join(admitted, Seq("doc_id"), "left_semi"))
-        val newDec = prevDec.unionByName(decisions)
-        val dst = s"$indexDir/batch=$batchId"
+        // decision DELTA only — the cumulative log lives as the union of
+        // these per-batch dirs, never rewritten
+        val decDst = s"$indexDir/decisions/batch=$batchId"
+        decisions.write.mode("overwrite").parquet(decDst)
+        fs.create(new org.apache.hadoop.fs.Path(decDst, "_COMMIT"), true).close()
+        val dst = s"$indexDir/state/batch=$batchId"
         newKeys.write.mode("overwrite").parquet(s"$dst/keys")
         newSh.write.mode("overwrite").parquet(s"$dst/sh")
-        newDec.write.mode("overwrite").parquet(s"$dst/decisions")
         fs.create(new org.apache.hadoop.fs.Path(dst, "_COMMIT"), true).close()
         committed.dropRight(2).foreach(id =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/batch=$id"), true))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/state/batch=$id"), true))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -494,9 +497,15 @@ object StreamSync {
         val term =
           when(col("p") > 0, col("p") * log(col("p") / m) / 2.0).otherwise(0.0) +
           when(col("q") > 0, col("q") * log(col("q") / m) / 2.0).otherwise(0.0)
-        val row = joined.agg(max(col("n_total")).as("n_tokens"),
-            sum(term).as("js_divergence"))
-          .select(lit(batchId).as("batch_id"), col("n_tokens"), col("js_divergence"))
+        // a batch whose tokens all filter out has NO distribution: report
+        // n_tokens = 0 with a NULL divergence instead of the misleading
+        // ln(2)/2 the reference-only full-outer rows would otherwise sum to
+        val row = joined.agg(max(col("n_total")).as("n_raw"),
+            sum(term).as("js_raw"))
+          .select(lit(batchId).as("batch_id"),
+            coalesce(col("n_raw"), lit(0L)).as("n_tokens"),
+            when(coalesce(col("n_raw"), lit(0L)) > 0, col("js_raw"))
+              .as("js_divergence"))
         row.coalesce(1).write.mode("overwrite")
           .parquet(s"$monitorDir/batch=$batchId")
       }
@@ -512,17 +521,19 @@ object StreamSync {
       .select(col("batch_id"), col("n_tokens"), col("js_divergence"))
       .orderBy(col("batch_id"))
 
-  /** Cumulative admission decisions from the newest committed snapshot
-    * maintained by [[maintainDedupIndex]]. */
+  /** Cumulative admission decisions maintained by [[maintainDedupIndex]]:
+    * the union of every committed per-batch decision delta. */
   def readDedupDecisions(spark: SparkSession, indexDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/decisions")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-      .map(_.getName.stripPrefix("batch=").toLong)
-    require(ids.nonEmpty, s"no committed dedup index under $indexDir")
-    spark.read.parquet(s"$indexDir/batch=${ids.max}/decisions")
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+        .map(_.toString)
+    require(dirs.nonEmpty, s"no committed dedup decisions under $indexDir")
+    spark.read.parquet(dirs: _*)
   }
 
   /** Watermarked tumbling-window aggregation over an event stream —
