@@ -400,7 +400,8 @@ object Curation {
     * 100 TB scan with a two-dimensional predicate reads 100 TB or 2 TB.
     * Events are laid out two ways into `nFiles` equal files: ingest order
     * (sorted by ts — what a stream sink naturally writes) and Z-order
-    * (sorted by the bit-interleave of 16-bit user and time-minute dims).
+    * (sorted by the bit-interleave of the user and time-minute dims, each
+    * normalized to 8 bits).
     * Each file keeps its min/max per dimension (what parquet footers /
     * lakehouse manifests store); a file is scanned iff its [min,max]
     * range intersects the predicate. The report counts files scanned

@@ -425,8 +425,11 @@ object Similarity {
     * the decision boundary and carry the most gradient signal. Anchors
     * are a model-scale set (|corpus|/stride rows) broadcast to the
     * corpus; cosines are computed map-side in one codegen'd projection
-    * and only the per-anchor top-k survives the single window exchange —
-    * the corpus is never self-joined. At 100 TB the anchor batch rides
+    * and the per-anchor top-k is taken by the bounded-heap
+    * [[graft.functions.TopKByAgg]] with partial aggregation, so only
+    * ≤k (cosine, negative) pairs per anchor PER PARTITION cross the one
+    * exchange — never the |corpus|×|anchors| cross-label rows, and the
+    * corpus is never self-joined. At 100 TB the anchor batch rides
     * the same IVF/RP bucketing as [[ivfTopK]] to prune the scan; the
     * brute-force form here is the exact baseline that variant must
     * recall-match. */
@@ -441,11 +444,17 @@ object Similarity {
       .select(col("anchor_id"), col("anchor_label"), col("vec_id"),
         col("label").as("neg_label"),
         vec_cosine(col("embedding"), col("a_emb")).as("cosine"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("anchor_id")).orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rk") <= k)
-      .select(col("anchor_id"), col("rk"), col("vec_id"), col("anchor_label"),
-        col("neg_label"), round(col("cosine"), 6).as("cosine"))
+      // ord (cosine, -vec_id) breaks ties exactly like the window idiom's
+      // ORDER BY cosine DESC, vec_id ASC
+      .groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(graft.functions.GraftFunctions.topk_by(
+        struct(col("cosine"), (-col("vec_id")).as("neg_id")),
+        struct(col("vec_id"), col("neg_label"), col("cosine")), k).as("top"))
+      .select(col("anchor_id"), col("anchor_label"), posexplode(col("top")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.vec_id").as("vec_id"), col("anchor_label"),
+        col("col.neg_label").as("neg_label"),
+        round(col("col.cosine"), 6).as("cosine"))
       .orderBy(col("anchor_id"), col("rk"))
   }
 
@@ -492,10 +501,10 @@ object Similarity {
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
-        |  round(list_sum(list_transform(generate_series(1, 64),
+        |  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
         |    i -> CAST(e.embedding[i] AS DOUBLE) * q.q_emb[i])), 6) AS dot
         |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY list_sum(list_transform(generate_series(1, 64),
+        |ORDER BY list_sum(list_transform(generate_series(1, len(e.embedding)),
         |    i -> CAST(e.embedding[i] AS DOUBLE) * q.q_emb[i])) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
     // per-anchor cross-label top-k replayed with list_cosine_similarity

@@ -340,6 +340,16 @@ object StreamSync {
             .map(_.getName.stripPrefix("batch=").toLong).sorted
         }
         val prevId = committed.filter(_ < batchId).lastOption
+        // fail LOUDLY on unreplayable state: retention keeps only the last
+        // two snapshots, so a rewind of more than one batch (or manual
+        // state cleanup) has no predecessor to rebuild from — silently
+        // starting from an empty index would re-admit everything and break
+        // the determinism contract above
+        if (batchId > 0 && prevId.isEmpty)
+          throw new IllegalStateException(
+            s"dedup index at $indexDir has no committed snapshot older than " +
+              s"batch $batchId (committed: ${committed.mkString(",")}); " +
+              "state was evicted past the replay horizon — rebuild the index")
         val b = batch.select(col("doc_id"), col("text"))
           .filter(col("doc_id").isNotNull && col("text").isNotNull)
         val shNew = Dedup.shinglesOf(b).localCheckpoint(true)
@@ -352,9 +362,17 @@ object StreamSync {
              spark.read.parquet(s"$indexDir/state/batch=$id/sh"))
           case None => (empty(keysNew.schema), empty(shNew.schema))
         }
-        val newSide = keysNew.withColumn("is_new", lit(true))
-        val targets = prevKeys.withColumn("is_new", lit(false)).unionByName(newSide)
-        val cands = newSide.as("n")
+        // same MaxBucket crowded-bucket cap as the batch path
+        // ([[graft.llm.Dedup.incremental]]): a degenerate boilerplate
+        // bucket would otherwise fan out |bucket|² candidate pairs per
+        // micro-batch
+        val targets = prevKeys.withColumn("is_new", lit(false))
+          .unionByName(keysNew.withColumn("is_new", lit(true)))
+          .withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+          .filter(col("bucket_n") <= Dedup.MaxBucket)
+          .drop("bucket_n")
+        val cands = targets.filter(col("is_new")).as("n")
           .join(targets.as("o"),
             col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
               (!col("o.is_new") || col("o.doc_id") < col("n.doc_id")))
