@@ -311,8 +311,54 @@ object CdcQueries {
           |UNION ALL SELECT 'orders', COUNT(*) FROM cdc_orders
           |UNION ALL SELECT 'products', COUNT(*) FROM cdc_products
           |ORDER BY tbl""".stripMargin)
+    }),
+    // Snapshot layer (graft.table.SnapshotLog): TIME TRAVEL — reading the
+    // warehouse AS OF the first sync's snapshot returns exactly that
+    // epoch's rows, byte-identical to a full recompute of epoch 1, even
+    // though two more commits (a second sync and a compaction rewrite)
+    // have happened since. The oracle replays epoch 1 from the wire
+    // fixture — if time travel leaked any later row or lost any epoch-1
+    // row, the hash would diverge.
+    "cdc_timetravel" -> ((s, _) => {
+      val base = snapshotWarehouse(s)
+      graft.table.SnapshotLog.read(s, s"$base/orders_parquet", asOf = Some(1L))
+        .get.orderBy(col("kafka_offset"))
+    }),
+    // Snapshot layer: SNAPSHOT-DIFF incremental consumption — the logical
+    // delta after snapshot 1 is exactly the second sync's rows, and the
+    // compaction `replace` commit between the read points contributes
+    // NOTHING (a rewrite adds no logical rows), so maintenance is
+    // invisible to incremental consumers. The oracle replays epoch 2 from
+    // the wire fixture.
+    "cdc_snapshot_diff" -> ((s, _) => {
+      val base = snapshotWarehouse(s)
+      graft.table.SnapshotLog.diff(s, s"$base/orders_parquet", from = 1L)
+        .get.orderBy(col("kafka_offset"))
     })
   )
+
+  /** Build a 3-snapshot `orders` table through the full
+    * [[graft.table.SnapshotLog]] protocol in a fresh temp dir:
+    * snapshot 1 = epoch-1 append (offsets ≤ 5, the pre-incremental slice),
+    * snapshot 2 = epoch-2 append (offsets ≥ 6, the resumed slice — the
+    * same split [[cdc_incremental_orders]] pins), snapshot 3 = a
+    * [[Compaction.compactSnapshotted]] `replace` rewrite of the whole
+    * table. Every commit goes through the atomic manifest rename, and the
+    * compaction exercises the real maintenance job, not an inline stand-in. */
+  private def snapshotWarehouse(spark: SparkSession): String = {
+    import graft.table.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft-snapwh").toString
+    val dir = s"$base/orders_parquet"
+    val all = parse(spark, "orders")
+    val f1 = SnapshotLog.writeData(all.filter(col("kafka_offset") <= 5), dir,
+      statsCol = Some("kafka_offset"))
+    SnapshotLog.commit(spark, dir, "append", f1, summary = Map("table" -> "orders"))
+    val f2 = SnapshotLog.writeData(all.filter(col("kafka_offset") >= 6), dir,
+      statsCol = Some("kafka_offset"))
+    SnapshotLog.commit(spark, dir, "append", f2, summary = Map("table" -> "orders"))
+    Compaction.compact(spark, base, "orders", targetBytes = 1L << 30)
+    base
+  }
 
   val oracles: Map[String, String] = Map(
     "cdc_parse_orders" ->
@@ -344,6 +390,15 @@ object CdcQueries {
          |  "timestamp" AS kafka_timestamp, topic, "offset" AS kafka_offset
          |FROM ${wireSql("order_items")} ORDER BY kafka_offset""".stripMargin,
     "cdc_incremental_orders" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    // time travel to snapshot 1 == full recompute of epoch 1 (offsets ≤ 5)
+    "cdc_timetravel" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders")} WHERE "offset" <= 5 ORDER BY kafka_offset""".stripMargin,
+    // snapshot-diff after snapshot 1 == epoch 2 exactly (offsets ≥ 6);
+    // the intervening compaction rewrite must contribute nothing
+    "cdc_snapshot_diff" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
     "cdc_filter_completed" ->

@@ -53,11 +53,16 @@ object Compaction {
 
   /** Compact `warehouseDir/<table>_parquet` to ~`targetBytes` files.
     * No-op (returns the current stats) when the layout is already at or
-    * under the target file count. */
+    * under the target file count. A snapshot-tracked table (one with a
+    * `_graft_log`) compacts through [[compactSnapshotted]]'s atomic
+    * `replace` commit; the directory-swap path below is kept only for the
+    * reference-parity flat layout. */
   def compact(spark: SparkSession, warehouseDir: String, table: String,
               targetBytes: Long = 128L * 1024 * 1024): CompactionResult = {
     val live = new Path(s"$warehouseDir/${table}_parquet")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(live, "_graft_log")))
+      return compactSnapshotted(spark, warehouseDir, table, targetBytes)
     val files = dataFiles(spark, live)
     // A healthy table whose first sync had an empty delta never creates the
     // dir (or leaves it fileless) — nothing to do, and spark.read on it
@@ -97,5 +102,49 @@ object Compaction {
     fs.delete(bak, true)
     val after = dataFiles(spark, live)
     CompactionResult(table, files.size, after.size, nNew, after.map(_._2).sum)
+  }
+
+  /** Snapshot-protocol compaction — the production upgrade the swap-path
+    * docstring promises: rewrite the CURRENT snapshot's file set to
+    * size-targeted files staged under a fresh data dir, then publish one
+    * atomic `replace` manifest (adds the rewritten files, removes the
+    * originals). No live directory is ever touched:
+    *  - readers pinned to ANY snapshot keep their exact file list —
+    *    there is no swap window at all, and time travel to pre-compaction
+    *    snapshots still works until [[graft.table.SnapshotLog
+    *    .expireSnapshots]] reclaims them;
+    *  - incremental consumers ([[graft.table.SnapshotLog.diff]]) skip the
+    *    `replace` commit entirely — maintenance is invisible downstream;
+    *  - a concurrent sync cannot lose data: both writers race for the
+    *    next manifest id and the loser throws
+    *    [[graft.table.SnapshotLog.ConcurrentCommitException]] — the
+    *    optimistic-concurrency replacement for the flat path's re-list
+    *    guard.
+    * The row-count equality check still gates the commit, and per-file
+    * offset stats are recomputed for the rewritten files so manifest
+    * pruning survives compaction. */
+  def compactSnapshotted(spark: SparkSession, warehouseDir: String, table: String,
+                         targetBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+    import graft.table.SnapshotLog
+    val dir = s"$warehouseDir/${table}_parquet"
+    val files = SnapshotLog.filesAt(spark, dir)
+    if (files.isEmpty) return CompactionResult(table, 0, 0, 0L, 0L)
+    val totalBytes = files.map(_.bytes).sum
+    val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    if (files.size <= targetFiles)
+      return CompactionResult(table, files.size, files.size, files.map(_.rows).sum, totalBytes)
+
+    val df = spark.read.parquet(files.map(_.path): _*)
+    val hasOffset = df.columns.contains("kafka_offset")
+    val rewritten = SnapshotLog.writeData(df.repartition(targetFiles), dir,
+      statsCol = if (hasOffset) Some("kafka_offset") else None)
+    val (nOld, nNew) = (files.map(_.rows).sum, rewritten.map(_.rows).sum)
+    require(nNew == nOld,
+      s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")
+    SnapshotLog.commit(spark, dir, "replace", rewritten,
+      removed = files.map(_.path),
+      summary = Map("table" -> table, "files_before" -> files.size.toString,
+        "files_after" -> rewritten.size.toString))
+    CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
   }
 }

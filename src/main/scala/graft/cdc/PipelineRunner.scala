@@ -63,7 +63,8 @@ object PipelineRunner {
   def run(spark: SparkSession, fixtureDir: String, warehouseDir: String,
           offsetDir: String, tables: Seq[String] = DefaultTables,
           singleFile: Boolean = false,
-          compactTargetBytes: Option[Long] = None): PipelineReport = {
+          compactTargetBytes: Option[Long] = None,
+          snapshotted: Boolean = false): PipelineReport = {
     // configure: warehouse root must exist before the first append
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouseDir))
 
@@ -78,7 +79,8 @@ object PipelineRunner {
     // sync fan-out (concurrent per-table jobs in one session)
     val source = new FileCdcSource(fixtureDir)
     val offsets = new OffsetStore(offsetDir)
-    val job = new SyncJob(source, offsets, warehouseDir, singleFile = singleFile)
+    val job = new SyncJob(source, offsets, warehouseDir, singleFile = singleFile,
+      snapshotted = snapshotted)
     val synced = job.syncAll(spark, tables.filter(healthy))
 
     // maintenance (optional): compact the small-file ingest layout before
@@ -116,10 +118,14 @@ object PipelineRunner {
     val tables = a.get("tables").map(_.split(",").toSeq).getOrElse(DefaultTables)
     val singleFile = a.get("single_file").contains("true")
     val compactTarget = a.get("compact_target_bytes").map(_.toLong)
+    // --snapshots: route every table through the SnapshotLog commit
+    // protocol (atomic snapshots, time travel, snapshot-diff) — the mode
+    // the reference's vestigial --iceberg_warehouse arg gestures at
+    val snapshotted = a.get("snapshots").contains("true")
     val spark = graft.Sessions.local(appName = a.getOrElse("JOB_NAME", "graft-pipeline"))
     try {
       val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables,
-        singleFile, compactTarget)
+        singleFile, compactTarget, snapshotted)
       // the reference's eyeball source-vs-sink report, machine-checkable
       println(f"${"table"}%-12s ${"synced"}%8s ${"hwm"}%6s ${"source"}%8s ${"sink"}%8s  status")
       report.tables.foreach { r =>

@@ -23,12 +23,27 @@ import graft.schema.Schemas
   *    (kafka_to_s3_enhanced.py:203) — is a parity flag, default OFF: at
   *    scale it serializes the write into a single task. The engine's own
   *    mode lets the write inherit the scan's parallelism.
+  *  - `snapshotted` (default OFF = reference parity): route every sync
+  *    through the [[graft.table.SnapshotLog]] commit protocol instead of
+  *    a bare directory append — each sync becomes one atomic `append`
+  *    snapshot carrying per-file offset stats, readers get snapshot
+  *    isolation / time travel / snapshot-diff, and the debug sample reads
+  *    back through manifest-level offset pruning (which subsumes the
+  *    `sync_date` directory-partition pruning: the manifest IS the zone
+  *    map, so `partitionBySyncDate` is ignored under this flag). This is
+  *    the capability
+  *    the reference ships Iceberg jars for but never uses
+  *    (docker/glue/Dockerfile:40-41,53; run_pipeline.sh:145).
   */
 final case class SyncResult(table: String, records: Long, maxOffset: Long, wrote: Boolean)
 
 final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: String,
                     singleFile: Boolean = false, debugSink: Boolean = false,
-                    partitionBySyncDate: Boolean = false) {
+                    partitionBySyncDate: Boolean = false,
+                    snapshotted: Boolean = false) {
+  import graft.table.SnapshotLog
+
+  private def tableDir(table: String) = s"$warehouseDir/${table}_parquet"
 
   def sync(spark: SparkSession, table: String): SyncResult = {
     val topic = Schemas.topicFor(table)
@@ -57,6 +72,30 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
         count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"),
         min(col("kafka_offset")).as("lo"))
       val out = if (singleFile) observed.coalesce(1) else observed
+      if (snapshotted) {
+        // stage immutable data files, then publish them as ONE atomic
+        // append snapshot; a crash between the two leaves only invisible
+        // orphans (swept by expireSnapshots), never a torn table
+        val files = SnapshotLog.writeData(out, tableDir(table),
+          statsCol = Some("kafka_offset"))
+        val m = obs.get
+        val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
+        SnapshotLog.commit(spark, tableDir(table), "append", files,
+          summary = Map("table" -> table, "records" -> n.toString,
+            "hwm" -> maxOffset.toString))
+        offsets.commit(table, maxOffset, n) // commit strictly after the snapshot
+        if (debugSink) {
+          // manifest-pruned read-back: only files whose offset range
+          // intersects this sync's delta are even opened
+          SnapshotLog.readRange(spark, tableDir(table),
+              m("lo").asInstanceOf[Long], maxOffset)
+            .foreach(_.filter(col("kafka_offset")
+              .between(m("lo").asInstanceOf[Long], maxOffset))
+              .show(3, truncate = false))
+          decoded.printSchema()
+        }
+        SyncResult(table, n, maxOffset, wrote = true)
+      } else {
       val writer = out.write.mode("append")
       (if (partitionBySyncDate) writer.partitionBy("sync_date") else writer)
         .parquet(s"$warehouseDir/${table}_parquet")
@@ -74,6 +113,7 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
         decoded.printSchema()
       }
       SyncResult(table, n, maxOffset, wrote = true)
+      }
     }
   }
 
@@ -93,7 +133,9 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
   def verifyCounts(spark: SparkSession, tables: Seq[String]): Map[String, Long] =
     tables.map { t =>
       val p = s"$warehouseDir/${t}_parquet"
-      val n = try spark.read.parquet(p).count() catch { case _: Exception => 0L }
+      val n =
+        if (snapshotted) SnapshotLog.read(spark, p).map(_.count()).getOrElse(0L)
+        else try spark.read.parquet(p).count() catch { case _: Exception => 0L }
       t -> n
     }.toMap
 }

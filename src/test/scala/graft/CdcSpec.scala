@@ -307,4 +307,162 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Map("JOB_NAME" -> "cdc-sync", "kafka_topic" -> "t1",
       "single_file" -> "true", "flag" -> "true"))
   }
+
+  // ---- snapshot/table-format layer (graft.table.SnapshotLog) ----
+  import graft.table.SnapshotLog
+
+  test("snapshotted sync: atomic snapshots, time travel, diff, idempotent re-run") {
+    val base = Files.createTempDirectory("graft-snap-sync").toString
+    val store = new OffsetStore(s"$base/offsets")
+    val job = new SyncJob(source, store, s"$base/warehouse", snapshotted = true)
+    val dir = s"$base/warehouse/orders_parquet"
+
+    // epoch 1: offsets 0..5 via a capped source; epoch 2: the resume
+    val capped = new CdcSource {
+      def read(s: org.apache.spark.sql.SparkSession, topic: String,
+               st: StartingOffsets): org.apache.spark.sql.DataFrame =
+        source.read(s, topic, st).filter(col("offset") <= 5)
+    }
+    val job1 = new SyncJob(capped, store, s"$base/warehouse", snapshotted = true)
+    val r1 = job1.sync(spark, "orders")
+    assert(r1.records == 6 && r1.maxOffset == 5)
+    assert(SnapshotLog.currentSnapshotId(spark, dir).contains(1L))
+    val r2 = job.sync(spark, "orders") // resumes from offset 6
+    assert(r2.records == 4 && r2.maxOffset == 9)
+    assert(SnapshotLog.currentSnapshotId(spark, dir).contains(2L))
+
+    // latest = both epochs; time travel to 1 = epoch 1 exactly
+    assert(SnapshotLog.read(spark, dir).get.count() == 10)
+    val atOne = SnapshotLog.read(spark, dir, asOf = Some(1L)).get
+    assert(atOne.count() == 6 &&
+      atOne.agg(max(col("kafka_offset"))).head().getLong(0) == 5L)
+    // diff(1 → latest) = epoch 2 exactly
+    val delta = SnapshotLog.diff(spark, dir, from = 1L).get
+    assert(delta.count() == 4 &&
+      delta.agg(min(col("kafka_offset"))).head().getLong(0) == 6L)
+    // verifyCounts reads through the manifest
+    assert(job.verifyCounts(spark, Seq("orders"))("orders") == 10)
+
+    // idempotent: an empty delta commits no snapshot
+    val r3 = job.sync(spark, "orders")
+    assert(!r3.wrote && SnapshotLog.currentSnapshotId(spark, dir).contains(2L))
+
+    // manifests carry per-file offset stats for metadata pruning
+    val files = SnapshotLog.filesAt(spark, dir)
+    assert(files.forall(f => f.statsMin.isDefined && f.statsMax.isDefined))
+    // a range probe below every file's min resolves to no files at all
+    assert(SnapshotLog.readRange(spark, dir, -10L, -1L).isEmpty)
+  }
+
+  test("crash between data write and commit is unobservable; torn manifests ignored") {
+    val base = Files.createTempDirectory("graft-snap-crash").toString
+    val dir = s"$base/orders_parquet"
+    val orders = Envelope.decode(
+      source.read(spark, Schemas.topicFor("orders"), StartingOffsets.Earliest), "orders")
+    val f1 = SnapshotLog.writeData(orders.filter(col("kafka_offset") <= 5), dir,
+      statsCol = Some("kafka_offset"))
+    SnapshotLog.commit(spark, dir, "append", f1)
+    assert(SnapshotLog.read(spark, dir).get.count() == 6)
+
+    // "crash" #1: data files staged but never committed — readers at the
+    // current snapshot must not see a single staged row
+    SnapshotLog.writeData(orders.filter(col("kafka_offset") >= 6), dir,
+      statsCol = Some("kafka_offset"))
+    assert(SnapshotLog.read(spark, dir).get.count() == 6)
+    assert(SnapshotLog.currentSnapshotId(spark, dir).contains(1L))
+
+    // "crash" #2: a torn in-flight manifest (dot-temp file with garbage)
+    // must be invisible to snapshot listing and reads
+    Files.write(Paths.get(s"$dir/_graft_log/.tmp-torn.json"),
+      "{\"snapshot_id\": 99, \"op\": \"append\",".getBytes)
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(1L))
+    assert(SnapshotLog.read(spark, dir).get.count() == 6)
+
+    // a concurrent writer that loses the id race fails loudly: both
+    // computed next-id 2, the second commitAt finds the manifest taken
+    val f2 = SnapshotLog.writeData(orders.filter(col("kafka_offset") >= 6), dir,
+      statsCol = Some("kafka_offset"))
+    SnapshotLog.commit(spark, dir, "append", f2) // id 2 lands
+    intercept[SnapshotLog.ConcurrentCommitException] {
+      SnapshotLog.commitAt(spark, dir, 2L, "append", f2, Seq.empty, Map.empty)
+    }
+  }
+
+  test("snapshot compaction: atomic replace, invisible to diff, old snapshots intact") {
+    val base = Files.createTempDirectory("graft-snap-compact").toString
+    val dir = s"$base/orders_parquet"
+    val orders = Envelope.decode(
+      source.read(spark, Schemas.topicFor("orders"), StartingOffsets.Earliest), "orders")
+    // many tiny commits = the reference's 5-minute small-file pathology
+    (0 to 9).foreach { off =>
+      val f = SnapshotLog.writeData(
+        orders.filter(col("kafka_offset") === off).coalesce(1), dir,
+        statsCol = Some("kafka_offset"))
+      SnapshotLog.commit(spark, dir, "append", f)
+    }
+    val before = SnapshotLog.filesAt(spark, dir)
+    assert(before.size == 10)
+
+    val res = Compaction.compact(spark, base, "orders") // dispatches to snapshot path
+    assert(res.filesBefore == 10 && res.filesAfter < 10 && res.rows == 10)
+    assert(SnapshotLog.currentSnapshotId(spark, dir).contains(11L))
+    // same logical table, fewer files
+    val now = SnapshotLog.read(spark, dir).get
+    assert(now.count() == 10)
+    assert(SnapshotLog.filesAt(spark, dir).size == res.filesAfter)
+    // stats survive the rewrite (manifest pruning still works)
+    assert(SnapshotLog.filesAt(spark, dir).forall(_.statsMin.isDefined))
+    // pre-compaction snapshots still time travel (no swap window ever)
+    assert(SnapshotLog.read(spark, dir, asOf = Some(5L)).get.count() == 5)
+    // the replace commit is INVISIBLE to incremental consumers
+    assert(SnapshotLog.diff(spark, dir, from = 10L).isEmpty)
+    assert(SnapshotLog.diff(spark, dir, from = 5L).get.count() == 5)
+  }
+
+  test("expireSnapshots retains the tail, sweeps unreferenced files and orphans") {
+    val base = Files.createTempDirectory("graft-snap-expire").toString
+    val dir = s"$base/orders_parquet"
+    val orders = Envelope.decode(
+      source.read(spark, Schemas.topicFor("orders"), StartingOffsets.Earliest), "orders")
+    (0 to 4).foreach { off =>
+      val f = SnapshotLog.writeData(
+        orders.filter(col("kafka_offset") === off).coalesce(1), dir,
+        statsCol = Some("kafka_offset"))
+      SnapshotLog.commit(spark, dir, "append", f)
+    }
+    // an orphan from a crashed writer: staged, never committed
+    SnapshotLog.writeData(orders.filter(col("kafka_offset") === 9).coalesce(1), dir)
+    val (dropped, deleted) = SnapshotLog.expireSnapshots(spark, dir, retainLast = 2)
+    assert(dropped == 3)
+    assert(deleted >= 1) // at least the orphan went; append-log files stay referenced
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(4L, 5L))
+    // retained snapshots still read (append log: snapshot 4's files are
+    // a subset of snapshot 5's, so nothing live was deleted)
+    assert(SnapshotLog.read(spark, dir, asOf = Some(4L)).get.count() == 4)
+    assert(SnapshotLog.read(spark, dir).get.count() == 5)
+    // expired ids are rejected, not silently empty
+    intercept[IllegalArgumentException] {
+      SnapshotLog.read(spark, dir, asOf = Some(2L))
+    }
+  }
+
+  test("pipeline runner in snapshot mode stays consistent end-to-end") {
+    val base = Files.createTempDirectory("graft-snap-pipeline").toString
+    val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
+      s"$base/offsets", snapshotted = true, compactTargetBytes = Some(1L << 30))
+    assert(report.allConsistent)
+    // every table is snapshot-tracked with at least the sync commit
+    PipelineRunner.DefaultTables.foreach { t =>
+      assert(SnapshotLog.currentSnapshotId(spark,
+        s"$base/warehouse/${t}_parquet").nonEmpty, s"no snapshot log for $t")
+    }
+    // re-run: empty deltas, still consistent, no new snapshots
+    val ids = PipelineRunner.DefaultTables.map(t =>
+      SnapshotLog.currentSnapshotId(spark, s"$base/warehouse/${t}_parquet"))
+    val again = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
+      s"$base/offsets", snapshotted = true)
+    assert(again.allConsistent)
+    assert(PipelineRunner.DefaultTables.map(t =>
+      SnapshotLog.currentSnapshotId(spark, s"$base/warehouse/${t}_parquet")) == ids)
+  }
 }
