@@ -345,7 +345,15 @@ object CdcQueries {
     * [[Compaction.compactSnapshotted]] `replace` rewrite of the whole
     * table. Every commit goes through the atomic manifest rename, and the
     * compaction exercises the real maintenance job, not an inline stand-in. */
-  private def snapshotWarehouse(spark: SparkSession): String = {
+  private val snapshotWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  private def snapshotWarehouse(spark: SparkSession): String =
+    // the fixture topics are immutable within a session, so the built
+    // 3-snapshot warehouse is reusable across queries and bench passes
+    snapshotWarehouseCache.getOrElseUpdate(
+      System.identityHashCode(spark), buildSnapshotWarehouse(spark))
+
+  private def buildSnapshotWarehouse(spark: SparkSession): String = {
     import graft.table.SnapshotLog
     val base = java.nio.file.Files.createTempDirectory("graft-snapwh").toString
     val dir = s"$base/orders_parquet"

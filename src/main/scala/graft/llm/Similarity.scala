@@ -16,9 +16,11 @@ import graft.schema.Tables
   *   heap + driver merge of k rows, never a global sort.
   * - IVF: the scale path. Vectors are assigned to their nearest centroid
   *   once (map-side against a broadcast centroid set); a query probes only
-  *   `nprobe` clusters ⇒ scan cost drops by ~nClusters/nprobe. Centroids
-  *   here are a deterministic sample (first 16 vec_ids) standing in for a
-  *   k-means fit — the assignment/probe dataflow is the real thing.
+  *   `nprobe` clusters ⇒ scan cost drops by ~nClusters/nprobe. [[ivfTopK]]
+  *   uses the deterministic first-16 seeding (the oracle-able baseline);
+  *   [[kmeansFit]] trains centroids to convergence in-engine (spherical
+  *   Lloyd on a bounded sample) and [[ivfTopKModel]] probes the trained
+  *   model — recall of trained ≥ seeded is pinned in LlmSpec.
   */
 object Similarity {
 
@@ -178,6 +180,167 @@ object Similarity {
            count(lit(1)).as("n_assigned"))
       .orderBy(col("centroid_id"), col("dim"))
 
+  /** One iteration's diagnostics from [[kmeansFit]]. `objective` is
+    * Σ(1 − cos(v, c_assigned)) under the model the iteration ASSIGNED
+    * with; `nChanged` counts vectors whose assignment differs from the
+    * previous iteration's (−1 on the first, where there is no previous). */
+  final case class KmeansIter(iter: Int, nChanged: Long, objective: Double)
+  final case class KmeansModel(centroids: Array[(Int, Array[Double])],
+                               history: Seq[KmeansIter])
+
+  /** Full SPHERICAL k-means fit to convergence, in-engine — the training
+    * loop [[kmeansStep]] is one step of, closing the "deterministic
+    * first-16 seeding stands in for a k-means fit" caveat. Assignment is
+    * by cosine, so the correct Lloyd update is the mean of
+    * direction-NORMALIZED members (Dhillon & Modha 2001, public):
+    * cos(v,c) = (v/‖v‖)·(c/‖c‖), so Σ_i cos(v_i,c) is maximized by
+    * c ∝ Σ_i v_i/‖v_i‖ — with that update the objective
+    * Σ(1 − cos) is provably non-increasing and assignments reach a
+    * fixpoint (both pinned in LlmSpec).
+    *
+    * Scale shape per iteration: ONE corpus pass. The current AND previous
+    * models ride as literals inside a single codegen'd projection (so
+    * `nChanged` costs nothing extra); the pass aggregates per
+    * (cluster, dim) normalized-component sums — k·d + k rows cross the
+    * exchange, never a vector — and the driver folds those KBs into the
+    * next model. Empty clusters keep their previous centroid. Stops at
+    * assignment fixpoint (nChanged = 0) or `maxIters`. */
+  def kmeansFit(spark: SparkSession, dir: String, nClusters: Int = 16,
+                maxIters: Int = 10, trainSampleMod: Int = 4): KmeansModel = {
+    val emb = Tables(spark, dir, "embeddings")
+    // Train on a deterministic 1/trainSampleMod corpus sample — the
+    // standard ANN-training posture (Faiss/ScaNN train coarse quantizers
+    // on a bounded sample regardless of corpus size), which is what keeps
+    // the fit O(sample) while the INDEX stays O(corpus): assignment of
+    // the full corpus happens once, outside this loop.
+    val train = if (trainSampleMod <= 1) emb
+      else emb.filter(col("vec_id") % trainSampleMod === 0)
+    // init = the deterministic first-k sample (the old stand-in, now just
+    // the seeding; KB-scale model fetch)
+    val seed: Array[(Int, Array[Double])] = emb.filter(col("vec_id") < nClusters)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    // re-number centroids 0..k-1 so ids are stable across iterations
+    var model: Array[Array[Double]] = seed.map(_._2)
+    var prev: Array[Array[Double]] = model
+    val history = scala.collection.mutable.ArrayBuffer.empty[KmeansIter]
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val assignCur = assignExpr(model)
+      val assignPrev = assignExpr(prev)
+      val stats = train
+        .select(normalizedVec(col("embedding")).as("vn"))
+        // field extraction happens BEFORE the generator projection: a
+        // posexplode in the same select re-analyzes the lambda-bearing
+        // structs with placeholder field names (colN) and getField fails;
+        // Catalyst collapses the adjacent projections regardless
+        .select(
+          assignCur.getField("centroid_id").as("cid"),
+          assignCur.getField("sim").as("sim"),
+          (assignCur.getField("centroid_id") =!=
+            assignPrev.getField("centroid_id")).as("changed"),
+          col("vn"))
+        .select(col("cid"), col("sim"), col("changed"),
+          posexplode(col("vn")).as(Seq("dim", "xn")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("xn")).as("sx"), count(lit(1)).as("n"),
+          // row-level terms counted once via the dim-0 slice of the explode
+          sum(when(col("dim") === 0, lit(1.0) - col("sim"))).as("obj0"),
+          sum(when(col("dim") === 0 && col("changed"), 1L)
+            .otherwise(0L)).as("chg0"))
+        .collect() // k·d rows of scalars — model-scale, documented fetch
+      val next = Array.tabulate(nClusters)(c => model(c).clone())
+      var objective = 0.0
+      var nChanged = 0L
+      val counts = Array.fill(nClusters)(0L)
+      stats.foreach { r =>
+        val (c, d) = (r.getAs[Int]("cid"), r.getAs[Int]("dim"))
+        next(c)(d) = r.getAs[Double]("sx") / r.getAs[Long]("n")
+        if (d == 0) {
+          counts(c) = r.getAs[Long]("n")
+          objective += Option(r.getAs[java.lang.Double]("obj0")).map(_.doubleValue).getOrElse(0.0)
+          nChanged += r.getAs[Long]("chg0")
+        }
+      }
+      (0 until nClusters).foreach(c => if (counts(c) == 0L)
+        next(c) = model(c)) // empty cluster: carry the centroid forward
+      history += KmeansIter(iter,
+        if (iter == 1) -1L else nChanged, objective)
+      converged = iter > 1 && nChanged == 0L
+      prev = model
+      model = next
+    }
+    KmeansModel(model.zipWithIndex.map { case (c, i) => (i, c) }, history.toSeq)
+  }
+
+  /** The embedding scaled to unit length in one projection — computed
+    * ONCE per row so the per-centroid scoring below is a bare dot
+    * product (cos(v,c) = v̂·ĉ), instead of re-deriving ‖v‖ inside every
+    * centroid's struct. */
+  private def normalizedVec(v: Column): Column = {
+    val nv = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(v, x => x.cast("double") / nv)
+  }
+
+  /** Map-side nearest-centroid argmax over an inlined double-precision
+    * model — the [[assignClusters]] posture generalized to trained
+    * centroids. Operates on a pre-normalized `vn` column
+    * ([[normalizedVec]]); centroids are normalized driver-side, so each
+    * cell costs one zip_with fold. Returns the (sim, ord, centroid_id)
+    * struct so callers can read both the winning id and its similarity. */
+  private def assignExpr(model: Array[Array[Double]]): Column = {
+    val scored = model.zipWithIndex.map { case (c, cid) =>
+      val normC = math.sqrt(c.map(x => x * x).sum)
+      val cn = c.map(_ / normC)
+      val dot = aggregate(
+        zip_with(col("vn"), typedLit(cn.toSeq), (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      struct(dot.as("sim"), lit(-cid).as("ord"), lit(cid).as("centroid_id"))
+    }
+    greatest(scored.toIndexedSeq: _*)
+  }
+
+  /** IVF top-k over an arbitrary (e.g. TRAINED) centroid model. The probe
+    * is decided entirely on the driver — the model and the query vector
+    * are both local KBs, so choosing the nprobe nearest cells costs zero
+    * Spark jobs — and the corpus pass is one codegen'd
+    * assign+filter+score projection feeding TakeOrdered. At 100 TB with a
+    * cell-partitioned layout ([[graft.stream.StreamSync]]'s vector index)
+    * the same probe list becomes partition pruning. */
+  def ivfTopKModel(spark: SparkSession, dir: String,
+                   model: Array[(Int, Array[Double])], queryId: Long = 0L,
+                   k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val qvec: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray.map(_.toDouble)
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probed = model.sortBy { case (cid, c) => (-cosLocal(qvec, c), cid) }
+      .take(nprobe).map(_._1).toSet
+    val assign = assignExpr(model.sortBy(_._1).map(_._2))
+    val qn = math.sqrt(qvec.map(x => x * x).sum)
+    val qsim = aggregate(
+      zip_with(col("vn"), typedLit(qvec.map(_ / qn).toSeq), (x, s) => x * s),
+      lit(0.0), (acc, x) => acc + x)
+    emb.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), normalizedVec(col("embedding")).as("vn"))
+      .select(col("vec_id"), col("label"), col("vn"),
+        assign.getField("centroid_id").as("centroid_id"))
+      .filter(col("centroid_id").isInCollection(probed))
+      .select(col("vec_id"), col("label"), qsim.as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH — the second ANN scale
     * path beside IVF. Plane j's components are ±1 by the parity of the
     * first hex digit of md5("j_d"): deterministic, seedless, and exactly
@@ -286,10 +449,29 @@ object Similarity {
     * `array<int>` column (production packs them into M bytes — same
     * information, 8 B/vector). One map-side compiled pass over the corpus,
     * zero shuffle; every later PQ query reads codes, not vectors. */
+  /** Staleness key for the materialized code table: source dir + the
+    * (name, length, mtime) set of the embeddings parquet parts, hashed.
+    * Regenerating the corpus mid-session changes the fingerprint, so the
+    * next PQ query rebuilds codes instead of serving stale ones (the
+    * poor-man's snapshot id of a table that has no
+    * [[graft.table.SnapshotLog]]). */
+  private def embeddingsFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    val sig = parts.map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
   private def pqCodeTable(spark: SparkSession, dir: String, subspaces: Int,
                           subDim: Int, codebookSize: Int): DataFrame = {
-    val tag = (dir.hashCode & 0x7fffffff).toString
-    val tbl = s"graft_pqcodes_$tag"
+    val tbl = s"graft_pqcodes_${embeddingsFingerprint(spark, dir)}"
     if (!spark.catalog.tableExists(tbl)) {
       val codebook = pqCodebook(spark, dir, subspaces, subDim, codebookSize)
       def subCode(s: Int): Column = {
@@ -458,7 +640,36 @@ object Similarity {
       .orderBy(col("anchor_id"), col("rk"))
   }
 
+  /** [[kmeansFit]] as a driver-verifiable query: the per-iteration
+    * convergence trace. No SQL oracle (the trajectory is
+    * float-iteration-dependent); the invariants — objective monotonically
+    * non-increasing, assignment fixpoint at the end, trained-IVF recall
+    * beating seeded-IVF — are pinned in LlmSpec. */
+  def kmeansFitTrace(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmeansFitCached(spark, dir).history
+      .map(h => (h.iter, h.nChanged, BigDecimal(h.objective)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("iter", "n_changed", "objective")
+  }
+
+  /** Session memo of the trained model, keyed on the same source
+    * fingerprint as [[pqCodeTable]]: the fit runs once per (session,
+    * corpus state), every consumer (trace query, trained-IVF query,
+    * repeated bench passes) reuses the KB-scale result, and a regenerated
+    * corpus invalidates it. */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[String, KmeansModel]
+  def kmeansFitCached(spark: SparkSession, dir: String, nClusters: Int = 16,
+                      maxIters: Int = 10): KmeansModel =
+    kmeansCache.getOrElseUpdate(
+      s"${embeddingsFingerprint(spark, dir)}|$nClusters|$maxIters",
+      kmeansFit(spark, dir, nClusters, maxIters))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_fit" -> ((s, d) => kmeansFitTrace(s, d)),
+    "sim_ivf_trained_topk" -> ((s, d) =>
+      ivfTopKModel(s, d, kmeansFitCached(s, d).centroids)),
     "sim_dot_topk" -> ((s, d) => dotTopK(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "sim_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),

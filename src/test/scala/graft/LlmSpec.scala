@@ -197,6 +197,46 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("kmeans fit: objective non-increasing, assignment fixpoint, trained beats seeded IVF") {
+    // at fixture scale the "bounded training sample" is the whole corpus
+    // (the sample exists to bound cost at 100 TB, not to starve 16 cells
+    // of ~30 points each)
+    val fit = Similarity.kmeansFit(spark, sf, maxIters = 15, trainSampleMod = 1)
+    // spherical-Lloyd invariant: Σ(1 − cos) never increases
+    fit.history.map(_.objective).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"objective rose: $a -> $b\n${fit.history}")
+      case _ =>
+    }
+    // reaches an assignment fixpoint within the iteration budget
+    assert(fit.history.last.nChanged == 0L,
+      s"no fixpoint after ${fit.history.size} iters: ${fit.history}")
+    // trained centroids: k cells, every centroid finite and non-degenerate
+    assert(fit.centroids.length == 16)
+    assert(fit.centroids.forall { case (_, c) =>
+      c.forall(x => !x.isNaN && !x.isInfinite) && c.exists(_ != 0.0) })
+
+    // trained-IVF must recall at least as well as the seeded stand-in,
+    // aggregated over a spread of query ids (per-query ties are fine)
+    val queryIds = Seq(0L, 3L, 7L, 11L, 19L, 27L, 33L, 41L, 55L, 63L)
+    def recallSum(top: Long => Set[Long]): (Int, Int) = {
+      var hit = 0; var tot = 0
+      queryIds.foreach { q =>
+        val brute = Similarity.bruteForceTopK(spark, sf, q)
+          .select($"vec_id").as[Long].collect().toSet
+        val got = top(q)
+        hit += (brute & got).size; tot += brute.size
+      }
+      (hit, tot)
+    }
+    val (seedHit, _) = recallSum(q =>
+      Similarity.ivfTopK(spark, sf, q).select($"vec_id").as[Long].collect().toSet)
+    val (trainHit, trainTot) = recallSum(q =>
+      Similarity.ivfTopKModel(spark, sf, fit.centroids, q)
+        .select($"vec_id").as[Long].collect().toSet)
+    assert(trainHit >= seedHit,
+      s"trained IVF recall $trainHit/$trainTot below seeded $seedHit/$trainTot")
+  }
+
   test("pq plan: map-side encode+score, no exchange before the top-k") {
     val plan = Similarity.pqTopK(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$plan")
