@@ -276,6 +276,29 @@ object CdcQueries {
       v1.unionByName(v2, allowMissingColumns = true)
         .orderBy(col("kafka_offset"))
     }),
+    // Schema drift BEYOND additive ([[graft.schema.Evolution]]): epoch 1
+    // was decoded when the source had order_id INT, the money column at
+    // DECIMAL(10,2), and shipping_address still named `address`; epoch 2
+    // ships order_id BIGINT, DECIMAL(12,4), the new name, and an added
+    // customer_id. The merge casts both sides to the widened LUB types,
+    // applies the declared rename, and null-fills the addition — one
+    // continuous column history instead of the reference's silent
+    // null-fill from the drift point on. (The widened decimal re-emits as
+    // a rounded double only for the driver's hash compare.)
+    "cdc_schema_drift_widening" -> ((s, _) => {
+      val (e1, e2) = driftEpochs(s)
+      graft.schema.Evolution
+        .mergeEpochs(Seq(e1, e2), Map("address" -> "shipping_address"))
+        .withColumn("amount", round(col("amount").cast("double"), 4))
+        .orderBy(col("kafka_offset"))
+    }),
+    // The audit face of the same drift: what changed at epoch v2 —
+    // rename, addition, two widenings — with the epoch's row count.
+    "cdc_schema_drift_report" -> ((s, _) => {
+      val (e1, e2) = driftEpochs(s)
+      graft.schema.Evolution.driftReport(s, Seq(("v1", e1), ("v2", e2)),
+        Map("address" -> "shipping_address"))
+    }),
     // Value-level reconciliation — the checksum upgrade of
     // cdc_reconcile_counts: COUNT(*) parity cannot see value corruption
     // (a flipped status, a truncated amount), a content checksum can.
@@ -345,6 +368,23 @@ object CdcQueries {
     * [[Compaction.compactSnapshotted]] `replace` rewrite of the whole
     * table. Every commit goes through the atomic manifest rename, and the
     * compaction exercises the real maintenance job, not an inline stand-in. */
+  /** The two drifting-schema epochs behind `cdc_schema_drift_widening` /
+    * `_report`: epoch 1 as the OLD source shape (int key, decimal(10,2)
+    * money, the pre-rename `address`), epoch 2 as the new one (bigint
+    * key, decimal(12,4), `shipping_address`, added customer_id). */
+  private def driftEpochs(s: SparkSession): (DataFrame, DataFrame) = {
+    val all = parse(s, "orders")
+    val e1 = all.filter(col("kafka_offset") <= 5)
+      .select(col("order_id"), col("status"),
+        col("total_amount").cast("decimal(10,2)").as("amount"),
+        col("shipping_address").as("address"), col("kafka_offset"))
+    val e2 = all.filter(col("kafka_offset") >= 6)
+      .select(col("order_id").cast("long").as("order_id"), col("customer_id"),
+        col("status"), col("total_amount").cast("decimal(12,4)").as("amount"),
+        col("shipping_address"), col("kafka_offset"))
+    (e1, e2)
+  }
+
   private val snapshotWarehouseCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   private def snapshotWarehouse(spark: SparkSession): String =
@@ -498,6 +538,35 @@ object CdcQueries {
          |  shipping_address, kafka_offset
          |FROM p WHERE kafka_offset >= 6
          |ORDER BY kafka_offset""".stripMargin,
+    // widened merge: epoch 1 history arrives under the LUB types with the
+    // rename applied and the added column null-filled
+    "cdc_schema_drift_widening" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT CAST(order_id AS BIGINT) AS order_id, status,
+         |  round(CAST(total_amount AS DOUBLE), 4) AS amount,
+         |  shipping_address, kafka_offset, CAST(NULL AS INTEGER) AS customer_id
+         |FROM p WHERE kafka_offset <= 5
+         |UNION ALL
+         |SELECT CAST(order_id AS BIGINT), status,
+         |  round(CAST(total_amount AS DOUBLE), 4),
+         |  shipping_address, kafka_offset, customer_id
+         |FROM p WHERE kafka_offset >= 6
+         |ORDER BY kafka_offset""".stripMargin,
+    // the v1→v2 transition: one rename, one addition, two widenings, all
+    // carrying epoch v2's row count
+    "cdc_schema_drift_report" ->
+      s"""WITH n2 AS (SELECT count(*) AS n_rows FROM ${wireSql("orders")}
+         |            WHERE "offset" >= 6)
+         |SELECT * FROM (
+         |  SELECT 'v2' AS epoch, 'shipping_address' AS "column",
+         |    'renamed' AS change, 'address' AS from_val,
+         |    'shipping_address' AS to_val, n_rows FROM n2
+         |  UNION ALL SELECT 'v2', 'customer_id', 'added', NULL, 'int', n_rows FROM n2
+         |  UNION ALL SELECT 'v2', 'order_id', 'widened', 'int', 'bigint', n_rows FROM n2
+         |  UNION ALL SELECT 'v2', 'amount', 'widened', 'decimal(10,2)',
+         |    'decimal(12,4)', n_rows FROM n2
+         |) ORDER BY epoch, "column", change""".stripMargin,
     "cdc_reconcile_checksums" ->
       Seq("customers", "order_items", "orders", "products").map(checksumSql)
         .mkString("", "\nUNION ALL\n", "\nORDER BY tbl"),

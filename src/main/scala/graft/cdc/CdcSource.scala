@@ -79,12 +79,23 @@ final class FileCdcSource(dir: String) extends CdcSource {
   * the option surface mirrors kafka_to_s3_enhanced.py:84-101 exactly).
   */
 final class KafkaCdcSource(bootstrapServers: String) extends CdcSource {
+
+  /** The COMPLETE option map handed to the Kafka reader — factored out so
+    * the "the real connector is a config swap" claim is a CONTRACT pinned
+    * by CdcSpec (subscribe-by-topic, startingOffsets as the per-partition
+    * resume JSON `{topic: {"0": last+1}}`, bounded endingOffsets, plaintext
+    * security protocol — the exact surface of
+    * kafka_to_s3_enhanced.py:84-101), not a comment about untested code. */
+  def options(topic: String, starting: StartingOffsets): Map[String, String] =
+    scala.collection.immutable.ListMap(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> StartingOffsets.toJson(starting),
+      "endingOffsets" -> "latest",
+      "kafka.security.protocol" -> "PLAINTEXT")
+
   override def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame =
     spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", StartingOffsets.toJson(starting))
-      .option("endingOffsets", "latest")
-      .option("kafka.security.protocol", "PLAINTEXT")
+      .options(options(topic, starting))
       .load()
 }

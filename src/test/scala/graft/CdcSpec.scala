@@ -46,6 +46,25 @@ class CdcSpec extends AnyFunSuite {
       StartingOffsets.PerPartition(Map("t" -> Map(0 -> 42L)))) == """{"t": {"0": 42}}""")
   }
 
+  test("KafkaCdcSource option surface is the reference's, byte for byte") {
+    val src = new KafkaCdcSource("kafka:9092")
+    val topic = Schemas.topicFor("orders")
+    // first sync: read everything (kafka_to_s3_enhanced.py:94 earliest)
+    assert(src.options(topic, StartingOffsets.Earliest) == Map(
+      "kafka.bootstrap.servers" -> "kafka:9092",
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      "endingOffsets" -> "latest",
+      "kafka.security.protocol" -> "PLAINTEXT"))
+    // resumed sync: per-partition JSON at last+1, exactly the shape the
+    // reference renders (kafka_to_s3_enhanced.py:95-96)
+    val store = new OffsetStore(Files.createTempDirectory("graft-kopt").toString)
+    store.commit("orders", 5L, 6L)
+    val resumed = store.startingOffsetsFor("orders", topic)
+    assert(src.options(topic, resumed)("startingOffsets") ==
+      s"""{"$topic": {"0": 6}}""")
+  }
+
   test("sync job: full first sync, then empty delta, then idempotent state") {
     val (_, store, job) = freshDirs()
     val r1 = job.sync(spark, "orders")
@@ -306,6 +325,72 @@ class CdcSpec extends AnyFunSuite {
       "--JOB_NAME=cdc-sync", "--kafka_topic", "t1", "--single_file=true", "--flag"))
     assert(got == Map("JOB_NAME" -> "cdc-sync", "kafka_topic" -> "t1",
       "single_file" -> "true", "flag" -> "true"))
+  }
+
+  // ---- schema evolution (graft.schema.Evolution) ----
+
+  test("widening lattice: safe promotions resolve, narrowing/incompatible refuse") {
+    import org.apache.spark.sql.types._
+    import graft.schema.Evolution.widen
+    assert(widen(IntegerType, LongType).contains(LongType))
+    assert(widen(LongType, IntegerType).contains(LongType))
+    assert(widen(ByteType, ShortType).contains(ShortType))
+    assert(widen(FloatType, DoubleType).contains(DoubleType))
+    assert(widen(DecimalType(10, 2), DecimalType(12, 4)).contains(DecimalType(12, 4)))
+    // mixed scale/precision: max integral digits + max scale
+    assert(widen(DecimalType(10, 2), DecimalType(6, 4)).contains(DecimalType(12, 4)))
+    assert(widen(IntegerType, DecimalType(10, 2)).contains(DecimalType(12, 2)))
+    assert(widen(StringType, IntegerType).isEmpty)
+    assert(widen(BooleanType, IntegerType).isEmpty)
+  }
+
+  test("widened-epoch warehouse round-trip: merge, write, read back, values intact") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-widen").toString
+    val all = Envelope.decode(
+      source.read(spark, Schemas.topicFor("orders"), StartingOffsets.Earliest), "orders")
+    val e1 = all.filter(col("kafka_offset") <= 5)
+      .select(col("order_id"), col("total_amount").cast("decimal(10,2)").as("amount"),
+        col("shipping_address").as("address"), col("kafka_offset"))
+    val e2 = all.filter(col("kafka_offset") >= 6)
+      .select(col("order_id").cast("long").as("order_id"),
+        col("total_amount").cast("decimal(12,4)").as("amount"),
+        col("shipping_address"), col("kafka_offset"))
+    // epochs land in the warehouse as-written (old files are immutable —
+    // the point: widening happens at READ/merge time, no rewrite)
+    e1.write.parquet(s"$base/epoch1"); e2.write.parquet(s"$base/epoch2")
+    val merged = graft.schema.Evolution.mergeEpochs(
+      Seq(spark.read.parquet(s"$base/epoch1"), spark.read.parquet(s"$base/epoch2")),
+      Map("address" -> "shipping_address"))
+    assert(merged.schema("order_id").dataType == LongType)
+    assert(merged.schema("amount").dataType == DecimalType(12, 4))
+    assert(merged.columns.count(_ == "shipping_address") == 1)
+    merged.write.parquet(s"$base/merged")
+    val back = spark.read.parquet(s"$base/merged")
+    assert(back.count() == 10)
+    assert(back.schema("order_id").dataType == LongType)
+    // values preserved bit-for-bit through the widening + round trip
+    val amounts = back.orderBy(col("kafka_offset"))
+      .select(col("amount").cast("string")).collect().map(_.getString(0))
+    val expected = all.orderBy(col("kafka_offset"))
+      .select(col("total_amount").cast("decimal(12,4)").cast("string"))
+      .collect().map(_.getString(0))
+    assert(amounts.sameElements(expected), s"${amounts.toSeq} vs ${expected.toSeq}")
+    // every epoch-1 row null-fills nothing it had and keeps its address
+    assert(back.filter(col("kafka_offset") <= 5 &&
+      col("shipping_address").isNotNull).count() ==
+      all.filter(col("kafka_offset") <= 5 &&
+        col("shipping_address").isNotNull).count())
+  }
+
+  test("incompatible drift fails loudly instead of nulling history") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq((2L, 3.5)).toDF("id", "v") // v: string vs double
+    val e = intercept[IllegalArgumentException] {
+      graft.schema.Evolution.mergeEpochs(Seq(a, b))
+    }
+    assert(e.getMessage.contains("incompatible drift on column v"))
   }
 
   // ---- snapshot/table-format layer (graft.table.SnapshotLog) ----
