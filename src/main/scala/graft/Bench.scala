@@ -21,7 +21,10 @@ object Bench {
                            nFiles: Int = 8,
                            filesPerTrigger: Option[Int] = Some(1),
                            replicate: Int = 1,
-                           rocksdb: Boolean = false): (Double, Long, Int) = {
+                           rocksdb: Boolean = false,
+                           pipeline: org.apache.spark.sql.DataFrame =>
+                             org.apache.spark.sql.DataFrame =
+                             graft.stream.StreamSync.windowedCounts): (Double, Long, Int) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
     val src = s"$tmp/in"; val chk = s"$tmp/chk"; val out = s"$tmp/out"
     val ev0 = graft.schema.Tables.events(spark, sfDir)
@@ -55,7 +58,7 @@ object Bench {
       val stream = filesPerTrigger
         .fold(reader)(k => reader.option("maxFilesPerTrigger", k.toString))
         .parquet(src)
-      val q = graft.stream.StreamSync.windowedCounts(stream)
+      val q = pipeline(stream)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .outputMode("append")
@@ -116,11 +119,14 @@ object Bench {
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
     def probe(key: String, filesPerTrigger: Option[Int],
-              replicate: Int, rocksdb: Boolean = false): (Double, Long, Int) =
+              replicate: Int, rocksdb: Boolean = false,
+              pipeline: org.apache.spark.sql.DataFrame =>
+                org.apache.spark.sql.DataFrame =
+                graft.stream.StreamSync.windowedCounts): (Double, Long, Int) =
       if (only.exists(!_.contains(key))) (-1.0, 0L, 0)
       else
         try streamReplay(spark, sfDir, filesPerTrigger = filesPerTrigger,
-          replicate = replicate, rocksdb = rocksdb)
+          replicate = replicate, rocksdb = rocksdb, pipeline = pipeline)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $key: ${e.getMessage}"); (-1.0, 0L, 0) }
     val (streamSec, streamRows, streamBatches) = probe("stream_replay", Some(1), 1)
@@ -131,10 +137,16 @@ object Bench {
     // streams run at 100 TB state; rate parity proves the swap is config,
     // not a rewrite
     val (rocksSec, rocksRows, _) = probe("stream_bulk_rocksdb", None, 10, rocksdb = true)
+    // merging SESSION-window state (variable-width windows that coalesce
+    // as events arrive) on the RocksDB provider — the stateful shape whose
+    // eviction semantics StreamSpec pins; here its bulk throughput
+    val (sessSec, sessRows, _) = probe("stream_session_rocksdb", None, 10,
+      rocksdb = true, pipeline = graft.stream.StreamSync.sessionCounts)
     // a probe excluded by SPARK_GRAFT_ONLY is omitted, not reported failed
     val all = results ++
       Seq("stream_replay" -> streamSec, "stream_bulk" -> bulkSec,
-          "stream_bulk_rocksdb" -> rocksSec)
+          "stream_bulk_rocksdb" -> rocksSec,
+          "stream_session_rocksdb" -> sessSec)
         .filter { case (k, _) => only.forall(_.contains(k)) }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale (de_DE) would make every emitted JSON unparseable.
@@ -144,6 +156,7 @@ object Bench {
     val streamRate = if (streamSec > 0) math.round(streamRows / streamSec) else 0L
     val bulkRate = if (bulkSec > 0) math.round(bulkRows / bulkSec) else 0L
     val rocksRate = if (rocksSec > 0) math.round(rocksRows / rocksSec) else 0L
+    val sessRate = if (sessSec > 0) math.round(sessRows / sessSec) else 0L
     val nFailed = all.count(_._2 < 0)
     def qmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
@@ -151,7 +164,7 @@ object Bench {
     // driver's tail capture holds only ~2 KB, so the final line (below)
     // must stay small — r3's ~2.6 KB single line came back truncated at
     // the FRONT and unparseable.
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate}"""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate}"""
     println(s"BENCH_DETAIL $detail")
     try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
@@ -164,7 +177,7 @@ object Bench {
     def finalLine(topN: Int): String = {
       val slowest = all.sortBy(-_._2).take(topN)
       val shown = (slowest ++ all.filter(_._2 < 0)).distinct.sortBy(_._1)
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
     }
     val line = (25 to 0 by -5).iterator.map(finalLine)
       .find(_.length <= 1400).getOrElse(finalLine(0))

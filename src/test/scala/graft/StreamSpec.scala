@@ -273,6 +273,63 @@ class StreamSpec extends AnyFunSuite {
     }
   }
 
+  test("session windows on RocksDB: provider parity, watermark close, late-event eviction") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(3600_000L + min * 60_000L)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+    def scenario(tag: String): Set[(Long, Long)] = {
+      val base = Files.createTempDirectory(s"graft-sess-rocks-$tag").toString
+      Files.createDirectories(Paths.get(s"$base/in"))
+      def addFile(rows: Seq[(Long, Long, String, Double, java.sql.Timestamp)],
+                  name: String): Unit = {
+        val stage = s"$base/stage_$name"
+        rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        import scala.jdk.CollectionConverters._
+        Files.list(Paths.get(stage)).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .foreach(p => Files.copy(p, Paths.get(s"$base/in/${name}_${p.getFileName}")))
+      }
+      def drain(): Unit = {
+        val schema = spark.read.parquet(s"$base/in").schema
+        val q = StreamSync.sessionCounts(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$base/in"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+          }
+          .outputMode("append")
+          .option("checkpointLocation", s"$base/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // user 1: events at t=0 and t=5 (one merged session); a far-future
+      // event from user 2 pushes the watermark (2h delay) past the
+      // session's end+gap, closing it
+      addFile(Seq((1L, 1L, "click", 0.0, ts(0)), (2L, 1L, "click", 0.0, ts(5))), "a")
+      addFile(Seq((3L, 2L, "click", 0.0, ts(600))), "b")
+      drain()
+      // LATE event for user 1 at t=10 — far behind the watermark (480):
+      // it must be evicted at ingest, never resurrecting the closed session
+      addFile(Seq((4L, 1L, "click", 0.0, ts(10))), "c")
+      drain()
+      spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+    }
+
+    val onDefault = scenario("default")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val onRocks = try scenario("rocksdb") finally spark.conf.unset(providerKey)
+    // exactly one closed session: user 1 with BOTH pre-watermark events
+    // merged and the late event dropped — identically on both providers
+    assert(onDefault == Set((1L, 2L)), s"default provider got $onDefault")
+    assert(onRocks == onDefault, s"provider divergence: $onRocks vs $onDefault")
+  }
+
   test("mapGroupsWithState: running totals accumulate across drains via checkpointed state") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream-state").toString
