@@ -24,7 +24,8 @@ object ScaleCurve {
 
   private def buildCorpus(spark: SparkSession, src: String, base: String, k: Int): String = {
     val out = s"$base/x$k"
-    if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists) {
+    if (!new java.io.File(s"$out/documents.parquet/_SUCCESS").exists ||
+        !new java.io.File(s"$out/lineitem.parquet/_SUCCESS").exists) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val reps = (0 until k).map { r =>
         if (r == 0) docs
@@ -43,6 +44,21 @@ object ScaleCurve {
         if (r == 0) emb else emb.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // relational fact/dim replicas for the skew-join curve: orderkeys
+      // offset by r·10⁷ per replica. The offset is EVEN, so the parity-
+      // based hot-key mapping (even keys → 0) keeps collapsing ~half of
+      // EVERY replica onto the same single key — the hot partition grows
+      // ×k with the corpus, which is precisely the regime that must not
+      // fall over if AQE's runtime skew split is real.
+      for (t <- Seq("lineitem", "orders")) {
+        val keyCol = if (t == "lineitem") "l_orderkey" else "o_orderkey"
+        val df = spark.read.parquet(s"$src/$t.parquet")
+        (0 until k).map { r =>
+          if (r == 0) df
+          else df.withColumn(keyCol, col(keyCol) + lit(r * 10000000L))
+        }.reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
     }
     out
   }
@@ -69,11 +85,22 @@ object ScaleCurve {
       // claim is that they NEVER grow ×k² (a corpus×corpus probe would)
       val (nInc, tInc) = timed(
         graft.llm.Dedup.incremental(spark, dir).filter(col("is_dup")).count()); settle()
+      // r7 additions: df-capped containment (pair growth must stay ~×k —
+      // the df cap is what kills the ×k² postings blow-up), BM25 (one
+      // keyed agg + doc-score pass), and the deliberately-skewed AQE join
+      // whose hot key grows ×k with the corpus
+      val (nCont, tCont) = timed(graft.llm.Dedup.containment(spark, dir).count()); settle()
+      val (_, tBm25) = timed(graft.llm.TextOps.bm25TopK(spark, dir).count()); settle()
+      val (nHot, _) = timed(spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(pmod(col("l_orderkey"), lit(2)) === 0).count())
+      val (_, tSkew) = timed(graft.ops.Relational.q36SkewJoinAqe(spark, dir).count()); settle()
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
         s"exact=$nEx/${s(tEx)}s keepers=$nKeep/${s(tKeep)}s ivf_topk=${s(tIvf)}s " +
-        s"incremental_dups=$nInc/${s(tInc)}s")
+        s"incremental_dups=$nInc/${s(tInc)}s " +
+        s"containment=$nCont/${s(tCont)}s bm25_topk=${s(tBm25)}s " +
+        s"skew_hot_rows=$nHot skew_join_aqe=${s(tSkew)}s")
     }
     spark.stop()
   }

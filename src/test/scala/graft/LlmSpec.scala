@@ -200,8 +200,11 @@ class LlmSpec extends AnyFunSuite {
   test("kmeans fit: objective non-increasing, assignment fixpoint, trained beats seeded IVF") {
     // at fixture scale the "bounded training sample" is the whole corpus
     // (the sample exists to bound cost at 100 TB, not to starve 16 cells
-    // of ~30 points each)
-    val fit = Similarity.kmeansFit(spark, sf, maxIters = 15, trainSampleMod = 1)
+    // of ~30 points each); tol=0 disables the objective-flatline stop so
+    // the STRICT assignment fixpoint is what's being proven
+    val fit = Similarity.kmeansFit(spark, sf, maxIters = 15,
+      trainSampleMod = 1, tol = 0.0)
+    assert(fit.converged)
     // spherical-Lloyd invariant: Σ(1 − cos) never increases
     fit.history.map(_.objective).sliding(2).foreach {
       case Seq(a, b) => assert(b <= a + 1e-9, s"objective rose: $a -> $b\n${fit.history}")
