@@ -335,6 +335,18 @@ object CdcQueries {
           |UNION ALL SELECT 'products', COUNT(*) FROM cdc_products
           |ORDER BY tbl""".stripMargin)
     }),
+    // Copy-on-write MERGE through the snapshot layer
+    // ([[graft.table.Merge]]): the epoch-1 latest-state snapshot is
+    // written key-range-clustered with order_id stats in the manifests,
+    // then the epoch-2 latest-state delta UPSERTS into it — manifest-stat
+    // pruning rewrites only key-intersecting files, untouched files carry
+    // forward by reference, and the committed table equals full-stream
+    // latest-state compaction (the cdc_latest_state oracle — the merge
+    // invariant proved at the STORAGE layer, not just as a query).
+    "cdc_merge_cow" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, cowWarehouse(s)).get
+        .orderBy(col("order_id"))
+    }),
     // Snapshot layer (graft.table.SnapshotLog): TIME TRAVEL — reading the
     // warehouse AS OF the first sync's snapshot returns exactly that
     // epoch's rows, byte-identical to a full recompute of epoch 1, even
@@ -384,6 +396,36 @@ object CdcQueries {
         col("shipping_address"), col("kafka_offset"))
     (e1, e2)
   }
+
+  private def latestPerKey(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
+    df.filter(col("order_id").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  private val cowWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** Build (once per session) the copy-on-write warehouse behind
+    * `cdc_merge_cow`: epoch-1 latest-state written key-range-clustered
+    * (2 files, order_id manifest stats), epoch-2 latest-state upserted
+    * through [[graft.table.Merge.upsert]]. */
+  private def cowWarehouse(spark: SparkSession): String =
+    cowWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.{Merge, SnapshotLog}
+      val base = java.nio.file.Files.createTempDirectory("graft-cow").toString
+      val dir = s"$base/orders_state"
+      val all = parse(spark, "orders")
+      val snap = latestPerKey(all.filter(col("kafka_offset") <= 5))
+        .repartitionByRange(2, col("order_id"))
+      val files = SnapshotLog.writeData(snap, dir, statsCol = Some("order_id"))
+      SnapshotLog.commit(spark, dir, "append", files,
+        summary = Map("table" -> "orders_state"))
+      Merge.upsert(spark, dir,
+        latestPerKey(all.filter(col("kafka_offset") >= 6)), "order_id")
+      dir
+    })
 
   private val snapshotWarehouseCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
@@ -440,6 +482,17 @@ object CdcQueries {
     "cdc_incremental_orders" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    // storage-level merge invariant: the upserted COW table equals
+    // full-stream latest-state compaction (same oracle as cdc_latest_state)
+    "cdc_merge_cow" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT order_id, customer_id, order_date, status, total_amount,
+         |  shipping_address, kafka_timestamp, topic, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE order_id IS NOT NULL) t
+         |WHERE rk = 1 ORDER BY order_id""".stripMargin,
     // time travel to snapshot 1 == full recompute of epoch 1 (offsets ≤ 5)
     "cdc_timetravel" ->
       s"""SELECT $ordersProj

@@ -155,7 +155,8 @@ object SnapshotLog {
   private[graft] def commitAt(spark: SparkSession, tableDir: String, id: Long,
              op: String, added: Seq[DataFile], removed: Seq[String],
              summary: Map[String, String]): Long = {
-    require(op == "append" || op == "replace", s"unknown commit op: $op")
+    require(op == "append" || op == "replace" || op == "upsert",
+      s"unknown commit op: $op")
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(logDir(tableDir))
     // complete live set at this snapshot = parent's live − removed + added
@@ -281,9 +282,17 @@ object SnapshotLog {
     val missing = ((from + 1) to hi).filterNot(ids.contains)
     require(missing.isEmpty,
       s"cannot diff ($from, $hi] of $tableDir: snapshots ${missing.mkString(",")} expired")
-    val files = commits(spark, tableDir, to)
-      .filter(c => c.snapshotId > from && c.op == "append")
-      .flatMap(_.added)
+    val inRange = commits(spark, tableDir, to).filter(_.snapshotId > from)
+    // an upsert rewrites rows in place — its added files mix carried-
+    // forward and changed rows, so a file-level diff would either miss
+    // updates (skip) or replay unchanged rows (include). Fail loudly
+    // (the Iceberg incremental-read contract over overwrite snapshots);
+    // row-level change feeds need delete vectors / row lineage.
+    val upserts = inRange.filter(_.op == "upsert").map(_.snapshotId)
+    require(upserts.isEmpty,
+      s"cannot diff ($from, $hi] of $tableDir: snapshots ${upserts.mkString(",")} " +
+        "are upserts (row-level changes have no file-level delta)")
+    val files = inRange.filter(_.op == "append").flatMap(_.added)
     if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.path): _*))
   }
 

@@ -531,6 +531,78 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("copy-on-write merge: untouched files carried by reference, pruned rewrite, upsert diff refuses") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-cow-spec").toString
+    val dir = s"$base/t"
+    // base table keys 1..10, clustered into two key-range files
+    val snap = (1 to 10).map(k => (k.toLong, s"v$k")).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(snap, dir, statsCol = Some("id")))
+    val before = SnapshotLog.filesAt(spark, dir)
+    assert(before.size == 2)
+    // delta touches only the UPPER key range (update 8, insert 12)
+    val delta = Seq((8L, "v8'"), (12L, "v12")).toDF("id", "v")
+    val res = Merge.upsert(spark, dir, delta, "id")
+    assert(res.filesTouched == 1 && res.filesUntouched == 1,
+      s"pruning failed: $res (stats ${before.map(f => (f.statsMin, f.statsMax))})")
+    // the untouched file survives by PATH — its bytes were never rewritten
+    val after = SnapshotLog.filesAt(spark, dir).map(_.path).toSet
+    val untouchedPath = before.filter(f => f.statsMax.exists(_ <= 5)).map(_.path)
+    assert(untouchedPath.nonEmpty && untouchedPath.forall(after.contains))
+    // merged content: delta wins on match, inserts appended, rest intact
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (1 to 10).map(k => k.toLong -> s"v$k").toMap
+      + (8L -> "v8'") + (12L -> "v12"))
+    // pre-merge snapshot still time travels
+    assert(SnapshotLog.read(spark, dir, asOf = Some(1L)).get.count() == 10)
+    // file-level diff across an upsert must refuse, not silently miss rows
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.diff(spark, dir, from = 1L)
+    }
+    assert(e.getMessage.contains("upsert"))
+  }
+
+  test("diff consumer: at-least-once incremental reads, compaction invisible, upsert recovery") {
+    import spark.implicits._
+    import graft.table.{DiffConsumer, Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-diffcons").toString
+    val dir = s"$base/t_parquet" // Compaction's <warehouse>/<table>_parquet layout
+    val consumer = new DiffConsumer(s"$base/state")
+    def append(rows: Seq[(Long, String)]): Unit =
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(rows.toDF("id", "v"), dir, statsCol = Some("id")))
+
+    append(Seq((1L, "a"), (2L, "b")))
+    append(Seq((3L, "c")))
+    // first run: everything
+    val (d1, hwm1) = consumer.consume(spark, dir, "agg")
+    assert(d1.get.count() == 3 && hwm1 == 2L)
+    // crash before commit → replay returns the same delta (at-least-once)
+    val (d1again, _) = consumer.consume(spark, dir, "agg")
+    assert(d1again.get.count() == 3)
+    consumer.commit("agg", hwm1)
+    // nothing new → no delta, HWM stays
+    assert(consumer.consume(spark, dir, "agg")._1.isEmpty)
+    // compaction between runs: invisible, but the HWM advances past it
+    Compaction.compact(spark, base, "t", targetBytes = 1L << 30)
+    append(Seq((4L, "d")))
+    val (d2, hwm2) = consumer.consume(spark, dir, "agg")
+    assert(d2.get.collect().map(_.getLong(0)).toSet == Set(4L) && hwm2 == 4L)
+    consumer.commit("agg", hwm2)
+    // an upsert breaks the file-level feed: consume throws, reset recovers
+    Merge.upsert(spark, dir, Seq((2L, "b'")).toDF("id", "v"), "id")
+    intercept[IllegalArgumentException] { consumer.consume(spark, dir, "agg") }
+    val cur = consumer.reset(spark, dir, "agg")
+    assert(cur == SnapshotLog.currentSnapshotId(spark, dir).get)
+    assert(consumer.consume(spark, dir, "agg")._1.isEmpty)
+    // independent consumers keep independent state
+    assert(consumer.lastConsumed("other") == 0L)
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
