@@ -347,6 +347,16 @@ object CdcQueries {
       graft.table.SnapshotLog.read(s, cowWarehouse(s)).get
         .orderBy(col("order_id"))
     }),
+    // The full CDC merge: epoch-2's tombstones DELETE their keys at the
+    // storage layer (and a post-delete re-insert wins) — the committed
+    // COW table equals delete-aware compaction over the whole stream
+    // (the cdc_delete_aware_state oracle, proved against storage).
+    "cdc_merge_cow_deletes" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, cowDelWarehouse(s)).get
+        .select(col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"))
+        .orderBy(col("order_id"))
+    }),
     // Snapshot layer (graft.table.SnapshotLog): TIME TRAVEL — reading the
     // warehouse AS OF the first sync's snapshot returns exactly that
     // epoch's rows, byte-identical to a full recompute of epoch 1, even
@@ -427,6 +437,43 @@ object CdcQueries {
       dir
     })
 
+  private val cowDelWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The delete-aware COW warehouse behind `cdc_merge_cow_deletes`:
+    * epoch 1 (offsets ≤ 3 of the orders_del fixture) compacted
+    * tombstone-aware and written key-clustered; epoch 2 (offsets ≥ 4:
+    * a delete, an insert, a delete + re-insert) resolved to latest-per-pk
+    * and applied through [[graft.table.Merge.applyChanges]] with its
+    * tombstone flag. */
+  private def cowDelWarehouse(spark: SparkSession): String =
+    cowDelWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import org.apache.spark.sql.expressions.Window
+      import graft.table.{Merge, SnapshotLog}
+      val base = java.nio.file.Files.createTempDirectory("graft-cowdel").toString
+      val dir = s"$base/orders_del_state"
+      val d = Envelope.decodeKeyed(
+          source.read(spark, Schemas.topicFor("orders_del"), StartingOffsets.Earliest),
+          "orders")
+        .withColumn("pk", coalesce(col("order_id"),
+          get_json_object(col("kafka_key"), "$.order_id").cast("int")))
+      val w = Window.partitionBy(col("pk")).orderBy(col("kafka_offset").desc)
+      def latestPerPk(df: DataFrame): DataFrame =
+        df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+      val payload = Seq("pk", "order_id", "customer_id", "status",
+        "total_amount", "kafka_offset")
+      val epoch1 = latestPerPk(d.filter(col("kafka_offset") <= 3))
+        .filter(!col("is_tombstone"))
+        .select(payload.map(col): _*)
+        .repartitionByRange(2, col("pk"))
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(epoch1, dir, statsCol = Some("pk")),
+        summary = Map("table" -> "orders_del_state"))
+      val delta = latestPerPk(d.filter(col("kafka_offset") >= 4))
+        .select(payload.map(col) :+ col("is_tombstone").as("is_delete"): _*)
+      Merge.applyChanges(spark, dir, delta, "pk", Some("is_delete"))
+      dir
+    })
+
   private val snapshotWarehouseCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   private def snapshotWarehouse(spark: SparkSession): String =
@@ -482,6 +529,25 @@ object CdcQueries {
     "cdc_incremental_orders" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    // storage-level delete-aware merge: equals delete-aware compaction
+    // over the full stream (same oracle as cdc_delete_aware_state)
+    "cdc_merge_cow_deletes" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT order_id, customer_id, status, total_amount, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p) t
+         |WHERE rk = 1 AND NOT is_tombstone
+         |ORDER BY order_id""".stripMargin,
     // storage-level merge invariant: the upserted COW table equals
     // full-stream latest-state compaction (same oracle as cdc_latest_state)
     "cdc_merge_cow" ->

@@ -40,6 +40,49 @@ object StreamSync {
     q.awaitTermination()
   }
 
+  /** Streaming sink INTO the snapshot table format — [[syncOnce]]'s
+    * production upgrade and the composition that closes the loop between
+    * the streaming layer and [[graft.table.SnapshotLog]]: every
+    * micro-batch stages immutable files and publishes them as ONE atomic
+    * `append` snapshot tagged with its batch id. What that buys over the
+    * plain parquet sink:
+    *  - readers see whole batches or nothing (snapshot isolation instead
+    *    of files trickling into a listing);
+    *  - downstream consumers tail the table incrementally through
+    *    [[graft.table.DiffConsumer]] — each drain's new snapshots ARE
+    *    the change feed;
+    *  - replay within the checkpoint lineage is exactly-once: a replayed
+    *    batch finds its batch id already committed (a metadata scan of
+    *    the manifests) and skips, and a crash between stage and commit
+    *    leaves only invisible orphans for the expiry sweep. (After a
+    *    checkpoint LOSS batch ids restart with different contents — the
+    *    id guard must not be trusted across lineages, same as any
+    *    foreachBatch idempotence keyed on batchId.)
+    * Compaction and retention then run through the same protocol
+    * ([[graft.cdc.Compaction.compactSnapshotted]] /
+    * [[graft.table.SnapshotLog.expireSnapshots]]), invisible to the
+    * stream and its consumers. */
+  def snapshotSink(stream: DataFrame, tableDir: String, checkpointDir: String,
+                   statsCol: Option[String] = None): Unit = {
+    import graft.table.SnapshotLog
+    val q = stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = b.sparkSession
+        val already = SnapshotLog.commits(spark, tableDir)
+          .exists(_.summary.get("batch_id").contains(batchId.toString))
+        if (!already) {
+          val files = SnapshotLog.writeData(b, tableDir, statsCol)
+          SnapshotLog.commit(spark, tableDir, "append", files,
+            summary = Map("batch_id" -> batchId.toString))
+        }
+        () // foreachBatch needs Unit, not the commit id
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Wire-contract file stream over a topic dir of JSON-lines files —
     * the reader [[syncOnce]] and [[maintainStatusView]] share. */
   def wireStream(spark: SparkSession, topicDir: String,

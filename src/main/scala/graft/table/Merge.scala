@@ -51,10 +51,21 @@ object Merge {
     * to engage; files without stats are conservatively treated as
     * touched. */
   def upsert(spark: SparkSession, tableDir: String, delta: DataFrame,
-             keyCol: String): MergeResult = {
+             keyCol: String): MergeResult =
+    applyChanges(spark, tableDir, delta, keyCol, deleteCol = None)
+
+  /** The full CDC form: rows of `delta` where `deleteCol` is true are
+    * TOMBSTONES — their keys are removed instead of upserted (Debezium's
+    * `drop.tombstones=false` wire semantics, applied at the storage
+    * layer). Delete keys participate in pruning like any other key (a
+    * delete must touch the file holding its row), but contribute no
+    * output row. The caller resolves the delta to latest-per-key first —
+    * a re-insert after a delete therefore arrives as a plain upsert. */
+  def applyChanges(spark: SparkSession, tableDir: String, delta: DataFrame,
+                   keyCol: String, deleteCol: Option[String]): MergeResult = {
     val live = SnapshotLog.filesAt(spark, tableDir)
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
-    // KB-scale driver fetch: a CDC delta's distinct keys
+    // KB-scale driver fetch: a CDC delta's distinct keys (deletes included)
     val keys = delta.select(col(keyCol).cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val (touched, untouched) = live.partition { f =>
@@ -67,11 +78,13 @@ object Merge {
         case _ => true // no stats: cannot prove untouched
       }
     }
+    // tombstones drop out of the written rows; their keys still anti-join
+    val upserts = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
     val merged =
-      if (touched.isEmpty) delta
+      if (touched.isEmpty) upserts
       else spark.read.parquet(touched.map(_.path): _*)
         .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(delta)
+        .unionByName(upserts)
     val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyCol))
     val id = SnapshotLog.commit(spark, tableDir, "upsert", written,
       removed = touched.map(_.path),

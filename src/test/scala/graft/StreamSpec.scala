@@ -504,6 +504,57 @@ class StreamSpec extends AnyFunSuite {
       r.getAs[Long]("n_events") == 2L), s"got ${closed.mkString(";")}")
   }
 
+  test("snapshot sink: atomic per-batch commits; DiffConsumer tails the stream") {
+    import spark.implicits._
+    import graft.table.{DiffConsumer, SnapshotLog}
+    val base = Files.createTempDirectory("graft-snap-sink").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    def addFile(rows: Seq[(Long, String)], tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    val schema = Seq((0L, "")).toDF("id", "v").schema
+    def drain(): Unit = StreamSync.snapshotSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/t", s"$base/chk", statsCol = Some("id"))
+
+    addFile(Seq((1L, "a"), (2L, "b")), "a")
+    addFile(Seq((3L, "c")), "b")
+    drain()
+    // one atomic snapshot per micro-batch, tagged with its batch id
+    val commits = SnapshotLog.commits(spark, s"$base/t")
+    assert(commits.size == 2 &&
+      commits.flatMap(_.summary.get("batch_id")).toSet == Set("0", "1"))
+    assert(SnapshotLog.read(spark, s"$base/t").get.count() == 3)
+
+    // a downstream consumer tails the table as a change feed
+    val consumer = new DiffConsumer(s"$base/state")
+    val (d1, hwm1) = consumer.consume(spark, s"$base/t", "idx")
+    assert(d1.get.count() == 3); consumer.commit("idx", hwm1)
+
+    // idempotent re-drain: nothing new, no commits, consumer sees nothing
+    drain()
+    assert(SnapshotLog.commits(spark, s"$base/t").size == 2)
+    assert(consumer.consume(spark, s"$base/t", "idx")._1.isEmpty)
+
+    // next increment flows batch → snapshot → consumer delta
+    addFile(Seq((4L, "d")), "c")
+    drain()
+    val (d2, hwm2) = consumer.consume(spark, s"$base/t", "idx")
+    assert(d2.get.collect().map(_.getLong(0)).toSet == Set(4L))
+    consumer.commit("idx", hwm2)
+
+    // crash-sim: files staged without a commit stay invisible to everyone
+    SnapshotLog.writeData(Seq((99L, "zz")).toDF("id", "v"), s"$base/t")
+    assert(SnapshotLog.read(spark, s"$base/t").get.count() == 4)
+    assert(consumer.consume(spark, s"$base/t", "idx")._1.isEmpty)
+  }
+
   test("streaming dedup index matches sequential admission over the pair graph") {
     val base = Files.createTempDirectory("graft-stream-dix").toString
     Files.createDirectories(Paths.get(s"$base/in"))
