@@ -123,21 +123,36 @@ object Compaction {
     * The row-count equality check still gates the commit, and per-file
     * offset stats are recomputed for the rewritten files so manifest
     * pruning survives compaction. */
+  /** `clusterBy`: also CLUSTER the rewrite by that column —
+    * range-partition + sort-within, so the rewritten files carry
+    * DISJOINT [min,max] stats intervals in the manifest. Ingest-ordered
+    * appends overlap on the merge/range key (every file spans most of
+    * the key space), which slowly degrades [[graft.table.Merge]]'s and
+    * `readRange`'s pruning to "touch everything"; clustering during the
+    * compaction the table needs anyway restores pruning to
+    * one-file-per-key-range — the same reason lakehouse OPTIMIZE takes a
+    * cluster/Z-order spec. */
   def compactSnapshotted(spark: SparkSession, warehouseDir: String, table: String,
-                         targetBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         clusterBy: Option[String] = None): CompactionResult = {
     import graft.table.SnapshotLog
     val dir = s"$warehouseDir/${table}_parquet"
     val files = SnapshotLog.filesAt(spark, dir)
     if (files.isEmpty) return CompactionResult(table, 0, 0, 0L, 0L)
     val totalBytes = files.map(_.bytes).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (files.size <= targetFiles)
+    if (clusterBy.isEmpty && files.size <= targetFiles)
       return CompactionResult(table, files.size, files.size, files.map(_.rows).sum, totalBytes)
 
     val df = spark.read.parquet(files.map(_.path): _*)
     val hasOffset = df.columns.contains("kafka_offset")
-    val rewritten = SnapshotLog.writeData(df.repartition(targetFiles), dir,
-      statsCol = if (hasOffset) Some("kafka_offset") else None)
+    val arranged = clusterBy match {
+      case Some(c) =>
+        df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(targetFiles)
+    }
+    val rewritten = SnapshotLog.writeData(arranged, dir,
+      statsCol = clusterBy.orElse(if (hasOffset) Some("kafka_offset") else None))
     val (nOld, nNew) = (files.map(_.rows).sum, rewritten.map(_.rows).sum)
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")

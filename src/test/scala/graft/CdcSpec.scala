@@ -566,6 +566,45 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"))
   }
 
+  test("clustering compaction makes manifest stats disjoint and restores merge pruning") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-cluster").toString
+    val dir = s"$base/t_parquet"
+    // ingest-ordered appends: every file spans most of the key space
+    Seq(Seq(1L, 50L, 99L), Seq(2L, 51L, 98L), Seq(3L, 52L, 97L)).foreach { ks =>
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(ks.map(k => (k, s"v$k")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    }
+    val before = SnapshotLog.filesAt(spark, dir)
+    // overlapping stats ⇒ a single-key delta would touch EVERY file
+    val probe = Seq((50L, "x")).toDF("id", "v")
+    assert(Merge.upsert(spark, dir, probe, "id").filesTouched == 3)
+
+    val res = Compaction.compactSnapshotted(spark, base, "t",
+      targetBytes = 1L, clusterBy = Some("id")) // 1-byte target: one file per range split
+    assert(res.rows == 9)
+    val after = SnapshotLog.filesAt(spark, dir)
+    assert(after.size > 1, s"need multiple clustered files, got ${after.size}")
+    // clustered files: stats intervals pairwise DISJOINT
+    val ivs = after.map(f => (f.statsMin.get, f.statsMax.get)).sortBy(_._1)
+    ivs.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin, s"overlap: $ivs")
+      case _ =>
+    }
+    // pruning restored: a single-key upsert now touches exactly one file
+    assert(Merge.upsert(spark, dir, Seq((97L, "y")).toDF("id", "v"), "id")
+      .filesTouched == 1)
+    assert(SnapshotLog.read(spark, dir).get.count() == 9)
+    // content survived the whole journey
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(50L) == "x" && got(97L) == "y" && got(1L) == "v1")
+    assert(before.map(_.path).toSet.intersect(
+      SnapshotLog.filesAt(spark, dir).map(_.path).toSet).isEmpty)
+  }
+
   test("diff consumer: at-least-once incremental reads, compaction invisible, upsert recovery") {
     import spark.implicits._
     import graft.table.{DiffConsumer, Merge, SnapshotLog}
