@@ -357,6 +357,13 @@ object CdcQueries {
           col("total_amount"), col("kafka_offset"))
         .orderBy(col("order_id"))
     }),
+    // DESCRIBE HISTORY over the snapshot warehouse: per-snapshot op and
+    // row accounting straight from manifests (zero data files opened) —
+    // epoch-1 append, epoch-2 append, then the compaction replace whose
+    // rows_added equals the full rewrite while rows_live is unchanged.
+    "cdc_table_history" -> ((s, _) =>
+      graft.table.SnapshotLog.history(s, s"${snapshotWarehouse(s)}/orders_parquet")
+        .orderBy(col("snapshot_id"))),
     // Snapshot layer (graft.table.SnapshotLog): TIME TRAVEL — reading the
     // warehouse AS OF the first sync's snapshot returns exactly that
     // epoch's rows, byte-identical to a full recompute of epoch 1, even
@@ -559,6 +566,18 @@ object CdcQueries {
          |                                   ORDER BY kafka_offset DESC) AS rk
          |      FROM p WHERE order_id IS NOT NULL) t
          |WHERE rk = 1 ORDER BY order_id""".stripMargin,
+    // manifest-derived history: appends carry their epoch's rows, the
+    // compaction replace rewrites everything while changing nothing
+    "cdc_table_history" ->
+      s"""WITH w AS (SELECT
+         |    count(*) FILTER (WHERE "offset" <= 5) AS e1,
+         |    count(*) FILTER (WHERE "offset" >= 6) AS e2
+         |  FROM ${wireSql("orders")})
+         |SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS op,
+         |  e1 AS rows_added, e1 AS rows_live FROM w
+         |UNION ALL SELECT 2, 'append', e2, e1 + e2 FROM w
+         |UNION ALL SELECT 3, 'replace', e1 + e2, e1 + e2 FROM w
+         |ORDER BY snapshot_id""".stripMargin,
     // time travel to snapshot 1 == full recompute of epoch 1 (offsets ≤ 5)
     "cdc_timetravel" ->
       s"""SELECT $ordersProj

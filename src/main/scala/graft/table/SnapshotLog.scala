@@ -296,6 +296,21 @@ object SnapshotLog {
     if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.path): _*))
   }
 
+  /** Table HISTORY introspection (the DESCRIBE HISTORY / metadata-table
+    * face of the log): one row per retained snapshot with its operation
+    * and row accounting, computed from manifests alone — zero data files
+    * opened. `rows_added` is the commit's added-file row sum (what an
+    * incremental consumer would read for an append; the rewrite volume
+    * for replace/upsert); `rows_live` is the table's logical size at
+    * that snapshot. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    commits(spark, tableDir)
+      .map(c => (c.snapshotId, c.op,
+        c.added.map(_.rows).sum, c.live.map(_.rows).sum))
+      .toDF("snapshot_id", "op", "rows_added", "rows_live")
+  }
+
   /** Retention: keep the newest `retainLast` snapshots, drop older
     * manifests, and delete every file under `data/` that no retained
     * snapshot references — which also sweeps orphans from crashed
