@@ -357,6 +357,64 @@ object CdcQueries {
           col("total_amount"), col("kafka_offset"))
         .orderBy(col("order_id"))
     }),
+    // MERGE-ON-READ through the snapshot layer ([[graft.table.Merge
+    // .mergeOnRead]]): the same delete-aware merge as cdc_merge_cow_deletes
+    // but written as O(delta) — epoch-2's rows append as new data files
+    // plus ONE equality-delete key file; NO epoch-1 data file is
+    // rewritten. The read applies the delete mask as a broadcast hash
+    // join honoring sequence numbers (the post-delete re-insert of pk 3
+    // survives because its data file's seq is not below the mask's).
+    // Same oracle as the COW form: two storage strategies, one invariant.
+    "cdc_merge_mor" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, morWarehouse(s)).get
+        .select(col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"))
+        .orderBy(col("order_id"))
+    }),
+    // Row-level CHANGE FEED over the merge-on-read commit — the face
+    // SnapshotLog.diff structurally refuses for COW upserts: under MOR
+    // the delta files + delete keys ARE the row-level changes, so the
+    // feed is derivable from O(delta) bytes (the 100 TB of untouched
+    // table is never read). The tombstoned pk 1 emits a delete row (key
+    // only), the re-inserted pk 3 collapses to its single upsert, the
+    // fresh pk 4 upserts; the epoch-1 snapshot contributes nothing.
+    "cdc_mor_changefeed" -> ((s, _) => {
+      graft.table.SnapshotLog.changes(s, morWarehouse(s), from = 1L).get
+        .select(col("pk"), col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"),
+          col("_change_op").as("change_op"),
+          col("_change_snapshot").as("change_snapshot"))
+        .orderBy(col("pk"))
+    }),
+    // Delete MATERIALIZATION ([[graft.table.Merge.materializeDeletes]]):
+    // folding the pending equality-delete masks back into key-clustered
+    // data files must not change a single row — the rewritten table
+    // still equals delete-aware compaction of the whole stream (the
+    // cdc_merge_cow_deletes oracle, third storage strategy, same
+    // invariant), and the read path is a bare pruned scan again.
+    "cdc_mor_materialized" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, morMatWarehouse(s)).get
+        .select(col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"))
+        .orderBy(col("order_id"))
+    }),
+    // DESCRIBE HISTORY over the materialized MOR table: append (3 live
+    // rows) → rowdelta (2 rows + 2 delete entries; live data rows rise
+    // to 5 — an UPPER bound while masks are pending) → the materializing
+    // replace (3 rows, masks folded in, exact again). The accounting
+    // comes from manifests alone.
+    "cdc_mor_history" -> ((s, _) =>
+      graft.table.SnapshotLog.history(s, morMatWarehouse(s))
+        .orderBy(col("snapshot_id"))),
+    // ROLLBACK ([[graft.table.SnapshotLog.rollback]]): after a second
+    // sync lands, rolling the table back to snapshot 1 commits a NEW
+    // snapshot re-referencing epoch 1's files — reading CURRENT state
+    // (no asOf) then equals a full recompute of epoch 1, history stays
+    // append-only, and nothing is copied or deleted.
+    "cdc_table_rollback" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, rollbackWarehouse(s)).get
+        .orderBy(col("kafka_offset"))
+    }),
     // DESCRIBE HISTORY over the snapshot warehouse: per-snapshot op and
     // row accounting straight from manifests (zero data files opened) —
     // epoch-1 append, epoch-2 append, then the compaction replace whose
@@ -454,30 +512,89 @@ object CdcQueries {
     * tombstone flag. */
   private def cowDelWarehouse(spark: SparkSession): String =
     cowDelWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
-      import org.apache.spark.sql.expressions.Window
-      import graft.table.{Merge, SnapshotLog}
-      val base = java.nio.file.Files.createTempDirectory("graft-cowdel").toString
-      val dir = s"$base/orders_del_state"
-      val d = Envelope.decodeKeyed(
-          source.read(spark, Schemas.topicFor("orders_del"), StartingOffsets.Earliest),
-          "orders")
-        .withColumn("pk", coalesce(col("order_id"),
-          get_json_object(col("kafka_key"), "$.order_id").cast("int")))
-      val w = Window.partitionBy(col("pk")).orderBy(col("kafka_offset").desc)
-      def latestPerPk(df: DataFrame): DataFrame =
-        df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
-      val payload = Seq("pk", "order_id", "customer_id", "status",
-        "total_amount", "kafka_offset")
-      val epoch1 = latestPerPk(d.filter(col("kafka_offset") <= 3))
-        .filter(!col("is_tombstone"))
-        .select(payload.map(col): _*)
-        .repartitionByRange(2, col("pk"))
-      SnapshotLog.commit(spark, dir, "append",
-        SnapshotLog.writeData(epoch1, dir, statsCol = Some("pk")),
-        summary = Map("table" -> "orders_del_state"))
-      val delta = latestPerPk(d.filter(col("kafka_offset") >= 4))
-        .select(payload.map(col) :+ col("is_tombstone").as("is_delete"): _*)
+      import graft.table.Merge
+      val (dir, delta) = delStateEpoch1(spark, "graft-cowdel")
       Merge.applyChanges(spark, dir, delta, "pk", Some("is_delete"))
+      dir
+    })
+
+  /** Shared scaffolding for the delete-aware merge fixtures: build the
+    * epoch-1 (offsets ≤ 3) tombstone-aware latest state of the
+    * orders_del topic, write it key-clustered as snapshot 1 of a fresh
+    * table dir, and return (tableDir, epoch-2 latest-per-pk delta with
+    * its `is_delete` flag) for the strategy under test to apply. */
+  private def delStateEpoch1(spark: SparkSession, prefix: String): (String, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.table.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    val dir = s"$base/orders_del_state"
+    val d = Envelope.decodeKeyed(
+        source.read(spark, Schemas.topicFor("orders_del"), StartingOffsets.Earliest),
+        "orders")
+      .withColumn("pk", coalesce(col("order_id"),
+        get_json_object(col("kafka_key"), "$.order_id").cast("int")))
+    val w = Window.partitionBy(col("pk")).orderBy(col("kafka_offset").desc)
+    def latestPerPk(df: DataFrame): DataFrame =
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+    val payload = Seq("pk", "order_id", "customer_id", "status",
+      "total_amount", "kafka_offset")
+    val epoch1 = latestPerPk(d.filter(col("kafka_offset") <= 3))
+      .filter(!col("is_tombstone"))
+      .select(payload.map(col): _*)
+      .repartitionByRange(2, col("pk"))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(epoch1, dir, statsCol = Some("pk")),
+      summary = Map("table" -> "orders_del_state"))
+    val delta = latestPerPk(d.filter(col("kafka_offset") >= 4))
+      .select(payload.map(col) :+ col("is_tombstone").as("is_delete"): _*)
+    (dir, delta)
+  }
+
+  private val morWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The merge-on-read twin of [[cowDelWarehouse]]: the SAME epoch-1
+    * state and epoch-2 delta, but applied as a `rowdelta` commit (new
+    * data files + one equality-delete key file; zero rewrites). */
+  private def morWarehouse(spark: SparkSession): String =
+    morWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.Merge
+      val (dir, delta) = delStateEpoch1(spark, "graft-mor")
+      Merge.mergeOnRead(spark, dir, delta, "pk", Some("is_delete"))
+      dir
+    })
+
+  private val morMatWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** [[morWarehouse]] plus the maintenance step: pending equality
+    * deletes folded back into clustered data by
+    * [[graft.table.Merge.materializeDeletes]] (a `replace` commit). */
+  private def morMatWarehouse(spark: SparkSession): String =
+    morMatWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.Merge
+      val (dir, delta) = delStateEpoch1(spark, "graft-mormat")
+      Merge.mergeOnRead(spark, dir, delta, "pk", Some("is_delete"))
+      Merge.materializeDeletes(spark, dir)
+      dir
+    })
+
+  private val rollbackWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** A 3-snapshot orders table whose head is a ROLLBACK: epoch-1 append,
+    * epoch-2 append, then [[graft.table.SnapshotLog.rollback]] to
+    * snapshot 1 — current-state reads must equal epoch 1 exactly. */
+  private def rollbackWarehouse(spark: SparkSession): String =
+    rollbackWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.SnapshotLog
+      val base = java.nio.file.Files.createTempDirectory("graft-rollback").toString
+      val dir = s"$base/orders_parquet"
+      val all = parse(spark, "orders")
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(all.filter(col("kafka_offset") <= 5), dir,
+          statsCol = Some("kafka_offset")))
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(all.filter(col("kafka_offset") >= 6), dir,
+          statsCol = Some("kafka_offset")))
+      SnapshotLog.rollback(spark, dir, toSnapshot = 1L)
       dir
     })
 
@@ -555,6 +672,105 @@ object CdcQueries {
          |      FROM p) t
          |WHERE rk = 1 AND NOT is_tombstone
          |ORDER BY order_id""".stripMargin,
+    // merge-on-read: same invariant as the COW form — the masked read
+    // equals delete-aware compaction over the full stream
+    "cdc_merge_mor" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT order_id, customer_id, status, total_amount, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p) t
+         |WHERE rk = 1 AND NOT is_tombstone
+         |ORDER BY order_id""".stripMargin,
+    // materializing the delete masks must change nothing: third storage
+    // strategy, same invariant
+    "cdc_mor_materialized" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT order_id, customer_id, status, total_amount, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p) t
+         |WHERE rk = 1 AND NOT is_tombstone
+         |ORDER BY order_id""".stripMargin,
+    // row-level change feed from the rowdelta commit: epoch-2 latest per
+    // key — tombstone-latest keys emit a key-only delete row, the rest
+    // upsert (the delete+re-insert of pk 3 collapses to its upsert)
+    "cdc_mor_changefeed" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT pk,
+         |  CASE WHEN is_tombstone THEN NULL ELSE order_id END AS order_id,
+         |  CASE WHEN is_tombstone THEN NULL ELSE customer_id END AS customer_id,
+         |  CASE WHEN is_tombstone THEN NULL ELSE status END AS status,
+         |  CASE WHEN is_tombstone THEN NULL ELSE total_amount END AS total_amount,
+         |  CASE WHEN is_tombstone THEN NULL ELSE kafka_offset END AS kafka_offset,
+         |  CASE WHEN is_tombstone THEN 'delete' ELSE 'upsert' END AS change_op,
+         |  CAST(2 AS BIGINT) AS change_snapshot
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE kafka_offset >= 4) t
+         |WHERE rk = 1
+         |ORDER BY pk""".stripMargin,
+    // MOR history: append (epoch-1 live rows) → rowdelta (delta rows +
+    // delete entries for keys present in epoch 1; live data rows are an
+    // upper bound while masks pend) → materializing replace (exact again)
+    "cdc_mor_history" ->
+      s"""WITH p AS (
+         |  SELECT value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")}),
+         |e1 AS (SELECT pk FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |         ORDER BY kafka_offset DESC) AS rk
+         |       FROM p WHERE kafka_offset <= 3) t WHERE rk = 1 AND NOT is_tombstone),
+         |e2 AS (SELECT pk, is_tombstone FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |         ORDER BY kafka_offset DESC) AS rk
+         |       FROM p WHERE kafka_offset >= 4) t WHERE rk = 1),
+         |fin AS (SELECT pk FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |         ORDER BY kafka_offset DESC) AS rk
+         |       FROM p) t WHERE rk = 1 AND NOT is_tombstone)
+         |SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS op,
+         |  (SELECT count(*) FROM e1) AS rows_added,
+         |  CAST(0 AS BIGINT) AS rows_deleted,
+         |  (SELECT count(*) FROM e1) AS rows_live
+         |UNION ALL SELECT 2, 'rowdelta',
+         |  (SELECT count(*) FROM e2 WHERE NOT is_tombstone),
+         |  (SELECT count(*) FROM e2 WHERE pk IN (SELECT pk FROM e1)),
+         |  (SELECT count(*) FROM e1) + (SELECT count(*) FROM e2 WHERE NOT is_tombstone)
+         |UNION ALL SELECT 3, 'replace',
+         |  (SELECT count(*) FROM fin), 0, (SELECT count(*) FROM fin)
+         |ORDER BY snapshot_id""".stripMargin,
+    // rollback to snapshot 1 == current read equals epoch 1 (offsets ≤ 5)
+    "cdc_table_rollback" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders")} WHERE "offset" <= 5 ORDER BY kafka_offset""".stripMargin,
     // storage-level merge invariant: the upserted COW table equals
     // full-stream latest-state compaction (same oracle as cdc_latest_state)
     "cdc_merge_cow" ->
@@ -574,9 +790,9 @@ object CdcQueries {
          |    count(*) FILTER (WHERE "offset" >= 6) AS e2
          |  FROM ${wireSql("orders")})
          |SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS op,
-         |  e1 AS rows_added, e1 AS rows_live FROM w
-         |UNION ALL SELECT 2, 'append', e2, e1 + e2 FROM w
-         |UNION ALL SELECT 3, 'replace', e1 + e2, e1 + e2 FROM w
+         |  e1 AS rows_added, CAST(0 AS BIGINT) AS rows_deleted, e1 AS rows_live FROM w
+         |UNION ALL SELECT 2, 'append', e2, 0, e1 + e2 FROM w
+         |UNION ALL SELECT 3, 'replace', e1 + e2, 0, e1 + e2 FROM w
          |ORDER BY snapshot_id""".stripMargin,
     // time travel to snapshot 1 == full recompute of epoch 1 (offsets ≤ 5)
     "cdc_timetravel" ->

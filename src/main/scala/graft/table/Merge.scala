@@ -93,4 +93,82 @@ object Merge {
         "files_untouched" -> untouched.size.toString))
     MergeResult(id, touched.size, untouched.size, written.map(_.rows).sum)
   }
+
+  final case class MorResult(snapshotId: Long, dataFiles: Int,
+                             deleteEntries: Long, rowsWritten: Long)
+
+  /** MERGE-ON-READ upsert — the write-optimized twin of [[applyChanges]]
+    * (Iceberg v2 equality deletes / Delta deletion-vector school, both
+    * published designs). Where copy-on-write REWRITES every touched data
+    * file, merge-on-read writes only:
+    *
+    *  1. the delta's surviving rows as new data files (op rows), and
+    *  2. ONE equality-delete file listing the delta keys that might
+    *     exist in current data — each masks all older-seq rows with
+    *     that key at read time.
+    *
+    * The commit is op=`rowdelta`: write cost is O(delta) regardless of
+    * table size — at 100 TB a 1000-row CDC batch costs 1000 rows + a
+    * KB-scale key file, vs COW's rewrite of every key-intersecting data
+    * file. The price moves to reads (a broadcast-hash mask join per
+    * scan, see [[SnapshotLog.applyEqDeletes]]) until
+    * [[materializeDeletes]] folds the masks back into clustered data —
+    * the classic write-amplification/read-amplification trade, chosen
+    * per table by update rate.
+    *
+    * Manifest key stats still engage, on the WRITE side: delta keys
+    * provably outside every live data file's [stats_min, stats_max] are
+    * pure inserts and get NO delete entry — steady-state append-mostly
+    * tables accrue almost no mask debt. Tombstoned rows (`deleteCol`
+    * true) contribute only their mask. The caller resolves the delta to
+    * latest-per-key first, exactly as for [[applyChanges]]. */
+  def mergeOnRead(spark: SparkSession, tableDir: String, delta: DataFrame,
+                  keyCol: String, deleteCol: Option[String] = None): MorResult = {
+    val live = SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
+    require(live.nonEmpty, s"cannot merge into empty table $tableDir")
+    val keys = delta.select(col(keyCol).cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val unstated = live.exists(f => f.statsMin.isEmpty || f.statsMax.isEmpty)
+    val intervals = live.flatMap(f => f.statsMin.zip(f.statsMax))
+    val maskKeys = keys.filter(k =>
+      unstated || intervals.exists { case (mn, mx) => k >= mn && k <= mx })
+    val upserts = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
+    val dataFiles = SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyCol))
+    val delFiles =
+      if (maskKeys.isEmpty) Seq.empty
+      else SnapshotLog.writeData(
+        delta.select(col(keyCol)).distinct()
+          .filter(col(keyCol).cast("long").isin(maskKeys.toSeq: _*))
+          .coalesce(1),
+        tableDir, statsCol = Some(keyCol), kind = "eqdelete")
+    val id = SnapshotLog.commit(spark, tableDir, "rowdelta", dataFiles ++ delFiles,
+      summary = Map("key" -> keyCol, "delta_keys" -> keys.length.toString,
+        "delete_entries" -> maskKeys.length.toString,
+        "insert_only_keys" -> (keys.length - maskKeys.length).toString))
+    MorResult(id, dataFiles.size, maskKeys.length, dataFiles.map(_.rows).sum)
+  }
+
+  /** Fold pending equality deletes back into data: rewrite the masked
+    * table key-range-clustered, drop every delete file, commit as
+    * `replace` (same logical rows — invisible to [[SnapshotLog.diff]]
+    * consumers, like any compaction). This is the maintenance job that
+    * bounds read amplification: run it when the mask count or
+    * masked-fraction crosses a threshold, and the read path returns to
+    * a bare pruned scan. Returns None when the table has no pending
+    * deletes (no commit made). */
+  def materializeDeletes(spark: SparkSession, tableDir: String,
+                         targetFiles: Int = 2): Option[Long] = {
+    val live = SnapshotLog.filesAt(spark, tableDir)
+    val (dels, data) = live.partition(_.kind == "eqdelete")
+    if (dels.isEmpty) return None
+    val keyCol = spark.read.parquet(dels.head.path).columns.head
+    val cols = spark.read.parquet(data.head.path).columns
+    val rewritten = SnapshotLog.read(spark, tableDir).get
+      .select(cols.map(col): _*)
+      .repartitionByRange(targetFiles, col(keyCol))
+    val written = SnapshotLog.writeData(rewritten, tableDir, statsCol = Some(keyCol))
+    Some(SnapshotLog.commit(spark, tableDir, "replace", written,
+      removed = live.map(_.path),
+      summary = Map("materialized_deletes" -> dels.map(_.rows).sum.toString)))
+  }
 }

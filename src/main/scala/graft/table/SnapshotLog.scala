@@ -65,11 +65,18 @@ object SnapshotLog {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-  /** One immutable data file plus its manifest-level stats. `statsMin`/
+  /** One immutable file plus its manifest-level stats. `statsMin`/
     * `statsMax` are min/max of the table's designated stats column (null
-    * when none was configured at commit time). */
+    * when none was configured at commit time). `kind` is `data` (table
+    * rows) or `eqdelete` (an equality-delete file: single-column key set
+    * whose rows MASK older data rows — the merge-on-read path). `seq` is
+    * the file's data sequence number = the snapshot id that first added
+    * it (stamped by [[commitAt]]); a delete file applies only to data
+    * files with a STRICTLY SMALLER seq, which is what lets a re-insert
+    * after a delete survive (the Iceberg sequence-number rule). */
   final case class DataFile(path: String, rows: Long, bytes: Long,
-                            statsMin: Option[Long], statsMax: Option[Long])
+                            statsMin: Option[Long], statsMax: Option[Long],
+                            kind: String = "data", seq: Long = 0L)
 
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
@@ -114,7 +121,9 @@ object SnapshotLog {
     * by file. A crash after this but before [[commit]] leaves unreferenced
     * files that [[expireSnapshots]]' orphan sweep reclaims. */
   def writeData(df: DataFrame, tableDir: String,
-                statsCol: Option[String] = None): Seq[DataFile] = {
+                statsCol: Option[String] = None,
+                kind: String = "data"): Seq[DataFile] = {
+    require(kind == "data" || kind == "eqdelete", s"unknown file kind: $kind")
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString
     val dst = s"$tableDir/data/$uuid"
@@ -134,7 +143,8 @@ object SnapshotLog {
         val path = new java.net.URI(r.getAs[String]("file")).getPath
         DataFile(path, r.getAs[Long]("rows"), sizes.getOrElse(path, 0L),
           if (statsCol.isDefined) Option(r.getAs[java.lang.Long]("smin")).map(_.longValue) else None,
-          if (statsCol.isDefined) Option(r.getAs[java.lang.Long]("smax")).map(_.longValue) else None)
+          if (statsCol.isDefined) Option(r.getAs[java.lang.Long]("smax")).map(_.longValue) else None,
+          kind = kind)
       }
   }
 
@@ -155,19 +165,26 @@ object SnapshotLog {
   private[graft] def commitAt(spark: SparkSession, tableDir: String, id: Long,
              op: String, added: Seq[DataFile], removed: Seq[String],
              summary: Map[String, String]): Long = {
-    require(op == "append" || op == "replace" || op == "upsert",
+    require(op == "append" || op == "replace" || op == "upsert" ||
+      op == "rowdelta" || op == "rollback",
       s"unknown commit op: $op")
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(logDir(tableDir))
+    // stamp freshly-written files (seq 0) with this commit's id; files
+    // re-referenced with a seq already set (rollback re-attaching an
+    // older snapshot's set) keep their original sequence number so the
+    // delete-applies-to-older-seq rule stays correct across the rollback
+    val stamped = added.map(f => if (f.seq == 0L) f.copy(seq = id) else f)
     // complete live set at this snapshot = parent's live − removed + added
     val parentLive: Seq[DataFile] =
       if (id <= 1) Seq.empty
       else filesAt(spark, tableDir, Some(id - 1))
     val removedSet = removed.toSet
-    val live = parentLive.filterNot(f => removedSet.contains(f.path)) ++ added
+    val live = parentLive.filterNot(f => removedSet.contains(f.path)) ++ stamped
     def putFiles(arr: ArrayNode, files: Seq[DataFile]): Unit = files.foreach { f =>
       val n = arr.addObject()
       n.put("path", f.path); n.put("rows", f.rows); n.put("bytes", f.bytes)
+      n.put("kind", f.kind); n.put("seq", f.seq)
       f.statsMin.foreach(n.put("stats_min", _))
       f.statsMax.foreach(n.put("stats_max", _))
     }
@@ -175,7 +192,7 @@ object SnapshotLog {
     root.put("format", "graft-snapshot-v1")
     root.put("snapshot_id", id)
     root.put("op", op)
-    putFiles(root.putArray("added"), added)
+    putFiles(root.putArray("added"), stamped)
     val removedArr = root.putArray("removed")
     removed.foreach(removedArr.add)
     putFiles(root.putArray("live"), live)
@@ -205,7 +222,9 @@ object SnapshotLog {
       node.get(field).elements().asScala.toSeq.map { f =>
         DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong(),
           Option(f.get("stats_min")).map(_.asLong()),
-          Option(f.get("stats_max")).map(_.asLong()))
+          Option(f.get("stats_max")).map(_.asLong()),
+          kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
+          seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
       }
     val removed = node.get("removed").elements().asScala.toSeq.map(_.asText())
     val summary = Option(node.get("summary")).map(_.fields().asScala
@@ -243,27 +262,73 @@ object SnapshotLog {
     readManifest(fs, tableDir, id).live
   }
 
+  /** Apply the live equality-delete files to the live data files — the
+    * merge-on-read READ path. Per the sequence-number rule, a delete
+    * entry (key k, seq d) masks a data row with key k only in files with
+    * seq < d: a re-insert of k at a LATER snapshot lands in a
+    * higher-seq file and survives.
+    *
+    * Plan shape (the 100 TB posture): delete files are O(delta) — KBs
+    * against a 100 TB table — so they fold to one (key → max seq) table
+    * that BROADCASTS into a single hash join over one pass of the data
+    * files; per-key max is sufficient because a mask by ANY later delete
+    * is a mask by the latest one. Data files are read grouped by seq so
+    * the seq column is a literal per relation — no per-row file-name
+    * parsing, and the whole mask stays inside codegen. */
+  private def applyEqDeletes(spark: SparkSession, data: Seq[DataFile],
+                             dels: Seq[DataFile]): DataFrame = {
+    val bySeq = data.groupBy(_.seq).toSeq.sortBy(_._1)
+    val withSeq = bySeq.map { case (seq, fs) =>
+      spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    if (dels.isEmpty) return withSeq.drop("_graft_seq")
+    val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+      spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_del_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    val keyCol = delDf.columns.filterNot(_ == "_graft_del_seq") match {
+      case Array(k) => k
+      case other => throw new IllegalStateException(
+        s"equality-delete files must hold exactly one key column, got ${other.mkString(",")}")
+    }
+    val delAgg = delDf.groupBy(col(keyCol))
+      .agg(max(col("_graft_del_seq")).as("_graft_del_seq"))
+    withSeq
+      .join(broadcast(delAgg), Seq(keyCol), "left")
+      .filter(col("_graft_del_seq").isNull || col("_graft_del_seq") <= col("_graft_seq"))
+      .drop("_graft_seq", "_graft_del_seq")
+  }
+
   /** Snapshot-isolated read: resolve the manifest file list once, then
-    * scan exactly those immutable files. Returns None for a table with no
-    * live files (schema unknowable from an empty file set). */
+    * scan exactly those immutable files. Live equality-delete files (the
+    * merge-on-read path) are applied as a broadcast mask; a table with
+    * none reads as a bare multi-path parquet scan. Returns None for a
+    * table with no live data files (schema unknowable from an empty file
+    * set). */
   def read(spark: SparkSession, tableDir: String,
            asOf: Option[Long] = None): Option[DataFrame] = {
-    val files = filesAt(spark, tableDir, asOf)
-    if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.path): _*))
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    if (data.isEmpty) None
+    else if (dels.isEmpty) Some(spark.read.parquet(data.map(_.path): _*))
+    else Some(applyEqDeletes(spark, data, dels))
   }
 
   /** Manifest-pruned range read over the stats column: files whose
     * [stats_min, stats_max] interval misses [lo, hi] are skipped from
     * METADATA alone — no footer open, no scan task. Files without stats
-    * are conservatively kept. */
+    * are conservatively kept. Equality-delete files are never
+    * range-pruned (a delete's key stats describe MASKED keys, not
+    * produced rows — pruning them could resurrect deleted rows). */
   def readRange(spark: SparkSession, tableDir: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None): Option[DataFrame] = {
-    val files = filesAt(spark, tableDir, asOf).filter(f =>
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val pruned = data.filter(f =>
       (f.statsMin, f.statsMax) match {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
         case _ => true
       })
-    if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.path): _*))
+    if (pruned.isEmpty) None
+    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
+    else Some(applyEqDeletes(spark, pruned, dels))
   }
 
   /** Incremental consumption: the logical delta committed AFTER snapshot
@@ -288,12 +353,98 @@ object SnapshotLog {
     // updates (skip) or replay unchanged rows (include). Fail loudly
     // (the Iceberg incremental-read contract over overwrite snapshots);
     // row-level change feeds need delete vectors / row lineage.
-    val upserts = inRange.filter(_.op == "upsert").map(_.snapshotId)
-    require(upserts.isEmpty,
-      s"cannot diff ($from, $hi] of $tableDir: snapshots ${upserts.mkString(",")} " +
-        "are upserts (row-level changes have no file-level delta)")
+    val rowLevel = inRange
+      .filter(c => c.op == "upsert" || c.op == "rowdelta" || c.op == "rollback")
+      .map(c => s"${c.snapshotId}(${c.op})")
+    require(rowLevel.isEmpty,
+      s"cannot diff ($from, $hi] of $tableDir: snapshots ${rowLevel.mkString(",")} " +
+        "carry row-level changes with no pure file-level delta — use changes()")
     val files = inRange.filter(_.op == "append").flatMap(_.added)
     if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.path): _*))
+  }
+
+  /** Row-level CHANGE FEED over (from, to] — the face [[diff]] refuses to
+    * fake: every commit contributes its logical row changes tagged with
+    * `_change_op` and `_change_snapshot`:
+    *
+    *  - `append` → its added rows as `insert`;
+    *  - `rowdelta` (merge-on-read) → its added data rows as `upsert` and,
+    *    for each delete-file key with NO same-commit re-insert, one
+    *    `delete` row (key column set, payload columns null) — a
+    *    masked-then-rewritten key collapses to the single `upsert`;
+    *  - `replace` → nothing (a rewrite changes layout, not content);
+    *  - `upsert` (copy-on-write) / `rollback` → REFUSED: their added
+    *    files mix carried-forward and changed rows, so no row-level
+    *    delta exists without row lineage. Merge-on-read is precisely the
+    *    layout under which a CDC-style change feed IS derivable from
+    *    metadata + delta files alone — deltas are read, the 100 TB of
+    *    untouched table is never touched.
+    */
+  def changes(spark: SparkSession, tableDir: String, from: Long,
+              to: Option[Long] = None): Option[DataFrame] = {
+    val ids = snapshots(spark, tableDir)
+    val hi = to.getOrElse(ids.lastOption.getOrElse(from))
+    val missing = ((from + 1) to hi).filterNot(ids.contains)
+    require(missing.isEmpty,
+      s"cannot read changes ($from, $hi] of $tableDir: snapshots ${missing.mkString(",")} expired")
+    val inRange = commits(spark, tableDir, Some(hi).filter(_ > 0))
+      .filter(_.snapshotId > from)
+    val opaque = inRange.filter(c => c.op == "upsert" || c.op == "rollback")
+      .map(c => s"${c.snapshotId}(${c.op})")
+    require(opaque.isEmpty,
+      s"cannot read changes ($from, $hi] of $tableDir: snapshots ${opaque.mkString(",")} " +
+        "rewrote rows without row lineage (copy-on-write); use merge-on-read commits")
+    val parts = inRange.flatMap { c =>
+      val dataAdded = c.added.filter(_.kind == "data")
+      val delAdded = c.added.filter(_.kind == "eqdelete")
+      val op = if (c.op == "append") "insert" else "upsert"
+      val upserts =
+        if (dataAdded.isEmpty || c.op == "replace") None
+        else Some(spark.read.parquet(dataAdded.map(_.path): _*)
+          .withColumn("_change_op", lit(op))
+          .withColumn("_change_snapshot", lit(c.snapshotId)))
+      val deletes =
+        if (delAdded.isEmpty) None
+        else {
+          val delDf = spark.read.parquet(delAdded.map(_.path): _*)
+          val keyCol = delDf.columns.head
+          val masked =
+            if (dataAdded.isEmpty) delDf.select(col(keyCol)).distinct()
+            else delDf.select(col(keyCol)).distinct()
+              .join(spark.read.parquet(dataAdded.map(_.path): _*).select(col(keyCol)),
+                Seq(keyCol), "left_anti")
+          Some(masked
+            .withColumn("_change_op", lit("delete"))
+            .withColumn("_change_snapshot", lit(c.snapshotId)))
+        }
+      upserts.toSeq ++ deletes.toSeq
+    }
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** ROLLBACK: make `toSnapshot`'s state current again by committing a
+    * NEW snapshot whose live set is exactly the target's — history is
+    * append-only (the bad snapshots stay inspectable and expirable), no
+    * file is copied or deleted, and re-referenced files keep their
+    * original sequence numbers so pending equality deletes still apply
+    * to exactly the rows they applied to then. Readers pinned to the
+    * rolled-back-over snapshots are unaffected; [[diff]]/[[changes]]
+    * refuse ranges crossing the rollback (content moved backward — no
+    * forward delta exists). */
+  def rollback(spark: SparkSession, tableDir: String, toSnapshot: Long): Long = {
+    val current = currentSnapshotId(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"cannot rollback empty table $tableDir"))
+    require(toSnapshot < current,
+      s"rollback target $toSnapshot is not older than current $current")
+    val target = filesAt(spark, tableDir, Some(toSnapshot))
+    val live = filesAt(spark, tableDir, Some(current))
+    val livePaths = live.map(_.path).toSet
+    val targetPaths = target.map(_.path).toSet
+    commit(spark, tableDir, "rollback",
+      added = target.filterNot(f => livePaths.contains(f.path)),
+      removed = live.map(_.path).filterNot(targetPaths.contains),
+      summary = Map("rolled_back_to" -> toSnapshot.toString))
   }
 
   /** Table HISTORY introspection (the DESCRIBE HISTORY / metadata-table
@@ -302,13 +453,19 @@ object SnapshotLog {
     * opened. `rows_added` is the commit's added-file row sum (what an
     * incremental consumer would read for an append; the rewrite volume
     * for replace/upsert); `rows_live` is the table's logical size at
-    * that snapshot. */
+    * that snapshot. `rows_deleted` counts this commit's equality-delete
+    * ENTRIES (merge-on-read masks); while any are pending, `rows_live`
+    * is the data-file row sum, i.e. an upper bound on logical rows —
+    * exact again after a delete-materializing rewrite (the same estimate
+    * semantics Iceberg documents for equality deletes). */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
     commits(spark, tableDir)
       .map(c => (c.snapshotId, c.op,
-        c.added.map(_.rows).sum, c.live.map(_.rows).sum))
-      .toDF("snapshot_id", "op", "rows_added", "rows_live")
+        c.added.filter(_.kind == "data").map(_.rows).sum,
+        c.added.filter(_.kind == "eqdelete").map(_.rows).sum,
+        c.live.filter(_.kind == "data").map(_.rows).sum))
+      .toDF("snapshot_id", "op", "rows_added", "rows_deleted", "rows_live")
   }
 
   /** Retention: keep the newest `retainLast` snapshots, drop older

@@ -566,6 +566,140 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"))
   }
 
+  test("merge-on-read: zero rewrites, sequence-rule re-insert, broadcast mask plan, materialize") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-mor-spec").toString
+    val dir = s"$base/t"
+    val snap = (1 to 10).map(k => (k.toLong, s"v$k")).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(snap, dir, statsCol = Some("id")))
+    val before = SnapshotLog.filesAt(spark, dir)
+    // delta: update 8, tombstone 3, insert 12 (12 is outside every file's
+    // key range → pure insert, NO delete entry)
+    val delta = Seq((8L, "v8'", false), (3L, null: String, true), (12L, "v12", false))
+      .toDF("id", "v", "is_del")
+    val res = Merge.mergeOnRead(spark, dir, delta, "id", Some("is_del"))
+    assert(res.deleteEntries == 2, s"expected masks for {3,8} only: $res")
+    // ZERO data files rewritten: every pre-merge file survives by path
+    val after = SnapshotLog.filesAt(spark, dir)
+    assert(before.map(_.path).toSet.subsetOf(after.map(_.path).toSet))
+    assert(after.count(_.kind == "eqdelete") == 1)
+    // masked read: correct content, mask applied as a BROADCAST HASH join
+    // (never a nested-loop — the non-equi form would be O(rows × masks))
+    val df = SnapshotLog.read(spark, dir).get
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (1 to 10).filterNot(k => k == 3 || k == 8)
+      .map(k => k.toLong -> s"v$k").toMap + (8L -> "v8'") + (12L -> "v12"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // cross-commit sequence rule: a LATER re-insert of the tombstoned key
+    // lands in a higher-seq file and must survive the older mask
+    Merge.mergeOnRead(spark, dir, Seq((3L, "v3'", false)).toDF("id", "v", "is_del"),
+      "id", Some("is_del"))
+    val got2 = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(3L) == "v3'" && got2.size == 11)
+    // manifest-only history: delete-entry accounting per commit
+    val hist = SnapshotLog.history(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(hist == Seq((1L, "append", 0L), (2L, "rowdelta", 2L), (3L, "rowdelta", 1L)))
+    // materialization folds masks into clustered data without changing a row
+    val mat = Merge.materializeDeletes(spark, dir)
+    assert(mat.contains(4L))
+    val live = SnapshotLog.filesAt(spark, dir)
+    assert(live.forall(_.kind == "data"))
+    assert(SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == got2)
+    // pre-materialize snapshots still time travel through their masks
+    assert(SnapshotLog.read(spark, dir, asOf = Some(2L)).get.count() == 10)
+    // no pending deletes → no-op, no empty commit
+    assert(Merge.materializeDeletes(spark, dir).isEmpty)
+    assert(SnapshotLog.currentSnapshotId(spark, dir).contains(4L))
+  }
+
+  test("row-level change feed: MOR commits replay to current state, COW refuses") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-cf-spec").toString
+    val dir = s"$base/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 10).map(k => (k.toLong, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    Merge.mergeOnRead(spark, dir,
+      Seq((8L, "v8'", false), (3L, null: String, true), (12L, "v12", false))
+        .toDF("id", "v", "is_del"), "id", Some("is_del"))
+    Merge.mergeOnRead(spark, dir, Seq((3L, "v3'", false)).toDF("id", "v", "is_del"),
+      "id", Some("is_del"))
+    val feed = SnapshotLog.changes(spark, dir, from = 1L).get.collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_op"),
+        r.getAs[Long]("_change_snapshot"))).toSet
+    // pk 8/12 upsert at 2, pk 3's mask at 2 emits a delete (no same-commit
+    // re-insert), its later re-insert upserts at 3
+    assert(feed == Set((8L, "upsert", 2L), (12L, "upsert", 2L),
+      (3L, "delete", 2L), (3L, "upsert", 3L)))
+    // REPLAY equivalence: folding the feed over the base snapshot in
+    // snapshot order reproduces exactly the current masked read
+    val baseState = SnapshotLog.read(spark, dir, asOf = Some(1L)).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = SnapshotLog.changes(spark, dir, from = 1L).get
+      .orderBy(col("_change_snapshot")).collect()
+    val replayed = ordered.foldLeft(baseState) { (st, r) =>
+      if (r.getAs[String]("_change_op") == "delete") st - r.getLong(0)
+      else st + (r.getLong(0) -> r.getString(1))
+    }
+    val current = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replayed == current)
+    // a copy-on-write upsert has no row lineage: changes() must refuse
+    val cowDir = s"$base/cow"
+    SnapshotLog.commit(spark, cowDir, "append",
+      SnapshotLog.writeData((1 to 5).map(k => (k.toLong, s"v$k")).toDF("id", "v"),
+        cowDir, statsCol = Some("id")))
+    Merge.upsert(spark, cowDir, Seq((2L, "x")).toDF("id", "v"), "id")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.changes(spark, cowDir, from = 1L)
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+    // ...and diff refuses rowdelta ranges (no pure file-level delta)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotLog.diff(spark, dir, from = 1L)
+    }
+    assert(e2.getMessage.contains("rowdelta"))
+  }
+
+  test("rollback: append-only restore, original seqs kept, diff refuses across it") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-rb-spec").toString
+    val dir = s"$base/t"
+    def append(ks: Range): Unit =
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(ks.map(k => (k.toLong, s"v$k")).toDF("id", "v"),
+          dir, statsCol = Some("id")))
+    append(1 to 5)
+    append(6 to 9)
+    val id = SnapshotLog.rollback(spark, dir, toSnapshot = 1L)
+    assert(id == 3L)
+    // current read == snapshot 1, bad snapshot still inspectable
+    assert(SnapshotLog.read(spark, dir).get.collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 5L))
+    assert(SnapshotLog.read(spark, dir, asOf = Some(2L)).get.count() == 9)
+    // re-referenced files keep their ORIGINAL sequence numbers
+    assert(SnapshotLog.filesAt(spark, dir).forall(_.seq == 1L))
+    assert(SnapshotLog.history(spark, dir).collect().map(_.getString(1)).toSeq
+      == Seq("append", "append", "rollback"))
+    // no forward delta exists across a rollback
+    val e = intercept[IllegalArgumentException] { SnapshotLog.diff(spark, dir, from = 1L) }
+    assert(e.getMessage.contains("rollback"))
+    // rolling forward again: append after rollback works from restored state
+    append(20 to 21)
+    assert(SnapshotLog.read(spark, dir).get.count() == 7)
+    assert(SnapshotLog.diff(spark, dir, from = 3L).get.count() == 2)
+  }
+
   test("clustering compaction makes manifest stats disjoint and restores merge pruning") {
     import spark.implicits._
     import graft.table.{Merge, SnapshotLog}
