@@ -429,7 +429,173 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  final case class BpeMerge(step: Int, left: String, right: String,
+                            merged: String, freq: Long)
+  final case class BpeModel(merges: Seq[BpeMerge])
+
+  /** Word-type table shared by the BPE trainer: lowercased
+    * whitespace-split words folded to (symbols, count). Training on word
+    * TYPES is the classic Sennrich formulation and the scale lever — the
+    * type table grows ~sublinearly with the corpus (Heaps' law), so every
+    * trainer iteration runs over |vocab| rows no matter how many
+    * documents fed it; the corpus is read exactly once. */
+  private def bpeWordTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("n"))
+
+  /** Merge every left-to-right non-overlapping (a, b) adjacency in the
+    * symbol array — one BPE apply pass as a single codegen-planned
+    * aggregate fold (no UDF). `get` (not element_at) keeps the
+    * empty-accumulator probe NULL-safe under ANSI mode; the greedy
+    * skip ("aaa" → [aa, a]) falls out of the fold because the merged
+    * tail no longer equals `a`. */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(x === lit(b) && get(acc, size(acc) - 1) === lit(a),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Full BPE tokenizer TRAINING in-engine (Sennrich, Haddow & Birch
+    * 2016, public) — the loop [[bpeMergeCandidates]] is one candidate
+    * scan of: per step, count adjacent symbol pairs over the word-type
+    * table weighted by word count, take the single most frequent pair
+    * (ties broken lexicographically so the fit is deterministic), and
+    * merge it everywhere. Integer arithmetic end to end — no float
+    * trajectory, so the whole merge sequence is deterministic given the
+    * corpus.
+    *
+    * Per-iteration plan: one map-side zip_with pair explode over the
+    * |word types| table, one (pair → Σn) partial+final aggregate, and a
+    * 1-row TakeOrdered — only (pair, count) partials cross the exchange.
+    * The table is eagerly localCheckpoint'ed each round (plans stay
+    * shallow; the previous round's blocks are freed by RDD id, the
+    * [[Dedup.resolveKeepers]] hygiene). The iteration count is the
+    * target vocab size — a constant, not a function of data size. */
+  def bpeFit(spark: SparkSession, dir: String, nMerges: Int = 12): BpeModel = {
+    val sc = spark.sparkContext
+    def checkpointed(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(true)
+      (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var (words, blocks) = checkpointed(bpeWordTypes(spark, dir))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      step += 1
+      val sz = size(col("syms"))
+      val top = words
+        .select(col("n"), explode(zip_with(
+          slice(col("syms"), lit(1), greatest(sz - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(sz - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(step, l, r, l + r, f)
+        val (next, nextBlocks) =
+          checkpointed(words.withColumn("syms", mergePair(col("syms"), l, r)))
+        free(blocks); words = next; blocks = nextBlocks
+      }
+    }
+    free(blocks)
+    BpeModel(merges.toSeq)
+  }
+
+  /** Session memo of the trained tokenizer, keyed on the documents
+    * source fingerprint (the [[Similarity]] pqCodeTable staleness
+    * discipline): one fit per (session, corpus state); a regenerated
+    * corpus rebuilds. */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, BpeModel]
+  def bpeFitCached(spark: SparkSession, dir: String,
+                   nMerges: Int = 12): BpeModel =
+    bpeCache.getOrElseUpdate(
+      s"${Tables.fingerprint(spark, dir, "documents")}|$nMerges",
+      bpeFit(spark, dir, nMerges))
+
+  /** Apply a trained merge list to the corpus: per document, words →
+    * char symbols → the merge sequence in training order → token stream.
+    * Genuinely imperative per-row work (each merge pass mutates the
+    * symbol sequence the next pass reads), so this is the documented
+    * mapPartitions case — the model rides the closure (KB-scale), the
+    * pass is map-side with zero shuffle, and rows never leave their
+    * partition. */
+  def bpeEncode(spark: SparkSession, dir: String,
+                model: BpeModel): DataFrame = {
+    import spark.implicits._
+    val merges = model.merges.map(m => (m.left, m.right, m.merged))
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val tokens = text.split("\\s+").iterator.filter(_.nonEmpty).flatMap { w =>
+            var syms = (w.map(_.toString) :+ "</w>").toArray
+            merges.foreach { case (a, b, m) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  out += m; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toArray
+            }
+            syms
+          }.toSeq
+          (id, tokens, tokens.size)
+        }
+      }.toDF("doc_id", "tokens", "n_tokens")
+    toks
+  }
+
+  /** [[bpeFit]] as a driver-verifiable query, in the repo's
+    * invariant-oracle form ([[Similarity.kmeansFitReport]] precedent) —
+    * but with an EXACT anchor: BPE's first merge is plain SQL (the
+    * argmax character pair over weighted word types), so the oracle
+    * recomputes it independently while pinning the loop's structural
+    * guarantees as booleans:
+    *  - `freq_monotone`: the chosen pair's frequency never increases
+    *    step over step (a new pair (x, ab) can occur at most count(ab)
+    *    times, and count(ab) was the maximal count when ab was chosen);
+    *  - `vocab_ok`: merged tokens are distinct and each equals
+    *    left||right;
+    *  - `parts_known`: every merge operand is a base symbol (single
+    *    char or the </w> end-of-word marker) or an earlier merge's
+    *    output — the property that makes the merge list a decodable
+    *    tokenizer. */
+  def bpeFitReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ms = bpeFitCached(spark, dir).merges
+    val vocabOk = ms.nonEmpty &&
+      ms.forall(m => m.merged == m.left + m.right) &&
+      ms.map(_.merged).distinct.size == ms.size
+    val partsKnown = ms.zipWithIndex.forall { case (m, i) =>
+      val earlier = ms.take(i).map(_.merged).toSet
+      Seq(m.left, m.right).forall(p =>
+        p.length == 1 || p == "</w>" || earlier.contains(p))
+    }
+    val freqMonotone = ms.zip(ms.drop(1)).forall { case (x, y) => y.freq <= x.freq }
+    Seq((ms.size, ms.head.left, ms.head.right, ms.head.freq,
+      vocabOk, partsKnown, freqMonotone))
+      .toDF("n_merges", "first_left", "first_right", "first_freq",
+        "vocab_ok", "parts_known", "freq_monotone")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_fit" -> ((s, d) => bpeFitReport(s, d)),
     "text_source_drift" -> ((s, d) => sourceDrift(s, d)),
     "text_cms_epochs" -> ((s, d) => cmsEpochs(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
@@ -450,6 +616,24 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact first-merge anchor (argmax weighted char pair, same
+    // freq-desc/lexicographic tie-break) + the loop's structural
+    // invariants pinned true; integer arithmetic, so no float tolerance
+    "text_bpe_fit" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |           FROM documents),
+        |wn AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+        |pr AS (SELECT substr(word, i, 1) AS l,
+        |         CASE WHEN i = len(word) THEN '</w>'
+        |              ELSE substr(word, i + 1, 1) END AS r,
+        |         n
+        |       FROM wn, unnest(generate_series(1, len(word))) AS t(i)),
+        |top AS (SELECT l, r, sum(n) AS freq FROM pr GROUP BY l, r
+        |        ORDER BY freq DESC, l, r LIMIT 1)
+        |SELECT CAST(12 AS INTEGER) AS n_merges, l AS first_left,
+        |  r AS first_right, CAST(freq AS BIGINT) AS first_freq,
+        |  true AS vocab_ok, true AS parts_known, true AS freq_monotone
+        |FROM top""".stripMargin,
     // same unigram distributions, same ln ratio sum (subset property of
     // per-source vocab means no smoothing on either side)
     "text_source_drift" ->

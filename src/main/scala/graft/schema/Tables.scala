@@ -58,6 +58,26 @@ object Tables {
     if (splits < target) df.repartition(target) else df
   }
 
+  /** Staleness key for session-memoized derivations of a source table
+    * (trained models, materialized code tables): dir + the (name, length,
+    * mtime) set of the table's parquet parts, hashed — the poor-man's
+    * snapshot id of a table that has no [[graft.table.SnapshotLog]].
+    * Regenerating the source mid-session changes the fingerprint, so the
+    * next consumer rebuilds instead of serving stale state. */
+  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    val sig = parts.map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$sig".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType.typeName match {

@@ -86,6 +86,71 @@ class LlmSpec extends AnyFunSuite {
       s"corpus must not be shuffled for the anchor join:\n$plan")
   }
 
+  test("BPE fit matches an independent reference trainer; encode round-trips") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // the classic Sennrich et al. worked example's corpus shape
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest"))
+    spark.createDataFrame(docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // independent single-threaded reference trainer (the textbook
+    // formulation: word types + counts, argmax pair, merge everywhere)
+    def naive(corpus: Seq[String], steps: Int): Seq[(String, String, Long)] = {
+      var words: Map[Vector[String], Long] = corpus
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, n) => (w.map(_.toString).toVector :+ "</w>") -> n }
+      (1 to steps).flatMap { _ =>
+        val pairCounts = words.toSeq.flatMap { case (syms, n) =>
+          syms.zip(syms.drop(1)).map(p => p -> n)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (pairCounts.isEmpty) None
+        else {
+          val ((l, r), f) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+          words = words.toSeq.map { case (syms, n) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> n
+          }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          Some((l, r, f))
+        }
+      }
+    }
+    val expected = naive(docs.map(_._2), 8)
+    val got = TextOps.bpeFit(spark, tmp, nMerges = 8).merges
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the first merges of this corpus are hand-checkable: 'es' (9 = 6+3),
+    // then 'est' (9), then 'est</w>' (9)
+    assert(got.take(3) == Seq(("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)))
+    // encode: detokenizing reproduces the normalized text exactly
+    val model = TextOps.bpeFit(spark, tmp, nMerges = 8)
+    val enc = TextOps.bpeEncode(spark, tmp, model).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getInt(2))).toMap
+    docs.foreach { case (id, t) =>
+      val (tokens, n) = enc(id)
+      assert(n == tokens.size)
+      assert(tokens.mkString("").replace("</w>", " ").trim == t.toLowerCase)
+      // trained tokens compress: fewer tokens than characters+markers
+      assert(n < t.count(_ != ' ') + t.split(" ").length)
+    }
+    // more merges never inflate the token count
+    val n0 = TextOps.bpeEncode(spark, tmp, TextOps.BpeModel(Seq.empty))
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val n8 = TextOps.bpeEncode(spark, tmp, model)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(n8 < n0)
+  }
+
   test("containment finds a planted sub-document that Jaccard would miss") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-contain").toString
     val words = (1 to 40).map(i => s"w$i").mkString(" ")
