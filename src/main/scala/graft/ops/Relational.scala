@@ -266,6 +266,46 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** Waiting suppliers (TPC-H Q21 shape, the suite's double-correlated
+    * subquery: EXISTS + NOT EXISTS over the same fact): suppliers who
+    * were the SOLE late shipper on a multi-supplier finalized order
+    * ("late" adapted to this schema as shipping >`lateDays` after the
+    * order date — the reference tables carry no receipt/commit dates).
+    *
+    * Spark-first decorrelation: the textbook plan replays lineitem three
+    * times (the probe plus one semi- and one anti-join). Here both
+    * correlated predicates collapse into ONE window pass over the same
+    * l_orderkey partitioning — per order, the distinct-supplier count
+    * (the EXISTS) and the distinct LATE-supplier set (the NOT EXISTS:
+    * sole-late ⇔ that set is exactly {me}) — so the fact crosses exactly
+    * one exchange and is scanned once. The oracle runs the faithful
+    * EXISTS/NOT-EXISTS form in DuckDB, proving the rewrite. At 100 TB
+    * the difference is two fewer corpus-sized shuffles. */
+  def q38WaitingSuppliers(spark: SparkSession, dir: String,
+                          lateDays: Int = 60, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    val sup = Tables(spark, dir, "supplier")
+    val w = Window.partitionBy(col("l_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("is_late"))
+      // both window aggregates in ONE projection → a single Window node
+      // over one sort of the already-correct partitioning
+      .select(col("l_suppkey"), col("is_late"),
+        size(collect_set(col("l_suppkey")).over(w)).as("n_supp"),
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w))
+          .as("n_late_supp"))
+      .filter(col("is_late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
+
   /** Skew-resilient salted join: the fact side gets a deterministic salt
     * in [0, S); the dimension is replicated ×S; the join key becomes
     * (key, salt), spreading any hot key over S tasks. Result is
@@ -670,6 +710,7 @@ object Relational {
     "rel_q17b_plain_join" -> q17bPlainJoin,
     "rel_q36_skew_join_aqe" -> q36SkewJoinAqe,
     "rel_q37_market_share" -> ((s: SparkSession, d: String) => q37MarketShare(s, d)),
+    "rel_q38_waiting_suppliers" -> ((s: SparkSession, d: String) => q38WaitingSuppliers(s, d)),
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
@@ -683,6 +724,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the faithful double-correlated EXISTS/NOT-EXISTS form — the engine
+    // runs the single-window-pass decorrelation; equality proves the
+    // rewrite
+    "rel_q38_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     // HLL invariant form: exact count + the 5% bound the engine asserts
     // in-query (the estimate itself has no cross-engine oracle)
     "rel_q16_approx_distinct" ->

@@ -38,6 +38,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Map(101L -> 100L, 103L -> 102L, 104L -> -1L, 105L -> -1L))
   }
 
+  test("q38 decorrelates EXISTS/NOT-EXISTS into one window pass: single fact scan") {
+    val df = graft.ops.Relational.q38WaitingSuppliers(spark, sf)
+    val plan = physicalPlan(df)
+    // the textbook Q21 plan scans lineitem three times (probe + semi +
+    // anti); the window decorrelation must scan it exactly once
+    val factScans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).count(_.contains("lineitem"))
+    assert(factScans == 1, s"expected one lineitem scan, got $factScans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no self-join expected:\n$plan")
+    // both correlated aggregates fold into one Window operator (string
+    // count — AdaptiveSparkPlan hides children from collect() pre-run)
+    val windowNodes = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windowNodes == 1, s"expected exactly one Window exec, got $windowNodes:\n$plan")
+  }
+
   test("bucketed fact tables join and aggregate with zero exchange") {
     import graft.ops.Bucketed
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
