@@ -83,6 +83,56 @@ object StreamSync {
     q.awaitTermination()
   }
 
+  /** Streaming UPSERT sink — [[snapshotSink]]'s keyed upgrade, writing
+    * each micro-batch through [[graft.table.Merge.mergeOnRead]] instead
+    * of a bare append: the batch is resolved to latest-per-key (ordered
+    * by `orderCol`; `deleteCol`-true rows are tombstones), then committed
+    * as one `rowdelta` snapshot — new data files plus one equality-delete
+    * key file, ZERO rewrites of the standing table. This is the streaming
+    * CDC apply path at 100 TB: per batch the write cost is O(batch)
+    * however large the table, the read side pays one broadcast mask join
+    * until [[graft.table.Merge.materializeDeletes]] folds the masks in
+    * (maintenance, invisible to readers and the change feed), and
+    * downstream consumers tail ROW-LEVEL changes through
+    * [[graft.table.DiffConsumer.consumeChanges]] — the face a COW sink
+    * cannot offer.
+    *
+    * Exactly-once within a checkpoint lineage via the same manifest
+    * batch-id guard as [[snapshotSink]]; the first batch bootstraps the
+    * table as a key-clustered `append`. */
+  def upsertSink(stream: DataFrame, tableDir: String, checkpointDir: String,
+                 keyCol: String, orderCol: String,
+                 deleteCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.table.{Merge, SnapshotLog}
+    val q = stream.writeStream
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = b.sparkSession
+        val already = SnapshotLog.commits(spark, tableDir)
+          .exists(_.summary.get("batch_id").contains(batchId.toString))
+        if (!already) {
+          val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+          val latest = b.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") === 1).drop("_rk")
+          if (SnapshotLog.currentSnapshotId(spark, tableDir).isEmpty) {
+            val rows = deleteCol.fold(latest)(dc => latest.filter(!col(dc)).drop(dc))
+            SnapshotLog.commit(spark, tableDir, "append",
+              SnapshotLog.writeData(rows.repartitionByRange(2, col(keyCol)),
+                tableDir, statsCol = Some(keyCol)),
+              summary = Map("batch_id" -> batchId.toString))
+          } else {
+            Merge.mergeOnRead(spark, tableDir, latest, keyCol, deleteCol,
+              summary = Map("batch_id" -> batchId.toString))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Wire-contract file stream over a topic dir of JSON-lines files —
     * the reader [[syncOnce]] and [[maintainStatusView]] share. */
   def wireStream(spark: SparkSession, topicDir: String,

@@ -52,6 +52,23 @@ final class DiffConsumer(stateDir: String) {
     else (SnapshotLog.diff(spark, tableDir, from, Some(current)), current)
   }
 
+  /** The un-consumed ROW-LEVEL change feed ([[SnapshotLog.changes]]):
+    * tolerates `rowdelta` (merge-on-read) commits that [[consume]]'s
+    * file-level diff must refuse — each row arrives tagged `_change_op`
+    * (insert/upsert/delete) and `_change_snapshot`, so a downstream
+    * materialization (an index, an aggregate, an export) can apply
+    * keyed updates and deletes instead of re-reading the table.
+    * Copy-on-write upserts and rollbacks still throw (no row lineage);
+    * compaction/materialization `replace` commits contribute nothing.
+    * Same at-least-once [[commit]] contract. */
+  def consumeChanges(spark: SparkSession, tableDir: String,
+                     name: String): (Option[DataFrame], Long) = {
+    val from = lastConsumed(name)
+    val current = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L)
+    if (current <= from) (None, from)
+    else (SnapshotLog.changes(spark, tableDir, from, Some(current)), current)
+  }
+
   /** Persist the high-water mark — call strictly AFTER processing the
     * consumed delta (write-then-commit, at-least-once). */
   def commit(name: String, snapshotId: Long): Unit = {

@@ -123,7 +123,8 @@ object Merge {
     * true) contribute only their mask. The caller resolves the delta to
     * latest-per-key first, exactly as for [[applyChanges]]. */
   def mergeOnRead(spark: SparkSession, tableDir: String, delta: DataFrame,
-                  keyCol: String, deleteCol: Option[String] = None): MorResult = {
+                  keyCol: String, deleteCol: Option[String] = None,
+                  summary: Map[String, String] = Map.empty): MorResult = {
     val live = SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
     val keys = delta.select(col(keyCol).cast("long")).distinct()
@@ -142,7 +143,8 @@ object Merge {
           .coalesce(1),
         tableDir, statsCol = Some(keyCol), kind = "eqdelete")
     val id = SnapshotLog.commit(spark, tableDir, "rowdelta", dataFiles ++ delFiles,
-      summary = Map("key" -> keyCol, "delta_keys" -> keys.length.toString,
+      summary = summary ++ Map("key" -> keyCol,
+        "delta_keys" -> keys.length.toString,
         "delete_entries" -> maskKeys.length.toString,
         "insert_only_keys" -> (keys.length - maskKeys.length).toString))
     MorResult(id, dataFiles.size, maskKeys.length, dataFiles.map(_.rows).sum)

@@ -555,6 +555,68 @@ class StreamSpec extends AnyFunSuite {
     assert(consumer.consume(spark, s"$base/t", "idx")._1.isEmpty)
   }
 
+  test("streaming upsert sink: rowdelta commits, zero rewrites, row-level change tailing") {
+    import spark.implicits._
+    import graft.table.{DiffConsumer, Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-upsert-sink").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    def addFile(rows: Seq[(Long, String, Long, Boolean)], tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      rows.toDF("id", "v", "ord", "is_del").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    val schema = Seq((0L, "", 0L, false)).toDF("id", "v", "ord", "is_del").schema
+    def drain(): Unit = StreamSync.upsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/t", s"$base/chk", keyCol = "id", orderCol = "ord",
+      deleteCol = Some("is_del"))
+
+    // batch 0 bootstraps (with an in-batch update: ord resolves 3 → c2);
+    // batch 1 deletes 1, updates 2, inserts 4
+    addFile(Seq((1L, "a", 1L, false), (2L, "b", 1L, false),
+      (3L, "c", 1L, false), (3L, "c2", 2L, false)), "a")
+    addFile(Seq((2L, "b2", 3L, false), (1L, null, 3L, true),
+      (4L, "d", 3L, false)), "b")
+    drain()
+    val commits = SnapshotLog.commits(spark, s"$base/t")
+    assert(commits.map(_.op) == Seq("append", "rowdelta"))
+    assert(commits.flatMap(_.summary.get("batch_id")) == Seq("0", "1"))
+    // the standing table was not rewritten: batch-0 files survive by path
+    val bootFiles = commits.head.added.map(_.path).toSet
+    assert(bootFiles.subsetOf(SnapshotLog.filesAt(spark, s"$base/t").map(_.path).toSet))
+    val got = SnapshotLog.read(spark, s"$base/t").get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "b2", 3L -> "c2", 4L -> "d"))
+
+    // row-level tailing across the rowdelta commit (file diff must refuse)
+    val consumer = new DiffConsumer(s"$base/state")
+    intercept[IllegalArgumentException] { consumer.consume(spark, s"$base/t", "idx") }
+    val (c1, hwm1) = consumer.consumeChanges(spark, s"$base/t", "idx")
+    val feed = c1.get.collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_op"))).toSet
+    assert(feed == Set((1L, "insert"), (2L, "insert"), (3L, "insert"),
+      (1L, "delete"), (2L, "upsert"), (4L, "upsert")))
+    consumer.commit("idx", hwm1)
+
+    // idempotent re-drain: no new commits, nothing to consume
+    drain()
+    assert(SnapshotLog.commits(spark, s"$base/t").size == 2)
+    assert(consumer.consumeChanges(spark, s"$base/t", "idx")._1.isEmpty)
+
+    // maintenance folds the masks in without disturbing the feed
+    assert(Merge.materializeDeletes(spark, s"$base/t").contains(3L))
+    val (c2, hwm2) = consumer.consumeChanges(spark, s"$base/t", "idx")
+    assert(c2.isEmpty && hwm2 == 3L)
+    consumer.commit("idx", hwm2)
+    assert(SnapshotLog.read(spark, s"$base/t").get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == got)
+  }
+
   test("streaming dedup index matches sequential admission over the pair graph") {
     val base = Files.createTempDirectory("graft-stream-dix").toString
     Files.createDirectories(Paths.get(s"$base/in"))
