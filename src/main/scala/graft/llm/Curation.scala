@@ -529,7 +529,110 @@ object Curation {
       .orderBy(col("epoch"))
   }
 
+  final case class LogitIter(iter: Int, loss: Double, gradNorm: Double)
+  final case class LogitModel(weights: Array[Double], history: Seq[LogitIter],
+                              nPos: Long, nNeg: Long,
+                              accuracy: Double, majority: Double)
+
+  /** Train a LOGISTIC-REGRESSION quality scorer in-engine — distilling
+    * the hard keep/drop heuristic ([[TextOps.qualityFilter]]'s gate) into
+    * a smooth, calibrated probability a pipeline can threshold per use
+    * (strict for pretraining, loose for retrieval). The optimization is
+    * full-batch gradient descent with the step size set by the logistic
+    * loss's Lipschitz bound: after per-feature standardization,
+    * L = λmax(XᵀX/4n) ≤ Σⱼ E[xⱼ²]/4 = (d+1)/4, so η = 4/(d+1) · 0.9
+    * makes per-iteration loss decrease a THEOREM of convex optimization,
+    * not a hope — which is what lets the report pin `loss_monotone` as
+    * an oracle invariant ([[Similarity.kmeansFit]]'s discipline).
+    *
+    * Scale shape per iteration: ONE codegen'd pass over the corpus with
+    * the weight vector inlined as literals; only d+2 scalar sums (the
+    * gradient, the loss, the count) cross the exchange. The
+    * standardization stats and label counts come from one prior pass;
+    * accuracy from one final pass. Iteration count is a constant. */
+  def qualityModelFit(spark: SparkSession, dir: String, maxIters: Int = 30,
+                      tol: Double = 1e-4): LogitModel = {
+    val words = split(col("text"), " ")
+    val base = Tables(spark, dir, "documents").select(
+        size(words).as("n_words"),
+        round(size(array_distinct(words)).cast("double") / size(words), 4)
+          .as("uniq"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(words)).as("mwl"))
+      .withColumn("y", (col("n_words") >= 20 && col("n_words") <= 5000 &&
+        col("uniq") >= 0.35).cast("double"))
+      .select(col("y"), log(lit(1.0) + col("n_words")).as("f1"),
+        col("mwl").as("f2"), col("uniq").as("f3"))
+    val feats = Seq("f1", "f2", "f3")
+    val statAggs = Seq(count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("n_pos")) ++
+      feats.flatMap(f => Seq(avg(col(f)).as(s"mu_$f"),
+        stddev_pop(col(f)).as(s"sd_$f")))
+    val st = base.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = st.getAs[Double]("n")
+    val nPos = st.getAs[Double]("n_pos").toLong
+    val mu = feats.map(f => st.getAs[Double](s"mu_$f"))
+    val sd = feats.map(f => math.max(st.getAs[Double](s"sd_$f"), 1e-12))
+    def xs(j: Int): org.apache.spark.sql.Column =
+      (col(feats(j)) - lit(mu(j))) / lit(sd(j))
+    val d = feats.size + 1 // + bias
+    val lr = 0.9 * 4.0 / d
+    var w = Array.fill(d)(0.0)
+    val history = scala.collection.mutable.ArrayBuffer.empty[LogitIter]
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val z = feats.indices.map(j => xs(j) * lit(w(j + 1)))
+        .foldLeft(lit(w(0)): org.apache.spark.sql.Column)(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      // numerically stable logistic loss: max(z,0) − z·y + log1p(e^−|z|)
+      val lossCol = greatest(z, lit(0.0)) - z * col("y") + log1p(exp(-abs(z)))
+      val gradAggs = (sum(p - col("y")).as("g0") +:
+        feats.indices.map(j => sum((p - col("y")) * xs(j)).as(s"g${j + 1}"))) :+
+        sum(lossCol).as("loss")
+      val r = base.agg(gradAggs.head, gradAggs.tail: _*).collect()(0)
+      val grad = Array.tabulate(d)(j => r.getAs[Double](s"g$j") / n)
+      val loss = r.getAs[Double]("loss") / n
+      val gnorm = math.sqrt(grad.map(g => g * g).sum)
+      history += LogitIter(iter, loss, gnorm)
+      converged = gnorm < tol
+      if (!converged) w = w.zip(grad).map { case (wi, gi) => wi - lr * gi }
+    }
+    val zf = feats.indices.map(j => xs(j) * lit(w(j + 1)))
+      .foldLeft(lit(w(0)): org.apache.spark.sql.Column)(_ + _)
+    val acc = base.agg(avg(((zf >= 0.0) === (col("y") === 1.0)).cast("double")))
+      .collect()(0).getDouble(0)
+    LogitModel(w, history.toSeq, nPos, n.toLong - nPos, acc,
+      math.max(nPos, n.toLong - nPos) / n)
+  }
+
+  private val logitCache =
+    scala.collection.concurrent.TrieMap.empty[String, LogitModel]
+  def qualityModelFitCached(spark: SparkSession, dir: String): LogitModel =
+    logitCache.getOrElseUpdate(Tables.fingerprint(spark, dir, "documents"),
+      qualityModelFit(spark, dir))
+
+  /** [[qualityModelFit]] as a driver-verifiable query: exact label
+    * counts (the oracle replays the gate heuristic in SQL) anchor the
+    * data side; the optimization guarantees — loss monotonically
+    * decreasing (the 1/L step-size theorem), gradient norm shrinking,
+    * accuracy at least the majority-class baseline — are pinned as
+    * booleans the oracle asserts true. */
+  def qualityModelReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = qualityModelFitCached(spark, dir)
+    val losses = m.history.map(_.loss)
+    val monotone = losses.zip(losses.drop(1)).forall { case (a, b) => b <= a + 1e-9 }
+    val gradDecreased = m.history.last.gradNorm <= m.history.head.gradNorm
+    Seq((m.nPos, m.nNeg, m.weights.length, monotone, gradDecreased,
+      m.accuracy >= m.majority))
+      .toDF("n_pos", "n_neg", "n_features", "loss_monotone",
+        "grad_decreased", "acc_ok")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_quality_model" -> ((s, d) => qualityModelReport(s, d)),
     "cur_mixture_temperature" -> ((s, d) => mixtureTemperature(s, d)),
     "cur_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "cur_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -552,6 +655,22 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact label counts replay the gate heuristic; the optimization
+    // invariants (1/L-step monotone descent, shrinking gradient,
+    // beats-majority accuracy) are pinned true
+    "cur_quality_model" ->
+      """WITH f AS (SELECT len(string_split(text, ' ')) AS n_words,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS uniq
+        |  FROM documents)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE n_words >= 20 AND n_words <= 5000
+        |                          AND uniq >= 0.35) AS BIGINT) AS n_pos,
+        |  CAST(count(*) FILTER (WHERE NOT (n_words >= 20 AND n_words <= 5000
+        |                                     AND uniq >= 0.35)) AS BIGINT) AS n_neg,
+        |  CAST(4 AS INTEGER) AS n_features,
+        |  true AS loss_monotone, true AS grad_decreased, true AS acc_ok
+        |FROM f""".stripMargin,
     // power/ln parity at round-6 is the BM25/unigram precedent; the
     // normalizer sums run over ~|sources| rows
     "cur_mixture_temperature" ->

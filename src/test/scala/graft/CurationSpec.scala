@@ -13,6 +13,23 @@ class CurationSpec extends AnyFunSuite {
   import spark.implicits._
   val sf = "/root/testdata/sf0.001"
 
+  test("logistic quality model: 1/L-step descent is monotone, beats majority") {
+    val m = graft.llm.Curation.qualityModelFit(spark, sf)
+    assert(m.history.nonEmpty && m.history.size <= 30)
+    // the Lipschitz step size makes every iteration decrease the loss
+    val losses = m.history.map(_.loss)
+    losses.zip(losses.drop(1)).foreach { case (a, b) =>
+      assert(b <= a + 1e-9, s"loss increased: $a -> $b in ${m.history}")
+    }
+    assert(m.history.last.gradNorm <= m.history.head.gradNorm)
+    assert(m.weights.length == 4 && m.weights.forall(w => !w.isNaN && !w.isInfinity))
+    assert(m.nPos + m.nNeg > 0)
+    // a fitted model can never do worse than predicting the majority class
+    // on its own training set (it starts AT the prior and descends)
+    assert(m.accuracy >= m.majority - 1e-9,
+      s"accuracy ${m.accuracy} below majority ${m.majority}")
+  }
+
   test("temperature mixture flattens toward small sources; novelty starts total") {
     val t = Curation.mixtureTemperature(spark, sf).collect()
     assert(t.length == 20)
