@@ -415,6 +415,29 @@ object CdcQueries {
       graft.table.SnapshotLog.read(s, rollbackWarehouse(s)).get
         .orderBy(col("kafka_offset"))
     }),
+    // 2-D ZONE-MAP pruned read over a Z-ORDER-compacted snapshot table
+    // ([[graft.table.SnapshotLog.readWhere]]): the events table is
+    // rewritten by compactSnapshotted(clusterZOrder = user_id, minute),
+    // every file carries per-COLUMN [min,max] stats in its manifest, and
+    // the (user range ∧ minute range) read prunes files on BOTH
+    // dimensions from metadata alone — then the surviving files are
+    // filtered normally, so the result is exactly the SQL WHERE (the
+    // oracle) regardless of layout: pruning may only skip, never lose.
+    // The minute band derives from the manifest's own global min/max
+    // (metadata, no scan). CdcSpec pins the skip counts per dimension.
+    "cdc_zone_map_2d" -> ((s, d) => {
+      import graft.table.SnapshotLog
+      val t = s"${zoneWarehouse(s, d)}/events_parquet"
+      val mins = SnapshotLog.filesAt(s, t).flatMap(_.stats.get("minute"))
+      val (m0, m1) = (mins.map(_._1).min, mins.map(_._2).max)
+      val mLo = m0 + (m1 - m0 + 1) / 4
+      val mHi = mLo + 1439
+      SnapshotLog.readWhere(s, t,
+          Map("user_id" -> (10L, 19L), "minute" -> (mLo, mHi))).get
+        .filter(col("user_id").between(10, 19) && col("minute").between(mLo, mHi))
+        .select(col("event_id"), col("user_id"), col("minute"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
     // DESCRIBE HISTORY over the snapshot warehouse: per-snapshot op and
     // row accounting straight from manifests (zero data files opened) —
     // epoch-1 append, epoch-2 append, then the compaction replace whose
@@ -575,6 +598,31 @@ object CdcQueries {
       Merge.mergeOnRead(spark, dir, delta, "pk", Some("is_delete"))
       Merge.materializeDeletes(spark, dir)
       dir
+    })
+
+  private val zoneWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** A snapshot table over the driver's events parquet, Z-ORDER
+    * compacted on (user_id, minute) with per-column manifest stats —
+    * the [[graft.table.SnapshotLog.readWhere]] fixture. The initial
+    * append is deliberately layout-random (`repartition(8)`) so the
+    * compaction, not ingest luck, is what localizes the dimensions. */
+  private def zoneWarehouse(spark: SparkSession, dir: String): String =
+    zoneWarehouseCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir", {
+      import graft.table.SnapshotLog
+      val base = java.nio.file.Files.createTempDirectory("graft-zone").toString
+      val tdir = s"$base/events_parquet"
+      val ev = graft.schema.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"), col("event_type"))
+      SnapshotLog.commit(spark, tdir, "append",
+        SnapshotLog.writeData(ev.repartition(8), tdir,
+          statsCols = Seq("user_id", "minute")))
+      // size the rewrite to ~16 tiles whatever the sf
+      val bytes = SnapshotLog.filesAt(spark, tdir).map(_.bytes).sum
+      Compaction.compactSnapshotted(spark, base, "events",
+        targetBytes = math.max(1L, bytes / 16), clusterZOrder = Seq("user_id", "minute"))
+      base
     })
 
   private val rollbackWarehouseCache =
@@ -767,6 +815,19 @@ object CdcQueries {
          |UNION ALL SELECT 3, 'replace',
          |  (SELECT count(*) FROM fin), 0, (SELECT count(*) FROM fin)
          |ORDER BY snapshot_id""".stripMargin,
+    // zone-map pruned 2-D range read == the plain SQL WHERE (pruning may
+    // only skip files, never lose qualifying rows); the minute band
+    // derives from the data's own global minute bounds exactly as the
+    // engine derives it from manifest stats
+    "cdc_zone_map_2d" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(ts) // 60000000 AS minute, event_type FROM events),
+        |b AS (SELECT min(minute) AS m0, max(minute) AS m1 FROM e)
+        |SELECT event_id, user_id, minute, event_type FROM e, b
+        |WHERE user_id BETWEEN 10 AND 19
+        |  AND minute BETWEEN m0 + (m1 - m0 + 1) // 4
+        |                 AND m0 + (m1 - m0 + 1) // 4 + 1439
+        |ORDER BY event_id""".stripMargin,
     // rollback to snapshot 1 == current read equals epoch 1 (offsets ≤ 5)
     "cdc_table_rollback" ->
       s"""SELECT $ordersProj

@@ -134,32 +134,67 @@ object Compaction {
     * cluster/Z-order spec. */
   def compactSnapshotted(spark: SparkSession, warehouseDir: String, table: String,
                          targetBytes: Long = 128L * 1024 * 1024,
-                         clusterBy: Option[String] = None): CompactionResult = {
+                         clusterBy: Option[String] = None,
+                         clusterZOrder: Seq[String] = Nil): CompactionResult = {
     import graft.table.SnapshotLog
+    require(clusterZOrder.isEmpty || clusterZOrder.size == 2,
+      s"clusterZOrder takes exactly two dimensions, got $clusterZOrder")
+    require(clusterBy.isEmpty || clusterZOrder.isEmpty,
+      "clusterBy and clusterZOrder are mutually exclusive")
     val dir = s"$warehouseDir/${table}_parquet"
     val files = SnapshotLog.filesAt(spark, dir)
     if (files.isEmpty) return CompactionResult(table, 0, 0, 0L, 0L)
-    val totalBytes = files.map(_.bytes).sum
+    val (delFiles, dataFiles) = files.partition(_.kind == "eqdelete")
+    val totalBytes = dataFiles.map(_.bytes).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (clusterBy.isEmpty && files.size <= targetFiles)
-      return CompactionResult(table, files.size, files.size, files.map(_.rows).sum, totalBytes)
+    if (clusterBy.isEmpty && clusterZOrder.isEmpty &&
+        delFiles.isEmpty && dataFiles.size <= targetFiles)
+      return CompactionResult(table, files.size, files.size,
+        dataFiles.map(_.rows).sum, totalBytes)
 
-    val df = spark.read.parquet(files.map(_.path): _*)
+    // merge-on-read tables compact through the masked read — the rewrite
+    // MATERIALIZES pending equality deletes, so the replace commit also
+    // retires the delete files (read amplification returns to zero)
+    val df =
+      if (delFiles.isEmpty) spark.read.parquet(dataFiles.map(_.path): _*)
+      else SnapshotLog.read(spark, dir).get
+    val nOld =
+      if (delFiles.isEmpty) dataFiles.map(_.rows).sum
+      else df.count() // masked logical count — manifests alone can't know it
     val hasOffset = df.columns.contains("kafka_offset")
-    val arranged = clusterBy match {
-      case Some(c) =>
+    val arranged = (clusterBy, clusterZOrder) match {
+      case (Some(c), _) =>
         df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case None => df.repartition(targetFiles)
+      case (None, Seq(cx, cy)) =>
+        // Z-ORDER rewrite: min-max-normalize both dims to 8 bits (raw
+        // dims of unequal range would let the wide one dominate the
+        // interleave) and range-partition + sort on the codegen'd
+        // Morton value — each written file becomes a near-square tile
+        // of the 2-D key space, so BOTH dims' manifest stats prune
+        val b = df.agg(min(col(cx)).cast("long"), max(col(cx)).cast("long"),
+          min(col(cy)).cast("long"), max(col(cy)).cast("long")).collect()(0)
+        val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val zv = graft.functions.GraftFunctions.zvalue(
+          expr(s"((CAST($cx AS BIGINT) - ${x0}L) * 256) div ${math.max(1L, x1 - x0 + 1)}L"),
+          expr(s"((CAST($cy AS BIGINT) - ${y0}L) * 256) div ${math.max(1L, y1 - y0 + 1)}L"), 8)
+        df.withColumn("_graft_zv", zv)
+          .repartitionByRange(targetFiles, col("_graft_zv"))
+          .sortWithinPartitions(col("_graft_zv"))
+          .drop("_graft_zv")
+      case _ => df.repartition(targetFiles)
     }
     val rewritten = SnapshotLog.writeData(arranged, dir,
-      statsCol = clusterBy.orElse(if (hasOffset) Some("kafka_offset") else None))
-    val (nOld, nNew) = (files.map(_.rows).sum, rewritten.map(_.rows).sum)
+      statsCol = clusterBy.orElse(clusterZOrder.headOption)
+        .orElse(if (hasOffset) Some("kafka_offset") else None),
+      statsCols = clusterZOrder)
+    val nNew = rewritten.map(_.rows).sum
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")
     SnapshotLog.commit(spark, dir, "replace", rewritten,
       removed = files.map(_.path),
       summary = Map("table" -> table, "files_before" -> files.size.toString,
-        "files_after" -> rewritten.size.toString))
+        "files_after" -> rewritten.size.toString,
+        "materialized_deletes" -> delFiles.map(_.rows).sum.toString))
     CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
   }
 }

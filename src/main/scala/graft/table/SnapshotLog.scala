@@ -76,7 +76,8 @@ object SnapshotLog {
     * after a delete survive (the Iceberg sequence-number rule). */
   final case class DataFile(path: String, rows: Long, bytes: Long,
                             statsMin: Option[Long], statsMax: Option[Long],
-                            kind: String = "data", seq: Long = 0L)
+                            kind: String = "data", seq: Long = 0L,
+                            stats: Map[String, (Long, Long)] = Map.empty)
 
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
@@ -122,7 +123,8 @@ object SnapshotLog {
     * files that [[expireSnapshots]]' orphan sweep reclaims. */
   def writeData(df: DataFrame, tableDir: String,
                 statsCol: Option[String] = None,
-                kind: String = "data"): Seq[DataFile] = {
+                kind: String = "data",
+                statsCols: Seq[String] = Nil): Seq[DataFile] = {
     require(kind == "data" || kind == "eqdelete", s"unknown file kind: $kind")
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString
@@ -133,18 +135,29 @@ object SnapshotLog {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
     val written = spark.read.parquet(dst)
-    val statsAggs = count(lit(1)).as("rows") +: statsCol.toSeq.flatMap(c =>
-      Seq(min(col(c)).cast("long").as("smin"), max(col(c)).cast("long").as("smax")))
+    // every requested stats column rides the same one-pass per-file
+    // aggregate — a per-COLUMN zone map, the Iceberg metrics posture
+    val allStats = (statsCol.toSeq ++ statsCols).distinct
+    val statsAggs = count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
+      case (c, i) => Seq(min(col(c)).cast("long").as(s"smin_$i"),
+        max(col(c)).cast("long").as(s"smax_$i"))
+    }
     written
       .groupBy(input_file_name().as("file"))
       .agg(statsAggs.head, statsAggs.tail: _*)
       .collect()  // one row per written FILE — bounded metadata, not data
       .toSeq.map { r =>
         val path = new java.net.URI(r.getAs[String]("file")).getPath
+        val stats = allStats.zipWithIndex.flatMap { case (c, i) =>
+          (Option(r.getAs[java.lang.Long](s"smin_$i")),
+            Option(r.getAs[java.lang.Long](s"smax_$i"))) match {
+            case (Some(mn), Some(mx)) => Some(c -> (mn.longValue, mx.longValue))
+            case _ => None
+          }
+        }.toMap
+        val first = allStats.headOption.flatMap(stats.get)
         DataFile(path, r.getAs[Long]("rows"), sizes.getOrElse(path, 0L),
-          if (statsCol.isDefined) Option(r.getAs[java.lang.Long]("smin")).map(_.longValue) else None,
-          if (statsCol.isDefined) Option(r.getAs[java.lang.Long]("smax")).map(_.longValue) else None,
-          kind = kind)
+          first.map(_._1), first.map(_._2), kind = kind, stats = stats)
       }
   }
 
@@ -187,6 +200,12 @@ object SnapshotLog {
       n.put("kind", f.kind); n.put("seq", f.seq)
       f.statsMin.foreach(n.put("stats_min", _))
       f.statsMax.foreach(n.put("stats_max", _))
+      if (f.stats.nonEmpty) {
+        val sn = n.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+        }
+      }
     }
     val root: ObjectNode = mapper.createObjectNode()
     root.put("format", "graft-snapshot-v1")
@@ -220,11 +239,17 @@ object SnapshotLog {
     import scala.jdk.CollectionConverters._
     def files(field: String): Seq[DataFile] =
       node.get(field).elements().asScala.toSeq.map { f =>
+        val stats = Option(f.get("stats")).map { sn =>
+          sn.fields().asScala.map { e =>
+            e.getKey -> (e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
+          }.toMap
+        }.getOrElse(Map.empty[String, (Long, Long)])
         DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong(),
           Option(f.get("stats_min")).map(_.asLong()),
           Option(f.get("stats_max")).map(_.asLong()),
           kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
-          seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L))
+          seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
+          stats = stats)
       }
     val removed = node.get("removed").elements().asScala.toSeq.map(_.asText())
     val summary = Option(node.get("summary")).map(_.fields().asScala
@@ -329,6 +354,50 @@ object SnapshotLog {
     if (pruned.isEmpty) None
     else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
     else Some(applyEqDeletes(spark, pruned, dels))
+  }
+
+  /** Multi-column manifest-pruned read: skip every data file whose
+    * per-column [min, max] zone provably misses ANY of the requested
+    * ranges — the N-dimensional generalization of [[readRange]], from
+    * METADATA alone. Columns without recorded stats on a file keep it
+    * (conservative). The pruning only BITES on multiple dimensions when
+    * the layout localizes them together — a Z-ORDER clustered rewrite
+    * ([[graft.cdc.Compaction.compactSnapshotted]] with `clusterZOrder`)
+    * makes each file a near-square tile of the 2-D key space, so both
+    * dimensions skip; a 1-D sort gives one sharp dimension and one
+    * full-span dimension. Equality-delete files are never pruned (their
+    * stats describe masked keys, not produced rows). NOTE: pruning is an
+    * optimization, not a filter — callers still apply the actual
+    * predicate; the contract is only that no QUALIFYING row is skipped. */
+  def readWhere(spark: SparkSession, tableDir: String,
+                ranges: Map[String, (Long, Long)],
+                asOf: Option[Long] = None): Option[DataFrame] = {
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val pruned = data.filter(f => ranges.forall { case (c, (lo, hi)) =>
+      f.stats.get(c) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    })
+    if (pruned.isEmpty) None
+    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
+    else Some(applyEqDeletes(spark, pruned, dels))
+  }
+
+  /** [[readWhere]]'s pruning decision alone — (files kept, files
+    * skipped) — so maintenance jobs and tests can measure zone-map
+    * effectiveness without scanning anything. */
+  def pruneStats(spark: SparkSession, tableDir: String,
+                 ranges: Map[String, (Long, Long)],
+                 asOf: Option[Long] = None): (Int, Int) = {
+    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val kept = data.count(f => ranges.forall { case (c, (lo, hi)) =>
+      f.stats.get(c) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    })
+    (kept, data.size - kept)
   }
 
   /** Incremental consumption: the logical delta committed AFTER snapshot

@@ -94,13 +94,47 @@ object ScaleCurve {
       val (nHot, _) = timed(spark.read.parquet(s"$dir/lineitem.parquet")
         .filter(pmod(col("l_orderkey"), lit(2)) === 0).count())
       val (_, tSkew) = timed(graft.ops.Relational.q36SkewJoinAqe(spark, dir).count()); settle()
+      // r7: table-format write-amplification curve — the same constant-size
+      // keyed delta applied to a ×k table via copy-on-write (rewrites every
+      // key-intersecting file: cost ∝ table) vs merge-on-read (delta files
+      // + one mask file: cost ∝ delta). The table is key-clustered into 32
+      // files and the delta's keys span the whole key space, the
+      // worst case for COW and the steady state for a CDC apply stream.
+      import graft.table.{Merge, SnapshotLog}
+      val state = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").as("v"))
+        .repartitionByRange(32, col("id"))
+      val tfBase = java.nio.file.Files.createTempDirectory(s"graft-tf-x$k").toString
+      for (t <- Seq("cow", "mor"))
+        SnapshotLog.commit(spark, s"$tfBase/$t", "append",
+          SnapshotLog.writeData(state, s"$tfBase/$t", statsCol = Some("id")))
+      val nState = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      // sample ~constant-count delta keys UNIFORMLY across the ×k key
+      // space: the orderkey step scales with the table, and the replica
+      // offsets are not multiples of it, so hits spread over every
+      // replica's range — all 32 clustered files intersect the delta
+      // (the COW worst case / CDC steady state)
+      val step = math.max(1L, nState / 2000)
+      val delta = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(pmod(col("l_orderkey"), lit(step)) === 0 &&
+          col("l_linenumber") === 1)
+        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
+          (col("l_extendedprice") * 2.0).as("v"))
+      val (cowRes, tCow) = timed(Merge.upsert(spark, s"$tfBase/cow", delta, "id")); settle()
+      val (morRes, tMor) = timed(
+        Merge.mergeOnRead(spark, s"$tfBase/mor", delta, "id")); settle()
+      val (_, tMorRead) = timed(SnapshotLog.read(spark, s"$tfBase/mor").get.count()); settle()
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
         s"exact=$nEx/${s(tEx)}s keepers=$nKeep/${s(tKeep)}s ivf_topk=${s(tIvf)}s " +
         s"incremental_dups=$nInc/${s(tInc)}s " +
         s"containment=$nCont/${s(tCont)}s bm25_topk=${s(tBm25)}s " +
-        s"skew_hot_rows=$nHot skew_join_aqe=${s(tSkew)}s")
+        s"skew_hot_rows=$nHot skew_join_aqe=${s(tSkew)}s " +
+        s"state_rows=$nState cow_touched=${cowRes.filesTouched}f/${cowRes.rowsWritten}rw/${s(tCow)}s " +
+        s"mor_masks=${morRes.deleteEntries}/${morRes.rowsWritten}rw/${s(tMor)}s " +
+        s"mor_read=${s(tMorRead)}s")
     }
     spark.stop()
   }

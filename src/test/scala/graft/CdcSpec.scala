@@ -739,6 +739,64 @@ class CdcSpec extends AnyFunSuite {
       SnapshotLog.filesAt(spark, dir).map(_.path).toSet).isEmpty)
   }
 
+  test("z-order compaction makes 2-D zone-map pruning bite on both dimensions") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-zorder-tf").toString
+    val dir = s"$base/grid_parquet"
+    // 100×100 grid in random layout: every file spans most of both dims
+    val grid = (0 until 100).flatMap(x => (0 until 100).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y").repartition(8)
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(grid, dir, statsCols = Seq("x", "y")))
+    val xr = Map("x" -> (10L, 19L))
+    val yr = Map("y" -> (10L, 19L))
+    // random layout: the zone map cannot skip anything
+    assert(SnapshotLog.pruneStats(spark, dir, xr)._2 == 0)
+    val bytes = SnapshotLog.filesAt(spark, dir).map(_.bytes).sum
+    val res = Compaction.compactSnapshotted(spark, base, "grid",
+      targetBytes = math.max(1L, bytes / 16), clusterZOrder = Seq("x", "y"))
+    assert(res.rows == 10000)
+    val files = SnapshotLog.filesAt(spark, dir)
+    assert(files.size > 4 && files.forall(f =>
+      f.stats.contains("x") && f.stats.contains("y")))
+    // z-order tiles: BOTH single-dimension slices now skip files, and the
+    // conjunction skips at least as many as either slice alone
+    val (_, xSkip) = SnapshotLog.pruneStats(spark, dir, xr)
+    val (_, ySkip) = SnapshotLog.pruneStats(spark, dir, yr)
+    val (_, bothSkip) = SnapshotLog.pruneStats(spark, dir, xr ++ yr)
+    assert(xSkip > 0, s"x slice skipped nothing over ${files.map(_.stats)}")
+    assert(ySkip > 0, s"y slice skipped nothing over ${files.map(_.stats)}")
+    assert(bothSkip >= math.max(xSkip, ySkip))
+    // pruning is transparent: pruned read + filter == exact result
+    val got = SnapshotLog.readWhere(spark, dir, xr ++ yr).get
+      .filter(col("x").between(10, 19) && col("y").between(10, 19))
+      .count()
+    assert(got == 100)
+  }
+
+  test("snapshot compaction through pending masks materializes the deletes") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-mat-compact").toString
+    val dir = s"$base/t_parquet"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 10).map(k => (k.toLong, s"v$k")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    Merge.mergeOnRead(spark, dir,
+      Seq((3L, null: String, true), (11L, "v11", false)).toDF("id", "v", "is_del"),
+      "id", Some("is_del"))
+    // the routine clustering compaction folds the mask in and retires it
+    val res = Compaction.compactSnapshotted(spark, base, "t",
+      targetBytes = 1L << 30, clusterBy = Some("id"))
+    assert(res.rows == 10) // 10 base − 1 deleted + 1 inserted
+    val live = SnapshotLog.filesAt(spark, dir)
+    assert(live.forall(_.kind == "data"))
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(3L) && got(11L) == "v11" && got.size == 10)
+  }
+
   test("diff consumer: at-least-once incremental reads, compaction invisible, upsert recovery") {
     import spark.implicits._
     import graft.table.{DiffConsumer, Merge, SnapshotLog}
