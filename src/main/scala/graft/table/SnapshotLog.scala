@@ -88,7 +88,7 @@ object SnapshotLog {
     * manifests can never orphan a newer snapshot's state. */
   final case class Commit(snapshotId: Long, op: String, added: Seq[DataFile],
                           removed: Seq[String], live: Seq[DataFile],
-                          summary: Map[String, String])
+                          summary: Map[String, String], tsMs: Long = 0L)
 
   private val mapper = new ObjectMapper()
 
@@ -211,6 +211,7 @@ object SnapshotLog {
     root.put("format", "graft-snapshot-v1")
     root.put("snapshot_id", id)
     root.put("op", op)
+    root.put("ts_ms", System.currentTimeMillis())
     putFiles(root.putArray("added"), stamped)
     val removedArr = root.putArray("removed")
     removed.foreach(removedArr.add)
@@ -255,7 +256,8 @@ object SnapshotLog {
     val summary = Option(node.get("summary")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
     Commit(node.get("snapshot_id").asLong(), node.get("op").asText(),
-      files("added"), removed, files("live"), summary)
+      files("added"), removed, files("live"), summary,
+      tsMs = Option(node.get("ts_ms")).map(_.asLong()).getOrElse(0L))
   }
 
   def commits(spark: SparkSession, tableDir: String,
@@ -321,6 +323,20 @@ object SnapshotLog {
       .join(broadcast(delAgg), Seq(keyCol), "left")
       .filter(col("_graft_del_seq").isNull || col("_graft_del_seq") <= col("_graft_seq"))
       .drop("_graft_seq", "_graft_del_seq")
+  }
+
+  /** Resolve AS OF TIMESTAMP to a snapshot id: the newest committed
+    * snapshot whose commit wall-clock is ≤ `tsMs` (the
+    * `FOR TIMESTAMP AS OF` face; commit timestamps are written by
+    * [[commitAt]]). Throws when the table has no snapshot that old —
+    * the requested point predates the table or its retention horizon. */
+  def snapshotAsOfTimestamp(spark: SparkSession, tableDir: String,
+                            tsMs: Long): Long = {
+    val eligible = commits(spark, tableDir).filter(_.tsMs <= tsMs)
+    require(eligible.nonEmpty,
+      s"no snapshot of $tableDir at or before timestamp $tsMs " +
+        "(predates the table or expired by retention)")
+    eligible.last.snapshotId
   }
 
   /** Snapshot-isolated read: resolve the manifest file list once, then
@@ -544,13 +560,24 @@ object SnapshotLog {
     * construction ([[commits]] rejects unknown ids). Returns
     * (#manifests dropped, #data files deleted). */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-                      retainLast: Int = 2): (Int, Int) = {
+                      retainLast: Int = 2,
+                      olderThanMs: Option[Long] = None): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val fs = fsOf(spark, tableDir)
     val ids = snapshots(spark, tableDir)
-    val expired = ids.dropRight(retainLast)
+    // age-based retention composes with count-based: expire only
+    // snapshots BOTH beyond the last-N window AND older than the cutoff
+    // (the Iceberg expire_snapshots(older_than, retain_last) contract) —
+    // so a quiet table never loses its history to the clock alone
+    val byAge: Long => Boolean = olderThanMs match {
+      case Some(cutoff) =>
+        val ts = commits(spark, tableDir).map(c => c.snapshotId -> c.tsMs).toMap
+        id => ts.getOrElse(id, 0L) < cutoff
+      case None => _ => true
+    }
+    val expired = ids.dropRight(retainLast).filter(byAge)
     // referenced = union of live file sets of every retained snapshot
-    val retainedIds = ids.takeRight(retainLast)
+    val retainedIds = ids.filterNot(expired.contains)
     val referenced = retainedIds.flatMap(id =>
       filesAt(spark, tableDir, Some(id)).map(_.path)).toSet
     expired.foreach(id => fs.delete(manifestPath(tableDir, id), false))

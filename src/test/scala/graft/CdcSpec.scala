@@ -739,6 +739,42 @@ class CdcSpec extends AnyFunSuite {
       SnapshotLog.filesAt(spark, dir).map(_.path).toSet).isEmpty)
   }
 
+  test("timestamp time travel resolves commits; age-based retention composes with count") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-ts-tt").toString
+    val dir = s"$base/t"
+    def append(ks: Range): Unit =
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(ks.map(k => (k.toLong, s"v$k")).toDF("id", "v"),
+          dir, statsCol = Some("id")))
+    append(1 to 3)
+    val t1 = SnapshotLog.commits(spark, dir).last.tsMs
+    assert(t1 > 0)
+    Thread.sleep(15)
+    append(4 to 6)
+    val t2 = SnapshotLog.commits(spark, dir).last.tsMs
+    assert(t2 > t1)
+    // AS OF TIMESTAMP between the commits resolves to the first snapshot
+    assert(SnapshotLog.snapshotAsOfTimestamp(spark, dir, t1) == 1L)
+    assert(SnapshotLog.snapshotAsOfTimestamp(spark, dir, (t1 + t2) / 2) == 1L)
+    assert(SnapshotLog.snapshotAsOfTimestamp(spark, dir, t2 + 1000) == 2L)
+    assert(SnapshotLog.read(spark, dir,
+      asOf = Some(SnapshotLog.snapshotAsOfTimestamp(spark, dir, t1))).get.count() == 3)
+    // a point before the table existed fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotLog.snapshotAsOfTimestamp(spark, dir, t1 - 1000000)
+    }
+    // age cutoff in the past expires nothing even beyond the count window
+    assert(SnapshotLog.expireSnapshots(spark, dir, retainLast = 1,
+      olderThanMs = Some(t1 - 1000))._1 == 0)
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(1L, 2L))
+    // cutoff after both commits: count window still protects the newest
+    assert(SnapshotLog.expireSnapshots(spark, dir, retainLast = 1,
+      olderThanMs = Some(t2 + 1000))._1 == 1)
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(2L))
+  }
+
   test("z-order compaction makes 2-D zone-map pruning bite on both dimensions") {
     import spark.implicits._
     import graft.table.SnapshotLog
