@@ -306,6 +306,49 @@ object Relational {
       .limit(k)
   }
 
+  /** Top supplier by revenue (TPC-H Q15 shape: aggregate → scalar MAX
+    * over that same aggregate → equality filter, ties kept). Spark-first:
+    * the per-supplier revenue aggregate materializes ONCE (eager
+    * localCheckpoint — ~|suppliers| rows); its max is a broadcast 1-row
+    * frame joined back, so neither the fact nor the aggregate is
+    * recomputed and nothing funnels through a single partition.
+    * Revenues round at 4 decimals before the equality (exact for sums
+    * of 2-decimal products — the repo's float-parity discipline). */
+  def q39TopRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val sup = Tables(spark, dir, "supplier")
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("total_revenue"))
+      .localCheckpoint(true)
+    rev.join(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))),
+        col("total_revenue") === col("max_rev"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Global sales opportunity (TPC-H Q22 shape: uncorrelated scalar AVG
+    * subquery + null-tolerant anti join + grouped rollout): customers
+    * with above-average positive balance and NO orders, counted per
+    * nation (this schema carries no phone country code — the nation key
+    * plays the grouping role). The scalar average rides as a broadcast
+    * 1-row frame; the anti join shuffles on custkey; output is
+    * ~|nations| rows. */
+  def q40SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    val abar = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("abar"))
+    cust.join(broadcast(abar))
+      .filter(col("c_acctbal") > col("abar"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Skew-resilient salted join: the fact side gets a deterministic salt
     * in [0, S); the dimension is replicated ×S; the join key becomes
     * (key, salt), spreading any hot key over S tasks. Result is
@@ -711,6 +754,8 @@ object Relational {
     "rel_q36_skew_join_aqe" -> q36SkewJoinAqe,
     "rel_q37_market_share" -> ((s: SparkSession, d: String) => q37MarketShare(s, d)),
     "rel_q38_waiting_suppliers" -> ((s: SparkSession, d: String) => q38WaitingSuppliers(s, d)),
+    "rel_q39_top_revenue_supplier" -> q39TopRevenueSupplier,
+    "rel_q40_sales_opportunity" -> q40SalesOpportunity,
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
@@ -724,6 +769,24 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the faithful CREATE VIEW + scalar-subquery form (ties kept)
+    "rel_q39_top_revenue_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN r ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+    // the faithful scalar-AVG-subquery + NOT-EXISTS form
+    "rel_q40_sales_opportunity" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // the faithful double-correlated EXISTS/NOT-EXISTS form — the engine
     // runs the single-window-pass decorrelation; equality proves the
     // rewrite
