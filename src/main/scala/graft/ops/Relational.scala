@@ -349,6 +349,51 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  private val dppWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** A month-PARTITIONED copy of orders (hive-style `o_month=yyyy-MM/`
+    * dirs) plus a KB-scale months DIMENSION carrying a `busy` attribute
+    * (above-average order count, precomputed at build) — the classic
+    * star layout dynamic partition pruning needs: the dim attribute is
+    * not derivable from the join key, so only a runtime subquery can
+    * prune the fact. Built once per (session, sf dir). */
+  private def dppWarehouse(spark: SparkSession, dir: String): String =
+    dppWarehouseCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir", {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+      val withMonth = Tables(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      withMonth.write.partitionBy("o_month").mode("overwrite")
+        .parquet(s"$tmp/orders_bymonth")
+      val monthly = withMonth.groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+      monthly.join(broadcast(monthly.agg(avg(col("n")).as("nbar"))))
+        .select(col("o_month"),
+          when(col("n") > col("nbar"), "busy").otherwise("quiet").as("tier"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/months_dim")
+      tmp
+    })
+
+  /** DYNAMIC PARTITION PRUNING: the fact is partitioned by month; the
+    * dimension rows that survive `busy` are only known at RUNTIME, so
+    * no static rule can prune the fact — Catalyst inserts a
+    * dynamicpruningexpression subquery on the fact's partition column
+    * fed by the broadcast dim. At 100 TB this is the difference between
+    * scanning every date partition and only the qualifying ones, for a
+    * predicate the user never wrote against the fact. RelationalSpec
+    * pins the dynamicpruningexpression in the scan's PartitionFilters;
+    * the oracle replays everything from the unpartitioned table. */
+  def q41DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = dppWarehouse(spark, dir)
+    val fact = spark.read.parquet(s"$base/orders_bymonth")
+    val busy = spark.read.parquet(s"$base/months_dim")
+      .filter(col("tier") === "busy").select(col("o_month"))
+    fact.join(broadcast(busy), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_month"))
+  }
+
   /** Skew-resilient salted join: the fact side gets a deterministic salt
     * in [0, S); the dimension is replicated ×S; the join key becomes
     * (key, salt), spreading any hot key over S tasks. Result is
@@ -756,6 +801,7 @@ object Relational {
     "rel_q38_waiting_suppliers" -> ((s: SparkSession, d: String) => q38WaitingSuppliers(s, d)),
     "rel_q39_top_revenue_supplier" -> q39TopRevenueSupplier,
     "rel_q40_sales_opportunity" -> q40SalesOpportunity,
+    "rel_q41_dpp_join" -> q41DppJoin,
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
     "rel_q20_scalar_subquery" -> q20ScalarSubquery,
@@ -769,6 +815,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // replayed from the unpartitioned table: busy months (above-average
+    // order count) aggregated — DPP is an optimization, never a
+    // semantics change
+    "rel_q41_dpp_join" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT o_month, n AS n_orders, total FROM m
+        |WHERE n > (SELECT avg(n) FROM m)
+        |ORDER BY o_month""".stripMargin,
     // the faithful CREATE VIEW + scalar-subquery form (ties kept)
     "rel_q39_top_revenue_supplier" ->
       """WITH r AS (SELECT l_suppkey,

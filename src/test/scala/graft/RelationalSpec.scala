@@ -53,6 +53,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(windowNodes == 1, s"expected exactly one Window exec, got $windowNodes:\n$plan")
   }
 
+  test("q41 fact scan carries a dynamic partition pruning filter from the runtime dim") {
+    val df = graft.ops.Relational.q41DppJoin(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in the fact's PartitionFilters:\n$plan")
+  }
+
   test("bucketed fact tables join and aggregate with zero exchange") {
     import graft.ops.Bucketed
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
