@@ -102,7 +102,8 @@ object StreamSync {
     * table as a key-clustered `append`. */
   def upsertSink(stream: DataFrame, tableDir: String, checkpointDir: String,
                  keyCol: String, orderCol: String,
-                 deleteCol: Option[String] = None): Unit = {
+                 deleteCol: Option[String] = None,
+                 materializeAtMasks: Option[Int] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import graft.table.{Merge, SnapshotLog}
     val q = stream.writeStream
@@ -123,6 +124,16 @@ object StreamSync {
           } else {
             Merge.mergeOnRead(spark, tableDir, latest, keyCol, deleteCol,
               summary = Map("batch_id" -> batchId.toString))
+            // inline maintenance: once pending mask ENTRIES cross the
+            // threshold, fold them back into clustered data — bounding
+            // read amplification without an external job. The `replace`
+            // commit is invisible to the change feed and carries no
+            // batch id, so replay guards are unaffected.
+            materializeAtMasks.foreach { threshold =>
+              val pending = SnapshotLog.filesAt(spark, tableDir)
+                .filter(_.kind == "eqdelete").map(_.rows).sum
+              if (pending >= threshold) Merge.materializeDeletes(spark, tableDir)
+            }
           }
         }
         ()

@@ -234,6 +234,31 @@ object SnapshotLog {
     id
   }
 
+  /** Optimistic-concurrency retry for APPEND commits: an append's delta
+    * is independent of the table's current state (added files only, no
+    * removals), so losing the id race is always recoverable by re-reading
+    * the new head and re-committing — the cheap-retry half of the
+    * lakehouse conflict model. Ops that REMOVE files (replace/upsert/
+    * rowdelta/rollback) are refused here: their validity depends on the
+    * state they were computed against, so the caller must re-derive the
+    * commit, not blindly re-number it. */
+  def commitRetrying(spark: SparkSession, tableDir: String,
+                     added: Seq[DataFile],
+                     summary: Map[String, String] = Map.empty,
+                     maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      try {
+        return commit(spark, tableDir, "append", added, summary = summary)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def readManifest(fs: FileSystem, tableDir: String, id: Long): Commit = {
     val in = fs.open(manifestPath(tableDir, id))
     val node: JsonNode = try mapper.readTree(in) finally in.close()

@@ -739,6 +739,31 @@ class CdcSpec extends AnyFunSuite {
       SnapshotLog.filesAt(spark, dir).map(_.path).toSet).isEmpty)
   }
 
+  test("concurrent append writers all land via commit retry, no lost updates") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Files.createTempDirectory("graft-race").toString
+    val dir = s"$base/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((0L, "base")).toDF("id", "v"), dir))
+    // 8 writers race for snapshot ids; every append must land exactly once
+    val writers = (1 to 8).map { i =>
+      val files = SnapshotLog.writeData(Seq((i.toLong, s"w$i")).toDF("id", "v"), dir)
+      Future(SnapshotLog.commitRetrying(spark, dir, files,
+        summary = Map("writer" -> i.toString)))
+    }
+    val ids = Await.result(Future.sequence(writers), 120.seconds)
+    assert(ids.toSet.size == 8, s"duplicate snapshot ids: $ids")
+    assert(SnapshotLog.snapshots(spark, dir) == (1L to 9L))
+    // no append was lost: all 9 rows visible, every writer's file live
+    assert(SnapshotLog.read(spark, dir).get.count() == 9)
+    val summaries = SnapshotLog.commits(spark, dir).flatMap(_.summary.get("writer"))
+    assert(summaries.sorted == (1 to 8).map(_.toString).sorted)
+  }
+
   test("timestamp time travel resolves commits; age-based retention composes with count") {
     import spark.implicits._
     import graft.table.SnapshotLog

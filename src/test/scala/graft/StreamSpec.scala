@@ -617,6 +617,44 @@ class StreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == got)
   }
 
+  test("upsert sink auto-materializes masks past the threshold; feed unaffected") {
+    import spark.implicits._
+    import graft.table.{DiffConsumer, SnapshotLog}
+    val base = Files.createTempDirectory("graft-automat").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    def addFile(rows: Seq[(Long, String, Long, Boolean)], tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      rows.toDF("id", "v", "ord", "is_del").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    val schema = Seq((0L, "", 0L, false)).toDF("id", "v", "ord", "is_del").schema
+    addFile((1L to 6L).map(k => (k, s"v$k", 1L, false)), "a")
+    addFile(Seq((2L, "x", 2L, false), (3L, null, 2L, true)), "b")
+    StreamSync.upsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/t", s"$base/chk", keyCol = "id", orderCol = "ord",
+      deleteCol = Some("is_del"), materializeAtMasks = Some(1))
+    // batch 1's 2 mask entries crossed the threshold: the sink appended a
+    // materializing replace, live files are data-only, content exact
+    val commits = SnapshotLog.commits(spark, s"$base/t")
+    assert(commits.map(_.op) == Seq("append", "rowdelta", "replace"))
+    assert(SnapshotLog.filesAt(spark, s"$base/t").forall(_.kind == "data"))
+    val got = SnapshotLog.read(spark, s"$base/t").get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "x", 4L -> "v4", 5L -> "v5", 6L -> "v6"))
+    // the replace is invisible to the row-level feed
+    val consumer = new DiffConsumer(s"$base/state")
+    val feed = consumer.consumeChanges(spark, s"$base/t", "idx")._1.get.collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_op"))).toSet
+    assert(feed == ((1L to 6L).map(k => (k, "insert")).toSet
+      + ((2L, "upsert")) + ((3L, "delete"))))
+  }
+
   test("streaming dedup index matches sequential admission over the pair graph") {
     val base = Files.createTempDirectory("graft-stream-dix").toString
     Files.createDirectories(Paths.get(s"$base/in"))
