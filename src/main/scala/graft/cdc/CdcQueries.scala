@@ -415,6 +415,26 @@ object CdcQueries {
       graft.table.SnapshotLog.read(s, rollbackWarehouse(s)).get
         .orderBy(col("kafka_offset"))
     }),
+    // POINT-LOOKUP through manifest BLOOM filters
+    // ([[graft.table.SnapshotLog.readPoint]]): the fixture table is four
+    // ingest-ordered appends that each span the whole orderkey range —
+    // zone maps keep every file for any point — but each file carries a
+    // 4 KB bloom of its keys, so a lookup touches ~one file. The query
+    // unions the three smallest orderkeys' lookups; equality with the
+    // plain SQL IN-filter proves blooms never lose a row (no false
+    // negatives). CdcSpec pins the skip counts.
+    "cdc_point_lookup" -> ((s, d) => {
+      import graft.table.SnapshotLog
+      val t = s"${bloomWarehouse(s, d)}/orders_bloom"
+      val keys = graft.schema.Tables(s, d, "orders").select(col("o_orderkey").cast("long"))
+        .distinct().orderBy(col("o_orderkey")).limit(3)
+        .collect().map(_.getLong(0)) // 3-row driver fetch: the lookup keys
+      keys.map(k => SnapshotLog.readPoint(s, t, "o_orderkey", k).get
+          .filter(col("o_orderkey") === k))
+        .reduce(_ unionByName _)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
     // 2-D ZONE-MAP pruned read over a Z-ORDER-compacted snapshot table
     // ([[graft.table.SnapshotLog.readWhere]]): the events table is
     // rewritten by compactSnapshotted(clusterZOrder = user_id, minute),
@@ -598,6 +618,27 @@ object CdcQueries {
       Merge.mergeOnRead(spark, dir, delta, "pk", Some("is_delete"))
       Merge.materializeDeletes(spark, dir)
       dir
+    })
+
+  private val bloomWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Four ingest-ordered appends of orders (round-robin by orderkey, so
+    * every file spans the whole key range — the zone-map-blind layout)
+    * with per-file orderkey BLOOMS in the manifests. */
+  private def bloomWarehouse(spark: SparkSession, dir: String): String =
+    bloomWarehouseCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir", {
+      import graft.table.SnapshotLog
+      val base = java.nio.file.Files.createTempDirectory("graft-bloomwh").toString
+      val tdir = s"$base/orders_bloom"
+      val ord = graft.schema.Tables(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      for (slice <- 0 until 4)
+        SnapshotLog.commit(spark, tdir, "append",
+          SnapshotLog.writeData(
+            ord.filter(pmod(col("o_orderkey"), lit(4)) === slice).coalesce(1),
+            tdir, statsCol = Some("o_orderkey"), bloomCol = Some("o_orderkey")))
+      base
     })
 
   private val zoneWarehouseCache =
@@ -815,6 +856,14 @@ object CdcQueries {
          |UNION ALL SELECT 3, 'replace',
          |  (SELECT count(*) FROM fin), 0, (SELECT count(*) FROM fin)
          |ORDER BY snapshot_id""".stripMargin,
+    // bloom-pruned point lookups == the plain IN filter (no false
+    // negatives); the 3 smallest distinct orderkeys are the lookup set
+    "cdc_point_lookup" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT DISTINCT o_orderkey FROM orders
+        |                     ORDER BY o_orderkey LIMIT 3)
+        |ORDER BY o_orderkey""".stripMargin,
     // zone-map pruned 2-D range read == the plain SQL WHERE (pruning may
     // only skip files, never lose qualifying rows); the minute band
     // derives from the data's own global minute bounds exactly as the

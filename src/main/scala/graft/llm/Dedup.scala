@@ -648,7 +648,37 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** LSH banding PLANNER (the S-curve arithmetic every MinHash-LSH
+    * deployment runs before touching data; Leskovec–Rajaraman–Ullman,
+    * public): for an n-hash signature, enumerate every (bands b, rows r)
+    * factorization, estimate its collision threshold (1/b)^(1/r), emit
+    * the full collision-probability curve 1−(1−s^r)^b at reference
+    * similarities, and flag the banding closest to the target threshold
+    * (ties → fewer bands = cheaper). Pure closed-form double arithmetic
+    * over ~divisors(n) rows — the whole plan replays exactly in SQL, so
+    * the oracle pins every probability the engine would deploy with. */
+  def lshPlan(spark: SparkSession, nHashes: Int = 128,
+              target: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = spark.range(1, nHashes + 1).toDF("b")
+      .filter(lit(nHashes) % col("b") === 0)
+      .withColumn("r", (lit(nHashes) / col("b")).cast("long"))
+      .withColumn("est_threshold",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6))
+    def pAt(s: Double) =
+      round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("r")), col("b")), 6)
+    val dist = abs(col("est_threshold") - lit(target))
+    grid
+      .withColumn("p_at_060", pAt(0.6))
+      .withColumn("p_at_080", pAt(0.8))
+      .withColumn("p_at_095", pAt(0.95))
+      .withColumn("is_chosen",
+        row_number().over(Window.orderBy(dist, col("b"))) === 1)
+      .orderBy(col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_plan" -> ((s, _) => lshPlan(s)),
     "dedup_pipeline_summary" -> pipelineSummary,
     "dedup_span_coverage" -> ((s, d) => spanCoverage(s, d)),
     "dedup_semantic" -> ((s, d) => semantic(s, d)),
@@ -665,6 +695,22 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the S-curve planner is closed-form arithmetic: every probability
+    // and the chosen banding replay exactly (power/round-6 parity)
+    "dedup_lsh_plan" ->
+      """WITH g AS (SELECT b, 128 // b AS r
+        |  FROM generate_series(1, 128) t(b) WHERE 128 % b = 0),
+        |e AS (SELECT b, r,
+        |    round(power(1.0 / b, 1.0 / r), 6) AS est_threshold FROM g),
+        |d AS (SELECT *, abs(est_threshold - 0.8) AS dist,
+        |    row_number() OVER (ORDER BY abs(est_threshold - 0.8), b) AS rk
+        |  FROM e)
+        |SELECT b, r, est_threshold,
+        |  round(1 - power(1 - power(0.60, r), b), 6) AS p_at_060,
+        |  round(1 - power(1 - power(0.80, r), b), 6) AS p_at_080,
+        |  round(1 - power(1 - power(0.95, r), b), 6) AS p_at_095,
+        |  rk = 1 AS is_chosen
+        |FROM d ORDER BY b""".stripMargin,
     // exact replay of the inverted-index containment: same df cap (part
     // of the semantics), same shared-shingle counts, both directions
     "dedup_containment" ->

@@ -77,7 +77,8 @@ object SnapshotLog {
   final case class DataFile(path: String, rows: Long, bytes: Long,
                             statsMin: Option[Long], statsMax: Option[Long],
                             kind: String = "data", seq: Long = 0L,
-                            stats: Map[String, (Long, Long)] = Map.empty)
+                            stats: Map[String, (Long, Long)] = Map.empty,
+                            blooms: Map[String, String] = Map.empty)
 
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
@@ -121,10 +122,19 @@ object SnapshotLog {
     * min/max of `statsCol`) come from one footer-cheap aggregate grouped
     * by file. A crash after this but before [[commit]] leaves unreferenced
     * files that [[expireSnapshots]]' orphan sweep reclaims. */
+  /** Bits per per-file manifest bloom (4 KB serialized) and its hash
+    * count — fixed so driver-side probes and the build agree; at ~128 MB
+    * data files a 32k-bit / 5-hash bloom holds point-lookup false
+    * positives low for up to ~3k distinct keys per file and degrades
+    * (never lies negatively) beyond. */
+  val BloomBits = 1 << 15
+  val BloomHashes = 5
+
   def writeData(df: DataFrame, tableDir: String,
                 statsCol: Option[String] = None,
                 kind: String = "data",
-                statsCols: Seq[String] = Nil): Seq[DataFile] = {
+                statsCols: Seq[String] = Nil,
+                bloomCol: Option[String] = None): Seq[DataFile] = {
     require(kind == "data" || kind == "eqdelete", s"unknown file kind: $kind")
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString
@@ -138,10 +148,11 @@ object SnapshotLog {
     // every requested stats column rides the same one-pass per-file
     // aggregate — a per-COLUMN zone map, the Iceberg metrics posture
     val allStats = (statsCol.toSeq ++ statsCols).distinct
-    val statsAggs = count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
+    val statsAggs = (count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
       case (c, i) => Seq(min(col(c)).cast("long").as(s"smin_$i"),
         max(col(c)).cast("long").as(s"smax_$i"))
-    }
+    }) ++ bloomCol.map(c => graft.functions.GraftFunctions
+      .bloom_build(col(c).cast("long"), BloomBits, BloomHashes).as("bloom"))
     written
       .groupBy(input_file_name().as("file"))
       .agg(statsAggs.head, statsAggs.tail: _*)
@@ -155,9 +166,12 @@ object SnapshotLog {
             case _ => None
           }
         }.toMap
+        val blooms = bloomCol.map(c => c ->
+          java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))).toMap
         val first = allStats.headOption.flatMap(stats.get)
         DataFile(path, r.getAs[Long]("rows"), sizes.getOrElse(path, 0L),
-          first.map(_._1), first.map(_._2), kind = kind, stats = stats)
+          first.map(_._1), first.map(_._2), kind = kind, stats = stats,
+          blooms = blooms)
       }
   }
 
@@ -205,6 +219,10 @@ object SnapshotLog {
         f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
           val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
         }
+      }
+      if (f.blooms.nonEmpty) {
+        val bn = n.putObject("blooms")
+        f.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bn.put(c, b64) }
       }
     }
     val root: ObjectNode = mapper.createObjectNode()
@@ -270,12 +288,15 @@ object SnapshotLog {
             e.getKey -> (e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
           }.toMap
         }.getOrElse(Map.empty[String, (Long, Long)])
+        val blooms = Option(f.get("blooms")).map { bn =>
+          bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
         DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong(),
           Option(f.get("stats_min")).map(_.asLong()),
           Option(f.get("stats_max")).map(_.asLong()),
           kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
           seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-          stats = stats)
+          stats = stats, blooms = blooms)
       }
     val removed = node.get("removed").elements().asScala.toSeq.map(_.asText())
     val summary = Option(node.get("summary")).map(_.fields().asScala
@@ -438,6 +459,48 @@ object SnapshotLog {
         case None => true
       }
     })
+    (kept, data.size - kept)
+  }
+
+  private def pointKeeps(f: DataFile, column: String, key: Long): Boolean = {
+    val rangeHit = f.stats.get(column) match {
+      case Some((mn, mx)) => key >= mn && key <= mx
+      case None => (f.statsMin, f.statsMax) match {
+        case (Some(mn), Some(mx)) => key >= mn && key <= mx
+        case _ => true
+      }
+    }
+    rangeHit && (f.blooms.get(column) match {
+      case Some(b64) => graft.functions.BloomFilterOps.mightContain(
+        java.util.Base64.getDecoder.decode(b64), key, BloomHashes)
+      case None => true
+    })
+  }
+
+  /** POINT-LOOKUP pruned read: keep only data files whose key-column
+    * zone contains `key` AND whose manifest BLOOM (written via
+    * `writeData(bloomCol=...)`) might contain it. Zone maps go blind
+    * when ingest-ordered files all span most of the key space — ranges
+    * overlap, every file stays — which is exactly where the per-file
+    * bloom bites: a membership test with no false negatives, so pruning
+    * can only skip, never lose (the Delta/Iceberg bloom-index role).
+    * Equality-delete masks still apply; callers apply the actual
+    * predicate on the result. */
+  def readPoint(spark: SparkSession, tableDir: String, column: String,
+                key: Long, asOf: Option[Long] = None): Option[DataFrame] = {
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val pruned = data.filter(pointKeeps(_, column, key))
+    if (pruned.isEmpty) None
+    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
+    else Some(applyEqDeletes(spark, pruned, dels))
+  }
+
+  /** [[readPoint]]'s pruning decision alone: (kept, skipped) data-file
+    * counts for a key. */
+  def prunePointStats(spark: SparkSession, tableDir: String, column: String,
+                      key: Long, asOf: Option[Long] = None): (Int, Int) = {
+    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val kept = data.count(pointKeeps(_, column, key))
     (kept, data.size - kept)
   }
 

@@ -800,6 +800,38 @@ class CdcSpec extends AnyFunSuite {
     assert(SnapshotLog.snapshots(spark, dir) == Seq(2L))
   }
 
+  test("manifest blooms prune point lookups where overlapping zone maps cannot") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-bloom-tf").toString
+    val dir = s"$base/t"
+    // 4 round-robin appends: every file spans [slice, ~4000] — zone maps
+    // keep all 4 for any point, but each key lives in exactly one file
+    for (slice <- 0 until 4)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(
+          (0 until 1000).map(i => (i.toLong * 4 + slice, s"v$i")).toDF("id", "v")
+            .coalesce(1),
+          dir, statsCol = Some("id"), bloomCol = Some("id")))
+    val files = SnapshotLog.filesAt(spark, dir)
+    assert(files.size == 4 && files.forall(_.blooms.contains("id")))
+    // a key inside every range: zone map keeps 4, bloom keeps ~1
+    val (keptRange, _) = SnapshotLog.pruneStats(spark, dir, Map("id" -> (41L, 41L)))
+    assert(keptRange == 4, "overlapping ranges must defeat the zone map")
+    val (kept, skipped) = SnapshotLog.prunePointStats(spark, dir, "id", 41L)
+    assert(kept <= 2 && skipped >= 2,
+      s"bloom should prune most overlapping files: kept=$kept skipped=$skipped")
+    // correctness: the pruned read still finds the row (no false negatives)
+    val got = SnapshotLog.readPoint(spark, dir, "id", 41L).get
+      .filter(col("id") === 41L).collect()
+    assert(got.length == 1 && got(0).getString(1) == "v10")
+    // an absent key inside the ranges: bloom prunes everything or the
+    // read returns no rows — either way the filter result is empty
+    val absent = SnapshotLog.readPoint(spark, dir, "id", 3999999L)
+      .map(_.filter(col("id") === 3999999L).count()).getOrElse(0L)
+    assert(absent == 0L)
+  }
+
   test("z-order compaction makes 2-D zone-map pruning bite on both dimensions") {
     import spark.implicits._
     import graft.table.SnapshotLog
