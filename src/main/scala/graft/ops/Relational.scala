@@ -330,14 +330,16 @@ object Relational {
 
   /** Global sales opportunity (TPC-H Q22 shape: uncorrelated scalar AVG
     * subquery + null-tolerant anti join + grouped rollout): customers
-    * with above-average positive balance and NO orders, counted per
-    * nation (this schema carries no phone country code — the nation key
-    * plays the grouping role). The scalar average rides as a broadcast
-    * 1-row frame; the anti join shuffles on custkey; output is
-    * ~|nations| rows. */
-  def q40SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    * with above-average positive balance and no HIGH-VALUE orders,
+    * counted per nation (this schema carries no phone country code — the
+    * nation key plays the grouping role; the price floor keeps the
+    * survivor set non-degenerate at every sf). The scalar average rides
+    * as a broadcast 1-row frame; the anti join shuffles on custkey;
+    * output is ~|nations| rows. */
+  def q40SalesOpportunity(spark: SparkSession, dir: String,
+                          bigOrder: Double = 400000.0): DataFrame = {
     val cust = Tables(spark, dir, "customer")
-    val ord = Tables(spark, dir, "orders")
+    val ord = Tables(spark, dir, "orders").filter(col("o_totalprice") > bigOrder)
     val abar = cust.filter(col("c_acctbal") > 0)
       .agg(avg(col("c_acctbal")).as("abar"))
     cust.join(broadcast(abar))
@@ -800,7 +802,7 @@ object Relational {
     "rel_q37_market_share" -> ((s: SparkSession, d: String) => q37MarketShare(s, d)),
     "rel_q38_waiting_suppliers" -> ((s: SparkSession, d: String) => q38WaitingSuppliers(s, d)),
     "rel_q39_top_revenue_supplier" -> q39TopRevenueSupplier,
-    "rel_q40_sales_opportunity" -> q40SalesOpportunity,
+    "rel_q40_sales_opportunity" -> ((s: SparkSession, d: String) => q40SalesOpportunity(s, d)),
     "rel_q41_dpp_join" -> q41DppJoin,
     "rel_q18_pivot" -> q18Pivot,
     "rel_q19_grouping_sets" -> q19GroupingSets,
@@ -841,7 +843,9 @@ object Relational {
         |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         |                   WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // the faithful double-correlated EXISTS/NOT-EXISTS form — the engine
     // runs the single-window-pass decorrelation; equality proves the
