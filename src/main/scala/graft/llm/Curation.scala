@@ -616,19 +616,20 @@ object Curation {
   /** [[qualityModelFit]] as a driver-verifiable query: exact label
     * counts (the oracle replays the gate heuristic in SQL) anchor the
     * data side; the optimization guarantees — loss monotonically
-    * decreasing (the 1/L step-size theorem), gradient norm shrinking,
-    * accuracy at least the majority-class baseline — are pinned as
-    * booleans the oracle asserts true. */
+    * decreasing (the 1/L step-size theorem) and gradient norm shrinking
+    * — are pinned as booleans the oracle asserts true. The
+    * beats-majority ACCURACY claim is deliberately NOT oracled: GD
+    * minimizes log-loss, not 0-1 loss, so it is a property of this
+    * corpus rather than a theorem — CurationSpec asserts it against the
+    * actual data instead. */
   def qualityModelReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = qualityModelFitCached(spark, dir)
     val losses = m.history.map(_.loss)
     val monotone = losses.zip(losses.drop(1)).forall { case (a, b) => b <= a + 1e-9 }
     val gradDecreased = m.history.last.gradNorm <= m.history.head.gradNorm
-    Seq((m.nPos, m.nNeg, m.weights.length, monotone, gradDecreased,
-      m.accuracy >= m.majority))
-      .toDF("n_pos", "n_neg", "n_features", "loss_monotone",
-        "grad_decreased", "acc_ok")
+    Seq((m.nPos, m.nNeg, m.weights.length, monotone, gradDecreased))
+      .toDF("n_pos", "n_neg", "n_features", "loss_monotone", "grad_decreased")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -656,8 +657,9 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     // exact label counts replay the gate heuristic; the optimization
-    // invariants (1/L-step monotone descent, shrinking gradient,
-    // beats-majority accuracy) are pinned true
+    // THEOREMS (1/L-step monotone descent, shrinking gradient) are
+    // pinned true; the corpus-dependent accuracy claim lives in
+    // CurationSpec, not here
     "cur_quality_model" ->
       """WITH f AS (SELECT len(string_split(text, ' ')) AS n_words,
         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -669,7 +671,7 @@ object Curation {
         |  CAST(count(*) FILTER (WHERE NOT (n_words >= 20 AND n_words <= 5000
         |                                     AND uniq >= 0.35)) AS BIGINT) AS n_neg,
         |  CAST(4 AS INTEGER) AS n_features,
-        |  true AS loss_monotone, true AS grad_decreased, true AS acc_ok
+        |  true AS loss_monotone, true AS grad_decreased
         |FROM f""".stripMargin,
     // power/ln parity at round-6 is the BM25/unigram precedent; the
     // normalizer sums run over ~|sources| rows

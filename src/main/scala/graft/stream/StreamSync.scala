@@ -115,12 +115,21 @@ object StreamSync {
           val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
           val latest = b.withColumn("_rk", row_number().over(w))
             .filter(col("_rk") === 1).drop("_rk")
+            .localCheckpoint(true) // consumed twice below (emptiness + write)
           if (SnapshotLog.currentSnapshotId(spark, tableDir).isEmpty) {
             val rows = deleteCol.fold(latest)(dc => latest.filter(!col(dc)).drop(dc))
-            SnapshotLog.commit(spark, tableDir, "append",
-              SnapshotLog.writeData(rows.repartitionByRange(2, col(keyCol)),
-                tableDir, statsCol = Some(keyCol)),
-              summary = Map("batch_id" -> batchId.toString))
+            // an empty or all-tombstone batch against a not-yet-created
+            // table is a no-op (deletes of nothing): skip the commit
+            // entirely rather than writing a zero-file snapshot that
+            // would wedge every later mergeOnRead. Replay is safe —
+            // nothing was written, so re-processing writes nothing again.
+            if (!rows.isEmpty)
+              SnapshotLog.commit(spark, tableDir, "append",
+                SnapshotLog.writeData(rows.repartitionByRange(2, col(keyCol)),
+                  tableDir, statsCol = Some(keyCol)),
+                summary = Map("batch_id" -> batchId.toString))
+          } else if (latest.isEmpty) {
+            () // empty micro-batch: nothing to merge, nothing to commit
           } else {
             Merge.mergeOnRead(spark, tableDir, latest, keyCol, deleteCol,
               summary = Map("batch_id" -> batchId.toString))

@@ -63,7 +63,15 @@ object Merge {
     * a re-insert after a delete therefore arrives as a plain upsert. */
   def applyChanges(spark: SparkSession, tableDir: String, delta: DataFrame,
                    keyCol: String, deleteCol: Option[String]): MergeResult = {
-    val live = SnapshotLog.filesAt(spark, tableDir)
+    val (pendingMasks, live) =
+      SnapshotLog.filesAt(spark, tableDir).partition(_.kind == "eqdelete")
+    // a COW rewrite reads touched files RAW and re-stamps their rows with
+    // a fresh seq — pending equality-delete masks would stop applying to
+    // the rewritten copies (deleted rows resurrect). Refuse the mix
+    // loudly; the caller materializes first or stays on merge-on-read.
+    require(pendingMasks.isEmpty,
+      s"table $tableDir has ${pendingMasks.size} pending equality-delete file(s); " +
+        "run materializeDeletes before a copy-on-write merge, or use mergeOnRead")
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
     // KB-scale driver fetch: a CDC delta's distinct keys (deletes included)
     val keys = delta.select(col(keyCol).cast("long")).distinct()
@@ -134,7 +142,13 @@ object Merge {
     val maskKeys = keys.filter(k =>
       unstated || intervals.exists { case (mn, mx) => k >= mn && k <= mx })
     val upserts = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
-    val dataFiles = SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyCol))
+      .localCheckpoint(true) // consumed twice: emptiness probe + write
+    // an all-tombstone delta writes NO data files (parquet emits no part
+    // files for an empty frame, and the stats read-back would fail);
+    // the commit then carries only the mask file
+    val dataFiles =
+      if (upserts.isEmpty) Seq.empty[SnapshotLog.DataFile]
+      else SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyCol))
     val delFiles =
       if (maskKeys.isEmpty) Seq.empty
       else SnapshotLog.writeData(

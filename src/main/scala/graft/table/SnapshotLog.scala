@@ -242,13 +242,27 @@ object SnapshotLog {
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
     val target = manifestPath(tableDir, id)
-    // exists-check + rename: on HDFS/POSIX the rename is atomic and fails
-    // (or is detectable) when the target landed first
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    // Atomic no-clobber publish. POSIX rename(2) silently OVERWRITES an
+    // existing target, so on the local filesystem an exists-check +
+    // rename race would let two writers both "win" the id and silently
+    // lose one commit; a hard LINK is the atomic no-clobber primitive
+    // there (EEXIST ⇒ the other writer owns the id). On HDFS-like
+    // filesystems rename itself refuses an existing target, which is
+    // the LogStore contract this mirrors.
+    val won =
+      if (fs.getScheme == "file") {
+        val t = java.nio.file.Paths.get(target.toUri.getPath)
+        try {
+          java.nio.file.Files.createLink(t, java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(target) && fs.rename(tmp, target)
+    fs.delete(tmp, false) // the linked target survives; losers clean up too
+    if (!won)
       throw new ConcurrentCommitException(
         s"snapshot $id of $tableDir was committed by another writer")
-    }
     id
   }
 
@@ -435,12 +449,7 @@ object SnapshotLog {
                 ranges: Map[String, (Long, Long)],
                 asOf: Option[Long] = None): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
-    val pruned = data.filter(f => ranges.forall { case (c, (lo, hi)) =>
-      f.stats.get(c) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    })
+    val pruned = data.filter(zoneKeeps(_, ranges))
     if (pruned.isEmpty) None
     else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
     else Some(applyEqDeletes(spark, pruned, dels))
@@ -453,29 +462,30 @@ object SnapshotLog {
                  ranges: Map[String, (Long, Long)],
                  asOf: Option[Long] = None): (Int, Int) = {
     val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
-    val kept = data.count(f => ranges.forall { case (c, (lo, hi)) =>
+    val kept = data.count(zoneKeeps(_, ranges))
+    (kept, data.size - kept)
+  }
+
+  /** The shared zone-map pruning predicate: a file is kept unless EVERY
+    * requested column has recorded stats proving its range misses. A
+    * column with no stats on this file keeps it (conservative — the
+    * legacy single-column statsMin/statsMax are NOT consulted here, as
+    * they may describe a different column than the one asked about). */
+  private def zoneKeeps(f: DataFile, ranges: Map[String, (Long, Long)]): Boolean =
+    ranges.forall { case (c, (lo, hi)) =>
       f.stats.get(c) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
-    })
-    (kept, data.size - kept)
-  }
-
-  private def pointKeeps(f: DataFile, column: String, key: Long): Boolean = {
-    val rangeHit = f.stats.get(column) match {
-      case Some((mn, mx)) => key >= mn && key <= mx
-      case None => (f.statsMin, f.statsMax) match {
-        case (Some(mn), Some(mx)) => key >= mn && key <= mx
-        case _ => true
-      }
     }
-    rangeHit && (f.blooms.get(column) match {
-      case Some(b64) => graft.functions.BloomFilterOps.mightContain(
-        java.util.Base64.getDecoder.decode(b64), key, BloomHashes)
-      case None => true
-    })
-  }
+
+  private def pointKeeps(f: DataFile, column: String, key: Long): Boolean =
+    zoneKeeps(f, Map(column -> (key, key))) &&
+      (f.blooms.get(column) match {
+        case Some(b64) => graft.functions.BloomFilterOps.mightContain(
+          java.util.Base64.getDecoder.decode(b64), key, BloomHashes)
+        case None => true
+      })
 
   /** POINT-LOOKUP pruned read: keep only data files whose key-column
     * zone contains `key` AND whose manifest BLOOM (written via
@@ -544,7 +554,12 @@ object SnapshotLog {
     *  - `rowdelta` (merge-on-read) → its added data rows as `upsert` and,
     *    for each delete-file key with NO same-commit re-insert, one
     *    `delete` row (key column set, payload columns null) — a
-    *    masked-then-rewritten key collapses to the single `upsert`;
+    *    masked-then-rewritten key collapses to the single `upsert`.
+    *    Delete rows are IDEMPOTENT "ensure absent" events (Debezium
+    *    tombstone semantics): a mask entry is recorded from zone-map
+    *    membership, so a delete of a key that was never actually present
+    *    can surface in the feed — consumers must fold deletes as
+    *    set-removal, not balanced-event accounting;
     *  - `replace` → nothing (a rewrite changes layout, not content);
     *  - `upsert` (copy-on-write) / `rollback` → REFUSED: their added
     *    files mix carried-forward and changed rows, so no row-level

@@ -102,8 +102,8 @@ object ScaleCurve {
       // worst case for COW and the steady state for a CDC apply stream.
       import graft.table.{Merge, SnapshotLog}
       val state = spark.read.parquet(s"$dir/lineitem.parquet")
-        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
-          col("l_extendedprice").as("v"))
+        .select((col("l_orderkey").cast("long") * 100 + col("l_linenumber"))
+          .as("id"), col("l_extendedprice").as("v"))
         .repartitionByRange(32, col("id"))
       val tfBase = java.nio.file.Files.createTempDirectory(s"graft-tf-x$k").toString
       for (t <- Seq("cow", "mor"))
@@ -119,8 +119,8 @@ object ScaleCurve {
       val delta = spark.read.parquet(s"$dir/lineitem.parquet")
         .filter(pmod(col("l_orderkey"), lit(step)) === 0 &&
           col("l_linenumber") === 1)
-        .select((col("l_orderkey") * 100 + col("l_linenumber")).as("id"),
-          (col("l_extendedprice") * 2.0).as("v"))
+        .select((col("l_orderkey").cast("long") * 100 + col("l_linenumber"))
+          .as("id"), (col("l_extendedprice") * 2.0).as("v"))
       val (cowRes, tCow) = timed(Merge.upsert(spark, s"$tfBase/cow", delta, "id")); settle()
       val (morRes, tMor) = timed(
         Merge.mergeOnRead(spark, s"$tfBase/mor", delta, "id")); settle()

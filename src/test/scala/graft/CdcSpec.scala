@@ -752,8 +752,10 @@ class CdcSpec extends AnyFunSuite {
     // 8 writers race for snapshot ids; every append must land exactly once
     val writers = (1 to 8).map { i =>
       val files = SnapshotLog.writeData(Seq((i.toLong, s"w$i")).toDF("id", "v"), dir)
+      // a writer can lose the id race to each of the other 7 in turn —
+      // the retry budget must cover writers−1 losses
       Future(SnapshotLog.commitRetrying(spark, dir, files,
-        summary = Map("writer" -> i.toString)))
+        summary = Map("writer" -> i.toString), maxRetries = 8))
     }
     val ids = Await.result(Future.sequence(writers), 120.seconds)
     assert(ids.toSet.size == 8, s"duplicate snapshot ids: $ids")
