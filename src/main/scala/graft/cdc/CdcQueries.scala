@@ -415,6 +415,19 @@ object CdcQueries {
       graft.table.SnapshotLog.read(s, rollbackWarehouse(s)).get
         .orderBy(col("kafka_offset"))
     }),
+    // SCHEMA EVOLUTION through the snapshot layer: the same two drifting
+    // epochs as cdc_schema_drift_widening, but committed as SNAPSHOTS of
+    // one table — the read resolves the per-commit schemas and merges
+    // them through the Evolution widening lattice (declared rename, LUB
+    // casts, null-filled addition) instead of failing the scan. Same
+    // oracle as the epoch-merge form: two mechanisms, one invariant.
+    "cdc_snapshot_schema_drift" -> ((s, _) => {
+      graft.table.SnapshotLog
+        .read(s, driftSnapshotWarehouse(s),
+          renames = Map("address" -> "shipping_address")).get
+        .withColumn("amount", round(col("amount").cast("double"), 4))
+        .orderBy(col("kafka_offset"))
+    }),
     // POINT-LOOKUP through manifest BLOOM filters
     // ([[graft.table.SnapshotLog.readPoint]]): the fixture table is four
     // ingest-ordered appends that each span the whole orderkey range —
@@ -617,6 +630,22 @@ object CdcQueries {
       val (dir, delta) = delStateEpoch1(spark, "graft-mormat")
       Merge.mergeOnRead(spark, dir, delta, "pk", Some("is_delete"))
       Merge.materializeDeletes(spark, dir)
+      dir
+    })
+
+  private val driftSnapshotCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The two drifting-schema epochs committed as consecutive SNAPSHOTS
+    * of one table (epoch 1 under the old source shape, epoch 2 under
+    * the widened/renamed/extended one). */
+  private def driftSnapshotWarehouse(spark: SparkSession): String =
+    driftSnapshotCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.SnapshotLog
+      val base = java.nio.file.Files.createTempDirectory("graft-driftsnap").toString
+      val dir = s"$base/orders_drift"
+      val (e1, e2) = driftEpochs(spark)
+      SnapshotLog.commit(spark, dir, "append", SnapshotLog.writeData(e1, dir))
+      SnapshotLog.commit(spark, dir, "append", SnapshotLog.writeData(e2, dir))
       dir
     })
 
@@ -856,6 +885,20 @@ object CdcQueries {
          |UNION ALL SELECT 3, 'replace',
          |  (SELECT count(*) FROM fin), 0, (SELECT count(*) FROM fin)
          |ORDER BY snapshot_id""".stripMargin,
+    // snapshot-layer drift read == the epoch-merge widening (same oracle)
+    "cdc_snapshot_schema_drift" ->
+      s"""WITH p AS (SELECT $ordersProj
+         |  FROM ${wireSql("orders")})
+         |SELECT CAST(order_id AS BIGINT) AS order_id, status,
+         |  round(CAST(total_amount AS DOUBLE), 4) AS amount,
+         |  shipping_address, kafka_offset, CAST(NULL AS INTEGER) AS customer_id
+         |FROM p WHERE kafka_offset <= 5
+         |UNION ALL
+         |SELECT CAST(order_id AS BIGINT), status,
+         |  round(CAST(total_amount AS DOUBLE), 4),
+         |  shipping_address, kafka_offset, customer_id
+         |FROM p WHERE kafka_offset >= 6
+         |ORDER BY kafka_offset""".stripMargin,
     // bloom-pruned point lookups == the plain IN filter (no false
     // negatives); the 3 smallest distinct orderkeys are the lookup set
     "cdc_point_lookup" ->

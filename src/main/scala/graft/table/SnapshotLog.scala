@@ -362,12 +362,28 @@ object SnapshotLog {
     * is a mask by the latest one. Data files are read grouped by seq so
     * the seq column is a literal per relation — no per-row file-name
     * parsing, and the whole mask stays inside codegen. */
+  /** Union per-seq file groups whose schemas may have DRIFTED between
+    * commits (the table-format face of [[graft.schema.Evolution]]):
+    * equal schemas take the plain multi-relation union; drifted ones go
+    * through the widening lattice — renames applied, both sides cast to
+    * the LUB types, additions null-filled on older epochs, incompatible
+    * drift thrown. Each group keeps its sequence number column when the
+    * caller needs the merge-on-read mask rule. */
+  private def unionEpochs(groups: Seq[DataFrame],
+                          renames: Map[String, String]): DataFrame = {
+    val schemas = groups.map(_.schema)
+    if (renames.isEmpty && schemas.forall(_ == schemas.head))
+      groups.reduce(_ unionByName _)
+    else graft.schema.Evolution.mergeEpochs(groups, renames)
+  }
+
   private def applyEqDeletes(spark: SparkSession, data: Seq[DataFile],
-                             dels: Seq[DataFile]): DataFrame = {
+                             dels: Seq[DataFile],
+                             renames: Map[String, String] = Map.empty): DataFrame = {
     val bySeq = data.groupBy(_.seq).toSeq.sortBy(_._1)
-    val withSeq = bySeq.map { case (seq, fs) =>
+    val withSeq = unionEpochs(bySeq.map { case (seq, fs) =>
       spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_seq", lit(seq))
-    }.reduce(_ unionByName _)
+    }, renames)
     if (dels.isEmpty) return withSeq.drop("_graft_seq")
     val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
       spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_del_seq", lit(seq))
@@ -402,15 +418,29 @@ object SnapshotLog {
   /** Snapshot-isolated read: resolve the manifest file list once, then
     * scan exactly those immutable files. Live equality-delete files (the
     * merge-on-read path) are applied as a broadcast mask; a table with
-    * none reads as a bare multi-path parquet scan. Returns None for a
-    * table with no live data files (schema unknowable from an empty file
-    * set). */
+    * none reads as a bare multi-path parquet scan. Commits whose SCHEMAS
+    * drifted (a widened type, a declared rename, an added column) merge
+    * through the [[graft.schema.Evolution]] lattice instead of failing
+    * the scan — time travel to a pre-drift snapshot still returns that
+    * epoch's own schema, because reads resolve only the files that
+    * existed then. Returns None for a table with no live data files
+    * (schema unknowable from an empty file set). */
   def read(spark: SparkSession, tableDir: String,
-           asOf: Option[Long] = None): Option[DataFrame] = {
+           asOf: Option[Long] = None,
+           renames: Map[String, String] = Map.empty): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     if (data.isEmpty) None
-    else if (dels.isEmpty) Some(spark.read.parquet(data.map(_.path): _*))
-    else Some(applyEqDeletes(spark, data, dels))
+    else if (dels.isEmpty) {
+      val bySeq = data.groupBy(_.seq).toSeq.sortBy(_._1)
+      val groups = bySeq.map { case (_, fs) =>
+        spark.read.parquet(fs.map(_.path): _*) }
+      val schemas = groups.map(_.schema)
+      // uniform schemas: ONE relation over every path (the pruning- and
+      // codegen-friendly scan); drifted: the widening merge per commit
+      if (renames.isEmpty && schemas.forall(_ == schemas.head))
+        Some(spark.read.parquet(data.map(_.path): _*))
+      else Some(graft.schema.Evolution.mergeEpochs(groups, renames))
+    } else Some(applyEqDeletes(spark, data, dels, renames))
   }
 
   /** Manifest-pruned range read over the stats column: files whose

@@ -739,6 +739,39 @@ class CdcSpec extends AnyFunSuite {
       SnapshotLog.filesAt(spark, dir).map(_.path).toSet).isEmpty)
   }
 
+  test("schema drift through the snapshot layer: widened reads, epoch schemas preserved, masks cross epochs") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = Files.createTempDirectory("graft-drift-tf").toString
+    val dir = s"$base/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "extra"),
+        dir))
+    // current read widens: id → long, extra null-filled on epoch 1
+    val merged = SnapshotLog.read(spark, dir).get
+    assert(merged.schema("id").dataType == LongType)
+    val rows = merged.collect().map(r =>
+      r.getLong(0) -> Option(r.getAs[java.lang.Integer]("extra"))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30), 4L -> Some(40)))
+    // time travel to the pre-drift snapshot returns the OLD schema
+    assert(SnapshotLog.read(spark, dir, asOf = Some(1L)).get
+      .schema("id").dataType == IntegerType)
+    // a merge-on-read mask written under the NEW schema still deletes
+    // the old-epoch row: the mask join rides the widened union
+    Merge.mergeOnRead(spark, dir,
+      Seq((1L, null: String, null.asInstanceOf[java.lang.Integer], true))
+        .toDF("id", "v", "extra", "is_del"), "id", Some("is_del"))
+    val afterDel = SnapshotLog.read(spark, dir).get.collect().map(_.getLong(0)).toSet
+    assert(afterDel == Set(2L, 3L, 4L))
+    // off-lattice drift fails the read loudly instead of corrupting
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq(("x", "e")).toDF("id", "v"), dir))
+    intercept[IllegalArgumentException] { SnapshotLog.read(spark, dir).get.schema }
+  }
+
   test("concurrent append writers all land via commit retry, no lost updates") {
     import spark.implicits._
     import graft.table.SnapshotLog
