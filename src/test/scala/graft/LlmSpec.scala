@@ -86,6 +86,35 @@ class LlmSpec extends AnyFunSuite {
       s"corpus must not be shuffled for the anchor join:\n$plan")
   }
 
+  test("PQ code table refreshes when the corpus is regenerated in-session") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqstale").toString
+    val dim = 64
+    def writeCorpus(closeId: Long): Unit = {
+      val q = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+      val rows = (0L until 40L).map { id =>
+        val v =
+          if (id == 0L) q
+          else if (id == closeId) q.map(x => x * 0.99f) // planted near-dup
+          else Array.tabulate(dim)(i => math.cos(3.7 * (i + 1) * (id + 2)).toFloat)
+        (id, v.toSeq, s"l$id")
+      }
+      spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    writeCorpus(closeId = 7L)
+    val first = Similarity.pqTopK(spark, tmp).collect()
+    assert(first.head.getAs[Long]("vec_id") == 7L,
+      s"planted near-dup must win: ${first.take(3).mkString(";")}")
+    // regenerate the corpus at the same path: the session-cached code
+    // table and codebook are keyed on the source fingerprint, so the
+    // next query must rebuild against the NEW vectors, not serve stale
+    // codes (VERDICT r6 item 5)
+    writeCorpus(closeId = 23L)
+    val second = Similarity.pqTopK(spark, tmp).collect()
+    assert(second.head.getAs[Long]("vec_id") == 23L,
+      s"stale PQ codes served after regeneration: ${second.take(3).mkString(";")}")
+  }
+
   test("BPE fit matches an independent reference trainer; encode round-trips") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     // the classic Sennrich et al. worked example's corpus shape
