@@ -1,0 +1,79 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Maintenance ADVISOR over a snapshot table — the operational face the
+  * maintenance jobs themselves don't provide: from MANIFESTS ALONE (zero
+  * data files opened), diagnose the table's debt and name the job that
+  * pays it. Each row is one actionable finding:
+  *
+  *  - `compact`            — small-file debt: data files under half the
+  *                           target size (the reference's
+  *                           coalesce(1)-per-sync failure mode at scale);
+  *                           pay with [[graft.cdc.Compaction]].
+  *  - `materialize_deletes`— merge-on-read mask debt: pending
+  *                           equality-delete entries taxing every read
+  *                           with the broadcast mask join; pay with
+  *                           [[Merge.materializeDeletes]] (or the
+  *                           clustering compaction, which folds them in).
+  *  - `cluster`            — zone-map decay: the fraction of data-file
+  *                           pairs whose key ranges OVERLAP (overlap ⇒
+  *                           pruning and COW merges touch extra files);
+  *                           pay with `compactSnapshotted(clusterBy)` /
+  *                           `clusterZOrder`.
+  *  - `expire_snapshots`   — retention debt: manifests (and their
+  *                           unreferenced files) beyond the keep window;
+  *                           pay with [[SnapshotLog.expireSnapshots]].
+  *
+  * At 100 TB this is how maintenance gets SCHEDULED: the advisor is a
+  * metadata scan a cron can run per table per hour, and the thresholds
+  * are the knobs a platform team tunes once.
+  */
+object Advisor {
+
+  def advise(spark: SparkSession, tableDir: String,
+             targetBytes: Long = 128L * 1024 * 1024,
+             maskThreshold: Long = 1,
+             overlapThreshold: Double = 0.3,
+             retainLast: Int = 5): DataFrame = {
+    import spark.implicits._
+    val live = SnapshotLog.filesAt(spark, tableDir)
+    val (dels, data) = live.partition(_.kind == "eqdelete")
+    val findings = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+
+    val small = data.count(_.bytes < targetBytes / 2)
+    if (small > 1)
+      findings += (("compact", small.toLong,
+        s"$small of ${data.size} data files under ${targetBytes / 2} bytes"))
+
+    val maskRows = dels.map(_.rows).sum
+    if (maskRows >= maskThreshold)
+      findings += (("materialize_deletes", maskRows,
+        s"$maskRows pending equality-delete entries in ${dels.size} file(s) " +
+          "tax every read with the mask join"))
+
+    // overlap fraction over first-stats-column intervals: clustered
+    // layouts are ~0, ingest-ordered ones approach 1
+    val ivs = data.flatMap(f => f.statsMin.zip(f.statsMax))
+    if (ivs.size > 1) {
+      val pairs = for {
+        i <- ivs.indices; j <- (i + 1) until ivs.size
+      } yield (ivs(i), ivs(j))
+      val overlapping = pairs.count { case ((aLo, aHi), (bLo, bHi)) =>
+        aHi >= bLo && bHi >= aLo }
+      val frac = overlapping.toDouble / pairs.size
+      if (frac > overlapThreshold)
+        findings += (("cluster", (frac * 100).round,
+          f"$frac%.2f of file pairs have overlapping key ranges — " +
+            "zone-map pruning and merge pruning are decayed"))
+    }
+
+    val nSnapshots = SnapshotLog.snapshots(spark, tableDir).size
+    if (nSnapshots > retainLast)
+      findings += (("expire_snapshots", (nSnapshots - retainLast).toLong,
+        s"$nSnapshots snapshots retained, ${nSnapshots - retainLast} beyond " +
+          s"the keep-last-$retainLast window"))
+
+    findings.toSeq.toDF("action", "metric", "reason")
+  }
+}

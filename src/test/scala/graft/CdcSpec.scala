@@ -739,6 +739,39 @@ class CdcSpec extends AnyFunSuite {
       SnapshotLog.filesAt(spark, dir).map(_.path).toSet).isEmpty)
   }
 
+  test("table advisor diagnoses every debt class from manifests alone") {
+    import spark.implicits._
+    import graft.table.{Advisor, Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-advisor").toString
+    val dir = s"$base/t_parquet" // Compaction's <warehouse>/<table>_parquet layout
+    // manufacture all four debts: 3 tiny overlapping ingest appends...
+    Seq(Seq(1L, 90L), Seq(2L, 91L), Seq(3L, 92L)).foreach { ks =>
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(ks.map(k => (k, s"v$k")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    }
+    // ...plus a merge-on-read tombstone (mask debt) and history depth
+    Merge.mergeOnRead(spark, dir,
+      Seq((2L, null: String, true)).toDF("id", "v", "is_del"), "id", Some("is_del"))
+    for (_ <- 1 to 3)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(Seq((100L, "x")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    val advice = Advisor.advise(spark, dir, retainLast = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(advice.keySet ==
+      Set("compact", "materialize_deletes", "cluster", "expire_snapshots"),
+      s"got $advice")
+    assert(advice("materialize_deletes") == 1L)
+    assert(advice("expire_snapshots") == 2L) // 7 snapshots − keep 5
+    // paying the debts clears the findings
+    Compaction.compactSnapshotted(spark, base, "t",
+      targetBytes = 1L << 30, clusterBy = Some("id"))
+    SnapshotLog.expireSnapshots(spark, dir, retainLast = 5)
+    val after = Advisor.advise(spark, dir, retainLast = 5).collect()
+    assert(after.isEmpty, s"paid debts must clear: ${after.mkString(";")}")
+  }
+
   test("schema drift through the snapshot layer: widened reads, epoch schemas preserved, masks cross epochs") {
     import spark.implicits._
     import graft.table.{Merge, SnapshotLog}
