@@ -71,6 +71,20 @@ object CdcQueries {
     // S2/S3: offset-bounded incremental resume (saved offset 5 → read from 6)
     "cdc_incremental_orders" -> ((s, _) => parse(s, "orders",
       StartingOffsets.PerPartition(Map(Schemas.topicFor("orders") -> Map(0 -> 6L))))),
+    // S2 generalized to a MULTI-PARTITION topic: the orders_mp fixture
+    // interleaves 3 Kafka partitions, and the resume map carries one
+    // bound per partition (p0 from 2, p1 from 2, p2 unbounded = earliest
+    // — the safe default for a partition first seen mid-stream). On the
+    // real connector this exact JSON prunes broker-side; here it's the
+    // per-partition predicate. Ordered by order_id: kafka offsets tie
+    // ACROSS partitions, so they are not a total order any more.
+    "cdc_incremental_multipart" -> ((s, _) => {
+      val topic = Schemas.topicFor("orders_mp")
+      Envelope.decode(
+          source.read(s, topic, StartingOffsets.PerPartition(
+            Map(topic -> Map(0 -> 2L, 1 -> 2L)))), "orders_mp")
+        .orderBy(col("order_id"))
+    }),
     // T6 (gap-fill): predicate over decoded rows
     "cdc_filter_completed" -> ((s, _) =>
       parse(s, "orders").filter(col("status") === "COMPLETED")),
@@ -371,6 +385,25 @@ object CdcQueries {
           col("total_amount"), col("kafka_offset"))
         .orderBy(col("order_id"))
     }),
+    // MERGE under SCHEMA DRIFT: the table holds epoch-1 latest-state
+    // under the OLD source shape (int key, decimal(10,2) amount,
+    // pre-rename `address`); the delta arrives under the NEW shape
+    // (bigint key, decimal(12,4), `shipping_address`, added customer_id)
+    // and upserts through [[graft.table.Merge.applyChanges]] with the
+    // declared rename — carried-forward rows LUB-cast and null-filled at
+    // WRITE time by the Evolution lattice, and the one untouched
+    // old-schema file surviving by reference exercises the READ-side
+    // epoch merge too. Oracle: latest-per-key over the drift-shaped
+    // replay of the wire fixture. Off-lattice drift refusal is pinned in
+    // CdcSpec.
+    "cdc_merge_drift" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, driftMergeWarehouse(s),
+          renames = Map("address" -> "shipping_address")).get
+        .select(col("order_id").cast("long").as("order_id"), col("status"),
+          round(col("amount").cast("double"), 4).as("amount"),
+          col("shipping_address"), col("kafka_offset"), col("customer_id"))
+        .orderBy(col("order_id"))
+    }),
     // Row-level CHANGE FEED over the merge-on-read commit — the face
     // SnapshotLog.diff structurally refuses for COW upserts: under MOR
     // the delta files + delete keys ARE the row-level changes, so the
@@ -606,6 +639,28 @@ object CdcQueries {
     (dir, delta)
   }
 
+  private val driftMergeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The COW-merge-under-drift warehouse behind `cdc_merge_drift`:
+    * epoch-1 latest-state written under the old shape in THREE
+    * key-range files ([1-2], [3-4], [5-6]); the epoch-2 delta (keys
+    * 2, 5, 7, 8 under the new shape) touches files 1 and 3 and leaves
+    * file 2 carried forward by reference with its OLD schema. */
+  private def driftMergeWarehouse(spark: SparkSession): String =
+    driftMergeCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.{Merge, SnapshotLog}
+      val base = java.nio.file.Files.createTempDirectory("graft-driftmerge").toString
+      val dir = s"$base/orders_drift_state"
+      val (e1, e2) = driftEpochs(spark)
+      val snap = latestPerKey(e1).repartitionByRange(3, col("order_id"))
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(snap, dir, statsCol = Some("order_id")),
+        summary = Map("table" -> "orders_drift_state"))
+      Merge.applyChanges(spark, dir, latestPerKey(e2), "order_id", None,
+        renames = Map("address" -> "shipping_address"))
+      dir
+    })
+
   private val morWarehouseCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   /** The merge-on-read twin of [[cowDelWarehouse]]: the SAME epoch-1
@@ -771,6 +826,36 @@ object CdcQueries {
     "cdc_incremental_orders" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    // per-partition resume bounds over the 3-partition topic; partitions
+    // without a bound read from earliest
+    "cdc_incremental_multipart" ->
+      s"""SELECT $ordersProj
+         |FROM ${wireSql("orders_mp")}
+         |WHERE (partition = 0 AND "offset" >= 2)
+         |   OR (partition = 1 AND "offset" >= 2)
+         |   OR partition NOT IN (0, 1)
+         |ORDER BY order_id""".stripMargin,
+    // COW merge under schema drift == latest-per-key over the
+    // drift-shaped replay (epoch 1 in the old shape with customer_id
+    // null, epoch 2 in the new shape; delta wins on match)
+    "cdc_merge_drift" ->
+      s"""WITH p AS (SELECT $ordersProj FROM ${wireSql("orders")}),
+         |v AS (
+         |  SELECT CAST(order_id AS BIGINT) AS order_id, status,
+         |    round(CAST(total_amount AS DOUBLE), 4) AS amount,
+         |    shipping_address, kafka_offset, CAST(NULL AS INTEGER) AS customer_id
+         |  FROM p WHERE kafka_offset <= 5 AND order_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT CAST(order_id AS BIGINT), status,
+         |    round(CAST(total_amount AS DOUBLE), 4),
+         |    shipping_address, kafka_offset, customer_id
+         |  FROM p WHERE kafka_offset >= 6 AND order_id IS NOT NULL)
+         |SELECT order_id, status, amount, shipping_address, kafka_offset, customer_id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM v) t
+         |WHERE rk = 1
+         |ORDER BY order_id""".stripMargin,
     // storage-level delete-aware merge: equals delete-aware compaction
     // over the full stream (same oracle as cdc_delete_aware_state)
     "cdc_merge_cow_deletes" ->

@@ -165,22 +165,7 @@ object Compaction {
     val arranged = (clusterBy, clusterZOrder) match {
       case (Some(c), _) =>
         df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case (None, Seq(cx, cy)) =>
-        // Z-ORDER rewrite: min-max-normalize both dims to 8 bits (raw
-        // dims of unequal range would let the wide one dominate the
-        // interleave) and range-partition + sort on the codegen'd
-        // Morton value — each written file becomes a near-square tile
-        // of the 2-D key space, so BOTH dims' manifest stats prune
-        val b = df.agg(min(col(cx)).cast("long"), max(col(cx)).cast("long"),
-          min(col(cy)).cast("long"), max(col(cy)).cast("long")).collect()(0)
-        val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-        val zv = graft.functions.GraftFunctions.zvalue(
-          expr(s"((CAST($cx AS BIGINT) - ${x0}L) * 256) div ${math.max(1L, x1 - x0 + 1)}L"),
-          expr(s"((CAST($cy AS BIGINT) - ${y0}L) * 256) div ${math.max(1L, y1 - y0 + 1)}L"), 8)
-        df.withColumn("_graft_zv", zv)
-          .repartitionByRange(targetFiles, col("_graft_zv"))
-          .sortWithinPartitions(col("_graft_zv"))
-          .drop("_graft_zv")
+      case (None, Seq(cx, cy)) => zorderArrange(df, cx, cy, targetFiles)
       case _ => df.repartition(targetFiles)
     }
     val rewritten = SnapshotLog.writeData(arranged, dir,
@@ -196,5 +181,26 @@ object Compaction {
         "files_after" -> rewritten.size.toString,
         "materialized_deletes" -> delFiles.map(_.rows).sum.toString))
     CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
+  }
+
+  /** Z-ORDER arrangement shared by the clustering compaction and
+    * [[graft.table.Merge.materializeDeletes]]: min-max-normalize both
+    * dims to 8 bits (raw dims of unequal range would let the wide one
+    * dominate the interleave) and range-partition + sort on the
+    * codegen'd Morton value — each written file becomes a near-square
+    * tile of the 2-D key space, so BOTH dims' manifest stats prune. */
+  private[graft] def zorderArrange(df: org.apache.spark.sql.DataFrame,
+                                   cx: String, cy: String,
+                                   targetFiles: Int): org.apache.spark.sql.DataFrame = {
+    val b = df.agg(min(col(cx)).cast("long"), max(col(cx)).cast("long"),
+      min(col(cy)).cast("long"), max(col(cy)).cast("long")).collect()(0)
+    val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zv = graft.functions.GraftFunctions.zvalue(
+      expr(s"((CAST($cx AS BIGINT) - ${x0}L) * 256) div ${math.max(1L, x1 - x0 + 1)}L"),
+      expr(s"((CAST($cy AS BIGINT) - ${y0}L) * 256) div ${math.max(1L, y1 - y0 + 1)}L"), 8)
+    df.withColumn("_graft_zv", zv)
+      .repartitionByRange(targetFiles, col("_graft_zv"))
+      .sortWithinPartitions(col("_graft_zv"))
+      .drop("_graft_zv")
   }
 }

@@ -19,18 +19,26 @@ import graft.schema.Schemas
   */
 object Envelope {
 
-  /** value-side decode: wire frame → typed output columns for `table`. */
-  def decode(wire: DataFrame, table: String): DataFrame = {
+  /** value-side decode: wire frame → typed output columns for `table`.
+    * `keepPartition` additionally carries the Kafka partition id through
+    * as `kafka_partition` — [[SyncJob]] uses it to observe per-partition
+    * high-water marks on the write pass, then drops it before the sink
+    * (the warehouse schema is partition-agnostic, like the reference's). */
+  def decode(wire: DataFrame, table: String,
+             keepPartition: Boolean = false): DataFrame = {
     val schema = Schemas.forTable(table)
     val parsed = wire.select(
       col("key").cast("string").as("key"),
       from_json(col("value").cast("string"), schema).as("data"),
       col("timestamp").as("kafka_timestamp"),
       col("topic"),
-      col("offset").as("kafka_offset")
+      col("offset").as("kafka_offset"),
+      col("partition").as("kafka_partition")
     )
     val valueCols = schema.fieldNames.toSeq.map(f => col(s"data.$f").as(f))
-    parsed.select(valueCols ++ Seq(col("kafka_timestamp"), col("topic"), col("kafka_offset")): _*)
+    val tail = Seq(col("kafka_timestamp"), col("topic"), col("kafka_offset")) ++
+      (if (keepPartition) Seq(col("kafka_partition")) else Nil)
+    parsed.select(valueCols ++ tail: _*)
   }
 
   /** Like [[decode]], but keeps the Kafka record KEY and a tombstone flag.

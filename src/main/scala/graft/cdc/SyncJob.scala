@@ -45,12 +45,21 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
 
   private def tableDir(table: String) = s"$warehouseDir/${table}_parquet"
 
+  /** The per-partition HWM map out of the observe() metrics row: the
+    * keyed_max metric arrives as a map<bigint,bigint> value. */
+  private def partitionHwm(m: Map[String, Any]): Map[Int, Long] =
+    m("phwm").asInstanceOf[scala.collection.Map[Any, Any]].map {
+      case (k, v) => k.asInstanceOf[Number].intValue -> v.asInstanceOf[Number].longValue
+    }.toMap
+
   def sync(spark: SparkSession, table: String): SyncResult = {
     val topic = Schemas.topicFor(table)
     val starting = offsets.startingOffsetsFor(table, topic)
     val wire = source.read(spark, topic, starting)
 
-    val decoded0 = Envelope.decode(wire, table)
+    // kafka_partition rides through decode ONLY to feed the per-partition
+    // HWM metric below; it is dropped before the sink
+    val decoded0 = Envelope.decode(wire, table, keepPartition = true)
     // Scale extension (off in parity mode): lay the warehouse out as
     // sync_date=YYYY-MM-DD partition directories derived from the Kafka
     // record timestamp. Readers filtering on sync_date then prune whole
@@ -66,11 +75,17 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
     } else {
       // count + HWM are observe() metrics collected BY the write job:
       // accumulator-backed, exact for a foreach-style sink action, zero
-      // extra passes over the delta at any scale
+      // extra passes over the delta at any scale. The per-PARTITION HWM
+      // rides the same pass as a keyed_max map (one entry per Kafka
+      // partition — O(partitions) metric bytes, never a second scan), so
+      // a multi-partition topic resumes each partition from its own mark.
       val obs = org.apache.spark.sql.Observation()
       val observed = decoded.observe(obs,
-        count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"),
-        min(col("kafka_offset")).as("lo"))
+          count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"),
+          min(col("kafka_offset")).as("lo"),
+          graft.functions.GraftFunctions
+            .keyed_max(col("kafka_partition"), col("kafka_offset")).as("phwm"))
+        .drop("kafka_partition")
       val out = if (singleFile) observed.coalesce(1) else observed
       if (snapshotted) {
         // stage immutable data files, then publish them as ONE atomic
@@ -83,7 +98,7 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
         SnapshotLog.commit(spark, tableDir(table), "append", files,
           summary = Map("table" -> table, "records" -> n.toString,
             "hwm" -> maxOffset.toString))
-        offsets.commit(table, maxOffset, n) // commit strictly after the snapshot
+        offsets.commitPartitioned(table, partitionHwm(m), n) // strictly after the snapshot
         if (debugSink) {
           // manifest-pruned read-back: only files whose offset range
           // intersects this sync's delta are even opened
@@ -101,7 +116,7 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
         .parquet(s"$warehouseDir/${table}_parquet")
       val m = obs.get
       val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
-      offsets.commit(table, maxOffset, n) // commit strictly after the write
+      offsets.commitPartitioned(table, partitionHwm(m), n) // strictly after the write
       if (debugSink) { // reference's sample display (kafka_to_s3_enhanced.py:219)
         // Sample from the parquet just WRITTEN (offset-pruned columnar
         // scan) rather than re-running decode — "a non-empty sync scans

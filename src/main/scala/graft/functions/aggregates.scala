@@ -631,3 +631,79 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
       : BloomMightContain = copy(left = l, right = r)
   override def prettyName: String = "bloom_might_contain"
 }
+
+/** `keyed_max(key, value)`: per-key maximum as `map<bigint, bigint>` —
+  * max(value) grouped by key WITHOUT a groupBy, so it can ride an
+  * `observe()` on a write pass. The motivating consumer is the CDC
+  * sync's per-PARTITION high-water mark (Kafka topics with N > 1
+  * partitions need one resume offset per partition — the reference's
+  * `{topic: {"0": n}}` shape generalized): the buffer is one entry per
+  * distinct key (partition count, not row count), merged by max, so the
+  * metric costs O(partitions) bytes on a scan of any size and the delta
+  * is still read exactly once. Keys and values are evaluated as longs;
+  * null key or value rows are skipped (like built-in max).
+  */
+case class KeyedMaxAgg(
+    left: Expression, right: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[Long, Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): mutable.HashMap[Long, Long] =
+    mutable.HashMap.empty[Long, Long]
+
+  private def bump(buf: mutable.HashMap[Long, Long], k: Long, v: Long): Unit =
+    buf.get(k) match {
+      case Some(cur) => if (v > cur) buf.update(k, v)
+      case None => buf.update(k, v)
+    }
+
+  override def update(buf: mutable.HashMap[Long, Long], input: InternalRow)
+      : mutable.HashMap[Long, Long] = {
+    val k = left.eval(input)
+    val v = right.eval(input)
+    if (k != null && v != null)
+      bump(buf, k.asInstanceOf[Number].longValue, v.asInstanceOf[Number].longValue)
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[Long, Long],
+      other: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
+    other.foreach { case (k, v) => bump(buf, k, v) }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[Long, Long]): Any = {
+    val sorted = buf.toSeq.sortBy(_._1) // deterministic map order
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
+
+  override def serialize(buf: mutable.HashMap[Long, Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (k, v) => bb.putLong(k); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Long, Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType =
+    MapType(LongType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : KeyedMaxAgg = copy(left = l, right = r)
+  override def withNewMutableAggBufferOffset(o: Int): KeyedMaxAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KeyedMaxAgg =
+    copy(inputAggBufferOffset = o)
+  override def prettyName: String = "keyed_max"
+}

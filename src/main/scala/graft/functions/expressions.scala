@@ -309,4 +309,7 @@ object GraftFunctions {
   // eval (constant folding) while silently working under codegen
   def zvalue(x: Column, y: Column, bits: Int = 8): Column =
     c(ZValue(Cast(e(x), LongType), Cast(e(y), LongType), bits))
+  def keyed_max(key: Column, value: Column): Column =
+    c(KeyedMaxAgg(Cast(e(key), LongType), Cast(e(value), LongType))
+      .toAggregateExpression())
 }

@@ -66,7 +66,7 @@ object Evolution {
     else None
   }
 
-  private def applyRenames(df: DataFrame, renames: Map[String, String]): DataFrame =
+  private[graft] def applyRenames(df: DataFrame, renames: Map[String, String]): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) =>
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }

@@ -1,0 +1,125 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Pluggable ATOMIC-COMMIT primitive for [[SnapshotLog]] — the Delta
+  * LogStore contract, re-expressed for this engine's manifest log. A
+  * commit is "publish this fully-written temp manifest at `<id>.json`
+  * iff nothing exists there yet", and the whole snapshot protocol's
+  * consistency reduces to that one operation being atomic: under N
+  * concurrent committers racing for the same id, EXACTLY ONE
+  * `putIfAbsent` may return true.
+  *
+  * Why pluggable: no single filesystem primitive is atomic everywhere.
+  *  - POSIX `rename(2)` silently OVERWRITES an existing target, so on
+  *    `file:` the no-clobber primitive is a hard LINK (EEXIST ⇒ lost).
+  *  - HDFS-like stores refuse to rename onto an existing target at the
+  *    namenode — rename itself is the primitive.
+  *  - S3-class object stores have NEITHER: "rename" is copy+delete and
+  *    a bare PUT is last-write-wins, so an exists-check + put race lets
+  *    two writers both "win" and silently drops one commit. The
+  *    published fixes are an external CAS (Delta's S3DynamoDBLogStore:
+  *    one conditional put-item per commit) or the store's own
+  *    conditional write (S3 `If-None-Match: *`). [[ConditionalPutLogStore]]
+  *    models exactly that: an injected [[CommitArbiter]] decides the
+  *    winner BEFORE any byte lands at the target, so the blind PUT
+  *    underneath never races.
+  *
+  * The reference's warehouse is MinIO/S3A
+  * (/root/reference/glue-jobs/kafka_to_s3_enhanced.py:58-63) — i.e. its
+  * front door runs through the object-store case; this abstraction is
+  * what makes the snapshot log safe there, not just on file:/HDFS.
+  */
+trait LogStore {
+
+  /** Publish `src` (a fully-written temp file) at `target` iff no file
+    * exists there. Returns true iff THIS caller won the target; `src` is
+    * left in place either way (the caller deletes it). MUST be atomic:
+    * concurrent callers racing for one `target` see at most one true. */
+  def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean
+}
+
+/** `file:` scheme: hard-link the temp file to the target name.
+  * `link(2)` fails with EEXIST atomically in the kernel when the target
+  * already exists — the no-clobber primitive POSIX rename refuses to be. */
+object HardLinkLogStore extends LogStore {
+  override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean =
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(src.toUri.getPath))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+}
+
+/** HDFS-family stores: `rename` refuses an existing target at the
+  * namenode, so check-then-rename never clobbers (the exists() probe is
+  * only a fast path; the rename is the atomic arbiter). NOT safe on
+  * object stores whose rename is copy+delete — use
+  * [[ConditionalPutLogStore]] there. */
+object AtomicRenameLogStore extends LogStore {
+  override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean =
+    !fs.exists(target) && fs.rename(src, target)
+}
+
+/** The external CAS a conditional-put store consults to claim a commit
+  * id before writing it. `claim(key)` must return true for EXACTLY ONE
+  * caller per key, ever — the semantics of a DynamoDB
+  * `attribute_not_exists` put-item or an S3 `If-None-Match: *` PUT.
+  * [[ProcessLocalArbiter]] is the single-JVM model used in tests and
+  * single-driver deployments; a multi-driver deployment plugs its real
+  * coordination service here. */
+trait CommitArbiter {
+  def claim(key: String): Boolean
+}
+
+/** CAS over a concurrent map — faithful to the conditional-put
+  * semantics within one process (install ONE instance per JVM so every
+  * local writer racing one table is arbitrated by the same map); it is
+  * NOT a cross-process primitive. */
+final class ProcessLocalArbiter extends CommitArbiter {
+  private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  override def claim(key: String): Boolean = claimed.add(key)
+}
+
+/** Object-store commit: the underlying "put" is a BLIND overwrite (all
+  * an object store offers), so the winner is decided by the arbiter's
+  * CAS first — the loser throws away its attempt without a single byte
+  * landing at the target, and the winner's overwrite can clobber nobody
+  * because nobody else ever writes the claimed key. An existing target
+  * short-circuits to lost (the id is visibly taken; no CAS round-trip). */
+final class ConditionalPutLogStore(arbiter: CommitArbiter) extends LogStore {
+  override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean = {
+    if (fs.exists(target)) return false
+    if (!arbiter.claim(target.toString)) return false
+    // we own the key: the blind last-write-wins put is now unracing
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, target,
+      /* deleteSource = */ false, /* overwrite = */ true, fs.getConf)
+    true
+  }
+}
+
+object LogStore {
+
+  @volatile private var overrideStore: Option[LogStore] = None
+
+  /** Resolve the commit primitive for a filesystem: an installed
+    * override wins (deployment config / tests), else hard-link on
+    * `file:`, else atomic rename (the HDFS family). An object-store
+    * deployment installs `new ConditionalPutLogStore(<its CAS>)` once at
+    * startup. */
+  def forFileSystem(fs: FileSystem): LogStore =
+    overrideStore.getOrElse(
+      if (fs.getScheme == "file") HardLinkLogStore else AtomicRenameLogStore)
+
+  /** Run `f` with `store` installed as the commit primitive, restoring
+    * the previous resolution after — the injection seam the race tests
+    * use to prove the protocol under a non-atomic store. */
+  def withLogStore[T](store: LogStore)(f: => T): T = {
+    val prev = overrideStore
+    overrideStore = Some(store)
+    try f finally overrideStore = prev
+  }
+}

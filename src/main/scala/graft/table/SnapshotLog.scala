@@ -30,12 +30,12 @@ import org.apache.spark.sql.functions._
   *     lists, because readers resolve file PATHS from manifests — they
   *     never list `data/`.
   *  2. **A commit is one atomic file creation.** The manifest is written
-  *     to a dot-temp name and renamed to `<id>.json`; rename is atomic on
-  *     HDFS/POSIX, and an existing target means another writer won id —
-  *     the loser gets [[ConcurrentCommitException]] and retries against
-  *     the new state (optimistic concurrency; an object store without
-  *     atomic rename needs a CAS primitive here, exactly like Delta's
-  *     LogStore contract).
+  *     to a dot-temp name and published at `<id>.json` through the
+  *     scheme's [[LogStore]] primitive (hard link on file:, no-clobber
+  *     rename on HDFS, CAS-guarded conditional put on object stores); an
+  *     existing target means another writer won id — the loser gets
+  *     [[ConcurrentCommitException]] and retries against the new state
+  *     (optimistic concurrency, the Delta LogStore contract).
   *  3. **Readers pin a snapshot, not a directory.** The file list is
   *     resolved once per query from committed manifests only, so a
   *     concurrent commit (append, compaction, expiry of OTHER snapshots)
@@ -242,23 +242,13 @@ object SnapshotLog {
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
     val target = manifestPath(tableDir, id)
-    // Atomic no-clobber publish. POSIX rename(2) silently OVERWRITES an
-    // existing target, so on the local filesystem an exists-check +
-    // rename race would let two writers both "win" the id and silently
-    // lose one commit; a hard LINK is the atomic no-clobber primitive
-    // there (EEXIST ⇒ the other writer owns the id). On HDFS-like
-    // filesystems rename itself refuses an existing target, which is
-    // the LogStore contract this mirrors.
-    val won =
-      if (fs.getScheme == "file") {
-        val t = java.nio.file.Paths.get(target.toUri.getPath)
-        try {
-          java.nio.file.Files.createLink(t, java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else !fs.exists(target) && fs.rename(tmp, target)
+    // Atomic no-clobber publish, delegated to the scheme's [[LogStore]]:
+    // hard link on file: (POSIX rename silently overwrites — EEXIST on
+    // link is the kernel-atomic arbiter), rename on HDFS-family stores
+    // (the namenode refuses existing targets), and a CAS-guarded
+    // conditional put on object stores (where neither primitive exists
+    // natively — the S3/MinIO case the reference's warehouse lives in).
+    val won = LogStore.forFileSystem(fs).putIfAbsent(fs, tmp, target)
     fs.delete(tmp, false) // the linked target survives; losers clean up too
     if (!won)
       throw new ConcurrentCommitException(
@@ -585,11 +575,14 @@ object SnapshotLog {
     *    for each delete-file key with NO same-commit re-insert, one
     *    `delete` row (key column set, payload columns null) — a
     *    masked-then-rewritten key collapses to the single `upsert`.
-    *    Delete rows are IDEMPOTENT "ensure absent" events (Debezium
-    *    tombstone semantics): a mask entry is recorded from zone-map
-    *    membership, so a delete of a key that was never actually present
-    *    can surface in the feed — consumers must fold deletes as
-    *    set-removal, not balanced-event accounting;
+    *    PHANTOM deletes are pruned from metadata: a delete key is
+    *    emitted only when some data file live at the PARENT snapshot
+    *    might have held it (per-file zone stats + manifest bloom, both
+    *    probed distributively; no false negatives, so pruning can only
+    *    drop provably-absent keys). Keys the metadata can't rule out
+    *    still surface, so delete rows remain IDEMPOTENT "ensure absent"
+    *    events (Debezium tombstone semantics): consumers fold deletes
+    *    as set-removal, not balanced-event accounting;
     *  - `replace` → nothing (a rewrite changes layout, not content);
     *  - `upsert` (copy-on-write) / `rollback` → REFUSED: their added
     *    files mix carried-forward and changed rows, so no row-level
@@ -631,7 +624,17 @@ object SnapshotLog {
             else delDf.select(col(keyCol)).distinct()
               .join(spark.read.parquet(dataAdded.map(_.path): _*).select(col(keyCol)),
                 Seq(keyCol), "left_anti")
-          Some(masked
+          // phantom pruning needs the PARENT snapshot's live data files;
+          // a missing parent manifest (first commit, or expired beyond
+          // the feed's own range check) means no pruning, never a guess
+          val parentId = c.snapshotId - 1
+          val pruned =
+            if (parentId < 1) masked.limit(0) // no parent: nothing existed
+            else if (ids.contains(parentId))
+              prunePhantomKeys(spark, masked, keyCol,
+                filesAt(spark, tableDir, Some(parentId)).filter(_.kind == "data"))
+            else masked // parent manifest expired: cannot prove absence
+          Some(pruned
             .withColumn("_change_op", lit("delete"))
             .withColumn("_change_snapshot", lit(c.snapshotId)))
         }
@@ -639,6 +642,32 @@ object SnapshotLog {
     }
     if (parts.isEmpty) None
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Drop delete keys PROVABLY absent from `files` (the parent
+    * snapshot's live data): a key survives iff some file's zone stats
+    * for the key column contain it (files without stats keep every key —
+    * conservative) AND that file's manifest bloom, when present, reports
+    * a possible hit. Probed as one semi-join of the O(delta) key frame
+    * against the broadcast per-file metadata — distributed, no driver
+    * key array, and no false negatives by bloom construction: pruning
+    * can only remove keys that were certainly never there. */
+  private def prunePhantomKeys(spark: SparkSession, keys: DataFrame,
+                               keyCol: String,
+                               files: Seq[DataFile]): DataFrame = {
+    if (files.isEmpty) return keys.limit(0)
+    import spark.implicits._
+    val statsDf = files.map { f =>
+      val zone = f.stats.get(keyCol)
+      (zone.map(_._1), zone.map(_._2),
+        f.blooms.get(keyCol).map(java.util.Base64.getDecoder.decode).orNull)
+    }.toDF("mn", "mx", "bloom")
+    val k = col(keyCol).cast("long")
+    keys.join(broadcast(statsDf),
+      (col("mn").isNull || (k >= col("mn") && k <= col("mx"))) &&
+        (col("bloom").isNull || graft.functions.GraftFunctions
+          .bloom_might_contain(col("bloom"), k, BloomHashes)),
+      "left_semi")
   }
 
   /** ROLLBACK: make `toSnapshot`'s state current again by committing a
@@ -686,15 +715,27 @@ object SnapshotLog {
       .toDF("snapshot_id", "op", "rows_added", "rows_deleted", "rows_live")
   }
 
+  /** Minimum age before an unreferenced data file is swept: files
+    * younger than this may belong to an IN-FLIGHT writer (staged, not
+    * yet committed) or to a commit that landed after the sweep resolved
+    * its reference set — deleting them would corrupt a racing commit.
+    * One hour is far beyond any stage→commit window (the
+    * Iceberg/Delta orphan-cleanup posture: age-gate, never "delete
+    * everything unreferenced right now"). */
+  val DefaultOrphanGraceMs: Long = 60L * 60 * 1000
+
   /** Retention: keep the newest `retainLast` snapshots, drop older
     * manifests, and delete every file under `data/` that no retained
     * snapshot references — which also sweeps orphans from crashed
-    * pre-commit writers. Time travel to an expired snapshot then fails by
-    * construction ([[commits]] rejects unknown ids). Returns
+    * pre-commit writers, age-gated by `orphanGraceMs` so the sweep can
+    * run CONCURRENTLY with live writers (pass 0 only when nothing else
+    * can be mid-commit). Time travel to an expired snapshot then fails
+    * by construction ([[commits]] rejects unknown ids). Returns
     * (#manifests dropped, #data files deleted). */
   def expireSnapshots(spark: SparkSession, tableDir: String,
                       retainLast: Int = 2,
-                      olderThanMs: Option[Long] = None): (Int, Int) = {
+                      olderThanMs: Option[Long] = None,
+                      orphanGraceMs: Long = DefaultOrphanGraceMs): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current snapshot")
     val fs = fsOf(spark, tableDir)
     val ids = snapshots(spark, tableDir)
@@ -715,17 +756,30 @@ object SnapshotLog {
       filesAt(spark, tableDir, Some(id)).map(_.path)).toSet
     expired.foreach(id => fs.delete(manifestPath(tableDir, id), false))
     val dataRoot = new Path(s"$tableDir/data")
+    val sweepBefore = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0
-    if (fs.exists(dataRoot)) {
-      val it = fs.listFiles(dataRoot, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val p = f.getPath.toUri.getPath
-        if (f.isFile && f.getPath.getName.endsWith(".parquet") && !referenced.contains(p)) {
-          fs.delete(f.getPath, false); deleted += 1
+    // hand-rolled walk instead of fs.listFiles(recursive): the sweep runs
+    // CONCURRENTLY with writers, so `_temporary` committer scratch must be
+    // skipped (it is some writer's in-flight state, never an orphan) and
+    // entries vanishing mid-listing are normal, not an error
+    def walk(dir: Path): Unit = {
+      val entries =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName != "_temporary") walk(st.getPath)
+        } else {
+          val p = st.getPath.toUri.getPath
+          if (st.getPath.getName.endsWith(".parquet") && !referenced.contains(p) &&
+              st.getModificationTime <= sweepBefore) {
+            if (try fs.delete(st.getPath, false)
+                catch { case _: java.io.IOException => false }) deleted += 1
+          }
         }
       }
     }
+    if (fs.exists(dataRoot)) walk(dataRoot)
     (expired.size, deleted)
   }
 }

@@ -125,6 +125,23 @@ object ScaleCurve {
       val (morRes, tMor) = timed(
         Merge.mergeOnRead(spark, s"$tfBase/mor", delta, "id")); settle()
       val (_, tMorRead) = timed(SnapshotLog.read(spark, s"$tfBase/mor").get.count()); settle()
+      // r9: bloom point-lookup curve — one snapshot of ~constant-size
+      // ingest-ordered files (≈2k keys/file, the 4 KB manifest bloom's
+      // design point), every file spanning the whole key space via the
+      // id%S round-robin. Zone maps are blind by construction (every
+      // file's [min,max] covers any key), so zone-kept grows ~linearly
+      // with the corpus; the per-file blooms keep the point lookup at
+      // ~1 file + a few false positives REGARDLESS of corpus size.
+      val nFiles = math.max(8, (nState / 2000).toInt)
+      val blDir = s"$tfBase/bloomidx"
+      SnapshotLog.commit(spark, blDir, "append",
+        SnapshotLog.writeData(state.repartition(nFiles, pmod(col("id"), lit(nFiles))),
+          blDir, statsCol = Some("id"), bloomCol = Some("id")))
+      val probeKey = spark.read.parquet(s"$dir/lineitem.parquet")
+        .agg(min(col("l_orderkey").cast("long") * 100 + 1)).head().getLong(0)
+      val (zoneKept, _) = SnapshotLog.pruneStats(spark, blDir,
+        Map("id" -> (probeKey, probeKey)))
+      val (bloomKept, _) = SnapshotLog.prunePointStats(spark, blDir, "id", probeKey)
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
@@ -134,7 +151,8 @@ object ScaleCurve {
         s"skew_hot_rows=$nHot skew_join_aqe=${s(tSkew)}s " +
         s"state_rows=$nState cow_touched=${cowRes.filesTouched}f/${cowRes.rowsWritten}rw/${s(tCow)}s " +
         s"mor_masks=${morRes.deleteEntries}/${morRes.rowsWritten}rw/${s(tMor)}s " +
-        s"mor_read=${s(tMorRead)}s")
+        s"mor_read=${s(tMorRead)}s " +
+        s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept")
     }
     spark.stop()
   }

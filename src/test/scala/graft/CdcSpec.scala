@@ -517,7 +517,9 @@ class CdcSpec extends AnyFunSuite {
     }
     // an orphan from a crashed writer: staged, never committed
     SnapshotLog.writeData(orders.filter(col("kafka_offset") === 9).coalesce(1), dir)
-    val (dropped, deleted) = SnapshotLog.expireSnapshots(spark, dir, retainLast = 2)
+    // grace 0: this single-writer test wants the just-staged orphan gone NOW
+    val (dropped, deleted) = SnapshotLog.expireSnapshots(spark, dir, retainLast = 2,
+      orphanGraceMs = 0L)
     assert(dropped == 3)
     assert(deleted >= 1) // at least the orphan went; append-log files stay referenced
     assert(SnapshotLog.snapshots(spark, dir) == Seq(4L, 5L))
@@ -993,6 +995,337 @@ class CdcSpec extends AnyFunSuite {
     assert(consumer.consume(spark, dir, "agg")._1.isEmpty)
     // independent consumers keep independent state
     assert(consumer.lastConsumed("other") == 0L)
+  }
+
+  test("multi-partition topic: per-partition resume, HWM map, idempotent re-sync") {
+    val (base, store, job) = freshDirs()
+    // partial pre-state: p0 consumed through offset 1, p1 through 2; p2 unseen
+    store.commitPartitioned("orders_mp", Map(0 -> 1L, 1 -> 2L), 0L)
+    val r = job.sync(spark, "orders_mp")
+    // p0 resumes at 2 (2 records), p1 at 3 (none), p2 from earliest (2)
+    assert(r.records == 4, s"got $r")
+    assert(store.lastOffsets("orders_mp") == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // re-sync: every partition drained → empty delta, no write, state intact
+    val again = job.sync(spark, "orders_mp")
+    assert(!again.wrote)
+    assert(store.lastOffsets("orders_mp") == Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+    // warehouse holds exactly the 4 resumed rows
+    assert(spark.read.parquet(s"$base/warehouse/orders_mp_parquet").count() == 4)
+    // a fresh store over the same dir re-reads the partitioned state
+    assert(new OffsetStore(s"$base/offsets").lastOffsets("orders_mp") ==
+      Map(0 -> 3L, 1 -> 2L, 2 -> 1L))
+  }
+
+  test("object-store commit: blind put silently clobbers, conditional-put makes the loser throw") {
+    import spark.implicits._
+    import graft.table._
+    import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+    // the naive S3 model: a raw last-write-wins PUT. (A real racer's
+    // exists-check is STALE by the time its put lands — modeled here by
+    // omitting the check, the state both racers would have observed.)
+    val blindPut = new LogStore {
+      override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean = {
+        FileUtil.copy(fs, src, fs, target, false, true, fs.getConf)
+        true
+      }
+    }
+    // CONTROL: under the blind store two writers both "win" id 2 and one
+    // commit is silently lost — the failure mode the CAS exists to stop
+    val b1 = Files.createTempDirectory("graft-blind").toString + "/t"
+    SnapshotLog.commit(spark, b1, "append",
+      SnapshotLog.writeData(Seq((1L, "a")).toDF("id", "v"), b1))
+    LogStore.withLogStore(blindPut) {
+      val fA = SnapshotLog.writeData(Seq((2L, "A")).toDF("id", "v"), b1)
+      val fB = SnapshotLog.writeData(Seq((3L, "B")).toDF("id", "v"), b1)
+      assert(SnapshotLog.commitAt(spark, b1, 2L, "append", fA, Nil, Map.empty) == 2L)
+      assert(SnapshotLog.commitAt(spark, b1, 2L, "append", fB, Nil, Map.empty) == 2L)
+    }
+    assert(!SnapshotLog.read(spark, b1).get.collect().map(_.getLong(0)).contains(2L),
+      "blind put should have clobbered writer A's commit (that is the point)")
+
+    // FIX: the SAME blind-put filesystem behind ConditionalPutLogStore —
+    // the arbiter decides before any byte lands, the loser throws
+    val arb = new ProcessLocalArbiter
+    val b2 = Files.createTempDirectory("graft-condput").toString + "/t"
+    SnapshotLog.commit(spark, b2, "append",
+      SnapshotLog.writeData(Seq((1L, "a")).toDF("id", "v"), b2))
+    LogStore.withLogStore(new ConditionalPutLogStore(arb)) {
+      val fA = SnapshotLog.writeData(Seq((2L, "A")).toDF("id", "v"), b2)
+      val fB = SnapshotLog.writeData(Seq((3L, "B")).toDF("id", "v"), b2)
+      assert(SnapshotLog.commitAt(spark, b2, 2L, "append", fA, Nil, Map.empty) == 2L)
+      // target exists → short-circuit loss
+      intercept[SnapshotLog.ConcurrentCommitException] {
+        SnapshotLog.commitAt(spark, b2, 2L, "append", fB, Nil, Map.empty)
+      }
+      // CAS alone: a racer CLAIMED id 3 but its put hasn't landed — the
+      // exists-check sees nothing, the claim must still decide the loser
+      arb.claim(new Path(s"$b2/_graft_log", f"${3L}%020d.json").toString)
+      intercept[SnapshotLog.ConcurrentCommitException] {
+        SnapshotLog.commitAt(spark, b2, 3L, "append", fB, Nil, Map.empty)
+      }
+    }
+    assert(SnapshotLog.read(spark, b2).get.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+
+    // and under real concurrency: 8 retrying writers through the
+    // conditional-put store all land exactly once, none lost
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b3 = Files.createTempDirectory("graft-condput-race").toString + "/t"
+    SnapshotLog.commit(spark, b3, "append",
+      SnapshotLog.writeData(Seq((0L, "base")).toDF("id", "v"), b3))
+    LogStore.withLogStore(new ConditionalPutLogStore(new ProcessLocalArbiter)) {
+      val writers = (1 to 8).map { i =>
+        val files = SnapshotLog.writeData(Seq((i.toLong, s"w$i")).toDF("id", "v"), b3)
+        Future(SnapshotLog.commitRetrying(spark, b3, files, maxRetries = 8))
+      }
+      val ids = Await.result(Future.sequence(writers), 120.seconds)
+      assert(ids.toSet.size == 8, s"duplicate snapshot ids: $ids")
+    }
+    assert(SnapshotLog.snapshots(spark, b3) == (1L to 9L))
+    assert(SnapshotLog.read(spark, b3).get.count() == 9)
+  }
+
+  test("advisor overlap sweep equals brute force on 10k synthetic intervals") {
+    import graft.table.Advisor
+    val rnd = new scala.util.Random(42)
+    def brute(ivs: IndexedSeq[(Long, Long)]): Double = {
+      val n = ivs.size
+      var overlapping = 0L
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val (aLo, aHi) = ivs(i); val (bLo, bHi) = ivs(j)
+          if (aHi >= bLo && bHi >= aLo) overlapping += 1
+          j += 1
+        }
+        i += 1
+      }
+      overlapping.toDouble / (n.toLong * (n - 1) / 2)
+    }
+    val shapes: Seq[(String, IndexedSeq[(Long, Long)])] = Seq(
+      "uniform-random" -> IndexedSeq.fill(10000) {
+        val lo = rnd.between(0L, 1000000L); (lo, lo + rnd.between(0L, 5000L))
+      },
+      "mostly-disjoint" -> (0 until 10000).map { i =>
+        val lo = i * 100L; (lo, lo + 50L + rnd.between(0L, 200L))
+      },
+      "fully-nested" -> (0 until 2000).map(i => (i.toLong, 20000L - i)),
+      "degenerate-points" -> IndexedSeq.fill(1000)((7L, 7L)))
+    shapes.foreach { case (name, ivs) =>
+      val fast = Advisor.overlapFraction(ivs)
+      val slow = brute(ivs)
+      assert(math.abs(fast - slow) < 1e-12, s"$name: sweep=$fast brute=$slow")
+    }
+  }
+
+  test("distributed merge pruning equals the driver path; manifest blooms refine it") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    def build(): String = {
+      val dir = Files.createTempDirectory("graft-distmerge").toString + "/t"
+      // two key-range files WITH manifest blooms: evens [0..198], high [1001..1100]
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData((0 until 100).map(i => (i * 2L, s"e$i")).toDF("id", "v")
+          .coalesce(1), dir, statsCol = Some("id"), bloomCol = Some("id")))
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData((1001 to 1100).map(i => (i.toLong, s"h$i")).toDF("id", "v")
+          .coalesce(1), dir, statsCol = Some("id"), bloomCol = Some("id")))
+      dir
+    }
+    val delta = Seq((4L, "E"), (500L, "new")).toDF("id", "v")
+    val (d1, d2) = (build(), build())
+    val rDriver = Merge.applyChanges(spark, d1, delta, "id", None)
+    val rDist = Merge.applyChanges(spark, d2, delta, "id", None, maxDriverKeys = 0)
+    assert(rDriver.filesTouched == 1 && rDriver.filesUntouched == 1)
+    assert(rDist.filesTouched == 1 && rDist.filesUntouched == 1)
+    def state(dir: String) = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(d1) == state(d2))
+    assert(state(d1)(4L) == "E" && state(d1)(500L) == "new" && state(d1).size == 201)
+    // bloom refinement: key 3 is INSIDE the evens file's zone [0,198] but
+    // absent from its bloom — the distributed path proves it untouched
+    // where the zone-only driver path must rewrite the file
+    val rd = Merge.applyChanges(spark, build(), Seq((3L, "x")).toDF("id", "v"),
+      "id", None, maxDriverKeys = 0)
+    assert(rd.filesTouched == 0 && rd.filesUntouched == 2,
+      s"bloom should prove the insert-only key touches nothing: $rd")
+    // same refinement on the merge-on-read mask side: no mask entry
+    val rm = Merge.mergeOnRead(spark, build(), Seq((3L, "x")).toDF("id", "v"),
+      "id", maxDriverKeys = 0)
+    assert(rm.deleteEntries == 0, s"bloom-pruned insert must carry no mask: $rm")
+    // and MOR driver-vs-distributed parity on the update+insert delta
+    val (m1, m2) = (build(), build())
+    val s1 = Merge.mergeOnRead(spark, m1, delta, "id")
+    val s2 = Merge.mergeOnRead(spark, m2, delta, "id", maxDriverKeys = 0)
+    assert(s1.deleteEntries == 1 && s2.deleteEntries == 1)
+    assert(state(m1) == state(m2) && state(m1)(4L) == "E")
+  }
+
+  test("1M-key backfill merge distributes the prune and stays exact") {
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-bigmerge").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(spark.range(1000).selectExpr("id", "id % 7 AS v"),
+        dir, statsCol = Some("id")))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(spark.range(10000000L, 10001000L)
+        .selectExpr("id", "0L AS v"), dir, statsCol = Some("id")))
+    // 1M distinct keys > DefaultMaxDriverKeys → the distributed path
+    // engages on its own; no driver-side key array exists to OOM
+    val delta = spark.range(1000000).selectExpr("id", "9L AS v")
+    val r = Merge.applyChanges(spark, dir, delta, "id", None)
+    assert(r.filesUntouched >= 1, s"far-range files must carry forward: $r")
+    val read = SnapshotLog.read(spark, dir).get
+    assert(read.count() == 1001000L)
+    val vs = read.filter(col("id") < 1000).agg(min(col("v")), max(col("v"))).head()
+    assert(vs.getLong(0) == 9L && vs.getLong(1) == 9L, "every low key must be upserted")
+    assert(read.filter(col("id") >= 10000000L).filter(col("v") =!= 0L).count() == 0)
+  }
+
+  test("merge refuses off-lattice drift; on-lattice drift merges losslessly") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-driftref").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((1L, 10), (2L, 20)).toDF("id", "amount"),
+        dir, statsCol = Some("id")))
+    // string vs int is off the widening lattice: COW and MOR both throw
+    val bad = Seq((2L, "twenty")).toDF("id", "amount")
+    intercept[IllegalArgumentException] {
+      Merge.applyChanges(spark, dir, bad, "id", None)
+    }
+    intercept[IllegalArgumentException] {
+      Merge.mergeOnRead(spark, dir, bad, "id")
+    }
+    // the refusals committed nothing
+    assert(SnapshotLog.currentSnapshotId(spark, dir).get == 1L)
+    // a widened delta (int → long amount, added note) merges losslessly
+    val good = Seq((2L, 21L, "updated"), (3L, 30L, "new")).toDF("id", "amount", "note")
+    Merge.applyChanges(spark, dir, good, "id", None)
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(got == Map(1L -> ((10L, None)), 2L -> ((21L, Some("updated"))),
+      3L -> ((30L, Some("new")))))
+  }
+
+  test("z-order materialization restores 2-D pruning after MOR maintenance") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val base = Files.createTempDirectory("graft-zmat").toString
+    val dir = s"$base/grid_parquet"
+    val grid = (0 until 100).flatMap(x => (0 until 100).map(y =>
+      (x * 100L + y, x.toLong, y.toLong))).toDF("id", "x", "y").repartition(8)
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(grid, dir, statsCol = Some("id"), statsCols = Seq("x", "y")))
+    // MOR churn: delete one cell, rewrite another, insert a new one
+    Merge.mergeOnRead(spark, dir,
+      Seq((1515L, None: Option[Long], None: Option[Long], true),
+        (2525L, Some(25L), Some(25L), false),
+        (10001L, Some(99L), Some(99L), false))
+        .toDF("id", "x", "y", "is_del"),
+      "id", Some("is_del"))
+    // maintenance with the Z-order spec: masks fold in AND the layout
+    // comes back as near-square tiles with BOTH dims' stats recorded
+    val snap = Merge.materializeDeletes(spark, dir, targetFiles = 16,
+      clusterZOrder = Seq("x", "y"))
+    assert(snap.nonEmpty)
+    val files = SnapshotLog.filesAt(spark, dir)
+    assert(files.forall(_.kind == "data"))
+    assert(files.forall(f => f.stats.contains("x") && f.stats.contains("y") &&
+      f.stats.contains("id")))
+    val (_, xSkip) = SnapshotLog.pruneStats(spark, dir, Map("x" -> (10L, 19L)))
+    val (_, ySkip) = SnapshotLog.pruneStats(spark, dir, Map("y" -> (10L, 19L)))
+    assert(xSkip > 0 && ySkip > 0,
+      s"z-order materialization must restore per-dim skipping: x=$xSkip y=$ySkip")
+    // content is exactly the churned grid
+    val got = SnapshotLog.read(spark, dir).get
+    assert(got.count() == 10000) // −1 deleted, ±0 rewritten, +1 inserted
+    assert(got.filter(col("id") === 1515L).count() == 0)
+    assert(got.filter(col("id") === 10001L).count() == 1)
+    // and the key column's own zone survives for future merge pruning
+    assert(files.forall(f => f.statsMin.isDefined))
+  }
+
+  test("change feed prunes phantom deletes from manifest stats and blooms") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-phantom").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((0 until 100).map(i => (i * 2L, s"v$i")).toDF("id", "v")
+        .coalesce(1), dir, statsCol = Some("id"), bloomCol = Some("id")))
+    // delete of key 3: inside the zone [0,198] but NEVER present (odd) —
+    // the bloom proves absence, so the feed must emit NOTHING for it;
+    // key 4 IS present, its delete must survive
+    Merge.mergeOnRead(spark, dir,
+      Seq((3L, null: String, true)).toDF("id", "v", "is_del"), "id", Some("is_del"))
+    Merge.mergeOnRead(spark, dir,
+      Seq((4L, null: String, true)).toDF("id", "v", "is_del"), "id", Some("is_del"))
+    val feed = SnapshotLog.changes(spark, dir, from = 1L).get.collect()
+    val delKeys = feed.filter(_.getAs[String]("_change_op") == "delete")
+      .map(_.getAs[Long]("id")).toSet
+    assert(delKeys == Set(4L),
+      s"phantom delete of absent key 3 must be pruned, real delete of 4 kept: $delKeys")
+    // feed replay still equals current state: fold upserts, apply deletes
+    val current = SnapshotLog.read(spark, dir).get.collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(!current.contains(4L) && current.contains(2L) && current.size == 99)
+  }
+
+  test("concurrent maintenance soak: appends, compaction and expiry race to a consistent table") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = Files.createTempDirectory("graft-soak").toString
+    val dir = s"$base/t_parquet"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((0L, "seed")).toDF("id", "v"), dir,
+        statsCol = Some("id")))
+    val appenders = (1 to 4).map { w =>
+      Future {
+        (0 until 3).foreach { i =>
+          val k = (w * 1000 + i).toLong
+          val files = SnapshotLog.writeData(Seq((k, s"w$w-$i")).toDF("id", "v"),
+            dir, statsCol = Some("id"))
+          SnapshotLog.commitRetrying(spark, dir, files, maxRetries = 30)
+        }
+      }
+    }
+    val compactor = Future {
+      (0 until 3).foreach { _ =>
+        try Compaction.compactSnapshotted(spark, base, "t", targetBytes = 1L << 30)
+        catch { case _: SnapshotLog.ConcurrentCommitException => () } // re-derive next round
+        Thread.sleep(30)
+      }
+    }
+    val expirer = Future {
+      (0 until 3).foreach { _ =>
+        // the grace window is what makes racing expiry safe: staged-but-
+        // uncommitted files and just-committed ones are never swept
+        SnapshotLog.expireSnapshots(spark, dir, retainLast = 4)
+        Thread.sleep(40)
+      }
+    }
+    Await.result(Future.sequence(appenders :+ compactor :+ expirer), 300.seconds)
+    // consistent end state: every append visible exactly once
+    val rows = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == rows.toMap.size, "no duplicated rows")
+    assert(rows.length == 13, s"1 seed + 12 appends, got ${rows.length}")
+    // history is auditable: retained ids resolve, ops are legal, row
+    // accounting at the head equals the physical table
+    val cs = SnapshotLog.commits(spark, dir)
+    assert(cs.map(_.snapshotId) == cs.map(_.snapshotId).sorted)
+    assert(cs.forall(c => c.op == "append" || c.op == "replace"))
+    assert(cs.last.live.filter(_.kind == "data").map(_.rows).sum == 13)
+    // every retained snapshot still reads (no swept live file)
+    SnapshotLog.snapshots(spark, dir).foreach { id =>
+      SnapshotLog.read(spark, dir, asOf = Some(id)).foreach(_.count())
+    }
   }
 
   test("pipeline runner in snapshot mode stays consistent end-to-end") {

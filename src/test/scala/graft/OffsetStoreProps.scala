@@ -38,6 +38,30 @@ object OffsetStoreProps extends Properties("OffsetStore") {
       resumed && untouched
     }
 
+  property("partitioned commit round-trips; later partial commits advance only their partitions") =
+    Prop.forAll(Gen.nonEmptyMap(Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0L, 1L << 40)))) { m =>
+      val s = freshStore()
+      s.commitPartitioned("t", m, 1L)
+      val roundTrip = s.lastOffsets("t") == m && s.lastOffset("t") == m.values.max
+      val p = m.keys.head
+      s.commitPartitioned("t", Map(p -> (m(p) + 5)), 1L)
+      roundTrip && s.lastOffsets("t") == (m + (p -> (m(p) + 5)))
+    }
+
+  property("legacy scalar state binds to partition 0; resume maps every partition to +1") =
+    Prop.forAll(Gen.nonEmptyMap(Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0L, 1L << 40)))) { m =>
+      val s = freshStore()
+      s.commitPartitioned("orders", m, 1L)
+      val resumed = s.startingOffsetsFor("orders", "topic.orders") ==
+        StartingOffsets.PerPartition(
+          Map("topic.orders" -> m.map { case (p, o) => p -> (o + 1) }))
+      // the legacy single-partition writer still round-trips through the
+      // same file format
+      val s2 = freshStore()
+      s2.commit("t", 7L, 1L)
+      resumed && s2.lastOffsets("t") == Map(0 -> 7L)
+    }
+
   property("toJson renders every per-partition map as valid Kafka option JSON") =
     Prop.forAll(Gen.mapOf(Gen.zip(
       Gen.identifier.map("t." + _),
