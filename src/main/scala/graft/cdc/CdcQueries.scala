@@ -462,22 +462,23 @@ object CdcQueries {
         .orderBy(col("kafka_offset"))
     }),
     // POINT-LOOKUP through manifest BLOOM filters
-    // ([[graft.table.SnapshotLog.readPoint]]): the fixture table is four
+    // ([[graft.table.SnapshotLog.readPoints]]): the fixture table is four
     // ingest-ordered appends that each span the whole orderkey range —
     // zone maps keep every file for any point — but each file carries a
-    // 4 KB bloom of its keys, so a lookup touches ~one file. The query
-    // unions the three smallest orderkeys' lookups; equality with the
-    // plain SQL IN-filter proves blooms never lose a row (no false
-    // negatives). CdcSpec pins the skip counts.
+    // 4 KB bloom of its keys, so a lookup touches ~one file. The three
+    // smallest orderkeys probe as ONE batched IN-set lookup: all keys'
+    // survivors resolve in one metadata pass and scan once (r9 — the
+    // per-key readPoint union scanned overlapping survivors N times).
+    // Equality with the plain SQL IN-filter proves blooms never lose a
+    // row (no false negatives). CdcSpec pins the skip counts.
     "cdc_point_lookup" -> ((s, d) => {
       import graft.table.SnapshotLog
       val t = s"${bloomWarehouse(s, d)}/orders_bloom"
       val keys = graft.schema.Tables(s, d, "orders").select(col("o_orderkey").cast("long"))
         .distinct().orderBy(col("o_orderkey")).limit(3)
-        .collect().map(_.getLong(0)) // 3-row driver fetch: the lookup keys
-      keys.map(k => SnapshotLog.readPoint(s, t, "o_orderkey", k).get
-          .filter(col("o_orderkey") === k))
-        .reduce(_ unionByName _)
+        .collect().map(_.getLong(0)).toSeq // 3-row driver fetch: the lookup keys
+      SnapshotLog.readPoints(s, t, "o_orderkey", keys).get
+        .filter(col("o_orderkey").isin(keys: _*))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),

@@ -151,6 +151,17 @@ object Compaction {
         delFiles.isEmpty && dataFiles.size <= targetFiles)
       return CompactionResult(table, files.size, files.size,
         dataFiles.map(_.rows).sum, totalBytes)
+    // Pure small-file debt (no clustering asked, no pending masks) BIN-
+    // PACKS: only files under half the target rewrite, grouped into
+    // ~target-sized bins; right-sized files carry forward BY REFERENCE
+    // (paths survive the commit identically). Compaction cost then
+    // scales with the DEBT, not the table — at 100 TB a nightly
+    // small-file pass touches the day's sync droppings, never the
+    // petabytes of already-compacted history. Clustering/Z-order stay
+    // full rewrites (they are about layout), and masked tables stay on
+    // the full path (the rewrite is what materializes the deletes).
+    if (clusterBy.isEmpty && clusterZOrder.isEmpty && delFiles.isEmpty)
+      return binPack(spark, table, dir, files, dataFiles, targetBytes, totalBytes)
 
     // merge-on-read tables compact through the masked read — the rewrite
     // MATERIALIZES pending equality deletes, so the replace commit also
@@ -181,6 +192,42 @@ object Compaction {
         "files_after" -> rewritten.size.toString,
         "materialized_deletes" -> delFiles.map(_.rows).sum.toString))
     CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
+  }
+
+  /** The bin-pack rewrite behind [[compactSnapshotted]]'s no-clustering
+    * path: small files (< targetBytes/2) rewrite into ceil(smallBytes/
+    * target) bins, everything else is untouched metadata. The replace
+    * commit removes ONLY the packed paths, the row-count gate compares
+    * against the packed files' manifest rows, and the rewritten files'
+    * stats re-derive whatever columns the packed files carried. */
+  private def binPack(spark: SparkSession, table: String, dir: String,
+                      files: Seq[graft.table.SnapshotLog.DataFile],
+                      dataFiles: Seq[graft.table.SnapshotLog.DataFile],
+                      targetBytes: Long, totalBytes: Long): CompactionResult = {
+    import graft.table.SnapshotLog
+    val small = dataFiles.filter(_.bytes < targetBytes / 2)
+    val smallBytes = small.map(_.bytes).sum
+    val bins = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    if (small.size <= bins) // the debt is already paid
+      return CompactionResult(table, files.size, files.size,
+        dataFiles.map(_.rows).sum, totalBytes)
+    val df = spark.read.parquet(small.map(_.path): _*)
+    val statsColOpt =
+      if (df.columns.contains("kafka_offset")) Some("kafka_offset")
+      else small.flatMap(_.stats.keys).distinct.find(df.columns.contains)
+    val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
+      statsCol = statsColOpt)
+    val (nOld, nNew) = (small.map(_.rows).sum, rewritten.map(_.rows).sum)
+    require(nNew == nOld,
+      s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")
+    SnapshotLog.commit(spark, dir, "replace", rewritten,
+      removed = small.map(_.path),
+      summary = Map("table" -> table, "bin_packed" -> small.size.toString,
+        "carried_forward" -> (dataFiles.size - small.size).toString))
+    CompactionResult(table, files.size,
+      files.size - small.size + rewritten.size,
+      dataFiles.map(_.rows).sum,
+      totalBytes - smallBytes + rewritten.map(_.bytes).sum)
   }
 
   /** Z-ORDER arrangement shared by the clustering compaction and

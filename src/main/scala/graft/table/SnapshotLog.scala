@@ -86,7 +86,17 @@ object SnapshotLog {
     * `live` is the COMPLETE file set at this snapshot (what [[filesAt]]
     * reads) — the Iceberg-style self-contained snapshot, so resolving any
     * retained snapshot touches exactly one manifest, and expiring old
-    * manifests can never orphan a newer snapshot's state. */
+    * manifests can never orphan a newer snapshot's state.
+    *
+    * Known scale limit, stated honestly: the self-contained `live` list
+    * makes every manifest O(total file count) — fine through tens of
+    * thousands of files (a few MB of JSON, driver-side), but at ~1M
+    * files each commit would serialize ~100 MB. The published fix is
+    * Iceberg's manifest-LIST indirection (per-commit delta manifests +
+    * one index of manifest files, rewritten only when membership
+    * changes); this engine keeps the single-file form for its
+    * one-read-resolves-anything property and bounds file counts with
+    * the compaction/bin-pack maintenance instead. */
   final case class Commit(snapshotId: Long, op: String, added: Seq[DataFile],
                           removed: Seq[String], live: Seq[DataFile],
                           summary: Map[String, String], tsMs: Long = 0L)
@@ -520,6 +530,21 @@ object SnapshotLog {
                 key: Long, asOf: Option[Long] = None): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     val pruned = data.filter(pointKeeps(_, column, key))
+    if (pruned.isEmpty) None
+    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
+    else Some(applyEqDeletes(spark, pruned, dels))
+  }
+
+  /** Batched multi-key point lookup — the IN-set face of [[readPoint]]:
+    * every key's surviving files resolve in ONE metadata pass (a file is
+    * kept when ANY key passes its zone ∧ bloom probe), and the union of
+    * survivors scans ONCE — N keys cost one scan of ~N files, not N
+    * scans of overlapping file sets. Callers still apply the actual
+    * IN filter; pruning may only skip, never lose. */
+  def readPoints(spark: SparkSession, tableDir: String, column: String,
+                 keys: Seq[Long], asOf: Option[Long] = None): Option[DataFrame] = {
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val pruned = data.filter(f => keys.exists(pointKeeps(f, column, _)))
     if (pruned.isEmpty) None
     else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
     else Some(applyEqDeletes(spark, pruned, dels))

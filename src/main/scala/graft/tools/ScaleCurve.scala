@@ -135,10 +135,14 @@ object ScaleCurve {
       val nFiles = math.max(8, (nState / 2000).toInt)
       val blDir = s"$tfBase/bloomidx"
       SnapshotLog.commit(spark, blDir, "append",
-        SnapshotLog.writeData(state.repartition(nFiles, pmod(col("id"), lit(nFiles))),
-          blDir, statsCol = Some("id"), bloomCol = Some("id")))
-      val probeKey = spark.read.parquet(s"$dir/lineitem.parquet")
-        .agg(min(col("l_orderkey").cast("long") * 100 + 1)).head().getLong(0)
+        SnapshotLog.writeData(state.repartition(nFiles), // round-robin: every
+          blDir, statsCol = Some("id"), bloomCol = Some("id"))) // file spans the range
+      // probe an INTERIOR key (median of one file ≈ global median under the
+      // cyclic distribution, and an actually-present id): extremal keys are
+      // trivially zone-selective and would hide the blindness being measured
+      val probeKey = spark.read
+        .parquet(SnapshotLog.filesAt(spark, blDir).head.path)
+        .agg(expr("percentile_approx(id, 0.5, 1000)")).head().getLong(0)
       val (zoneKept, _) = SnapshotLog.pruneStats(spark, blDir,
         Map("id" -> (probeKey, probeKey)))
       val (bloomKept, _) = SnapshotLog.prunePointStats(spark, blDir, "id", probeKey)

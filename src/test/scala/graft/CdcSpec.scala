@@ -63,6 +63,12 @@ class CdcSpec extends AnyFunSuite {
     val resumed = store.startingOffsetsFor("orders", topic)
     assert(src.options(topic, resumed)("startingOffsets") ==
       s"""{"$topic": {"0": 6}}""")
+    // multi-partition resume: the N>1 generalization renders each
+    // partition's own +1 bound, sorted, in the same option JSON
+    store.commitPartitioned("orders", Map(2 -> 9L, 1 -> 3L), 4L)
+    val multi = store.startingOffsetsFor("orders", topic)
+    assert(src.options(topic, multi)("startingOffsets") ==
+      s"""{"$topic": {"0": 6, "1": 4, "2": 10}}""")
   }
 
   test("sync job: full first sync, then empty delta, then idempotent state") {
@@ -900,6 +906,13 @@ class CdcSpec extends AnyFunSuite {
     val absent = SnapshotLog.readPoint(spark, dir, "id", 3999999L)
       .map(_.filter(col("id") === 3999999L).count()).getOrElse(0L)
     assert(absent == 0L)
+    // batched IN-set lookup: keys living in two different files resolve
+    // in one pass, survivors stay bloom-bounded, and the filtered read
+    // equals the per-key union exactly
+    val got2 = SnapshotLog.readPoints(spark, dir, "id", Seq(41L, 42L, 3999999L)).get
+      .filter(col("id").isin(41L, 42L, 3999999L)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(41L -> "v10", 42L -> "v10"))
   }
 
   test("z-order compaction makes 2-D zone-map pruning bite on both dimensions") {
@@ -995,6 +1008,35 @@ class CdcSpec extends AnyFunSuite {
     assert(consumer.consume(spark, dir, "agg")._1.isEmpty)
     // independent consumers keep independent state
     assert(consumer.lastConsumed("other") == 0L)
+  }
+
+  test("bin-pack compaction rewrites only small files; right-sized files carry by reference") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-binpack").toString
+    val dir = s"$base/t_parquet"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 50000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1), dir, statsCol = Some("id")))
+    for (k <- 1 to 3)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(Seq((100000L + k, s"s$k")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    val before = SnapshotLog.filesAt(spark, dir)
+    val big = before.maxBy(_.bytes)
+    val res = Compaction.compactSnapshotted(spark, base, "t", targetBytes = big.bytes)
+    // 4 files → the untouched big one + 1 packed bin of the 3 droppings
+    assert(res.filesBefore == 4 && res.filesAfter == 2, s"$res")
+    val after = SnapshotLog.filesAt(spark, dir)
+    assert(after.exists(_.path == big.path),
+      "right-sized file must carry forward by path, not be rewritten")
+    assert(after.size == 2)
+    assert(SnapshotLog.read(spark, dir).get.count() == 50003)
+    // the packing replace is invisible to incremental consumers
+    assert(SnapshotLog.diff(spark, dir, from = 4L).isEmpty)
+    // a second run is a no-op: the debt is paid
+    val res2 = Compaction.compactSnapshotted(spark, base, "t", targetBytes = big.bytes)
+    assert(res2.filesAfter == res2.filesBefore)
   }
 
   test("multi-partition topic: per-partition resume, HWM map, idempotent re-sync") {
