@@ -385,6 +385,19 @@ object CdcQueries {
           col("total_amount"), col("kafka_offset"))
         .orderBy(col("order_id"))
     }),
+    // STRING-KEYED merge (the UUID-PK shape real CDC tables ship):
+    // the same epoch-1/epoch-2 latest-state COW merge as cdc_merge_cow,
+    // keyed on a synthetic string pk ('ord-<id>'). Long zone maps cannot
+    // exist for a string key, so per-file manifest BLOOMS (xxhash64
+    // domain) carry the pruning — CdcSpec pins that they do; this entry
+    // pins that they never LOSE a row (no false negatives ⇒ merge ==
+    // full-stream latest-state compaction, the same invariant).
+    "cdc_merge_string_key" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, strKeyWarehouse(s)).get
+        .select(col("pk"), col("order_id"), col("status"),
+          col("total_amount"), col("kafka_offset"))
+        .orderBy(col("order_id"))
+    }),
     // MERGE under SCHEMA DRIFT: the table holds epoch-1 latest-state
     // under the OLD source shape (int key, decimal(10,2) amount,
     // pre-rename `address`); the delta arrives under the NEW shape
@@ -640,6 +653,29 @@ object CdcQueries {
     (dir, delta)
   }
 
+  private val strKeyWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The string-keyed COW warehouse behind `cdc_merge_string_key`:
+    * epoch-1 latest-state written in two pk-range files with per-file
+    * key BLOOMS, epoch-2 latest-state upserted by the string pk. */
+  private def strKeyWarehouse(spark: SparkSession): String =
+    strKeyWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.{Merge, SnapshotLog}
+      val base = java.nio.file.Files.createTempDirectory("graft-strkeywh").toString
+      val dir = s"$base/orders_str"
+      val all = parse(spark, "orders")
+      def keyed(df: DataFrame) =
+        df.select(concat(lit("ord-"), col("order_id")).as("pk"),
+          col("order_id"), col("status"), col("total_amount"), col("kafka_offset"))
+      val snap = keyed(latestPerKey(all.filter(col("kafka_offset") <= 5)))
+        .repartitionByRange(2, col("pk"))
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(snap, dir, statsCol = Some("pk"), bloomCol = Some("pk")))
+      Merge.applyChanges(spark, dir,
+        keyed(latestPerKey(all.filter(col("kafka_offset") >= 6))), "pk", None)
+      dir
+    })
+
   private val driftMergeCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   /** The COW-merge-under-drift warehouse behind `cdc_merge_drift`:
@@ -835,6 +871,16 @@ object CdcQueries {
          |WHERE (partition = 0 AND "offset" >= 2)
          |   OR (partition = 1 AND "offset" >= 2)
          |   OR partition NOT IN (0, 1)
+         |ORDER BY order_id""".stripMargin,
+    // string-keyed COW merge == latest-per-key compaction with the
+    // synthetic string pk replayed
+    "cdc_merge_string_key" ->
+      s"""WITH p AS (SELECT $ordersProj FROM ${wireSql("orders")})
+         |SELECT 'ord-' || order_id AS pk, order_id, status, total_amount, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE order_id IS NOT NULL) t
+         |WHERE rk = 1
          |ORDER BY order_id""".stripMargin,
     // COW merge under schema drift == latest-per-key over the
     // drift-shaped replay (epoch 1 in the old shape with customer_id

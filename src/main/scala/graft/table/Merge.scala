@@ -71,17 +71,25 @@ object Merge {
              keyCol: String): MergeResult =
     applyChanges(spark, tableDir, delta, keyCol, deleteCol = None)
 
-  /** The delta's distinct keys, split into a physical strategy by size:
-    * Left(sorted driver array) when ≤ maxDriverKeys (probed with one
-    * limit-bounded collect — no count job), Right(distinct-key frame,
-    * eagerly checkpointed for its multiple consumers) beyond. */
+  /** The delta's distinct keys in the PROBE DOMAIN (long values for long
+    * keys, xxhash64 for string/UUID keys — [[SnapshotLog.keyAsLong]]),
+    * split into a physical strategy by size: Left(sorted driver array)
+    * when ≤ maxDriverKeys (probed with one limit-bounded collect — no
+    * count job), Right(distinct-key frame, eagerly checkpointed for its
+    * multiple consumers) beyond. */
   private def keySet(delta: DataFrame, keyCol: String,
                      maxDriverKeys: Int): Either[Array[Long], DataFrame] = {
-    val keyDf = delta.select(col(keyCol).cast("long").as("k")).distinct()
+    val keyDf = delta.select(SnapshotLog.keyAsLong(delta, keyCol).as("k")).distinct()
     val probe = keyDf.limit(maxDriverKeys + 1).collect().map(_.getLong(0))
     if (probe.length <= maxDriverKeys) Left(probe.sorted)
     else Right(keyDf.localCheckpoint(true))
   }
+
+  /** Cap on driver-side (file × key) bloom probes: past this the driver
+    * path skips bloom refinement (zone-only — still correct, less
+    * pruned) rather than burn seconds single-threaded; the distributed
+    * path has no such cap. */
+  private val MaxDriverBloomProbes = 5000000L
 
   /** Does any key of the sorted array fall inside [mn, mx]? */
   private def hits(keys: Array[Long], mn: Long, mx: Long): Boolean = {
@@ -99,47 +107,78 @@ object Merge {
   private def keyZone(f: SnapshotLog.DataFile, keyCol: String): Option[(Long, Long)] =
     f.stats.get(keyCol)
 
-  /** Broadcastable metadata frame of the stats-bearing live files:
-    * (idx, mn, mx, bloom) — the file's manifest key-column zone plus its
-    * manifest bloom when one was written. Thousands of rows at 100 TB:
+  /** Does this file carry ANY pruning metadata for the merge key — a
+    * zone (long keys) or a bloom (either; the only index string keys
+    * get)? Files with neither are unprunable: always touched. */
+  private def prunable(f: SnapshotLog.DataFile, keyCol: String): Boolean =
+    keyZone(f, keyCol).isDefined || f.blooms.contains(keyCol)
+
+  /** Broadcastable metadata frame of the prunable live files:
+    * (idx, mn, mx, bloom) — the file's manifest key-column zone (null
+    * for string keys, which record no long zone) plus its manifest
+    * bloom when one was written. Thousands of rows at 100 TB:
     * metadata, not data. */
   private def fileStatsDf(spark: SparkSession, keyCol: String,
                           stated: Seq[SnapshotLog.DataFile]): DataFrame = {
     import spark.implicits._
     stated.zipWithIndex.map { case (f, i) =>
-      val (mn, mx) = keyZone(f, keyCol).get
-      (i, mn, mx,
+      val zone = keyZone(f, keyCol)
+      (i, zone.map(_._1), zone.map(_._2),
         f.blooms.get(keyCol)
           .map(java.util.Base64.getDecoder.decode).orNull)
     }.toDF("idx", "mn", "mx", "bloom")
   }
 
+  /** The shared probe condition over a [[fileStatsDf]] row: a missing
+    * zone passes (strings, or no stats recorded), a present zone must
+    * contain the key; a missing bloom passes, a present one must report
+    * a possible hit. */
+  private def probeCond(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (col("mn").isNull || (k >= col("mn") && k <= col("mx"))) &&
+      (col("bloom").isNull || graft.functions.GraftFunctions
+        .bloom_might_contain(col("bloom"), k, SnapshotLog.BloomHashes))
+
+  /** Driver-side twin of [[probeCond]] for one file against the sorted
+    * key array (bloom skipped when over the probe budget). */
+  private def driverKeeps(f: SnapshotLog.DataFile, keyCol: String,
+                          arr: Array[Long], bloomBudget: Boolean): Boolean = {
+    val zoneOk = keyZone(f, keyCol) match {
+      case Some((mn, mx)) => hits(arr, mn, mx)
+      case None => true
+    }
+    zoneOk && (f.blooms.get(keyCol) match {
+      case Some(b64) if bloomBudget =>
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        arr.exists(graft.functions.BloomFilterOps
+          .mightContain(bytes, _, SnapshotLog.BloomHashes))
+      case _ => true
+    })
+  }
+
   /** Partition `live` into (touched, untouched) by the delta key set.
-    * Driver path: binary-search each file interval against the sorted
-    * array. Distributed path (the large-delta escalation the COW
-    * docstring promises): broadcast the file intervals against the key
-    * frame as a range join, refine by each file's manifest BLOOM where
-    * present (`bloom_might_contain` has no false negatives, so the
+    * Driver path: binary-search each file's zone against the sorted
+    * array, then bloom-refine within the probe budget. Distributed path
+    * (the large-delta escalation the COW docstring promises): broadcast
+    * the per-file metadata against the key frame as one join on
+    * zone ∧ bloom (`bloom_might_contain` has no false negatives, so
     * refinement can only skip, never lose), and collect just the
     * touched file INDICES — bounded by file count, never by delta size.
-    * Files without stats are conservatively touched on both paths. */
+    * String keys probe by xxhash64 against bloom-only metadata (no long
+    * zone exists — mn/mx null passes); files with neither zone nor
+    * bloom are conservatively touched on both paths. */
   private def touchedFiles(spark: SparkSession, keyCol: String,
                            live: Seq[SnapshotLog.DataFile],
                            keys: Either[Array[Long], DataFrame])
       : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile]) = {
-    val (stated, unstated) = live.partition(f => keyZone(f, keyCol).isDefined)
+    val (stated, unstated) = live.partition(prunable(_, keyCol))
     keys match {
       case Left(arr) =>
-        val (t, u) = stated.partition { f =>
-          val (mn, mx) = keyZone(f, keyCol).get; hits(arr, mn, mx)
-        }
+        val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
+        val (t, u) = stated.partition(driverKeeps(_, keyCol, arr, budget))
         (unstated ++ t, u)
       case Right(keyDf) =>
         val hit = keyDf
-          .join(broadcast(fileStatsDf(spark, keyCol, stated)),
-            col("k") >= col("mn") && col("k") <= col("mx"))
-          .filter(col("bloom").isNull || graft.functions.GraftFunctions
-            .bloom_might_contain(col("bloom"), col("k"), SnapshotLog.BloomHashes))
+          .join(broadcast(fileStatsDf(spark, keyCol, stated)), probeCond(col("k")))
           .select(col("idx")).distinct()
           .collect().map(_.getInt(0)).toSet
         val (t, u) = stated.zipWithIndex.partition { case (_, i) => hit(i) }
@@ -192,7 +231,10 @@ object Merge {
         // carried rows; off-lattice drift throws HERE, before any write
         else graft.schema.Evolution.mergeEpochs(Seq(survivors, upserts))
       }
-    val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyCol))
+    // string keys get a manifest bloom instead of the (impossible) long
+    // zone, so the NEXT merge prunes these files too
+    val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyCol),
+      bloomCol = Some(keyCol).filter(_ => isStringKey(delta, keyCol)))
     val id = SnapshotLog.commit(spark, tableDir, "upsert", written,
       removed = touched.map(_.path),
       summary = Map("key" -> keyCol, "delta_keys" -> nKeys.toString,
@@ -200,6 +242,9 @@ object Merge {
         "files_untouched" -> untouched.size.toString))
     MergeResult(id, touched.size, untouched.size, written.map(_.rows).sum)
   }
+
+  private def isStringKey(df: DataFrame, keyCol: String): Boolean =
+    df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
 
   final case class MorResult(snapshotId: Long, dataFiles: Int,
                              deleteEntries: Long, rowsWritten: Long)
@@ -242,62 +287,89 @@ object Merge {
                   keyCol: String, deleteCol: Option[String] = None,
                   summary: Map[String, String] = Map.empty,
                   renames: Map[String, String] = Map.empty,
-                  maxDriverKeys: Int = DefaultMaxDriverKeys): MorResult = {
-    val live = SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
-    require(live.nonEmpty, s"cannot merge into empty table $tableDir")
+                  maxDriverKeys: Int = DefaultMaxDriverKeys,
+                  maxRetries: Int = 5): MorResult = {
+    val live0 = SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
+    require(live0.nonEmpty, s"cannot merge into empty table $tableDir")
     val upserts = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
       .localCheckpoint(true) // consumed twice: emptiness probe + write
     // off-lattice drift fails the WRITE: cheap fast path (one footer)
     // when nothing drifted, full per-epoch validation when it did
-    val headSchema = spark.read.parquet(live.head.path).schema
+    val headSchema = spark.read.parquet(live0.head.path).schema
     if (renames.nonEmpty || !sameShape(headSchema, upserts.schema)) {
-      val epochSchemas = live.groupBy(_.seq).values
+      val epochSchemas = live0.groupBy(_.seq).values
         .map(fs => spark.read.parquet(fs.head.path).schema).toSeq
       graft.schema.Evolution.mergedSchema(epochSchemas :+ upserts.schema, renames)
     }
     val keys = keySet(delta, keyCol, maxDriverKeys)
     val nKeys = keys.fold(_.length.toLong, _.count())
-    val stated = live.filter(f => keyZone(f, keyCol).isDefined)
-    val unstated = live.size > stated.size
-    // the delta keys that MIGHT exist in live data (mask entries); pure
-    // inserts — provably outside every file's key zone — get none
-    val maskKeyDf: DataFrame = keys match {
-      case Left(arr) =>
-        import spark.implicits._
-        val masks =
-          if (unstated) arr.toSeq
-          else arr.toSeq.filter(k => stated.exists { f =>
-            val (mn, mx) = keyZone(f, keyCol).get; k >= mn && k <= mx
-          })
-        masks.toDF("k")
-      case Right(keyDf) =>
-        if (unstated) keyDf
-        else keyDf.join(broadcast(fileStatsDf(spark, keyCol, stated)),
-            col("k") >= col("mn") && col("k") <= col("mx"))
-          .filter(col("bloom").isNull || graft.functions.GraftFunctions
-            .bloom_might_contain(col("bloom"), col("k"), SnapshotLog.BloomHashes))
-          .select(col("k")).distinct()
-    }
-    // an all-tombstone delta writes NO data files (parquet emits no part
-    // files for an empty frame, and the stats read-back would fail);
-    // the commit then carries only the mask file
+    // the delta's data files are immutable and state-independent — write
+    // them ONCE, outside the retry loop. An all-tombstone delta writes NO
+    // data files (parquet emits no part files for an empty frame, and the
+    // stats read-back would fail); the commit then carries only the mask.
+    val keyBloom = Some(keyCol).filter(_ => isStringKey(delta, keyCol))
     val dataFiles =
       if (upserts.isEmpty) Seq.empty[SnapshotLog.DataFile]
-      else SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyCol))
-    val delFiles =
-      if (maskKeyDf.isEmpty) Seq.empty
-      else SnapshotLog.writeData(
-        delta.select(col(keyCol)).distinct()
-          .join(maskKeyDf, col(keyCol).cast("long") === col("k"), "left_semi")
-          .coalesce(1),
-        tableDir, statsCol = Some(keyCol), kind = "eqdelete")
-    val maskEntries = delFiles.map(_.rows).sum
-    val id = SnapshotLog.commit(spark, tableDir, "rowdelta", dataFiles ++ delFiles,
-      summary = summary ++ Map("key" -> keyCol,
-        "delta_keys" -> nKeys.toString,
-        "delete_entries" -> maskEntries.toString,
-        "insert_only_keys" -> (nKeys - maskEntries).toString))
-    MorResult(id, dataFiles.size, maskEntries, dataFiles.map(_.rows).sum)
+      else SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyCol),
+        bloomCol = keyBloom)
+
+    // the delta keys that MIGHT exist in `live` data (mask entries); pure
+    // inserts — provably outside every file's zone ∧ bloom — get none
+    def maskKeyDf(live: Seq[SnapshotLog.DataFile]): DataFrame = {
+      val stated = live.filter(prunable(_, keyCol))
+      val unstated = live.size > stated.size
+      keys match {
+        case Left(arr) =>
+          import spark.implicits._
+          val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
+          val masks =
+            if (unstated) arr.toSeq
+            else arr.toSeq.filter(k =>
+              stated.exists(driverKeeps(_, keyCol, Array(k), budget)))
+          masks.toDF("k")
+        case Right(keyDf) =>
+          if (unstated) keyDf
+          else keyDf.join(broadcast(fileStatsDf(spark, keyCol, stated)),
+              probeCond(col("k")), "left_semi")
+      }
+    }
+
+    // Optimistic-concurrency retry with RE-DERIVATION (the Iceberg
+    // revalidate-and-reapply school): losing the id race means another
+    // commit landed, and a key that looked like a pure insert against the
+    // old state may now exist — so the MASK SELECTION recomputes against
+    // the new head before every re-commit, while the already-written data
+    // files are reused as-is. A superseded attempt's mask file becomes an
+    // unreferenced orphan (the grace-gated expire sweep reclaims it).
+    var attempt = 0
+    while (true) {
+      val live = if (attempt == 0) live0
+        else SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
+      val mk = maskKeyDf(live)
+      val keyProj = delta.select(col(keyCol)).distinct()
+      val delFiles =
+        if (mk.isEmpty) Seq.empty
+        else SnapshotLog.writeData(
+          keyProj
+            .join(mk, SnapshotLog.keyAsLong(keyProj, keyCol) === col("k"), "left_semi")
+            .coalesce(1),
+          tableDir, statsCol = Some(keyCol), kind = "eqdelete", bloomCol = keyBloom)
+      val maskEntries = delFiles.map(_.rows).sum
+      try {
+        val id = SnapshotLog.commit(spark, tableDir, "rowdelta",
+          dataFiles ++ delFiles,
+          summary = summary ++ Map("key" -> keyCol,
+            "delta_keys" -> nKeys.toString,
+            "delete_entries" -> maskEntries.toString,
+            "insert_only_keys" -> (nKeys - maskEntries).toString))
+        return MorResult(id, dataFiles.size, maskEntries, dataFiles.map(_.rows).sum)
+      } catch {
+        case e: SnapshotLog.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Fold pending equality deletes back into data: rewrite the masked
@@ -329,7 +401,8 @@ object Merge {
       case _ => masked.repartitionByRange(targetFiles, col(keyCol))
     }
     val written = SnapshotLog.writeData(rewritten, tableDir,
-      statsCol = Some(keyCol), statsCols = clusterZOrder)
+      statsCol = Some(keyCol), statsCols = clusterZOrder,
+      bloomCol = Some(keyCol).filter(_ => isStringKey(masked, keyCol)))
     Some(SnapshotLog.commit(spark, tableDir, "replace", written,
       removed = live.map(_.path),
       summary = Map("materialized_deletes" -> dels.map(_.rows).sum.toString)))

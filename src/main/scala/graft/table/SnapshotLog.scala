@@ -3,7 +3,7 @@ package graft.table
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Minimal snapshot/table-format layer over a parquet directory — the
@@ -140,6 +140,26 @@ object SnapshotLog {
   val BloomBits = 1 << 15
   val BloomHashes = 5
 
+  /** The bloom/probe domain for a key column: LONG columns hash as their
+    * own value, STRING columns (UUID-style keys) as `xxhash64` — the
+    * same function on the build side, the distributed probe side, and
+    * the driver probe side, so membership answers can never diverge.
+    * (A bare `cast(string AS long)` would be null for every UUID — a
+    * bloom built over nulls answers "absent" for everything, i.e. FALSE
+    * NEGATIVES; hashing is what keeps the no-false-negative contract.) */
+  private[graft] def keyAsLong(df: DataFrame, column: String): Column =
+    if (df.schema(column).dataType ==
+        org.apache.spark.sql.types.StringType) xxhash64(col(column))
+    else col(column).cast("long")
+
+  /** Driver-side twin of [[keyAsLong]] for string keys (Spark's
+    * `xxhash64` = XXH64 with seed 42 over the UTF-8 bytes). */
+  private[graft] def hashStringKey(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
   def writeData(df: DataFrame, tableDir: String,
                 statsCol: Option[String] = None,
                 kind: String = "data",
@@ -156,13 +176,20 @@ object SnapshotLog {
       .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
     val written = spark.read.parquet(dst)
     // every requested stats column rides the same one-pass per-file
-    // aggregate — a per-COLUMN zone map, the Iceberg metrics posture
-    val allStats = (statsCol.toSeq ++ statsCols).distinct
+    // aggregate — a per-COLUMN zone map, the Iceberg metrics posture.
+    // Long zones exist only for NUMERIC columns: under ANSI semantics a
+    // string→long cast throws, and a lexicographic range would be a
+    // different (unimplemented) zone kind — string keys are indexed by
+    // their manifest BLOOM instead (`bloomCol`, xxhash64 domain).
+    val allStats = (statsCol.toSeq ++ statsCols).distinct.filter { c =>
+      written.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    }
     val statsAggs = (count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
       case (c, i) => Seq(min(col(c)).cast("long").as(s"smin_$i"),
         max(col(c)).cast("long").as(s"smax_$i"))
     }) ++ bloomCol.map(c => graft.functions.GraftFunctions
-      .bloom_build(col(c).cast("long"), BloomBits, BloomHashes).as("bloom"))
+      .bloom_build(keyAsLong(written, c), BloomBits, BloomHashes).as("bloom"))
     written
       .groupBy(input_file_name().as("file"))
       .agg(statsAggs.head, statsAggs.tail: _*)
@@ -535,6 +562,41 @@ object SnapshotLog {
     else Some(applyEqDeletes(spark, pruned, dels))
   }
 
+  /** Point lookup on a STRING key column (UUID-style keys): lexicographic
+    * zones are not recorded for strings — and random UUIDs would never
+    * cluster into prunable ranges anyway — so pruning is bloom-only,
+    * over the shared xxhash64 domain the bloom was built in
+    * (`writeData(bloomCol = <string column>)`). Files without a bloom
+    * are conservatively kept; no false negatives, so the pruned read is
+    * exact after the caller's equality filter. */
+  def readPointString(spark: SparkSession, tableDir: String, column: String,
+                      key: String, asOf: Option[Long] = None): Option[DataFrame] = {
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val h = hashStringKey(key)
+    val pruned = data.filter(f => f.blooms.get(column) match {
+      case Some(b64) => graft.functions.BloomFilterOps.mightContain(
+        java.util.Base64.getDecoder.decode(b64), h, BloomHashes)
+      case None => true
+    })
+    if (pruned.isEmpty) None
+    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
+    else Some(applyEqDeletes(spark, pruned, dels))
+  }
+
+  /** [[readPointString]]'s pruning decision alone: (kept, skipped). */
+  def prunePointStringStats(spark: SparkSession, tableDir: String,
+                            column: String, key: String,
+                            asOf: Option[Long] = None): (Int, Int) = {
+    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val h = hashStringKey(key)
+    val kept = data.count(f => f.blooms.get(column) match {
+      case Some(b64) => graft.functions.BloomFilterOps.mightContain(
+        java.util.Base64.getDecoder.decode(b64), h, BloomHashes)
+      case None => true
+    })
+    (kept, data.size - kept)
+  }
+
   /** Batched multi-key point lookup — the IN-set face of [[readPoint]]:
     * every key's surviving files resolve in ONE metadata pass (a file is
     * kept when ANY key passes its zone ∧ bloom probe), and the union of
@@ -687,7 +749,10 @@ object SnapshotLog {
       (zone.map(_._1), zone.map(_._2),
         f.blooms.get(keyCol).map(java.util.Base64.getDecoder.decode).orNull)
     }.toDF("mn", "mx", "bloom")
-    val k = col(keyCol).cast("long")
+    // long keys probe as themselves against zone ∧ bloom; string keys
+    // have no long zone (mn/mx null ⇒ zone passes) and probe the bloom
+    // by the shared xxhash64 domain
+    val k = keyAsLong(keys, keyCol)
     keys.join(broadcast(statsDf),
       (col("mn").isNull || (k >= col("mn") && k <= col("mx"))) &&
         (col("bloom").isNull || graft.functions.GraftFunctions

@@ -1316,6 +1316,124 @@ class CdcSpec extends AnyFunSuite {
     assert(!current.contains(4L) && current.contains(2L) && current.size == 99)
   }
 
+  test("string-keyed (UUID) tables: bloom-pruned COW and MOR merges, string point lookup") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-strkey").toString + "/t"
+    def uid(i: Int) = f"uuid-$i%04d"
+    // two files with KEY BLOOMS (string keys record no long zone — the
+    // bloom is the only pruning index they get, over xxhash64)
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((0 until 100).map(i => (uid(i), 0L)).toDF("pk", "v")
+        .coalesce(1), dir, statsCol = Some("pk"), bloomCol = Some("pk")))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1000 until 1100).map(i => (uid(i), 0L)).toDF("pk", "v")
+        .coalesce(1), dir, statsCol = Some("pk"), bloomCol = Some("pk")))
+    // COW: the delta's keys live only in file 1 (+ one brand-new key) —
+    // bloom-only pruning must leave file 2 untouched
+    val r = Merge.applyChanges(spark, dir,
+      Seq((uid(7), 1L), ("uuid-9999", 1L)).toDF("pk", "v"), "pk", None)
+    assert(r.filesTouched == 1 && r.filesUntouched == 1, s"$r")
+    val st = SnapshotLog.read(spark, dir).get.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(st(uid(7)) == 1L && st("uuid-9999") == 1L && st.size == 201)
+    // the rewritten files carry key blooms forward: a later merge into
+    // the OTHER key range leaves them untouched in turn
+    val r2 = Merge.applyChanges(spark, dir,
+      Seq((uid(1005), 2L)).toDF("pk", "v"), "pk", None)
+    assert(r2.filesUntouched >= 1, s"$r2")
+    // the forced-distributed path prunes identically
+    val r3 = Merge.mergeOnRead(spark, dir,
+      Seq((uid(8), 3L)).toDF("pk", "v"), "pk", maxDriverKeys = 0)
+    assert(r3.deleteEntries == 1, s"$r3")
+    // MOR with a string-key tombstone: masks join by the ORIGINAL key
+    val m = Merge.mergeOnRead(spark, dir,
+      Seq((uid(3), 0L, true), (uid(42), 5L, false)).toDF("pk", "v", "is_del"),
+      "pk", Some("is_del"))
+    assert(m.deleteEntries == 2, s"$m")
+    val st2 = SnapshotLog.read(spark, dir).get.collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(!st2.contains(uid(3)) && st2(uid(42)) == 5L && st2(uid(8)) == 3L)
+    assert(st2.size == 200)
+    // a tombstone for a key that NEVER existed writes no mask at all —
+    // the bloom proves absence at WRITE time (string-key phantom guard)
+    val m2 = Merge.mergeOnRead(spark, dir,
+      Seq(("uuid-nope", 0L, true)).toDF("pk", "v", "is_del"), "pk", Some("is_del"))
+    assert(m2.deleteEntries == 0, s"$m2")
+    // bloom point lookup on the string key skips most files and is exact
+    val (kept, skipped) = SnapshotLog.prunePointStringStats(spark, dir, "pk", uid(1005))
+    assert(skipped >= 1, s"kept=$kept skipped=$skipped")
+    val got = SnapshotLog.readPointString(spark, dir, "pk", uid(1005)).get
+      .filter(col("pk") === uid(1005)).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L)
+  }
+
+  test("merge-on-read retry re-derives masks against the new head (no resurrected duplicates)") {
+    import spark.implicits._
+    import graft.table._
+    val dir = Files.createTempDirectory("graft-mor-retry").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 100).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    // a competitor's append (key 999) staged up front; it will steal the
+    // victim's commit id at the exact moment the victim tries to publish
+    val competitor = SnapshotLog.writeData(Seq((999L, 7L)).toDF("id", "v"), dir,
+      statsCol = Some("id"))
+    @volatile var fired = false
+    val sabotage = new LogStore {
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          src: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Boolean = {
+        if (!fired) {
+          fired = true // the nested commit below re-enters with fired=true
+          SnapshotLog.commit(spark, dir, "append", competitor)
+        }
+        HardLinkLogStore.putIfAbsent(fs, src, target)
+      }
+    }
+    // the victim upserts key 999 — a PURE INSERT against the state it
+    // read (no mask entry on attempt 1). Losing the race to the append
+    // that introduces 999 forces the retry to re-derive: the mask entry
+    // must now exist, or both rows of 999 would be live.
+    val res = LogStore.withLogStore(sabotage) {
+      Merge.mergeOnRead(spark, dir, Seq((999L, 42L)).toDF("id", "v"), "id")
+    }
+    assert(res.deleteEntries == 1,
+      s"re-derived attempt must mask the competitor's row: $res")
+    val got = SnapshotLog.read(spark, dir).get.filter(col("id") === 999L).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 42L,
+      s"the upsert must win over the raced-in append: ${got.mkString(",")}")
+    assert(SnapshotLog.read(spark, dir).get.count() == 101)
+  }
+
+  test("concurrent merge-on-read appliers on disjoint keys all land exactly once") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("graft-mor-conc").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 100).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    val appliers = Seq(
+      (1 to 10).map(k => (k.toLong, 1L)),      // updates low keys
+      (50 to 59).map(k => (k.toLong, 2L)),     // updates mid keys
+      (200 to 209).map(k => (k.toLong, 3L)))   // pure inserts
+      .map(rows => Future(
+        Merge.mergeOnRead(spark, dir, rows.toDF("id", "v"), "id", maxRetries = 10)))
+    Await.result(Future.sequence(appliers), 180.seconds)
+    val st = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st.size == 110) // 100 base + 10 inserts, every update in place
+    assert((1 to 10).forall(k => st(k.toLong) == 1L))
+    assert((50 to 59).forall(k => st(k.toLong) == 2L))
+    assert((200 to 209).forall(k => st(k.toLong) == 3L))
+    assert((11 to 49).forall(k => st(k.toLong) == 0L))
+    // three rowdelta commits landed with distinct ids
+    val ops = SnapshotLog.commits(spark, dir).map(_.op)
+    assert(ops.count(_ == "rowdelta") == 3, s"$ops")
+  }
+
   test("concurrent maintenance soak: appends, compaction and expiry race to a consistent table") {
     import spark.implicits._
     import graft.table.SnapshotLog
