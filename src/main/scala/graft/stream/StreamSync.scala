@@ -126,7 +126,13 @@ object StreamSync {
             if (!rows.isEmpty)
               SnapshotLog.commit(spark, tableDir, "append",
                 SnapshotLog.writeData(rows.repartitionByRange(2, col(keyCol)),
-                  tableDir, statsCol = Some(keyCol)),
+                  tableDir, statsCol = Some(keyCol),
+                  // string/UUID keys record no long zone — the manifest
+                  // bloom is their only merge-prune index, so the
+                  // bootstrap must write it or the table starts life
+                  // unprunable
+                  bloomCol = Some(keyCol).filter(_ => rows.schema(keyCol)
+                    .dataType == org.apache.spark.sql.types.StringType)),
                 summary = Map("batch_id" -> batchId.toString))
           } else if (latest.isEmpty) {
             () // empty micro-batch: nothing to merge, nothing to commit

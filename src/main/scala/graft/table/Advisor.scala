@@ -21,6 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                           pruning and COW merges touch extra files);
   *                           pay with `compactSnapshotted(clusterBy)` /
   *                           `clusterZOrder`.
+  *  - `index`              — pruning blindness: data files with neither
+  *                           zone stats nor a bloom, which every merge
+  *                           must touch and every lookup must open; pay
+  *                           with a clustering rewrite (stats recorded).
   *  - `expire_snapshots`   — retention debt: manifests (and their
   *                           unreferenced files) beyond the keep window;
   *                           pay with [[SnapshotLog.expireSnapshots]].
@@ -51,6 +55,15 @@ object Advisor {
       findings += (("materialize_deletes", maskRows,
         s"$maskRows pending equality-delete entries in ${dels.size} file(s) " +
           "tax every read with the mask join"))
+
+    // files carrying NEITHER zone stats NOR a bloom are invisible to
+    // every pruning path — merges must touch them, point lookups must
+    // open them; pay with a clustering rewrite that records stats
+    val unindexed = data.count(f => f.stats.isEmpty && f.blooms.isEmpty)
+    if (unindexed > 0)
+      findings += (("index", unindexed.toLong,
+        s"$unindexed of ${data.size} data files carry no zone stats and no " +
+          "bloom — unprunable by merges and lookups"))
 
     // overlap fraction over first-stats-column intervals: clustered
     // layouts are ~0, ingest-ordered ones approach 1

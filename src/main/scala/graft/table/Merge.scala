@@ -32,6 +32,14 @@ import org.apache.spark.sql.types.StructType
   *     next merge prunes just as well). Readers pinned to pre-merge
   *     snapshots are untouched; time travel across the merge works.
   *
+  * COMPOSITE keys merge through a canonical surrogate: encode the key
+  * tuple as one string column (`concat_ws('', c1, c2, …)` — a
+  * separator that cannot appear in the components, so distinct tuples
+  * can never collide) and merge on that. The string-key machinery then
+  * applies unchanged: xxhash64 manifest blooms index it, masks join by
+  * it, and the components stay as ordinary payload columns. Pinned in
+  * CdcSpec ("composite keys via canonical surrogate").
+  *
   * Schema DRIFT between the table and the delta routes through the
   * [[graft.schema.Evolution]] widening lattice: declared renames apply
   * to the table side, both sides cast to the LUB types, added columns

@@ -778,6 +778,19 @@ class CdcSpec extends AnyFunSuite {
     SnapshotLog.expireSnapshots(spark, dir, retainLast = 5)
     val after = Advisor.advise(spark, dir, retainLast = 5).collect()
     assert(after.isEmpty, s"paid debts must clear: ${after.mkString(";")}")
+    // an append with NO stats and NO bloom is invisible to every pruning
+    // path — the advisor flags it as index debt…
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((200L, "y")).toDF("id", "v").coalesce(1), dir))
+    val idx = Advisor.advise(spark, dir, retainLast = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx.get("index").contains(1L), s"got $idx")
+    // …and the clustering rewrite (stats recorded) pays it
+    Compaction.compactSnapshotted(spark, base, "t",
+      targetBytes = 1L << 30, clusterBy = Some("id"))
+    val cleared = Advisor.advise(spark, dir, retainLast = 8).collect()
+      .filter(_.getString(0) == "index")
+    assert(cleared.isEmpty)
   }
 
   test("schema drift through the snapshot layer: widened reads, epoch schemas preserved, masks cross epochs") {
@@ -1366,6 +1379,39 @@ class CdcSpec extends AnyFunSuite {
     val got = SnapshotLog.readPointString(spark, dir, "pk", uid(1005)).get
       .filter(col("pk") === uid(1005)).collect()
     assert(got.length == 1 && got(0).getLong(1) == 2L)
+  }
+
+  test("composite keys via canonical surrogate: order_id+line merges exactly") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-compkey").toString + "/t"
+    // (order, line) composite PK — the order_items shape — as one
+    // -joined surrogate; components stay payload columns
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(concat_ws("", col("oid"), col("line")).as("pk"),
+        col("oid"), col("line"), col("qty"))
+    val base = (1 to 20).flatMap(o => (1 to 3).map(l => (o, l, 1L)))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(keyed(base.toDF("oid", "line", "qty"))
+        .repartitionByRange(2, col("pk")), dir,
+        statsCol = Some("pk"), bloomCol = Some("pk")))
+    // update (5,2), delete (7,1), insert (21,1) — sibling lines untouched
+    val delta = keyed(Seq((5, 2, 9L), (7, 1, 0L), (21, 1, 2L))
+        .toDF("oid", "line", "qty"))
+      .withColumn("is_del", col("oid") === 7 && col("line") === 1)
+    Merge.applyChanges(spark, dir, delta, "pk", Some("is_del"))
+    val st = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(st.size == 60) // 60 base − 1 deleted + 1 inserted
+    assert(st((5, 2)) == 9L && st((21, 1)) == 2L && !st.contains((7, 1)))
+    assert(st((5, 1)) == 1L && st((5, 3)) == 1L && st((7, 2)) == 1L,
+      "sibling lines of touched orders must be untouched")
+    // distinct tuples can never collide in the surrogate: (1,23) vs (12,3)
+    val a = Seq((1, 23, 0L)).toDF("oid", "line", "qty")
+    val b = Seq((12, 3, 0L)).toDF("oid", "line", "qty")
+    val ka = keyed(a).head().getString(0)
+    val kb = keyed(b).head().getString(0)
+    assert(ka != kb, "canonical separator must keep tuples distinct")
   }
 
   test("merge-on-read retry re-derives masks against the new head (no resurrected duplicates)") {

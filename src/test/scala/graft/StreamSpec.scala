@@ -617,6 +617,46 @@ class StreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap == got)
   }
 
+  test("string-keyed streaming upsert sink: bloom-indexed bootstrap, masked deletes, replay") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-upsert-str").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    def addFile(rows: Seq[(String, String, Long, Boolean)], tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      rows.toDF("pk", "v", "ord", "is_del").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    val schema = Seq(("", "", 0L, false)).toDF("pk", "v", "ord", "is_del").schema
+    def drain(): Unit = StreamSync.upsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/t", s"$base/chk", keyCol = "pk", orderCol = "ord",
+      deleteCol = Some("is_del"))
+    addFile(Seq(("u-1", "a", 1L, false), ("u-2", "b", 1L, false),
+      ("u-3", "c", 1L, false)), "a")
+    addFile(Seq(("u-2", "b2", 3L, false), ("u-1", null, 3L, true),
+      ("u-4", "d", 3L, false)), "b")
+    drain()
+    val commits = SnapshotLog.commits(spark, s"$base/t")
+    assert(commits.map(_.op) == Seq("append", "rowdelta"))
+    // the bootstrap files carry the key BLOOM (their only prune index)
+    assert(commits.head.added.forall(_.blooms.contains("pk")))
+    val got = SnapshotLog.read(spark, s"$base/t").get.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u-2" -> "b2", "u-3" -> "c", "u-4" -> "d"))
+    // string point lookup over the streamed table skips the foreign file
+    val (_, skipped) = SnapshotLog.prunePointStringStats(spark, s"$base/t", "pk", "u-4")
+    assert(skipped >= 1)
+    // idempotent re-drain
+    drain()
+    assert(SnapshotLog.commits(spark, s"$base/t").size == 2)
+  }
+
   test("upsert sink auto-materializes masks past the threshold; feed unaffected") {
     import spark.implicits._
     import graft.table.{DiffConsumer, SnapshotLog}
