@@ -152,8 +152,8 @@ object Compaction {
       return CompactionResult(table, files.size, files.size,
         dataFiles.map(_.rows).sum, totalBytes)
     // Pure small-file debt (no clustering asked, no pending masks) BIN-
-    // PACKS: only files under half the target rewrite, grouped into
-    // ~target-sized bins; right-sized files carry forward BY REFERENCE
+    // PACKS: only under-target files rewrite, grouped into ~target-sized
+    // bins; right-sized files carry forward BY REFERENCE
     // (paths survive the commit identically). Compaction cost then
     // scales with the DEBT, not the table — at 100 TB a nightly
     // small-file pass touches the day's sync droppings, never the
@@ -195,39 +195,74 @@ object Compaction {
   }
 
   /** The bin-pack rewrite behind [[compactSnapshotted]]'s no-clustering
-    * path: small files (< targetBytes/2) rewrite into ceil(smallBytes/
-    * target) bins, everything else is untouched metadata. The replace
-    * commit removes ONLY the packed paths, the row-count gate compares
-    * against the packed files' manifest rows, and the rewritten files'
-    * stats re-derive whatever columns the packed files carried. */
+    * path: under-target files (< targetBytes — so many-mid-sized-file
+    * tables consolidate too; convergence is guaranteed by the per-class
+    * `size <= bins` no-op guard) rewrite into ceil(bytes/target) bins,
+    * everything else is untouched metadata. Three safety properties:
+    *  - files pack only WITHIN a schema class (one footer read per
+    *    commit-seq group): a drifted table's epochs never union raw,
+    *    where single-schema inference would silently null the other
+    *    epoch's columns — they pack among themselves and stay readable
+    *    through the Evolution merge;
+    *  - the rewritten files RE-DERIVE the packed files' pruning
+    *    metadata: the union of their zone-stat columns and their bloom
+    *    column, so a merge-key zone or a string key's bloom survives
+    *    the maintenance that would otherwise blind it;
+    *  - one replace commit removes ONLY the packed paths, gated per
+    *    class on manifest-row equality. */
   private def binPack(spark: SparkSession, table: String, dir: String,
                       files: Seq[graft.table.SnapshotLog.DataFile],
                       dataFiles: Seq[graft.table.SnapshotLog.DataFile],
                       targetBytes: Long, totalBytes: Long): CompactionResult = {
     import graft.table.SnapshotLog
-    val small = dataFiles.filter(_.bytes < targetBytes / 2)
-    val smallBytes = small.map(_.bytes).sum
-    val bins = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
-    if (small.size <= bins) // the debt is already paid
-      return CompactionResult(table, files.size, files.size,
-        dataFiles.map(_.rows).sum, totalBytes)
-    val df = spark.read.parquet(small.map(_.path): _*)
-    val statsColOpt =
-      if (df.columns.contains("kafka_offset")) Some("kafka_offset")
-      else small.flatMap(_.stats.keys).distinct.find(df.columns.contains)
-    val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
-      statsCol = statsColOpt)
-    val (nOld, nNew) = (small.map(_.rows).sum, rewritten.map(_.rows).sum)
-    require(nNew == nOld,
-      s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")
-    SnapshotLog.commit(spark, dir, "replace", rewritten,
-      removed = small.map(_.path),
-      summary = Map("table" -> table, "bin_packed" -> small.size.toString,
-        "carried_forward" -> (dataFiles.size - small.size).toString))
+    val noOp = CompactionResult(table, files.size, files.size,
+      dataFiles.map(_.rows).sum, totalBytes)
+    val small = dataFiles.filter(_.bytes < targetBytes)
+    if (small.size <= 1) return noOp
+    val classes = small.groupBy(_.seq).toSeq.sortBy(_._1)
+      .map { case (_, fs) => spark.read.parquet(fs.head.path).schema -> fs }
+      .groupBy(_._1).toSeq.map { case (sch, gs) => sch -> gs.flatMap(_._2) }
+    val packed = classes.flatMap { case (_, cls) =>
+      val clsBytes = cls.map(_.bytes).sum
+      val bins = math.max(1L, (clsBytes + targetBytes - 1) / targetBytes).toInt
+      if (cls.size <= bins) None // this class's debt is already paid
+      else {
+        val df = spark.read.parquet(cls.map(_.path): _*)
+        val statKeys = cls.flatMap(_.stats.keys).distinct.filter(df.columns.contains)
+        // keep the legacy first-stats slot on kafka_offset when present
+        // (readRange's offset pruning), then the rest of the zone columns
+        val ordered =
+          if (statKeys.contains("kafka_offset"))
+            "kafka_offset" +: statKeys.filterNot(_ == "kafka_offset")
+          else statKeys
+        val bloom = cls.flatMap(_.blooms.keys).distinct
+          .filter(df.columns.contains).headOption
+        val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
+          statsCol = ordered.headOption, statsCols = ordered.drop(1),
+          bloomCol = bloom)
+        val (nOld, nNew) = (cls.map(_.rows).sum, rewritten.map(_.rows).sum)
+        require(nNew == nOld,
+          s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")
+        Some((cls, rewritten))
+      }
+    }
+    if (packed.isEmpty) return noOp
+    val removed = packed.flatMap(_._1)
+    val rewritten = packed.flatMap(_._2)
+    // one replace PER schema class: a commit's data files share one seq,
+    // and the epoch-merging read path resolves schemas per seq group —
+    // mixing two classes under one id would hand it a heterogeneous
+    // group (each commit stays individually atomic; diff ignores both)
+    packed.foreach { case (cls, rw) =>
+      SnapshotLog.commit(spark, dir, "replace", rw,
+        removed = cls.map(_.path),
+        summary = Map("table" -> table, "bin_packed" -> cls.size.toString,
+          "carried_forward" -> (dataFiles.size - removed.size).toString))
+    }
     CompactionResult(table, files.size,
-      files.size - small.size + rewritten.size,
+      files.size - removed.size + rewritten.size,
       dataFiles.map(_.rows).sum,
-      totalBytes - smallBytes + rewritten.map(_.bytes).sum)
+      totalBytes - removed.map(_.bytes).sum + rewritten.map(_.bytes).sum)
   }
 
   /** Z-ORDER arrangement shared by the clustering compaction and

@@ -65,14 +65,20 @@ object AtomicRenameLogStore extends LogStore {
 }
 
 /** The external CAS a conditional-put store consults to claim a commit
-  * id before writing it. `claim(key)` must return true for EXACTLY ONE
-  * caller per key, ever — the semantics of a DynamoDB
-  * `attribute_not_exists` put-item or an S3 `If-None-Match: *` PUT.
-  * [[ProcessLocalArbiter]] is the single-JVM model used in tests and
-  * single-driver deployments; a multi-driver deployment plugs its real
-  * coordination service here. */
+  * id before writing it. `claim(key, payload)` must return true for
+  * EXACTLY ONE caller per key, ever — the semantics of a DynamoDB
+  * `attribute_not_exists` put-item — and durably stores the winner's
+  * `payload` (the full manifest bytes, KB-scale) WITH the claim. The
+  * payload is what makes an orphaned claim recoverable: if the winner
+  * dies between its claim and its put, the next writer completes the
+  * commit from `payloadOf` instead of the table wedging forever on a
+  * consumed id (exactly Delta's S3DynamoDBLogStore incomplete-entry
+  * recovery). [[ProcessLocalArbiter]] is the single-JVM model used in
+  * tests and single-driver deployments; a multi-driver deployment plugs
+  * its real coordination service here. */
 trait CommitArbiter {
-  def claim(key: String): Boolean
+  def claim(key: String, payload: Array[Byte]): Boolean
+  def payloadOf(key: String): Option[Array[Byte]]
 }
 
 /** CAS over a concurrent map — faithful to the conditional-put
@@ -80,8 +86,12 @@ trait CommitArbiter {
   * local writer racing one table is arbitrated by the same map); it is
   * NOT a cross-process primitive. */
 final class ProcessLocalArbiter extends CommitArbiter {
-  private val claimed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  override def claim(key: String): Boolean = claimed.add(key)
+  private val claimed =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  override def claim(key: String, payload: Array[Byte]): Boolean =
+    claimed.putIfAbsent(key, payload) == null
+  override def payloadOf(key: String): Option[Array[Byte]] =
+    Option(claimed.get(key))
 }
 
 /** Object-store commit: the underlying "put" is a BLIND overwrite (all
@@ -89,14 +99,45 @@ final class ProcessLocalArbiter extends CommitArbiter {
   * CAS first — the loser throws away its attempt without a single byte
   * landing at the target, and the winner's overwrite can clobber nobody
   * because nobody else ever writes the claimed key. An existing target
-  * short-circuits to lost (the id is visibly taken; no CAS round-trip). */
+  * short-circuits to lost (the id is visibly taken; no CAS round-trip).
+  * A loser that finds the target MISSING completes the claim owner's
+  * commit from the stored payload before reporting lost — so a writer
+  * dying between claim and put can never wedge the table: the commit
+  * became durable the moment the claim (with payload) landed. */
 final class ConditionalPutLogStore(arbiter: CommitArbiter) extends LogStore {
+
+  private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  private def blindPut(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(target, true)
+    try out.write(bytes) finally out.close()
+  }
+
   override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean = {
     if (fs.exists(target)) return false
-    if (!arbiter.claim(target.toString)) return false
-    // we own the key: the blind last-write-wins put is now unracing
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, target,
-      /* deleteSource = */ false, /* overwrite = */ true, fs.getConf)
+    val payload = readAll(fs, src)
+    if (!arbiter.claim(target.toString, payload)) {
+      // lost the claim; if the winner died before its put landed, its
+      // stored payload completes the commit now (the recovery half of
+      // the conditional-put protocol)
+      if (!fs.exists(target))
+        arbiter.payloadOf(target.toString).foreach(blindPut(fs, target, _))
+      return false
+    }
+    // we own the key: the blind last-write-wins put is now unracing; if
+    // it fails here, the claim still holds our payload and any later
+    // writer's recovery completes the commit — the IO error surfaces,
+    // the table never wedges
+    blindPut(fs, target, payload)
     true
   }
 }

@@ -1052,6 +1052,50 @@ class CdcSpec extends AnyFunSuite {
     assert(res2.filesAfter == res2.filesBefore)
   }
 
+  test("bin-pack consolidates mid-sized files, converges, and never unions drifted epochs raw") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    // mid-size consolidation: 4 equal files each ~0.45× target → 2 bins
+    val b1 = Files.createTempDirectory("graft-binpack-mid").toString
+    val d1 = s"$b1/t_parquet"
+    for (s <- 0 until 4)
+      SnapshotLog.commit(spark, d1, "append",
+        SnapshotLog.writeData((0 until 1000).map(i => (s * 1000L + i, s"v$i"))
+          .toDF("id", "v").coalesce(1), d1, statsCol = Some("id")))
+    val fBytes = SnapshotLog.filesAt(spark, d1).map(_.bytes).max
+    val res = Compaction.compactSnapshotted(spark, b1, "t",
+      targetBytes = (fBytes * 2.2).toLong)
+    assert(res.filesAfter == 2, s"4 mid-size files must pack into 2: $res")
+    // and the rewritten files keep the key zone for merge pruning
+    assert(SnapshotLog.filesAt(spark, d1).forall(_.stats.contains("id")))
+    val res2 = Compaction.compactSnapshotted(spark, b1, "t",
+      targetBytes = (fBytes * 2.2).toLong)
+    assert(res2.filesAfter == res2.filesBefore, s"must converge: $res2")
+    assert(SnapshotLog.read(spark, d1).get.count() == 4000)
+
+    // drifted epochs: two old-schema files + two widened-schema files —
+    // packing must stay WITHIN each schema class (a raw union would
+    // silently null the added column), and the merged read stays exact
+    val b2 = Files.createTempDirectory("graft-binpack-drift").toString
+    val d2 = s"$b2/t_parquet"
+    for (s <- 0 until 2)
+      SnapshotLog.commit(spark, d2, "append",
+        SnapshotLog.writeData(Seq((s * 10 + 1, 1), (s * 10 + 2, 2))
+          .toDF("id", "v").coalesce(1), d2, statsCol = Some("id")))
+    for (s <- 2 until 4)
+      SnapshotLog.commit(spark, d2, "append",
+        SnapshotLog.writeData(Seq((s * 10 + 1L, 1L, "n1"), (s * 10 + 2L, 2L, "n2"))
+          .toDF("id", "v", "note").coalesce(1), d2, statsCol = Some("id")))
+    val rd = Compaction.compactSnapshotted(spark, b2, "t", targetBytes = 1L << 30)
+    assert(rd.filesAfter == 2, s"one packed file per schema class: $rd")
+    val got = SnapshotLog.read(spark, d2).get.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got.size == 8)
+    assert(got(21L).contains("n1") && got(32L).contains("n2"),
+      "the widened epoch's added column must survive the packing")
+    assert(got(1L).isEmpty && got(12L).isEmpty)
+  }
+
   test("multi-partition topic: per-partition resume, HWM map, idempotent re-sync") {
     val (base, store, job) = freshDirs()
     // partial pre-state: p0 consumed through offset 1, p1 through 2; p2 unseen
@@ -1104,23 +1148,49 @@ class CdcSpec extends AnyFunSuite {
     val b2 = Files.createTempDirectory("graft-condput").toString + "/t"
     SnapshotLog.commit(spark, b2, "append",
       SnapshotLog.writeData(Seq((1L, "a")).toDF("id", "v"), b2))
+    val fB = SnapshotLog.writeData(Seq((3L, "B")).toDF("id", "v"), b2)
     LogStore.withLogStore(new ConditionalPutLogStore(arb)) {
       val fA = SnapshotLog.writeData(Seq((2L, "A")).toDF("id", "v"), b2)
-      val fB = SnapshotLog.writeData(Seq((3L, "B")).toDF("id", "v"), b2)
       assert(SnapshotLog.commitAt(spark, b2, 2L, "append", fA, Nil, Map.empty) == 2L)
       // target exists → short-circuit loss
       intercept[SnapshotLog.ConcurrentCommitException] {
         SnapshotLog.commitAt(spark, b2, 2L, "append", fB, Nil, Map.empty)
       }
-      // CAS alone: a racer CLAIMED id 3 but its put hasn't landed — the
-      // exists-check sees nothing, the claim must still decide the loser
-      arb.claim(new Path(s"$b2/_graft_log", f"${3L}%020d.json").toString)
-      intercept[SnapshotLog.ConcurrentCommitException] {
-        SnapshotLog.commitAt(spark, b2, 3L, "append", fB, Nil, Map.empty)
-      }
     }
     assert(SnapshotLog.read(spark, b2).get.collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L))
+    // CRASH RECOVERY: writer C claims id 3 (payload stored in the CAS)
+    // and dies before its put lands. The id must not wedge: the next
+    // writer completes C's commit from the stored payload, loses, and
+    // its retry lands at id 4 — both commits durable.
+    val fC = SnapshotLog.writeData(Seq((4L, "C")).toDF("id", "v"), b2)
+    val crashing = new LogStore {
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          src: Path, target: Path): Boolean = {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(src.toUri.getPath))
+        assert(arb.claim(target.toString, bytes))
+        throw new java.io.IOException("simulated crash after claim, before put")
+      }
+    }
+    intercept[java.io.IOException] {
+      LogStore.withLogStore(crashing) {
+        SnapshotLog.commitAt(spark, b2, 3L, "append", fC, Nil,
+          Map("writer" -> "C"))
+      }
+    }
+    assert(SnapshotLog.snapshots(spark, b2) == Seq(1L, 2L), "C's put never landed")
+    LogStore.withLogStore(new ConditionalPutLogStore(arb)) {
+      // the loser recovers C's commit, then the append retry lands after it
+      intercept[SnapshotLog.ConcurrentCommitException] {
+        SnapshotLog.commitAt(spark, b2, 3L, "append", fB, Nil, Map.empty)
+      }
+      assert(SnapshotLog.commits(spark, b2).last.summary.get("writer")
+        .contains("C"), "the orphaned claim's payload must have completed C's commit")
+      assert(SnapshotLog.commitRetrying(spark, b2, fB) == 4L)
+    }
+    assert(SnapshotLog.read(spark, b2).get.collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
 
     // and under real concurrency: 8 retrying writers through the
     // conditional-put store all land exactly once, none lost
@@ -1264,6 +1334,33 @@ class CdcSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
     assert(got == Map(1L -> ((10L, None)), 2L -> ((21L, Some("updated"))),
       3L -> ((30L, Some("new")))))
+  }
+
+  test("merge with touched files spanning drifted epochs reads survivors through the lattice") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-epochmerge").toString + "/t"
+    // epoch A: (id, amount int, addr); epoch B: (id, amount long, note)
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((1L, 10, "a1"), (2L, 20, "a2"))
+        .toDF("id", "amount", "addr").coalesce(1), dir, statsCol = Some("id")))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((11L, 100L, "n1"), (12L, 200L, "n2"))
+        .toDF("id", "amount", "note").coalesce(1), dir, statsCol = Some("id")))
+    // the delta touches BOTH epochs' files: survivors (keys 1 and 11)
+    // must keep their own epoch's columns — a raw multi-path read would
+    // infer one file's schema and silently null the other's
+    val delta = Seq((2L, 21L, "x"), (12L, 201L, "y")).toDF("id", "amount", "note")
+    val r = Merge.applyChanges(spark, dir, delta, "id", None)
+    assert(r.filesTouched == 2)
+    val df = SnapshotLog.read(spark, dir).get
+    assert(df.columns.toSet == Set("id", "amount", "addr", "note"))
+    val got = df.collect().map(x => x.getLong(0) ->
+      ((x.getLong(1), Option(x.getAs[String]("addr")), Option(x.getAs[String]("note"))))).toMap
+    assert(got(1L) == ((10L, Some("a1"), None)), s"epoch-A survivor lost data: ${got(1L)}")
+    assert(got(11L) == ((100L, None, Some("n1"))), s"epoch-B survivor lost data: ${got(11L)}")
+    assert(got(2L) == ((21L, None, Some("x"))) && got(12L) == ((201L, None, Some("y"))))
+    assert(got.size == 4)
   }
 
   test("z-order materialization restores 2-D pruning after MOR maintenance") {
