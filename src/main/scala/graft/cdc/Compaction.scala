@@ -152,8 +152,8 @@ object Compaction {
       return CompactionResult(table, files.size, files.size,
         dataFiles.map(_.rows).sum, totalBytes)
     // Pure small-file debt (no clustering asked, no pending masks) BIN-
-    // PACKS: only under-target files rewrite, grouped into ~target-sized
-    // bins; right-sized files carry forward BY REFERENCE
+    // PACKS: only files under half the target rewrite, grouped into
+    // ~target-sized bins; right-sized files carry forward BY REFERENCE
     // (paths survive the commit identically). Compaction cost then
     // scales with the DEBT, not the table — at 100 TB a nightly
     // small-file pass touches the day's sync droppings, never the
@@ -165,9 +165,14 @@ object Compaction {
 
     // merge-on-read tables compact through the masked read — the rewrite
     // MATERIALIZES pending equality deletes, so the replace commit also
-    // retires the delete files (read amplification returns to zero)
+    // retires the delete files (read amplification returns to zero).
+    // Maskless tables read EPOCH-SAFELY: drifted schemas merge through
+    // the Evolution lattice instead of a raw multi-path read silently
+    // nulling the other epoch's columns (the clustering rewrite then
+    // MATERIALIZES the widened schema — a declared-rename registry is
+    // not known here, so renamed columns stay separate; lossless)
     val df =
-      if (delFiles.isEmpty) spark.read.parquet(dataFiles.map(_.path): _*)
+      if (delFiles.isEmpty) SnapshotLog.readEpochSafe(spark, dataFiles)
       else SnapshotLog.read(spark, dir).get
     val nOld =
       if (delFiles.isEmpty) dataFiles.map(_.rows).sum
@@ -195,10 +200,10 @@ object Compaction {
   }
 
   /** The bin-pack rewrite behind [[compactSnapshotted]]'s no-clustering
-    * path: under-target files (< targetBytes — so many-mid-sized-file
-    * tables consolidate too; convergence is guaranteed by the per-class
-    * `size <= bins` no-op guard) rewrite into ceil(bytes/target) bins,
-    * everything else is untouched metadata. Three safety properties:
+    * path: small files (< targetBytes/2 — see the selection comment for
+    * why half-target is the O(debt) stability point) rewrite into
+    * ceil(bytes/target) bins, everything else is untouched metadata.
+    * Three safety properties:
     *  - files pack only WITHIN a schema class (one footer read per
     *    commit-seq group): a drifted table's epochs never union raw,
     *    where single-schema inference would silently null the other
@@ -217,10 +222,16 @@ object Compaction {
     import graft.table.SnapshotLog
     val noOp = CompactionResult(table, files.size, files.size,
       dataFiles.map(_.rows).sum, totalBytes)
-    val small = dataFiles.filter(_.bytes < targetBytes)
+    // the HALF-target selection threshold is what keeps the job O(debt)
+    // under ongoing ingest: packed outputs average ABOVE half target
+    // (bins is a byte ceiling), so they permanently exit the candidate
+    // set — a wider threshold would re-select its own outputs and
+    // rewrite the accumulated class on every run once any new small
+    // file arrived. Consolidating half-to-full-target files is a
+    // deliberate O(table) layout job: ask for `clusterBy`.
+    val small = dataFiles.filter(_.bytes < targetBytes / 2)
     if (small.size <= 1) return noOp
-    val classes = small.groupBy(_.seq).toSeq.sortBy(_._1)
-      .map { case (_, fs) => spark.read.parquet(fs.head.path).schema -> fs }
+    val classes = graft.table.SnapshotLog.epochGroups(spark, small)
       .groupBy(_._1).toSeq.map { case (sch, gs) => sch -> gs.flatMap(_._2) }
     val packed = classes.flatMap { case (_, cls) =>
       val clsBytes = cls.map(_.bytes).sum
@@ -229,10 +240,12 @@ object Compaction {
       else {
         val df = spark.read.parquet(cls.map(_.path): _*)
         val statKeys = cls.flatMap(_.stats.keys).distinct.filter(df.columns.contains)
-        // keep the legacy first-stats slot on kafka_offset when present
-        // (readRange's offset pruning), then the rest of the zone columns
+        // keep the legacy first-stats slot on kafka_offset when the
+        // COLUMN is present (readRange's offset pruning — even files
+        // committed by pre-stats writers gain the zone here), then the
+        // rest of the recorded zone columns
         val ordered =
-          if (statKeys.contains("kafka_offset"))
+          if (df.columns.contains("kafka_offset"))
             "kafka_offset" +: statKeys.filterNot(_ == "kafka_offset")
           else statKeys
         val bloom = cls.flatMap(_.blooms.keys).distinct
@@ -257,7 +270,7 @@ object Compaction {
       SnapshotLog.commit(spark, dir, "replace", rw,
         removed = cls.map(_.path),
         summary = Map("table" -> table, "bin_packed" -> cls.size.toString,
-          "carried_forward" -> (dataFiles.size - removed.size).toString))
+          "carried_forward" -> (dataFiles.size - cls.size).toString))
     }
     CompactionResult(table, files.size,
       files.size - removed.size + rewritten.size,

@@ -79,19 +79,27 @@ object AtomicRenameLogStore extends LogStore {
 trait CommitArbiter {
   def claim(key: String, payload: Array[Byte]): Boolean
   def payloadOf(key: String): Option[Array[Byte]]
+  /** The put landed: the payload may be dropped (the claim marker MUST
+    * remain — exactly-once is forever). Without this, a long-running
+    * driver would retain every commit's manifest bytes indefinitely. */
+  def complete(key: String): Unit
 }
 
 /** CAS over a concurrent map — faithful to the conditional-put
   * semantics within one process (install ONE instance per JVM so every
   * local writer racing one table is arbitrated by the same map); it is
-  * NOT a cross-process primitive. */
+  * NOT a cross-process primitive. Completed claims keep an empty
+  * sentinel so memory stays O(#commits × key length), not
+  * O(#commits × manifest size). */
 final class ProcessLocalArbiter extends CommitArbiter {
   private val claimed =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
   override def claim(key: String, payload: Array[Byte]): Boolean =
     claimed.putIfAbsent(key, payload) == null
   override def payloadOf(key: String): Option[Array[Byte]] =
-    Option(claimed.get(key))
+    Option(claimed.get(key)).filter(_.nonEmpty)
+  override def complete(key: String): Unit =
+    claimed.replace(key, Array.emptyByteArray)
 }
 
 /** Object-store commit: the underlying "put" is a BLIND overwrite (all
@@ -117,10 +125,28 @@ final class ConditionalPutLogStore(arbiter: CommitArbiter) extends LogStore {
     } finally in.close()
   }
 
-  private def blindPut(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit = {
-    val out = fs.create(target, true)
-    try out.write(bytes) finally out.close()
-  }
+  /** A whole-object put with ATOMIC VISIBILITY — readers see the old
+    * state or the complete new bytes, never a torn prefix. Real object
+    * stores give this natively (an S3 PUT is all-or-nothing); the
+    * local-filesystem model reproduces it with write-temp + atomic
+    * replacing rename. Atomic visibility is what makes the recovery
+    * overwrite safe: every writer of a claimed key writes the SAME
+    * bytes (the claim payload), so a late duplicate put replaces a
+    * committed manifest with identical content — harmless — and no
+    * reader can ever observe a truncated manifest. */
+  private def atomicPut(fs: FileSystem, target: Path, bytes: Array[Byte]): Unit =
+    if (fs.getScheme == "file") {
+      val t = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = t.resolveSibling("." + t.getFileName + ".put-" +
+        java.util.UUID.randomUUID())
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = fs.create(target, true)
+      try out.write(bytes) finally out.close()
+    }
 
   override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean = {
     if (fs.exists(target)) return false
@@ -128,16 +154,18 @@ final class ConditionalPutLogStore(arbiter: CommitArbiter) extends LogStore {
     if (!arbiter.claim(target.toString, payload)) {
       // lost the claim; if the winner died before its put landed, its
       // stored payload completes the commit now (the recovery half of
-      // the conditional-put protocol)
+      // the conditional-put protocol). A stale exists-check is fine:
+      // recovery writes the winner's own bytes through the atomic put.
       if (!fs.exists(target))
-        arbiter.payloadOf(target.toString).foreach(blindPut(fs, target, _))
+        arbiter.payloadOf(target.toString).foreach(atomicPut(fs, target, _))
       return false
     }
-    // we own the key: the blind last-write-wins put is now unracing; if
-    // it fails here, the claim still holds our payload and any later
-    // writer's recovery completes the commit — the IO error surfaces,
-    // the table never wedges
-    blindPut(fs, target, payload)
+    // we own the key: the put is unracing (and identical-bytes-replayable
+    // by recoverers). If it fails here, the claim still holds our
+    // payload and any later writer completes the commit — the IO error
+    // surfaces, the table never wedges.
+    atomicPut(fs, target, payload)
+    arbiter.complete(target.toString) // payload no longer needed
     true
   }
 }

@@ -231,19 +231,11 @@ object Merge {
       if (touched.isEmpty) upserts
       else {
         // touched files may themselves span SCHEMA EPOCHS (a drift merge
-        // leaves old-schema files live by reference): read per-seq
-        // groups and merge through the Evolution lattice exactly like
-        // the snapshot read path — one raw multi-path relation would
-        // infer a single file's schema and silently null the other
-        // epoch's drifted columns before mergeEpochs ever saw them
-        val bySeq = touched.groupBy(_.seq).toSeq.sortBy(_._1)
-          .map { case (_, fs) => spark.read.parquet(fs.map(_.path): _*) }
-        val epochSchemas = bySeq.map(_.schema)
-        val touchedDf =
-          if (renames.isEmpty && epochSchemas.forall(_ == epochSchemas.head))
-            spark.read.parquet(touched.map(_.path): _*)
-          else graft.schema.Evolution.mergeEpochs(bySeq, renames)
-        val survivors = touchedDf
+        // leaves old-schema files live by reference): the epoch-safe
+        // read merges them through the Evolution lattice — one raw
+        // multi-path relation would infer a single file's schema and
+        // silently null the other epoch's drifted columns
+        val survivors = SnapshotLog.readEpochSafe(spark, touched, renames)
           .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         if (sameShape(survivors.schema, upserts.schema))
           survivors.unionByName(upserts)
@@ -341,19 +333,22 @@ object Merge {
       keys match {
         case Left(arr) =>
           import spark.implicits._
-          val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
-          // per-FILE probe structures built once (each 4 KB bloom decodes
-          // once, not once per key), then every key tests zone ∧ bloom
-          val probes = stated.map(f => (keyZone(f, keyCol),
-            f.blooms.get(keyCol).filter(_ => budget)
-              .map(java.util.Base64.getDecoder.decode)))
           val masks =
             if (unstated) arr.toSeq
-            else arr.toSeq.filter(k => probes.exists { case (zone, bloom) =>
-              zone.forall { case (mn, mx) => k >= mn && k <= mx } &&
-                bloom.forall(graft.functions.BloomFilterOps
-                  .mightContain(_, k, SnapshotLog.BloomHashes))
-            })
+            else {
+              // per-FILE probe structures built once (each 4 KB bloom
+              // decodes once, not once per key), then every key tests
+              // zone ∧ bloom
+              val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
+              val probes = stated.map(f => (keyZone(f, keyCol),
+                f.blooms.get(keyCol).filter(_ => budget)
+                  .map(java.util.Base64.getDecoder.decode)))
+              arr.toSeq.filter(k => probes.exists { case (zone, bloom) =>
+                zone.forall { case (mn, mx) => k >= mn && k <= mx } &&
+                  bloom.forall(graft.functions.BloomFilterOps
+                    .mightContain(_, k, SnapshotLog.BloomHashes))
+              })
+            }
           masks.toDF("k")
         case Right(keyDf) =>
           if (unstated) keyDf

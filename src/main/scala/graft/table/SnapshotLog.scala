@@ -404,6 +404,37 @@ object SnapshotLog {
     else graft.schema.Evolution.mergeEpochs(groups, renames)
   }
 
+  /** The files grouped by commit seq, each with its schema probed from
+    * ONE head-file footer (a commit's files share a schema by
+    * construction — [[writeData]] writes one frame per call, and
+    * bin-pack commits one replace per schema class). Driver-side
+    * metadata: one footer read per EPOCH, never per file. */
+  private[graft] def epochGroups(spark: SparkSession, files: Seq[DataFile])
+      : Seq[(org.apache.spark.sql.types.StructType, Seq[DataFile])] =
+    files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (_, fs) =>
+      spark.read.parquet(fs.head.path).schema -> fs
+    }
+
+  /** Read a set of live data files SAFELY across schema epochs: uniform
+    * schemas (and no renames) read as one multi-path relation — the
+    * pruning- and codegen-friendly scan; drifted ones read per epoch
+    * and merge through the Evolution widening lattice. A raw multi-path
+    * read of drifted files would infer a single file's schema and
+    * silently null the other epochs' columns — every consumer of a
+    * snapshot table's file list (reads, merges, compactions) must come
+    * through here or [[applyEqDeletes]]. */
+  private[graft] def readEpochSafe(spark: SparkSession, files: Seq[DataFile],
+                                   renames: Map[String, String] = Map.empty)
+      : DataFrame = {
+    val groups = epochGroups(spark, files)
+    val schemas = groups.map(_._1)
+    if (renames.isEmpty && schemas.forall(_ == schemas.head))
+      spark.read.parquet(files.map(_.path): _*)
+    else graft.schema.Evolution.mergeEpochs(
+      groups.map { case (_, fs) => spark.read.parquet(fs.map(_.path): _*) },
+      renames)
+  }
+
   private def applyEqDeletes(spark: SparkSession, data: Seq[DataFile],
                              dels: Seq[DataFile],
                              renames: Map[String, String] = Map.empty): DataFrame = {
@@ -457,17 +488,8 @@ object SnapshotLog {
            renames: Map[String, String] = Map.empty): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     if (data.isEmpty) None
-    else if (dels.isEmpty) {
-      val bySeq = data.groupBy(_.seq).toSeq.sortBy(_._1)
-      val groups = bySeq.map { case (_, fs) =>
-        spark.read.parquet(fs.map(_.path): _*) }
-      val schemas = groups.map(_.schema)
-      // uniform schemas: ONE relation over every path (the pruning- and
-      // codegen-friendly scan); drifted: the widening merge per commit
-      if (renames.isEmpty && schemas.forall(_ == schemas.head))
-        Some(spark.read.parquet(data.map(_.path): _*))
-      else Some(graft.schema.Evolution.mergeEpochs(groups, renames))
-    } else Some(applyEqDeletes(spark, data, dels, renames))
+    else if (dels.isEmpty) Some(readEpochSafe(spark, data, renames))
+    else Some(applyEqDeletes(spark, data, dels, renames))
   }
 
   /** Manifest-pruned range read over the stats column: files whose

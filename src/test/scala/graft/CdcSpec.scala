@@ -1094,6 +1094,15 @@ class CdcSpec extends AnyFunSuite {
     assert(got(21L).contains("n1") && got(32L).contains("n2"),
       "the widened epoch's added column must survive the packing")
     assert(got(1L).isEmpty && got(12L).isEmpty)
+    // the CLUSTERING rewrite over the same drifted table goes through
+    // the epoch-safe read too: it materializes the widened schema
+    // without losing either epoch's columns
+    val rc = Compaction.compactSnapshotted(spark, b2, "t",
+      targetBytes = 1L << 30, clusterBy = Some("id"))
+    assert(rc.rows == 8)
+    val clustered = SnapshotLog.read(spark, d2).get.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(clustered == got, "clustering must not change a single value")
   }
 
   test("multi-partition topic: per-partition resume, HWM map, idempotent re-sync") {
