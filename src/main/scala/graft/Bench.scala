@@ -74,6 +74,47 @@ object Bench {
     }
   }
 
+  /** CDC APPLY throughput probe: a lineitem-derived keyed table is
+    * pre-seeded through the snapshot log (untimed), then ONE bulk
+    * micro-batch of ~25% updates + ~5% inserts drains through
+    * [[graft.stream.StreamSync.upsertSink]] — the merge-on-read apply
+    * path (latest-per-key resolve → mask selection against manifest
+    * zones → rowdelta commit). Measures the rate of the engine's answer
+    * to the reference's core job: applying a CDC delta to a standing
+    * warehouse, at O(delta) write cost. */
+  private def upsertApplyProbe(spark: SparkSession, sfDir: String): (Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.table.SnapshotLog
+    val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-bench").toString
+    val (src, chk, tbl) = (s"$tmp/in", s"$tmp/chk", s"$tmp/t")
+    val state = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_orderkey").cast("long") * 100 + col("l_linenumber")).as("id"),
+        col("l_extendedprice").as("v"), lit(0L).as("ord"),
+        lit(false).as("is_del"))
+    SnapshotLog.commit(spark, tbl, "append",
+      SnapshotLog.writeData(state.repartitionByRange(8, col("id")), tbl,
+        statsCol = Some("id")))
+    // ~25% of keys updated, ~5% brand-new inserts, a sprinkle of deletes
+    val delta = state.filter(pmod(col("id"), lit(4)) === 0)
+      .select(col("id"), (col("v") * 2).as("v"), lit(1L).as("ord"),
+        (pmod(col("id"), lit(64)) === 0).as("is_del"))
+      .unionByName(state.filter(pmod(col("id"), lit(20)) === 3)
+        .select((col("id") + lit(1000000000L)).as("id"), col("v"),
+          lit(1L).as("ord"), lit(false).as("is_del")))
+    delta.write.mode("overwrite").parquet(src)
+    val n = spark.read.parquet(src).count()
+    val schema = spark.read.parquet(src).schema
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      graft.stream.StreamSync.upsertSink(
+        spark.readStream.schema(schema).parquet(src),
+        tbl, chk, keyCol = "id", orderCol = "ord", deleteCol = Some("is_del"))
+      ((System.nanoTime() - t0) / 1e9, n)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -142,11 +183,20 @@ object Bench {
     // eviction semantics StreamSpec pins; here its bulk throughput
     val (sessSec, sessRows, _) = probe("stream_session_rocksdb", None, 10,
       rocksdb = true, pipeline = graft.stream.StreamSync.sessionCounts)
+    // the CDC APPLY probe: one bulk micro-batch of updates+inserts+
+    // deletes merged into a pre-seeded snapshot table (merge-on-read)
+    val (applySec, applyRows) =
+      if (only.exists(!_.contains("stream_upsert_apply"))) (-1.0, 0L)
+      else
+        try upsertApplyProbe(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stream_upsert_apply: ${e.getMessage}"); (-1.0, 0L) }
     // a probe excluded by SPARK_GRAFT_ONLY is omitted, not reported failed
     val all = results ++
       Seq("stream_replay" -> streamSec, "stream_bulk" -> bulkSec,
           "stream_bulk_rocksdb" -> rocksSec,
-          "stream_session_rocksdb" -> sessSec)
+          "stream_session_rocksdb" -> sessSec,
+          "stream_upsert_apply" -> applySec)
         .filter { case (k, _) => only.forall(_.contains(k)) }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale (de_DE) would make every emitted JSON unparseable.
@@ -157,6 +207,7 @@ object Bench {
     val bulkRate = if (bulkSec > 0) math.round(bulkRows / bulkSec) else 0L
     val rocksRate = if (rocksSec > 0) math.round(rocksRows / rocksSec) else 0L
     val sessRate = if (sessSec > 0) math.round(sessRows / sessSec) else 0L
+    val applyRate = if (applySec > 0) math.round(applyRows / applySec) else 0L
     val nFailed = all.count(_._2 < 0)
     def qmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
@@ -164,7 +215,7 @@ object Bench {
     // driver's tail capture holds only ~2 KB, so the final line (below)
     // must stay small — r3's ~2.6 KB single line came back truncated at
     // the FRONT and unparseable.
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate}"""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"stream_upsert_apply_rows_per_sec":$applyRate}"""
     println(s"BENCH_DETAIL $detail")
     try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
@@ -177,7 +228,7 @@ object Bench {
     def finalLine(topN: Int): String = {
       val slowest = all.sortBy(-_._2).take(topN)
       val shown = (slowest ++ all.filter(_._2 < 0)).distinct.sortBy(_._1)
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"stream_upsert_apply_rows_per_sec":$applyRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
     }
     val line = (25 to 0 by -5).iterator.map(finalLine)
       .find(_.length <= 1400).getOrElse(finalLine(0))
