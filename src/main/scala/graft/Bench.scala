@@ -81,7 +81,9 @@ object Bench {
     * path (latest-per-key resolve → mask selection against manifest
     * zones → rowdelta commit). Measures the rate of the engine's answer
     * to the reference's core job: applying a CDC delta to a standing
-    * warehouse, at O(delta) write cost. */
+    * warehouse, at O(delta) write cost. The mix is update-dominated
+    * (~29% of keys rewritten vs ~5% inserts) so the measured rate is
+    * the mask-writing apply path, not the cheap append path. */
   private def upsertApplyProbe(spark: SparkSession, sfDir: String): (Double, Long) = {
     import org.apache.spark.sql.functions._
     import graft.table.SnapshotLog
@@ -94,11 +96,14 @@ object Bench {
     SnapshotLog.commit(spark, tbl, "append",
       SnapshotLog.writeData(state.repartitionByRange(8, col("id")), tbl,
         statsCol = Some("id")))
-    // ~25% of keys updated, ~5% brand-new inserts, a sprinkle of deletes
-    val delta = state.filter(pmod(col("id"), lit(4)) === 0)
+    // ~29% of keys updated, ~5% brand-new inserts, a sprinkle of
+    // deletes. Moduli must be COPRIME to the id's 100-multiplier or the
+    // predicate collapses onto l_linenumber alone and the mix silently
+    // shifts (pmod(id,4) would select exactly linenumber==4).
+    val delta = state.filter(pmod(col("id"), lit(7)) < 2)
       .select(col("id"), (col("v") * 2).as("v"), lit(1L).as("ord"),
-        (pmod(col("id"), lit(64)) === 0).as("is_del"))
-      .unionByName(state.filter(pmod(col("id"), lit(20)) === 3)
+        (pmod(col("id"), lit(63)) === 0).as("is_del"))
+      .unionByName(state.filter(pmod(col("id"), lit(19)) === 3)
         .select((col("id") + lit(1000000000L)).as("id"), col("v"),
           lit(1L).as("ord"), lit(false).as("is_del")))
     delta.write.mode("overwrite").parquet(src)
@@ -184,13 +189,16 @@ object Bench {
     val (sessSec, sessRows, _) = probe("stream_session_rocksdb", None, 10,
       rocksdb = true, pipeline = graft.stream.StreamSync.sessionCounts)
     // the CDC APPLY probe: one bulk micro-batch of updates+inserts+
-    // deletes merged into a pre-seeded snapshot table (merge-on-read)
-    val (applySec, applyRows) =
-      if (only.exists(!_.contains("stream_upsert_apply"))) (-1.0, 0L)
+    // deletes merged into a pre-seeded snapshot table (merge-on-read);
+    // same exclusion/failure contract as probe(), different result shape
+    def guarded[T](key: String, excluded: T)(body: => T): T =
+      if (only.exists(!_.contains(key))) excluded
       else
-        try upsertApplyProbe(spark, sfDir)
+        try body
         catch { case e: Throwable =>
-          System.err.println(s"[bench] stream_upsert_apply: ${e.getMessage}"); (-1.0, 0L) }
+          System.err.println(s"[bench] $key: ${e.getMessage}"); excluded }
+    val (applySec, applyRows) =
+      guarded("stream_upsert_apply", (-1.0, 0L))(upsertApplyProbe(spark, sfDir))
     // a probe excluded by SPARK_GRAFT_ONLY is omitted, not reported failed
     val all = results ++
       Seq("stream_replay" -> streamSec, "stream_bulk" -> bulkSec,
