@@ -125,6 +125,34 @@ object ScaleCurve {
       val (morRes, tMor) = timed(
         Merge.mergeOnRead(spark, s"$tfBase/mor", delta, "id")); settle()
       val (_, tMorRead) = timed(SnapshotLog.read(spark, s"$tfBase/mor").get.count()); settle()
+      // r9: CDC apply-rate curve — a ~constant-size (~100k-row)
+      // update-dominated delta drained through the STREAMING upsert sink
+      // against the ×k table. The apply path costs O(delta + file
+      // metadata), never O(table), so the measured rate should hold
+      // ~flat while the standing table grows ×10 — the wall-clock twin
+      // of the write-amplification rows-written curve above.
+      val applyTbl = s"$tfBase/apply"
+      val seed = state.select(col("id"), col("v"),
+        lit(0L).as("ord"), lit(false).as("is_del"))
+      SnapshotLog.commit(spark, applyTbl, "append",
+        SnapshotLog.writeData(seed.repartitionByRange(32, col("id")), applyTbl,
+          statsCol = Some("id")))
+      val stepA = math.max(1L, nState / 100000)
+      // modulus must be COPRIME to the id's 100-multiplier or the
+      // selection collapses onto l_linenumber (see Bench's probe)
+      var applyMod = stepA * 7 + 1
+      while (BigInt(applyMod).gcd(BigInt(100)) != 1) applyMod += 1
+      val applySrc = s"$tfBase/apply_in"
+      seed.filter(pmod(col("id"), lit(applyMod)) < 7)
+        .select(col("id"), (col("v") * 2).as("v"), lit(1L).as("ord"),
+          (pmod(col("id"), lit(63)) === 0).as("is_del"))
+        .write.mode("overwrite").parquet(applySrc)
+      val nApply = spark.read.parquet(applySrc).count()
+      val applySchema = spark.read.parquet(applySrc).schema
+      val (_, tApply) = timed(graft.stream.StreamSync.upsertSink(
+        spark.readStream.schema(applySchema).parquet(applySrc),
+        applyTbl, s"$tfBase/apply_chk", keyCol = "id", orderCol = "ord",
+        deleteCol = Some("is_del"))); settle()
       // r9: bloom point-lookup curve — one snapshot of ~constant-size
       // ingest-ordered files (≈2k keys/file, the 4 KB manifest bloom's
       // design point), every file spanning the whole key space via the
@@ -156,6 +184,7 @@ object ScaleCurve {
         s"state_rows=$nState cow_touched=${cowRes.filesTouched}f/${cowRes.rowsWritten}rw/${s(tCow)}s " +
         s"mor_masks=${morRes.deleteEntries}/${morRes.rowsWritten}rw/${s(tMor)}s " +
         s"mor_read=${s(tMorRead)}s " +
+        s"apply=$nApply/${s(tApply)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept")
     }
     spark.stop()
