@@ -76,7 +76,7 @@ object Bench {
 
   /** CDC APPLY throughput probe: a lineitem-derived keyed table is
     * pre-seeded through the snapshot log (untimed), then ONE bulk
-    * micro-batch of ~25% updates + ~5% inserts drains through
+    * micro-batch of ~29% updates + ~5% inserts drains through
     * [[graft.stream.StreamSync.upsertSink]] — the merge-on-read apply
     * path (latest-per-key resolve → mask selection against manifest
     * zones → rowdelta commit). Measures the rate of the engine's answer
@@ -164,17 +164,22 @@ object Bench {
       // a failure in ANY pass reports as failure; otherwise the min sample
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
     }
+    // the shared exclusion/failure contract for every one-shot probe: an
+    // excluded probe is omitted, a thrown one reports its sentinel
+    def guarded[T](key: String, excluded: T)(body: => T): T =
+      if (only.exists(!_.contains(key))) excluded
+      else
+        try body
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $key: ${e.getMessage}"); excluded }
     def probe(key: String, filesPerTrigger: Option[Int],
               replicate: Int, rocksdb: Boolean = false,
               pipeline: org.apache.spark.sql.DataFrame =>
                 org.apache.spark.sql.DataFrame =
                 graft.stream.StreamSync.windowedCounts): (Double, Long, Int) =
-      if (only.exists(!_.contains(key))) (-1.0, 0L, 0)
-      else
-        try streamReplay(spark, sfDir, filesPerTrigger = filesPerTrigger,
-          replicate = replicate, rocksdb = rocksdb, pipeline = pipeline)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $key: ${e.getMessage}"); (-1.0, 0L, 0) }
+      guarded(key, (-1.0, 0L, 0))(
+        streamReplay(spark, sfDir, filesPerTrigger = filesPerTrigger,
+          replicate = replicate, rocksdb = rocksdb, pipeline = pipeline))
     val (streamSec, streamRows, streamBatches) = probe("stream_replay", Some(1), 1)
     // bulk drain: same pipeline, one batch over ×10 volume — the
     // amortized-throughput shape a backlogged production stream runs in
@@ -190,13 +195,7 @@ object Bench {
       rocksdb = true, pipeline = graft.stream.StreamSync.sessionCounts)
     // the CDC APPLY probe: one bulk micro-batch of updates+inserts+
     // deletes merged into a pre-seeded snapshot table (merge-on-read);
-    // same exclusion/failure contract as probe(), different result shape
-    def guarded[T](key: String, excluded: T)(body: => T): T =
-      if (only.exists(!_.contains(key))) excluded
-      else
-        try body
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $key: ${e.getMessage}"); excluded }
+    // one single-sample run, outside the min-of-passes query loop
     val (applySec, applyRows) =
       guarded("stream_upsert_apply", (-1.0, 0L))(upsertApplyProbe(spark, sfDir))
     // a probe excluded by SPARK_GRAFT_ONLY is omitted, not reported failed

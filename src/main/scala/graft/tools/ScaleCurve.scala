@@ -147,8 +147,8 @@ object ScaleCurve {
         .select(col("id"), (col("v") * 2).as("v"), lit(1L).as("ord"),
           (pmod(col("id"), lit(63)) === 0).as("is_del"))
         .write.mode("overwrite").parquet(applySrc)
-      val nApply = spark.read.parquet(applySrc).count()
-      val applySchema = spark.read.parquet(applySrc).schema
+      val applyIn = spark.read.parquet(applySrc)
+      val (nApply, applySchema) = (applyIn.count(), applyIn.schema)
       val (_, tApply) = timed(graft.stream.StreamSync.upsertSink(
         spark.readStream.schema(applySchema).parquet(applySrc),
         applyTbl, s"$tfBase/apply_chk", keyCol = "id", orderCol = "ord",
