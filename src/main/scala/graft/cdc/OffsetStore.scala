@@ -14,9 +14,14 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * the semantics real multi-partition deployments hit first. State reads
   * as:
   *
-  *  - `{"offsets": {"0": n, "1": m}, "offset": max, ...}` — the
-  *    partitioned form; the scalar `offset` is still written (the global
-  *    max) so legacy readers of the reference's format keep working.
+  *  - `{"offsets": {"0": n, "1": m}, "offset": min, ...}` — the
+  *    partitioned form; the scalar `offset` is still written for legacy
+  *    readers of the reference's format, as the MIN over partitions: a
+  *    legacy single-partition reader binds the scalar to partition 0, so
+  *    writing the max would let it resume partition 0 PAST its true mark
+  *    and silently skip records — the min makes a downgraded reader
+  *    re-read duplicates instead, which is the at-least-once contract's
+  *    safe side.
   *  - `{"offset": n, ...}` — legacy scalar state binds to partition 0,
   *    exactly the reference's single-partition meaning.
   *  - missing or corrupt → empty map / −1 ("from the beginning").
@@ -86,8 +91,10 @@ final class OffsetStore(dir: String) {
     val merged = lastOffsets(table) ++ offsets
     val parts = merged.toSeq.sortBy(_._1)
       .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
+    // legacy scalar = MIN over partitions (see class doc: a legacy reader
+    // binding it to partition 0 must duplicate, never skip)
     val json =
-      s"""{"offsets": $parts, "offset": ${merged.values.max}, """ +
+      s"""{"offsets": $parts, "offset": ${merged.values.min}, """ +
         s""""timestamp": "${java.time.Instant.now()}", "records_processed": $recordsProcessed}"""
     val p = pathFor(table)
     val tmp = Paths.get(dir, s".$table.json.tmp")

@@ -174,14 +174,39 @@ object LogStore {
 
   @volatile private var overrideStore: Option[LogStore] = None
 
+  /** Schemes whose "rename" is copy+delete and whose PUT is last-write-
+    * wins: handing them [[AtomicRenameLogStore]] would silently re-open
+    * the two-writers-both-win race the whole LogStore layer exists to
+    * close. Same scheme list Delta refuses without an explicit LogStore
+    * configuration. */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
   /** Resolve the commit primitive for a filesystem: an installed
     * override wins (deployment config / tests), else hard-link on
-    * `file:`, else atomic rename (the HDFS family). An object-store
-    * deployment installs `new ConditionalPutLogStore(<its CAS>)` once at
-    * startup. */
+    * `file:`, else atomic rename (the HDFS family). Known OBJECT-STORE
+    * schemes are REFUSED without an override — check-then-rename on S3
+    * is exactly the non-atomic race [[ConditionalPutLogStore]] exists to
+    * prevent, so safety must be an explicit startup decision
+    * (`LogStore.install(new ConditionalPutLogStore(<your CAS>))`), never
+    * a silent default. */
   def forFileSystem(fs: FileSystem): LogStore =
-    overrideStore.getOrElse(
-      if (fs.getScheme == "file") HardLinkLogStore else AtomicRenameLogStore)
+    overrideStore.getOrElse {
+      val scheme = fs.getScheme
+      if (scheme == "file") HardLinkLogStore
+      else if (ObjectStoreSchemes.contains(scheme))
+        throw new IllegalStateException(
+          s"no atomic no-clobber primitive exists on '$scheme' — rename is " +
+            "copy+delete and PUT is last-write-wins, so commits could " +
+            "silently clobber each other. Install a CAS-backed store at " +
+            "startup: LogStore.install(new ConditionalPutLogStore(<arbiter>))")
+      else AtomicRenameLogStore
+    }
+
+  /** Install the commit primitive for this process (deployment config:
+    * called once at startup, e.g. with a [[ConditionalPutLogStore]] over
+    * the deployment's CAS service for object-store warehouses). */
+  def install(store: LogStore): Unit = overrideStore = Some(store)
 
   /** Run `f` with `store` installed as the commit primitive, restoring
     * the previous resolution after — the injection seam the race tests

@@ -33,11 +33,16 @@ import org.apache.spark.sql.types.StructType
   *     snapshots are untouched; time travel across the merge works.
   *
   * COMPOSITE keys merge through a canonical surrogate: encode the key
-  * tuple as one string column (`concat_ws('', c1, c2, …)` — a
-  * separator that cannot appear in the components, so distinct tuples
-  * can never collide) and merge on that. The string-key machinery then
-  * applies unchanged: xxhash64 manifest blooms index it, masks join by
-  * it, and the components stay as ordinary payload columns. Pinned in
+  * tuple as one string column and merge on that. The string-key
+  * machinery then applies unchanged: xxhash64 manifest blooms index it,
+  * masks join by it, and the components stay as ordinary payload
+  * columns. CAVEAT a bare `concat_ws('', …)` does NOT deliver
+  * collision-freedom on its own: concat_ws SKIPS null components, so
+  * tuples differing only in WHICH component is null — (a, NULL) vs
+  * (NULL, a) — collapse to the same surrogate and would merge as one
+  * key. Either guarantee all key components non-null (the usual PK
+  * contract), or build the surrogate with [[compositeKey]], which
+  * encodes null as an explicit sentinel before joining. Pinned in
   * CdcSpec ("composite keys via canonical surrogate").
   *
   * Schema DRIFT between the table and the delta routes through the
@@ -69,6 +74,16 @@ object Merge {
 
   final case class MergeResult(snapshotId: Long, filesTouched: Int,
                                filesUntouched: Int, rowsWritten: Long)
+
+  /** NULL-SAFE canonical surrogate for a composite merge key: each
+    * component null-coalesces to an explicit sentinel BEFORE the
+    * '' join, so (a, NULL) and (NULL, a) stay distinct keys —
+    * `concat_ws` alone silently skips nulls and would collide them.
+    * Components must not themselves contain ''/'' (control
+    * characters no real PK domain carries). */
+  def compositeKey(components: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    concat_ws("",
+      components.map(c => coalesce(c.cast("string"), lit(""))): _*)
 
   /** Upsert `delta` into the snapshot table at `tableDir` by equality on
     * `keyCol` (delta wins on match; unmatched delta rows insert). The

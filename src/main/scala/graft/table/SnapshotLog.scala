@@ -152,6 +152,22 @@ object SnapshotLog {
         org.apache.spark.sql.types.StringType) xxhash64(col(column))
     else col(column).cast("long")
 
+  /** The LONG-domain zone expression for a stats column, or None when no
+    * zone kind exists for its type: numerics cast, timestamps record
+    * epoch MICROSECONDS, dates epoch DAYS. Readers asking readRange/
+    * readWhere about a timestamp/date column must phrase bounds in the
+    * same domain (`unix_micros` / `datediff from 1970-01-01`). */
+  private def zoneExpr(df: DataFrame, column: String): Option[Column] = {
+    import org.apache.spark.sql.types._
+    df.schema(column).dataType match {
+      case _: NumericType => Some(col(column).cast("long"))
+      case TimestampType => Some(unix_micros(col(column)))
+      case DateType =>
+        Some(datediff(col(column), to_date(lit("1970-01-01"))).cast("long"))
+      case _ => None
+    }
+  }
+
   /** Driver-side twin of [[keyAsLong]] for string keys (Spark's
     * `xxhash64` = XXH64 with seed 42 over the UTF-8 bytes). */
   private[graft] def hashStringKey(s: String): Long = {
@@ -177,17 +193,26 @@ object SnapshotLog {
     val written = spark.read.parquet(dst)
     // every requested stats column rides the same one-pass per-file
     // aggregate — a per-COLUMN zone map, the Iceberg metrics posture.
-    // Long zones exist only for NUMERIC columns: under ANSI semantics a
-    // string→long cast throws, and a lexicographic range would be a
-    // different (unimplemented) zone kind — string keys are indexed by
-    // their manifest BLOOM instead (`bloomCol`, xxhash64 domain).
-    val allStats = (statsCol.toSeq ++ statsCols).distinct.filter { c =>
-      written.schema(c).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    }
+    // Long zones exist for NUMERIC columns (cast), TIMESTAMP (epoch
+    // micros) and DATE (epoch days) — readers probe those domains via
+    // [[zoneDomain]]. Strings get no long zone (a lexicographic range
+    // would be a different, unimplemented zone kind) — string keys are
+    // indexed by their manifest BLOOM instead (`bloomCol`, xxhash64
+    // domain); a requested stats column that yields NO zone and is not
+    // bloom-covered is reported loudly, never dropped in silence: the
+    // caller believes pruning exists where none will.
+    val requested = (statsCol.toSeq ++ statsCols).distinct
+    val allStats = requested.filter(c => zoneExpr(written, c).isDefined)
+    requested.filterNot(allStats.contains)
+      .filterNot(bloomCol.contains)
+      .foreach(c => System.err.println(
+        s"[graft] WARNING: stats column '$c' of $tableDir is " +
+          s"${written.schema(c).dataType.simpleString} — no long zone kind " +
+          "exists for it and no bloom was requested; readRange/readWhere/" +
+          "merge pruning will NOT engage on this column"))
     val statsAggs = (count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
-      case (c, i) => Seq(min(col(c)).cast("long").as(s"smin_$i"),
-        max(col(c)).cast("long").as(s"smax_$i"))
+      case (c, i) => Seq(min(zoneExpr(written, c).get).as(s"smin_$i"),
+        max(zoneExpr(written, c).get).as(s"smax_$i"))
     }) ++ bloomCol.map(c => graft.functions.GraftFunctions
       .bloom_build(keyAsLong(written, c), BloomBits, BloomHashes).as("bloom"))
     written

@@ -1640,6 +1640,74 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("forFileSystem refuses object-store schemes without an installed override") {
+    import graft.table._
+    val s3ish = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    val e = intercept[IllegalStateException](LogStore.forFileSystem(s3ish))
+    assert(e.getMessage.contains("s3a") && e.getMessage.contains("ConditionalPutLogStore"))
+    // an installed override makes the same scheme resolvable (the
+    // deployment-config path), scoped by the injection seam
+    LogStore.withLogStore(HardLinkLogStore) {
+      assert(LogStore.forFileSystem(s3ish) eq HardLinkLogStore)
+    }
+    // hdfs-family schemes still get the rename primitive with no override
+    val hdfsish = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "hdfs"
+    }
+    assert(LogStore.forFileSystem(hdfsish) eq AtomicRenameLogStore)
+  }
+
+  test("legacy scalar offset is the MIN over partitions: a downgraded reader duplicates, never skips") {
+    val base = Files.createTempDirectory("graft-legacy-min").toString
+    val store = new OffsetStore(base)
+    store.commitPartitioned("orders_mp", Map(0 -> 3L, 1 -> 9L, 2 -> 5L), 10L)
+    // the partitioned reader sees the true per-partition marks
+    assert(store.lastOffsets("orders_mp") == Map(0 -> 3L, 1 -> 9L, 2 -> 5L))
+    // the legacy scalar in the JSON is the min (3), not the max (9): a
+    // legacy single-partition reader binds it to partition 0 and resumes
+    // at 4 — re-reading p0 records 4..9 (duplicates, at-least-once safe)
+    // instead of skipping p0 records it never saw
+    val json = new String(Files.readAllBytes(Paths.get(base, "orders_mp.json")))
+    assert(json.contains("\"offset\": 3,"), json)
+  }
+
+  test("timestamp and date stats columns get long-domain zones; uncovered strings warn, not vanish") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-tszone").toString + "/t"
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+        java.sql.Date.valueOf("2024-03-01"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 10:00:00"),
+        java.sql.Date.valueOf("2024-03-05"), "b")
+    ).toDF("id", "ts", "d", "s")
+    val files = SnapshotLog.writeData(df.coalesce(1), dir,
+      statsCols = Seq("id", "ts", "d", "s"))
+    val st = files.head.stats
+    // timestamp zone is epoch MICROS, date zone epoch DAYS
+    val tsLo = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime * 1000L
+    val tsHi = java.sql.Timestamp.valueOf("2024-03-02 10:00:00").getTime * 1000L
+    assert(st("ts") == (tsLo, tsHi), st)
+    assert(st("d") == (19783L, 19787L), st) // days since 1970-01-01
+    assert(st("id") == (1L, 2L))
+    // the string column records no zone (warned on stderr) — pruning
+    // paths treat the file as conservatively unprunable on it
+    assert(!st.contains("s"))
+  }
+
+  test("compositeKey keeps (a, NULL) and (NULL, a) distinct; bare concat_ws collides them") {
+    import spark.implicits._
+    import graft.table.Merge
+    val df = Seq((Some("a"), Option.empty[String]), (Option.empty[String], Some("a")))
+      .toDF("c1", "c2")
+    val bare = df.select(concat_ws("\u0001", col("c1"), col("c2"))).distinct().count()
+    val safe = df.select(Merge.compositeKey(col("c1"), col("c2"))).distinct().count()
+    assert(bare == 1L, "concat_ws skips nulls: both tuples collapse")
+    assert(safe == 2L, "sentinel-coalesced surrogate keeps them distinct")
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
