@@ -82,24 +82,38 @@ object SnapshotLog {
 
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
-    * `added`/`removed` are this commit's DELTA (what [[diff]] consumes);
-    * `live` is the COMPLETE file set at this snapshot (what [[filesAt]]
-    * reads) — the Iceberg-style self-contained snapshot, so resolving any
-    * retained snapshot touches exactly one manifest, and expiring old
-    * manifests can never orphan a newer snapshot's state.
+    * `added`/`removed` are this commit's DELTA — and since format v2
+    * that is ALL a manifest holds, so commit bytes are O(delta)
+    * regardless of table size (the round-9 format serialized the full
+    * live list into every manifest: O(total files) per commit, ~100 MB
+    * at a million files). The complete live set at a snapshot is
+    * resolved by [[filesAt]] from the nearest CHECKPOINT at or below it
+    * plus the few delta manifests after it — the Delta-log
+    * `_last_checkpoint` / Iceberg manifest-list school:
     *
-    * Known scale limit, stated honestly: the self-contained `live` list
-    * makes every manifest O(total file count) — fine through tens of
-    * thousands of files (a few MB of JSON, driver-side), but at ~1M
-    * files each commit would serialize ~100 MB. The published fix is
-    * Iceberg's manifest-LIST indirection (per-commit delta manifests +
-    * one index of manifest files, rewritten only when membership
-    * changes); this engine keeps the single-file form for its
-    * one-read-resolves-anything property and bounds file counts with
-    * the compaction/bin-pack maintenance instead. */
+    *   _graft_log/<id>.json              delta manifest (added/removed)
+    *   _graft_log/<id>.checkpoint.json   full live set at <id>, written
+    *                                     every [[CheckpointInterval]]
+    *                                     commits and at every retention
+    *                                     horizon move
+    *   _graft_log/_last_checkpoint       {"snapshot_id": N} hint for
+    *                                     one-read external entry
+    *
+    * Round-8-era v1 manifests (self-contained `live` array) still read:
+    * resolution treats them as anchors exactly like checkpoints, so a
+    * mixed-era log resolves without migration. Log-DIRECTORY listing
+    * stays per-resolution but its entry count is O(retained snapshots)
+    * — bounded by the expiry policy, independent of data-file count —
+    * so the listing is never the scale term the live lists were. */
   final case class Commit(snapshotId: Long, op: String, added: Seq[DataFile],
-                          removed: Seq[String], live: Seq[DataFile],
+                          removed: Seq[String],
                           summary: Map[String, String], tsMs: Long = 0L)
+
+  /** Every Nth commit writes a checkpoint of the full live set. The
+    * amortized commit cost is O(delta + live/N); resolution replays at
+    * most N−1 delta manifests past the anchor. Delta checkpoints every
+    * 10 commits by default for the same trade. */
+  val CheckpointInterval: Long = 10L
 
   private val mapper = new ObjectMapper()
 
@@ -111,17 +125,32 @@ object SnapshotLog {
   private def manifestPath(tableDir: String, id: Long): Path =
     new Path(logDir(tableDir), f"$id%020d.json")
 
-  /** Committed snapshot ids, ascending. Dot-prefixed temp files (torn
-    * in-flight commits) are never listed — only fully-renamed manifests
-    * are visible, which is what makes a crash mid-commit unobservable. */
-  def snapshots(spark: SparkSession, tableDir: String): Seq[Long] = {
-    val fs = fsOf(spark, tableDir)
+  private def checkpointPath(tableDir: String, id: Long): Path =
+    new Path(logDir(tableDir), f"$id%020d.checkpoint.json")
+
+  private def lastCheckpointPath(tableDir: String): Path =
+    new Path(logDir(tableDir), "_last_checkpoint")
+
+  /** One listing of the log dir → (manifest ids, checkpoint ids), both
+    * ascending. Dot-prefixed temp files (torn in-flight commits) are
+    * never listed — only fully-published files are visible, which is
+    * what makes a crash mid-commit unobservable. Entry count is
+    * O(retained snapshots), never O(data files). */
+  private def listLog(fs: FileSystem, tableDir: String): (Seq[Long], Seq[Long]) = {
     val dir = logDir(tableDir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+    val cps = names.filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted
+    val ids = names.filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".json").toLong).sorted
+    (ids, cps)
   }
+
+  /** Committed snapshot ids, ascending. */
+  def snapshots(spark: SparkSession, tableDir: String): Seq[Long] =
+    listLog(fsOf(spark, tableDir), tableDir)._1
 
   def currentSnapshotId(spark: SparkSession, tableDir: String): Option[Long] =
     snapshots(spark, tableDir).lastOption
@@ -264,38 +293,14 @@ object SnapshotLog {
     // older snapshot's set) keep their original sequence number so the
     // delete-applies-to-older-seq rule stays correct across the rollback
     val stamped = added.map(f => if (f.seq == 0L) f.copy(seq = id) else f)
-    // complete live set at this snapshot = parent's live − removed + added
-    val parentLive: Seq[DataFile] =
-      if (id <= 1) Seq.empty
-      else filesAt(spark, tableDir, Some(id - 1))
-    val removedSet = removed.toSet
-    val live = parentLive.filterNot(f => removedSet.contains(f.path)) ++ stamped
-    def putFiles(arr: ArrayNode, files: Seq[DataFile]): Unit = files.foreach { f =>
-      val n = arr.addObject()
-      n.put("path", f.path); n.put("rows", f.rows); n.put("bytes", f.bytes)
-      n.put("kind", f.kind); n.put("seq", f.seq)
-      f.statsMin.foreach(n.put("stats_min", _))
-      f.statsMax.foreach(n.put("stats_max", _))
-      if (f.stats.nonEmpty) {
-        val sn = n.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-          val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
-        }
-      }
-      if (f.blooms.nonEmpty) {
-        val bn = n.putObject("blooms")
-        f.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bn.put(c, b64) }
-      }
-    }
     val root: ObjectNode = mapper.createObjectNode()
-    root.put("format", "graft-snapshot-v1")
+    root.put("format", "graft-snapshot-v2") // delta-only: O(delta) bytes
     root.put("snapshot_id", id)
     root.put("op", op)
     root.put("ts_ms", System.currentTimeMillis())
     putFiles(root.putArray("added"), stamped)
     val removedArr = root.putArray("removed")
     removed.foreach(removedArr.add)
-    putFiles(root.putArray("live"), live)
     val sumNode = root.putObject("summary")
     summary.foreach { case (k, v) => sumNode.put(k, v) }
 
@@ -315,7 +320,82 @@ object SnapshotLog {
     if (!won)
       throw new ConcurrentCommitException(
         s"snapshot $id of $tableDir was committed by another writer")
+    // periodic checkpoint AFTER the commit is durable: failure here can
+    // never lose the commit (resolution just replays more deltas), so
+    // checkpointing is strictly best-effort maintenance
+    if (id % CheckpointInterval == 0)
+      try writeCheckpoint(spark, tableDir, id)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] WARNING: checkpoint at $id of $tableDir " +
+          s"failed (resolution falls back to delta replay): $e") }
     id
+  }
+
+  private def putFiles(arr: ArrayNode, files: Seq[DataFile]): Unit = files.foreach { f =>
+    val n = arr.addObject()
+    n.put("path", f.path); n.put("rows", f.rows); n.put("bytes", f.bytes)
+    n.put("kind", f.kind); n.put("seq", f.seq)
+    f.statsMin.foreach(n.put("stats_min", _))
+    f.statsMax.foreach(n.put("stats_max", _))
+    if (f.stats.nonEmpty) {
+      val sn = n.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+      }
+    }
+    if (f.blooms.nonEmpty) {
+      val bn = n.putObject("blooms")
+      f.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bn.put(c, b64) }
+    }
+  }
+
+  /** Publish the full live file set at snapshot `id` as a checkpoint —
+    * the anchor [[filesAt]] resolution folds forward from. Content is a
+    * pure function of the immutable manifest log, so the putIfAbsent
+    * race between concurrent writers is value-identical and losing it is
+    * a no-op. Also advances the `_last_checkpoint` hint (best-effort
+    * overwrite: a stale or torn hint only costs a reader its fast path,
+    * resolution never depends on it). Returns true when THIS caller
+    * published the checkpoint file. */
+  def writeCheckpoint(spark: SparkSession, tableDir: String, id: Long): Boolean = {
+    val fs = fsOf(spark, tableDir)
+    val target = checkpointPath(tableDir, id)
+    if (fs.exists(target)) return false
+    val live = filesAt(spark, tableDir, Some(id))
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("format", "graft-checkpoint-v1")
+    root.put("snapshot_id", id)
+    putFiles(root.putArray("live"), live)
+    val tmp = new Path(logDir(tableDir), s".ckpt-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+    val won = LogStore.forFileSystem(fs).putIfAbsent(fs, tmp, target)
+    fs.delete(tmp, false)
+    if (won) {
+      try {
+        val hint = fs.create(lastCheckpointPath(tableDir), true)
+        hint.write(s"""{"snapshot_id": $id}""".getBytes("UTF-8"))
+        hint.close()
+      } catch { case scala.util.control.NonFatal(_) => /* hint only */ }
+    }
+    won
+  }
+
+  /** The `_last_checkpoint` hint, when present and well-formed — the
+    * one-read entry point an external reader uses to find the newest
+    * anchor without listing. Internal resolution derives anchors from
+    * the same listing it already needs for id validation. */
+  def lastCheckpointId(spark: SparkSession, tableDir: String): Option[Long] = {
+    val fs = fsOf(spark, tableDir)
+    val p = lastCheckpointPath(tableDir)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        val node = try mapper.readTree(in) finally in.close()
+        Option(node.get("snapshot_id")).map(_.asLong())
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Optimistic-concurrency retry for APPEND commits: an append's delta
@@ -343,33 +423,49 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
-  private def readManifest(fs: FileSystem, tableDir: String, id: Long): Commit = {
+  private def parseFiles(node: JsonNode, field: String): Seq[DataFile] = {
+    import scala.jdk.CollectionConverters._
+    node.get(field).elements().asScala.toSeq.map { f =>
+      val stats = Option(f.get("stats")).map { sn =>
+        sn.fields().asScala.map { e =>
+          e.getKey -> (e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
+        }.toMap
+      }.getOrElse(Map.empty[String, (Long, Long)])
+      val blooms = Option(f.get("blooms")).map { bn =>
+        bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+      DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong(),
+        Option(f.get("stats_min")).map(_.asLong()),
+        Option(f.get("stats_max")).map(_.asLong()),
+        kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
+        seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
+        stats = stats, blooms = blooms)
+    }
+  }
+
+  /** A manifest plus, for legacy v1 manifests, its embedded live list
+    * (v1 was self-contained; resolution uses it as an anchor). */
+  private def readManifestFull(fs: FileSystem, tableDir: String,
+                               id: Long): (Commit, Option[Seq[DataFile]]) = {
     val in = fs.open(manifestPath(tableDir, id))
     val node: JsonNode = try mapper.readTree(in) finally in.close()
     import scala.jdk.CollectionConverters._
-    def files(field: String): Seq[DataFile] =
-      node.get(field).elements().asScala.toSeq.map { f =>
-        val stats = Option(f.get("stats")).map { sn =>
-          sn.fields().asScala.map { e =>
-            e.getKey -> (e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
-          }.toMap
-        }.getOrElse(Map.empty[String, (Long, Long)])
-        val blooms = Option(f.get("blooms")).map { bn =>
-          bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-        }.getOrElse(Map.empty[String, String])
-        DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong(),
-          Option(f.get("stats_min")).map(_.asLong()),
-          Option(f.get("stats_max")).map(_.asLong()),
-          kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
-          seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-          stats = stats, blooms = blooms)
-      }
     val removed = node.get("removed").elements().asScala.toSeq.map(_.asText())
     val summary = Option(node.get("summary")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
-    Commit(node.get("snapshot_id").asLong(), node.get("op").asText(),
-      files("added"), removed, files("live"), summary,
+    val c = Commit(node.get("snapshot_id").asLong(), node.get("op").asText(),
+      parseFiles(node, "added"), removed, summary,
       tsMs = Option(node.get("ts_ms")).map(_.asLong()).getOrElse(0L))
+    (c, Option(node.get("live")).map(_ => parseFiles(node, "live")))
+  }
+
+  private def readManifest(fs: FileSystem, tableDir: String, id: Long): Commit =
+    readManifestFull(fs, tableDir, id)._1
+
+  private def readCheckpoint(fs: FileSystem, tableDir: String, id: Long): Seq[DataFile] = {
+    val in = fs.open(checkpointPath(tableDir, id))
+    val node: JsonNode = try mapper.readTree(in) finally in.close()
+    parseFiles(node, "live")
   }
 
   def commits(spark: SparkSession, tableDir: String,
@@ -383,22 +479,60 @@ object SnapshotLog {
     ids.filter(id => asOf.forall(id <= _)).map(readManifest(fs, tableDir, _))
   }
 
-  /** Live file set at a snapshot (latest when `asOf` is None) — read
-    * straight from that snapshot's self-contained manifest: one metadata
-    * file resolves the whole table regardless of history length, and a
-    * snapshot stays resolvable even after every older manifest expires. */
+  /** Live file set at a snapshot (latest when `asOf` is None): resolved
+    * from the nearest ANCHOR at or below it — a checkpoint file, or a
+    * legacy v1 self-contained manifest — plus a forward fold of the
+    * delta manifests after the anchor (at most [[CheckpointInterval]]−1
+    * of them between periodic checkpoints). A concurrent expiry can
+    * delete a manifest mid-walk; it always publishes a fresh checkpoint
+    * at the new retention horizon FIRST, so the retry after the
+    * FileNotFound re-resolves against that anchor. */
   def filesAt(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): Seq[DataFile] = {
     val fs = fsOf(spark, tableDir)
-    val ids = snapshots(spark, tableDir)
-    val id = asOf match {
-      case Some(i) =>
-        require(ids.contains(i),
-          s"snapshot $i of $tableDir does not exist (retained: ${ids.mkString(",")})")
-        i
-      case None => if (ids.isEmpty) return Seq.empty else ids.last
+    var attempt = 0
+    while (true) {
+      val (ids, cps) = listLog(fs, tableDir)
+      val id = asOf match {
+        case Some(i) =>
+          require(ids.contains(i),
+            s"snapshot $i of $tableDir does not exist (retained: ${ids.mkString(",")})")
+          i
+        case None => if (ids.isEmpty) return Seq.empty else ids.last
+      }
+      try return resolveLive(fs, tableDir, id, cps)
+      catch {
+        case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
+      }
     }
-    readManifest(fs, tableDir, id).live
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Walk BACKWARD from `id` to the nearest anchor (checkpoint ≤ id, or
+    * a v1 manifest's embedded live list), then fold the collected delta
+    * manifests forward: live = anchor − removed + added per commit.
+    * Reads O(manifests since anchor) metadata files, each O(its delta). */
+  private def resolveLive(fs: FileSystem, tableDir: String, id: Long,
+                          checkpointIds: Seq[Long]): Seq[DataFile] = {
+    val anchor = checkpointIds.filter(_ <= id).maxOption
+    if (anchor.contains(id)) return readCheckpoint(fs, tableDir, id)
+    val floor = anchor.getOrElse(0L)
+    val deltas = scala.collection.mutable.ListBuffer.empty[Commit]
+    var seed: Seq[DataFile] = Seq.empty
+    var cur = id
+    var found = false
+    while (cur > floor && !found) {
+      val (c, v1Live) = readManifestFull(fs, tableDir, cur)
+      v1Live match {
+        case Some(live) => seed = live; found = true
+        case None => deltas.prepend(c); cur -= 1
+      }
+    }
+    if (!found && anchor.isDefined) seed = readCheckpoint(fs, tableDir, floor)
+    deltas.foldLeft(seed) { (live, c) =>
+      val removedSet = c.removed.toSet
+      live.filterNot(f => removedSet.contains(f.path)) ++ c.added
+    }
   }
 
   /** Apply the live equality-delete files to the live data files — the
@@ -844,12 +978,23 @@ object SnapshotLog {
     * semantics Iceberg documents for equality deletes). */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
-    commits(spark, tableDir)
-      .map(c => (c.snapshotId, c.op,
+    val cs = commits(spark, tableDir)
+    // per-snapshot live accounting by folding each commit's delta over
+    // the FIRST retained snapshot's resolved state — one anchor read +
+    // one pass over the retained manifests, zero data files opened
+    var liveMap: Map[String, DataFile] =
+      if (cs.isEmpty) Map.empty
+      else filesAt(spark, tableDir, Some(cs.head.snapshotId))
+        .map(f => f.path -> f).toMap
+    val rows = cs.zipWithIndex.map { case (c, i) =>
+      if (i > 0)
+        liveMap = (liveMap -- c.removed) ++ c.added.map(f => f.path -> f)
+      (c.snapshotId, c.op,
         c.added.filter(_.kind == "data").map(_.rows).sum,
         c.added.filter(_.kind == "eqdelete").map(_.rows).sum,
-        c.live.filter(_.kind == "data").map(_.rows).sum))
-      .toDF("snapshot_id", "op", "rows_added", "rows_deleted", "rows_live")
+        liveMap.values.filter(_.kind == "data").map(_.rows).sum)
+    }
+    rows.toDF("snapshot_id", "op", "rows_added", "rows_deleted", "rows_live")
   }
 
   /** Minimum age before an unreferenced data file is swept: files
@@ -891,7 +1036,21 @@ object SnapshotLog {
     val retainedIds = ids.filterNot(expired.contains)
     val referenced = retainedIds.flatMap(id =>
       filesAt(spark, tableDir, Some(id)).map(_.path)).toSet
+    // anchor the new retention horizon BEFORE deleting its predecessors:
+    // resolution folds forward from a checkpoint (or v1 manifest), so
+    // without an anchor at the oldest retained id, removing the expired
+    // prefix would strand every retained snapshot. Published first also
+    // makes the concurrent-reader race safe: a walker hitting a deleted
+    // manifest retries and finds this anchor. (Commit timestamps are
+    // monotone, so the age filter expires a PREFIX of ids — the horizon
+    // is a single id.)
+    if (expired.nonEmpty && retainedIds.nonEmpty)
+      writeCheckpoint(spark, tableDir, retainedIds.head)
     expired.foreach(id => fs.delete(manifestPath(tableDir, id), false))
+    // checkpoints below the horizon anchor nothing resolvable any more
+    listLog(fs, tableDir)._2
+      .filter(_ < retainedIds.headOption.getOrElse(Long.MaxValue))
+      .foreach(id => fs.delete(checkpointPath(tableDir, id), false))
     val dataRoot = new Path(s"$tableDir/data")
     val sweepBefore = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0

@@ -174,6 +174,21 @@ object ScaleCurve {
       val (zoneKept, _) = SnapshotLog.pruneStats(spark, blDir,
         Map("id" -> (probeKey, probeKey)))
       val (bloomKept, _) = SnapshotLog.prunePointStats(spark, blDir, "id", probeKey)
+      // r10: checkpointed-log curve — one tiny append against the table
+      // whose live set is nFiles (+1 from the bloom commit, grows ×k).
+      // Under the v1 self-contained format the new manifest serialized
+      // the FULL live list (bytes ∝ nFiles); under v2 delta manifests
+      // its bytes are O(delta) and must stay ~flat across ×1/×5/×10.
+      // Resolution (filesAt) folds from the nearest checkpoint anchor —
+      // its cost term is the live SET itself (the output), never the
+      // history length.
+      val (ckptId, _) = timed(SnapshotLog.commit(spark, blDir, "append",
+        SnapshotLog.writeData(state.limit(16).coalesce(1), blDir,
+          statsCol = Some("id"))))
+      val manifestBytes = new java.io.File(
+        f"$blDir/_graft_log/$ckptId%020d.json").length()
+      SnapshotLog.writeCheckpoint(spark, blDir, ckptId)
+      val (liveN, tResolve) = timed(SnapshotLog.filesAt(spark, blDir).size)
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
@@ -185,7 +200,9 @@ object ScaleCurve {
         s"mor_masks=${morRes.deleteEntries}/${morRes.rowsWritten}rw/${s(tMor)}s " +
         s"mor_read=${s(tMorRead)}s " +
         s"apply=$nApply/${s(tApply)}s " +
-        s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept")
+        s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
+        s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +
+        s"log_resolve=${s(tResolve)}s")
     }
     spark.stop()
   }

@@ -1633,7 +1633,8 @@ class CdcSpec extends AnyFunSuite {
     val cs = SnapshotLog.commits(spark, dir)
     assert(cs.map(_.snapshotId) == cs.map(_.snapshotId).sorted)
     assert(cs.forall(c => c.op == "append" || c.op == "replace"))
-    assert(cs.last.live.filter(_.kind == "data").map(_.rows).sum == 13)
+    assert(SnapshotLog.filesAt(spark, dir)
+      .filter(_.kind == "data").map(_.rows).sum == 13)
     // every retained snapshot still reads (no swept live file)
     SnapshotLog.snapshots(spark, dir).foreach { id =>
       SnapshotLog.read(spark, dir, asOf = Some(id)).foreach(_.count())
@@ -1706,6 +1707,95 @@ class CdcSpec extends AnyFunSuite {
     val safe = df.select(Merge.compositeKey(col("c1"), col("c2"))).distinct().count()
     assert(bare == 1L, "concat_ws skips nulls: both tuples collapse")
     assert(safe == 2L, "sentinel-coalesced surrogate keeps them distinct")
+  }
+
+  test("checkpointed log: delta manifests stay O(delta), resolution folds from the anchor") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-ckpt").toString
+    val dir = s"$base/t"
+    for (i <- 1 to 12)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    // periodic checkpoint landed at the interval boundary and the hint
+    // points at it
+    assert(Files.exists(Paths.get(dir, "_graft_log",
+      f"${10L}%020d.checkpoint.json")))
+    assert(SnapshotLog.lastCheckpointId(spark, dir).contains(10L))
+    // every snapshot resolves to exactly its prefix of files
+    for (i <- 1 to 12) {
+      val live = SnapshotLog.filesAt(spark, dir, Some(i.toLong))
+      assert(live.size == i, s"snapshot $i resolved ${live.size} files")
+      assert(SnapshotLog.read(spark, dir, asOf = Some(i.toLong)).get.count() == i)
+    }
+    // commit bytes are O(delta): the 12th manifest (11 prior files live)
+    // is no bigger than the 2nd — the round-9 format grew linearly here
+    def manBytes(id: Long) =
+      Files.size(Paths.get(dir, "_graft_log", f"$id%020d.json"))
+    assert(manBytes(12) <= manBytes(2) * 2,
+      s"manifest 12 is ${manBytes(12)}B vs manifest 2 ${manBytes(2)}B — not O(delta)")
+    // the checkpoint holds the full 10-file live set (bigger than any
+    // delta manifest)
+    assert(Files.size(Paths.get(dir, "_graft_log",
+      f"${10L}%020d.checkpoint.json")) > manBytes(12))
+  }
+
+  test("expiry anchors the new retention horizon before dropping the prefix") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-ckpt-exp").toString
+    val dir = s"$base/t"
+    for (i <- 1 to 7)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    // no periodic checkpoint yet (interval 10): expiry must create the
+    // anchor itself or snapshots 5..7 would become unresolvable
+    val (dropped, _) = SnapshotLog.expireSnapshots(spark, dir, retainLast = 3,
+      orphanGraceMs = 0L)
+    assert(dropped == 4)
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(5L, 6L, 7L))
+    assert(Files.exists(Paths.get(dir, "_graft_log",
+      f"${5L}%020d.checkpoint.json")), "horizon anchor missing")
+    for (i <- 5 to 7)
+      assert(SnapshotLog.read(spark, dir, asOf = Some(i.toLong)).get.count() == i)
+    // expired ids still refuse loudly
+    intercept[IllegalArgumentException](
+      SnapshotLog.filesAt(spark, dir, Some(3L)))
+    // a second expiry drops the now-stale anchor along with the prefix
+    for (i <- 8 to 9)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    SnapshotLog.expireSnapshots(spark, dir, retainLast = 2, orphanGraceMs = 0L)
+    assert(!Files.exists(Paths.get(dir, "_graft_log",
+      f"${5L}%020d.checkpoint.json")), "stale anchor not swept")
+    assert(SnapshotLog.read(spark, dir).get.count() == 9)
+  }
+
+  test("legacy v1 self-contained manifests still resolve as anchors under the v2 log") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-v1compat").toString
+    val dir = s"$base/t"
+    // hand-write snapshot 1 in the round-9 v1 format: live embedded
+    val staged = SnapshotLog.writeData(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dir)
+    def fjson(f: SnapshotLog.DataFile, seq: Long) =
+      s"""{"path":"${f.path}","rows":${f.rows},"bytes":${f.bytes},"kind":"data","seq":$seq}"""
+    val filesJson = staged.map(fjson(_, 1L)).mkString("[", ",", "]")
+    val v1 =
+      s"""{"format":"graft-snapshot-v1","snapshot_id":1,"op":"append","ts_ms":1,
+         |"added":$filesJson,"removed":[],"live":$filesJson,"summary":{}}""".stripMargin
+    Files.createDirectories(Paths.get(dir, "_graft_log"))
+    Files.write(Paths.get(dir, "_graft_log", f"${1L}%020d.json"),
+      v1.getBytes("UTF-8"))
+    // v2 commits stack on top of the v1 anchor
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((3L, "c")).toDF("id", "v").coalesce(1), dir))
+    assert(SnapshotLog.read(spark, dir).get.count() == 3)
+    assert(SnapshotLog.read(spark, dir, asOf = Some(1L)).get.count() == 2)
   }
 
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
