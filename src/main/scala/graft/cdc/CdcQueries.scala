@@ -537,6 +537,25 @@ object CdcQueries {
       graft.table.SnapshotLog.read(s, s"$base/orders_parquet", asOf = Some(1L))
         .get.orderBy(col("kafka_offset"))
     }),
+    // PARTITION-pruned read over a date-partitioned snapshot table
+    // ([[graft.table.SnapshotLog.readPartitions]]): events clustered by
+    // event day into range files, each file's partition-VALUE set
+    // recorded in the manifest (the Iceberg posture — values live in
+    // metadata, columns stay in the data, no Hive directory scheme).
+    // Reading one day keeps only the files whose recorded set holds it;
+    // the result equals the plain SQL WHERE (the oracle) because pruning
+    // may only skip, never lose. CdcSpec pins the skip counts.
+    "cdc_partition_pruned_read" -> ((s, d) => {
+      import graft.table.SnapshotLog
+      val t = partitionedWarehouse(s, d)
+      val day = SnapshotLog.read(s, t).get
+        .agg(min(col("event_date"))).head().getString(0)
+      SnapshotLog.readPartitions(s, t, Map("event_date" -> Seq(day))).get
+        .filter(col("event_date") === day)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("event_date"))
+        .orderBy(col("event_id"))
+    }),
     // Snapshot layer: SNAPSHOT-DIFF incremental consumption — the logical
     // delta after snapshot 1 is exactly the second sync's rows, and the
     // compaction `replace` commit between the read points contributes
@@ -785,6 +804,27 @@ object CdcQueries {
       Compaction.compactSnapshotted(spark, base, "events",
         targetBytes = math.max(1L, bytes / 16), clusterZOrder = Seq("user_id", "minute"))
       base
+    })
+
+  private val partitionedWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** A date-partitioned snapshot table over the driver's events parquet:
+    * rows clustered by event day via range partitioning, per-file
+    * partition-value sets recorded in the manifest for
+    * [[graft.table.SnapshotLog.readPartitions]] pruning. */
+  private def partitionedWarehouse(spark: SparkSession, dir: String): String =
+    partitionedWarehouseCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir", {
+      import graft.table.SnapshotLog
+      val base = java.nio.file.Files.createTempDirectory("graft-partwh").toString
+      val tdir = s"$base/events_bydate"
+      val ev = graft.schema.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          to_date(col("ts")).cast("string").as("event_date"))
+        .repartitionByRange(8, col("event_date"))
+      SnapshotLog.commit(spark, tdir, "append",
+        SnapshotLog.writeData(ev, tdir, statsCol = Some("event_id"),
+          partitionCols = Seq("event_date")))
+      tdir
     })
 
   private val rollbackWarehouseCache =
@@ -1083,6 +1123,14 @@ object CdcQueries {
     "cdc_timetravel" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" <= 5 ORDER BY kafka_offset""".stripMargin,
+    // partition-pruned day read == the plain WHERE over the full table
+    // (pruning may only skip, never lose)
+    "cdc_partition_pruned_read" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+        |FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        |ORDER BY event_id""".stripMargin,
     // snapshot-diff after snapshot 1 == epoch 2 exactly (offsets ≥ 6);
     // the intervening compaction rewrite must contribute nothing
     "cdc_snapshot_diff" ->

@@ -187,7 +187,12 @@ object Compaction {
     val rewritten = SnapshotLog.writeData(arranged, dir,
       statsCol = clusterBy.orElse(clusterZOrder.headOption)
         .orElse(if (hasOffset) Some("kafka_offset") else None),
-      statsCols = clusterZOrder)
+      statsCols = clusterZOrder,
+      // partition-value metadata survives the rewrite (a compaction must
+      // not blind readPartitions); an unclustered rewrite may mix values
+      // per file — over-cap sets simply stop recording (conservative)
+      partitionCols = dataFiles.flatMap(_.parts.keys).distinct
+        .filter(df.columns.contains))
     val nNew = rewritten.map(_.rows).sum
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")
@@ -250,9 +255,11 @@ object Compaction {
           else statKeys
         val bloom = cls.flatMap(_.blooms.keys).distinct
           .filter(df.columns.contains).headOption
+        val partCols = cls.flatMap(_.parts.keys).distinct
+          .filter(df.columns.contains)
         val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
           statsCol = ordered.headOption, statsCols = ordered.drop(1),
-          bloomCol = bloom)
+          bloomCol = bloom, partitionCols = partCols)
         val (nOld, nNew) = (cls.map(_.rows).sum, rewritten.map(_.rows).sum)
         require(nNew == nOld,
           s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")

@@ -28,10 +28,15 @@ import graft.schema.Schemas
   *    a bare directory append — each sync becomes one atomic `append`
   *    snapshot carrying per-file offset stats, readers get snapshot
   *    isolation / time travel / snapshot-diff, and the debug sample reads
-  *    back through manifest-level offset pruning (which subsumes the
-  *    `sync_date` directory-partition pruning: the manifest IS the zone
-  *    map, so `partitionBySyncDate` is ignored under this flag). This is
-  *    the capability
+  *    back through manifest-level offset pruning. With
+  *    `partitionBySyncDate` ALSO on, the snapshot keeps the partitioned
+  *    layout the plain mode gets from `partitionBy` directories — but
+  *    manifest-native: the write clusters by `sync_date`, each file's
+  *    partition-value set is recorded in the manifest
+  *    ([[graft.table.SnapshotLog.readPartitions]] prunes on it), and the
+  *    column stays in the data. A date-bounded read then skips other
+  *    partitions' files from metadata alone, same as directory pruning
+  *    but with snapshot isolation on top. This is the capability
   *    the reference ships Iceberg jars for but never uses
   *    (docker/glue/Dockerfile:40-41,53; run_pipeline.sh:145).
   */
@@ -90,9 +95,16 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
       if (snapshotted) {
         // stage immutable data files, then publish them as ONE atomic
         // append snapshot; a crash between the two leaves only invisible
-        // orphans (swept by expireSnapshots), never a torn table
-        val files = SnapshotLog.writeData(out, tableDir(table),
-          statsCol = Some("kafka_offset"))
+        // orphans (swept by expireSnapshots), never a torn table. A
+        // partitioned snapshot clusters the write by sync_date so each
+        // file holds (usually) one date — the manifest records the
+        // per-file value set for partition pruning.
+        val staged =
+          if (partitionBySyncDate && !singleFile) out.repartition(col("sync_date"))
+          else out
+        val files = SnapshotLog.writeData(staged, tableDir(table),
+          statsCol = Some("kafka_offset"),
+          partitionCols = if (partitionBySyncDate) Seq("sync_date") else Nil)
         val m = obs.get
         val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
         SnapshotLog.commit(spark, tableDir(table), "append", files,

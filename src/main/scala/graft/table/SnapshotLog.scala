@@ -78,7 +78,15 @@ object SnapshotLog {
                             statsMin: Option[Long], statsMax: Option[Long],
                             kind: String = "data", seq: Long = 0L,
                             stats: Map[String, (Long, Long)] = Map.empty,
-                            blooms: Map[String, String] = Map.empty)
+                            blooms: Map[String, String] = Map.empty,
+                            parts: Map[String, Seq[String]] = Map.empty)
+
+  /** Cap on distinct partition values recorded per file per column: a
+    * file that genuinely belongs to a partitioned layout holds one (or
+    * few) values; past the cap the column is clearly not partitioning
+    * this file, so nothing is recorded and pruning keeps it
+    * (conservative — pruning may only skip, never lose). */
+  val MaxPartValuesPerFile: Int = 8
 
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
@@ -209,7 +217,8 @@ object SnapshotLog {
                 statsCol: Option[String] = None,
                 kind: String = "data",
                 statsCols: Seq[String] = Nil,
-                bloomCol: Option[String] = None): Seq[DataFile] = {
+                bloomCol: Option[String] = None,
+                partitionCols: Seq[String] = Nil): Seq[DataFile] = {
     require(kind == "data" || kind == "eqdelete", s"unknown file kind: $kind")
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString
@@ -239,9 +248,17 @@ object SnapshotLog {
           s"${written.schema(c).dataType.simpleString} — no long zone kind " +
           "exists for it and no bloom was requested; readRange/readWhere/" +
           "merge pruning will NOT engage on this column"))
-    val statsAggs = (count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
+    // per-file PARTITION VALUE sets (the Iceberg posture: partition
+    // values live in the manifest, never in directory names — the
+    // columns stay in the data, so no re-attachment read trick is
+    // needed and a file accidentally spanning values stays readable).
+    // collect_set is capped by [[MaxPartValuesPerFile]] at record time.
+    val statsAggs = ((count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
       case (c, i) => Seq(min(zoneExpr(written, c).get).as(s"smin_$i"),
         max(zoneExpr(written, c).get).as(s"smax_$i"))
+    }) ++ partitionCols.zipWithIndex.map { case (c, i) =>
+      slice(sort_array(collect_set(col(c).cast("string"))),
+        1, MaxPartValuesPerFile + 1).as(s"pvals_$i")
     }) ++ bloomCol.map(c => graft.functions.GraftFunctions
       .bloom_build(keyAsLong(written, c), BloomBits, BloomHashes).as("bloom"))
     written
@@ -259,10 +276,17 @@ object SnapshotLog {
         }.toMap
         val blooms = bloomCol.map(c => c ->
           java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))).toMap
+        val parts = partitionCols.zipWithIndex.flatMap { case (c, i) =>
+          val vs = r.getAs[scala.collection.Seq[String]](s"pvals_$i")
+          // over-cap (the +1 slice overflowed) or all-null: record
+          // nothing — the file stays conservatively unprunable on c
+          if (vs == null || vs.isEmpty || vs.size > MaxPartValuesPerFile) None
+          else Some(c -> vs.toSeq)
+        }.toMap
         val first = allStats.headOption.flatMap(stats.get)
         DataFile(path, r.getAs[Long]("rows"), sizes.getOrElse(path, 0L),
           first.map(_._1), first.map(_._2), kind = kind, stats = stats,
-          blooms = blooms)
+          blooms = blooms, parts = parts)
       }
   }
 
@@ -346,6 +370,12 @@ object SnapshotLog {
     if (f.blooms.nonEmpty) {
       val bn = n.putObject("blooms")
       f.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bn.put(c, b64) }
+    }
+    if (f.parts.nonEmpty) {
+      val pn = n.putObject("parts")
+      f.parts.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+        val arr = pn.putArray(c); vs.foreach(arr.add)
+      }
     }
   }
 
@@ -434,12 +464,16 @@ object SnapshotLog {
       val blooms = Option(f.get("blooms")).map { bn =>
         bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
+      val parts = Option(f.get("parts")).map { pn =>
+        pn.fields().asScala.map(e =>
+          e.getKey -> e.getValue.elements().asScala.toSeq.map(_.asText())).toMap
+      }.getOrElse(Map.empty[String, Seq[String]])
       DataFile(f.get("path").asText(), f.get("rows").asLong(), f.get("bytes").asLong(),
         Option(f.get("stats_min")).map(_.asLong()),
         Option(f.get("stats_max")).map(_.asLong()),
         kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
         seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-        stats = stats, blooms = blooms)
+        stats = stats, blooms = blooms, parts = parts)
     }
   }
 
@@ -692,6 +726,44 @@ object SnapshotLog {
     else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
     else Some(applyEqDeletes(spark, pruned, dels))
   }
+
+  /** PARTITION-pruned read: keep only data files whose recorded
+    * partition-value set (written via `writeData(partitionCols = …)`)
+    * intersects the requested values for EVERY filtered column — the
+    * manifest-native replacement for Hive `sync_date=` directory
+    * pruning: partition values live in the manifest (the Iceberg
+    * posture), the columns stay in the data files, and a month-bounded
+    * read of a date-partitioned sync provably skips every other
+    * partition's files from metadata alone. Files without a recorded
+    * set for a filtered column are conservatively kept; equality-delete
+    * masks are never pruned and still apply. Pruning is an optimization,
+    * not a filter — callers still apply the actual predicate. */
+  def readPartitions(spark: SparkSession, tableDir: String,
+                     filters: Map[String, Seq[String]],
+                     asOf: Option[Long] = None): Option[DataFrame] = {
+    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val pruned = data.filter(partKeeps(_, filters))
+    if (pruned.isEmpty) None
+    else if (dels.isEmpty) Some(readEpochSafe(spark, pruned))
+    else Some(applyEqDeletes(spark, pruned, dels))
+  }
+
+  /** [[readPartitions]]'s pruning decision alone: (kept, skipped). */
+  def prunePartitionStats(spark: SparkSession, tableDir: String,
+                          filters: Map[String, Seq[String]],
+                          asOf: Option[Long] = None): (Int, Int) = {
+    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val kept = data.count(partKeeps(_, filters))
+    (kept, data.size - kept)
+  }
+
+  private def partKeeps(f: DataFile, filters: Map[String, Seq[String]]): Boolean =
+    filters.forall { case (c, wanted) =>
+      f.parts.get(c) match {
+        case Some(vs) => vs.exists(wanted.contains)
+        case None => true
+      }
+    }
 
   /** [[readWhere]]'s pruning decision alone — (files kept, files
     * skipped) — so maintenance jobs and tests can measure zone-map

@@ -1798,6 +1798,71 @@ class CdcSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, dir, asOf = Some(1L)).get.count() == 2)
   }
 
+  test("partition-aware snapshots: manifest value sets prune date-bounded reads") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-partsnap").toString
+    val dir = s"$base/t"
+    val dates = Seq("2026-01-15", "2026-01-16", "2026-01-17")
+    def sync(offsetBase: Long) = {
+      val rows = for (d <- dates; i <- 0 until 40)
+        yield (offsetBase + i, d, s"u$i")
+      val df = rows.toDF("id", "sync_date", "payload")
+        .repartitionByRange(3, col("sync_date")) // cluster: one date per file
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(df, dir, statsCol = Some("id"),
+          partitionCols = Seq("sync_date")))
+    }
+    sync(0L); sync(1000L)
+    val files = SnapshotLog.filesAt(spark, dir)
+    assert(files.size == 6, s"expected 3 dates x 2 syncs, got ${files.size}")
+    assert(files.forall(_.parts.get("sync_date").exists(_.size == 1)),
+      "each clustered file must record exactly its one date")
+    // the month-bounded read provably skips other partitions' files
+    val (kept, skipped) = SnapshotLog.prunePartitionStats(spark, dir,
+      Map("sync_date" -> Seq("2026-01-16")))
+    assert(kept == 2 && skipped == 4, s"kept=$kept skipped=$skipped")
+    // pruning may only skip, never lose: pruned read + real filter ==
+    // full read + real filter
+    val viaPruned = SnapshotLog.readPartitions(spark, dir,
+        Map("sync_date" -> Seq("2026-01-16"))).get
+      .filter(col("sync_date") === "2026-01-16")
+    val viaFull = SnapshotLog.read(spark, dir).get
+      .filter(col("sync_date") === "2026-01-16")
+    assert(viaPruned.count() == 80 && viaFull.count() == 80)
+    assert(viaPruned.exceptAll(viaFull).isEmpty && viaFull.exceptAll(viaPruned).isEmpty)
+    // a date no file holds prunes to nothing
+    assert(SnapshotLog.readPartitions(spark, dir,
+      Map("sync_date" -> Seq("2099-12-31"))).isEmpty)
+  }
+
+  test("snapshotted partitioned sync: sync_date value sets ride the manifest") {
+    val base = Files.createTempDirectory("graft-partsync").toString
+    val store = new OffsetStore(s"$base/offsets")
+    val job = new SyncJob(source, store, s"$base/warehouse",
+      partitionBySyncDate = true, snapshotted = true)
+    val res = job.sync(spark, "orders")
+    assert(res.records == 10)
+    import graft.table.SnapshotLog
+    val tdir = s"$base/warehouse/orders_parquet"
+    val files = SnapshotLog.filesAt(spark, tdir)
+    assert(files.nonEmpty &&
+      files.forall(_.parts.get("sync_date").contains(Seq("2026-01-15"))),
+      files.map(_.parts).toString)
+    // the fixture's one date reads fully; any other date prunes to zero
+    assert(SnapshotLog.readPartitions(spark, tdir,
+      Map("sync_date" -> Seq("2026-01-15"))).get.count() == 10)
+    val (kept0, skipped0) = SnapshotLog.prunePartitionStats(spark, tdir,
+      Map("sync_date" -> Seq("2027-05-05")))
+    assert(kept0 == 0 && skipped0 == files.size)
+    // compaction must not blind the pruning: value sets re-derive
+    Compaction.compactSnapshotted(spark, s"$base/warehouse", "orders",
+      targetBytes = 1L << 30)
+    val after = SnapshotLog.filesAt(spark, tdir)
+    assert(after.forall(_.parts.get("sync_date").contains(Seq("2026-01-15"))),
+      after.map(_.parts).toString)
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
