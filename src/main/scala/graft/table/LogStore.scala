@@ -102,6 +102,62 @@ final class ProcessLocalArbiter extends CommitArbiter {
     claimed.replace(key, Array.emptyByteArray)
 }
 
+/** CROSS-PROCESS CAS over a shared directory — the filesystem-native
+  * arbiter [[ProcessLocalArbiter]] explicitly is not: the claim for a
+  * key is a FILE, and publishing it with `link(2)` (EEXIST-atomic in
+  * the KERNEL, the `O_CREAT|O_EXCL` no-clobber school) decides the
+  * winner between separate JVMs, not just threads of one. The winner's
+  * payload (the manifest bytes) is written to a temp file FIRST and
+  * linked into place, so the claim appears atomically WITH its payload
+  * — a process dying between claim and put leaves a complete claim any
+  * later writer recovers the commit from ([[ConditionalPutLogStore]]'s
+  * died-winner path). `complete` atomically replaces the payload with
+  * an empty marker: the claim persists forever (exactly-once), the
+  * KB-scale bytes do not. Suitable wherever the claim dir lives on a
+  * filesystem with atomic link/rename (local disk, NFS with proper
+  * semantics, HDFS via its own create-no-overwrite); object-store
+  * deployments use their CAS service instead. */
+final class ClaimFileArbiter(claimDir: String) extends CommitArbiter {
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(claimDir))
+
+  /** Keys are arbitrary paths — hash to a flat, filename-safe claim. */
+  private def claimPath(key: String): java.nio.file.Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(claimDir, s"claim-$h")
+  }
+
+  override def claim(key: String, payload: Array[Byte]): Boolean = {
+    val target = claimPath(key)
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, payload)
+    try {
+      java.nio.file.Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  override def payloadOf(key: String): Option[Array[Byte]] = {
+    val t = claimPath(key)
+    if (!java.nio.file.Files.exists(t)) None
+    else Some(java.nio.file.Files.readAllBytes(t)).filter(_.nonEmpty)
+  }
+
+  override def complete(key: String): Unit = {
+    // atomically swap the payload for an empty marker: the claim file is
+    // continuously present (no un-claim window), only its bytes go
+    val t = claimPath(key)
+    val tmp = t.resolveSibling(s".${t.getFileName}.done-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, Array.emptyByteArray)
+    java.nio.file.Files.move(tmp, t,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
 /** Object-store commit: the underlying "put" is a BLIND overwrite (all
   * an object store offers), so the winner is decided by the arbiter's
   * CAS first — the loser throws away its attempt without a single byte

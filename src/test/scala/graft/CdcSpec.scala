@@ -1863,6 +1863,75 @@ class CdcSpec extends AnyFunSuite {
       after.map(_.parts).toString)
   }
 
+  test("two separate JVMs race the claim-file arbiter: exactly one winner per key") {
+    import scala.sys.process._
+    val base = Files.createTempDirectory("graft-claimrace").toString
+    val claimDir = s"$base/claims"
+    val goFile = s"$base/go"
+    val keys = (1 to 20).map(i => s"k$i")
+    val cp = System.getProperty("java.class.path")
+    def spawn(tag: String) = {
+      val out = new StringBuilder
+      val proc = Process(Seq("java", "-cp", cp, "graft.tools.ClaimRace",
+        claimDir, goFile, tag) ++ keys)
+        .run(ProcessLogger(l => out.synchronized { out.append(l).append('\n') }, _ => ()))
+      (proc, out)
+    }
+    val (p1, o1) = spawn("A")
+    val (p2, o2) = spawn("B")
+    Thread.sleep(500) // both JVMs parked on the gate
+    Files.write(Paths.get(goFile), Array.emptyByteArray)
+    assert(p1.exitValue() == 0 && p2.exitValue() == 0, s"$o1 / $o2")
+    def wins(out: StringBuilder): Map[String, Boolean] =
+      out.toString.linesIterator.collect {
+        case l if l.startsWith("CLAIM ") =>
+          val Array(_, k, w) = l.split(' '); k -> w.toBoolean
+      }.toMap
+    val (w1, w2) = (wins(o1), wins(o2))
+    keys.foreach { k =>
+      assert(w1.contains(k) && w2.contains(k), s"missing result for $k")
+      assert(w1(k) ^ w2(k),
+        s"key $k: JVM A won=${w1(k)}, JVM B won=${w2(k)} — must be exactly one")
+    }
+    // every claim file holds the WINNER's payload (atomically linked
+    // with the claim, the died-winner recovery source)
+    val arbiter = new graft.table.ClaimFileArbiter(claimDir)
+    keys.foreach { k =>
+      val tag = if (w1(k)) "A" else "B"
+      assert(arbiter.payloadOf(k).map(new String(_, "UTF-8")).contains(s"$tag:$k"))
+    }
+  }
+
+  test("died-winner recovery across processes: the loser completes the claimed commit") {
+    import scala.sys.process._
+    import graft.table._
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-diedwinner").toString
+    val claimDir = s"$base/claims"
+    val goFile = s"$base/go"
+    Files.write(Paths.get(goFile), Array.emptyByteArray) // no gate needed
+    // JVM A claims the manifest key and DIES before putting the file
+    val cp = System.getProperty("java.class.path")
+    val target = new Path(s"$base/log/00000000000000000001.json")
+    val rc = Process(Seq("java", "-cp", cp, "graft.tools.ClaimRace",
+      claimDir, goFile, "winner", target.toString)).!
+    assert(rc == 0)
+    assert(!Files.exists(Paths.get(target.toUri.getPath)), "A never put")
+    // this process races the same id through the conditional-put store:
+    // it loses the claim AND completes A's commit from the claim payload
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(target.getParent)
+    val src = new Path(s"$base/log/.tmp-loser.json")
+    val out = fs.create(src, false)
+    out.write("loser-bytes".getBytes("UTF-8")); out.close()
+    val store = new ConditionalPutLogStore(new ClaimFileArbiter(claimDir))
+    assert(!store.putIfAbsent(fs, src, target), "the loser must lose")
+    val landed = new String(
+      Files.readAllBytes(Paths.get(target.toUri.getPath)), "UTF-8")
+    assert(landed == s"winner:$target",
+      s"target must hold the DIED WINNER's payload, got '$landed'")
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
