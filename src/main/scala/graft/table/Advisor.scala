@@ -39,7 +39,8 @@ object Advisor {
              targetBytes: Long = 128L * 1024 * 1024,
              maskThreshold: Long = 1,
              overlapThreshold: Double = 0.3,
-             retainLast: Int = 5): DataFrame = {
+             retainLast: Int = 5,
+             maskFileThreshold: Int = 4): DataFrame = {
     import spark.implicits._
     val live = SnapshotLog.filesAt(spark, tableDir)
     val (dels, data) = live.partition(_.kind == "eqdelete")
@@ -55,6 +56,14 @@ object Advisor {
       findings += (("materialize_deletes", maskRows,
         s"$maskRows pending equality-delete entries in ${dels.size} file(s) " +
           "tax every read with the mask join"))
+
+    // high-frequency CDC accrues one tiny mask FILE per rowdelta commit;
+    // every scan opens each — fold them to one (metadata-only, cheaper
+    // than the full materializing rewrite) with Merge.consolidateMasks
+    if (dels.size >= maskFileThreshold)
+      findings += (("consolidate_masks", dels.size.toLong,
+        s"${dels.size} pending mask files — every scan pays a per-file " +
+          "open; fold to one (per-key max seq) metadata-only"))
 
     // files carrying NEITHER zone stats NOR a bloom are invisible to
     // every pruning path — merges must touch them, point lookups must

@@ -432,7 +432,8 @@ object Merge {
     val live = SnapshotLog.filesAt(spark, tableDir)
     val (dels, data) = live.partition(_.kind == "eqdelete")
     if (dels.isEmpty) return None
-    val keyCol = spark.read.parquet(dels.head.path).columns.head
+    val keyCol = spark.read.parquet(dels.head.path).columns
+      .filterNot(_ == "_graft_del_seq").head
     val masked = SnapshotLog.read(spark, tableDir, renames = renames).get
     val rewritten = clusterZOrder match {
       case Seq(cx, cy) => graft.cdc.Compaction.zorderArrange(masked, cx, cy, targetFiles)
@@ -444,5 +445,40 @@ object Merge {
     Some(SnapshotLog.commit(spark, tableDir, "replace", written,
       removed = live.map(_.path),
       summary = Map("materialized_deletes" -> dels.map(_.rows).sum.toString)))
+  }
+
+  /** METADATA-ONLY mask compaction: fold every pending equality-delete
+    * file into ONE — per-key MAX application seq, carried as an embedded
+    * `_graft_del_seq` column (the file-level seq of the consolidation
+    * commit must not govern application, or re-inserts landing between
+    * the original masks and this rewrite would be wrongly masked; the
+    * read path prefers the embedded column). Committed as `replace`
+    * removing the old mask files: no logical row changes, invisible to
+    * diff/changes consumers, and high-frequency CDC tables stop paying
+    * one file-open per historical rowdelta commit on every scan. Data
+    * files are untouched — this is the cheap maintenance step between
+    * full [[materializeDeletes]] rewrites (which remain the way to
+    * return reads to a bare scan). Returns None when fewer than two
+    * mask files are pending. */
+  def consolidateMasks(spark: SparkSession, tableDir: String): Option[Long] = {
+    val live = SnapshotLog.filesAt(spark, tableDir)
+    val dels = live.filter(_.kind == "eqdelete")
+    if (dels.size <= 1) return None
+    val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+      val df = spark.read.parquet(fs.map(_.path): _*)
+      if (df.columns.contains("_graft_del_seq")) df
+      else df.withColumn("_graft_del_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    val keyCol = delDf.columns.filterNot(_ == "_graft_del_seq").head
+    val folded = delDf.groupBy(col(keyCol))
+      .agg(max(col("_graft_del_seq")).as("_graft_del_seq"))
+      .coalesce(1) // mask debt is O(delta keys): KBs against a 100 TB table
+    val written = SnapshotLog.writeData(folded, tableDir,
+      statsCol = Some(keyCol), kind = "eqdelete",
+      bloomCol = Some(keyCol).filter(_ => isStringKey(folded, keyCol)))
+    Some(SnapshotLog.commit(spark, tableDir, "replace", written,
+      removed = dels.map(_.path),
+      summary = Map("consolidated_masks" -> dels.size.toString,
+        "mask_entries" -> written.map(_.rows).sum.toString)))
   }
 }

@@ -636,8 +636,15 @@ object SnapshotLog {
       spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_seq", lit(seq))
     }, renames)
     if (dels.isEmpty) return withSeq.drop("_graft_seq")
+    // a plain mask file's application seq is its FILE's commit seq; a
+    // CONSOLIDATED mask ([[Merge.consolidateMasks]]) carries each key's
+    // original seq as an embedded column — its file seq is the
+    // consolidation commit's, which must NOT be used or the fold would
+    // mask re-inserts that landed between the originals and the rewrite
     val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
-      spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_del_seq", lit(seq))
+      val df = spark.read.parquet(fs.map(_.path): _*)
+      if (df.columns.contains("_graft_del_seq")) df
+      else df.withColumn("_graft_del_seq", lit(seq))
     }.reduce(_ unionByName _)
     val keyCol = delDf.columns.filterNot(_ == "_graft_del_seq") match {
       case Array(k) => k
@@ -955,7 +962,9 @@ object SnapshotLog {
           .withColumn("_change_op", lit(op))
           .withColumn("_change_snapshot", lit(c.snapshotId)))
       val deletes =
-        if (delAdded.isEmpty) None
+        // a replace commit changes layout, not content — its re-added
+        // mask entries (mask CONSOLIDATION) are not new delete events
+        if (delAdded.isEmpty || c.op == "replace") None
         else {
           val delDf = spark.read.parquet(delAdded.map(_.path): _*)
           val keyCol = delDf.columns.head

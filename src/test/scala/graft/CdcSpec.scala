@@ -1932,6 +1932,57 @@ class CdcSpec extends AnyFunSuite {
       s"target must hold the DIED WINNER's payload, got '$landed'")
   }
 
+  test("mask consolidation folds N mask files to one without changing a row") {
+    import spark.implicits._
+    import graft.table.{Advisor, Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-maskfold").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 10).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    def mor(df: org.apache.spark.sql.DataFrame, del: Boolean = false) =
+      Merge.mergeOnRead(spark, dir,
+        if (del) df.withColumn("is_del", lit(true)) else df.withColumn("is_del", lit(false)),
+        "id", Some("is_del"))
+    mor(Seq((1L, 1L), (2L, 1L)).toDF("id", "v"))          // commit 2: mask {1,2}@2
+    mor(Seq((3L, 0L)).toDF("id", "v"), del = true)        // commit 3: mask {3}@3
+    mor(Seq((3L, 33L)).toDF("id", "v"))                   // commit 4: re-insert k3 + mask {3}@4
+    mor(Seq((4L, 4L)).toDF("id", "v"))                    // commit 5: mask {4}@5
+    mor(Seq((5L, 5L)).toDF("id", "v"))                    // commit 6: mask {5}@6
+    val before = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before(3L) == 33L && before(1L) == 1L && before.size == 10, before.toString)
+    val masksBefore = SnapshotLog.filesAt(spark, dir).count(_.kind == "eqdelete")
+    assert(masksBefore == 5, s"$masksBefore")
+    // the advisor names the debt…
+    val advice = Advisor.advise(spark, dir, retainLast = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(advice.get("consolidate_masks").contains(5L), advice.toString)
+    // …and consolidation pays it: ONE mask file, per-key MAX seq embedded
+    assert(Merge.consolidateMasks(spark, dir).nonEmpty)
+    val masks = SnapshotLog.filesAt(spark, dir).filter(_.kind == "eqdelete")
+    assert(masks.size == 1, s"${masks.size}")
+    val maskDf = spark.read.parquet(masks.head.path)
+    assert(maskDf.columns.toSet == Set("id", "_graft_del_seq"))
+    val seqs = maskDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seqs == Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 5L, 5L -> 6L), seqs.toString)
+    // reads identical before/after — in particular the re-inserted k3
+    // SURVIVES because its original mask seq (4) rode along, not the
+    // consolidation commit's (7)
+    val after = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    assert(Advisor.advise(spark, dir, retainLast = 10).collect()
+      .forall(_.getString(0) != "consolidate_masks"))
+    // the consolidation replace emits NOTHING in the change feed
+    assert(SnapshotLog.changes(spark, dir, from = 6L).isEmpty)
+    // a second consolidation is a no-op; full materialization still works
+    assert(Merge.consolidateMasks(spark, dir).isEmpty)
+    assert(Merge.materializeDeletes(spark, dir).nonEmpty)
+    assert(SnapshotLog.filesAt(spark, dir).count(_.kind == "eqdelete") == 0)
+    assert(SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
