@@ -432,6 +432,22 @@ object CdcQueries {
           col("_change_snapshot").as("change_snapshot"))
         .orderBy(col("pk"))
     }),
+    // Row-level CHANGE FEED over a LINEAGE-stamped copy-on-write merge —
+    // the face changes() structurally refused before r10: the COW
+    // rewrite stamps every written row's last-updated snapshot id
+    // ([[graft.table.Merge.LineageCol]], the Iceberg v3 row-lineage
+    // design), so carried copies (old stamp) drop out of the upsert set
+    // and removed-minus-added keys are the deletes — O(rewritten bytes),
+    // never a table scan. SAME oracle as the merge-on-read feed: two
+    // storage strategies, one derived change stream.
+    "cdc_cow_changefeed" -> ((s, _) => {
+      graft.table.SnapshotLog.changes(s, cowLineageWarehouse(s), from = 1L).get
+        .select(col("pk"), col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"),
+          col("_change_op").as("change_op"),
+          col("_change_snapshot").as("change_snapshot"))
+        .orderBy(col("pk"))
+    }),
     // Delete MATERIALIZATION ([[graft.table.Merge.materializeDeletes]]):
     // folding the pending equality-delete masks back into key-clustered
     // data files must not change a single row — the rewritten table
@@ -730,6 +746,19 @@ object CdcQueries {
       dir
     })
 
+  private val cowLineageWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The LINEAGE-stamped copy-on-write twin of [[morWarehouse]]: the
+    * SAME epoch-1 state and epoch-2 delta, applied as an `upsert` commit
+    * with `lineage = true` so the change feed is derivable from it. */
+  private def cowLineageWarehouse(spark: SparkSession): String =
+    cowLineageWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.Merge
+      val (dir, delta) = delStateEpoch1(spark, "graft-cowlin")
+      Merge.applyChanges(spark, dir, delta, "pk", Some("is_delete"), lineage = true)
+      dir
+    })
+
   private val morMatWarehouseCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   /** [[morWarehouse]] plus the maintenance step: pending equality
@@ -1004,6 +1033,32 @@ object CdcQueries {
     // key — tombstone-latest keys emit a key-only delete row, the rest
     // upsert (the delete+re-insert of pk 3 collapses to its upsert)
     "cdc_mor_changefeed" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT pk,
+         |  CASE WHEN is_tombstone THEN NULL ELSE order_id END AS order_id,
+         |  CASE WHEN is_tombstone THEN NULL ELSE customer_id END AS customer_id,
+         |  CASE WHEN is_tombstone THEN NULL ELSE status END AS status,
+         |  CASE WHEN is_tombstone THEN NULL ELSE total_amount END AS total_amount,
+         |  CASE WHEN is_tombstone THEN NULL ELSE kafka_offset END AS kafka_offset,
+         |  CASE WHEN is_tombstone THEN 'delete' ELSE 'upsert' END AS change_op,
+         |  CAST(2 AS BIGINT) AS change_snapshot
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p WHERE kafka_offset >= 4) t
+         |WHERE rk = 1
+         |ORDER BY pk""".stripMargin,
+    // lineage-COW change feed == the MOR feed == epoch-2 latest per key
+    // (tombstone-latest keys delete key-only, the rest upsert)
+    "cdc_cow_changefeed" ->
       s"""WITH p AS (
          |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
          |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,

@@ -94,6 +94,18 @@ object Merge {
              keyCol: String): MergeResult =
     applyChanges(spark, tableDir, delta, keyCol, deleteCol = None)
 
+  /** The hidden ROW-LINEAGE column a `lineage = true` COW merge stamps:
+    * each row's last-updated snapshot id (the Iceberg v3
+    * `_last_updated_sequence_number` role). Carried-forward rows KEEP
+    * their old value through the rewrite — that is exactly what lets
+    * [[SnapshotLog.changes]] tell changed rows from carried copies
+    * inside the same added files, making row-level change feeds
+    * derivable across copy-on-write commits (which are otherwise
+    * opaque: added files mix changed and carried rows). Rows from
+    * pre-lineage files stamp their file's commit seq at the first
+    * lineage merge. [[SnapshotLog.read]] hides the column. */
+  val LineageCol = "_graft_updated_seq"
+
   /** The delta's distinct keys in the PROBE DOMAIN (long values for long
     * keys, xxhash64 for string/UUID keys — [[SnapshotLog.keyAsLong]]),
     * split into a physical strategy by size: Left(sorted driver array)
@@ -226,7 +238,8 @@ object Merge {
   def applyChanges(spark: SparkSession, tableDir: String, delta: DataFrame,
                    keyCol: String, deleteCol: Option[String],
                    renames: Map[String, String] = Map.empty,
-                   maxDriverKeys: Int = DefaultMaxDriverKeys): MergeResult = {
+                   maxDriverKeys: Int = DefaultMaxDriverKeys,
+                   lineage: Boolean = false): MergeResult = {
     val (pendingMasks, live) =
       SnapshotLog.filesAt(spark, tableDir).partition(_.kind == "eqdelete")
     // a COW rewrite reads touched files RAW and re-stamps their rows with
@@ -237,11 +250,18 @@ object Merge {
       s"table $tableDir has ${pendingMasks.size} pending equality-delete file(s); " +
         "run materializeDeletes before a copy-on-write merge, or use mergeOnRead")
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
+    // lineage mode stamps delta rows with THIS commit's id, so the id is
+    // fixed up front (commitAt below); losing the optimistic race throws
+    // and the caller re-derives, same as any state-dependent commit
+    val intendedId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L) + 1
     val keys = keySet(delta, keyCol, maxDriverKeys)
     val nKeys = keys.fold(_.length.toLong, _.count())
     val (touched, untouched) = touchedFiles(spark, keyCol, live, keys)
     // tombstones drop out of the written rows; their keys still anti-join
-    val upserts = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
+    val upserts0 = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
+    val upserts =
+      if (lineage) upserts0.withColumn(LineageCol, lit(intendedId))
+      else upserts0
     val merged =
       if (touched.isEmpty) upserts
       else {
@@ -250,7 +270,10 @@ object Merge {
         // read merges them through the Evolution lattice — one raw
         // multi-path relation would infer a single file's schema and
         // silently null the other epoch's drifted columns
-        val survivors = SnapshotLog.readEpochSafe(spark, touched, renames)
+        val touchedDf =
+          if (lineage) readTouchedLineage(spark, touched, renames)
+          else SnapshotLog.readEpochSafe(spark, touched, renames)
+        val survivors = touchedDf
           .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         if (sameShape(survivors.schema, upserts.schema))
           survivors.unionByName(upserts)
@@ -262,12 +285,33 @@ object Merge {
     // zone, so the NEXT merge prunes these files too
     val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyCol),
       bloomCol = Some(keyCol).filter(_ => isStringKey(delta, keyCol)))
-    val id = SnapshotLog.commit(spark, tableDir, "upsert", written,
+    val id = SnapshotLog.commitAt(spark, tableDir, intendedId, "upsert", written,
       removed = touched.map(_.path),
       summary = Map("key" -> keyCol, "delta_keys" -> nKeys.toString,
         "files_touched" -> touched.size.toString,
-        "files_untouched" -> untouched.size.toString))
+        "files_untouched" -> untouched.size.toString) ++
+        (if (lineage) Map("lineage" -> "true") else Map.empty))
     MergeResult(id, touched.size, untouched.size, written.map(_.rows).sum)
+  }
+
+  /** The touched files with row lineage resolved: rows keep their
+    * existing [[LineageCol]] where one was stamped, and rows from
+    * pre-lineage files adopt their file's commit seq (the best lower
+    * bound the metadata has). Per-seq groups merge through the same
+    * Evolution lattice as the plain epoch-safe read. */
+  private def readTouchedLineage(spark: SparkSession,
+                                 touched: Seq[SnapshotLog.DataFile],
+                                 renames: Map[String, String]): DataFrame = {
+    val groups = touched.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>
+      val df = spark.read.parquet(fs.map(_.path): _*)
+      if (df.columns.contains(LineageCol))
+        df.withColumn(LineageCol, coalesce(col(LineageCol), lit(seq)))
+      else df.withColumn(LineageCol, lit(seq))
+    }
+    val schemas = groups.map(_.schema)
+    if (renames.isEmpty && schemas.forall(_ == schemas.head))
+      groups.reduce(_ unionByName _)
+    else graft.schema.Evolution.mergeEpochs(groups, renames)
   }
 
   private def isStringKey(df: DataFrame, keyCol: String): Boolean =

@@ -688,8 +688,15 @@ object SnapshotLog {
            renames: Map[String, String] = Map.empty): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     if (data.isEmpty) None
-    else if (dels.isEmpty) Some(readEpochSafe(spark, data, renames))
-    else Some(applyEqDeletes(spark, data, dels, renames))
+    else {
+      val df =
+        if (dels.isEmpty) readEpochSafe(spark, data, renames)
+        else applyEqDeletes(spark, data, dels, renames)
+      // the row-lineage stamp is table metadata ([[Merge.LineageCol]]),
+      // not user data — hidden from reads, visible to the feed deriver
+      Some(if (df.columns.contains(Merge.LineageCol))
+        df.drop(Merge.LineageCol) else df)
+    }
   }
 
   /** Manifest-pruned range read over the stats column: files whose
@@ -931,7 +938,12 @@ object SnapshotLog {
     *    events (Debezium tombstone semantics): consumers fold deletes
     *    as set-removal, not balanced-event accounting;
     *  - `replace` → nothing (a rewrite changes layout, not content);
-    *  - `upsert` (copy-on-write) / `rollback` → REFUSED: their added
+    *  - `upsert` (copy-on-write) WITH row lineage
+    *    (`applyChanges(lineage = true)`) → derived from the rewritten
+    *    files alone ([[cowChanges]]): added rows stamped with the
+    *    commit's id are its upserts, removed-minus-added keys its
+    *    deletes — O(rewritten), never O(table);
+    *  - `upsert` WITHOUT lineage / `rollback` → REFUSED: their added
     *    files mix carried-forward and changed rows, so no row-level
     *    delta exists without row lineage. Merge-on-read is precisely the
     *    layout under which a CDC-style change feed IS derivable from
@@ -947,12 +959,18 @@ object SnapshotLog {
       s"cannot read changes ($from, $hi] of $tableDir: snapshots ${missing.mkString(",")} expired")
     val inRange = commits(spark, tableDir, Some(hi).filter(_ > 0))
       .filter(_.snapshotId > from)
-    val opaque = inRange.filter(c => c.op == "upsert" || c.op == "rollback")
+    // a COW upsert WITH row lineage is derivable (below); one without is
+    // opaque — added files mix carried and changed rows indistinguishably
+    val opaque = inRange.filter(c =>
+        (c.op == "upsert" && !c.summary.get("lineage").contains("true")) ||
+          c.op == "rollback")
       .map(c => s"${c.snapshotId}(${c.op})")
     require(opaque.isEmpty,
       s"cannot read changes ($from, $hi] of $tableDir: snapshots ${opaque.mkString(",")} " +
-        "rewrote rows without row lineage (copy-on-write); use merge-on-read commits")
+        "rewrote rows without row lineage (copy-on-write); use merge-on-read " +
+        "commits or applyChanges(lineage = true)")
     val parts = inRange.flatMap { c =>
+      if (c.op == "upsert") cowChanges(spark, tableDir, c, ids) else {
       val dataAdded = c.added.filter(_.kind == "data")
       val delAdded = c.added.filter(_.kind == "eqdelete")
       val op = if (c.op == "append") "insert" else "upsert"
@@ -988,9 +1006,55 @@ object SnapshotLog {
             .withColumn("_change_snapshot", lit(c.snapshotId)))
         }
       upserts.toSeq ++ deletes.toSeq
+      }
     }
     if (parts.isEmpty) None
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /** Row-level changes of a LINEAGE-stamped copy-on-write upsert commit
+    * (the face [[diff]] and pre-lineage [[changes]] refuse): the added
+    * files carry each row's last-updated snapshot id
+    * ([[Merge.LineageCol]]), so
+    *
+    *  - upserts = added rows stamped WITH this commit's id (carried
+    *    copies keep their older stamp and drop out);
+    *  - deletes = keys present in the REMOVED (rewritten) files but in
+    *    none of the added ones — one anti-join of O(rewritten) rows,
+    *    never a table scan; emitted key-only, payload null, matching
+    *    the merge-on-read feed's shape.
+    *
+    * Needs the removed files' bytes, which are referenced by the parent
+    * snapshot: the parent manifest must still be retained or the delete
+    * side is underivable — refused loudly, never guessed. */
+  private def cowChanges(spark: SparkSession, tableDir: String, c: Commit,
+                         ids: Seq[Long]): Seq[DataFrame] = {
+    val keyCol = c.summary.getOrElse("key",
+      throw new IllegalStateException(
+        s"lineage upsert ${c.snapshotId} of $tableDir lacks a key in its summary"))
+    val dataAdded = c.added.filter(_.kind == "data")
+    val addedDf =
+      if (dataAdded.isEmpty) None // all-tombstone merge: nothing rewritten in
+      else Some(spark.read.parquet(dataAdded.map(_.path): _*))
+    val upserts = addedDf.map(_
+      .filter(col(Merge.LineageCol) === c.snapshotId)
+      .drop(Merge.LineageCol)
+      .withColumn("_change_op", lit("upsert"))
+      .withColumn("_change_snapshot", lit(c.snapshotId)))
+    val deletes =
+      if (c.removed.isEmpty) None
+      else {
+        require(ids.contains(c.snapshotId - 1),
+          s"cannot derive deletes of COW upsert ${c.snapshotId} of $tableDir: " +
+            "parent snapshot expired (its file references anchor the removed bytes)")
+        val removedKeys = spark.read.parquet(c.removed: _*)
+          .select(col(keyCol)).distinct()
+        Some(addedDf.fold(removedKeys)(a =>
+            removedKeys.join(a.select(col(keyCol)), Seq(keyCol), "left_anti"))
+          .withColumn("_change_op", lit("delete"))
+          .withColumn("_change_snapshot", lit(c.snapshotId)))
+      }
+    upserts.toSeq ++ deletes.toSeq
   }
 
   /** Drop delete keys PROVABLY absent from `files` (the parent

@@ -1983,6 +1983,58 @@ class CdcSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == before)
   }
 
+  test("row lineage: change feed derives and replays across a mixed COW+MOR history") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-lineage").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 6).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    // commit 2: COW merge WITH lineage — update k1, tombstone k2, insert k7
+    Merge.applyChanges(spark, dir,
+      Seq((1L, 10L, false), (2L, 0L, true), (7L, 0L, false)).toDF("id", "v", "is_del"),
+      "id", Some("is_del"), lineage = true)
+    // commit 3: merge-on-read — update k3, tombstone k4
+    Merge.mergeOnRead(spark, dir,
+      Seq((3L, 30L, false), (4L, 0L, true)).toDF("id", "v", "is_del"),
+      "id", Some("is_del"))
+    // the read surface hides the lineage stamp
+    assert(!SnapshotLog.read(spark, dir).get.columns.contains(Merge.LineageCol))
+    val feed = SnapshotLog.changes(spark, dir, from = 1L).get
+      .select(col("id"), col("v"), col("_change_op"), col("_change_snapshot"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getString(2), r.getLong(3)))
+      .toSet
+    // COW upserts are ONLY the rows stamped with commit 2 — the carried
+    // copies of k3..k6 were rewritten into the same files but keep their
+    // old stamp and must not appear
+    assert(feed == Set(
+      (1L, Some(10L), "upsert", 2L), (7L, Some(0L), "upsert", 2L),
+      (2L, None, "delete", 2L),
+      (3L, Some(30L), "upsert", 3L), (4L, None, "delete", 3L)), feed.toString)
+    // replaying the feed over the snapshot-1 state reproduces the head
+    var state = SnapshotLog.read(spark, dir, asOf = Some(1L)).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feed.toSeq.sortBy(_._4).foreach {
+      case (k, Some(v), "upsert", _) => state += (k -> v)
+      case (k, _, "delete", _) => state -= k
+      case other => fail(other.toString)
+    }
+    val head = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == head, s"replayed=$state head=$head")
+    // a lineage-less COW commit still refuses loudly
+    val dir2 = Files.createTempDirectory("graft-nolineage").toString + "/t"
+    SnapshotLog.commit(spark, dir2, "append",
+      SnapshotLog.writeData((1 to 3).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .coalesce(1), dir2, statsCol = Some("id")))
+    Merge.upsert(spark, dir2, Seq((1L, 5L)).toDF("id", "v"), "id")
+    val e = intercept[IllegalArgumentException](
+      SnapshotLog.changes(spark, dir2, from = 1L))
+    assert(e.getMessage.contains("lineage"))
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
