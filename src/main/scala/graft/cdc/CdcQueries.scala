@@ -85,6 +85,21 @@ object CdcQueries {
             Map(topic -> Map(0 -> 2L, 1 -> 2L)))), "orders_mp")
         .orderBy(col("order_id"))
     }),
+    // MULTI-TOPIC read ([[CdcSource.readMulti]]): two tables' topics in
+    // ONE pass with per-topic, per-partition resume riding the same
+    // topic-keyed startingOffsets shape (orders resumes from 6,
+    // customers reads from earliest — the mixed-state case
+    // [[OffsetStore.startingOffsetsForAll]] emits). Per-topic record
+    // counts and HWMs — the sync loop's accounting — come out of the
+    // single scan.
+    "cdc_multi_topic_read" -> ((s, _) => {
+      val topics = Seq("orders", "customers").map(Schemas.topicFor)
+      val st = StartingOffsets.PerPartition(Map(topics.head -> Map(0 -> 6L)))
+      source.readMulti(s, topics, st)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("hwm"))
+        .orderBy(col("topic"))
+    }),
     // T6 (gap-fill): predicate over decoded rows
     "cdc_filter_completed" -> ((s, _) =>
       parse(s, "orders").filter(col("status") === "COMPLETED")),
@@ -932,6 +947,14 @@ object CdcQueries {
     "cdc_incremental_orders" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    // one pass over two topics: orders bounded at offset ≥ 6, customers
+    // unbounded (no saved state → earliest)
+    "cdc_multi_topic_read" ->
+      s"""SELECT topic, count(*) AS n, max("offset") AS hwm FROM (
+         |  SELECT topic, "offset" FROM ${wireSql("orders")} WHERE "offset" >= 6
+         |  UNION ALL
+         |  SELECT topic, "offset" FROM ${wireSql("customers")})
+         |GROUP BY topic ORDER BY topic""".stripMargin,
     // per-partition resume bounds over the 3-partition topic; partitions
     // without a bound read from earliest
     "cdc_incremental_multipart" ->

@@ -40,6 +40,17 @@ object StartingOffsets {
 trait CdcSource {
   /** Batch-read one topic from the given starting offsets (inclusive). */
   def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame
+
+  /** Batch-read SEVERAL topics in one pass with per-topic, per-partition
+    * resume — the multi-table face of the same `startingOffsets` JSON
+    * (its shape is already topic-keyed: `{"t1": {"0": n}, "t2": …}`).
+    * Topics (or partitions) absent from the map read from earliest, the
+    * safe default for a table first seen mid-stream. The default
+    * implementation unions per-topic reads; connector-backed sources
+    * override with a genuine single subscription. */
+  def readMulti(spark: SparkSession, topics: Seq[String],
+                starting: StartingOffsets): DataFrame =
+    topics.map(read(spark, _, starting)).reduce(_ unionByName _)
 }
 
 /** JSON-lines-backed implementation of the Kafka wire contract
@@ -48,27 +59,49 @@ trait CdcSource {
   * topic, partition, offset, timestamp.
   */
 final class FileCdcSource(dir: String) extends CdcSource {
-  override def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame = {
-    val raw = spark.read
+
+  private def rawRead(spark: SparkSession, topics: Seq[String]): DataFrame =
+    spark.read
       .schema(Schemas.wireJson)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-      .json(s"$dir/$topic.jsonl")
+      .json(topics.map(t => s"$dir/$t.jsonl"): _*)
       .select(
         col("key").cast("binary").as("key"),
         col("value").cast("binary").as("value"),
         col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** offset ≥ bound per partition; partitions without a bound read from
+    * earliest (same contract as the Kafka JSON form). */
+  private def boundPred(bounds: Map[Int, Long]) =
+    bounds.map { case (p, o) =>
+      (col("partition") === lit(p)) && (col("offset") >= lit(o))
+    }.reduce(_ || _) || !col("partition").isin(bounds.keys.toSeq.map(Integer.valueOf): _*)
+
+  override def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame = {
+    val raw = rawRead(spark, Seq(topic))
     starting match {
       case StartingOffsets.Earliest => raw
       case StartingOffsets.PerPartition(m) =>
         val bounds = m.getOrElse(topic, Map.empty)
-        if (bounds.isEmpty) raw
-        else {
-          // offset >= bound per partition; partitions without a bound read from earliest
-          val pred = bounds.map { case (p, o) =>
-            (col("partition") === lit(p)) && (col("offset") >= lit(o))
-          }.reduce(_ || _) || !col("partition").isin(bounds.keys.toSeq.map(Integer.valueOf): _*)
-          raw.filter(pred)
-        }
+        if (bounds.isEmpty) raw else raw.filter(boundPred(bounds))
+    }
+  }
+
+  /** One genuine multi-topic pass: a single multi-path scan with the
+    * per-topic, per-partition bounds as one predicate — the file-source
+    * twin of a single Kafka subscription over N topics. */
+  override def readMulti(spark: SparkSession, topics: Seq[String],
+                         starting: StartingOffsets): DataFrame = {
+    val raw = rawRead(spark, topics)
+    starting match {
+      case StartingOffsets.Earliest => raw
+      case StartingOffsets.PerPartition(m) =>
+        val pred = topics.map { t =>
+          val bounds = m.getOrElse(t, Map.empty)
+          if (bounds.isEmpty) col("topic") === lit(t)
+          else (col("topic") === lit(t)) && boundPred(bounds)
+        }.reduce(_ || _)
+        raw.filter(pred)
     }
   }
 }
@@ -97,5 +130,27 @@ final class KafkaCdcSource(bootstrapServers: String) extends CdcSource {
   override def read(spark: SparkSession, topic: String, starting: StartingOffsets): DataFrame =
     spark.read.format("kafka")
       .options(options(topic, starting))
+      .load()
+
+  /** The multi-topic option surface: ONE subscription over a
+    * comma-separated topic list (the connector's `subscribe` form), the
+    * SAME topic-keyed `startingOffsets` JSON carrying every topic's
+    * per-partition resume point. Topics absent from the JSON resume from
+    * the reader-level default; this engine's [[OffsetStore
+    * .startingOffsetsForAll]] emits bounds only for topics with saved
+    * state, so new tables read from earliest. Contract-pinned in
+    * CdcSpec like the single-topic map. */
+  def optionsMulti(topics: Seq[String], starting: StartingOffsets): Map[String, String] =
+    scala.collection.immutable.ListMap(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> StartingOffsets.toJson(starting),
+      "endingOffsets" -> "latest",
+      "kafka.security.protocol" -> "PLAINTEXT")
+
+  override def readMulti(spark: SparkSession, topics: Seq[String],
+                         starting: StartingOffsets): DataFrame =
+    spark.read.format("kafka")
+      .options(optionsMulti(topics, starting))
       .load()
 }

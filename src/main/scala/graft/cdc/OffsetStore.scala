@@ -77,6 +77,22 @@ final class OffsetStore(dir: String) {
       Map(topic -> m.map { case (p, o) => p -> (o + 1) }))
   }
 
+  /** Starting offsets for ONE multi-topic read spanning several tables:
+    * each table's saved per-partition marks land under ITS topic in the
+    * same topic-keyed JSON shape the single-table form uses. Tables with
+    * no saved state contribute no bound — their topics read from
+    * earliest (the safe default for a table first seen mid-stream) —
+    * and when NO table has state the whole read is `earliest`. */
+  def startingOffsetsForAll(tableTopics: Seq[(String, String)]): StartingOffsets = {
+    val bounded = tableTopics.flatMap { case (table, topic) =>
+      val m = lastOffsets(table)
+      if (m.isEmpty) None
+      else Some(topic -> m.map { case (p, o) => p -> (o + 1) })
+    }.toMap
+    if (bounded.isEmpty) StartingOffsets.Earliest
+    else StartingOffsets.PerPartition(bounded)
+  }
+
   /** Commit the new high-water mark for partition 0 (the reference's
     * single-partition form — kept for parity callers). */
   def commit(table: String, offset: Long, recordsProcessed: Long): Unit =

@@ -28,7 +28,8 @@ import graft.schema.Schemas
 object PipelineRunner {
 
   final case class TableReport(table: String, synced: Long, maxOffset: Long,
-                               sourceRows: Long, sinkRows: Long) {
+                               sourceRows: Long, sinkRows: Long,
+                               maintenance: Seq[String] = Nil) {
     def consistent: Boolean = sourceRows == sinkRows
   }
   final case class PipelineReport(healthy: Map[String, Boolean],
@@ -55,16 +56,56 @@ object PipelineRunner {
     out.toMap
   }
 
+  /** Pay the debts the [[graft.table.Advisor]] names on one snapshot
+    * table — the maintenance loop a platform cron runs per table, here
+    * wired directly after each sync so repeated runs keep file counts,
+    * mask debt and history depth bounded WITHOUT manual maintenance
+    * calls. Order matters: masks first (materialization clears both the
+    * entries and their files; consolidation is the cheap fallback when
+    * only the file-count debt fired), then small-file bin-pack, then
+    * retention — each through the same soak-tested commit protocol, so
+    * the loop is safe to run while other writers append. Returns the
+    * actions actually paid. */
+  def maintainTable(spark: SparkSession, warehouseDir: String, table: String,
+                    retainLast: Int = 5,
+                    targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    import graft.table.{Advisor, Merge, SnapshotLog}
+    val dir = s"$warehouseDir/${table}_parquet"
+    if (SnapshotLog.currentSnapshotId(spark, dir).isEmpty) return Nil
+    val findings = Advisor.advise(spark, dir, targetBytes = targetBytes,
+      retainLast = retainLast).collect().map(_.getString(0)).toSet
+    val paid = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (findings.contains("materialize_deletes")) {
+      Merge.materializeDeletes(spark, dir).foreach(_ => paid += "materialize_deletes")
+    } else if (findings.contains("consolidate_masks")) {
+      Merge.consolidateMasks(spark, dir).foreach(_ => paid += "consolidate_masks")
+    }
+    if (findings.contains("compact")) {
+      val r = Compaction.compactSnapshotted(spark, warehouseDir, table, targetBytes)
+      if (r.filesAfter < r.filesBefore) paid += "compact"
+    }
+    if (findings.contains("expire_snapshots")) {
+      val (dropped, _) = SnapshotLog.expireSnapshots(spark, dir, retainLast = retainLast)
+      if (dropped > 0) paid += "expire_snapshots"
+    }
+    paid.toSeq
+  }
+
   /** One full pipeline pass; idempotent given a persistent offset dir
     * (a re-run with no new source records syncs 0 and stays consistent).
     * With `compactTargetBytes` set, a [[Compaction]] pass runs after the
     * sync fan-out and BEFORE verify/reconcile — so the counts double as
-    * the compaction's external consistency check. */
+    * the compaction's external consistency check. With `autoMaintain`
+    * (snapshot mode only), the advisor-driven [[maintainTable]] loop
+    * runs instead: debts are diagnosed from manifests and paid only when
+    * named. */
   def run(spark: SparkSession, fixtureDir: String, warehouseDir: String,
           offsetDir: String, tables: Seq[String] = DefaultTables,
           singleFile: Boolean = false,
           compactTargetBytes: Option[Long] = None,
-          snapshotted: Boolean = false): PipelineReport = {
+          snapshotted: Boolean = false,
+          autoMaintain: Boolean = false,
+          retainLast: Int = 5): PipelineReport = {
     // configure: warehouse root must exist before the first append
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouseDir))
 
@@ -94,6 +135,22 @@ object PipelineRunner {
       }
     }
 
+    // advisor-driven maintenance (snapshot mode): diagnose each table's
+    // debt from manifests alone and pay exactly what was named
+    val maintained: Map[String, Seq[String]] =
+      if (autoMaintain && snapshotted)
+        tables.filter(healthy).map { t =>
+          val paid = maintainTable(spark, warehouseDir, t, retainLast = retainLast)
+          if (paid.nonEmpty)
+            System.err.println(s"[pipeline] maintained $t: ${paid.mkString(", ")}")
+          t -> paid
+        }.toMap
+      else {
+        if (autoMaintain)
+          System.err.println("[pipeline] WARNING: --auto-maintain needs --snapshots; skipped")
+        Map.empty
+      }
+
     // verify: sink read-back
     val sinkCounts = job.verifyCounts(spark, tables)
 
@@ -105,7 +162,7 @@ object PipelineRunner {
         else 0L
       val s = synced.find(_.table == t)
       TableReport(t, s.map(_.records).getOrElse(0L), s.map(_.maxOffset).getOrElse(-1L),
-        src, sinkCounts.getOrElse(t, 0L))
+        src, sinkCounts.getOrElse(t, 0L), maintained.getOrElse(t, Nil))
     }
     PipelineReport(healthy, reports)
   }
@@ -122,10 +179,13 @@ object PipelineRunner {
     // protocol (atomic snapshots, time travel, snapshot-diff) — the mode
     // the reference's vestigial --iceberg_warehouse arg gestures at
     val snapshotted = a.get("snapshots").contains("true")
+    // --auto-maintain: pay advisor-named debts after each snapshotted sync
+    val autoMaintain = a.get("auto_maintain").contains("true") ||
+      a.get("auto-maintain").contains("true")
     val spark = graft.Sessions.local(appName = a.getOrElse("JOB_NAME", "graft-pipeline"))
     try {
       val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables,
-        singleFile, compactTarget, snapshotted)
+        singleFile, compactTarget, snapshotted, autoMaintain)
       // the reference's eyeball source-vs-sink report, machine-checkable
       println(f"${"table"}%-12s ${"synced"}%8s ${"hwm"}%6s ${"source"}%8s ${"sink"}%8s  status")
       report.tables.foreach { r =>

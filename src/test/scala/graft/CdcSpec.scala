@@ -2035,6 +2035,86 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lineage"))
   }
 
+  test("auto-maintained runner keeps file counts and history bounded over repeated syncs") {
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-automaint").toString
+    val fdir = s"$base/fixtures"
+    Files.createDirectories(Paths.get(fdir))
+    val topicFile = Paths.get(fdir, "dbserver1.ecommerce.orders.jsonl")
+    def wireLine(off: Long): String =
+      s"""{"key": "{\\"order_id\\": $off}", "value": "{\\"order_id\\": $off, """ +
+        s"""\\"customer_id\\": 1, \\"order_date\\": 1709287200000000, """ +
+        s"""\\"status\\": \\"NEW\\", \\"total_amount\\": \\"10.00\\", """ +
+        s"""\\"shipping_address\\": \\"x\\"}", """ +
+        s""""topic": "dbserver1.ecommerce.orders", "partition": 0, "offset": $off, """ +
+        s""""timestamp": "2026-01-15 10:00:00"}"""
+    val retain = 3
+    var reports = Seq.empty[PipelineRunner.PipelineReport]
+    for (round <- 0 until 6) {
+      // the topic grows between cron fires: 4 new records per round
+      val lines = ((round * 4) until (round * 4 + 4)).map(i => wireLine(i.toLong))
+      Files.write(topicFile, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      reports :+= PipelineRunner.run(spark, fdir, s"$base/warehouse",
+        s"$base/offsets", tables = Seq("orders"), snapshotted = true,
+        autoMaintain = true, retainLast = retain)
+    }
+    assert(reports.forall(_.allConsistent))
+    val dir = s"$base/warehouse/orders_parquet"
+    // without maintenance this is 6 one-file snapshots and 6 manifests;
+    // the advisor loop bin-packs the small files and expires history
+    val files = SnapshotLog.filesAt(spark, dir).filter(_.kind == "data")
+    assert(files.size <= 2, s"small-file debt unbounded: ${files.size} files")
+    assert(SnapshotLog.snapshots(spark, dir).size <= retain,
+      s"history depth unbounded: ${SnapshotLog.snapshots(spark, dir)}")
+    // the report rows record what was paid, and something was
+    assert(reports.flatMap(_.tables.flatMap(_.maintenance)).contains("compact"))
+    assert(reports.flatMap(_.tables.flatMap(_.maintenance)).contains("expire_snapshots"))
+    // all 24 records visible exactly once at the head
+    assert(SnapshotLog.read(spark, dir).get.count() == 24)
+  }
+
+  test("multi-topic resume: one read spans topics with per-topic, per-partition bounds") {
+    val base = Files.createTempDirectory("graft-multitopic").toString
+    val store = new OffsetStore(s"$base/offsets")
+    store.commitPartitioned("orders", Map(0 -> 5L), 6L)
+    store.commitPartitioned("orders_mp", Map(0 -> 3L, 1 -> 2L), 5L)
+    // customers: no saved state → contributes no bound (reads earliest)
+    val tt = Seq(
+      "orders" -> Schemas.topicFor("orders"),
+      "orders_mp" -> Schemas.topicFor("orders_mp"),
+      "customers" -> Schemas.topicFor("customers"))
+    val st = store.startingOffsetsForAll(tt)
+    st match {
+      case StartingOffsets.PerPartition(m) =>
+        assert(m == Map(
+          Schemas.topicFor("orders") -> Map(0 -> 6L),
+          Schemas.topicFor("orders_mp") -> Map(0 -> 4L, 1 -> 3L)), m.toString)
+      case other => fail(s"expected per-partition map, got $other")
+    }
+    // round-trips through the wire JSON the real connector takes
+    assert(StartingOffsets.toJson(st) ==
+      """{"dbserver1.ecommerce.orders": {"0": 6}, """ +
+        """{"0": 4, "1": 3}""".patch(0, "\"dbserver1.ecommerce.orders_mp\": ", 0) + "}")
+    // the production option surface: ONE subscription, same JSON
+    val k = new KafkaCdcSource("broker:9092")
+    val opts = k.optionsMulti(tt.map(_._2), st)
+    assert(opts("subscribe") == tt.map(_._2).mkString(","))
+    assert(opts("startingOffsets") == StartingOffsets.toJson(st))
+    assert(opts("kafka.security.protocol") == "PLAINTEXT")
+    // no state anywhere → plain earliest
+    assert(new OffsetStore(s"$base/empty")
+      .startingOffsetsForAll(Seq("a" -> "t.a")) == StartingOffsets.Earliest)
+    // the file source honors the combined bounds in ONE multi-path pass
+    val df = source.readMulti(spark,
+      Seq(Schemas.topicFor("orders"), Schemas.topicFor("customers")),
+      StartingOffsets.PerPartition(Map(Schemas.topicFor("orders") -> Map(0 -> 6L))))
+    val byTopic = df.groupBy(col("topic")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic(Schemas.topicFor("orders")) == 4L, byTopic.toString)   // offsets 6..9
+    assert(byTopic(Schemas.topicFor("customers")) == 6L, byTopic.toString) // earliest
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
