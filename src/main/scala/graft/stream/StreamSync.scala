@@ -103,7 +103,8 @@ object StreamSync {
   def upsertSink(stream: DataFrame, tableDir: String, checkpointDir: String,
                  keyCol: String, orderCol: String,
                  deleteCol: Option[String] = None,
-                 materializeAtMasks: Option[Int] = None): Unit = {
+                 materializeAtMasks: Option[Int] = None,
+                 consolidateAtMaskFiles: Option[Int] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import graft.table.{Merge, SnapshotLog}
     val q = stream.writeStream
@@ -148,6 +149,16 @@ object StreamSync {
               val pending = SnapshotLog.filesAt(spark, tableDir)
                 .filter(_.kind == "eqdelete").map(_.rows).sum
               if (pending >= threshold) Merge.materializeDeletes(spark, tableDir)
+            }
+            // cheaper inline maintenance (r10): once mask FILE count
+            // crosses the threshold, fold the masks to one (per-key max
+            // seq, metadata-only — data files untouched), so a
+            // high-frequency stream never accrues a per-mask-file open
+            // on its readers between full materializations
+            consolidateAtMaskFiles.foreach { threshold =>
+              if (SnapshotLog.filesAt(spark, tableDir)
+                    .count(_.kind == "eqdelete") >= threshold)
+                Merge.consolidateMasks(spark, tableDir)
             }
           }
         }

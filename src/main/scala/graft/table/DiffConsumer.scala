@@ -58,9 +58,11 @@ final class DiffConsumer(stateDir: String) {
     * (insert/upsert/delete) and `_change_snapshot`, so a downstream
     * materialization (an index, an aggregate, an export) can apply
     * keyed updates and deletes instead of re-reading the table.
-    * Copy-on-write upserts and rollbacks still throw (no row lineage);
-    * compaction/materialization `replace` commits contribute nothing.
-    * Same at-least-once [[commit]] contract. */
+    * Copy-on-write upserts flow through too when they were committed
+    * with row lineage (`Merge.applyChanges(lineage = true)`, r10);
+    * lineage-less COW upserts and rollbacks still throw.
+    * Compaction/materialization/mask-consolidation `replace` commits
+    * contribute nothing. Same at-least-once [[commit]] contract. */
   def consumeChanges(spark: SparkSession, tableDir: String,
                      name: String): (Option[DataFrame], Long) = {
     val from = lastConsumed(name)

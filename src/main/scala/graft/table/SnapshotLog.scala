@@ -741,6 +741,19 @@ object SnapshotLog {
     else Some(applyEqDeletes(spark, pruned, dels))
   }
 
+  /** [[readWhere]] phrased in TIME: bounds given as timestamps prune
+    * against the epoch-micros zones [[writeData]] records for
+    * TimestampType stats columns (DateType zones are epoch DAYS — use
+    * [[readWhere]] with day numbers directly). This is the face a
+    * time-bounded incremental read uses: "events between t0 and t1"
+    * skips every file whose recorded window provably misses, from
+    * metadata alone. */
+  def readTimeRange(spark: SparkSession, tableDir: String, column: String,
+                    from: java.sql.Timestamp, to: java.sql.Timestamp,
+                    asOf: Option[Long] = None): Option[DataFrame] =
+    readWhere(spark, tableDir,
+      Map(column -> (from.getTime * 1000L, to.getTime * 1000L)), asOf)
+
   /** PARTITION-pruned read: keep only data files whose recorded
     * partition-value set (written via `writeData(partitionCols = …)`)
     * intersects the requested values for EVERY filtered column — the

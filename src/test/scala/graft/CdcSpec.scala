@@ -2115,6 +2115,28 @@ class CdcSpec extends AnyFunSuite {
     assert(byTopic(Schemas.topicFor("customers")) == 6L, byTopic.toString) // earliest
   }
 
+  test("readTimeRange prunes on timestamp zones and never loses a row") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-timerange").toString + "/t"
+    def month(m: Int) = (1 to 50).map(i =>
+      (m * 100L + i, java.sql.Timestamp.valueOf(f"2024-0$m%d-15 ${i % 24}%02d:00:00")))
+    for (m <- 1 to 3)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(month(m).toDF("id", "ts").coalesce(1), dir,
+          statsCols = Seq("ts")))
+    val feb = SnapshotLog.readTimeRange(spark, dir, "ts",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-28 23:59:59")).get
+      .filter(col("ts").between("2024-02-01", "2024-03-01"))
+    assert(feb.count() == 50)
+    // exactly one of three month-files survives the metadata prune
+    val (kept, skipped) = SnapshotLog.pruneStats(spark, dir, Map("ts" ->
+      (java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime * 1000L,
+        java.sql.Timestamp.valueOf("2024-02-28 23:59:59").getTime * 1000L)))
+    assert(kept == 1 && skipped == 2, s"kept=$kept skipped=$skipped")
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",

@@ -695,6 +695,49 @@ class StreamSpec extends AnyFunSuite {
       + ((2L, "upsert")) + ((3L, "delete"))))
   }
 
+  test("upsert sink consolidates mask files inline past the file threshold") {
+    import spark.implicits._
+    import graft.table.{DiffConsumer, SnapshotLog}
+    val base = Files.createTempDirectory("graft-autoconsol").toString
+    Files.createDirectories(Paths.get(s"$base/in"))
+    def addFile(rows: Seq[(Long, String, Long, Boolean)], tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      rows.toDF("id", "v", "ord", "is_del").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$base/in/${tag}_${p.getFileName}")))
+    }
+    val schema = Seq((0L, "", 0L, false)).toDF("id", "v", "ord", "is_del").schema
+    // bootstrap + 5 update batches, each leaving one tiny mask file
+    addFile((1L to 8L).map(k => (k, s"v$k", 1L, false)), "a")
+    for (i <- 2 to 6)
+      addFile(Seq((i.toLong, s"u$i", i.toLong, false)), s"b$i")
+    StreamSync.upsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in"),
+      s"$base/t", s"$base/chk", keyCol = "id", orderCol = "ord",
+      deleteCol = Some("is_del"), consolidateAtMaskFiles = Some(3))
+    // mask FILE count stays bounded by the threshold (each consolidation
+    // folds the accrued files to one; data files are never rewritten)
+    val masks = SnapshotLog.filesAt(spark, s"$base/t").filter(_.kind == "eqdelete")
+    assert(masks.size <= 3, s"mask files unbounded: ${masks.size}")
+    assert(SnapshotLog.commits(spark, s"$base/t").exists(c =>
+      c.op == "replace" && c.summary.contains("consolidated_masks")))
+    // content exact through the consolidations
+    val got = SnapshotLog.read(spark, s"$base/t").get.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "v1", 2L -> "u2", 3L -> "u3", 4L -> "u4",
+      5L -> "u5", 6L -> "u6", 7L -> "v7", 8L -> "v8"), got.toString)
+    // the consolidation replaces are invisible to the row-level feed
+    val feed = new DiffConsumer(s"$base/state")
+      .consumeChanges(spark, s"$base/t", "idx")._1.get.collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_op")))
+    assert(feed.count(_._2 == "upsert") == 5 && feed.count(_._2 == "insert") == 8
+      && feed.count(_._2 == "delete") == 0, feed.mkString(";"))
+  }
+
   test("streaming dedup index matches sequential admission over the pair graph") {
     val base = Files.createTempDirectory("graft-stream-dix").toString
     Files.createDirectories(Paths.get(s"$base/in"))
