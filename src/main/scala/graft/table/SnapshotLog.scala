@@ -659,6 +659,66 @@ object SnapshotLog {
       .drop("_graft_seq", "_graft_del_seq")
   }
 
+  private def tagPath(tableDir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+      s"tag name '$name' must be 1-64 chars of [A-Za-z0-9._-]")
+    new Path(logDir(tableDir), s"_tags/$name.json")
+  }
+
+  /** TAG a snapshot with a stable name (the Iceberg tag/ref face):
+    * `release-2026-08`, `audit-baseline`, … Tags are IMMUTABLE once
+    * published (the same atomic no-clobber primitive commits use — a
+    * concurrent double-tag has exactly one winner; re-tagging a name
+    * throws) and a tagged snapshot is EXEMPT from retention until
+    * [[removeTag]] — the contract that makes "pin the audited version
+    * forever while the table churns" safe. */
+  def tag(spark: SparkSession, tableDir: String, name: String, id: Long): Unit = {
+    val fs = fsOf(spark, tableDir)
+    val ids = snapshots(spark, tableDir)
+    require(ids.contains(id),
+      s"cannot tag snapshot $id of $tableDir: not retained (${ids.mkString(",")})")
+    fs.mkdirs(new Path(logDir(tableDir), "_tags"))
+    val tmp = new Path(logDir(tableDir), s"_tags/.tmp-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    out.write(s"""{"snapshot_id": $id}""".getBytes("UTF-8"))
+    out.close()
+    val won = LogStore.forFileSystem(fs).putIfAbsent(fs, tmp, tagPath(tableDir, name))
+    fs.delete(tmp, false)
+    if (!won) throw new IllegalArgumentException(
+      s"tag '$name' of $tableDir already exists (tags are immutable; removeTag first)")
+  }
+
+  /** All tags: name → snapshot id. */
+  def tags(spark: SparkSession, tableDir: String): Map[String, Long] = {
+    val fs = fsOf(spark, tableDir)
+    val dir = new Path(logDir(tableDir), "_tags")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+      .flatMap { p =>
+        try {
+          val in = fs.open(p)
+          val node = try mapper.readTree(in) finally in.close()
+          Some(p.getName.stripSuffix(".json") -> node.get("snapshot_id").asLong())
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.toMap
+  }
+
+  /** Resolve a tag to its snapshot id (throws on unknown name); pass
+    * the result as `asOf` to any read face. */
+  def snapshotForTag(spark: SparkSession, tableDir: String, name: String): Long =
+    tags(spark, tableDir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' on $tableDir (tags: ${tags(spark, tableDir).keys.toSeq.sorted.mkString(",")})"))
+
+  /** Drop a tag — its snapshot re-enters normal retention on the next
+    * [[expireSnapshots]]. Unknown names are a no-op. */
+  def removeTag(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val fs = fsOf(spark, tableDir)
+    fs.delete(tagPath(tableDir, name), false)
+    ()
+  }
+
   /** Resolve AS OF TIMESTAMP to a snapshot id: the newest committed
     * snapshot whose commit wall-clock is ≤ `tsMs` (the
     * `FOR TIMESTAMP AS OF` face; commit timestamps are written by
@@ -1139,20 +1199,51 @@ object SnapshotLog {
     val cs = commits(spark, tableDir)
     // per-snapshot live accounting by folding each commit's delta over
     // the FIRST retained snapshot's resolved state — one anchor read +
-    // one pass over the retained manifests, zero data files opened
+    // one pass over the retained manifests, zero data files opened.
+    // Tag-exempt retention can leave HOLES in the retained ids; a fold
+    // across a hole would skip the expired deltas, so non-contiguous
+    // steps re-resolve from their own anchor instead.
     var liveMap: Map[String, DataFile] =
       if (cs.isEmpty) Map.empty
       else filesAt(spark, tableDir, Some(cs.head.snapshotId))
         .map(f => f.path -> f).toMap
     val rows = cs.zipWithIndex.map { case (c, i) =>
-      if (i > 0)
+      if (i > 0 && cs(i - 1).snapshotId == c.snapshotId - 1)
         liveMap = (liveMap -- c.removed) ++ c.added.map(f => f.path -> f)
+      else if (i > 0)
+        liveMap = filesAt(spark, tableDir, Some(c.snapshotId))
+          .map(f => f.path -> f).toMap
       (c.snapshotId, c.op,
         c.added.filter(_.kind == "data").map(_.rows).sum,
         c.added.filter(_.kind == "eqdelete").map(_.rows).sum,
         liveMap.values.filter(_.kind == "data").map(_.rows).sum)
     }
     rows.toDF("snapshot_id", "op", "rows_added", "rows_deleted", "rows_live")
+  }
+
+  /** DESCRIBE DETAIL — one row of operational metadata from manifests
+    * alone (zero data files opened): current snapshot, retained history
+    * depth, live data file/row/byte counts, pending mask debt (entries
+    * and files), last checkpoint id, tag count, and the partition/zone/
+    * bloom columns the manifests index. The at-a-glance face an operator
+    * (or the advisor's cron) reads before deciding maintenance. */
+  def detail(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = snapshots(spark, tableDir)
+    val live = if (ids.isEmpty) Seq.empty else filesAt(spark, tableDir)
+    val (dels, data) = live.partition(_.kind == "eqdelete")
+    Seq((
+      ids.lastOption.getOrElse(0L), ids.size,
+      data.size, data.map(_.rows).sum, data.map(_.bytes).sum,
+      dels.size, dels.map(_.rows).sum,
+      lastCheckpointId(spark, tableDir).getOrElse(0L),
+      tags(spark, tableDir).size,
+      data.flatMap(_.parts.keys).distinct.sorted.mkString(","),
+      data.flatMap(_.stats.keys).distinct.sorted.mkString(","),
+      data.flatMap(_.blooms.keys).distinct.sorted.mkString(",")
+    )).toDF("snapshot_id", "snapshots_retained", "data_files", "rows_live",
+      "bytes_live", "mask_files", "mask_entries", "last_checkpoint",
+      "tags", "partition_cols", "zone_cols", "bloom_cols")
   }
 
   /** Minimum age before an unreferenced data file is swept: files
@@ -1189,25 +1280,34 @@ object SnapshotLog {
         id => ts.getOrElse(id, 0L) < cutoff
       case None => _ => true
     }
+    // TAGGED snapshots are exempt from retention (the Iceberg ref
+    // contract): they stay resolvable until the tag is removed, and may
+    // punch HOLES in the otherwise-prefix expiry set
+    val taggedIds = tags(spark, tableDir).values.toSet
     val expired = ids.dropRight(retainLast).filter(byAge)
+      .filterNot(taggedIds.contains)
+    val expiredSet = expired.toSet
     // referenced = union of live file sets of every retained snapshot
-    val retainedIds = ids.filterNot(expired.contains)
+    val retainedIds = ids.filterNot(expiredSet.contains)
     val referenced = retainedIds.flatMap(id =>
       filesAt(spark, tableDir, Some(id)).map(_.path)).toSet
-    // anchor the new retention horizon BEFORE deleting its predecessors:
-    // resolution folds forward from a checkpoint (or v1 manifest), so
-    // without an anchor at the oldest retained id, removing the expired
-    // prefix would strand every retained snapshot. Published first also
-    // makes the concurrent-reader race safe: a walker hitting a deleted
-    // manifest retries and finds this anchor. (Commit timestamps are
-    // monotone, so the age filter expires a PREFIX of ids — the horizon
-    // is a single id.)
-    if (expired.nonEmpty && retainedIds.nonEmpty)
-      writeCheckpoint(spark, tableDir, retainedIds.head)
+    // anchor every retained id stranded by the deletions BEFORE they
+    // happen: resolution folds forward from a checkpoint (or v1
+    // manifest), so each retained id whose direct predecessor expires —
+    // the horizon itself, and every tagged island — gets its own
+    // checkpoint. Published first also makes the concurrent-reader race
+    // safe: a walker hitting a deleted manifest retries onto the anchor.
+    if (expired.nonEmpty)
+      retainedIds
+        .filter(r => expiredSet.contains(r - 1) || r == retainedIds.head)
+        .foreach(writeCheckpoint(spark, tableDir, _))
     expired.foreach(id => fs.delete(manifestPath(tableDir, id), false))
-    // checkpoints below the horizon anchor nothing resolvable any more
+    // a checkpoint is kept while some retained id still resolves
+    // THROUGH it: its own id retained, or the next id retained (one
+    // delta-manifest fold). Everything else anchors nothing.
+    val retainedSet = retainedIds.toSet
     listLog(fs, tableDir)._2
-      .filter(_ < retainedIds.headOption.getOrElse(Long.MaxValue))
+      .filterNot(c => retainedSet.contains(c) || retainedSet.contains(c + 1))
       .foreach(id => fs.delete(checkpointPath(tableDir, id), false))
     val dataRoot = new Path(s"$tableDir/data")
     val sweepBefore = System.currentTimeMillis() - orphanGraceMs

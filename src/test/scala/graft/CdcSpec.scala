@@ -2137,6 +2137,52 @@ class CdcSpec extends AnyFunSuite {
     assert(kept == 1 && skipped == 2, s"kept=$kept skipped=$skipped")
   }
 
+  test("snapshot tags: named time travel, immutability, tag-aware retention islands") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-tags").toString + "/t"
+    for (i <- 1 to 8)
+      SnapshotLog.commit(spark, dir, "append",
+        SnapshotLog.writeData(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+          dir, statsCol = Some("id")))
+    SnapshotLog.tag(spark, dir, "audit-baseline", 3L)
+    // named time travel
+    val atTag = SnapshotLog.read(spark, dir,
+      asOf = Some(SnapshotLog.snapshotForTag(spark, dir, "audit-baseline"))).get
+    assert(atTag.count() == 3)
+    // tags are immutable; unknown ids refuse
+    intercept[IllegalArgumentException](SnapshotLog.tag(spark, dir, "audit-baseline", 5L))
+    intercept[IllegalArgumentException](SnapshotLog.tag(spark, dir, "nope", 99L))
+    intercept[IllegalArgumentException](SnapshotLog.snapshotForTag(spark, dir, "missing"))
+    // retention keeps the tagged ISLAND while its neighbors expire
+    val (dropped, _) = SnapshotLog.expireSnapshots(spark, dir, retainLast = 2,
+      orphanGraceMs = 0L)
+    assert(dropped == 5, s"$dropped") // 1,2,4,5,6 — 3 is tag-exempt
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(3L, 7L, 8L))
+    // the island stays fully resolvable (its own checkpoint anchors it)
+    assert(SnapshotLog.read(spark, dir, asOf = Some(3L)).get.count() == 3)
+    assert(SnapshotLog.read(spark, dir, asOf = Some(7L)).get.count() == 7)
+    assert(SnapshotLog.read(spark, dir).get.count() == 8)
+    intercept[IllegalArgumentException](SnapshotLog.filesAt(spark, dir, Some(2L)))
+    // history across the hole stays exact (re-anchored, not mis-folded)
+    val hist = SnapshotLog.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(hist == Map(3L -> 3L, 7L -> 7L, 8L -> 8L), hist.toString)
+    // the detail face reads it all from manifests
+    val d = SnapshotLog.detail(spark, dir).head()
+    assert(d.getAs[Long]("snapshot_id") == 8L)
+    assert(d.getAs[Int]("snapshots_retained") == 3)
+    assert(d.getAs[Int]("tags") == 1)
+    assert(d.getAs[Long]("rows_live") == 8L)
+    assert(d.getAs[String]("zone_cols") == "id")
+    // untag → the island re-enters retention and expires
+    SnapshotLog.removeTag(spark, dir, "audit-baseline")
+    SnapshotLog.expireSnapshots(spark, dir, retainLast = 2, orphanGraceMs = 0L)
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(7L, 8L))
+    intercept[IllegalArgumentException](SnapshotLog.filesAt(spark, dir, Some(3L)))
+    assert(SnapshotLog.read(spark, dir).get.count() == 8)
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
