@@ -1641,6 +1641,61 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("MOR appliers race a mask consolidator and expirer to a consistent table") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val base = Files.createTempDirectory("graft-morsoak").toString
+    val dir = s"$base/t"
+    // seed keys 1..90 so every applier's updates hit existing rows
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 90).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), dir, statsCol = Some("id")))
+    // 3 appliers on DISJOINT key bands, 4 rounds each: every round
+    // updates its band's next key (mergeOnRead retries internally)
+    val appliers = (0 until 3).map { w =>
+      Future {
+        (0 until 4).foreach { i =>
+          val k = (w * 30 + i + 1).toLong
+          Merge.mergeOnRead(spark, dir,
+            Seq((k, 100L + w)).toDF("id", "v"), "id", None, maxRetries = 60)
+        }
+      }
+    }
+    // a consolidator folding whatever masks have accrued (losing its
+    // commit race is fine — the debt is paid next cycle)
+    val consolidator = Future {
+      (0 until 4).foreach { _ =>
+        try Merge.consolidateMasks(spark, dir)
+        catch { case _: SnapshotLog.ConcurrentCommitException => () }
+        Thread.sleep(25)
+      }
+    }
+    val expirer = Future {
+      (0 until 3).foreach { _ =>
+        SnapshotLog.expireSnapshots(spark, dir, retainLast = 4)
+        Thread.sleep(40)
+      }
+    }
+    Await.result(Future.sequence(appliers :+ consolidator :+ expirer), 300.seconds)
+    // exact end state: each applier's 4 keys hold its value, everything
+    // else untouched, no duplicates through all the racing
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == got.toMap.size, "no duplicated rows")
+    assert(got.length == 90, s"${got.length}")
+    val m = got.toMap
+    for (w <- 0 until 3; i <- 0 until 4)
+      assert(m((w * 30 + i + 1).toLong) == 100L + w, s"applier $w key ${w * 30 + i + 1}")
+    assert(m(25L) == 0L && m(60L) == 0L && m(90L) == 0L)
+    // every retained snapshot still resolves through the checkpointed log
+    SnapshotLog.snapshots(spark, dir).foreach { id =>
+      SnapshotLog.read(spark, dir, asOf = Some(id)).foreach(_.count())
+    }
+  }
+
   test("forFileSystem refuses object-store schemes without an installed override") {
     import graft.table._
     val s3ish = new org.apache.hadoop.fs.RawLocalFileSystem {
