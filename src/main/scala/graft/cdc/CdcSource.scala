@@ -51,6 +51,24 @@ trait CdcSource {
   def readMulti(spark: SparkSession, topics: Seq[String],
                 starting: StartingOffsets): DataFrame =
     topics.map(read(spark, _, starting)).reduce(_ unionByName _)
+
+  /** The topics this source can currently serve — what a
+    * `subscribePattern` regex matches against. File-backed sources list
+    * their fixture dir; the Kafka connector resolves patterns
+    * broker-side, so its implementation never calls this. */
+  def availableTopics(spark: SparkSession): Seq[String] = Seq.empty
+
+  /** `subscribePattern`: one pass over every available topic whose name
+    * matches `pattern` (a regex, the Kafka option's semantics — the way
+    * a CDC consumer subscribes to `dbserver1\.ecommerce\..*` and picks
+    * up NEW tables without a config change), with the same per-topic
+    * per-partition resume. */
+  def readPattern(spark: SparkSession, pattern: String,
+                  starting: StartingOffsets): DataFrame = {
+    val topics = availableTopics(spark).filter(_.matches(pattern)).sorted
+    require(topics.nonEmpty, s"no available topic matches pattern '$pattern'")
+    readMulti(spark, topics, starting)
+  }
 }
 
 /** JSON-lines-backed implementation of the Kafka wire contract
@@ -85,6 +103,13 @@ final class FileCdcSource(dir: String) extends CdcSource {
         val bounds = m.getOrElse(topic, Map.empty)
         if (bounds.isEmpty) raw else raw.filter(boundPred(bounds))
     }
+  }
+
+  /** Topic = one `<name>.jsonl` fixture file in the dir. */
+  override def availableTopics(spark: SparkSession): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).fold(Seq.empty[String])(_.toSeq
+      .filter(_.endsWith(".jsonl")).map(_.stripSuffix(".jsonl")).sorted)
   }
 
   /** One genuine multi-topic pass: a single multi-path scan with the
@@ -152,5 +177,23 @@ final class KafkaCdcSource(bootstrapServers: String) extends CdcSource {
                          starting: StartingOffsets): DataFrame =
     spark.read.format("kafka")
       .options(optionsMulti(topics, starting))
+      .load()
+
+  /** The `subscribePattern` option surface: the broker resolves the
+    * regex, so new tables matching the CDC prefix are picked up with no
+    * config change; resume bounds still ride the topic-keyed JSON for
+    * topics with saved state (unlisted matches read the default). */
+  def optionsPattern(pattern: String, starting: StartingOffsets): Map[String, String] =
+    scala.collection.immutable.ListMap(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribePattern" -> pattern,
+      "startingOffsets" -> StartingOffsets.toJson(starting),
+      "endingOffsets" -> "latest",
+      "kafka.security.protocol" -> "PLAINTEXT")
+
+  override def readPattern(spark: SparkSession, pattern: String,
+                           starting: StartingOffsets): DataFrame =
+    spark.read.format("kafka")
+      .options(optionsPattern(pattern, starting))
       .load()
 }

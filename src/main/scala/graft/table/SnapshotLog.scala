@@ -668,6 +668,108 @@ object SnapshotLog {
       .drop("_graft_seq", "_graft_del_seq")
   }
 
+  private def stagedPath(tableDir: String, token: String): Path =
+    new Path(logDir(tableDir), s".staged-$token.json")
+
+  /** WRITE-AUDIT-PUBLISH: stage an append INVISIBLY — data files written
+    * and described by a dot-prefixed staged manifest that no reader,
+    * snapshot listing or incremental consumer can see — so an audit step
+    * (row counts, quality gates, reconciliation) inspects the candidate
+    * rows via [[readStaged]] BEFORE [[publishStaged]] makes them one
+    * atomic, ordinary `append` snapshot (the Iceberg/Netflix WAP
+    * pattern). A failed audit calls [[discardStaged]] and nothing ever
+    * happened; a crash mid-staging leaves the staged manifest pending —
+    * its files are protected from the orphan sweep until discarded.
+    * Returns the staging token. */
+  def stageAppend(df: DataFrame, tableDir: String,
+                  statsCol: Option[String] = None,
+                  statsCols: Seq[String] = Nil,
+                  bloomCol: Option[String] = None,
+                  partitionCols: Seq[String] = Nil,
+                  summary: Map[String, String] = Map.empty): String = {
+    val spark = df.sparkSession
+    val files = writeData(df, tableDir, statsCol = statsCol,
+      statsCols = statsCols, bloomCol = bloomCol, partitionCols = partitionCols)
+    val token = java.util.UUID.randomUUID().toString
+    val fs = fsOf(spark, tableDir)
+    fs.mkdirs(logDir(tableDir))
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("format", "graft-staged-v1")
+    root.put("token", token)
+    root.put("ts_ms", System.currentTimeMillis())
+    putFiles(root.putArray("added"), files)
+    val sumNode = root.putObject("summary")
+    summary.foreach { case (k, v) => sumNode.put(k, v) }
+    val out = fs.create(stagedPath(tableDir, token), false)
+    out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    out.close()
+    token
+  }
+
+  /** Tokens of all pending staged appends. */
+  def stagedTokens(spark: SparkSession, tableDir: String): Seq[String] = {
+    val fs = fsOf(spark, tableDir)
+    val dir = logDir(tableDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(".staged-") && n.endsWith(".json"))
+      .map(_.stripPrefix(".staged-").stripSuffix(".json")).sorted
+  }
+
+  private def readStagedManifest(fs: FileSystem, tableDir: String,
+                                 token: String): (Seq[DataFile], Map[String, String]) = {
+    val p = stagedPath(tableDir, token)
+    require(fs.exists(p),
+      s"no staged append '$token' on $tableDir (already published/discarded?)")
+    val in = fs.open(p)
+    val node: JsonNode = try mapper.readTree(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val summary = Option(node.get("summary")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+    (parseFiles(node, "added"), summary)
+  }
+
+  /** The AUDIT view: current table state plus the staged rows — what the
+    * table WOULD read after publish. Masks apply to the current state
+    * only (staged rows are new by definition). */
+  def readStaged(spark: SparkSession, tableDir: String, token: String): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val (files, _) = readStagedManifest(fs, tableDir, token)
+    val stagedDf = spark.read.parquet(files.map(_.path): _*)
+    read(spark, tableDir) match {
+      case Some(cur) => cur.unionByName(stagedDf, allowMissingColumns = true)
+      case None => stagedDf
+    }
+  }
+
+  /** Only the staged rows — the audit target itself. */
+  def readStagedOnly(spark: SparkSession, tableDir: String, token: String): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val (files, _) = readStagedManifest(fs, tableDir, token)
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** Publish a staged append as one ordinary atomic `append` snapshot
+    * (retrying the id race like any append — the delta is
+    * state-independent), then drop the staged manifest. The commit
+    * summary records the staging token for audit trails. */
+  def publishStaged(spark: SparkSession, tableDir: String, token: String): Long = {
+    val fs = fsOf(spark, tableDir)
+    val (files, summary) = readStagedManifest(fs, tableDir, token)
+    val id = commitRetrying(spark, tableDir, files,
+      summary = summary + ("staged_token" -> token))
+    fs.delete(stagedPath(tableDir, token), false)
+    id
+  }
+
+  /** Abandon a staged append: the manifest goes now, the data files
+    * become unreferenced and the next grace-gated orphan sweep reclaims
+    * them. Idempotent. */
+  def discardStaged(spark: SparkSession, tableDir: String, token: String): Unit = {
+    fsOf(spark, tableDir).delete(stagedPath(tableDir, token), false)
+    ()
+  }
+
   private def tagPath(tableDir: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9._-]{1,64}"),
       s"tag name '$name' must be 1-64 chars of [A-Za-z0-9._-]")
@@ -1296,10 +1398,14 @@ object SnapshotLog {
     val expired = ids.dropRight(retainLast).filter(byAge)
       .filterNot(taggedIds.contains)
     val expiredSet = expired.toSet
-    // referenced = union of live file sets of every retained snapshot
+    // referenced = union of live file sets of every retained snapshot,
+    // plus PENDING STAGED appends (write-audit-publish work awaiting its
+    // audit must survive the sweep until published or discarded)
     val retainedIds = ids.filterNot(expiredSet.contains)
     val referenced = retainedIds.flatMap(id =>
-      filesAt(spark, tableDir, Some(id)).map(_.path)).toSet
+      filesAt(spark, tableDir, Some(id)).map(_.path)).toSet ++
+      stagedTokens(spark, tableDir).flatMap(t =>
+        readStagedManifest(fs, tableDir, t)._1.map(_.path))
     // anchor every retained id stranded by the deletions BEFORE they
     // happen: resolution folds forward from a checkpoint (or v1
     // manifest), so each retained id whose direct predecessor expires —

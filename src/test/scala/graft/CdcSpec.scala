@@ -2238,6 +2238,71 @@ class CdcSpec extends AnyFunSuite {
     assert(SnapshotLog.read(spark, dir).get.count() == 8)
   }
 
+  test("subscribePattern: one regex subscription spans matching topics, resumable") {
+    // the file source resolves the regex against its fixture dir, the
+    // way a broker resolves subscribePattern — new tables matching the
+    // CDC prefix get picked up with zero config change
+    val topics = source.availableTopics(spark)
+    assert(topics.contains("dbserver1.ecommerce.orders") &&
+      topics.contains("dbserver1.ecommerce.customers"))
+    val df = source.readPattern(spark,
+      """dbserver1\.ecommerce\.(orders|customers)""",
+      StartingOffsets.PerPartition(
+        Map(Schemas.topicFor("orders") -> Map(0 -> 6L))))
+    val byTopic = df.groupBy(col("topic")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTopic == Map(
+      Schemas.topicFor("orders") -> 4L,      // resumed from 6
+      Schemas.topicFor("customers") -> 6L))  // earliest
+    intercept[IllegalArgumentException](
+      source.readPattern(spark, "no\\.such\\.topic.*", StartingOffsets.Earliest))
+    // the production option surface carries the regex verbatim
+    val opts = new KafkaCdcSource("b:9092")
+      .optionsPattern("""dbserver1\.ecommerce\..*""", StartingOffsets.Earliest)
+    assert(opts("subscribePattern") == """dbserver1\.ecommerce\..*""")
+    assert(!opts.contains("subscribe"))
+  }
+
+  test("write-audit-publish: staged appends are invisible until published, discards vanish") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-wap").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 5).map(k => (k.toLong, "base")).toDF("id", "v")
+        .coalesce(1), dir, statsCol = Some("id")))
+    // stage two candidate syncs
+    val good = SnapshotLog.stageAppend(
+      (6 to 8).map(k => (k.toLong, "good")).toDF("id", "v").coalesce(1),
+      dir, statsCol = Some("id"), summary = Map("sync" -> "good"))
+    val bad = SnapshotLog.stageAppend(
+      Seq((99L, "corrupt")).toDF("id", "v").coalesce(1), dir, statsCol = Some("id"))
+    // INVISIBLE: no new snapshot, reads and consumers see nothing
+    assert(SnapshotLog.snapshots(spark, dir) == Seq(1L))
+    assert(SnapshotLog.read(spark, dir).get.count() == 5)
+    assert(SnapshotLog.stagedTokens(spark, dir).toSet == Set(good, bad))
+    // AUDIT: the would-be state and the candidate rows themselves
+    assert(SnapshotLog.readStaged(spark, dir, good).count() == 8)
+    assert(SnapshotLog.readStagedOnly(spark, dir, bad).count() == 1)
+    // failed audit → discard; files survive only until the next sweep
+    SnapshotLog.discardStaged(spark, dir, bad)
+    assert(SnapshotLog.stagedTokens(spark, dir) == Seq(good))
+    // the sweep reclaims the discarded files but PROTECTS pending staging
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((10L, "x")).toDF("id", "v").coalesce(1), dir,
+        statsCol = Some("id"))) // second snapshot so retainLast=2 keeps both
+    val (_, swept) = SnapshotLog.expireSnapshots(spark, dir, retainLast = 2,
+      orphanGraceMs = 0L)
+    assert(swept == 1, s"exactly the discarded staged file, got $swept")
+    // PUBLISH: one atomic ordinary append, token in the summary
+    val id = SnapshotLog.publishStaged(spark, dir, good)
+    assert(SnapshotLog.read(spark, dir).get.count() == 9)
+    assert(SnapshotLog.commits(spark, dir).last.summary("staged_token") == good)
+    assert(SnapshotLog.commits(spark, dir).last.summary("sync") == "good")
+    assert(id == 3L && SnapshotLog.stagedTokens(spark, dir).isEmpty)
+    // double-publish fails loudly
+    intercept[IllegalArgumentException](SnapshotLog.publishStaged(spark, dir, good))
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
