@@ -100,6 +100,20 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"), max(col("offset")).as("hwm"))
         .orderBy(col("topic"))
     }),
+    // subscribePattern ([[CdcSource.readPattern]]): the DISCOVERY face
+    // of the multi-topic read — topics resolve from a regex against the
+    // available set (the broker's subscribePattern semantics; a new
+    // table matching the CDC prefix joins the subscription with zero
+    // config change). orders resumes from its saved state, products
+    // reads from earliest.
+    "cdc_pattern_read" -> ((s, _) => {
+      source.readPattern(s, """dbserver1\.ecommerce\.(orders|products)""",
+          StartingOffsets.PerPartition(
+            Map(Schemas.topicFor("orders") -> Map(0 -> 6L))))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), max(col("offset")).as("hwm"))
+        .orderBy(col("topic"))
+    }),
     // T6 (gap-fill): predicate over decoded rows
     "cdc_filter_completed" -> ((s, _) =>
       parse(s, "orders").filter(col("status") === "COMPLETED")),
@@ -947,6 +961,14 @@ object CdcQueries {
     "cdc_incremental_orders" ->
       s"""SELECT $ordersProj
          |FROM ${wireSql("orders")} WHERE "offset" >= 6 ORDER BY kafka_offset""".stripMargin,
+    // regex-resolved subscription: orders bounded at offset ≥ 6,
+    // products unbounded
+    "cdc_pattern_read" ->
+      s"""SELECT topic, count(*) AS n, max("offset") AS hwm FROM (
+         |  SELECT topic, "offset" FROM ${wireSql("orders")} WHERE "offset" >= 6
+         |  UNION ALL
+         |  SELECT topic, "offset" FROM ${wireSql("products")})
+         |GROUP BY topic ORDER BY topic""".stripMargin,
     // one pass over two topics: orders bounded at offset ≥ 6, customers
     // unbounded (no saved state → earliest)
     "cdc_multi_topic_read" ->

@@ -105,7 +105,8 @@ object PipelineRunner {
           compactTargetBytes: Option[Long] = None,
           snapshotted: Boolean = false,
           autoMaintain: Boolean = false,
-          retainLast: Int = 5): PipelineReport = {
+          retainLast: Int = 5,
+          wap: Boolean = false): PipelineReport = {
     // configure: warehouse root must exist before the first append
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouseDir))
 
@@ -121,7 +122,7 @@ object PipelineRunner {
     val source = new FileCdcSource(fixtureDir)
     val offsets = new OffsetStore(offsetDir)
     val job = new SyncJob(source, offsets, warehouseDir, singleFile = singleFile,
-      snapshotted = snapshotted)
+      snapshotted = snapshotted, wap = wap && snapshotted)
     val synced = job.syncAll(spark, tables.filter(healthy))
 
     // maintenance (optional): compact the small-file ingest layout before
@@ -182,10 +183,13 @@ object PipelineRunner {
     // --auto-maintain: pay advisor-named debts after each snapshotted sync
     val autoMaintain = a.get("auto_maintain").contains("true") ||
       a.get("auto-maintain").contains("true")
+    // --wap: stage each sync invisibly, audit the staged read-back
+    // against the observed delta, publish only on success
+    val wap = a.get("wap").contains("true")
     val spark = graft.Sessions.local(appName = a.getOrElse("JOB_NAME", "graft-pipeline"))
     try {
       val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables,
-        singleFile, compactTarget, snapshotted, autoMaintain)
+        singleFile, compactTarget, snapshotted, autoMaintain, wap = wap)
       // the reference's eyeball source-vs-sink report, machine-checkable
       println(f"${"table"}%-12s ${"synced"}%8s ${"hwm"}%6s ${"source"}%8s ${"sink"}%8s  status")
       report.tables.foreach { r =>

@@ -45,7 +45,8 @@ final case class SyncResult(table: String, records: Long, maxOffset: Long, wrote
 final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: String,
                     singleFile: Boolean = false, debugSink: Boolean = false,
                     partitionBySyncDate: Boolean = false,
-                    snapshotted: Boolean = false) {
+                    snapshotted: Boolean = false,
+                    wap: Boolean = false) {
   import graft.table.SnapshotLog
 
   private def tableDir(table: String) = s"$warehouseDir/${table}_parquet"
@@ -102,14 +103,42 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
         val staged =
           if (partitionBySyncDate && !singleFile) out.repartition(col("sync_date"))
           else out
-        val files = SnapshotLog.writeData(staged, tableDir(table),
-          statsCol = Some("kafka_offset"),
-          partitionCols = if (partitionBySyncDate) Seq("sync_date") else Nil)
-        val m = obs.get
+        val partCols = if (partitionBySyncDate) Seq("sync_date") else Nil
+        val mOpt: Map[String, Any] = if (wap) {
+          // WRITE-AUDIT-PUBLISH: the reference verifies its sink AFTER
+          // the write is already visible (cdc_auto_sync_every_5min.py:
+          // 117-171) — here the verification runs BEFORE visibility:
+          // stage invisibly, read the staged files back and require the
+          // count to equal the observed delta (a torn or partial write
+          // is discarded, offsets stay put, the next cron re-syncs),
+          // only then publish atomically.
+          val token = SnapshotLog.stageAppend(staged, tableDir(table),
+            statsCol = Some("kafka_offset"), partitionCols = partCols,
+            summary = Map("table" -> table))
+          val m = obs.get
+          val n = m("n").asInstanceOf[Long]
+          val stagedN = SnapshotLog.readStagedOnly(spark, tableDir(table), token).count()
+          if (stagedN == n) {
+            SnapshotLog.publishStaged(spark, tableDir(table), token)
+            m
+          } else {
+            SnapshotLog.discardStaged(spark, tableDir(table), token)
+            System.err.println(s"[sync] WAP audit failed for $table: staged " +
+              s"$stagedN rows != observed $n — discarded; offsets unchanged")
+            return SyncResult(table, 0L, offsets.lastOffset(table), wrote = false)
+          }
+        } else {
+          val files = SnapshotLog.writeData(staged, tableDir(table),
+            statsCol = Some("kafka_offset"), partitionCols = partCols)
+          val m = obs.get
+          val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
+          SnapshotLog.commit(spark, tableDir(table), "append", files,
+            summary = Map("table" -> table, "records" -> n.toString,
+              "hwm" -> maxOffset.toString))
+          m
+        }
+        val m = mOpt
         val (n, maxOffset) = (m("n").asInstanceOf[Long], m("hwm").asInstanceOf[Long])
-        SnapshotLog.commit(spark, tableDir(table), "append", files,
-          summary = Map("table" -> table, "records" -> n.toString,
-            "hwm" -> maxOffset.toString))
         offsets.commitPartitioned(table, partitionHwm(m), n) // strictly after the snapshot
         if (debugSink) {
           // manifest-pruned read-back: only files whose offset range

@@ -2303,6 +2303,31 @@ class CdcSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SnapshotLog.publishStaged(spark, dir, good))
   }
 
+  test("WAP sync: audit-gated publish, idempotent, consumers see one atomic append") {
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-wapsync").toString
+    val store = new OffsetStore(s"$base/offsets")
+    val job = new SyncJob(source, store, s"$base/warehouse",
+      snapshotted = true, wap = true)
+    val res = job.sync(spark, "orders")
+    assert(res.records == 10 && res.wrote)
+    val tdir = s"$base/warehouse/orders_parquet"
+    // published as ONE ordinary append with the audit trail in summary
+    val cs = SnapshotLog.commits(spark, tdir)
+    assert(cs.map(_.op) == Seq("append"))
+    assert(cs.head.summary.contains("staged_token"))
+    assert(SnapshotLog.stagedTokens(spark, tdir).isEmpty)
+    assert(SnapshotLog.read(spark, tdir).get.count() == 10)
+    // offsets advanced only after publish: re-run syncs nothing
+    val again = job.sync(spark, "orders")
+    assert(again.records == 0 && !again.wrote)
+    assert(SnapshotLog.commits(spark, tdir).size == 1)
+    // the full runner with --wap stays consistent end-to-end
+    val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
+      s"$base/offsets", snapshotted = true, wap = true)
+    assert(report.allConsistent)
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
