@@ -2328,6 +2328,58 @@ class CdcSpec extends AnyFunSuite {
     assert(report.allConsistent)
   }
 
+  test("randomized log walk: resolution matches an in-memory model at every step") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-logwalk").toString + "/t"
+    val rnd = new scala.util.Random(42) // deterministic walk
+    // model: retained snapshot id -> logical row keys at that snapshot
+    var model = Map.empty[Long, Set[Long]]
+    var nextKey = 0L
+    var head = 0L
+    var taggedId = Option.empty[Long]
+    def df(keys: Seq[Long]) = keys.map(k => (k, s"v$k")).toDF("id", "v").coalesce(1)
+    for (step <- 1 to 34) {
+      rnd.nextInt(10) match {
+        case r if r <= 5 || head == 0 => // append 1-3 fresh keys
+          val keys = (0 until (1 + rnd.nextInt(3))).map(_ => { nextKey += 1; nextKey })
+          SnapshotLog.commit(spark, dir, "append",
+            SnapshotLog.writeData(df(keys), dir, statsCol = Some("id")))
+          head += 1
+          model += head -> (model.getOrElse(head - 1, Set.empty) ++ keys)
+        case 6 | 7 => // replace: rewrite everything, content unchanged
+          val live = SnapshotLog.filesAt(spark, dir)
+          val rows = model(head)
+          SnapshotLog.commit(spark, dir, "replace",
+            SnapshotLog.writeData(df(rows.toSeq.sorted), dir, statsCol = Some("id")),
+            removed = live.map(_.path))
+          head += 1
+          model += head -> rows
+        case 8 => // tag the head (or move the tag there)
+          taggedId.foreach(_ => SnapshotLog.removeTag(spark, dir, "pin"))
+          SnapshotLog.tag(spark, dir, "pin", head)
+          taggedId = Some(head)
+        case 9 => // expire to a random window; tag-exempt island survives
+          val retain = 2 + rnd.nextInt(3)
+          SnapshotLog.expireSnapshots(spark, dir, retainLast = retain,
+            orphanGraceMs = 0L)
+          val ids = model.keys.toSeq.sorted
+          val kept = ids.takeRight(retain).toSet ++ taggedId.toSet
+          model = model.filter { case (id, _) => kept.contains(id) }
+      }
+      // INVARIANT: every retained snapshot resolves to exactly the model
+      assert(SnapshotLog.snapshots(spark, dir).toSet == model.keys.toSet,
+        s"step $step: retained ids diverged")
+      model.foreach { case (id, rows) =>
+        val got = SnapshotLog.read(spark, dir, asOf = Some(id)).get
+          .select(col("id")).collect().map(_.getLong(0)).toSet
+        assert(got == rows, s"step $step snapshot $id: $got != $rows")
+      }
+    }
+    // the walk crossed checkpoint boundaries and expiry holes
+    assert(head >= 20, s"walk too short: $head")
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
