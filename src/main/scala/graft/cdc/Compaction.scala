@@ -142,7 +142,16 @@ object Compaction {
     require(clusterBy.isEmpty || clusterZOrder.isEmpty,
       "clusterBy and clusterZOrder are mutually exclusive")
     val dir = s"$warehouseDir/${table}_parquet"
-    val files = SnapshotLog.filesAt(spark, dir)
+    // pin the snapshot this rewrite derives from and commit at exactly
+    // its successor: resolving "latest" again at commit time would let
+    // a concurrent commit slip in between — a racing rowdelta's rows
+    // would duplicate (its file absent from `removed`) or its deletes
+    // resurrect (mask seq below the rewrite's). An interleaved commit
+    // now throws ConcurrentCommitException; the maintenance cron
+    // retries next cycle.
+    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(
+      return CompactionResult(table, 0, 0, 0L, 0L))
+    val files = SnapshotLog.filesAt(spark, dir, Some(baseId))
     if (files.isEmpty) return CompactionResult(table, 0, 0, 0L, 0L)
     val (delFiles, dataFiles) = files.partition(_.kind == "eqdelete")
     val totalBytes = dataFiles.map(_.bytes).sum
@@ -161,7 +170,8 @@ object Compaction {
     // full rewrites (they are about layout), and masked tables stay on
     // the full path (the rewrite is what materializes the deletes).
     if (clusterBy.isEmpty && clusterZOrder.isEmpty && delFiles.isEmpty)
-      return binPack(spark, table, dir, files, dataFiles, targetBytes, totalBytes)
+      return binPack(spark, table, dir, files, dataFiles, targetBytes, totalBytes,
+        baseId)
 
     // merge-on-read tables compact through the masked read — the rewrite
     // MATERIALIZES pending equality deletes, so the replace commit also
@@ -173,7 +183,7 @@ object Compaction {
     // not known here, so renamed columns stay separate; lossless)
     val df =
       if (delFiles.isEmpty) SnapshotLog.readEpochSafe(spark, dataFiles)
-      else SnapshotLog.read(spark, dir).get
+      else SnapshotLog.read(spark, dir, asOf = Some(baseId)).get
     val nOld =
       if (delFiles.isEmpty) dataFiles.map(_.rows).sum
       else df.count() // masked logical count — manifests alone can't know it
@@ -196,7 +206,7 @@ object Compaction {
     val nNew = rewritten.map(_.rows).sum
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")
-    SnapshotLog.commit(spark, dir, "replace", rewritten,
+    SnapshotLog.commitAt(spark, dir, baseId + 1, "replace", rewritten,
       removed = files.map(_.path),
       summary = Map("table" -> table, "files_before" -> files.size.toString,
         "files_after" -> rewritten.size.toString,
@@ -223,7 +233,8 @@ object Compaction {
   private def binPack(spark: SparkSession, table: String, dir: String,
                       files: Seq[graft.table.SnapshotLog.DataFile],
                       dataFiles: Seq[graft.table.SnapshotLog.DataFile],
-                      targetBytes: Long, totalBytes: Long): CompactionResult = {
+                      targetBytes: Long, totalBytes: Long,
+                      baseId: Long): CompactionResult = {
     import graft.table.SnapshotLog
     val noOp = CompactionResult(table, files.size, files.size,
       dataFiles.map(_.rows).sum, totalBytes)
@@ -272,12 +283,18 @@ object Compaction {
     // one replace PER schema class: a commit's data files share one seq,
     // and the epoch-merging read path resolves schemas per seq group —
     // mixing two classes under one id would hand it a heterogeneous
-    // group (each commit stays individually atomic; diff ignores both)
+    // group (each commit stays individually atomic; diff ignores both).
+    // Ids chain from the pinned base: each class removes files derived
+    // from THAT state, so a foreign commit interleaving anywhere in the
+    // chain throws instead of silently misremoving (the already-landed
+    // class replaces stay valid — each was individually consistent).
+    var nextId = baseId + 1
     packed.foreach { case (cls, rw) =>
-      SnapshotLog.commit(spark, dir, "replace", rw,
+      SnapshotLog.commitAt(spark, dir, nextId, "replace", rw,
         removed = cls.map(_.path),
         summary = Map("table" -> table, "bin_packed" -> cls.size.toString,
           "carried_forward" -> (dataFiles.size - cls.size).toString))
+      nextId += 1
     }
     CompactionResult(table, files.size,
       files.size - removed.size + rewritten.size,

@@ -74,14 +74,20 @@ object Advisor {
         s"$unindexed of ${data.size} data files carry no zone stats and no " +
           "bloom — unprunable by merges and lookups"))
 
-    // overlap fraction over first-stats-column intervals: clustered
-    // layouts are ~0, ingest-ordered ones approach 1
-    val ivs = data.flatMap(f => f.statsMin.zip(f.statsMax))
-    if (ivs.size > 1) {
-      val frac = overlapFraction(ivs)
+    // overlap fraction PER zone column (clustered layouts are ~0,
+    // ingest-ordered ones approach 1), reported for the worst column.
+    // The legacy first-stats slot is deliberately NOT used: different
+    // files may record different columns there (a Z-order compaction
+    // points it at a cluster dimension), and mixing domains makes the
+    // fraction meaningless — the same pitfall Merge.keyZone documents.
+    val overlapByCol = data.flatMap(_.stats.keys).distinct.flatMap { c =>
+      val ivs = data.flatMap(_.stats.get(c))
+      if (ivs.size > 1) Some(c -> overlapFraction(ivs)) else None
+    }
+    overlapByCol.sortBy(-_._2).headOption.foreach { case (c, frac) =>
       if (frac > overlapThreshold)
         findings += (("cluster", (frac * 100).round,
-          f"$frac%.2f of file pairs have overlapping key ranges — " +
+          f"$frac%.2f of file pairs overlap on '$c' — " +
             "zone-map pruning and merge pruning are decayed"))
     }
 

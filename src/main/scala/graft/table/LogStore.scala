@@ -60,8 +60,19 @@ object HardLinkLogStore extends LogStore {
   * object stores whose rename is copy+delete — use
   * [[ConditionalPutLogStore]] there. */
 object AtomicRenameLogStore extends LogStore {
-  override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean =
-    !fs.exists(target) && fs.rename(src, target)
+  override def putIfAbsent(fs: FileSystem, src: Path, target: Path): Boolean = {
+    if (fs.exists(target)) return false
+    if (fs.rename(src, target)) return true
+    // rename returned false: a lost race iff the target now exists;
+    // anything else (missing parent, quota, transient IO) is an
+    // INFRASTRUCTURE failure — surfacing it as "another writer won"
+    // would send the operator chasing phantom races while commitRetrying
+    // burns its retries against the same broken rename
+    if (fs.exists(target)) false
+    else throw new java.io.IOException(
+      s"rename $src -> $target failed but no competing file exists — " +
+        "infrastructure fault, not a commit race")
+  }
 }
 
 /** The external CAS a conditional-put store consults to claim a commit

@@ -115,7 +115,14 @@ object Merge {
   private def keySet(delta: DataFrame, keyCol: String,
                      maxDriverKeys: Int): Either[Array[Long], DataFrame] = {
     val keyDf = delta.select(SnapshotLog.keyAsLong(delta, keyCol).as("k")).distinct()
-    val probe = keyDf.limit(maxDriverKeys + 1).collect().map(_.getLong(0))
+    val rows = keyDf.limit(maxDriverKeys + 1).collect()
+    // a NULL merge key has no defined merge semantics (equality never
+    // matches it; pruning cannot see it) — refuse with a clear message
+    // instead of the opaque NPE getLong would throw mid-merge
+    require(!rows.exists(_.isNullAt(0)),
+      s"merge delta contains NULL values in key column '$keyCol' — " +
+        "filter or repair null-keyed rows before merging")
+    val probe = rows.map(_.getLong(0))
     if (probe.length <= maxDriverKeys) Left(probe.sorted)
     else Right(keyDf.localCheckpoint(true))
   }
@@ -240,8 +247,19 @@ object Merge {
                    renames: Map[String, String] = Map.empty,
                    maxDriverKeys: Int = DefaultMaxDriverKeys,
                    lineage: Boolean = false): MergeResult = {
+    // PIN the snapshot this merge derives from and commit at EXACTLY
+    // its successor: reading "latest" twice (once for the file list,
+    // once for the commit id) would let a commit land in between and
+    // defeat both the optimistic-concurrency check and the
+    // pendingMasks guard below — e.g. a racing mergeOnRead's mask
+    // (seq N+1) would silently stop applying to files this rewrite
+    // re-stamps at N+2, resurrecting deleted rows. With the pinned
+    // pair, any interleaved commit makes commitAt throw instead.
+    val baseId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"cannot merge into empty table $tableDir"))
+    val intendedId = baseId + 1
     val (pendingMasks, live) =
-      SnapshotLog.filesAt(spark, tableDir).partition(_.kind == "eqdelete")
+      SnapshotLog.filesAt(spark, tableDir, Some(baseId)).partition(_.kind == "eqdelete")
     // a COW rewrite reads touched files RAW and re-stamps their rows with
     // a fresh seq — pending equality-delete masks would stop applying to
     // the rewritten copies (deleted rows resurrect). Refuse the mix
@@ -250,15 +268,16 @@ object Merge {
       s"table $tableDir has ${pendingMasks.size} pending equality-delete file(s); " +
         "run materializeDeletes before a copy-on-write merge, or use mergeOnRead")
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
-    // lineage mode stamps delta rows with THIS commit's id, so the id is
-    // fixed up front (commitAt below); losing the optimistic race throws
-    // and the caller re-derives, same as any state-dependent commit
-    val intendedId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L) + 1
     val keys = keySet(delta, keyCol, maxDriverKeys)
     val nKeys = keys.fold(_.length.toLong, _.count())
     val (touched, untouched) = touchedFiles(spark, keyCol, live, keys)
-    // tombstones drop out of the written rows; their keys still anti-join
-    val upserts0 = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
+    // tombstones drop out of the written rows; their keys still anti-join.
+    // A NULL flag is NOT a delete (`!NULL` is NULL, which a bare filter
+    // silently drops — the row's key would anti-join its old version
+    // away with no replacement): coalesce to false so nullable CDC flag
+    // columns mean "not deleted" on null, the only safe reading.
+    val upserts0 = deleteCol.fold(delta)(dc =>
+      delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
     val upserts =
       if (lineage) upserts0.withColumn(LineageCol, lit(intendedId))
       else upserts0
@@ -362,7 +381,9 @@ object Merge {
                   maxRetries: Int = 5): MorResult = {
     val live0 = SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
     require(live0.nonEmpty, s"cannot merge into empty table $tableDir")
-    val upserts = deleteCol.fold(delta)(dc => delta.filter(!col(dc)).drop(dc))
+    // NULL delete flags read as "not deleted" — see applyChanges
+    val upserts = deleteCol.fold(delta)(dc =>
+        delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
       .localCheckpoint(true) // consumed twice: emptiness probe + write
     // off-lattice drift fails the WRITE: cheap fast path (one footer)
     // when nothing drifted, full per-epoch validation when it did
@@ -473,12 +494,21 @@ object Merge {
                          renames: Map[String, String] = Map.empty): Option[Long] = {
     require(clusterZOrder.isEmpty || clusterZOrder.size == 2,
       s"clusterZOrder takes exactly two dimensions, got $clusterZOrder")
-    val live = SnapshotLog.filesAt(spark, tableDir)
+    // pin ONE snapshot for the file list, the masked read and the
+    // commit id: resolving "latest" separately for each would let a
+    // concurrent rowdelta slip between them — its rows duplicated (file
+    // not in `removed`) or its deletes lost (mask seq below the rewrite
+    // seq). With the pinned triple an interleaved commit makes commitAt
+    // throw and the maintenance run retries cleanly next cycle.
+    val baseId = SnapshotLog.currentSnapshotId(spark, tableDir)
+      .getOrElse(return None)
+    val live = SnapshotLog.filesAt(spark, tableDir, Some(baseId))
     val (dels, data) = live.partition(_.kind == "eqdelete")
     if (dels.isEmpty) return None
     val keyCol = spark.read.parquet(dels.head.path).columns
       .filterNot(_ == "_graft_del_seq").head
-    val masked = SnapshotLog.read(spark, tableDir, renames = renames).get
+    val masked = SnapshotLog.read(spark, tableDir, asOf = Some(baseId),
+      renames = renames).get
     val rewritten = clusterZOrder match {
       case Seq(cx, cy) => graft.cdc.Compaction.zorderArrange(masked, cx, cy, targetFiles)
       case _ => masked.repartitionByRange(targetFiles, col(keyCol))
@@ -486,7 +516,7 @@ object Merge {
     val written = SnapshotLog.writeData(rewritten, tableDir,
       statsCol = Some(keyCol), statsCols = clusterZOrder,
       bloomCol = Some(keyCol).filter(_ => isStringKey(masked, keyCol)))
-    Some(SnapshotLog.commit(spark, tableDir, "replace", written,
+    Some(SnapshotLog.commitAt(spark, tableDir, baseId + 1, "replace", written,
       removed = live.map(_.path),
       summary = Map("materialized_deletes" -> dels.map(_.rows).sum.toString)))
   }
@@ -505,22 +535,23 @@ object Merge {
     * return reads to a bare scan). Returns None when fewer than two
     * mask files are pending. */
   def consolidateMasks(spark: SparkSession, tableDir: String): Option[Long] = {
-    val live = SnapshotLog.filesAt(spark, tableDir)
-    val dels = live.filter(_.kind == "eqdelete")
+    // pinned state + successor commit, same reasoning as
+    // [[materializeDeletes]]: a racing rowdelta must fail this commit,
+    // not silently escape the fold
+    val baseId = SnapshotLog.currentSnapshotId(spark, tableDir)
+      .getOrElse(return None)
+    val dels = SnapshotLog.filesAt(spark, tableDir, Some(baseId))
+      .filter(_.kind == "eqdelete")
     if (dels.size <= 1) return None
-    val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
-      val df = spark.read.parquet(fs.map(_.path): _*)
-      if (df.columns.contains("_graft_del_seq")) df
-      else df.withColumn("_graft_del_seq", lit(seq))
-    }.reduce(_ unionByName _)
-    val keyCol = delDf.columns.filterNot(_ == "_graft_del_seq").head
-    val folded = delDf.groupBy(col(keyCol))
-      .agg(max(col("_graft_del_seq")).as("_graft_del_seq"))
+    // the fold IS applyEqDeletes' fold — one shared definition, so the
+    // write-side consolidation can never drift from read-side semantics
+    val (folded0, keyCol) = SnapshotLog.foldMasks(spark, dels)
+    val folded = folded0
       .coalesce(1) // mask debt is O(delta keys): KBs against a 100 TB table
     val written = SnapshotLog.writeData(folded, tableDir,
       statsCol = Some(keyCol), kind = "eqdelete",
       bloomCol = Some(keyCol).filter(_ => isStringKey(folded, keyCol)))
-    Some(SnapshotLog.commit(spark, tableDir, "replace", written,
+    Some(SnapshotLog.commitAt(spark, tableDir, baseId + 1, "replace", written,
       removed = dels.map(_.path),
       summary = Map("consolidated_masks" -> dels.size.toString,
         "mask_entries" -> written.map(_.rows).sum.toString)))

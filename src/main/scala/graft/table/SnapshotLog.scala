@@ -645,23 +645,7 @@ object SnapshotLog {
       spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_seq", lit(seq))
     }, renames)
     if (dels.isEmpty) return withSeq.drop("_graft_seq")
-    // a plain mask file's application seq is its FILE's commit seq; a
-    // CONSOLIDATED mask ([[Merge.consolidateMasks]]) carries each key's
-    // original seq as an embedded column — its file seq is the
-    // consolidation commit's, which must NOT be used or the fold would
-    // mask re-inserts that landed between the originals and the rewrite
-    val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
-      val df = spark.read.parquet(fs.map(_.path): _*)
-      if (df.columns.contains("_graft_del_seq")) df
-      else df.withColumn("_graft_del_seq", lit(seq))
-    }.reduce(_ unionByName _)
-    val keyCol = delDf.columns.filterNot(_ == "_graft_del_seq") match {
-      case Array(k) => k
-      case other => throw new IllegalStateException(
-        s"equality-delete files must hold exactly one key column, got ${other.mkString(",")}")
-    }
-    val delAgg = delDf.groupBy(col(keyCol))
-      .agg(max(col("_graft_del_seq")).as("_graft_del_seq"))
+    val (delAgg, keyCol) = foldMasks(spark, dels)
     withSeq
       .join(broadcast(delAgg), Seq(keyCol), "left")
       .filter(col("_graft_del_seq").isNull || col("_graft_del_seq") <= col("_graft_seq"))
@@ -756,10 +740,23 @@ object SnapshotLog {
   def publishStaged(spark: SparkSession, tableDir: String, token: String): Long = {
     val fs = fsOf(spark, tableDir)
     val (files, summary) = readStagedManifest(fs, tableDir, token)
-    val id = commitRetrying(spark, tableDir, files,
-      summary = summary + ("staged_token" -> token))
-    fs.delete(stagedPath(tableDir, token), false)
-    id
+    // crash-safe idempotence: a death between a prior publish's commit
+    // and its staged-manifest delete leaves the token looking pending —
+    // a blind re-commit would append the SAME physical files twice. The
+    // token in the commit summary is the publish's durability marker:
+    // if any retained commit already carries it, just finish the
+    // cleanup and return that id.
+    commits(spark, tableDir)
+      .find(_.summary.get("staged_token").contains(token)) match {
+      case Some(prior) =>
+        fs.delete(stagedPath(tableDir, token), false)
+        prior.snapshotId
+      case None =>
+        val id = commitRetrying(spark, tableDir, files,
+          summary = summary + ("staged_token" -> token))
+        fs.delete(stagedPath(tableDir, token), false)
+        id
+    }
   }
 
   /** Abandon a staged append: the manifest goes now, the data files
@@ -830,6 +827,32 @@ object SnapshotLog {
     ()
   }
 
+  /** The ONE definition of mask-fold semantics, shared by the read-side
+    * application ([[applyEqDeletes]]) and the write-side consolidation
+    * ([[Merge.consolidateMasks]]) so they can never diverge: every
+    * pending mask file folds to (key → MAX application seq). A plain
+    * mask file's application seq is its FILE's commit seq; a
+    * consolidated mask carries each key's original seq as an embedded
+    * `_graft_del_seq` column — its file seq is the consolidation
+    * commit's, which must NOT be used or the fold would mask re-inserts
+    * that landed between the originals and the rewrite. Returns
+    * (folded frame keyed key + `_graft_del_seq`, key column name). */
+  private[graft] def foldMasks(spark: SparkSession,
+                               dels: Seq[DataFile]): (DataFrame, String) = {
+    val delDf = dels.groupBy(_.seq).toSeq.map { case (seq, fs) =>
+      val df = spark.read.parquet(fs.map(_.path): _*)
+      if (df.columns.contains("_graft_del_seq")) df
+      else df.withColumn("_graft_del_seq", lit(seq))
+    }.reduce(_ unionByName _)
+    val keyCol = delDf.columns.filterNot(_ == "_graft_del_seq") match {
+      case Array(k) => k
+      case other => throw new IllegalStateException(
+        s"equality-delete files must hold exactly one key column, got ${other.mkString(",")}")
+    }
+    (delDf.groupBy(col(keyCol))
+      .agg(max(col("_graft_del_seq")).as("_graft_del_seq")), keyCol)
+  }
+
   /** Resolve AS OF TIMESTAMP to a snapshot id: the newest committed
     * snapshot whose commit wall-clock is ≤ `tsMs` (the
     * `FOR TIMESTAMP AS OF` face; commit timestamps are written by
@@ -854,20 +877,33 @@ object SnapshotLog {
     * epoch's own schema, because reads resolve only the files that
     * existed then. Returns None for a table with no live data files
     * (schema unknowable from an empty file set). */
+  /** The row-lineage stamp is table metadata ([[Merge.LineageCol]]),
+    * not user data — hidden from every read face, visible only to the
+    * feed deriver (which reads files directly). */
+  private def hideInternal(df: DataFrame): DataFrame =
+    if (df.columns.contains(Merge.LineageCol)) df.drop(Merge.LineageCol) else df
+
+  /** Shared post-prune assembly for every pruned read face: the
+    * surviving data files scan EPOCH-SAFELY (a raw multi-path read of
+    * drifted files would infer one file's schema and silently null the
+    * other epochs' columns), pending masks apply, internal columns
+    * hide. One definition so no reader can drift from [[read]]'s
+    * semantics. */
+  private def assemble(spark: SparkSession, pruned: Seq[DataFile],
+                       dels: Seq[DataFile]): Option[DataFrame] =
+    if (pruned.isEmpty) None
+    else Some(hideInternal(
+      if (dels.isEmpty) readEpochSafe(spark, pruned)
+      else applyEqDeletes(spark, pruned, dels)))
+
   def read(spark: SparkSession, tableDir: String,
            asOf: Option[Long] = None,
            renames: Map[String, String] = Map.empty): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     if (data.isEmpty) None
-    else {
-      val df =
-        if (dels.isEmpty) readEpochSafe(spark, data, renames)
-        else applyEqDeletes(spark, data, dels, renames)
-      // the row-lineage stamp is table metadata ([[Merge.LineageCol]]),
-      // not user data — hidden from reads, visible to the feed deriver
-      Some(if (df.columns.contains(Merge.LineageCol))
-        df.drop(Merge.LineageCol) else df)
-    }
+    else Some(hideInternal(
+      if (dels.isEmpty) readEpochSafe(spark, data, renames)
+      else applyEqDeletes(spark, data, dels, renames)))
   }
 
   /** Manifest-pruned range read over the stats column: files whose
@@ -884,9 +920,7 @@ object SnapshotLog {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
         case _ => true
       })
-    if (pruned.isEmpty) None
-    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
-    else Some(applyEqDeletes(spark, pruned, dels))
+    assemble(spark, pruned, dels)
   }
 
   /** Multi-column manifest-pruned read: skip every data file whose
@@ -907,9 +941,7 @@ object SnapshotLog {
                 asOf: Option[Long] = None): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     val pruned = data.filter(zoneKeeps(_, ranges))
-    if (pruned.isEmpty) None
-    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
-    else Some(applyEqDeletes(spark, pruned, dels))
+    assemble(spark, pruned, dels)
   }
 
   /** [[readWhere]] phrased in TIME: bounds given as timestamps prune
@@ -941,9 +973,7 @@ object SnapshotLog {
                      asOf: Option[Long] = None): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     val pruned = data.filter(partKeeps(_, filters))
-    if (pruned.isEmpty) None
-    else if (dels.isEmpty) Some(readEpochSafe(spark, pruned))
-    else Some(applyEqDeletes(spark, pruned, dels))
+    assemble(spark, pruned, dels)
   }
 
   /** [[readPartitions]]'s pruning decision alone: (kept, skipped). */
@@ -1008,9 +1038,7 @@ object SnapshotLog {
                 key: Long, asOf: Option[Long] = None): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     val pruned = data.filter(pointKeeps(_, column, key))
-    if (pruned.isEmpty) None
-    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
-    else Some(applyEqDeletes(spark, pruned, dels))
+    assemble(spark, pruned, dels)
   }
 
   /** Point lookup on a STRING key column (UUID-style keys): lexicographic
@@ -1029,9 +1057,7 @@ object SnapshotLog {
         java.util.Base64.getDecoder.decode(b64), h, BloomHashes)
       case None => true
     })
-    if (pruned.isEmpty) None
-    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
-    else Some(applyEqDeletes(spark, pruned, dels))
+    assemble(spark, pruned, dels)
   }
 
   /** [[readPointString]]'s pruning decision alone: (kept, skipped). */
@@ -1058,9 +1084,7 @@ object SnapshotLog {
                  keys: Seq[Long], asOf: Option[Long] = None): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
     val pruned = data.filter(f => keys.exists(pointKeeps(f, column, _)))
-    if (pruned.isEmpty) None
-    else if (dels.isEmpty) Some(spark.read.parquet(pruned.map(_.path): _*))
-    else Some(applyEqDeletes(spark, pruned, dels))
+    assemble(spark, pruned, dels)
   }
 
   /** [[readPoint]]'s pruning decision alone: (kept, skipped) data-file
@@ -1101,7 +1125,10 @@ object SnapshotLog {
       s"cannot diff ($from, $hi] of $tableDir: snapshots ${rowLevel.mkString(",")} " +
         "carry row-level changes with no pure file-level delta — use changes()")
     val files = inRange.filter(_.op == "append").flatMap(_.added)
-    if (files.isEmpty) None else Some(spark.read.parquet(files.map(_.path): _*))
+    // append deltas may themselves span schema epochs — merge through
+    // the Evolution lattice like every other file-set consumer
+    if (files.isEmpty) None
+    else Some(hideInternal(readEpochSafe(spark, files)))
   }
 
   /** Row-level CHANGE FEED over (from, to] — the face [[diff]] refuses to

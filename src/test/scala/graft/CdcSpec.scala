@@ -2380,6 +2380,159 @@ class CdcSpec extends AnyFunSuite {
     assert(head >= 20, s"walk too short: $head")
   }
 
+  test("pinned-state merges: an interleaved commit fails the merge instead of corrupting it") {
+    import spark.implicits._
+    import graft.table._
+    val dir = Files.createTempDirectory("graft-pinned").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 10).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .coalesce(1), dir, statsCol = Some("id")))
+    // a competitor MOR merge (which would leave a pending mask) fires at
+    // the exact moment the victim COW merge tries to publish — under the
+    // old read-latest-twice scheme the COW would re-stamp the touched
+    // file PAST the mask's seq and resurrect the deleted row silently
+    @volatile var fired = false
+    val sabotage = new LogStore {
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          src: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path): Boolean = {
+        if (!fired) {
+          fired = true
+          Merge.mergeOnRead(spark, dir,
+            Seq((5L, 0L, true)).toDF("id", "v", "is_del"), "id", Some("is_del"))
+        }
+        HardLinkLogStore.putIfAbsent(fs, src, target)
+      }
+    }
+    intercept[SnapshotLog.ConcurrentCommitException] {
+      LogStore.withLogStore(sabotage) {
+        Merge.upsert(spark, dir, Seq((1L, 99L)).toDF("id", "v"), "id")
+      }
+    }
+    // the competitor's delete is intact; the failed merge changed nothing
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(5L) && got(1L) == 0L && got.size == 9, got.toString)
+  }
+
+  test("NULL delete flags mean not-deleted; NULL merge keys refuse loudly") {
+    import spark.implicits._
+    import graft.table.{Merge, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-nullsafe").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((1 to 4).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .coalesce(1), dir, statsCol = Some("id")))
+    // a nullable CDC flag: NULL rows are UPDATES, not deletes — the old
+    // bare !col filter silently dropped them from the upserts while
+    // their keys still anti-joined the existing rows away
+    val delta = Seq((1L, 11L, Some(false)), (2L, 22L, None: Option[Boolean]),
+      (3L, 0L, Some(true))).toDF("id", "v", "is_del")
+    Merge.applyChanges(spark, dir, delta, "id", Some("is_del"))
+    val got = SnapshotLog.read(spark, dir).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 22L, 4L -> 0L), got.toString)
+    // same contract on the merge-on-read path
+    val dir2 = Files.createTempDirectory("graft-nullsafe2").toString + "/t"
+    SnapshotLog.commit(spark, dir2, "append",
+      SnapshotLog.writeData((1 to 4).map(k => (k.toLong, 0L)).toDF("id", "v")
+        .coalesce(1), dir2, statsCol = Some("id")))
+    Merge.mergeOnRead(spark, dir2, delta, "id", Some("is_del"))
+    assert(SnapshotLog.read(spark, dir2).get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 11L, 2L -> 22L, 4L -> 0L))
+    // a NULL merge key gets a CLEAR refusal, not a mid-merge NPE
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(spark, dir,
+        Seq((Some(1L), 5L), (None: Option[Long], 6L)).toDF("id", "v"), "id")
+    }
+    assert(e.getMessage.contains("NULL") && e.getMessage.contains("id"))
+  }
+
+  test("publishStaged is idempotent across the commit/cleanup crash window") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-wap-idem").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((1L, "a")).toDF("id", "v").coalesce(1), dir))
+    val token = SnapshotLog.stageAppend(
+      Seq((2L, "b")).toDF("id", "v").coalesce(1), dir)
+    // simulate a crash between commit and staged-manifest delete: keep a
+    // copy of the manifest and restore it after the first publish
+    val staged = Paths.get(dir, "_graft_log", s".staged-$token.json")
+    val bytes = Files.readAllBytes(staged)
+    val id1 = SnapshotLog.publishStaged(spark, dir, token)
+    Files.write(staged, bytes) // the manifest "survived" the crash
+    val id2 = SnapshotLog.publishStaged(spark, dir, token)
+    assert(id1 == id2, s"double publish must return the prior id: $id1 vs $id2")
+    assert(SnapshotLog.commits(spark, dir).size == 2, "no duplicate append")
+    assert(SnapshotLog.read(spark, dir).get.count() == 2)
+    assert(SnapshotLog.stagedTokens(spark, dir).isEmpty)
+  }
+
+  test("pruned reads stay epoch-safe: drifted columns survive readWhere/readRange") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val dir = Files.createTempDirectory("graft-epochread").toString + "/t"
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((1L, "a")).toDF("id", "v").coalesce(1), dir,
+        statsCol = Some("id")))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData(Seq((2L, "b", 42L)).toDF("id", "v", "extra")
+        .coalesce(1), dir, statsCol = Some("id")))
+    // a raw multi-path read inferring the epoch-1 schema would silently
+    // drop 'extra'; the epoch-safe assembly null-fills it on epoch 1
+    val wide = SnapshotLog.readWhere(spark, dir, Map("id" -> (1L, 2L))).get
+    assert(wide.columns.contains("extra"))
+    val m = wide.collect().map(r => r.getLong(0) ->
+      Option(r.getAs[java.lang.Long]("extra"))).toMap
+    assert(m == Map(1L -> None, 2L -> Some(42L)), m.toString)
+    assert(SnapshotLog.readRange(spark, dir, 1L, 2L).get
+      .columns.contains("extra"))
+  }
+
+  test("advisor overlap is per-column: mixed stats domains never fabricate a finding") {
+    import spark.implicits._
+    import graft.table.{Advisor, SnapshotLog}
+    val dir = Files.createTempDirectory("graft-advcol").toString + "/t"
+    // two files whose FIRST stats slots describe DIFFERENT columns (a
+    // clustering rewrite does exactly this) but whose shared column 'b'
+    // is perfectly disjoint: the legacy mixed-domain fraction saw
+    // overlapping [0,100]x[0,5] garbage; per-column sees disjoint 'b'
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((0 to 100 by 10).map(a => (a.toLong, a.toLong / 25))
+        .toDF("a", "b").coalesce(1), dir, statsCol = Some("a"), statsCols = Seq("b")))
+    SnapshotLog.commit(spark, dir, "append",
+      SnapshotLog.writeData((0 to 4).map(b => (b.toLong + 1000, b.toLong + 100))
+        .toDF("a", "b").coalesce(1), dir, statsCol = Some("b"), statsCols = Seq("b", "a")))
+    val advice = Advisor.advise(spark, dir, retainLast = 5).collect()
+      .filter(_.getString(0) == "cluster")
+    // 'a' zones: [0,100] vs [1000,1004] disjoint; 'b' zones: [0,4] vs
+    // [100,104] disjoint — no cluster debt exists on ANY real column
+    assert(advice.isEmpty, advice.mkString(";"))
+  }
+
+  test("rename failure without a competing file surfaces as infrastructure, not a race") {
+    import graft.table.AtomicRenameLogStore
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft-renamefault").toString
+    // an fs whose rename always fails for a NON-conflict reason (the
+    // local fs masks this by falling back to copy, so inject it)
+    val flaky = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    flaky.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val src = new Path(s"$base/src.json")
+    val out = flaky.create(src, false); out.write("x".getBytes); out.close()
+    val e = intercept[java.io.IOException] {
+      AtomicRenameLogStore.putIfAbsent(flaky, src, new Path(s"$base/target.json"))
+    }
+    assert(e.getMessage.contains("infrastructure"))
+    // but when the target EXISTS after the failed rename, it is a race
+    val winner = new Path(s"$base/won.json")
+    val w = flaky.create(winner, false); w.write("y".getBytes); w.close()
+    assert(!AtomicRenameLogStore.putIfAbsent(flaky, src, winner))
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
