@@ -292,8 +292,12 @@ object CdcQueries {
         .unionByName(retracted.select(col("status"), (-amt).as("s_amt"), lit(-1L).as("s_n")))
       val vInc = increments.groupBy(col("status"))
         .agg(sum(col("s_n")).as("dn"), sum(col("s_amt")).as("damt"))
-      vOld.join(vInc, Seq("status"), "full_outer")
-        .select(col("status"),
+      // null-SAFE join key: all null statuses aggregate into ONE group,
+      // and a plain join would never match it — the stored null row
+      // would survive its own retraction (phantom group)
+      vOld.as("v").join(vInc.as("i"),
+          col("v.status") <=> col("i.status"), "full_outer")
+        .select(coalesce(col("v.status"), col("i.status")).as("status"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
           (coalesce(col("amt"), lit(0).cast("decimal(20,2)")) +
             coalesce(col("damt"), lit(0).cast("decimal(20,2)")))

@@ -26,6 +26,31 @@ object StartingOffsets {
   /** topic → partition → first offset to read (inclusive). */
   final case class PerPartition(offsets: Map[String, Map[Int, Long]]) extends StartingOffsets
 
+  /** Spark's Kafka source REQUIRES every TopicPartition of the
+    * subscription to appear in a specific `startingOffsets` JSON —
+    * unlisted partitions are an AssertionError at read time, NOT an
+    * earliest default (the lenient file source accepts absence; the
+    * real connector does not). A production deployment therefore fills
+    * the map with the connector's earliest sentinel (−2) for every
+    * partition the saved state does not cover, using partition counts
+    * from the consumer API — this helper is that fill. Topics the
+    * state knows nothing about get all-(−2) entries; an Earliest input
+    * stays Earliest (the string form needs no partition list). */
+  def fillEarliest(s: StartingOffsets,
+                   partitionCounts: Map[String, Int]): StartingOffsets = s match {
+    case Earliest => Earliest
+    case PerPartition(m) =>
+      // the counts must cover the whole subscription: a saved topic
+      // missing from them would silently LOSE its resume bounds
+      require(m.keySet.subsetOf(partitionCounts.keySet),
+        s"partitionCounts missing topics with saved state: " +
+          (m.keySet -- partitionCounts.keySet).mkString(","))
+      PerPartition(partitionCounts.map { case (t, n) =>
+        val saved = m.getOrElse(t, Map.empty[Int, Long])
+        t -> (0 until n).map(p => p -> saved.getOrElse(p, -2L)).toMap
+      })
+  }
+
   /** Render as the Kafka option JSON, e.g. {"t":{"0":42}}. */
   def toJson(s: StartingOffsets): String = s match {
     case Earliest => "earliest"
@@ -44,10 +69,13 @@ trait CdcSource {
   /** Batch-read SEVERAL topics in one pass with per-topic, per-partition
     * resume — the multi-table face of the same `startingOffsets` JSON
     * (its shape is already topic-keyed: `{"t1": {"0": n}, "t2": …}`).
-    * Topics (or partitions) absent from the map read from earliest, the
-    * safe default for a table first seen mid-stream. The default
-    * implementation unions per-topic reads; connector-backed sources
-    * override with a genuine single subscription. */
+    * On THIS source, topics (or partitions) absent from the map read
+    * from earliest. The REAL Kafka connector is stricter: a specific-
+    * offsets JSON must list every TopicPartition of the subscription —
+    * pass the map through [[StartingOffsets.fillEarliest]] with the
+    * broker's partition counts before handing it to [[KafkaCdcSource]].
+    * The default implementation unions per-topic reads; connector-backed
+    * sources override with a genuine single subscription. */
   def readMulti(spark: SparkSession, topics: Seq[String],
                 starting: StartingOffsets): DataFrame =
     topics.map(read(spark, _, starting)).reduce(_ unionByName _)

@@ -68,8 +68,7 @@ object StreamSync {
     val q = stream.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = b.sparkSession
-        val already = SnapshotLog.commits(spark, tableDir)
-          .exists(_.summary.get("batch_id").contains(batchId.toString))
+        val already = batchAlreadyCommitted(spark, tableDir, batchId)
         if (!already) {
           val files = SnapshotLog.writeData(b, tableDir, statsCol)
           SnapshotLog.commit(spark, tableDir, "append", files,
@@ -110,8 +109,7 @@ object StreamSync {
     val q = stream.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = b.sparkSession
-        val already = SnapshotLog.commits(spark, tableDir)
-          .exists(_.summary.get("batch_id").contains(batchId.toString))
+        val already = batchAlreadyCommitted(spark, tableDir, batchId)
         if (!already) {
           val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
           val latest = b.withColumn("_rk", row_number().over(w))
@@ -125,8 +123,12 @@ object StreamSync {
             // would wedge every later mergeOnRead. Replay is safe —
             // nothing was written, so re-processing writes nothing again.
             if (!rows.isEmpty)
+              // partition count follows the batch's own parallelism — a
+              // backfill-sized first drain must not serialize into the
+              // fixture-scale constant 2 write tasks
               SnapshotLog.commit(spark, tableDir, "append",
-                SnapshotLog.writeData(rows.repartitionByRange(2, col(keyCol)),
+                SnapshotLog.writeData(rows.repartitionByRange(
+                    math.max(2, rows.rdd.getNumPartitions), col(keyCol)),
                   tableDir, statsCol = Some(keyCol),
                   // string/UUID keys record no long zone — the manifest
                   // bloom is their only merge-prune index, so the
@@ -209,6 +211,37 @@ object StreamSync {
     * the full fact history is never re-aggregated. The parquet state pair
     * is the fixture-scale stand-in for a table format / key-value store;
     * the dataflow is what carries to 100 TB. */
+  /** Committed `batch=<id>` dirs under `root`, ascending — the ONE
+    * definition of the _COMMIT listing every batch-dir store uses (six
+    * hand-rolled copies had already let one store drop the marker). */
+  private def committedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
+
+  /** Was `batchId` already committed to this table? Batch ids are
+    * monotone within a checkpoint lineage, so the REVERSE manifest scan
+    * stops at the first data commit whose batch id falls below the
+    * probe — O(1) typical, O(intervening maintenance commits) worst
+    * case, never O(table history) (the old full-log scan cost every
+    * micro-batch a pass over the table's whole life). */
+  private def batchAlreadyCommitted(spark: org.apache.spark.sql.SparkSession,
+                                    tableDir: String, batchId: Long): Boolean = {
+    import graft.table.SnapshotLog
+    val it = SnapshotLog.commitsReverse(spark, tableDir)
+    while (it.hasNext) {
+      it.next().summary.get("batch_id").map(_.toLong) match {
+        case Some(b) if b == batchId => return true
+        case Some(b) if b < batchId => return false
+        case _ => () // maintenance commit (no batch id): keep walking
+      }
+    }
+    false
+  }
+
   def maintainStatusView(wire: DataFrame, table: String, viewDir: String,
                          checkpointDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -218,19 +251,22 @@ object StreamSync {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(viewDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def committed: Seq[Long] = {
-          val root = new org.apache.hadoop.fs.Path(viewDir)
-          if (!fs.exists(root)) Seq.empty
-          else fs.listStatus(root).toSeq.map(_.getPath)
-            .filter(p => p.getName.startsWith("batch=") &&
-              fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-            .map(_.getName.stripPrefix("batch=").toLong).sorted
-        }
+        def committed: Seq[Long] =
+          committedBatchIds(fs, new org.apache.hadoop.fs.Path(viewDir))
         // Replay safety: a crash after this batch's _COMMIT but before the
         // stream checkpoint commit leaves batch=<batchId> committed; basing
         // on it would self-read-and-overwrite. Always base on the newest
         // snapshot strictly older than this batch.
         val prevId = committed.filter(_ < batchId).lastOption
+        // fail LOUDLY on unreplayable state, like maintainDedupIndex: a
+        // rewind past the retention horizon has no predecessor snapshot —
+        // silently rebuilding from empty would drop every previously
+        // aggregated group from the "committed" view
+        if (batchId > 0 && prevId.isEmpty)
+          throw new IllegalStateException(
+            s"status view at $viewDir has no committed snapshot older than " +
+              s"batch $batchId (committed: ${committed.mkString(",")}); " +
+              "state was evicted past the replay horizon — rebuild the view")
         val amt = col("total_amount").cast("decimal(10,2)")
         val w = Window.partitionBy(col("order_id")).orderBy(col("kafka_offset").desc)
         val b = batch.filter(col("order_id").isNotNull)
@@ -264,8 +300,13 @@ object StreamSync {
           .unionByName(retracted.select(col("status"), (-col("amt")).as("s_amt"), lit(-1L).as("s_n")))
         val inc = increments.groupBy(col("status"))
           .agg(sum(col("s_n")).as("dn"), sum(col("s_amt")).as("damt"))
-        val newView = prevView.join(inc, Seq("status"), "full_outer")
-          .select(col("status"),
+        // NULL-SAFE join key: groupBy puts all null statuses in ONE
+        // group, but a plain join never matches null==null — the stored
+        // null-group row would survive unretracted forever while its
+        // retraction increment fell out of the view (phantom rows)
+        val newView = prevView.as("pv").join(inc.as("i"),
+            col("pv.status") <=> col("i.status"), "full_outer")
+          .select(coalesce(col("pv.status"), col("i.status")).as("status"),
             (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
             (coalesce(col("total_amount"), lit(0).cast("decimal(20,2)")) +
               coalesce(col("damt"), lit(0).cast("decimal(20,2)")))
@@ -289,10 +330,7 @@ object StreamSync {
   def readStatusView(spark: SparkSession, viewDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(viewDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-      .map(_.getName.stripPrefix("batch=").toLong)
+    val ids = committedBatchIds(fs, root)
     require(ids.nonEmpty, s"no committed view under $viewDir")
     spark.read.parquet(s"$viewDir/batch=${ids.max}/view")
   }
@@ -342,10 +380,7 @@ object StreamSync {
     import graft.functions.GraftFunctions.{quantile_merge, quantile_value}
     val root = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-      .map(_.getName.stripPrefix("batch=").toLong)
+    val ids = committedBatchIds(fs, root)
     require(ids.nonEmpty, s"no committed sketches under $sketchDir")
     val merged = spark.read
       .parquet(ids.map(id => s"$sketchDir/batch=$id/sketch"): _*)
@@ -398,10 +433,7 @@ object StreamSync {
     import org.apache.spark.sql.expressions.Window
     val root = new org.apache.hadoop.fs.Path(sketchDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-      .map(_.getName.stripPrefix("batch=").toLong)
+    val ids = committedBatchIds(fs, root)
     require(ids.nonEmpty, s"no committed sketches under $sketchDir")
     val rows = spark.read
       .parquet(ids.map(id => s"$sketchDir/batch=$id/sketch"): _*)
@@ -461,14 +493,8 @@ object StreamSync {
         val spark = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def committed: Seq[Long] = {
-          val root = new org.apache.hadoop.fs.Path(s"$indexDir/state")
-          if (!fs.exists(root)) Seq.empty
-          else fs.listStatus(root).toSeq.map(_.getPath)
-            .filter(p => p.getName.startsWith("batch=") &&
-              fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-            .map(_.getName.stripPrefix("batch=").toLong).sorted
-        }
+        def committed: Seq[Long] =
+          committedBatchIds(fs, new org.apache.hadoop.fs.Path(s"$indexDir/state"))
         val prevId = committed.filter(_ < batchId).lastOption
         // fail LOUDLY on unreplayable state: retention keeps only the last
         // two snapshots, so a rewind of more than one batch (or manual
@@ -629,6 +655,8 @@ object StreamSync {
     val q = docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val fs2 = new org.apache.hadoop.fs.Path(monitorDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val cnt = batch.select(explode(split(col("text"), " ")).as("token"))
           .filter(col("token") =!= "")
           .groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -654,8 +682,11 @@ object StreamSync {
             coalesce(col("n_raw"), lit(0L)).as("n_tokens"),
             when(coalesce(col("n_raw"), lit(0L)) > 0, col("js_raw"))
               .as("js_divergence"))
-        row.coalesce(1).write.mode("overwrite")
-          .parquet(s"$monitorDir/batch=$batchId")
+        val dst = s"$monitorDir/batch=$batchId"
+        row.coalesce(1).write.mode("overwrite").parquet(dst)
+        // the _COMMIT marker the store's own docstring promises: without
+        // it a torn batch dir was indistinguishable from a committed one
+        fs2.create(new org.apache.hadoop.fs.Path(dst, "_COMMIT"), true).close()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -664,22 +695,23 @@ object StreamSync {
   }
 
   /** All per-batch drift rows written by [[maintainDriftMonitor]]. */
-  def readDriftView(spark: SparkSession, monitorDir: String): DataFrame =
-    spark.read.parquet(monitorDir)
+  def readDriftView(spark: SparkSession, monitorDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(monitorDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = committedBatchIds(fs, root)
+    require(ids.nonEmpty, s"no committed drift rows under $monitorDir")
+    spark.read.parquet(ids.map(id => s"$monitorDir/batch=$id"): _*)
       .select(col("batch_id"), col("n_tokens"), col("js_divergence"))
       .orderBy(col("batch_id"))
+  }
 
   /** Cumulative admission decisions maintained by [[maintainDedupIndex]]:
     * the union of every committed per-batch decision delta. */
   def readDedupDecisions(spark: SparkSession, indexDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(s"$indexDir/decisions")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
-        .map(_.toString)
+    val dirs = committedBatchIds(fs, root)
+      .map(id => s"$indexDir/decisions/batch=$id")
     require(dirs.nonEmpty, s"no committed dedup decisions under $indexDir")
     spark.read.parquet(dirs: _*)
   }
@@ -700,7 +732,12 @@ object StreamSync {
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      // dropDuplicates WITHOUT the event-time column in the key list
+      // never evicts: every event_id ever seen stays in the state store
+      // for the stream's life. dropDuplicatesWithinWatermark is the
+      // bounded-state form the docstring promises — state for an id is
+      // dropped once the watermark passes it.
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming corpus curation — incremental ingestion of a document
     * stream through the batch pipeline's gates: a stateless quality
@@ -855,7 +892,15 @@ object StreamSync {
             val next = UserTotals(uid, prev.n_events + batch.size,
               math.max(prev.total_value, lastTs.toDouble))
             state.update(next)
-            state.setTimeoutTimestamp(next.total_value.toLong + gapMinutes * 60000L)
+            // a sufficiently LATE event (flatMapGroupsWithState does not
+            // drop late rows for us) would compute a timeout below the
+            // current watermark — setTimeoutTimestamp throws and kills
+            // the whole query. Clamp to just past the watermark: the
+            // session then closes at the next watermark advance, the
+            // nearest legal approximation of "already timed out".
+            val timeout = next.total_value.toLong + gapMinutes * 60000L
+            state.setTimeoutTimestamp(
+              math.max(timeout, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

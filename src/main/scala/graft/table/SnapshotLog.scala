@@ -511,6 +511,16 @@ object SnapshotLog {
     parseFiles(node, "live")
   }
 
+  /** Retained commits NEWEST-FIRST as a LAZY iterator — manifests are
+    * read on demand, so a consumer that stops early (the streaming
+    * sinks' batch-id replay guard) pays O(consumed), never O(history). */
+  private[graft] def commitsReverse(spark: SparkSession,
+                                    tableDir: String): Iterator[Commit] = {
+    val fs = fsOf(spark, tableDir)
+    snapshots(spark, tableDir).reverseIterator
+      .map(readManifest(fs, tableDir, _))
+  }
+
   def commits(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): Seq[Commit] = {
     val fs = fsOf(spark, tableDir)

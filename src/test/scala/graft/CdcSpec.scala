@@ -2533,6 +2533,55 @@ class CdcSpec extends AnyFunSuite {
     assert(!AtomicRenameLogStore.putIfAbsent(flaky, src, winner))
   }
 
+  test("fillEarliest completes the Kafka-strict startingOffsets JSON with -2 sentinels") {
+    // the real connector refuses a specific-offsets JSON that omits any
+    // TopicPartition of the subscription; the fill makes the saved state
+    // deployable against broker partition counts
+    val saved = StartingOffsets.PerPartition(Map(
+      "t.orders" -> Map(0 -> 6L)))
+    val filled = StartingOffsets.fillEarliest(saved,
+      Map("t.orders" -> 3, "t.customers" -> 2))
+    assert(StartingOffsets.toJson(filled) ==
+      """{"t.customers": {"0": -2, "1": -2}, """ +
+        """{"0": 6, "1": -2, "2": -2}""".patch(0, "\"t.orders\": ", 0) + "}")
+    // earliest passes through (string form needs no partition list)
+    assert(StartingOffsets.fillEarliest(StartingOffsets.Earliest,
+      Map("t" -> 1)) == StartingOffsets.Earliest)
+    // counts that DROP a saved topic would silently lose its bounds
+    intercept[IllegalArgumentException](
+      StartingOffsets.fillEarliest(saved, Map("t.customers" -> 2)))
+    // -2 reads as earliest on the file source too (offset >= -2 = all)
+    val df = source.read(spark, Schemas.topicFor("orders"),
+      StartingOffsets.PerPartition(Map(
+        Schemas.topicFor("orders") -> Map(0 -> -2L))))
+    assert(df.count() == 10)
+  }
+
+  test("null-status groups retract correctly through the incremental view") {
+    import spark.implicits._
+    // a status=null order arrives, then UPDATES to a real status: the
+    // null group must vanish from the maintained view (null-safe join),
+    // not linger as a phantom row
+    val snapshot = Seq((1, null.asInstanceOf[String], 10.0, 1L))
+      .toDF("order_id", "status", "amt", "kafka_offset")
+    val delta = Seq((1, "NEW", 10.0, 2L))
+      .toDF("order_id", "status", "amt", "kafka_offset")
+    val vOld = snapshot.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("amt"))
+    val retracted = snapshot.join(delta.select(col("order_id")), Seq("order_id"), "left_semi")
+    val increments = delta.select(col("status"), col("amt").as("s_amt"), lit(1L).as("s_n"))
+      .unionByName(retracted.select(col("status"), (-col("amt")).as("s_amt"), lit(-1L).as("s_n")))
+    val vInc = increments.groupBy(col("status"))
+      .agg(sum(col("s_n")).as("dn"), sum(col("s_amt")).as("damt"))
+    val view = vOld.as("v").join(vInc.as("i"),
+        col("v.status") <=> col("i.status"), "full_outer")
+      .select(coalesce(col("v.status"), col("i.status")).as("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"))
+      .filter(col("n_orders") > 0)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(view == Map(Some("NEW") -> 1L), view.toString)
+  }
+
   test("pipeline runner in snapshot mode stays consistent end-to-end") {
     val base = Files.createTempDirectory("graft-snap-pipeline").toString
     val report = PipelineRunner.run(spark, fixtures, s"$base/warehouse",
