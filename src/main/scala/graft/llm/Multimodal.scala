@@ -70,7 +70,10 @@ object Multimodal {
     * Scale: encode is map-side, one row in flight per task at a time; the
     * blob table shuffles nothing. */
   private def pngTable(spark: SparkSession, dir: String): DataFrame = {
-    val tag = (dir.hashCode & 0x7fffffff).toString
+    // fingerprint-keyed (not dir.hashCode): a regenerated corpus in the
+    // same dir changes the key, so the blob table rebuilds instead of
+    // serving stale media — and distinct dirs can never collide
+    val tag = Tables.fingerprint(spark, dir, "documents")
     val tbl = s"graft_png_$tag"
     if (!spark.catalog.tableExists(tbl)) {
       import spark.implicits._
@@ -264,7 +267,7 @@ object Multimodal {
     * in a partition-parallel pass and materialized as an external
     * parquet table. Queries read only (doc_id, payload) opaque bytes. */
   private def wavTable(spark: SparkSession, dir: String): DataFrame = {
-    val tag = (dir.hashCode & 0x7fffffff).toString
+    val tag = Tables.fingerprint(spark, dir, "documents") // see pngTable
     val tbl = s"graft_wav_$tag"
     if (!spark.catalog.tableExists(tbl)) {
       import spark.implicits._

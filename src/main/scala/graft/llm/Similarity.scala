@@ -468,19 +468,8 @@ object Similarity {
     * next PQ query rebuilds codes instead of serving stale ones (the
     * poor-man's snapshot id of a table that has no
     * [[graft.table.SnapshotLog]]). */
-  private def embeddingsFingerprint(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
-    val sig = parts.map(f =>
-        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$sig".getBytes("UTF-8"))
-      .take(8).map("%02x".format(_)).mkString
-  }
+  private def embeddingsFingerprint(spark: SparkSession, dir: String): String =
+    graft.schema.Tables.fingerprint(spark, dir, "embeddings")
 
   private def pqCodeTable(spark: SparkSession, dir: String, subspaces: Int,
                           subDim: Int, codebookSize: Int): DataFrame = {
@@ -703,10 +692,13 @@ object Similarity {
   private val kmeansCache =
     scala.collection.concurrent.TrieMap.empty[String, KmeansModel]
   def kmeansFitCached(spark: SparkSession, dir: String, nClusters: Int = 16,
-                      maxIters: Int = 10): KmeansModel =
+                      maxIters: Int = 10, trainSampleMod: Int = 4,
+                      tol: Double = 1e-3): KmeansModel =
+    // EVERY hyperparameter is in the key: two fits differing only in
+    // sample fraction or tolerance must not share a cached model
     kmeansCache.getOrElseUpdate(
-      s"${embeddingsFingerprint(spark, dir)}|$nClusters|$maxIters",
-      kmeansFit(spark, dir, nClusters, maxIters))
+      s"${embeddingsFingerprint(spark, dir)}|$nClusters|$maxIters|$trainSampleMod|$tol",
+      kmeansFit(spark, dir, nClusters, maxIters, trainSampleMod, tol))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_kmeans_fit" -> ((s, d) => kmeansFitReport(s, d)),

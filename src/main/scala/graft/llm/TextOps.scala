@@ -79,10 +79,15 @@ object TextOps {
         lit(-i).as("ord"),
         lit(lg).as("lang"))
     }
+    // ONE greatest() evaluation per row: the five marker filter()
+    // lambdas are interpreted (no codegen/CSE), so projecting two fields
+    // from two copies ran the whole scan twice per row
+    val best = greatest(scored: _*)
     Tables(spark, dir, "documents")
+      .withColumn("_best", best)
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-              greatest(scored: _*).getField("lang").as("predicted_lang"),
-              greatest(scored: _*).getField("score").as("marker_hits"))
+              col("_best").getField("lang").as("predicted_lang"),
+              col("_best").getField("score").as("marker_hits"))
       .orderBy(col("doc_id"))
   }
 
@@ -588,7 +593,11 @@ object TextOps {
         p.length == 1 || p == "</w>" || earlier.contains(p))
     }
     val freqMonotone = ms.zip(ms.drop(1)).forall { case (x, y) => y.freq <= x.freq }
-    Seq((ms.size, ms.head.left, ms.head.right, ms.head.freq,
+    // a corpus with no repeatable adjacency fits ZERO merges — report it
+    // (vocab_ok already false) instead of crashing on ms.head
+    val first = ms.headOption
+    Seq((ms.size, first.map(_.left).orNull, first.map(_.right).orNull,
+      first.map(_.freq).getOrElse(0L),
       vocabOk, partsKnown, freqMonotone))
       .toDF("n_merges", "first_left", "first_right", "first_freq",
         "vocab_ok", "parts_known", "freq_monotone")

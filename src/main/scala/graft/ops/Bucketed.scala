@@ -51,7 +51,10 @@ object Bucketed {
     * exactly the amortized cost a bucketed warehouse pays per query. The
     * oracle is the plain join — bucketing must not change results. */
   def q33BucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
-    val tag = (dir.hashCode & 0x7fffffff).toString
+    // fingerprint-keyed so a regenerated source parquet rebuilds the
+    // bucketed copies instead of serving stale data all session
+    val tag = graft.schema.Tables.fingerprint(spark, dir, "orders") +
+      graft.schema.Tables.fingerprint(spark, dir, "lineitem")
     val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
     if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString

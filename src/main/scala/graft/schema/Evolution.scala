@@ -49,8 +49,13 @@ object Evolution {
     case (x: DecimalType, y: DecimalType) =>
       val scale = math.max(x.scale, y.scale)
       val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
-      val p = math.min(DecimalType.MAX_PRECISION, intDigits + scale)
-      Some(DecimalType(p, scale))
+      // no LUB exists past MAX_PRECISION: capping would produce a type
+      // that cannot hold both sides — an ANSI overflow mid-job (or a
+      // silent null-fill with ANSI off), exactly the corruption the
+      // lattice exists to refuse at schema-merge time
+      if (intDigits + scale <= DecimalType.MAX_PRECISION)
+        Some(DecimalType(intDigits + scale, scale))
+      else None
     case (x, y: DecimalType) if integralRank.contains(x) => widenIntegralDecimal(x, y)
     case (x: DecimalType, y) if integralRank.contains(y) => widenIntegralDecimal(y, x)
     case _ => None

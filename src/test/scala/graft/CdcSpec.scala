@@ -348,6 +348,12 @@ class CdcSpec extends AnyFunSuite {
     assert(widen(IntegerType, DecimalType(10, 2)).contains(DecimalType(12, 2)))
     assert(widen(StringType, IntegerType).isEmpty)
     assert(widen(BooleanType, IntegerType).isEmpty)
+    // NO decimal LUB exists past MAX_PRECISION: decimal(38,0) vs
+    // decimal(10,10) would need 48 digits — capping at 38 produced a
+    // type that overflows one side mid-job (ANSI) or null-fills (not);
+    // the lattice must refuse at merge time instead
+    assert(widen(DecimalType(38, 0), DecimalType(10, 10)).isEmpty)
+    assert(widen(DecimalType(30, 0), DecimalType(10, 8)).contains(DecimalType(38, 8)))
   }
 
   test("widened-epoch warehouse round-trip: merge, write, read back, values intact") {
