@@ -38,7 +38,8 @@ object SparkEntry {
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
-      llm.Curation.queries
+      llm.Curation.queries ++
+      connector.ConnectorQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per query; omitted for the estimator /
     * hash-family ops (approx_count_distinct, MinHash/SimHash internals,
@@ -53,5 +54,6 @@ object SparkEntry {
       llm.Dedup.oracles ++
       llm.Similarity.oracles ++
       llm.Multimodal.oracles ++
-      llm.Curation.oracles
+      llm.Curation.oracles ++
+      connector.ConnectorQueries.oracles
 }

@@ -1,0 +1,138 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotLog
+
+/** DuckDB-oracled entries for the `format("graft")` data-source face:
+  * every path a user takes through Spark's own reader — plain read,
+  * time travel, zone-pruned range scan, bloom-pruned point lookup —
+  * must equal the plain SQL over the raw input (pruning may only skip
+  * files, never lose rows; the connector may only change the PLAN,
+  * never the answer). The warehouses are written through
+  * `df.write.format("graft")` too, so the writer path is under the same
+  * oracle.
+  */
+object ConnectorQueries {
+
+  private val whCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cached(spark: SparkSession, dir: String, kind: String)
+                    (build: String => String): String =
+    whCache.getOrElseUpdate(s"${System.identityHashCode(spark)}|$dir|$kind", {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-conn-$kind").toString
+      build(base)
+    })
+
+  private def orders(s: SparkSession, d: String): DataFrame =
+    graft.schema.Tables(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+
+  /** Two appends THROUGH the writer face: epoch 1 = even orderkeys
+    * (snapshot 1), epoch 2 = odd (snapshot 2). */
+  private def ordersWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "orders") { base =>
+      val dir = s"$base/orders_graft"
+      val ord = orders(s, d)
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.format("graft").mode("append")
+        .option("statsCols", "o_orderkey").save(dir)
+      dir
+    }
+
+  /** One commit of 4 RANGE files with o_orderkey zone maps — the layout
+    * where a range WHERE prunes from metadata. */
+  private def rangeWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "range") { base =>
+      val dir = s"$base/orders_range"
+      orders(s, d).repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      dir
+    }
+
+  /** Four ROUND-ROBIN appends (each file spans the whole key range — the
+    * zone-blind layout) with manifest blooms: equality lookups prune on
+    * the bloom alone. */
+  private def bloomWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "bloom") { base =>
+      val dir = s"$base/orders_bloom"
+      val ord = orders(s, d)
+      for (slice <- 0 until 4)
+        ord.filter(pmod(col("o_orderkey"), lit(4)) === slice).coalesce(1)
+          .write.format("graft").mode(if (slice == 0) "error" else "append")
+          .option("statsCols", "o_orderkey")
+          .option("bloomCol", "o_orderkey").save(dir)
+      dir
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the reader face end-to-end: write format("graft") twice, read the
+    // union back through spark.read, aggregate — equals the same
+    // aggregate over the raw input
+    "conn_read_agg" -> ((s, d) => {
+      s.read.format("graft").load(ordersWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // time travel THROUGH the reader option: versionAsOf 1 equals a full
+    // recompute of epoch 1 (the even-key slice), later commits invisible
+    "conn_timetravel" -> ((s, d) => {
+      s.read.format("graft").option("versionAsOf", "1")
+        .load(ordersWarehouse(s, d))
+        .orderBy(col("o_orderkey"))
+    }),
+    // zone-pruned range scan: the query's own WHERE prunes files against
+    // manifest zones inside the FileIndex (ConnectorSpec pins the file
+    // skip count); the band derives from the manifest's global key
+    // bounds exactly as the oracle derives it from the data
+    "conn_pruned_range" -> ((s, d) => {
+      val dir = rangeWarehouse(s, d)
+      val zs = SnapshotLog.filesAt(s, dir).flatMap(_.stats.get("o_orderkey"))
+      val (m0, m1) = (zs.map(_._1).min, zs.map(_._2).max)
+      val hi = m0 + (m1 - m0) / 4
+      s.read.format("graft").load(dir)
+        .filter(col("o_orderkey").between(m0, hi))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderkey"))
+    }),
+    // bloom-pruned point lookup: equality on the key column probes the
+    // per-file manifest blooms through the same WHERE (ConnectorSpec
+    // pins that zone-blind files are skipped); the key is the table's
+    // min, read from metadata alone
+    "conn_point_lookup" -> ((s, d) => {
+      val dir = bloomWarehouse(s, d)
+      val key = SnapshotLog.filesAt(s, dir)
+        .flatMap(_.stats.get("o_orderkey")).map(_._1).min
+      s.read.format("graft").load(dir)
+        .filter(col("o_orderkey") === key)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "conn_read_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_timetravel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin,
+    "conn_pruned_range" ->
+      """WITH b AS (SELECT min(o_orderkey) AS m0, max(o_orderkey) AS m1 FROM orders)
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN m0 AND m0 + (m1 - m0) // 4
+        |ORDER BY o_orderkey""".stripMargin,
+    "conn_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin
+  )
+}

@@ -1,0 +1,227 @@
+package graft.connector
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.table.SnapshotLog
+
+/** `format("graft")` — the data-source face of the snapshot-log table
+  * format, so the table layer is reachable through Spark's own reader/
+  * writer/SQL surface instead of only the Scala API:
+  *
+  * {{{
+  *   df.write.format("graft").option("statsCols", "id").save(dir)
+  *   spark.read.format("graft").load(dir)                      // latest
+  *   spark.read.format("graft").option("versionAsOf", 2).load(dir)
+  *   spark.read.format("graft").option("timestampAsOf", "2026-…").load(dir)
+  *   spark.read.format("graft").option("tagAsOf", "audited").load(dir)
+  *   spark.sql(s"CREATE TABLE t USING graft LOCATION '$dir'")
+  *   spark.readStream.format("graft").load(dir)                // appends
+  * }}}
+  *
+  * READ plans two ways, decided from manifest metadata alone:
+  *
+  *  - **fast path** (no pending merge-on-read masks, one schema epoch):
+  *    an ordinary `HadoopFsRelation` over [[GraftFileIndex]] — the log
+  *    enumerates the snapshot's live files, the query's own WHERE prunes
+  *    them against per-file zones/blooms/partition values driver-side,
+  *    and stock Spark does the rest (parquet row-group pushdown, column
+  *    pruning, whole-stage codegen). This is the Delta `TahoeFileIndex`
+  *    shape and the steady state of a maintained table (compaction
+  *    folds masks and drifted epochs away).
+  *  - **general path** (pending masks or drifted epochs): the relation
+  *    wraps [[SnapshotLog.read]]'s full merge-on-read / epoch-widening
+  *    plan, so results are always correct; it costs the DSv1 row bridge,
+  *    which is why maintenance (or `materializeDeletes`) is the road
+  *    back to the fast path.
+  *
+  * WRITE commits through the log's optimistic protocol: `Append` is an
+  * `append` snapshot; `Overwrite` removes every live file and adds the
+  * new ones in ONE atomic commit (time travel to pre-overwrite snapshots
+  * still works; the change feed correctly refuses to interpret it
+  * without row lineage). Manifest metadata for pruning rides options:
+  * `statsCols` (comma-separated zone columns), `bloomCol`,
+  * `partitionCols`.
+  *
+  * Reference anchor: the reference pipeline's consumers read its S3
+  * parquet output through `spark.read` directly
+  * (/root/reference/glue-jobs/kafka_to_s3_batch.py:117-130); this face
+  * gives those consumers the same one-liner over the transactional
+  * format. The reader/writer/stream contract follows the published
+  * Delta Lake DataSource design (RelationProvider + FileIndex school).
+  */
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // ---------------------------------------------------------------- read
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = tableDirOf(parameters)
+    val asOf = resolveAsOf(spark, dir, parameters)
+    GraftDataSource.relationFor(spark, sqlContext, dir, asOf)
+  }
+
+  private def tableDirOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") needs a path: .load(dir) or option(\"path\", dir)"))
+
+  /** Time-travel option resolution — at most one of versionAsOf /
+    * timestampAsOf / tagAsOf; None means the latest snapshot. */
+  private def resolveAsOf(spark: SparkSession, dir: String,
+                          parameters: Map[String, String]): Option[Long] = {
+    val given = Seq("versionAsOf", "timestampAsOf", "tagAsOf")
+      .filter(k => parameters.contains(k))
+    require(given.size <= 1,
+      s"at most one time-travel option, got: ${given.mkString(", ")}")
+    parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        val norm = ts.replace('T', ' ')
+        val ms = try java.sql.Timestamp.valueOf(norm).getTime
+          catch { case _: IllegalArgumentException =>
+            java.sql.Date.valueOf(norm.trim).getTime }
+        SnapshotLog.snapshotAsOfTimestamp(spark, dir, ms)
+      })
+      .orElse(parameters.get("tagAsOf").map(SnapshotLog.snapshotForTag(spark, dir, _)))
+  }
+
+  // --------------------------------------------------------------- write
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = tableDirOf(parameters)
+    val exists = SnapshotLog.currentSnapshotId(spark, dir).isDefined
+    val csv = (k: String) => parameters.get(k).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    def write(): Seq[SnapshotLog.DataFile] =
+      SnapshotLog.writeData(data, dir, statsCols = csv("statsCols"),
+        bloomCol = parameters.get("bloomCol"),
+        partitionCols = csv("partitionCols"))
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft table $dir already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => () // leave the table untouched
+      case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        SnapshotLog.commitRetrying(spark, dir, write())
+      case SaveMode.Overwrite =>
+        // one atomic commit: every previously-live file (data AND mask)
+        // out, the new files in — logically a whole-table upsert, so the
+        // op is `upsert` and the change feed refuses it without lineage
+        // rather than mislabeling carried rows as inserts. A removal
+        // commit is never blind-retried (its removed set was computed
+        // against the observed state): a lost race throws to the caller,
+        // the lakehouse conflict rule [[SnapshotLog.commitRetrying]]
+        // documents.
+        val added = write()
+        SnapshotLog.commit(spark, dir, "upsert", added,
+          removed = SnapshotLog.filesAt(spark, dir).map(_.path)
+            .filterNot(added.map(_.path).toSet),
+          summary = Map("mode" -> "overwrite"))
+    }
+    GraftDataSource.relationFor(spark, sqlContext, dir, asOf = None)
+  }
+
+  // ----------------------------------------------------------- streaming
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val dir = tableDirOf(parameters)
+    val s = schema.getOrElse(
+      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._3)
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val dir = tableDirOf(parameters)
+    val s = schema.getOrElse(
+      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._3)
+    new GraftStreamSource(sqlContext, dir, s, parameters)
+  }
+}
+
+object GraftDataSource {
+
+  private[connector] def isInternal(name: String): Boolean =
+    name.startsWith("_graft_")
+
+  /** Footer schemas come back non-nullable for required fields; the
+    * relation contract (and epoch null-filling) wants nullable. */
+  private[connector] def nullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** The snapshot's (mask files, data files, user-visible schema) —
+    * schema probed from one footer per epoch, internal columns (row
+    * lineage) hidden exactly as [[SnapshotLog.read]] hides them. */
+  private[connector] def visibleState(spark: SparkSession, dir: String,
+                                      asOf: Option[Long])
+      : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile], StructType) = {
+    val (dels, data) = SnapshotLog.filesAt(spark, dir, asOf)
+      .partition(_.kind == "eqdelete")
+    require(data.nonEmpty, s"graft table $dir has no data files" +
+      asOf.fold("")(v => s" at snapshot $v"))
+    val groups = SnapshotLog.epochGroups(spark, data)
+    val visible = groups.map { case (sch, _) =>
+      StructType(sch.fields.filterNot(f => isInternal(f.name)))
+    }
+    (dels, data, nullable(visible.head))
+  }
+
+  /** Plan the relation for a pinned snapshot: `HadoopFsRelation` over
+    * [[GraftFileIndex]] when the snapshot is mask-free and single-epoch
+    * (modulo hidden internal columns), else the always-correct computed
+    * relation over the full merge-on-read read path. */
+  private[connector] def relationFor(spark: SparkSession, sqlContext: SQLContext,
+                                     dir: String, asOf: Option[Long]): BaseRelation = {
+    val (dels, data, visible) = visibleState(spark, dir, asOf)
+    val uniform = SnapshotLog.epochGroups(spark, data)
+      .map { case (sch, _) =>
+        nullable(StructType(sch.fields.filterNot(f => isInternal(f.name)))) }
+      .distinct.size == 1
+    if (dels.isEmpty && uniform)
+      HadoopFsRelation(
+        location = new GraftFileIndex(spark, dir, data, visible),
+        partitionSchema = new StructType(),
+        dataSchema = visible,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(spark)
+    else
+      new GraftComputedRelation(sqlContext,
+        SnapshotLog.read(spark, dir, asOf).get)
+  }
+}
+
+/** The general-path relation: wraps the DataFrame [[SnapshotLog.read]]
+  * plans (merge-on-read mask anti-join, epoch-widening union) behind the
+  * DSv1 scan interface. Column pruning is honored (`PrunedScan`); row
+  * filtering rides Spark's own post-scan Filter. Correct for every
+  * snapshot shape; the fast path exists because this one pays the
+  * Row bridge. */
+private[connector] final class GraftComputedRelation(
+    override val sqlContext: SQLContext, df: DataFrame)
+    extends BaseRelation with PrunedScan {
+
+  override def schema: StructType = GraftDataSource.nullable(df.schema)
+
+  override def needConversion: Boolean = true
+
+  override def buildScan(requiredColumns: Array[String]): RDD[Row] = {
+    val pruned = if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    pruned.rdd
+  }
+}

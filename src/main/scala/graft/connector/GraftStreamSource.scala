@@ -1,0 +1,103 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.table.SnapshotLog
+
+/** A snapshot id as a streaming offset — totally ordered, resumable from
+  * the checkpoint's JSON form alone. */
+final class GraftSourceOffset(val snapshotId: Long) extends Offset {
+  override def json: String = snapshotId.toString
+}
+
+/** `spark.readStream.format("graft")` — the table's APPEND LOG as a
+  * structured-streaming source (the Delta streaming-source shape): each
+  * micro-batch is the data files added by the `append` commits in one
+  * snapshot interval (from, to], resolved from manifests alone. The
+  * interval rule inherits [[SnapshotLog.diff]]'s semantics:
+  *
+  *  - `append` commits emit their added data files — file-granular, so a
+  *    batch never splits or re-reads a file;
+  *  - `replace` commits (compaction / Z-order / mask consolidation)
+  *    contribute NOTHING: maintenance stays invisible to a live stream
+  *    exactly as it is to batch incremental consumers;
+  *  - data-CHANGING commits (`upsert`, `rowdelta`, `rollback`) make an
+  *    append-only read a lie, so the source THROWS, naming the snapshot
+  *    — unless `skipChangeCommits=true` (the published Delta option
+  *    semantics) says to stream past them, consuming only appends.
+  *
+  * Offsets are snapshot ids: replay-safe (a recomputed (from, to] is the
+  * same file set — manifests are immutable), checkpoint-resumable (the
+  * offset round-trips through JSON), and exactly-once END-TO-END when the
+  * sink is idempotent per batch id. `startingVersion` picks the first
+  * batch's exclusive lower bound: absent = 0 (the whole table-so-far is
+  * batch one), `latest` = only commits after stream start, N = commits
+  * after snapshot N. Expired snapshots inside a requested interval fail
+  * loudly (retention must outlive consumer lag — the same contract as
+  * the change feed).
+  */
+final class GraftStreamSource(
+    sqlContext: SQLContext,
+    tableDir: String,
+    override val schema: StructType,
+    options: Map[String, String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+
+  private val skipChangeCommits =
+    options.get("skipChangeCommits").exists(_.toBoolean)
+
+  /** Exclusive lower bound of the first batch, fixed at stream start. */
+  private val startFrom: Long = options.get("startingVersion") match {
+    case Some("latest") =>
+      SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L)
+    case Some(v) => v.toLong
+    case None => 0L
+  }
+
+  override def getOffset: Option[Offset] =
+    SnapshotLog.currentSnapshotId(spark, tableDir)
+      .filter(_ > startFrom)
+      .map(new GraftSourceOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(_.json.toLong).getOrElse(startFrom)
+    val to = end.json.toLong
+    val batch =
+      if (to <= from) None
+      else {
+        val ids = SnapshotLog.snapshots(spark, tableDir)
+        val missing = ((from + 1) to to).filterNot(ids.contains)
+        require(missing.isEmpty,
+          s"stream interval ($from, $to] of $tableDir lost snapshots " +
+            s"${missing.mkString(",")} to retention; keep expiry horizon " +
+            "beyond consumer lag")
+        val commits = SnapshotLog.commits(spark, tableDir, Some(to))
+          .filter(_.snapshotId > from)
+        val changing = commits
+          .filter(c => c.op == "upsert" || c.op == "rowdelta" || c.op == "rollback")
+        if (changing.nonEmpty && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"snapshots ${changing.map(c => s"${c.snapshotId}(${c.op})").mkString(",")} " +
+              s"of $tableDir changed existing rows; an append-only stream " +
+              "cannot represent that — materialize + restart from a fresh " +
+              "startingVersion, or set skipChangeCommits=true to consume " +
+              "appends only")
+        val files = commits.filter(_.op == "append")
+          .flatMap(_.added).filter(_.kind == "data")
+        if (files.isEmpty) None
+        else Some(
+          SnapshotLog.readEpochSafe(spark, files)
+            .select(schema.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+      }
+    org.apache.spark.sql.graftshim.GraftSqlShim
+      .streamingDataFrame(sqlContext, batch, schema)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -995,7 +995,7 @@ object SnapshotLog {
     (kept, data.size - kept)
   }
 
-  private def partKeeps(f: DataFile, filters: Map[String, Seq[String]]): Boolean =
+  private[graft] def partKeeps(f: DataFile, filters: Map[String, Seq[String]]): Boolean =
     filters.forall { case (c, wanted) =>
       f.parts.get(c) match {
         case Some(vs) => vs.exists(wanted.contains)
@@ -1019,7 +1019,7 @@ object SnapshotLog {
     * column with no stats on this file keeps it (conservative — the
     * legacy single-column statsMin/statsMax are NOT consulted here, as
     * they may describe a different column than the one asked about). */
-  private def zoneKeeps(f: DataFile, ranges: Map[String, (Long, Long)]): Boolean =
+  private[graft] def zoneKeeps(f: DataFile, ranges: Map[String, (Long, Long)]): Boolean =
     ranges.forall { case (c, (lo, hi)) =>
       f.stats.get(c) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -1027,7 +1027,7 @@ object SnapshotLog {
       }
     }
 
-  private def pointKeeps(f: DataFile, column: String, key: Long): Boolean =
+  private[graft] def pointKeeps(f: DataFile, column: String, key: Long): Boolean =
     zoneKeeps(f, Map(column -> (key, key))) &&
       (f.blooms.get(column) match {
         case Some(b64) => graft.functions.BloomFilterOps.mightContain(

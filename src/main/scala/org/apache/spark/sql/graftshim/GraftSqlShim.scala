@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Bridge to `SQLContext.internalCreateDataFrame(…, isStreaming = true)`
+  * — the only way a DSv1 streaming [[org.apache.spark.sql.execution.streaming.Source]]
+  * can hand micro-batch DataFrames to the stream execution engine, and a
+  * `private[sql]` method, hence this file's package placement (the same
+  * bridge published streaming connectors use: Delta's DeltaSource lives
+  * under `org.apache.spark.sql.delta` for exactly this call). Contains
+  * no Spark-derived code; it only forwards.
+  */
+object GraftSqlShim {
+
+  /** The batch's rows as a STREAMING-tagged DataFrame with exactly
+    * `schema` (callers align names/types/order first); None = an empty
+    * micro-batch. */
+  def streamingDataFrame(sqlContext: org.apache.spark.sql.SQLContext,
+                         batch: Option[org.apache.spark.sql.DataFrame],
+                         schema: StructType): org.apache.spark.sql.DataFrame = {
+    val classic = sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val rdd: RDD[InternalRow] = batch match {
+      case Some(df) =>
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.toRdd
+      case None => classic.sparkContext.emptyRDD[InternalRow]
+    }
+    classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
+  }
+}
