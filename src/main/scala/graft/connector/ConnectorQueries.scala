@@ -69,6 +69,22 @@ object ConnectorQueries {
       dir
     }
 
+  /** The source table streamed INTO a second graft table through
+    * `readStream.format("graft")` → `writeStream.format("graft")` — the
+    * full streaming loop under the oracle: the streamed copy must be
+    * row-identical to the raw input (exactly-once, no loss, no dupes). */
+  private def streamedWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "streamed") { base =>
+      val dst = s"$base/orders_streamed"
+      val q = s.readStream.format("graft").load(ordersWarehouse(s, d))
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$base/cp")
+        .option("statsCols", "o_orderkey")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+      dst
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the reader face end-to-end: write format("graft") twice, read the
     // union back through spark.read, aggregate — equals the same
@@ -105,6 +121,17 @@ object ConnectorQueries {
     // per-file manifest blooms through the same WHERE (ConnectorSpec
     // pins that zone-blind files are skipped); the key is the table's
     // min, read from metadata alone
+    // the streaming sink end-to-end: the graft→graft streamed copy
+    // aggregates exactly like the raw input (txn commits lost nothing,
+    // duplicated nothing — the exactly-once contract as an oracle row)
+    "conn_stream_sink" -> ((s, d) => {
+      s.read.format("graft").load(streamedWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_custkey")).as("max_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "conn_point_lookup" -> ((s, d) => {
       val dir = bloomWarehouse(s, d)
       val key = SnapshotLog.filesAt(s, dir)
@@ -133,6 +160,10 @@ object ConnectorQueries {
     "conn_point_lookup" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders
-        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
+    "conn_stream_sink" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -21,6 +21,8 @@ import graft.table.SnapshotLog
   *   spark.read.format("graft").option("tagAsOf", "audited").load(dir)
   *   spark.sql(s"CREATE TABLE t USING graft LOCATION '$dir'")
   *   spark.readStream.format("graft").load(dir)                // appends
+  *   df.writeStream.format("graft")                             // txn sink
+  *     .option("checkpointLocation", cp).start(dir)
   * }}}
   *
   * READ plans two ways, decided from manifest metadata alone:
@@ -56,7 +58,7 @@ import graft.table.SnapshotLog
   */
 final class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -151,6 +153,14 @@ final class GraftDataSource extends RelationProvider
       GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._3)
     new GraftStreamSource(sqlContext, dir, s, parameters)
   }
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftStreamSink(sqlContext, tableDirOf(parameters),
+      partitionColumns, outputMode, parameters)
 }
 
 object GraftDataSource {
@@ -183,7 +193,11 @@ object GraftDataSource {
   /** Plan the relation for a pinned snapshot: `HadoopFsRelation` over
     * [[GraftFileIndex]] when the snapshot is mask-free and single-epoch
     * (modulo hidden internal columns), else the always-correct computed
-    * relation over the full merge-on-read read path. */
+    * relation over the full merge-on-read read path. SQL `INSERT INTO` /
+    * `INSERT OVERWRITE` against these relations is rewritten to log
+    * commits by [[GraftInsertRule]] — it must be a RULE, not a relation
+    * mixin, because `DataSource.resolveRelation` rebuilds a plain
+    * `HadoopFsRelation` (dropping any subclass) for catalog tables. */
   private[connector] def relationFor(spark: SparkSession, sqlContext: SQLContext,
                                      dir: String, asOf: Option[Long]): BaseRelation = {
     val (dels, data, visible) = visibleState(spark, dir, asOf)
@@ -201,7 +215,32 @@ object GraftDataSource {
         options = Map.empty)(spark)
     else
       new GraftComputedRelation(sqlContext,
-        SnapshotLog.read(spark, dir, asOf).get)
+        SnapshotLog.read(spark, dir, asOf).get, dir,
+        insertable = asOf.isEmpty)
+  }
+
+  /** `INSERT INTO` (append commit) / `INSERT OVERWRITE` (atomic
+    * whole-table replacement) against a graft table — positional SQL
+    * semantics: columns bind by position, so align the SELECT to the
+    * table schema. */
+  private[connector] def insertInto(spark: SparkSession, dir: String,
+                                    visible: StructType, data: DataFrame,
+                                    overwrite: Boolean): Unit = {
+    require(data.schema.length == visible.length,
+      s"INSERT into graft table $dir needs ${visible.length} columns " +
+        s"(${visible.fieldNames.mkString(", ")}), got ${data.schema.length}")
+    import org.apache.spark.sql.functions.col
+    val aligned = data.select(data.columns.zip(visible.fields).map {
+      case (from, to) => col(from).cast(to.dataType).as(to.name) }.toSeq: _*)
+    val added = SnapshotLog.writeData(aligned, dir)
+    if (overwrite)
+      SnapshotLog.commit(spark, dir, "upsert", added,
+        removed = SnapshotLog.filesAt(spark, dir).map(_.path)
+          .filterNot(added.map(_.path).toSet),
+        summary = Map("mode" -> "insert-overwrite"))
+    else
+      SnapshotLog.commitRetrying(spark, dir, added,
+        summary = Map("mode" -> "insert-into"))
   }
 }
 
@@ -212,10 +251,18 @@ object GraftDataSource {
   * snapshot shape; the fast path exists because this one pays the
   * Row bridge. */
 private[connector] final class GraftComputedRelation(
-    override val sqlContext: SQLContext, df: DataFrame)
-    extends BaseRelation with PrunedScan {
+    override val sqlContext: SQLContext, df: DataFrame,
+    val tableDir: String, insertable: Boolean)
+    extends BaseRelation with PrunedScan with InsertableRelation {
 
   override def schema: StructType = GraftDataSource.nullable(df.schema)
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(insertable, s"graft table $tableDir: cannot INSERT into a " +
+      "time-travel (versionAsOf/timestampAsOf/tagAsOf) relation")
+    GraftDataSource.insertInto(sqlContext.sparkSession, tableDir, schema,
+      data, overwrite)
+  }
 
   override def needConversion: Boolean = true
 

@@ -40,7 +40,19 @@ final class GraftFileIndex(
     files: Seq[DataFile],
     visibleSchema: StructType) extends FileIndex {
 
-  override def rootPaths: Seq[Path] = Seq(new Path(tableDir))
+  /** Deliberately EMPTY — the one consumer that matters is Spark's stock
+    * `InsertIntoHadoopFsRelationCommand` conversion, which would write
+    * raw parquet into (and on OVERWRITE, first DELETE) `rootPaths.head`,
+    * destroying the snapshot log. DataSource.resolveRelation REBUILDS a
+    * plain `HadoopFsRelation` around this index for catalog tables (so a
+    * marker-subclass relation cannot intercept), which leaves two
+    * defenses: [[GraftInsertRule]] (installed by GraftExtensions)
+    * rewrites SQL inserts to log commits, and this empty root-path list
+    * makes the stock conversion fail LOUDLY in extension-less sessions
+    * instead of silently clobbering the table. Read planning never
+    * consults rootPaths (listFiles drives the scan); the loss is
+    * cosmetic (the scan's "Location" metadata string). */
+  override def rootPaths: Seq[Path] = Seq.empty
 
   override def partitionSchema: StructType = new StructType()
 

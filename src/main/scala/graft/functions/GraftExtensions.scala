@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // → logical node → strategy → co-partitioned merge exec).
     ext.injectResolutionRule(_ => new graft.plans.AsOfJoinResolution)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL INSERT INTO/OVERWRITE on graft tables become log commits — an
+    // analyzer rewrite because relation subclasses don't survive catalog
+    // resolution (see GraftInsertRule's docstring)
+    ext.injectResolutionRule(_ => new graft.connector.GraftInsertRule)
     ext.injectFunction(fn("vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two float vectors") {
       case Seq(a, b) => VecCosine(a, b)

@@ -29,4 +29,26 @@ object GraftSqlShim {
     }
     classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
   }
+
+  /** The inverse bridge for SINKS: `addBatch` receives a STREAMING-tagged
+    * plan that batch writers refuse; rebuild it as a batch DataFrame over
+    * the same physical rows (the stock FileStreamSink does exactly this
+    * before handing the batch to FileFormatWriter). */
+  def batchDataFrame(sqlContext: org.apache.spark.sql.SQLContext,
+                     data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val rdd: RDD[InternalRow] =
+      data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd
+    classic.internalCreateDataFrame(rdd, data.schema, isStreaming = false)
+  }
+
+  /** A resolved logical plan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]`; the graft INSERT command needs it to execute the
+    * insert's source query. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

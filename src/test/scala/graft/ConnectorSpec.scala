@@ -18,20 +18,10 @@ import graft.table.{Merge, SnapshotLog}
   */
 class ConnectorSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("connector-spec")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // the shared-session factory every suite uses — suites run sequentially
+  // in ONE forked JVM, so a private builder (or clearActive/clearDefault)
+  // here would hand every LATER suite an extension-less session
+  lazy val spark: SparkSession = Sessions.local("4", "connector-spec")
 
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-connspec-$tag").toString + "/t"
@@ -110,10 +100,15 @@ class ConnectorSpec extends AnyFunSuite {
 
   test("partition-value pruning through the reader's own WHERE") {
     val dir = tmp("parts")
-    spark.range(1200).select(col("id"),
-        concat(lit("d"), pmod(col("id"), lit(3))).as("day"))
-      .repartitionByRange(3, col("day"))
-      .write.format("graft").option("partitionCols", "day").save(dir)
+    // one append per day value = exactly one file per value, regardless
+    // of context (repartitionByRange sampling varies with the shared
+    // SparkContext's RDD-id history and can merge groups)
+    for (d <- 0 until 3)
+      spark.range(1200).select(col("id"),
+          concat(lit("d"), pmod(col("id"), lit(3))).as("day"))
+        .filter(col("day") === s"d$d").coalesce(1)
+        .write.format("graft").mode(if (d == 0) "error" else "append")
+        .option("partitionCols", "day").save(dir)
     val all = spark.read.format("graft").load(dir)
     assert(fileScanOf(all).get.metrics("numFiles").value === 3)
     val one = all.filter(col("day") === "d1")
@@ -207,6 +202,53 @@ class ConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE conn_ddl")
   }
 
+  test("SQL INSERT INTO / OVERWRITE commit through the log, never raw root files") {
+    val dir = tmp("ins")
+    rows(20).write.format("graft").option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE conn_ins USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO conn_ins " +
+        "SELECT id, concat('cat', pmod(id, 5)), id * 2 FROM range(20, 30)")
+      assert(SnapshotLog.commits(spark, dir).map(_.op) === Seq("append", "append"))
+      assert(spark.read.format("graft").load(dir).count() === 30)
+      // the insert must be a LOG COMMIT, never parquet dumped at the root
+      // (the stock InsertIntoHadoopFsRelationCommand path would do that —
+      // and OVERWRITE through it would delete the log itself)
+      val root = new java.io.File(dir).listFiles.map(_.getName).toSet
+      assert(root.subsetOf(Set("_graft_log", "data")), s"stray root entries: $root")
+      spark.sql("INSERT OVERWRITE conn_ins SELECT id, 'x', id FROM range(5)")
+      assert(spark.read.format("graft").load(dir).count() === 5)
+      assert(SnapshotLog.commits(spark, dir).map(_.op) ===
+        Seq("append", "append", "upsert"))
+      // every pre-overwrite snapshot stays time-travelable
+      assert(spark.read.format("graft").option("versionAsOf", "2").load(dir)
+        .count() === 30)
+      assert(spark.sql("SELECT sum(v) FROM conn_ins").head.getLong(0) === 10)
+    } finally spark.sql("DROP TABLE conn_ins")
+  }
+
+  test("SQL INSERT with an explicit column list reorders by name; partial lists refuse") {
+    val dir = tmp("inscols")
+    rows(10).write.format("graft").save(dir)
+    spark.sql(s"CREATE TABLE conn_inscols USING graft OPTIONS (path '$dir')")
+    try {
+      // (v, cat, id) named order ≠ (id, cat, v) table order: values must
+      // land in the NAMED columns, not positionally
+      spark.sql("INSERT INTO conn_inscols (v, cat, id) " +
+        "SELECT id * 7, concat('k', id), id + 100 FROM range(3)")
+      val got = spark.sql(
+        "SELECT id, cat, v FROM conn_inscols WHERE id >= 100 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq === Seq((100L, "k0", 0L), (101L, "k1", 7L), (102L, "k2", 14L)))
+      // a PARTIAL column list has no defined fill for the rest — refuse
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO conn_inscols (id, cat) SELECT id, 'x' FROM range(1)")
+      }
+      assert(e.getMessage.contains("every table column") ||
+        Option(e.getCause).exists(_.getMessage.contains("every table column")))
+    } finally spark.sql("DROP TABLE conn_inscols")
+  }
+
   test("streaming source: first batch = table, later batches = new appends only") {
     val base = java.nio.file.Files.createTempDirectory("graft-connspec-stream").toString
     val dir = s"$base/t_parquet"
@@ -257,5 +299,120 @@ class ConnectorSpec extends AnyFunSuite {
       // appends only: the rowdelta commit's files are skipped
       assert(spark.table("conn_stream_skip").count() === 30)
     } finally q2.stop()
+  }
+
+  test("streaming sink: graft→graft append, exactly-once across restarts") {
+    val src = tmp("sinksrc"); val dst = tmp("sinkdst"); val cp = tmp("sinkcp")
+    rows(50).write.format("graft").option("statsCols", "id").save(src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp).option("statsCols", "id")
+        .start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.read.format("graft").load(dst).count() === 50)
+    val c1 = SnapshotLog.commits(spark, dst)
+    assert(c1.map(_.op) === Seq("append"))
+    assert(c1.head.summary("txnBatchId") === "0")
+    assert(c1.head.summary("txnAppId").nonEmpty)
+    // restart with nothing new: the replay guard keeps the log unchanged
+    drain()
+    assert(SnapshotLog.commits(spark, dst).size === c1.size)
+    // new source appends flow through exactly once
+    rows(80).filter(col("id") >= 50)
+      .write.format("graft").mode("append").save(src)
+    drain()
+    val back = spark.read.format("graft").load(dst)
+    assert(back.count() === 80)
+    assert(back.select("id").distinct().count() === 80)
+    // the sink's own output is a first-class graft table: fast scan + zones
+    assert(fileScanOf(back.filter(col("id") < 10)).isDefined)
+  }
+
+  test("streaming sink: replayed batch ids drop; empty batches advance the guard") {
+    val dst = tmp("sinkreplay")
+    val sink = new graft.connector.GraftStreamSink(spark.sqlContext, dst,
+      Nil, org.apache.spark.sql.streaming.OutputMode.Append(),
+      Map("txnAppId" -> "unit"))
+    sink.addBatch(0, rows(10))
+    sink.addBatch(0, rows(10).withColumn("v", lit(-1L))) // replay: dropped
+    sink.addBatch(1, rows(10).filter(col("id") >= 10))   // empty batch
+    sink.addBatch(2, rows(20).filter(col("id") >= 10))
+    assert(spark.read.format("graft").load(dst).count() === 20)
+    assert(spark.read.format("graft").load(dst)
+      .filter(col("v") < 0).count() === 0, "the replayed batch must not land")
+    val cs = SnapshotLog.commits(spark, dst)
+    assert(cs.map(_.summary("txnBatchId")) === Seq("0", "1", "2"))
+    assert(cs(1).added.isEmpty, "empty batch commits zero files, id still advances")
+  }
+
+  test("streaming sink: complete mode replaces atomically, history time-travels") {
+    val src = tmp("cmpsrc"); val dst = tmp("cmpdst"); val cp = tmp("cmpcp")
+    rows(50).write.format("graft").save(src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .groupBy("cat").agg(count(lit(1)).as("n"))
+        .writeStream.format("graft").outputMode("complete")
+        .option("checkpointLocation", cp).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val v1 = spark.read.format("graft").load(dst)
+    assert(v1.count() === 5)
+    assert(v1.agg(sum("n")).head.getLong(0) === 50)
+    rows(100).filter(col("id") >= 50)
+      .write.format("graft").mode("append").save(src)
+    drain()
+    val cur = spark.read.format("graft").load(dst)
+    assert(cur.count() === 5)
+    assert(cur.agg(sum("n")).head.getLong(0) === 100,
+      "complete output reflects ALL source rows, not just the new batch")
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dst)
+      .agg(sum("n")).head.getLong(0) === 50)
+    assert(SnapshotLog.commits(spark, dst).map(_.op) === Seq("append", "upsert"))
+  }
+
+  test("streaming sink: update mode merges per key through merge-on-read") {
+    val src = tmp("updsrc"); val dst = tmp("upddst"); val cp = tmp("updcp")
+    rows(50).write.format("graft").option("statsCols", "id").save(src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKey", "id").option("statsCols", "id")
+        .option("checkpointLocation", cp).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.read.format("graft").load(dst).count() === 50)
+    // overlapping keys 40..59: 10 updates + 10 inserts in one batch
+    spark.range(40, 60).select(col("id"), lit("upd").as("cat"),
+        (col("id") * 100).as("v"))
+      .write.format("graft").mode("append").save(src)
+    drain()
+    val cur = spark.read.format("graft").load(dst)
+    assert(cur.count() === 60)
+    assert(cur.filter(col("cat") === "upd").count() === 20)
+    assert(cur.filter(col("id") === 45).head.getAs[Long]("v") === 4500L)
+    assert(SnapshotLog.commits(spark, dst).map(_.op) === Seq("append", "rowdelta"))
+  }
+
+  test("streaming sink: partitionBy records per-file values the reader prunes on") {
+    val src = tmp("partsrc"); val dst = tmp("partdst"); val cp = tmp("partcp")
+    rows(1000).write.format("graft").save(src)
+    val q = spark.readStream.format("graft").load(src)
+      .repartition(40, col("cat")) // co-locate each cat in one task/file
+      .writeStream.format("graft").partitionBy("cat")
+      .option("checkpointLocation", cp).start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val all = spark.read.format("graft").load(dst)
+    assert(all.count() === 1000)
+    val full = fileScanOf(all).get.metrics("numFiles").value
+    assert(full > 1)
+    val one = all.filter(col("cat") === "cat1")
+    assert(fileScanOf(one).get.metrics("numFiles").value === 1,
+      "a single cat lives in one file; partition values must prune the rest")
+    assert(one.count() === 200)
   }
 }
