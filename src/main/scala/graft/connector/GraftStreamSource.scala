@@ -58,14 +58,50 @@ final class GraftStreamSource(
     case None => 0L
   }
 
-  override def getOffset: Option[Offset] =
-    SnapshotLog.currentSnapshotId(spark, tableDir)
-      .filter(_ > startFrom)
-      .map(new GraftSourceOffset(_))
+  /** Rate limit (the Delta option): cap each micro-batch at roughly this
+    * many data FILES, advancing the offset commit-by-commit (a commit is
+    * never split — offsets stay snapshot ids — so a single commit larger
+    * than the cap still forms one batch rather than stalling). Without it
+    * the first batch of a long-history table is the WHOLE table-so-far —
+    * the difference between a drip-fed backfill and one monster batch at
+    * warehouse scale. */
+  private val maxFilesPerTrigger: Option[Int] =
+    options.get("maxFilesPerTrigger").map(_.toInt)
+      .map(n => { require(n > 0, "maxFilesPerTrigger must be positive"); n })
+
+  /** Committed offset of the previous batch — getBatch(start, …) restores
+    * it on recovery, so the limiter resumes correctly after a restart. */
+  private var lastEnd: Long = startFrom
+
+  override def getOffset: Option[Offset] = {
+    val head = SnapshotLog.currentSnapshotId(spark, tableDir)
+      .getOrElse(return None)
+    val from = math.max(lastEnd, startFrom)
+    if (head <= from) return None
+    val to = maxFilesPerTrigger match {
+      case None => head
+      case Some(cap) =>
+        // walk commits oldest-first from the cursor, stop once the file
+        // budget is spent (always taking at least one commit)
+        val upcoming = SnapshotLog.commits(spark, tableDir, Some(head))
+          .filter(_.snapshotId > from)
+        var budget = cap
+        var end = from
+        for (c <- upcoming if end == from || budget > 0) {
+          end = c.snapshotId
+          if (c.op == "append")
+            budget -= c.added.count(_.kind == "data")
+        }
+        end
+    }
+    lastEnd = to
+    Some(new GraftSourceOffset(to))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startFrom)
     val to = end.json.toLong
+    lastEnd = math.max(lastEnd, to) // restore the limiter cursor on recovery
     val batch =
       if (to <= from) None
       else {
