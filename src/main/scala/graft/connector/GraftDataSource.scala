@@ -103,33 +103,36 @@ final class GraftDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val dir = tableDirOf(parameters)
     val exists = SnapshotLog.currentSnapshotId(spark, dir).isDefined
-    val csv = (k: String) => parameters.get(k).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     def write(): Seq[SnapshotLog.DataFile] =
-      SnapshotLog.writeData(data, dir, statsCols = csv("statsCols"),
+      SnapshotLog.writeData(data, dir,
+        statsCols = GraftDataSource.csv(parameters, "statsCols"),
         bloomCol = parameters.get("bloomCol"),
-        partitionCols = csv("partitionCols"))
+        partitionCols = GraftDataSource.csv(parameters, "partitionCols"))
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft table $dir already exists (SaveMode.ErrorIfExists)")
       case SaveMode.Ignore if exists => () // leave the table untouched
-      case SaveMode.Append | SaveMode.ErrorIfExists | SaveMode.Ignore =>
+      case SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        // CAS on "the table is empty": commit AT id 1, never blind-retried
+        // — the exists flag alone would be check-then-act, letting two
+        // racing creators BOTH land their data as appends
+        try SnapshotLog.commitAt(spark, dir, 1L, "append", write(),
+          Seq.empty, Map.empty)
+        catch {
+          case e: SnapshotLog.ConcurrentCommitException =>
+            if (mode == SaveMode.ErrorIfExists) throw new IllegalStateException(
+              s"graft table $dir already exists (SaveMode.ErrorIfExists; " +
+                "lost the creation race)", e)
+            // Ignore: the racer's table stands; our written files are
+            // unreferenced orphans for the grace-gated sweep
+        }
+      case SaveMode.Append =>
         SnapshotLog.commitRetrying(spark, dir, write())
       case SaveMode.Overwrite =>
-        // one atomic commit: every previously-live file (data AND mask)
-        // out, the new files in — logically a whole-table upsert, so the
-        // op is `upsert` and the change feed refuses it without lineage
-        // rather than mislabeling carried rows as inserts. A removal
-        // commit is never blind-retried (its removed set was computed
-        // against the observed state): a lost race throws to the caller,
-        // the lakehouse conflict rule [[SnapshotLog.commitRetrying]]
-        // documents.
-        val added = write()
-        SnapshotLog.commit(spark, dir, "upsert", added,
-          removed = SnapshotLog.filesAt(spark, dir).map(_.path)
-            .filterNot(added.map(_.path).toSet),
-          summary = Map("mode" -> "overwrite"))
+        // one atomic whole-live-set replacement; see replaceAll
+        GraftDataSource.replaceAll(spark, dir, write(),
+          Map("mode" -> "overwrite"))
     }
     GraftDataSource.relationFor(spark, sqlContext, dir, asOf = None)
   }
@@ -141,7 +144,7 @@ final class GraftDataSource extends RelationProvider
                             parameters: Map[String, String]): (String, StructType) = {
     val dir = tableDirOf(parameters)
     val s = schema.getOrElse(
-      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._3)
+      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._4)
     (shortName(), s)
   }
 
@@ -150,8 +153,8 @@ final class GraftDataSource extends RelationProvider
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val dir = tableDirOf(parameters)
     val s = schema.getOrElse(
-      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._3)
-    new GraftStreamSource(sqlContext, dir, s, parameters)
+      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._4)
+    new GraftStreamSource(sqlContext, dir, s, parameters, metadataPath)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -168,26 +171,88 @@ object GraftDataSource {
   private[connector] def isInternal(name: String): Boolean =
     name.startsWith("_graft_")
 
+  /** Comma-separated option value as a trimmed column list. */
+  private[connector] def csv(parameters: Map[String, String],
+                             key: String): Seq[String] =
+    parameters.get(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** ONE atomic whole-live-set replacement: every previously-live file
+    * (data AND mask) out, `added` in — logically a whole-table upsert, so
+    * the op is `upsert` and the change feed refuses it without row
+    * lineage rather than mislabeling carried rows as inserts. A removal
+    * commit is never blind-retried (its removed set was computed against
+    * the observed state): a lost race throws to the caller — the
+    * lakehouse conflict rule [[SnapshotLog.commitRetrying]] documents.
+    * Shared by SaveMode.Overwrite, INSERT OVERWRITE and the streaming
+    * sink's Complete mode so the data-and-mask subtlety lives once. */
+  private[connector] def replaceAll(spark: SparkSession, dir: String,
+                                    added: Seq[SnapshotLog.DataFile],
+                                    summary: Map[String, String]): Long =
+    SnapshotLog.commit(spark, dir, "upsert", added,
+      removed = SnapshotLog.filesAt(spark, dir).map(_.path)
+        .filterNot(added.map(_.path).toSet),
+      summary = summary)
+
+  /** The pruning-metadata columns the table's existing live files carry —
+    * inherited by SQL INSERTs and any writer that doesn't name its own,
+    * so a maintained table's zone/bloom/partition indexing never silently
+    * decays through one metadata-less write path. */
+  private[connector] def inheritedMeta(spark: SparkSession, dir: String,
+                                       schema: StructType)
+      : (Seq[String], Option[String], Seq[String]) = {
+    val live = SnapshotLog.filesAt(spark, dir).filter(_.kind == "data")
+    val present = schema.fieldNames.toSet
+    val stats = live.flatMap(_.stats.keys).distinct.filter(present)
+    val bloom = live.flatMap(_.blooms.keys).distinct.filter(present)
+    val parts = live.flatMap(_.parts.keys).distinct.filter(present)
+    (stats, bloom.headOption, parts)
+  }
+
   /** Footer schemas come back non-nullable for required fields; the
     * relation contract (and epoch null-filling) wants nullable. */
   private[connector] def nullable(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
-  /** The snapshot's (mask files, data files, user-visible schema) —
-    * schema probed from one footer per epoch, internal columns (row
-    * lineage) hidden exactly as [[SnapshotLog.read]] hides them. */
+  /** The snapshot's (mask files, data files, per-epoch visible schemas,
+    * user-visible schema) — schemas probed from one footer per epoch
+    * (returned so callers never re-probe), internal columns (row lineage)
+    * hidden exactly as [[SnapshotLog.read]] hides them. The visible
+    * schema of a DRIFTED snapshot is the Evolution-MERGED one (what the
+    * epoch-widening read produces), never a single epoch's — picking one
+    * epoch would silently drop the others' columns from streaming reads.
+    *
+    * A table whose CURRENT snapshot is empty (overwritten with an empty
+    * frame) stays readable: the schema is recovered from the newest
+    * still-on-disk file any retained manifest ever added. Only a table
+    * with no recoverable schema anywhere refuses. */
   private[connector] def visibleState(spark: SparkSession, dir: String,
                                       asOf: Option[Long])
-      : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile], StructType) = {
+      : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile],
+         Seq[StructType], StructType) = {
     val (dels, data) = SnapshotLog.filesAt(spark, dir, asOf)
       .partition(_.kind == "eqdelete")
-    require(data.nonEmpty, s"graft table $dir has no data files" +
-      asOf.fold("")(v => s" at snapshot $v"))
-    val groups = SnapshotLog.epochGroups(spark, data)
-    val visible = groups.map { case (sch, _) =>
+    def hide(sch: StructType): StructType =
       StructType(sch.fields.filterNot(f => isInternal(f.name)))
+    if (data.isEmpty) {
+      val recovered = SnapshotLog.commitsReverse(spark, dir)
+        .filter(c => asOf.forall(c.snapshotId <= _))
+        .flatMap(_.added.filter(_.kind == "data"))
+        .map(f => scala.util.Try(spark.read.parquet(f.path).schema))
+        .collectFirst { case scala.util.Success(sch) => sch }
+      require(recovered.isDefined, s"graft table $dir has no data files" +
+        asOf.fold("")(v => s" at snapshot $v") +
+        " and no retained manifest references a readable file to recover" +
+        " the schema from")
+      (dels, data, Seq.empty, nullable(hide(recovered.get)))
+    } else {
+      val visible = SnapshotLog.epochGroups(spark, data)
+        .map { case (sch, _) => nullable(hide(sch)) }
+      val merged =
+        if (visible.distinct.size == 1) visible.head
+        else nullable(graft.schema.Evolution.mergedSchema(visible))
+      (dels, data, visible, merged)
     }
-    (dels, data, nullable(visible.head))
   }
 
   /** Plan the relation for a pinned snapshot: `HadoopFsRelation` over
@@ -200,12 +265,13 @@ object GraftDataSource {
     * `HadoopFsRelation` (dropping any subclass) for catalog tables. */
   private[connector] def relationFor(spark: SparkSession, sqlContext: SQLContext,
                                      dir: String, asOf: Option[Long]): BaseRelation = {
-    val (dels, data, visible) = visibleState(spark, dir, asOf)
-    val uniform = SnapshotLog.epochGroups(spark, data)
-      .map { case (sch, _) =>
-        nullable(StructType(sch.fields.filterNot(f => isInternal(f.name)))) }
-      .distinct.size == 1
-    if (dels.isEmpty && uniform)
+    val (dels, data, epochSchemas, visible) = visibleState(spark, dir, asOf)
+    if (data.isEmpty) // empty snapshot: zero rows under the recovered schema
+      new GraftComputedRelation(sqlContext,
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], visible),
+        dir, insertable = asOf.isEmpty)
+    else if (dels.isEmpty && epochSchemas.distinct.size == 1)
       HadoopFsRelation(
         location = new GraftFileIndex(spark, dir, data, visible),
         partitionSchema = new StructType(),
@@ -232,12 +298,13 @@ object GraftDataSource {
     import org.apache.spark.sql.functions.col
     val aligned = data.select(data.columns.zip(visible.fields).map {
       case (from, to) => col(from).cast(to.dataType).as(to.name) }.toSeq: _*)
-    val added = SnapshotLog.writeData(aligned, dir)
+    // inherit the table's pruning metadata so INSERTed files stay as
+    // indexable as the files around them
+    val (stats, bloom, parts) = inheritedMeta(spark, dir, visible)
+    val added = SnapshotLog.writeData(aligned, dir,
+      statsCols = stats, bloomCol = bloom, partitionCols = parts)
     if (overwrite)
-      SnapshotLog.commit(spark, dir, "upsert", added,
-        removed = SnapshotLog.filesAt(spark, dir).map(_.path)
-          .filterNot(added.map(_.path).toSet),
-        summary = Map("mode" -> "insert-overwrite"))
+      replaceAll(spark, dir, added, Map("mode" -> "insert-overwrite"))
     else
       SnapshotLog.commitRetrying(spark, dir, added,
         summary = Map("mode" -> "insert-into"))

@@ -143,12 +143,18 @@ private[connector] object Constraints {
       case _ => None
     }
 
-    /** The bloom-domain key of an equality literal: longs probe as
-      * themselves, strings through xxhash64 — the same domains the
-      * manifest blooms were built in. */
+    /** The bloom-domain key of an equality literal: integrals probe as
+      * themselves, strings through xxhash64 — the domains the manifest
+      * blooms were BUILT in ([[SnapshotLog.keyAsLong]]). Timestamps and
+      * dates are deliberately EXCLUDED: their Catalyst literals are epoch
+      * micros/days while keyAsLong's `cast(col AS long)` records epoch
+      * SECONDS — probing across domains would answer definitely-absent
+      * for present rows, turning pruning into silent row loss. Their
+      * zones (recorded in the literal's own domain) still prune. */
     private def bloomKey(dt: DataType, v: Any): Option[Long] = (dt, v) match {
       case (StringType, s: UTF8String) => Some(SnapshotLog.hashStringKey(s.toString))
-      case _ => zoneLong(dt, v)
+      case (ByteType | ShortType | IntegerType | LongType, _) => zoneLong(dt, v)
+      case _ => None
     }
 
     private def narrow(c: String, lo: Long, hi: Long): Unit = {

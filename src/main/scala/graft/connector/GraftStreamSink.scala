@@ -66,8 +66,7 @@ final class GraftStreamSink(
           "replay-safe commits: set option(\"checkpointLocation\", …) " +
           "(the usual restartable-stream form) or option(\"txnAppId\", …)"))
 
-  private def csv(k: String): Seq[String] = options.get(k).toSeq
-    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  private def csv(k: String): Seq[String] = GraftDataSource.csv(options, k)
 
   /** This stream's last committed batch id, from the newest manifest
     * carrying our txnAppId; the reverse walk stops at the first hit. */
@@ -88,33 +87,36 @@ final class GraftStreamSink(
     val summary = Map("txnAppId" -> txnAppId,
       "txnBatchId" -> batchId.toString, "sink" -> "graft-stream")
     val exists = SnapshotLog.currentSnapshotId(spark, tableDir).isDefined
-    def write(): Seq[SnapshotLog.DataFile] =
-      SnapshotLog.writeData(batch, tableDir, statsCols = csv("statsCols"),
+    def write(frame: DataFrame): Seq[SnapshotLog.DataFile] =
+      SnapshotLog.writeData(frame, tableDir, statsCols = csv("statsCols"),
         bloomCol = options.get("bloomCol"),
         partitionCols = (partitionColumns ++ csv("partitionCols")).distinct)
     outputMode match {
       case m if m == OutputMode.Append() =>
-        SnapshotLog.commitRetrying(spark, tableDir, write(), summary)
+        SnapshotLog.commitRetrying(spark, tableDir, write(batch), summary)
       case m if m == OutputMode.Complete() && !exists =>
-        SnapshotLog.commitRetrying(spark, tableDir, write(), summary)
+        SnapshotLog.commitRetrying(spark, tableDir, write(batch), summary)
       case m if m == OutputMode.Complete() =>
         // atomic whole-result replacement; a lost race throws (removal
         // commits are never blind-retried) and the engine re-offers the
         // batch — the replay guard makes the retry safe
-        val added = write()
-        SnapshotLog.commit(spark, tableDir, "upsert", added,
-          removed = SnapshotLog.filesAt(spark, tableDir).map(_.path)
-            .filterNot(added.map(_.path).toSet),
-          summary = summary)
+        GraftDataSource.replaceAll(spark, tableDir, write(batch), summary)
       case _ => // Update
         val key = options.getOrElse("mergeKey", throw new IllegalArgumentException(
           "outputMode(\"update\") into a graft table needs option(\"mergeKey\", " +
             "<column>) — each batch merges on that key via merge-on-read"))
-        if (!exists)
-          SnapshotLog.commitRetrying(spark, tableDir, write(), summary)
-        else
+        val deleteCol = options.get("deleteCol")
+        if (!exists) {
+          // nothing to merge against, but the CDC contract still applies:
+          // tombstones must not land as live rows, and the delete-flag
+          // column must not leak into the table schema
+          import org.apache.spark.sql.functions.{coalesce, col, lit}
+          val cleaned = deleteCol.fold(batch)(dc =>
+            batch.filter(!coalesce(col(dc), lit(false))).drop(dc))
+          SnapshotLog.commitRetrying(spark, tableDir, write(cleaned), summary)
+        } else
           Merge.mergeOnRead(spark, tableDir, batch, key,
-            deleteCol = options.get("deleteCol"), summary = summary)
+            deleteCol = deleteCol, summary = summary)
     }
   }
 

@@ -43,19 +43,51 @@ final class GraftStreamSource(
     sqlContext: SQLContext,
     tableDir: String,
     override val schema: StructType,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String],
+    metadataPath: String) extends Source {
 
   private val spark = sqlContext.sparkSession
 
   private val skipChangeCommits =
     options.get("skipChangeCommits").exists(_.toBoolean)
 
-  /** Exclusive lower bound of the first batch, fixed at stream start. */
-  private val startFrom: Long = options.get("startingVersion") match {
-    case Some("latest") =>
-      SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L)
-    case Some(v) => v.toLong
-    case None => 0L
+  /** Exclusive lower bound of the first batch, fixed ONCE per checkpoint
+    * and pinned under `metadataPath` — `startingVersion=latest` must
+    * resolve to the snapshot at FIRST start, not at every restart: a
+    * restart that re-resolved "latest" to the current head would silently
+    * skip everything committed while the stream was down (and a WAL'd
+    * first batch replayed after a crash would resolve empty). The pin
+    * file is written create-no-overwrite, so a racing duplicate start
+    * reads the winner's value. */
+  private val startFrom: Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(metadataPath + "/"), spark.sparkContext.hadoopConfiguration)
+    val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-start")
+    def readPin(): Option[Long] =
+      if (!fs.exists(pin)) None
+      else {
+        val in = fs.open(pin)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    readPin().getOrElse {
+      val resolved = options.get("startingVersion") match {
+        case Some("latest") =>
+          SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L)
+        case Some(v) => v.toLong
+        case None => 0L
+      }
+      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      try {
+        val out = fs.create(pin, false) // no-overwrite: first writer wins
+        out.write(resolved.toString.getBytes("UTF-8"))
+        out.close()
+        resolved
+      } catch {
+        case _: java.io.IOException => readPin().getOrElse(resolved)
+      }
+    }
   }
 
   /** Rate limit (the Delta option): cap each micro-batch at roughly this
@@ -82,9 +114,9 @@ final class GraftStreamSource(
       case None => head
       case Some(cap) =>
         // walk commits oldest-first from the cursor, stop once the file
-        // budget is spent (always taking at least one commit)
-        val upcoming = SnapshotLog.commits(spark, tableDir, Some(head))
-          .filter(_.snapshotId > from)
+        // budget is spent (always taking at least one commit); the ranged
+        // read keeps per-trigger manifest I/O O(backlog), not O(history)
+        val upcoming = SnapshotLog.commitsInRange(spark, tableDir, from, head)
         var budget = cap
         var end = from
         for (c <- upcoming if end == from || budget > 0) {
@@ -111,8 +143,9 @@ final class GraftStreamSource(
           s"stream interval ($from, $to] of $tableDir lost snapshots " +
             s"${missing.mkString(",")} to retention; keep expiry horizon " +
             "beyond consumer lag")
-        val commits = SnapshotLog.commits(spark, tableDir, Some(to))
-          .filter(_.snapshotId > from)
+        // ranged manifest reads: O(batch interval) per trigger, never a
+        // full-history replay
+        val commits = SnapshotLog.commitsInRange(spark, tableDir, from, to)
         val changing = commits
           .filter(c => c.op == "upsert" || c.op == "rowdelta" || c.op == "rollback")
         if (changing.nonEmpty && !skipChangeCommits)

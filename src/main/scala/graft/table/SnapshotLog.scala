@@ -521,6 +521,18 @@ object SnapshotLog {
       .map(readManifest(fs, tableDir, _))
   }
 
+  /** Manifests of the commits with id in (fromExclusive, toInclusive] —
+    * O(interval) manifest READS (the directory listing supplies the ids);
+    * the streaming source resolves every micro-batch through this so its
+    * per-trigger cost is O(delta), never O(retained history). */
+  def commitsInRange(spark: SparkSession, tableDir: String,
+                     fromExclusive: Long, toInclusive: Long): Seq[Commit] = {
+    val fs = fsOf(spark, tableDir)
+    snapshots(spark, tableDir)
+      .filter(id => id > fromExclusive && id <= toInclusive)
+      .map(readManifest(fs, tableDir, _))
+  }
+
   def commits(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): Seq[Commit] = {
     val fs = fsOf(spark, tableDir)

@@ -216,6 +216,10 @@ class ConnectorSpec extends AnyFunSuite {
       // and OVERWRITE through it would delete the log itself)
       val root = new java.io.File(dir).listFiles.map(_.getName).toSet
       assert(root.subsetOf(Set("_graft_log", "data")), s"stray root entries: $root")
+      // INSERTed files inherit the table's pruning metadata (here: the
+      // id zone) — a metadata-less write path would silently decay skipping
+      assert(SnapshotLog.commits(spark, dir).last.added
+        .forall(_.stats.contains("id")))
       spark.sql("INSERT OVERWRITE conn_ins SELECT id, 'x', id FROM range(5)")
       assert(spark.read.format("graft").load(dir).count() === 5)
       assert(SnapshotLog.commits(spark, dir).map(_.op) ===
@@ -247,6 +251,111 @@ class ConnectorSpec extends AnyFunSuite {
       assert(e.getMessage.contains("every table column") ||
         Option(e.getCause).exists(_.getMessage.contains("every table column")))
     } finally spark.sql("DROP TABLE conn_inscols")
+  }
+
+  test("timestamp equality never bloom-probes across domains (no silent row loss)") {
+    val dir = tmp("tsbloom")
+    // blooms over a timestamp column are built in cast-to-long SECONDS;
+    // Catalyst literals are epoch MICROS — the reader must not probe the
+    // bloom (zones, recorded in micros, still prune); rows must survive
+    val df = spark.range(4000).select(col("id"),
+      (lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).cast("timestamp")
+        + expr("make_interval(0, 0, 0, 0, 0, 0, id)")).as("ts"))
+    for (s <- 0 until 4)
+      df.filter(pmod(col("id"), lit(4)) === s).coalesce(1)
+        .write.format("graft").mode(if (s == 0) "error" else "append")
+        .option("statsCols", "ts").option("bloomCol", "ts").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    val hit = back.filter(col("ts") ===
+      lit(java.sql.Timestamp.valueOf("2026-01-01 00:20:34")))
+    assert(hit.count() === 1, "a present timestamp must be FOUND — bloom " +
+      "domains (seconds) and literal domains (micros) must never be mixed")
+  }
+
+  test("streaming source: startingVersion=latest pins at FIRST start, not per restart") {
+    val src = tmp("latsrc"); val dst = tmp("latdst"); val cp = tmp("latcp")
+    rows(50).write.format("graft").save(src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "latest").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", cp).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // pins "latest" = snapshot 1; nothing after it yet
+    assert(SnapshotLog.currentSnapshotId(spark, dst).isEmpty)
+    // committed while the stream was DOWN — a restart that re-resolved
+    // "latest" to the new head would silently skip this
+    rows(80).filter(col("id") >= 50)
+      .write.format("graft").mode("append").save(src)
+    drain()
+    assert(spark.read.format("graft").load(dst).count() === 30,
+      "appends landed while the stream was down must arrive on restart")
+  }
+
+  test("streaming a drifted table carries the merged schema, not the oldest epoch's") {
+    val dir = tmp("driftstream")
+    spark.range(10).select(col("id"), lit("a").as("cat"))
+      .write.format("graft").save(dir)
+    spark.range(10, 20).select(col("id"), lit("b").as("cat"),
+        (col("id") * 2).as("score"))
+      .write.format("graft").mode("append").save(dir)
+    val cp = tmp("driftstreamcp")
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("conn_drift_stream")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("conn_drift_stream")
+      assert(got.schema.fieldNames.toSet === Set("id", "cat", "score"),
+        "columns added in later epochs must stream")
+      assert(got.filter(col("score").isNotNull).count() === 10)
+      assert(got.count() === 20)
+    } finally q.stop()
+  }
+
+  test("streaming sink update mode: first-batch tombstones honor deleteCol") {
+    val src = tmp("delsrc"); val dst = tmp("deldst"); val cp = tmp("delcp")
+    spark.range(10).select(col("id"), (col("id") * 3).as("v"),
+        (col("id") >= 8).as("del"))
+      .write.format("graft").option("statsCols", "id").save(src)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").outputMode("update")
+        .option("mergeKey", "id").option("deleteCol", "del")
+        .option("statsCols", "id")
+        .option("checkpointLocation", cp).start(dst)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val first = spark.read.format("graft").load(dst)
+    assert(first.count() === 8, "first-batch tombstones must not land as rows")
+    assert(!first.schema.fieldNames.contains("del"),
+      "the delete-flag column must not leak into the table schema")
+    // later batches merge: update key 1, delete key 2
+    spark.range(1, 3).select(col("id"), lit(-1L).as("v"),
+        (col("id") === 2).as("del"))
+      .write.format("graft").mode("append").save(src)
+    drain()
+    val cur = spark.read.format("graft").load(dst)
+    assert(cur.count() === 7)
+    assert(cur.filter(col("id") === 1).head.getLong(1) === -1L)
+    assert(cur.filter(col("id") === 2).count() === 0)
+  }
+
+  test("a table overwritten to empty stays readable; schema recovered from history") {
+    val dir = tmp("empty")
+    rows(40).write.format("graft").option("statsCols", "id").save(dir)
+    rows(1).filter(col("id") < 0) // empty frame
+      .write.format("graft").mode("overwrite").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === 0)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "cat", "v"))
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(dir)
+      .count() === 40)
+    // and the empty table accepts new appends
+    rows(5).write.format("graft").mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() === 5)
   }
 
   test("streaming source: first batch = table, later batches = new appends only") {
