@@ -85,7 +85,36 @@ object ConnectorQueries {
       dst
     }
 
+  /** A warehouse assembled through the SQL DDL face alone: CREATE TABLE
+    * USING graft, then INSERT INTO from a view — the analyzer-rewrite
+    * insert path (log commits, inherited pruning metadata) under the
+    * oracle. */
+  private def insertWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "insert") { base =>
+      val dir = s"$base/orders_ins"
+      val ord = orders(s, d)
+      ord.filter(col("o_orderstatus") === "F")
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      s.sql(s"CREATE TABLE conn_ins_wh USING graft OPTIONS (path '$dir')")
+      try {
+        ord.filter(col("o_orderstatus") =!= "F")
+          .createOrReplaceTempView("conn_ins_src")
+        s.sql("INSERT INTO conn_ins_wh SELECT * FROM conn_ins_src")
+      } finally s.sql("DROP TABLE conn_ins_wh")
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the SQL INSERT face end-to-end: a table half-written by the writer,
+    // half by INSERT INTO, must aggregate exactly like the raw input
+    "conn_insert_sql" -> ((s, d) => {
+      s.read.format("graft").load(insertWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // the reader face end-to-end: write format("graft") twice, read the
     // union back through spark.read, aggregate — equals the same
     // aggregate over the raw input
@@ -164,6 +193,10 @@ object ConnectorQueries {
     "conn_stream_sink" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_insert_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

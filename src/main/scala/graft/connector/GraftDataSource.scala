@@ -15,6 +15,7 @@ import graft.table.SnapshotLog
   *
   * {{{
   *   df.write.format("graft").option("statsCols", "id").save(dir)
+  *   df.write.format("graft").option("zorderBy", "x,y").save(dir) // 2-D tiles
   *   spark.read.format("graft").load(dir)                      // latest
   *   spark.read.format("graft").option("versionAsOf", 2).load(dir)
   *   spark.read.format("graft").option("timestampAsOf", "2026-…").load(dir)
@@ -103,11 +104,24 @@ final class GraftDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val dir = tableDirOf(parameters)
     val exists = SnapshotLog.currentSnapshotId(spark, dir).isDefined
-    def write(): Seq[SnapshotLog.DataFile] =
-      SnapshotLog.writeData(data, dir,
-        statsCols = GraftDataSource.csv(parameters, "statsCols"),
+    // zorderBy=x,y lays the commit out as near-square Morton tiles of the
+    // 2-D key space (the shared zorderArrange); both dims' zones are
+    // recorded automatically — a Z-order without zone maps would cluster
+    // for nobody
+    val zcols = GraftDataSource.csv(parameters, "zorderBy")
+    require(zcols.isEmpty || zcols.size == 2,
+      s"zorderBy takes exactly two comma-separated columns, got: " +
+        zcols.mkString(","))
+    def write(): Seq[SnapshotLog.DataFile] = {
+      val arranged =
+        if (zcols.isEmpty) data
+        else graft.cdc.Compaction.zorderArrange(data, zcols(0), zcols(1),
+          parameters.get("targetFiles").map(_.toInt).getOrElse(32))
+      SnapshotLog.writeData(arranged, dir,
+        statsCols = (GraftDataSource.csv(parameters, "statsCols") ++ zcols).distinct,
         bloomCol = parameters.get("bloomCol"),
         partitionCols = GraftDataSource.csv(parameters, "partitionCols"))
+    }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(

@@ -198,6 +198,24 @@ object ScaleCurve {
         f"$blDir/_graft_log/$ckptId%020d.json").length()
       SnapshotLog.writeCheckpoint(spark, blDir, ckptId)
       val (liveN, tResolve) = timed(SnapshotLog.filesAt(spark, blDir).size)
+      // r10: the same point lookup through the CONNECTOR face — the
+      // planned parquet scan's file count must track bloom_kept (~flat
+      // while the table grows ×k), proving the manifest pruning engages
+      // inside Spark's own planner, not only in the Scala read API
+      val connQ = spark.read.format("graft").load(blDir)
+        .filter(col("id") === probeKey)
+      // execute THIS frame (count() would plan a separate execution and
+      // leave connQ's own metrics at zero)
+      val (_, tConn) = timed(connQ.collect().length)
+      val connFiles = {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        val p = connQ.queryExecution.executedPlan
+        val eff = p.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+          .getOrElse(p)
+        eff.collectFirst { case f: FileSourceScanExec =>
+          f.metrics("numFiles").value }.getOrElse(-1L)
+      }
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
@@ -211,7 +229,8 @@ object ScaleCurve {
         s"apply=$nApply/${s(tApply)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
         s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +
-        s"log_resolve=${s(tResolve)}s")
+        s"log_resolve=${s(tResolve)}s " +
+        s"conn_scan_files=$connFiles conn_lookup=${s(tConn)}s")
     }
     spark.stop()
   }

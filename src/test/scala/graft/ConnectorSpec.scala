@@ -253,6 +253,27 @@ class ConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE conn_inscols")
   }
 
+  test("writer zorderBy: 2-D box queries prune on both dims through the reader") {
+    val dir = tmp("zorder")
+    spark.range(40000).select((col("id") % 200).as("x"),
+        expr("id DIV 200").as("y"), col("id").as("v"))
+      .write.format("graft")
+      .option("zorderBy", "x,y").option("targetFiles", "16").save(dir)
+    val all = spark.read.format("graft").load(dir)
+    assert(fileScanOf(all).get.metrics("numFiles").value === 16)
+    val box = all.filter(col("x").between(10, 40) && col("y").between(10, 40))
+    val kept = fileScanOf(box).get.metrics("numFiles").value
+    assert(kept <= 8, s"a ~2.4% box over 16 near-square z-tiles must skip " +
+      s"most files, kept $kept (range-partition boundaries need not align " +
+      "to Morton quadrants, so a handful of straddlers is expected)")
+    assert(box.count() === 31L * 31L)
+    // the Z-order point: a y-ONLY band prunes too — a 1-D x-sorted layout
+    // could never skip a file for it
+    val yband = all.filter(col("y").between(10, 40))
+    assert(fileScanOf(yband).get.metrics("numFiles").value <= 8)
+    assert(yband.count() === 31L * 200L)
+  }
+
   test("timestamp equality never bloom-probes across domains (no silent row loss)") {
     val dir = tmp("tsbloom")
     // blooms over a timestamp column are built in cast-to-long SECONDS;
