@@ -253,6 +253,62 @@ class ConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE conn_inscols")
   }
 
+  test("randomized connector walk: every face against an in-memory model, all snapshots") {
+    val dir = tmp("walk")
+    val rnd = new scala.util.Random(42)
+    var model = Vector.empty[(Long, Long)] // current (id, v) multiset
+    var history = Vector.empty[Vector[(Long, Long)]] // model per snapshot id
+    def fresh(step: Int): Seq[(Long, Long)] =
+      (0 until (1 + rnd.nextInt(5))).map(j =>
+        (step * 1000L + j, rnd.nextInt(1000).toLong))
+    def frame(rows: Seq[(Long, Long)]) = {
+      import spark.implicits._
+      rows.toDF("id", "v")
+    }
+    // step 0 creates the table; a catalog name makes the SQL face playable
+    val first = fresh(0)
+    frame(first).write.format("graft").option("statsCols", "id").save(dir)
+    model = first.toVector
+    history :+= model
+    spark.sql(s"CREATE TABLE conn_walk USING graft OPTIONS (path '$dir')")
+    val sink = new graft.connector.GraftStreamSink(spark.sqlContext, dir,
+      Nil, org.apache.spark.sql.streaming.OutputMode.Append(),
+      Map("txnAppId" -> "walk", "statsCols" -> "id"))
+    try {
+      for (step <- 1 to 18) {
+        val rows = fresh(step)
+        rnd.nextInt(4) match {
+          case 0 => // writer append
+            frame(rows).write.format("graft").mode("append")
+              .option("statsCols", "id").save(dir)
+            model = model ++ rows
+          case 1 => // writer overwrite (atomic whole-table replacement)
+            frame(rows).write.format("graft").mode("overwrite")
+              .option("statsCols", "id").save(dir)
+            model = rows.toVector
+          case 2 => // SQL INSERT INTO through the analyzer rewrite
+            frame(rows).createOrReplaceTempView("conn_walk_src")
+            spark.sql("INSERT INTO conn_walk SELECT id, v FROM conn_walk_src")
+            model = model ++ rows
+          case 3 => // streaming sink micro-batch (txn append)
+            sink.addBatch(step, frame(rows))
+            model = model ++ rows
+        }
+        history :+= model
+        val got = spark.read.format("graft").load(dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got === model.sorted, s"divergence after step $step")
+      }
+      // every snapshot still resolves to exactly its model
+      for ((m, i) <- history.zipWithIndex) {
+        val got = spark.read.format("graft")
+          .option("versionAsOf", (i + 1).toString).load(dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(got === m.sorted, s"time travel to snapshot ${i + 1} diverged")
+      }
+    } finally spark.sql("DROP TABLE conn_walk")
+  }
+
   test("writer zorderBy: 2-D box queries prune on both dims through the reader") {
     val dir = tmp("zorder")
     spark.range(40000).select((col("id") % 200).as("x"),
