@@ -104,7 +104,70 @@ object ConnectorQueries {
       dir
     }
 
+  /** A warehouse mutated through the SQL DML faces: one `UPDATE` (F-status
+    * prices bumped), then one `DELETE` (every 10th orderkey) — the
+    * GraftDmlRule copy-on-write path under the oracle. */
+  private def dmlWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "dml") { base =>
+      val dir = s"$base/orders_dml"
+      orders(s, d).write.format("graft")
+        .option("statsCols", "o_orderkey").save(dir)
+      s.sql(s"CREATE TABLE conn_dml_wh USING graft OPTIONS (path '$dir')")
+      try {
+        s.sql("UPDATE conn_dml_wh SET o_totalprice = o_totalprice + 10 " +
+          "WHERE o_orderstatus = 'F'")
+        s.sql("DELETE FROM conn_dml_wh WHERE o_orderkey % 10 = 0")
+      } finally s.sql("DROP TABLE conn_dml_wh")
+      dir
+    }
+
+  /** A warehouse assembled by SQL `MERGE INTO`: target = every 3rd
+    * orderkey, source = every 2nd with doubled prices; matched F-status
+    * rows DELETE, other matches UPDATE, the rest INSERT — all three WHEN
+    * clauses of the DML face under one oracle. */
+  private def mergeWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "merge") { base =>
+      val dir = s"$base/orders_merge"
+      val ord = orders(s, d)
+      ord.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      s.sql(s"CREATE TABLE conn_merge_wh USING graft OPTIONS (path '$dir')")
+      try {
+        ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .createOrReplaceTempView("conn_merge_src")
+        s.sql(
+          """MERGE INTO conn_merge_wh t USING conn_merge_src s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+            |  o_orderstatus, o_totalprice) VALUES (s.o_orderkey, s.o_custkey,
+            |  s.o_orderstatus, s.o_totalprice)""".stripMargin)
+      } finally s.sql("DROP TABLE conn_merge_wh")
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the SQL UPDATE + DELETE faces end-to-end: the mutated table must
+    // aggregate exactly like the declaratively-mutated raw input
+    "conn_dml_sql" -> ((s, d) => {
+      s.read.format("graft").load(dmlWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // the SQL MERGE face end-to-end: delete/update/insert clauses applied
+    // through the log must equal the same merge phrased declaratively
+    "conn_merge_sql" -> ((s, d) => {
+      s.read.format("graft").load(mergeWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // the SQL INSERT face end-to-end: a table half-written by the writer,
     // half by INSERT INTO, must aggregate exactly like the raw input
     "conn_insert_sql" -> ((s, d) => {
@@ -173,6 +236,25 @@ object ConnectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "conn_dml_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'F'
+        |                 THEN o_totalprice + 10 ELSE o_totalprice END), 2) AS total
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_merge_sql" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 6 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_read_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total

@@ -287,7 +287,7 @@ object GraftDataSource {
         dir, insertable = asOf.isEmpty)
     else if (dels.isEmpty && epochSchemas.distinct.size == 1)
       HadoopFsRelation(
-        location = new GraftFileIndex(spark, dir, data, visible),
+        location = new GraftFileIndex(spark, dir, data, visible, asOf),
         partitionSchema = new StructType(),
         dataSchema = visible,
         bucketSpec = None,
@@ -333,7 +333,7 @@ object GraftDataSource {
   * Row bridge. */
 private[connector] final class GraftComputedRelation(
     override val sqlContext: SQLContext, df: DataFrame,
-    val tableDir: String, insertable: Boolean)
+    val tableDir: String, val insertable: Boolean)
     extends BaseRelation with PrunedScan with InsertableRelation {
 
   override def schema: StructType = GraftDataSource.nullable(df.schema)

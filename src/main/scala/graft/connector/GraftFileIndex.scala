@@ -38,7 +38,13 @@ final class GraftFileIndex(
     spark: SparkSession,
     val tableDir: String,
     files: Seq[DataFile],
-    visibleSchema: StructType) extends FileIndex {
+    visibleSchema: StructType,
+    /** The explicit time-travel pin the relation was resolved with, when
+      * one was given — DML (which always executes against the CURRENT
+      * snapshot) refuses relations carrying one, so `DELETE FROM view`
+      * over a `versionAsOf` read fails loudly instead of silently
+      * mutating the present. */
+    val pinnedAsOf: Option[Long] = None) extends FileIndex {
 
   /** Deliberately EMPTY — the one consumer that matters is Spark's stock
     * `InsertIntoHadoopFsRelationCommand` conversion, which would write

@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analyzer rewrite because relation subclasses don't survive catalog
     // resolution (see GraftInsertRule's docstring)
     ext.injectResolutionRule(_ => new graft.connector.GraftInsertRule)
+    // SQL row-level DML (DELETE/UPDATE/MERGE INTO) on graft tables —
+    // resolved-plan interception lowered onto copy-on-write log commits
+    // (the Delta DeltaAnalysis school; see GraftDmlRule's docstring)
+    ext.injectResolutionRule(_ => new graft.connector.GraftDmlRule)
     ext.injectFunction(fn("vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two float vectors") {
       case Seq(a, b) => VecCosine(a, b)

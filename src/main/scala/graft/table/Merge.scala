@@ -313,12 +313,29 @@ object Merge {
     MergeResult(id, touched.size, untouched.size, written.map(_.rows).sum)
   }
 
+  /** Partition `live` by whether a file MAY hold any of `keys` (a
+    * one-column frame in the key's ORIGINAL domain; nulls never match
+    * equality and are dropped) — the [[touchedFiles]] zone-∧-bloom
+    * decision exposed for callers that assemble their own rewrite (the
+    * SQL MERGE face). Same driver/distributed escalation as
+    * [[applyChanges]]. */
+  private[graft] def pruneTouched(spark: SparkSession, keyCol: String,
+                                  live: Seq[SnapshotLog.DataFile], keys: DataFrame,
+                                  maxDriverKeys: Int = DefaultMaxDriverKeys)
+      : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile]) = {
+    val c = keys.columns.head
+    touchedFiles(spark, keyCol, live,
+      keySet(keys.filter(col(c).isNotNull), c, maxDriverKeys))
+  }
+
   /** The touched files with row lineage resolved: rows keep their
     * existing [[LineageCol]] where one was stamped, and rows from
     * pre-lineage files adopt their file's commit seq (the best lower
     * bound the metadata has). Per-seq groups merge through the same
-    * Evolution lattice as the plain epoch-safe read. */
-  private def readTouchedLineage(spark: SparkSession,
+    * Evolution lattice as the plain epoch-safe read. Package-visible:
+    * the SQL DML face routes its copy-on-write rewrites through the
+    * same lineage-preserving read. */
+  private[graft] def readTouchedLineage(spark: SparkSession,
                                  touched: Seq[SnapshotLog.DataFile],
                                  renames: Map[String, String]): DataFrame = {
     val groups = touched.groupBy(_.seq).toSeq.sortBy(_._1).map { case (seq, fs) =>

@@ -51,4 +51,16 @@ object GraftSqlShim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Column ↔ Expression bridges for the DML face: resolved Catalyst
+    * expressions from analyzed DELETE/UPDATE/MERGE statements are
+    * re-bound and re-issued as Columns over fresh scans.
+    * `ExpressionUtils` is `private[sql]`, hence the forward. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

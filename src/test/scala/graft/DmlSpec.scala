@@ -1,0 +1,262 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.table.{Merge, SnapshotLog}
+
+/** SQL row-level DML on graft tables (`DELETE FROM` / `UPDATE` /
+  * `MERGE INTO`, lowered by GraftDmlRule): row semantics against SQL's
+  * contract (null predicates keep, simultaneous assignment, first-
+  * applicable WHEN clause, cardinality violation), the copy-on-write
+  * posture (only files that actually hold matching rows rewrite —
+  * everything else carries by REFERENCE, pinned on paths), metadata-only
+  * truncation, lineage-preserving rewrites (the change feed stays
+  * derivable across SQL DML), and the loud refusals (time travel,
+  * pending merge-on-read masks).
+  */
+class DmlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local("4", "dml-spec")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-dmlspec-$tag").toString + "/t"
+
+  /** 3 range-clustered files over ids [0, 3000) with EXACT id zones
+    * ([0,999], [1000,1999], [2000,2999] — one append per band, so the
+    * layout never depends on range-partitioner sampling), plus a catalog
+    * name for the SQL faces. */
+  private def rangeTable(tag: String, name: String): String = {
+    val dir = tmp(tag)
+    for (b <- 0 until 3)
+      spark.range(b * 1000L, (b + 1) * 1000L)
+        .select(col("id"), (col("id") * 2).as("v")).coalesce(1)
+        .write.format("graft").mode(if (b == 0) "error" else "append")
+        .option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE $name USING graft OPTIONS (path '$dir')")
+    dir
+  }
+
+  private def livePaths(dir: String): Set[String] =
+    SnapshotLog.filesAt(spark, dir).map(_.path).toSet
+
+  test("DELETE rewrites only files holding matching rows; the rest carry by reference") {
+    val dir = rangeTable("del", "dml_del")
+    try {
+      val before = livePaths(dir)
+      assert(before.size === 3)
+      spark.sql("DELETE FROM dml_del WHERE id < 100")
+      val after = livePaths(dir)
+      // exactly one file held ids < 100: two carried by path identity
+      assert((before intersect after).size === 2)
+      val back = spark.sql("SELECT count(*) AS n, min(id) AS lo FROM dml_del").head
+      assert(back.getLong(0) === 2900 && back.getLong(1) === 100L)
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.op === "upsert" && c.summary("mode") === "delete-sql" &&
+        c.summary("rows_deleted") === "100" && c.summary("files_touched") === "1")
+    } finally spark.sql("DROP TABLE dml_del")
+  }
+
+  test("DELETE keeps rows where the predicate is NULL (SQL deletes only TRUE)") {
+    val dir = tmp("delnull")
+    import spark.implicits._
+    Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "s")
+      .write.format("graft").save(dir)
+    spark.sql(s"CREATE TABLE dml_delnull USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("DELETE FROM dml_delnull WHERE s = 'x'")
+      val left = spark.sql("SELECT id FROM dml_delnull ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(left === Seq(2L, 3L), "the NULL-predicate row must survive")
+    } finally spark.sql("DROP TABLE dml_delnull")
+  }
+
+  test("unconditional DELETE is a metadata-only truncation; history intact") {
+    val dir = rangeTable("trunc", "dml_trunc")
+    try {
+      spark.sql("DELETE FROM dml_trunc")
+      assert(spark.sql("SELECT count(*) FROM dml_trunc").head.getLong(0) === 0)
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.added.isEmpty && c.removed.size === 3,
+        "truncation must not read or write any data file")
+      assert(c.summary("rows_deleted") === "3000")
+      // every pre-truncate snapshot still time-travels
+      assert(spark.read.format("graft").option("versionAsOf", "3")
+        .load(dir).count() === 3000)
+    } finally spark.sql("DROP TABLE dml_trunc")
+  }
+
+  test("DELETE matching nothing commits nothing") {
+    val dir = rangeTable("delnoop", "dml_delnoop")
+    try {
+      val id0 = SnapshotLog.currentSnapshotId(spark, dir).get
+      spark.sql("DELETE FROM dml_delnoop WHERE id = 999999")
+      assert(SnapshotLog.currentSnapshotId(spark, dir).get === id0,
+        "a no-match DELETE must not publish a snapshot")
+    } finally spark.sql("DROP TABLE dml_delnoop")
+  }
+
+  test("UPDATE: simultaneous assignment over the pre-update row; files carry by reference") {
+    val dir = rangeTable("upd", "dml_upd")
+    try {
+      val before = livePaths(dir)
+      // the classic swap: both RHS evaluate against the OLD row
+      spark.sql("UPDATE dml_upd SET id = v, v = id WHERE id = 1500")
+      val after = livePaths(dir)
+      assert((before intersect after).size === 2)
+      val r = spark.sql("SELECT id, v FROM dml_upd WHERE id = 3000").head
+      assert(r.getLong(0) === 3000L && r.getLong(1) === 1500L,
+        "SET a = b, b = a must swap, not chain")
+      assert(spark.sql("SELECT count(*) FROM dml_upd").head.getLong(0) === 3000)
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.summary("mode") === "update-sql" && c.summary("rows_updated") === "1")
+    } finally spark.sql("DROP TABLE dml_upd")
+  }
+
+  test("MERGE: first-applicable clause; untouched files carry by reference") {
+    val dir = rangeTable("mrg", "dml_mrg")
+    try {
+      val before = livePaths(dir)
+      // all source keys hit the first file's range; one insert key
+      spark.sql(
+        """MERGE INTO dml_mrg t
+          |USING (SELECT * FROM VALUES (10L, 0L), (20L, 5L), (9999L, 7L) AS s(id, nv)) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.nv = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.nv + t.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""".stripMargin)
+      val after = livePaths(dir)
+      assert((before intersect after).size === 2,
+        "files outside the source key range must carry by reference")
+      assert(spark.sql("SELECT count(*) FROM dml_mrg WHERE id = 10").head.getLong(0) === 0)
+      assert(spark.sql("SELECT v FROM dml_mrg WHERE id = 20").head.getLong(0) === 45L)
+      assert(spark.sql("SELECT v FROM dml_mrg WHERE id = 9999").head.getLong(0) === 7L)
+      assert(spark.sql("SELECT count(*) FROM dml_mrg").head.getLong(0) === 3000)
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.summary("mode") === "merge-sql" && c.summary("files_untouched") === "2")
+    } finally spark.sql("DROP TABLE dml_mrg")
+  }
+
+  test("MERGE: duplicate source keys matching one target row throw; unmatched dupes insert") {
+    val dir = rangeTable("card", "dml_card")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(
+          """MERGE INTO dml_card t
+            |USING (SELECT * FROM VALUES (10L, 1L), (10L, 2L) AS s(id, nv)) s
+            |ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+      }
+      assert(e.getMessage.contains("cardinality"))
+      // duplicate keys that match NO target row are two legitimate inserts
+      spark.sql(
+        """MERGE INTO dml_card t
+          |USING (SELECT * FROM VALUES (7777L, 1L), (7777L, 2L) AS s(id, nv)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM dml_card WHERE id = 7777").head.getLong(0) === 2)
+    } finally spark.sql("DROP TABLE dml_card")
+  }
+
+  test("insert-only MERGE appends without rewriting any touched file") {
+    val dir = rangeTable("insonly", "dml_insonly")
+    try {
+      val before = livePaths(dir)
+      spark.sql(
+        """MERGE INTO dml_insonly t
+          |USING (SELECT * FROM VALUES (10L, 1L), (5000L, 2L) AS s(id, nv)) s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""".stripMargin)
+      val after = livePaths(dir)
+      assert(before.subsetOf(after),
+        "insert-only MERGE must leave every pre-existing file live")
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.removed.isEmpty && c.summary("files_touched") === "0")
+      // matched key 10 NOT re-inserted; unmatched key 5000 landed once
+      assert(spark.sql("SELECT count(*) FROM dml_insonly WHERE id = 10").head.getLong(0) === 1)
+      assert(spark.sql("SELECT v FROM dml_insonly WHERE id = 5000").head.getLong(0) === 2L)
+      assert(spark.sql("SELECT count(*) FROM dml_insonly").head.getLong(0) === 3001)
+    } finally spark.sql("DROP TABLE dml_insonly")
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE deletes target-only rows") {
+    val dir = tmp("nmbs")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE dml_nmbs USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql(
+        """MERGE INTO dml_nmbs t
+          |USING (SELECT * FROM VALUES (2L, 99L) AS s(id, nv)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val rows = spark.sql("SELECT id, v FROM dml_nmbs ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows === Seq((2L, 99L)))
+    } finally spark.sql("DROP TABLE dml_nmbs")
+  }
+
+  test("SQL DML preserves row lineage: the change feed derives across UPDATE/DELETE/MERGE") {
+    val dir = tmp("lineage")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    // establish lineage with one Scala-API lineage merge (snapshot 2)
+    Merge.applyChanges(spark, dir, Seq((1L, 100L)).toDF("id", "v"), "id",
+      deleteCol = None, lineage = true)
+    spark.sql(s"CREATE TABLE dml_lin USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("UPDATE dml_lin SET v = 999 WHERE id = 2")        // snapshot 3
+      spark.sql("DELETE FROM dml_lin WHERE id = 3")               // snapshot 4
+      spark.sql(
+        """MERGE INTO dml_lin t
+          |USING (SELECT * FROM VALUES (4L, 444L), (9L, 900L), (5L, 0L) AS s(id, nv)) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.nv = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""".stripMargin) // snapshot 5
+      val feed = SnapshotLog.changes(spark, dir, from = 2).get
+        .select(col("_change_op"), col("_change_snapshot"), col("id"), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(feed === Set(
+        ("upsert", 3L, 2L, 999L),
+        ("delete", 4L, 3L, -1L),
+        ("upsert", 5L, 4L, 444L),
+        ("upsert", 5L, 9L, 900L),
+        ("delete", 5L, 5L, -1L)))
+      // and the final state is consistent with replaying the feed
+      val state = spark.sql("SELECT id, v FROM dml_lin ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(state === Seq((1L, 100L), (2L, 999L), (4L, 444L), (9L, 900L)))
+    } finally spark.sql("DROP TABLE dml_lin")
+  }
+
+  test("DML refuses time-travel relations and tables with pending masks") {
+    val dir = rangeTable("refuse", "dml_refuse")
+    spark.sql(s"CREATE TABLE dml_refuse_tt USING graft " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    try {
+      val e1 = intercept[Exception] {
+        spark.sql("DELETE FROM dml_refuse_tt WHERE id = 1")
+      }
+      assert(e1.getMessage.contains("time-travel"))
+      // pending merge-on-read masks: COW DML must refuse, not detach them
+      import spark.implicits._
+      Merge.mergeOnRead(spark, dir, Seq((10L, 77L)).toDF("id", "v"), "id")
+      val e2 = intercept[Exception] {
+        spark.sql("UPDATE dml_refuse SET v = 0 WHERE id = 10")
+      }
+      assert(e2.getMessage.contains("equality-delete"))
+    } finally {
+      spark.sql("DROP TABLE dml_refuse")
+      spark.sql("DROP TABLE dml_refuse_tt")
+    }
+  }
+}
