@@ -178,6 +178,15 @@ object ConnectorQueries {
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderstatus"))
     }),
+    // SQL time-travel syntax (VERSION AS OF, the GraftTimeTravelRule
+    // face): same pinned snapshot as the reader option, same oracle
+    "conn_timetravel_sql" -> ((s, d) => {
+      val dir = ordersWarehouse(s, d)
+      s.sql(s"CREATE TABLE IF NOT EXISTS conn_tt_wh USING graft OPTIONS (path '$dir')")
+      val df = s.sql("SELECT * FROM conn_tt_wh VERSION AS OF 1 ORDER BY o_orderkey")
+      s.sql("DROP TABLE conn_tt_wh")
+      df
+    }),
     // the reader face end-to-end: write format("graft") twice, read the
     // union back through spark.read, aggregate — equals the same
     // aggregate over the raw input
@@ -260,6 +269,9 @@ object ConnectorQueries {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_timetravel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin,
+    "conn_timetravel_sql" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin,
     "conn_pruned_range" ->

@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolved-plan interception lowered onto copy-on-write log commits
     // (the Delta DeltaAnalysis school; see GraftDmlRule's docstring)
     ext.injectResolutionRule(_ => new graft.connector.GraftDmlRule)
+    // SQL time travel (VERSION AS OF n / 'tag', TIMESTAMP AS OF ts) on
+    // graft catalog tables. This MUST ride the hint-resolution batch:
+    // ResolveRelations THROWS on V1 time travel in the same iteration it
+    // would first see the node, so an extendedResolutionRule (appended
+    // after it) never runs — the hints batch precedes resolution
+    ext.injectHintResolutionRule(s => new graft.connector.GraftTimeTravelRule(s))
     ext.injectFunction(fn("vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two float vectors") {
       case Seq(a, b) => VecCosine(a, b)

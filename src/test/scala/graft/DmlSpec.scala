@@ -238,6 +238,34 @@ class DmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE dml_lin")
   }
 
+  test("SQL time travel: VERSION AS OF id / 'tag', TIMESTAMP AS OF; non-graft passes through") {
+    val dir = tmp("ttsql")
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("id", "v").write.format("graft").save(dir)
+    Seq((2L, 20L)).toDF("id", "v").write.format("graft").mode("append").save(dir)
+    SnapshotLog.tag(spark, dir, "audited", 1L)
+    spark.sql(s"CREATE TABLE dml_ttsql USING graft OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT * FROM dml_ttsql VERSION AS OF 1").count() === 1)
+      assert(spark.sql("SELECT * FROM dml_ttsql VERSION AS OF 'audited'")
+        .head.getLong(0) === 1L)
+      assert(spark.sql("SELECT * FROM dml_ttsql TIMESTAMP AS OF '2999-01-01'").count() === 2)
+      assert(spark.sql("SELECT * FROM dml_ttsql FOR VERSION AS OF 2").count() === 2)
+      // DML against the travel clause itself is unparseable (DELETE has no
+      // AS OF grammar) — and the travel read is read-only by construction.
+      // Non-graft tables keep Spark's own refusal:
+      val pdir = tmp("ttsql-pq")
+      Seq((1L, 1L)).toDF("id", "v").write.parquet(pdir)
+      spark.sql(s"CREATE TABLE dml_ttsql_pq USING parquet OPTIONS (path '$pdir')")
+      try {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql("SELECT * FROM dml_ttsql_pq VERSION AS OF 1").collect()
+        }
+        assert(e.getMessage.contains("Time travel"))
+      } finally spark.sql("DROP TABLE dml_ttsql_pq")
+    } finally spark.sql("DROP TABLE dml_ttsql")
+  }
+
   test("DML refuses time-travel relations and tables with pending masks") {
     val dir = rangeTable("refuse", "dml_refuse")
     spark.sql(s"CREATE TABLE dml_refuse_tt USING graft " +
