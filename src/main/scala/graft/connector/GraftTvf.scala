@@ -1,0 +1,69 @@
+package graft.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftshim.GraftSqlShim
+
+import graft.table.SnapshotLog
+
+/** SQL table-valued functions over the snapshot log — the introspection
+  * surface Delta exposes as `DESCRIBE HISTORY`/`table_changes(...)` and
+  * Iceberg as metadata tables, phrased as TVFs so they compose with
+  * ordinary SQL (`WHERE`, joins, aggregates) instead of needing bespoke
+  * command grammar:
+  *
+  * {{{
+  *   SELECT * FROM graft_history('/path/to/table')
+  *   SELECT * FROM graft_files('/path/to/table')        -- live at HEAD
+  *   SELECT * FROM graft_files('/path/to/table', 3)     -- live at snapshot 3
+  *   SELECT * FROM graft_tags('/path/to/table')
+  *   SELECT * FROM graft_changes('/path/to/table', 2)   -- feed (2, HEAD]
+  *   SELECT * FROM graft_changes('/path/to/table', 2, 5)
+  * }}}
+  *
+  * Builders run at ANALYSIS time on the active session: each resolves
+  * the log (driver-side metadata, one read) and returns the analyzed
+  * plan of the corresponding Scala-API frame, so the SQL face and the
+  * Scala face cannot drift. All argument values must be literals — a
+  * TVF has no row context to evaluate anything else against.
+  */
+object GraftTvf {
+
+  private def spark: SparkSession = SparkSession.active
+
+  def history(path: String): LogicalPlan =
+    GraftSqlShim.planOf(SnapshotLog.history(spark, path))
+
+  def files(path: String, asOf: Option[Long]): LogicalPlan = {
+    val s = spark
+    import s.implicits._
+    GraftSqlShim.planOf(
+      SnapshotLog.filesAt(s, path, asOf)
+        .map(f => (f.path, f.kind, f.seq, f.rows, f.bytes))
+        .toDF("path", "kind", "seq", "rows", "bytes"))
+  }
+
+  def tags(path: String): LogicalPlan = {
+    val s = spark
+    import s.implicits._
+    GraftSqlShim.planOf(
+      SnapshotLog.tags(s, path).toSeq.sortBy(_._2)
+        .toDF("tag", "snapshot_id"))
+  }
+
+  /** The row-level change feed (from, to] — same refusal semantics as
+    * [[SnapshotLog.changes]] (expired snapshots, lineage-less rewrites
+    * throw); an empty range yields an empty frame under the table's
+    * current read schema + the change columns. */
+  def changes(path: String, from: Long, to: Option[Long]): LogicalPlan = {
+    val s = spark
+    val df = SnapshotLog.changes(s, path, from, to).getOrElse {
+      import org.apache.spark.sql.functions.lit
+      val base = SnapshotLog.read(s, path).getOrElse(
+        throw new IllegalArgumentException(s"not a graft table: $path"))
+      base.withColumn("_change_op", lit("")).withColumn("_change_snapshot", lit(0L))
+        .limit(0)
+    }
+    GraftSqlShim.planOf(df)
+  }
+}

@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       : (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) =
     (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name, usage), builder)
 
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
+  private def tvf(name: String, usage: String)
+                 (builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo,
+         Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.connector", name, usage), builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension: native as-of join (marker → analyzer rule
     // → logical node → strategy → co-partitioned merge exec).
@@ -47,6 +59,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would first see the node, so an extendedResolutionRule (appended
     // after it) never runs — the hints batch precedes resolution
     ext.injectHintResolutionRule(s => new graft.connector.GraftTimeTravelRule(s))
+    // table-valued introspection over the snapshot log (the DESCRIBE
+    // HISTORY / metadata-tables surface, phrased as composable TVFs)
+    ext.injectTableFunction(tvf("graft_history",
+      "graft_history(path) - snapshot history of a graft table") {
+      case Seq(p) => graft.connector.GraftTvf.history(strArg(p, "path"))
+    })
+    ext.injectTableFunction(tvf("graft_files",
+      "graft_files(path[, version]) - live files of a graft snapshot") {
+      case Seq(p) => graft.connector.GraftTvf.files(strArg(p, "path"), None)
+      case Seq(p, v) => graft.connector.GraftTvf.files(strArg(p, "path"),
+        Some(longArg(v, "version")))
+    })
+    ext.injectTableFunction(tvf("graft_tags",
+      "graft_tags(path) - snapshot tags of a graft table") {
+      case Seq(p) => graft.connector.GraftTvf.tags(strArg(p, "path"))
+    })
+    ext.injectTableFunction(tvf("graft_changes",
+      "graft_changes(path, from[, to]) - row-level change feed (from, to]") {
+      case Seq(p, f) => graft.connector.GraftTvf.changes(strArg(p, "path"),
+        longArg(f, "from"), None)
+      case Seq(p, f, t) => graft.connector.GraftTvf.changes(strArg(p, "path"),
+        longArg(f, "from"), Some(longArg(t, "to")))
+    })
     ext.injectFunction(fn("vec_cosine",
       "vec_cosine(a, b) - cosine similarity of two float vectors") {
       case Seq(a, b) => VecCosine(a, b)

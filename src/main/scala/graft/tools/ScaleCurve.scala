@@ -216,6 +216,37 @@ object ScaleCurve {
         eff.collectFirst { case f: FileSourceScanExec =>
           f.metrics("numFiles").value }.getOrElse(-1L)
       }
+      // r10: SQL-DML curve — the same ~2k-rows-per-file range-clustered
+      // layout, live file count growing ×k with the table. A DELETE of a
+      // CONSTANT-footprint key band must touch a ~constant file count
+      // (zone pruning) and cost ~flat wall time while the table grows
+      // ×10; an insert-only MERGE of brand-new keys must touch ZERO
+      // files (bloom/zone proves absence) and cost O(inserts). Together:
+      // SQL DML cost ∝ predicate/source footprint, never table size.
+      val dmlDir = s"$tfBase/dml"
+      SnapshotLog.commit(spark, dmlDir, "append",
+        SnapshotLog.writeData(state.repartitionByRange(nFiles, col("id")),
+          dmlDir, statsCol = Some("id")))
+      // EXACT constant-row band: median start, then the 4000th id after
+      // it (percentile_approx cannot resolve a 4000/nState fraction at
+      // ×10 and the band would silently widen with the table)
+      val bandLo = state.agg(expr("percentile_approx(id, 0.5, 1000)"))
+        .head().getLong(0)
+      val bandHi = state.filter(col("id") >= bandLo).sort(col("id"))
+        .limit(4000).agg(max(col("id"))).head().getLong(0) + 1
+      spark.sql(s"CREATE TABLE scale_dml_x$k USING graft OPTIONS (path '$dmlDir')")
+      val (_, tSqlDel) = timed(spark.sql(
+        s"DELETE FROM scale_dml_x$k WHERE id >= $bandLo AND id < $bandHi")); settle()
+      val delC = SnapshotLog.commits(spark, dmlDir).last
+      val maxId = state.agg(max(col("id"))).head().getLong(0)
+      spark.range(2000).select((col("id") + maxId + 1000L).as("id"),
+        lit(0.0).as("v")).createOrReplaceTempView(s"scale_dml_src_x$k")
+      val (_, tSqlIns) = timed(spark.sql(
+        s"""MERGE INTO scale_dml_x$k t USING scale_dml_src_x$k s ON t.id = s.id
+           |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin))
+      settle()
+      val insC = SnapshotLog.commits(spark, dmlDir).last
+      spark.sql(s"DROP TABLE scale_dml_x$k")
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
@@ -230,7 +261,10 @@ object ScaleCurve {
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
         s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +
         s"log_resolve=${s(tResolve)}s " +
-        s"conn_scan_files=$connFiles conn_lookup=${s(tConn)}s")
+        s"conn_scan_files=$connFiles conn_lookup=${s(tConn)}s " +
+        s"sql_delete=${delC.summary("files_touched")}f/" +
+        s"${delC.summary("rows_deleted")}rd/${s(tSqlDel)}s " +
+        s"sql_insmerge=${insC.summary("files_touched")}f/${s(tSqlIns)}s")
     }
     spark.stop()
   }

@@ -63,4 +63,13 @@ object GraftSqlShim {
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan of a DataFrame — what a table-valued
+    * function builder must return. Classic `Dataset.queryExecution` is
+    * public but the DataFrame alias is the abstract API type; this
+    * forward keeps the cast in one place. */
+  def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
 }

@@ -266,6 +266,34 @@ class DmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE dml_ttsql")
   }
 
+  test("introspection TVFs: graft_history / graft_files / graft_tags / graft_changes") {
+    val dir = tmp("tvf")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    Seq((3L, 30L)).toDF("id", "v")
+      .write.format("graft").mode("append").option("statsCols", "id").save(dir)
+    SnapshotLog.tag(spark, dir, "gold", 2L)
+    // TVFs compose with ordinary SQL: filters, aggregates, projections
+    val hist = spark.sql(s"SELECT snapshot_id, op FROM graft_history('$dir')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq((1L, "append"), (2L, "append")))
+    assert(spark.sql(s"SELECT sum(rows) FROM graft_files('$dir')")
+      .head.getLong(0) === 3)
+    assert(spark.sql(s"SELECT count(*) FROM graft_files('$dir', 1)")
+      .head.getLong(0) ===
+      SnapshotLog.filesAt(spark, dir, Some(1L)).size.toLong)
+    val tags = spark.sql(s"SELECT tag, snapshot_id FROM graft_tags('$dir')").head
+    assert(tags.getString(0) === "gold" && tags.getLong(1) === 2L)
+    // the change feed as a TVF, filtered in SQL
+    val ins = spark.sql(
+      s"SELECT id FROM graft_changes('$dir', 1) WHERE _change_op = 'insert'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ins === Seq(3L))
+    // empty range: empty frame, schema present
+    assert(spark.sql(s"SELECT * FROM graft_changes('$dir', 2, 2)").count() === 0)
+  }
+
   test("DML refuses time-travel relations and tables with pending masks") {
     val dir = rangeTable("refuse", "dml_refuse")
     spark.sql(s"CREATE TABLE dml_refuse_tt USING graft " +
