@@ -135,13 +135,37 @@ object Compaction {
   def compactSnapshotted(spark: SparkSession, warehouseDir: String, table: String,
                          targetBytes: Long = 128L * 1024 * 1024,
                          clusterBy: Option[String] = None,
-                         clusterZOrder: Seq[String] = Nil): CompactionResult = {
+                         clusterZOrder: Seq[String] = Nil): CompactionResult =
+    compactDir(spark, s"$warehouseDir/${table}_parquet", targetBytes,
+      clusterBy, clusterZOrder, label = table)
+
+  /** [[compactSnapshotted]] addressed by table DIRECTORY instead of a
+    * warehouse/table pair — the entry point the SQL `OPTIMIZE` command
+    * uses, where the target is a catalog table's path or a quoted
+    * location. Identical semantics; `label` only names the result. */
+  /** `scope`: restrict the BIN-PACK candidate set to files this predicate
+    * keeps (manifest zones/blooms/partition values — the `OPTIMIZE …
+    * WHERE` face): at warehouse scale "compact the hot partition" must
+    * not pay for the cold petabytes even in candidate listing. Scoping
+    * composes only with the bin-pack path — a scoped CLUSTER/Z-order
+    * rewrite or mask materialization would split one logical layout/mask
+    * fold across commits, so those refuse. */
+  def compactDir(spark: SparkSession, dir: String,
+                 targetBytes: Long = 128L * 1024 * 1024,
+                 clusterBy: Option[String] = None,
+                 clusterZOrder: Seq[String] = Nil,
+                 label: String = "",
+                 scope: Option[graft.table.SnapshotLog.DataFile => Boolean] = None)
+      : CompactionResult = {
     import graft.table.SnapshotLog
+    val table = if (label.nonEmpty) label else dir
     require(clusterZOrder.isEmpty || clusterZOrder.size == 2,
       s"clusterZOrder takes exactly two dimensions, got $clusterZOrder")
     require(clusterBy.isEmpty || clusterZOrder.isEmpty,
       "clusterBy and clusterZOrder are mutually exclusive")
-    val dir = s"$warehouseDir/${table}_parquet"
+    require(scope.isEmpty || (clusterBy.isEmpty && clusterZOrder.isEmpty),
+      "a scoped (WHERE) compaction is bin-pack only: a predicate-sliced " +
+        "CLUSTER/Z-order rewrite would fracture one logical layout")
     // pin the snapshot this rewrite derives from and commit at exactly
     // its successor: resolving "latest" again at commit time would let
     // a concurrent commit slip in between — a racing rowdelta's rows
@@ -169,9 +193,14 @@ object Compaction {
     // petabytes of already-compacted history. Clustering/Z-order stay
     // full rewrites (they are about layout), and masked tables stay on
     // the full path (the rewrite is what materializes the deletes).
+    require(scope.isEmpty || delFiles.isEmpty,
+      s"a scoped (WHERE) compaction refuses tables with pending " +
+        s"equality-delete masks (${delFiles.size} here): the mask fold " +
+        "spans files the predicate would exclude — run an unscoped " +
+        "OPTIMIZE (or materializeDeletes) first")
     if (clusterBy.isEmpty && clusterZOrder.isEmpty && delFiles.isEmpty)
       return binPack(spark, table, dir, files, dataFiles, targetBytes, totalBytes,
-        baseId)
+        baseId, scope.getOrElse(_ => true))
 
     // merge-on-read tables compact through the masked read — the rewrite
     // MATERIALIZES pending equality deletes, so the replace commit also
@@ -234,7 +263,9 @@ object Compaction {
                       files: Seq[graft.table.SnapshotLog.DataFile],
                       dataFiles: Seq[graft.table.SnapshotLog.DataFile],
                       targetBytes: Long, totalBytes: Long,
-                      baseId: Long): CompactionResult = {
+                      baseId: Long,
+                      keep: graft.table.SnapshotLog.DataFile => Boolean = _ => true)
+      : CompactionResult = {
     import graft.table.SnapshotLog
     val noOp = CompactionResult(table, files.size, files.size,
       dataFiles.map(_.rows).sum, totalBytes)
@@ -245,7 +276,7 @@ object Compaction {
     // rewrite the accumulated class on every run once any new small
     // file arrived. Consolidating half-to-full-target files is a
     // deliberate O(table) layout job: ask for `clusterBy`.
-    val small = dataFiles.filter(_.bytes < targetBytes / 2)
+    val small = dataFiles.filter(f => f.bytes < targetBytes / 2 && keep(f))
     if (small.size <= 1) return noOp
     val classes = graft.table.SnapshotLog.epochGroups(spark, small)
       .groupBy(_._1).toSeq.map { case (sch, gs) => sch -> gs.flatMap(_._2) }
@@ -314,9 +345,24 @@ object Compaction {
     val b = df.agg(min(col(cx)).cast("long"), max(col(cx)).cast("long"),
       min(col(cy)).cast("long"), max(col(cy)).cast("long")).collect()(0)
     val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    // 0..255 bucket of (v - lo) within the observed range. Exact integer
+    // math while it provably cannot overflow ((v-lo)*256 needs range <
+    // 2^55); beyond that — hash-valued or full-range-long dimensions —
+    // switch to doubles: bin width is ≥ 2^47 there, double rounding
+    // (~2^11 ulp at 2^63) moves a value across a bin edge only at the
+    // edge itself, which z-order locality is indifferent to.
+    def bucket(c: String, lo: Long, hi: Long): org.apache.spark.sql.Column = {
+      val range = (BigInt(hi) - BigInt(lo) + 1).max(1)
+      if (range <= BigInt(1L << 55))
+        expr(s"((CAST($c AS BIGINT) - (${lo}L)) * 256) div ${range.toLong}L")
+      else {
+        val w = range.toDouble / 256.0
+        expr(s"greatest(0L, least(255L, " +
+          s"floor((CAST($c AS DOUBLE) - (${lo.toDouble}D)) / ${w}D)))")
+      }
+    }
     val zv = graft.functions.GraftFunctions.zvalue(
-      expr(s"((CAST($cx AS BIGINT) - ${x0}L) * 256) div ${math.max(1L, x1 - x0 + 1)}L"),
-      expr(s"((CAST($cy AS BIGINT) - ${y0}L) * 256) div ${math.max(1L, y1 - y0 + 1)}L"), 8)
+      bucket(cx, x0, x1), bucket(cy, y0, y1), 8)
     df.withColumn("_graft_zv", zv)
       .repartitionByRange(targetFiles, col("_graft_zv"))
       .sortWithinPartitions(col("_graft_zv"))

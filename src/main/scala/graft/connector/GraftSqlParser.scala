@@ -1,0 +1,279 @@
+package graft.connector
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+import graft.table.SnapshotLog
+
+/** SQL maintenance statements for graft tables — the `injectParser`
+  * school published by Delta Lake (DeltaSparkSessionExtension →
+  * DeltaSqlParser → OPTIMIZE/VACUUM commands): a thin parser sits in
+  * front of the session parser, claims exactly the two statements
+  * vanilla Spark has no grammar for, and delegates EVERYTHING else
+  * untouched (including every other method of [[ParserInterface]]).
+  *
+  * {{{
+  *   OPTIMIZE tbl                          -- bin-pack small-file debt
+  *   OPTIMIZE tbl WHERE ds = '2026-01-01'  -- scoped bin-pack (hot partition)
+  *   OPTIMIZE tbl TARGET 256 MB            -- explicit file-size target
+  *   OPTIMIZE tbl CLUSTER BY col           -- full rewrite, range-clustered
+  *   OPTIMIZE tbl ZORDER BY (x, y)         -- full rewrite, 2-D Z-order
+  *   VACUUM tbl                            -- expire beyond last 2 snapshots
+  *   VACUUM tbl RETAIN 168 HOURS           -- expire history older than 7d
+  *   RESTORE tbl TO VERSION AS OF 3        -- metadata-only rollback
+  *   RESTORE tbl TO VERSION AS OF 'tag'    -- …to a tagged snapshot
+  *   RESTORE tbl TO TIMESTAMP AS OF '2026-01-01 12:00:00'
+  * }}}
+  *
+  * The target is a graft catalog table (`CREATE TABLE … USING graft`) or
+  * a quoted table directory. Both commands lower onto the library's own
+  * maintenance entry points — [[graft.cdc.Compaction.compactDir]] and
+  * [[SnapshotLog.expireSnapshots]] — so SQL users get the identical
+  * O(debt) bin-pack, mask-materializing rewrite, pinned-base concurrency
+  * (a racing commit throws, never merges silently), tag-exempt retention
+  * and grace-gated orphan sweep the Scala API documents; each returns
+  * its report as the command's result rows.
+  *
+  * 100 TB posture: `OPTIMIZE` without a layout spec is the O(debt)
+  * bin-pack — only sub-half-target files rewrite, the petabytes of
+  * already-right-sized history carry by reference; `VACUUM` is manifest
+  * metadata plus deletes of exactly the unreferenced files.
+  */
+final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftMaintenance {
+
+  // target = 'quoted/dir' | [`]ident[`](.[`]ident[`])*
+  private val Target = """(?:'([^']+)'|([\w`.]+))"""
+  private val OptimizeRe = Pattern.compile(
+    s"""\\s*OPTIMIZE\\s+$Target""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
+      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?""" +
+      """(?:\s+CLUSTER\s+BY\s+([\w`]+))?\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  private val VacuumRe = Pattern.compile(
+    s"""\\s*VACUUM\\s+$Target(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val RestoreRe = Pattern.compile(
+    s"""\\s*RESTORE\\s+(?:TABLE\\s+)?$Target\\s+(?:TO\\s+)?""" +
+      """(?:VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')|""" +
+      """TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""",
+    Pattern.CASE_INSENSITIVE)
+
+  private def unquote(s: String): String = s.replace("`", "")
+
+  /** Some(command) when the statement is one of ours; None delegates.
+    * A statement that LEADS with our keyword but doesn't match the
+    * grammar throws here with the grammar in the message — handing it
+    * to Spark would produce a misleading "syntax error at OPTIMIZE". */
+  private[connector] def parse(sqlText: String): Option[LogicalPlan] = {
+    val lead = sqlText.stripLeading()
+    val head = lead.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
+    head match {
+      case "OPTIMIZE" =>
+        val m = OptimizeRe.matcher(sqlText)
+        require(m.matches(),
+          "graft OPTIMIZE: expected OPTIMIZE <table|'path'> [WHERE <pred>] " +
+            s"[TARGET <n> MB] [ZORDER BY (x, y) | CLUSTER BY c], got: $sqlText")
+        val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        val zorder = Option(m.group(5)).toSeq.map(unquote) ++
+          Option(m.group(6)).toSeq.map(unquote)
+        Some(GraftOptimizeCommand(target,
+          where = Option(m.group(3)).map(_.trim),
+          targetMb = Option(m.group(4)).map(_.toLong),
+          zorder = zorder,
+          clusterBy = Option(m.group(7)).map(unquote)))
+      case "VACUUM" =>
+        val m = VacuumRe.matcher(sqlText)
+        require(m.matches(),
+          "graft VACUUM: expected VACUUM <table|'path'> [RETAIN <n> HOURS], " +
+            s"got: $sqlText")
+        val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        Some(GraftVacuumCommand(target,
+          retainHours = Option(m.group(3)).map(_.toLong)))
+      case "RESTORE" =>
+        val m = RestoreRe.matcher(sqlText)
+        require(m.matches(),
+          "graft RESTORE: expected RESTORE [TABLE] <table|'path'> [TO] " +
+            "VERSION AS OF <n>|'tag' | TIMESTAMP AS OF '<ts>', got: " + sqlText)
+        val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        Some(GraftRestoreCommand(target,
+          version = Option(m.group(3)).map(_.toLong),
+          tag = Option(m.group(4)),
+          timestamp = Option(m.group(5))))
+      case _ => None
+    }
+  }
+
+  /** (table dir, catalog identity to refresh) for a maintenance target:
+    * a quoted path must BE a graft table (hold a snapshot log), an
+    * identifier must name a graft-provider catalog table. */
+  private[connector] def resolveTarget(spark: SparkSession, target: String)
+      : (String, Option[TableIdentifier]) =
+    if (target.contains("/")) {
+      require(SnapshotLog.currentSnapshotId(spark, target).isDefined,
+        s"not a graft table (no snapshot log): $target")
+      (target, None)
+    } else {
+      val parts = target.split('.').toSeq
+      graftCatalogDir(spark, parts).map { case (ident, dir) => (dir, Some(ident)) }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$target is not a graft catalog table (OPTIMIZE/VACUUM apply " +
+            "only to tables created USING graft, or to a quoted table path)"))
+    }
+
+  /** (identifier, table dir) when the name resolves to a graft catalog
+    * table — temp views and every other provider return None. Shared by
+    * the time-travel rule and the maintenance commands. */
+  private[connector] def graftCatalogDir(session: SparkSession,
+      parts: Seq[String]): Option[(TableIdentifier, String)] = {
+    val catalog = session.sessionState.catalog
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    if (catalog.isTempView(parts)) return None
+    scala.util.Try(catalog.getTableMetadata(ident)).toOption.flatMap { meta =>
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+      else meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(_.getPath))
+        .map(ident -> _)
+    }
+  }
+}
+
+/** `OPTIMIZE` — [[graft.cdc.Compaction.compactDir]] under the SQL face:
+  * bin-pack by default (O(debt)); `CLUSTER BY`/`ZORDER BY` force the
+  * layout-restoring full rewrite; pending merge-on-read masks always
+  * route through the materializing rewrite (read amplification returns
+  * to zero, and SQL DML — which refuses masked tables — works again).
+  * `WHERE <pred>` scopes the bin-pack candidate set through the same
+  * manifest zone/bloom/partition pruning the reader uses — "compact the
+  * hot partition" never lists the cold petabytes as candidates; scoped
+  * CLUSTER/Z-order or masked rewrites refuse (one logical layout/mask
+  * fold must not fracture across commits). */
+final case class GraftOptimizeCommand(target: String, where: Option[String],
+    targetMb: Option[Long], zorder: Seq[String], clusterBy: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("files_before", IntegerType, nullable = false)(),
+    AttributeReference("files_after", IntegerType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)())
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      split(l) ++ split(r)
+    case x => Seq(x)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    targetMb.foreach(mb => require(mb >= 1,
+      s"graft OPTIMIZE: TARGET must be at least 1 MB, got $mb"))
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    val scope = where.map { predText =>
+      val schema = GraftDataSource.visibleState(spark, dir, None)._4
+      val conjuncts = split(spark.sessionState.sqlParser.parseExpression(predText))
+      val unknown = conjuncts.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      }).distinct.filterNot(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(unknown.isEmpty,
+        s"graft OPTIMIZE WHERE references unknown column(s) " +
+          s"${unknown.mkString(", ")} of $target (has: " +
+          s"${schema.fieldNames.mkString(", ")})")
+      val cs = Constraints.from(conjuncts, schema)
+      (f: graft.table.SnapshotLog.DataFile) => cs.keeps(f)
+    }
+    val r = graft.cdc.Compaction.compactDir(spark, dir,
+      targetBytes = targetMb.map(_ * 1024 * 1024).getOrElse(128L * 1024 * 1024),
+      clusterBy = clusterBy, clusterZOrder = zorder, label = target,
+      scope = scope)
+    ident.foreach(spark.sessionState.catalog.refreshTable)
+    Seq(Row(r.table, r.filesBefore, r.filesAfter, r.rows, r.bytes))
+  }
+}
+
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n | 'tag' | TIMESTAMP AS OF ts`
+  * — [[SnapshotLog.rollback]] under the SQL face (the Delta RESTORE
+  * statement): ONE metadata commit re-pointing the live set at the
+  * target snapshot's file list; no data moves, history stays intact
+  * (the rolled-back snapshots remain time-travelable until expiry). */
+final case class GraftRestoreCommand(target: String, version: Option[Long],
+    tag: Option[String], timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_snapshot", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    val toSnapshot = version.getOrElse {
+      tag.map(SnapshotLog.snapshotForTag(spark, dir, _)).getOrElse {
+        val norm = timestamp.get.replace('T', ' ')
+        val ms =
+          try java.sql.Timestamp.valueOf(norm).getTime
+          catch { case _: IllegalArgumentException =>
+            java.sql.Date.valueOf(norm.trim).getTime }
+        SnapshotLog.snapshotAsOfTimestamp(spark, dir, ms)
+      }
+    }
+    val newId = SnapshotLog.rollback(spark, dir, toSnapshot)
+    ident.foreach(spark.sessionState.catalog.refreshTable)
+    Seq(Row(toSnapshot, newId))
+  }
+}
+
+/** `VACUUM` — [[SnapshotLog.expireSnapshots]] under the SQL face. With
+  * no RETAIN clause, history beyond the last 2 snapshots expires; with
+  * `RETAIN n HOURS`, only snapshots BOTH beyond the current one AND
+  * older than the cutoff expire (the Iceberg `expire_snapshots`
+  * composition). Tagged snapshots are always exempt, and the orphan
+  * sweep keeps its concurrency grace gate. */
+final case class GraftVacuumCommand(target: String, retainHours: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("snapshots_expired", IntegerType, nullable = false)(),
+    AttributeReference("data_files_deleted", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    val (manifests, dataFiles) = SnapshotLog.expireSnapshots(spark, dir,
+      retainLast = if (retainHours.isDefined) 1 else 2,
+      olderThanMs = retainHours.map(h =>
+        System.currentTimeMillis() - h * 3600L * 1000L))
+    ident.foreach(spark.sessionState.catalog.refreshTable)
+    Seq(Row(manifests, dataFiles))
+  }
+}

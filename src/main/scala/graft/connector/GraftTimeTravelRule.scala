@@ -61,21 +61,6 @@ final class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan]
 
   /** (identifier, table dir) when the name resolves to a graft catalog
     * table — temp views and every other provider pass through. */
-  private def graftDir(parts: Seq[String]): Option[(TableIdentifier, String)] = {
-    val catalog = session.sessionState.catalog
-    val ident = parts match {
-      case Seq(t) => TableIdentifier(t)
-      case Seq(db, t) => TableIdentifier(t, Some(db))
-      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
-        TableIdentifier(t, Some(db))
-      case _ => return None
-    }
-    if (catalog.isTempView(parts)) return None
-    scala.util.Try(catalog.getTableMetadata(ident)).toOption.flatMap { meta =>
-      if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
-      else meta.storage.properties.get("path")
-        .orElse(meta.storage.locationUri.map(_.getPath))
-        .map(ident -> _)
-    }
-  }
+  private def graftDir(parts: Seq[String]): Option[(TableIdentifier, String)] =
+    GraftMaintenance.graftCatalogDir(session, parts)
 }

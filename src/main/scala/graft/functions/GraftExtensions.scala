@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would first see the node, so an extendedResolutionRule (appended
     // after it) never runs — the hints batch precedes resolution
     ext.injectHintResolutionRule(s => new graft.connector.GraftTimeTravelRule(s))
+    // SQL maintenance statements (OPTIMIZE / VACUUM) — a delegating
+    // parser claims the two statements vanilla Spark has no grammar for
+    // and lowers them onto compactDir/expireSnapshots (the Delta
+    // DeltaSqlParser school; see GraftSqlParser's docstring)
+    ext.injectParser((s, p) => new graft.connector.GraftSqlParser(s, p))
     // table-valued introspection over the snapshot log (the DESCRIBE
     // HISTORY / metadata-tables surface, phrased as composable TVFs)
     ext.injectTableFunction(tvf("graft_history",
