@@ -120,6 +120,47 @@ object Bench {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
+  /** CDC TAIL probe — the read-side twin of [[upsertApplyProbe]]: the
+    * same lineitem-keyed table is seeded and merged-on-read (both
+    * untimed), then a `readChangeFeed=true` stream started AFTER the
+    * seed drains the row-level events of the delta commit. Measures the
+    * rate a downstream incremental materialization consumes CDC at —
+    * O(delta) manifest-ranged reads, never a table rescan. */
+  private def cdfTailProbe(spark: SparkSession, sfDir: String): (Double, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.table.SnapshotLog
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdf-bench").toString
+    val (chk, out, tbl) = (s"$tmp/chk", s"$tmp/out", s"$tmp/t")
+    val state = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select((col("l_orderkey").cast("long") * 100 + col("l_linenumber")).as("id"),
+        col("l_extendedprice").as("v"))
+    SnapshotLog.commit(spark, tbl, "append",
+      SnapshotLog.writeData(state.repartitionByRange(8, col("id")), tbl,
+        statsCol = Some("id")))
+    // same update-dominated mix as the apply probe (coprime moduli)
+    val delta = state.filter(pmod(col("id"), lit(7)) < 2)
+      .select(col("id"), (col("v") * 2).as("v"), lit(false).as("is_del"))
+      .unionByName(state.filter(pmod(col("id"), lit(19)) === 3)
+        .select((col("id") + lit(1000000000L)).as("id"), col("v"),
+          lit(false).as("is_del")))
+    graft.table.Merge.mergeOnRead(spark, tbl, delta, "id",
+      deleteCol = Some("is_del"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(tbl)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (dt, spark.read.parquet(out).count())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -198,12 +239,17 @@ object Bench {
     // one single-sample run, outside the min-of-passes query loop
     val (applySec, applyRows) =
       guarded("stream_upsert_apply", (-1.0, 0L))(upsertApplyProbe(spark, sfDir))
+    // the CDC TAIL probe: a readChangeFeed stream drains the row-level
+    // events of a merge-on-read delta against a pre-seeded table
+    val (cdfSec, cdfRows) =
+      guarded("stream_cdf_tail", (-1.0, 0L))(cdfTailProbe(spark, sfDir))
     // a probe excluded by SPARK_GRAFT_ONLY is omitted, not reported failed
     val all = results ++
       Seq("stream_replay" -> streamSec, "stream_bulk" -> bulkSec,
           "stream_bulk_rocksdb" -> rocksSec,
           "stream_session_rocksdb" -> sessSec,
-          "stream_upsert_apply" -> applySec)
+          "stream_upsert_apply" -> applySec,
+          "stream_cdf_tail" -> cdfSec)
         .filter { case (k, _) => only.forall(_.contains(k)) }
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale (de_DE) would make every emitted JSON unparseable.
@@ -215,6 +261,7 @@ object Bench {
     val rocksRate = if (rocksSec > 0) math.round(rocksRows / rocksSec) else 0L
     val sessRate = if (sessSec > 0) math.round(sessRows / sessSec) else 0L
     val applyRate = if (applySec > 0) math.round(applyRows / applySec) else 0L
+    val cdfRate = if (cdfSec > 0) math.round(cdfRows / cdfSec) else 0L
     val nFailed = all.count(_._2 < 0)
     def qmap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
@@ -222,7 +269,7 @@ object Bench {
     // driver's tail capture holds only ~2 KB, so the final line (below)
     // must stay small — r3's ~2.6 KB single line came back truncated at
     // the FRONT and unparseable.
-    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"stream_upsert_apply_rows_per_sec":$applyRate}"""
+    val detail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(all)},"sf":"$sfDir","stream_rows":$streamRows,"stream_batches":$streamBatches,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"stream_upsert_apply_rows_per_sec":$applyRate,"stream_cdf_tail_rows_per_sec":$cdfRate}"""
     println(s"BENCH_DETAIL $detail")
     try {
       val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
@@ -235,7 +282,7 @@ object Bench {
     def finalLine(topN: Int): String = {
       val slowest = all.sortBy(-_._2).take(topN)
       val shown = (slowest ++ all.filter(_._2 < 0)).distinct.sortBy(_._1)
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"stream_upsert_apply_rows_per_sec":$applyRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${all.size},"n_failed":$nFailed,"stream_rows_per_sec":$streamRate,"stream_bulk_rows_per_sec":$bulkRate,"stream_bulk_rocksdb_rows_per_sec":$rocksRate,"stream_session_rocksdb_rows_per_sec":$sessRate,"stream_upsert_apply_rows_per_sec":$applyRate,"stream_cdf_tail_rows_per_sec":$cdfRate,"queries_shown":${shown.size},"queries":${qmap(shown)}}"""
     }
     val line = (25 to 0 by -5).iterator.map(finalLine)
       .find(_.length <= 1400).getOrElse(finalLine(0))

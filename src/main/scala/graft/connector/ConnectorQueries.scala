@@ -148,7 +148,82 @@ object ConnectorQueries {
       dir
     }
 
+  /** A warehouse maintained through the SQL statements: three appends
+    * plus a merge-on-read upsert (pending mask), then `OPTIMIZE` with a
+    * key clustering — the full materializing rewrite under the oracle —
+    * then `VACUUM` retiring the pre-OPTIMIZE history. Neither statement
+    * may change a single logical row. */
+  private def optimizeWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "optimize") { base =>
+      val dir = s"$base/orders_opt"
+      val ord = orders(s, d)
+      for (slice <- 0 until 3)
+        ord.filter(pmod(col("o_orderkey"), lit(3)) === slice).coalesce(1)
+          .write.format("graft").mode(if (slice == 0) "error" else "append")
+          .option("statsCols", "o_orderkey").save(dir)
+      // a pending equality-delete mask: OPTIMIZE must MATERIALIZE it
+      // (doubled prices on F-status rows), not detach it
+      graft.table.Merge.mergeOnRead(s, dir,
+        ord.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      s.sql(s"OPTIMIZE '$dir' CLUSTER BY o_orderkey")
+      s.sql(s"VACUUM '$dir'")
+      dir
+    }
+
+  /** A table mutated through merge-on-read after its seed, then its
+    * row-level change feed STREAMED (`readChangeFeed=true`) into a
+    * parquet sink: snapshot 1 = even orderkeys (inserts), snapshot 2 =
+    * odd orderkeys upserted with doubled prices, snapshot 3 = multiples
+    * of 10 deleted (key-only events). The streamed events must equal the
+    * declaratively-derived feed over the raw input. */
+  private def cdfWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "cdf") { base =>
+      val dir = s"$base/orders_cdf"
+      val sink = s"$base/events"
+      val ord = orders(s, d)
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      graft.table.Merge.mergeOnRead(s, dir,
+        ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        "o_orderkey")
+      graft.table.Merge.mergeOnRead(s, dir,
+        ord.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("_del", lit(true)),
+        "o_orderkey", deleteCol = Some("_del"))
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", s"$base/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      sink
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the streaming change-data-feed face end-to-end: per-event-kind
+    // counts and key checksums of the STREAMED feed must equal the
+    // declaratively-derived change events of the raw input
+    "conn_cdf_stream" -> ((s, d) => {
+      s.read.parquet(cdfWarehouse(s, d))
+        .groupBy(col("_change_op"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+        .orderBy(col("_change_op"))
+    }),
+    // the SQL maintenance faces end-to-end: OPTIMIZE (mask-materializing
+    // clustered rewrite) then VACUUM must preserve every logical row of
+    // the declaratively-mutated input
+    "conn_optimize_sql" -> ((s, d) => {
+      s.read.format("graft").load(optimizeWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // the SQL UPDATE + DELETE faces end-to-end: the mutated table must
     // aggregate exactly like the declaratively-mutated raw input
     "conn_dml_sql" -> ((s, d) => {
@@ -245,6 +320,26 @@ object ConnectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "conn_cdf_stream" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey, o_totalprice, 'insert' AS _change_op
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, 'upsert'
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 0.0, 'delete'
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT _change_op, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM ev GROUP BY _change_op ORDER BY _change_op""".stripMargin,
+    "conn_optimize_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'F'
+        |                 THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_dml_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(CASE WHEN o_orderstatus = 'F'

@@ -143,6 +143,22 @@ final class GraftDataSource extends RelationProvider
         }
       case SaveMode.Append =>
         SnapshotLog.commitRetrying(spark, dir, write())
+      case SaveMode.Overwrite if !exists =>
+        // Overwrite of a table that does not exist REPLACED NOTHING: commit
+        // it as the append it semantically is (CTAS routes here), keeping
+        // pure-SQL tables change-feed-derivable and stream-consumable from
+        // snapshot 1 — an op-upsert first commit would make both refuse.
+        // CAS at id 1; a racing creator landing first flips us to a real
+        // overwrite of the racer's data (what Overwrite means). The files
+        // are written ONCE and re-referenced by the fallback commit.
+        val files = write()
+        try SnapshotLog.commitAt(spark, dir, 1L, "append", files,
+          Seq.empty, Map("mode" -> "create"))
+        catch {
+          case _: SnapshotLog.ConcurrentCommitException =>
+            GraftDataSource.replaceAll(spark, dir, files,
+              Map("mode" -> "overwrite"))
+        }
       case SaveMode.Overwrite =>
         // one atomic whole-live-set replacement; see replaceAll
         GraftDataSource.replaceAll(spark, dir, write(),
@@ -153,23 +169,31 @@ final class GraftDataSource extends RelationProvider
 
   // ----------------------------------------------------------- streaming
 
+  /** The stream's fixed schema: the table's visible schema, plus the two
+    * change-event columns when `readChangeFeed=true`. */
+  private def streamSchema(sqlContext: SQLContext,
+                           schema: Option[StructType],
+                           parameters: Map[String, String]): StructType = {
+    val dir = tableDirOf(parameters)
+    val base = schema.getOrElse(
+      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._4)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean) &&
+        !base.fieldNames.contains("_change_op"))
+      base.add("_change_op", org.apache.spark.sql.types.StringType)
+        .add("_change_snapshot", org.apache.spark.sql.types.LongType)
+    else base
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): (String, StructType) = {
-    val dir = tableDirOf(parameters)
-    val s = schema.getOrElse(
-      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._4)
-    (shortName(), s)
-  }
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamSchema(sqlContext, schema, parameters))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val dir = tableDirOf(parameters)
-    val s = schema.getOrElse(
-      GraftDataSource.visibleState(sqlContext.sparkSession, dir, None)._4)
-    new GraftStreamSource(sqlContext, dir, s, parameters, metadataPath)
-  }
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext, tableDirOf(parameters),
+      streamSchema(sqlContext, schema, parameters), parameters, metadataPath)
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

@@ -45,8 +45,12 @@ import graft.table.SnapshotLog.DataFile
   * read — carried rows keep their stamps, updated/inserted rows stamp
   * the new snapshot id — so [[SnapshotLog.changes]] stays derivable
   * across SQL DML exactly as across `applyChanges(lineage = true)`.
-  * Without lineage the commits are honest opaque upserts (the change
-  * feed refuses the range rather than guessing).
+  * A table with no lineage history can DECLARE one — `CREATE TABLE …
+  * OPTIONS (lineageKey 'id')` — and its first DML bootstraps the
+  * stamps (carried rows inherit their file seq), so a pure-SQL table
+  * is feed-derivable from snapshot 1. Without either, the commits are
+  * honest opaque upserts (the change feed refuses the range rather
+  * than guessing).
   *
   * Deliberate refusals (loud, with the road forward in the message):
   * subqueries and non-deterministic predicates (each predicate is
@@ -114,24 +118,30 @@ object GraftDml {
   /** A resolved graft DML target: table dir, the relation's output
     * attributes (the coordinate system every resolved condition/
     * assignment references), whether the relation was time-travel
-    * pinned, and the catalog identity to refresh after the commit. */
+    * pinned, the catalog identity to refresh after the commit, and the
+    * table's DECLARED lineage key (the `lineageKey` CREATE TABLE option)
+    * when one was given. */
   final case class DmlTarget(dir: String, output: Seq[Attribute],
                              timeTravel: Boolean,
-                             catalogIdent: Option[TableIdentifier])
+                             catalogIdent: Option[TableIdentifier],
+                             declaredKey: Option[String] = None)
 
   private[connector] def dmlTarget(plan: LogicalPlan): Option[DmlTarget] =
     plan match {
       case SubqueryAlias(_, child) => dmlTarget(child)
       case lr: LogicalRelation =>
         val ident = lr.catalogTable.map(_.identifier)
+        val declared = lr.catalogTable.flatMap(_.storage.properties
+          .collectFirst { case (k, v) if k.equalsIgnoreCase("lineageKey") => v })
         lr.relation match {
           case h: HadoopFsRelation => h.location match {
             case g: GraftFileIndex =>
-              Some(DmlTarget(g.tableDir, lr.output, g.pinnedAsOf.isDefined, ident))
+              Some(DmlTarget(g.tableDir, lr.output, g.pinnedAsOf.isDefined,
+                ident, declared))
             case _ => None
           }
           case c: GraftComputedRelation =>
-            Some(DmlTarget(c.tableDir, lr.output, !c.insertable, ident))
+            Some(DmlTarget(c.tableDir, lr.output, !c.insertable, ident, declared))
           case _ => None
         }
       case _ => None
@@ -196,6 +206,21 @@ object GraftDml {
       .find(_.summary.get("lineage").contains("true"))
       .flatMap(_.summary.get("key"))
 
+  /** History-carried lineage key, or the table's DECLARED one (`CREATE
+    * TABLE … OPTIONS (lineageKey 'id')`) — the declaration lets a
+    * pure-SQL table BOOTSTRAP row lineage on its first DML (carried rows
+    * stamp from their file seq via the lineage-preserving read), so its
+    * change feed is derivable from snapshot 1 without ever touching the
+    * Scala API. A declared key that names no column throws — a typo must
+    * not silently disable lineage. */
+  private def effectiveLineage(spark: SparkSession, t: DmlTarget): Option[String] =
+    lineageKey(spark, t.dir).orElse(t.declaredKey.map { k =>
+      t.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft table ${t.dir}: declared lineageKey '$k' is not a column " +
+            s"(has: ${t.output.map(_.name).mkString(", ")})")).name
+    })
+
   private def readFiles(spark: SparkSession, t: DmlTarget,
                         files: Seq[DataFile], lineage: Boolean): DataFrame =
     if (files.isEmpty)
@@ -258,7 +283,7 @@ object GraftDml {
     checkExpr(cond, "DELETE")
     val (baseId, live) = pinned(spark, t, "DELETE").getOrElse(return)
     if (live.isEmpty) return
-    val lin = lineageKey(spark, t.dir)
+    val lin = effectiveLineage(spark, t)
     cond match {
       // unconditional DELETE: metadata-only truncation — remove every
       // live file in one commit, bytes untouched, history intact
@@ -307,7 +332,7 @@ object GraftDml {
     val candidates = candidatesFor(live, cond, schemaOf(t))
     val (touched, nMatched) = touchDetect(spark, t, candidates, cond)
     if (touched.isEmpty) return
-    val lin = lineageKey(spark, t.dir)
+    val lin = effectiveLineage(spark, t)
     val intendedId = baseId + 1
     val tDf = readFiles(spark, t, touched, lin.isDefined)
     // every assignment evaluates against the PRE-update row (standard SQL:
@@ -410,7 +435,7 @@ object GraftDml {
         sDf0.select(column(keyEq.get._2).as("_gk")))
     if (touched.isEmpty && notMatched.isEmpty) return // no matches possible, nothing to insert
 
-    val lin = lineageKey(spark, t.dir)
+    val lin = effectiveLineage(spark, t)
     val tBase = readFiles(spark, t, touched, lin.isDefined)
     val tDf = tBase.withColumn(TMark, lit(true))
       .withColumn(TId, monotonically_increasing_id())

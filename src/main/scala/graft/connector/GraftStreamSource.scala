@@ -51,6 +51,21 @@ final class GraftStreamSource(
   private val skipChangeCommits =
     options.get("skipChangeCommits").exists(_.toBoolean)
 
+  /** `readChangeFeed=true` (the Delta CDF-streaming shape): each batch is
+    * the ROW-LEVEL change feed of its snapshot interval — inserts from
+    * appends, upserts/deletes from merge-on-read and lineage-stamped
+    * copy-on-write commits (SQL DML rides those), `_change_op` /
+    * `_change_snapshot` columns appended — so downstream incremental
+    * materializations consume O(delta) per trigger instead of re-reading
+    * state. Same derivability contract as [[SnapshotLog.changes]]:
+    * lineage-less rewrites fail loudly, maintenance `replace` commits
+    * are invisible. Delete events are key-only (payload columns null). */
+  private val readChangeFeed =
+    options.get("readChangeFeed").exists(_.toBoolean)
+  require(!(readChangeFeed && skipChangeCommits),
+    "readChangeFeed consumes change commits as row-level events; " +
+      "skipChangeCommits would contradict it — set only one")
+
   /** Exclusive lower bound of the first batch, fixed ONCE per checkpoint
     * and pinned under `metadataPath` — `startingVersion=latest` must
     * resolve to the snapshot at FIRST start, not at every restart: a
@@ -121,7 +136,10 @@ final class GraftStreamSource(
         var end = from
         for (c <- upcoming if end == from || budget > 0) {
           end = c.snapshotId
-          if (c.op == "append")
+          // CDF mode also pays for upsert/rowdelta commits (their added
+          // files are the batch's change events); plain mode only appends
+          if (c.op == "append" ||
+              (readChangeFeed && (c.op == "upsert" || c.op == "rowdelta")))
             budget -= c.added.count(_.kind == "data")
         }
         end
@@ -136,6 +154,18 @@ final class GraftStreamSource(
     lastEnd = math.max(lastEnd, to) // restore the limiter cursor on recovery
     val batch =
       if (to <= from) None
+      else if (readChangeFeed)
+        // row-level events of (from, to]; the feed's own retention and
+        // lineage-derivability refusals propagate (loud, named snapshots).
+        // Null-fill to the source's fixed schema: delete events are
+        // key-only, and internal lineage columns are projected away.
+        SnapshotLog.changes(spark, tableDir, from, Some(to)).map { df =>
+          val have = df.columns.toSet
+          df.select(schema.map(f =>
+            (if (have(f.name)) col(f.name)
+             else org.apache.spark.sql.functions.lit(null))
+              .cast(f.dataType).as(f.name)).toSeq: _*)
+        }
       else {
         val ids = SnapshotLog.snapshots(spark, tableDir)
         val missing = ((from + 1) to to).filterNot(ids.contains)

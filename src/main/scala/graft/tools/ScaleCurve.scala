@@ -162,6 +162,24 @@ object ScaleCurve {
           deleteCol = Some("is_del")))
         settle(); t
       }.min
+      // r10: CDF tail curve — a readChangeFeed stream started after the
+      // seed drains the three rowdelta commits' ROW-LEVEL events (the
+      // read-side twin of the apply curve). The feed reads O(delta
+      // events + ranged manifests), never the standing table, so the
+      // drain should hold ~flat while the table grows ×10.
+      val (nCdf, tCdf) = {
+        val out = s"$tfBase/cdf_out"
+        val (_, t) = timed {
+          val q = spark.readStream.format("graft")
+            .option("readChangeFeed", "true").option("startingVersion", "1")
+            .load(applyTbl)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", s"$tfBase/cdf_chk")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        settle(); (spark.read.parquet(out).count(), t)
+      }
       // r9: bloom point-lookup curve — one snapshot of ~constant-size
       // ingest-ordered files (≈2k keys/file, the 4 KB manifest bloom's
       // design point), every file spanning the whole key space via the
@@ -257,7 +275,7 @@ object ScaleCurve {
         s"state_rows=$nState cow_touched=${cowRes.filesTouched}f/${cowRes.rowsWritten}rw/${s(tCow)}s " +
         s"mor_masks=${morRes.deleteEntries}/${morRes.rowsWritten}rw/${s(tMor)}s " +
         s"mor_read=${s(tMorRead)}s " +
-        s"apply=$nApply/${s(tApply)}s " +
+        s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
         s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +
         s"log_resolve=${s(tResolve)}s " +

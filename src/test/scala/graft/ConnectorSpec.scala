@@ -632,4 +632,75 @@ class ConnectorSpec extends AnyFunSuite {
       "a single cat lives in one file; partition values must prune the rest")
     assert(one.count() === 200)
   }
+
+  test("streaming change feed: readChangeFeed emits row-level events across DML") {
+    val dir = tmp("cdf"); val cp = tmp("cdfcp"); val sink = tmp("cdfout")
+    import spark.implicits._
+    (0L until 10L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val batch1 = spark.read.parquet(sink)
+      .select("id", "v", "_change_op", "_change_snapshot").collect()
+    assert(batch1.length === 10 && batch1.forall(r =>
+      r.getString(2) === "insert" && r.getLong(3) === 1L))
+    // a MOR upsert (key 5 rewritten) and a MOR delete (key 3 gone):
+    // the RESUMED stream must emit exactly those row-level events
+    Merge.mergeOnRead(spark, dir, Seq((5L, 555L)).toDF("id", "v"), "id")
+    Merge.mergeOnRead(spark, dir,
+      Seq((3L, 0L, true)).toDF("id", "v", "_del"), "id", deleteCol = Some("_del"))
+    drain()
+    val events = spark.read.parquet(sink).filter(col("_change_snapshot") > 1)
+      .select("id", "v", "_change_op", "_change_snapshot")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        r.getString(2), r.getLong(3))).sortBy(_._4)
+    assert(events.toSeq === Seq(
+      (5L, Some(555L), "upsert", 2L),
+      (3L, None, "delete", 3L)),
+      s"got: ${events.toSeq}")
+    // the streamed feed equals the batch feed over the same interval
+    val batchFeed = SnapshotLog.changes(spark, dir, 1L, Some(3L)).get
+      .select(col("id"), col("_change_op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(events.map(e => (e._1, e._3)).toSet === batchFeed)
+  }
+
+  test("CREATE TABLE AS SELECT lands as a log commit; INSERT works after") {
+    val dir = tmp("ctas")
+    rows(500).createOrReplaceTempView("conn_ctas_src")
+    spark.sql(s"CREATE TABLE conn_ctas USING graft OPTIONS (path '$dir') " +
+      "AS SELECT * FROM conn_ctas_src WHERE id < 400")
+    try {
+      // the CTAS wrote THROUGH the commit protocol (one id-1 commit with
+      // manifested files), never raw root files
+      val cs = SnapshotLog.commits(spark, dir)
+      assert(cs.size === 1 && cs.head.added.nonEmpty, s"CTAS must log-commit: $cs")
+      assert(spark.sql("SELECT count(*), sum(v) FROM conn_ctas").head ===
+        org.apache.spark.sql.Row(400L, (0L until 400).map(_ * 2).sum))
+      spark.sql("INSERT INTO conn_ctas SELECT * FROM conn_ctas_src WHERE id >= 400")
+      assert(spark.sql("SELECT count(*) FROM conn_ctas").head.getLong(0) === 500)
+      assert(SnapshotLog.commits(spark, dir).size === 2)
+    } finally spark.sql("DROP TABLE conn_ctas")
+  }
+
+  test("manifest-accurate sizeInBytes: a small graft table auto-broadcasts unhinted") {
+    val dir = tmp("cbo")
+    rows(50).write.format("graft").save(dir) // a few KB: far under the threshold
+    val dim = spark.read.format("graft").load(dir)
+    val fact = spark.range(100000).select(col("id"), pmod(col("id"), lit(50)).as("k"))
+    val joined = fact.join(dim, fact("k") === dim("id")) // NO broadcast hint
+    joined.collect()
+    // string-match the final plan: AQE query-stage wrappers hide the join
+    // node from collect()
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      "manifest byte stats must let the planner broadcast the small side " +
+        s"without a hint; got:\n$planStr")
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One SQL-ONLY user journey across the whole connector surface — no
+  * Scala table API anywhere: CTAS (with a declared `lineageKey`) →
+  * INSERT → UPDATE/DELETE/MERGE → time travel → introspection TVFs →
+  * OPTIMIZE → streaming change feed → RESTORE → VACUUM. Every
+  * statement's effect is asserted through SQL reads, and the change
+  * feed must replay the journey's row-level history from snapshot 1.
+  * Guards the INTERPLAY of the faces (each is individually spec'd
+  * elsewhere): CTAS commits as an append so the feed derives from the
+  * start, the declared lineageKey bootstraps stamps on the first DML,
+  * lineage survives OPTIMIZE's replace commits, and VACUUM's retention
+  * leaves the current state intact.
+  */
+class SqlLifecycleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local("4", "sql-lifecycle-spec")
+
+  test("a SQL-only user drives create→mutate→inspect→maintain→stream→restore") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sqllife").toString
+    val dir = s"$base/t"
+    spark.range(100).select(col("id"), (col("id") % 10).as("bucket"),
+        (col("id") * 1.5).as("score"))
+      .createOrReplaceTempView("life_src")
+
+    // 1. CTAS (snapshot 1) — an append commit, with row lineage declared
+    spark.sql(s"CREATE TABLE life USING graft " +
+      s"OPTIONS (path '$dir', lineageKey 'id') " +
+      "AS SELECT * FROM life_src WHERE id < 80")
+    try {
+      assert(spark.sql("SELECT count(*) FROM life").head.getLong(0) === 80)
+
+      // 2. INSERT the rest (snapshot 2)
+      spark.sql("INSERT INTO life SELECT * FROM life_src WHERE id >= 80")
+      assert(spark.sql("SELECT count(*) FROM life").head.getLong(0) === 100)
+
+      // 3. row-level DML (snapshots 3, 4, 5) — the declared key
+      //    bootstraps lineage on the first statement
+      spark.sql("UPDATE life SET score = score * 2 WHERE bucket = 3")
+      spark.sql("DELETE FROM life WHERE bucket = 7")
+      spark.sql(
+        """SELECT id, bucket, score FROM life_src WHERE id = 4
+          |UNION ALL SELECT CAST(200 AS BIGINT), CAST(0 AS BIGINT),
+          |  CAST(5.0 AS DOUBLE)""".stripMargin)
+        .createOrReplaceTempView("life_delta")
+      spark.sql(
+        """MERGE INTO life t USING life_delta s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET score = 999.0
+          |WHEN NOT MATCHED THEN INSERT (id, bucket, score)
+          |  VALUES (s.id, s.bucket, s.score)""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM life").head.getLong(0) === 91)
+      assert(spark.sql("SELECT score FROM life WHERE id = 4").head.getDouble(0)
+        === 999.0)
+
+      // 4. time travel + TVF introspection agree about history
+      assert(spark.sql("SELECT count(*) FROM life VERSION AS OF 2")
+        .head.getLong(0) === 100)
+      val hist = spark.sql(
+        s"SELECT op, count(*) AS n FROM graft_history('$dir') GROUP BY op")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hist === Map("append" -> 2, "upsert" -> 3))
+      assert(spark.sql(s"SELECT sum(rows) FROM graft_files('$dir')")
+        .head.getLong(0) === 91)
+
+      // 5. OPTIMIZE (snapshot 6): pack the DML droppings; data identical,
+      //    pre-DML history still time-travels through the replace commit
+      val rep = spark.sql("OPTIMIZE life").head
+      assert(rep.getInt(2) <= rep.getInt(1) && rep.getLong(3) === 91,
+        s"report: $rep")
+      assert(spark.sql("SELECT count(*) FROM life").head.getLong(0) === 91)
+      assert(spark.sql("SELECT count(*) FROM life VERSION AS OF 3")
+        .head.getLong(0) === 100, "pre-DELETE snapshot survives OPTIMIZE")
+
+      // 6. the change feed replays the whole journey from snapshot 1 —
+      //    CTAS inserts included, lineage across the maintenance replace
+      val feed = spark.sql(
+        s"SELECT _change_op, count(*) AS n FROM graft_changes('$dir', 0) " +
+          "GROUP BY _change_op").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(feed === Map("insert" -> 100, "upsert" -> 12, "delete" -> 10),
+        s"feed: $feed") // 10 bucket-3 updates + MERGE's (4, 200); bucket-7 gone
+
+      // 7. a CDF consumer started at snapshot 2 streams exactly the DML
+      //    window, and equals the batch face over the same interval
+      val sink = s"$base/events"; val cp = s"$base/cp"
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.read.parquet(sink)
+        .groupBy(col("_change_op")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = spark.sql(
+        s"SELECT _change_op, count(*) AS n FROM graft_changes('$dir', 2) " +
+          "GROUP BY _change_op").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch && streamed ===
+        Map("upsert" -> 12L, "delete" -> 10L),
+        s"stream $streamed vs batch $batch")
+
+      // 8. RESTORE to the pre-MERGE state (snapshot 7), confirm values
+      spark.sql("RESTORE life TO VERSION AS OF 4")
+      assert(spark.sql("SELECT count(*) FROM life").head.getLong(0) === 90)
+      assert(spark.sql("SELECT score FROM life WHERE id = 4").head.getDouble(0)
+        === 6.0, "id 4 back to its pre-MERGE score")
+
+      // 9. VACUUM with a huge horizon expires nothing; unbounded VACUUM
+      //    trims history while the current (restored) state stays intact
+      assert(spark.sql("VACUUM life RETAIN 1000000 HOURS").head.getInt(0) === 0)
+      assert(spark.sql("VACUUM life").head.getInt(0) > 0)
+      assert(spark.sql("SELECT count(*) FROM life").head.getLong(0) === 90,
+        "current state untouched by retention")
+      intercept[Exception] {
+        spark.sql("SELECT count(*) FROM life VERSION AS OF 1").collect()
+      }
+    } finally spark.sql("DROP TABLE life")
+  }
+}
