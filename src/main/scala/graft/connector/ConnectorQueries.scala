@@ -202,7 +202,38 @@ object ConnectorQueries {
       sink
     }
 
+  /** A table widened by `ALTER TABLE ADD COLUMNS` mid-life: F-status
+    * orders first (pre-ALTER epoch, flag reads null), then the rest
+    * INSERTed WITH the flag set from the status — reads must null-fill
+    * the old epoch and carry the new one verbatim. */
+  private def alterWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "alter") { base =>
+      val dir = s"$base/orders_alter"
+      val ord = orders(s, d)
+      ord.filter(col("o_orderstatus") === "F")
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      s.sql(s"CREATE TABLE conn_alter_wh USING graft OPTIONS (path '$dir')")
+      try {
+        s.sql("ALTER TABLE conn_alter_wh ADD COLUMNS (o_flag STRING)")
+        ord.filter(col("o_orderstatus") =!= "F")
+          .withColumn("o_flag", concat(lit("s:"), col("o_orderstatus")))
+          .createOrReplaceTempView("conn_alter_src")
+        s.sql("INSERT INTO conn_alter_wh SELECT * FROM conn_alter_src")
+      } finally s.sql("DROP TABLE conn_alter_wh")
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the SQL ALTER ADD COLUMNS face end-to-end: the widened table's
+    // per-status counts and non-null flag counts must equal the
+    // declaratively-widened raw input (old epoch null, new epoch set)
+    "conn_alter_sql" -> ((s, d) => {
+      s.read.format("graft").load(alterWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), count(col("o_flag")).as("flagged"),
+          max(col("o_flag")).as("max_flag"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // the streaming change-data-feed face end-to-end: per-event-kind
     // counts and key checksums of the STREAMED feed must equal the
     // declaratively-derived change events of the raw input
@@ -320,6 +351,13 @@ object ConnectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "conn_alter_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  count(CASE WHEN o_orderstatus <> 'F'
+        |             THEN 's:' || o_orderstatus END) AS flagged,
+        |  max(CASE WHEN o_orderstatus <> 'F'
+        |           THEN 's:' || o_orderstatus END) AS max_flag
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_cdf_stream" ->
       """WITH ev AS (
         |  SELECT o_orderkey, o_totalprice, 'insert' AS _change_op

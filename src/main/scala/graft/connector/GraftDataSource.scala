@@ -284,12 +284,20 @@ object GraftDataSource {
         " the schema from")
       (dels, data, Seq.empty, nullable(hide(recovered.get)))
     } else {
-      val visible = SnapshotLog.epochGroups(spark, data)
-        .map { case (sch, _) => nullable(hide(sch)) }
+      val groups = SnapshotLog.epochGroups(spark, data)
+      val all = groups.map { case (sch, _) => nullable(hide(sch)) }
       val merged =
-        if (visible.distinct.size == 1) visible.head
-        else nullable(graft.schema.Evolution.mergedSchema(visible))
-      (dels, data, visible, merged)
+        if (all.distinct.size == 1) all.head
+        else nullable(graft.schema.Evolution.mergedSchema(all))
+      // epoch schemas reported for the FAST-PATH decision consider only
+      // ROW-BEARING files: a zero-row schema-carrier (ALTER TABLE ADD
+      // COLUMNS) widens the visible schema without forcing the computed
+      // path — the parquet scan null-fills requested-but-absent columns
+      // natively, as long as the bearing epoch's column TYPES survive
+      // the merge unchanged (relationFor checks exactly that)
+      val bearing = groups.filter(_._2.exists(_.rows > 0))
+        .map { case (sch, _) => nullable(hide(sch)) }
+      (dels, data, bearing, merged)
     }
   }
 
@@ -309,7 +317,13 @@ object GraftDataSource {
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], visible),
         dir, insertable = asOf.isEmpty)
-    else if (dels.isEmpty && epochSchemas.distinct.size == 1)
+    else if (dels.isEmpty && epochSchemas.distinct.size <= 1 &&
+        // a visible schema WIDER than the bearing epoch (schema carriers
+        // from ALTER ADD COLUMNS) stays on the fast path only when the
+        // bearing columns' types survived the merge unchanged: parquet
+        // null-fills absent columns but cannot widen types in-scan
+        epochSchemas.headOption.forall(_.fields.forall(f =>
+          visible.fields.exists(v => v.name == f.name && v.dataType == f.dataType))))
       HadoopFsRelation(
         location = new GraftFileIndex(spark, dir, data, visible, asOf),
         partitionSchema = new StructType(),

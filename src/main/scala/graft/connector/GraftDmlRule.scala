@@ -221,6 +221,17 @@ object GraftDml {
             s"(has: ${t.output.map(_.name).mkString(", ")})")).name
     })
 
+  /** Null-fill any relation column the scanned files don't carry yet —
+    * files older than an `ALTER TABLE ADD COLUMNS` lack the declared
+    * column, while every resolved condition/assignment references it
+    * through the relation's (widened) output. Appends only; existing
+    * column order is untouched. */
+  private def aligned(df: DataFrame, t: DmlTarget): DataFrame = {
+    val have = df.columns.toSet
+    schemaOf(t).fields.filterNot(f => have(f.name)).foldLeft(df)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   private def readFiles(spark: SparkSession, t: DmlTarget,
                         files: Seq[DataFile], lineage: Boolean): DataFrame =
     if (files.isEmpty)
@@ -230,8 +241,8 @@ object GraftDml {
       // summary, and the change feed would throw at read time
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (lineage) schemaOf(t).add(Merge.LineageCol, LongType) else schemaOf(t))
-    else if (lineage) Merge.readTouchedLineage(spark, files, Map.empty)
-    else SnapshotLog.readEpochSafe(spark, files)
+    else if (lineage) aligned(Merge.readTouchedLineage(spark, files, Map.empty), t)
+    else aligned(SnapshotLog.readEpochSafe(spark, files), t)
 
   private def split(e: Expression): Seq[Expression] = e match {
     case And(l, r) => split(l) ++ split(r)
@@ -255,7 +266,7 @@ object GraftDml {
                           candidates: Seq[DataFile], cond: Expression)
       : (Seq[DataFile], Long) = {
     if (candidates.isEmpty) return (Nil, 0L)
-    val base = SnapshotLog.readEpochSafe(spark, candidates)
+    val base = aligned(SnapshotLog.readEpochSafe(spark, candidates), t)
     val perFile = base.filter(rebind(cond, t.output, base))
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()

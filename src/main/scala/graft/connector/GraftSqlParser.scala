@@ -31,6 +31,7 @@ import graft.table.SnapshotLog
   *   RESTORE tbl TO VERSION AS OF 3        -- metadata-only rollback
   *   RESTORE tbl TO VERSION AS OF 'tag'    -- …to a tagged snapshot
   *   RESTORE tbl TO TIMESTAMP AS OF '2026-01-01 12:00:00'
+  *   ALTER TABLE tbl ADD COLUMNS (c INT)   -- schema-carrier commit
   * }}}
   *
   * The target is a graft catalog table (`CREATE TABLE … USING graft`) or
@@ -51,7 +52,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftMaintenance.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftMaintenance.parse(sqlText, session, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -90,6 +92,12 @@ object GraftMaintenance {
       """(?:VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')|""" +
       """TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
+  // ALTER is vanilla grammar with many forms — claim ONLY `ADD COLUMNS`
+  // on a table that resolves to a graft catalog table at parse time;
+  // every other ALTER (and non-graft targets) delegates to Spark
+  private val AlterAddRe = Pattern.compile(
+    s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+COLUMNS?\\s*\\((.*)\\)\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
 
   private def unquote(s: String): String = s.replace("`", "")
 
@@ -97,10 +105,20 @@ object GraftMaintenance {
     * A statement that LEADS with our keyword but doesn't match the
     * grammar throws here with the grammar in the message — handing it
     * to Spark would produce a misleading "syntax error at OPTIMIZE". */
-  private[connector] def parse(sqlText: String): Option[LogicalPlan] = {
+  private[connector] def parse(sqlText: String, session: SparkSession,
+                               delegate: ParserInterface): Option[LogicalPlan] = {
     val lead = sqlText.stripLeading()
     val head = lead.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     head match {
+      case "ALTER" =>
+        val m = AlterAddRe.matcher(sqlText)
+        if (!m.matches()) return None // every other ALTER form is Spark's
+        val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        val isGraft = target.contains("/") ||
+          graftCatalogDir(session, target.split('.').toSeq).isDefined
+        if (!isGraft) return None // non-graft ADD COLUMNS keeps Spark's path
+        Some(GraftAddColumnsCommand(target,
+          delegate.parseTableSchema(m.group(3))))
       case "OPTIMIZE" =>
         val m = OptimizeRe.matcher(sqlText)
         require(m.matches(),
@@ -225,6 +243,59 @@ final case class GraftOptimizeCommand(target: String, where: Option[String],
       scope = scope)
     ident.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(r.table, r.filesBefore, r.filesAfter, r.rows, r.bytes))
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c TYPE, …)` — schema evolution through
+  * SQL, committed as a zero-row SCHEMA-CARRIER parquet file under a
+  * metadata-only `schema` commit: the widened schema lives in a real
+  * file footer (durable through retention, compaction and rewrites —
+  * any full rewrite materializes it via the Evolution merge), old files
+  * are never touched (reads null-fill the declared column, parquet's
+  * own schema-evolution semantics), and the fast scan path survives
+  * because the carrier adds columns without changing any bearing
+  * epoch's types. Time travel BEFORE the commit shows the old schema.
+  * Duplicate column names refuse; only widening-by-addition is offered
+  * (type changes go through a drift-bearing write, the Evolution
+  * lattice's job). */
+final case class GraftAddColumnsCommand(target: String, cols: StructType)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(cols.nonEmpty, "graft ALTER TABLE ADD COLUMNS: empty column list")
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val visible = GraftDataSource.visibleState(spark, dir, None)._4
+    val dup = cols.fieldNames.filter(n =>
+      visible.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(dup.isEmpty, s"graft table $dir: column(s) " +
+      s"${dup.mkString(", ")} already exist")
+    val widened = cols.fields.foldLeft(visible)((s, f) =>
+      s.add(f.name, f.dataType, nullable = true))
+    // the carrier: one empty parquet file whose FOOTER declares the
+    // widened schema — written directly (writeData's per-file stats
+    // aggregate records only row-bearing files)
+    val uuid = java.util.UUID.randomUUID().toString
+    val dst = s"$dir/data/$uuid"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], widened)
+      .repartition(1).write.parquet(dst)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst + "/"), spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dst)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .maxBy(_.getLen)
+    val carrier = SnapshotLog.DataFile(part.getPath.toUri.getPath, 0L,
+      part.getLen, None, None, kind = "data")
+    SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq(carrier),
+      Seq.empty, Map("add_columns" -> cols.fieldNames.mkString(",")))
+    ident.foreach { id =>
+      // keep DESCRIBE in sync with the log-derived truth
+      try spark.sessionState.catalog.alterTableDataSchema(id, widened)
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sessionState.catalog.refreshTable(id)
+    }
+    Seq.empty
   }
 }
 

@@ -188,9 +188,17 @@ final class GraftStreamSource(
         val files = commits.filter(_.op == "append")
           .flatMap(_.added).filter(_.kind == "data")
         if (files.isEmpty) None
-        else Some(
-          SnapshotLog.readEpochSafe(spark, files)
-            .select(schema.map(f => col(f.name).cast(f.dataType)).toSeq: _*))
+        else Some {
+          // null-fill to the stream's FIXED schema: a batch of files
+          // older than an ALTER TABLE ADD COLUMNS lacks the declared
+          // column (exactly parquet's own null-fill semantics)
+          val df = SnapshotLog.readEpochSafe(spark, files)
+          val have = df.columns.toSet
+          df.select(schema.map(f =>
+            (if (have(f.name)) col(f.name)
+             else org.apache.spark.sql.functions.lit(null))
+              .cast(f.dataType).as(f.name)).toSeq: _*)
+        }
       }
     org.apache.spark.sql.graftshim.GraftSqlShim
       .streamingDataFrame(sqlContext, batch, schema)

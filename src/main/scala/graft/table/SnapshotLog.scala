@@ -316,8 +316,13 @@ object SnapshotLog {
   private[graft] def commitAt(spark: SparkSession, tableDir: String, id: Long,
              op: String, added: Seq[DataFile], removed: Seq[String],
              summary: Map[String, String]): Long = {
+    // "schema" = a METADATA-ONLY declaration commit (ALTER TABLE ADD
+    // COLUMNS): no files added or removed, no rows changed — invisible to
+    // diff/changes/streams by construction (it matches none of their op
+    // filters and carries no files); the connector's schema derivation
+    // overlays its declared columns.
     require(op == "append" || op == "replace" || op == "upsert" ||
-      op == "rowdelta" || op == "rollback",
+      op == "rowdelta" || op == "rollback" || op == "schema",
       s"unknown commit op: $op")
     val fs = fsOf(spark, tableDir)
     fs.mkdirs(logDir(tableDir))

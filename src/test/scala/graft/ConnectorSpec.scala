@@ -671,6 +671,28 @@ class ConnectorSpec extends AnyFunSuite {
     assert(events.map(e => (e._1, e._3)).toSet === batchFeed)
   }
 
+  test("streaming across ALTER ADD COLUMNS: fixed widened schema, old batches null-fill") {
+    val dir = tmp("altstream"); val cp = tmp("altcp"); val sink = tmp("altout")
+    rows(100).write.format("graft").save(dir)
+    spark.sql(s"CREATE TABLE conn_alt_stream USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE conn_alt_stream ADD COLUMNS (extra BIGINT)")
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft").load(dir)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", cp).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain() // batch 1 = the pre-ALTER append, null-filled to the widened schema
+      val b1 = spark.read.parquet(sink)
+      assert(b1.columns.contains("extra") && b1.count() === 100 &&
+        b1.filter(col("extra").isNotNull).count() === 0)
+      spark.sql("INSERT INTO conn_alt_stream VALUES (500, 'cat9', 1000, 77)")
+      drain() // batch 2 carries the materialized column
+      assert(spark.read.parquet(sink).filter(col("extra") === 77).count() === 1)
+    } finally spark.sql("DROP TABLE conn_alt_stream")
+  }
+
   test("CREATE TABLE AS SELECT lands as a log commit; INSERT works after") {
     val dir = tmp("ctas")
     rows(500).createOrReplaceTempView("conn_ctas_src")

@@ -205,6 +205,49 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE maint_rst")
   }
 
+  test("ALTER TABLE ADD COLUMNS: schema-carrier commit, null-filled reads, DML on the new column") {
+    val dir = debtTable("alter", "maint_alter")
+    try {
+      spark.sql("ALTER TABLE maint_alter ADD COLUMNS (tag STRING, score DOUBLE)")
+      // old rows read with the new columns null — still on the FAST path
+      // (one bearing epoch; the carrier only widens)
+      val r = spark.sql(
+        "SELECT count(*) AS n, count(tag) AS t, count(score) AS s FROM maint_alter").head
+      assert(r.getLong(0) === 400 && r.getLong(1) === 0 && r.getLong(2) === 0)
+      // history records the metadata-only schema commit; time travel
+      // BEFORE it shows the old schema
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.op === "schema" && c.summary("add_columns") === "tag,score" &&
+        c.added.forall(_.rows == 0L) && c.removed.isEmpty)
+      assert(!spark.sql("SELECT * FROM maint_alter VERSION AS OF 4")
+        .columns.contains("tag"))
+      // INSERT now requires (and stores) the new columns
+      spark.sql("INSERT INTO maint_alter VALUES (9000, 1, 'x', 0.5)")
+      assert(spark.sql("SELECT tag FROM maint_alter WHERE id = 9000")
+        .head.getString(0) === "x")
+      // DML touching OLD files references the new column without error
+      spark.sql("UPDATE maint_alter SET tag = 'old', score = 1.0 WHERE id = 7")
+      val u = spark.sql("SELECT tag, score FROM maint_alter WHERE id = 7").head
+      assert(u.getString(0) === "old" && u.getDouble(1) === 1.0)
+      spark.sql("DELETE FROM maint_alter WHERE tag = 'old'")
+      assert(spark.sql("SELECT count(*) FROM maint_alter").head.getLong(0) === 400)
+      // refusals: duplicate column; other ALTER forms stay Spark's
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE maint_alter ADD COLUMNS (id INT)")
+      }
+      assert(e1.getMessage.contains("already exist"))
+      intercept[Exception] { // Spark's own error, not ours: form not claimed
+        spark.sql("ALTER TABLE maint_alter RENAME COLUMN id TO id2")
+      }
+      // maintenance composes: OPTIMIZE packs carrier + droppings into a
+      // widened-schema file set; the column survives
+      spark.sql("OPTIMIZE maint_alter")
+      assert(spark.sql("SELECT count(tag) FROM maint_alter").head.getLong(0) === 1,
+        "the inserted row's tag survives the pack") // id 9000, tag 'x'
+      assert(spark.sql("SELECT count(*) FROM maint_alter").head.getLong(0) === 400)
+    } finally spark.sql("DROP TABLE maint_alter")
+  }
+
   test("quoted-path targets; refusals; ordinary SQL passes through") {
     val dir = debtTable("path", "maint_path")
     try {
