@@ -131,8 +131,13 @@ object GraftDml {
       case SubqueryAlias(_, child) => dmlTarget(child)
       case lr: LogicalRelation =>
         val ident = lr.catalogTable.map(_.identifier)
-        val declared = lr.catalogTable.flatMap(_.storage.properties
-          .collectFirst { case (k, v) if k.equalsIgnoreCase("lineageKey") => v })
+        // the declared lineage key reads from CREATE TABLE OPTIONS
+        // (storage.properties) or TBLPROPERTIES (properties) — the
+        // latter lets an EXISTING table enable lineage through vanilla
+        // `ALTER TABLE t SET TBLPROPERTIES ('lineageKey' = 'id')`
+        val declared = lr.catalogTable.flatMap(m =>
+          (m.storage.properties ++ m.properties)
+            .collectFirst { case (k, v) if k.equalsIgnoreCase("lineageKey") => v })
         lr.relation match {
           case h: HadoopFsRelation => h.location match {
             case g: GraftFileIndex =>

@@ -257,7 +257,10 @@ class ConnectorSpec extends AnyFunSuite {
     val dir = tmp("walk")
     val rnd = new scala.util.Random(42)
     var model = Vector.empty[(Long, Long)] // current (id, v) multiset
-    var history = Vector.empty[Vector[(Long, Long)]] // model per snapshot id
+    // snapshot id → the model at that snapshot (whatever commits an op
+    // made — DML may commit nothing, OPTIMIZE may commit several)
+    var recorded = Vector.empty[(Long, Vector[(Long, Long)])]
+    def snap(): Long = SnapshotLog.currentSnapshotId(spark, dir).get
     def fresh(step: Int): Seq[(Long, Long)] =
       (0 until (1 + rnd.nextInt(5))).map(j =>
         (step * 1000L + j, rnd.nextInt(1000).toLong))
@@ -265,19 +268,19 @@ class ConnectorSpec extends AnyFunSuite {
       import spark.implicits._
       rows.toDF("id", "v")
     }
-    // step 0 creates the table; a catalog name makes the SQL face playable
+    // step 0 creates the table; a catalog name makes the SQL faces playable
     val first = fresh(0)
     frame(first).write.format("graft").option("statsCols", "id").save(dir)
     model = first.toVector
-    history :+= model
     spark.sql(s"CREATE TABLE conn_walk USING graft OPTIONS (path '$dir')")
+    recorded :+= (snap(), model)
     val sink = new graft.connector.GraftStreamSink(spark.sqlContext, dir,
       Nil, org.apache.spark.sql.streaming.OutputMode.Append(),
       Map("txnAppId" -> "walk", "statsCols" -> "id"))
     try {
-      for (step <- 1 to 18) {
+      for (step <- 1 to 30) {
         val rows = fresh(step)
-        rnd.nextInt(4) match {
+        rnd.nextInt(8) match {
           case 0 => // writer append
             frame(rows).write.format("graft").mode("append")
               .option("statsCols", "id").save(dir)
@@ -293,18 +296,47 @@ class ConnectorSpec extends AnyFunSuite {
           case 3 => // streaming sink micro-batch (txn append)
             sink.addBatch(step, frame(rows))
             model = model ++ rows
+          case 4 => // SQL DELETE (may match nothing ⇒ commits nothing)
+            val t = rnd.nextInt(1000)
+            spark.sql(s"DELETE FROM conn_walk WHERE v < $t AND id % 2 = 0")
+            model = model.filterNot { case (id, v) => v < t && id % 2 == 0 }
+          case 5 => // SQL UPDATE (simultaneous assignment over pre-update rows)
+            val t = rnd.nextInt(1000)
+            spark.sql(s"UPDATE conn_walk SET v = v + 1000 WHERE v < $t")
+            model = model.map { case (id, v) =>
+              if (v < t) (id, v + 1000L) else (id, v) }
+          case 6 => // SQL MERGE: matched sample updates, fresh rows insert
+            val sample = model.take(2).map { case (id, _) => (id, -step.toLong) }
+            frame(rows ++ sample).createOrReplaceTempView("conn_walk_mrg")
+            spark.sql(
+              """MERGE INTO conn_walk t USING conn_walk_mrg s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+                .stripMargin)
+            val byKey = sample.toMap
+            model = model.map { case (id, v) =>
+              (id, byKey.getOrElse(id, v)) } ++ rows
+          case 7 if recorded.size >= 2 && rnd.nextBoolean() =>
+            // SQL RESTORE to a random older recorded snapshot
+            val (target, m) = recorded(rnd.nextInt(recorded.size - 1))
+            spark.sql(s"RESTORE conn_walk TO VERSION AS OF $target")
+            model = m
+          case 7 => // SQL OPTIMIZE: layout only, rows untouched
+            spark.sql("OPTIMIZE conn_walk TARGET 1 MB")
         }
-        history :+= model
+        val cur = snap()
+        if (recorded.isEmpty || recorded.last._1 != cur)
+          recorded :+= (cur, model)
         val got = spark.read.format("graft").load(dir)
           .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
         assert(got === model.sorted, s"divergence after step $step")
       }
-      // every snapshot still resolves to exactly its model
-      for ((m, i) <- history.zipWithIndex) {
+      // every recorded snapshot still resolves to exactly its model
+      for ((id, m) <- recorded) {
         val got = spark.read.format("graft")
-          .option("versionAsOf", (i + 1).toString).load(dir)
+          .option("versionAsOf", id.toString).load(dir)
           .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-        assert(got === m.sorted, s"time travel to snapshot ${i + 1} diverged")
+        assert(got === m.sorted, s"time travel to snapshot $id diverged")
       }
     } finally spark.sql("DROP TABLE conn_walk")
   }

@@ -294,6 +294,25 @@ class DmlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft_changes('$dir', 2, 2)").count() === 0)
   }
 
+  test("SET TBLPROPERTIES lineageKey enables feed lineage on an existing table") {
+    val dir = rangeTable("latelin", "dml_latelin")
+    try {
+      // no lineage anywhere: this DML commits an honest opaque upsert…
+      spark.sql("UPDATE dml_latelin SET v = 0 WHERE id = 1")
+      val opaqueAt = SnapshotLog.commits(spark, dir).last.snapshotId
+      intercept[Exception] { SnapshotLog.changes(spark, dir, 0L) }
+      // …then vanilla TBLPROPERTIES declares the key, and DML from here
+      // on bootstraps lineage — the feed derives past the declaration
+      spark.sql("ALTER TABLE dml_latelin SET TBLPROPERTIES ('lineageKey' = 'id')")
+      spark.sql("UPDATE dml_latelin SET v = 7 WHERE id = 2")
+      spark.sql("DELETE FROM dml_latelin WHERE id = 3")
+      val feed = SnapshotLog.changes(spark, dir, opaqueAt).get
+        .select(col("id"), col("_change_op")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(feed === Set((2L, "upsert"), (3L, "delete")))
+    } finally spark.sql("DROP TABLE dml_latelin")
+  }
+
   test("DML refuses time-travel relations and tables with pending masks") {
     val dir = rangeTable("refuse", "dml_refuse")
     spark.sql(s"CREATE TABLE dml_refuse_tt USING graft " +
