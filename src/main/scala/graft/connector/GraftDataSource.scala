@@ -86,13 +86,9 @@ final class GraftDataSource extends RelationProvider
     require(given.size <= 1,
       s"at most one time-travel option, got: ${given.mkString(", ")}")
     parameters.get("versionAsOf").map(_.toLong)
-      .orElse(parameters.get("timestampAsOf").map { ts =>
-        val norm = ts.replace('T', ' ')
-        val ms = try java.sql.Timestamp.valueOf(norm).getTime
-          catch { case _: IllegalArgumentException =>
-            java.sql.Date.valueOf(norm.trim).getTime }
-        SnapshotLog.snapshotAsOfTimestamp(spark, dir, ms)
-      })
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        SnapshotLog.snapshotAsOfTimestamp(spark, dir,
+          GraftDataSource.parseTimestampMs(ts))))
       .orElse(parameters.get("tagAsOf").map(SnapshotLog.snapshotForTag(spark, dir, _)))
   }
 
@@ -209,6 +205,17 @@ object GraftDataSource {
   private[connector] def isInternal(name: String): Boolean =
     name.startsWith("_graft_")
 
+  /** The one accepted time-travel timestamp form — `yyyy-MM-dd[
+    * HH:mm:ss]`, 'T' separator tolerated, session-UTC — shared by the
+    * reader option, the SQL TIMESTAMP AS OF clause and SQL RESTORE so
+    * the three faces can never drift in what they accept. */
+  private[connector] def parseTimestampMs(ts: String): Long = {
+    val norm = ts.replace('T', ' ')
+    try java.sql.Timestamp.valueOf(norm).getTime
+    catch { case _: IllegalArgumentException =>
+      java.sql.Date.valueOf(norm.trim).getTime }
+  }
+
   /** Comma-separated option value as a trimmed column list. */
   private[connector] def csv(parameters: Map[String, String],
                              key: String): Seq[String] =
@@ -226,11 +233,16 @@ object GraftDataSource {
     * sink's Complete mode so the data-and-mask subtlety lives once. */
   private[connector] def replaceAll(spark: SparkSession, dir: String,
                                     added: Seq[SnapshotLog.DataFile],
-                                    summary: Map[String, String]): Long =
-    SnapshotLog.commit(spark, dir, "upsert", added,
-      removed = SnapshotLog.filesAt(spark, dir).map(_.path)
-        .filterNot(added.map(_.path).toSet),
-      summary = summary)
+                                    summary: Map[String, String]): Long = {
+    val removed = SnapshotLog.filesAt(spark, dir).map(_.path)
+      .filterNot(added.map(_.path).toSet)
+    // an overwrite that replaced NOTHING (first INSERT OVERWRITE, a
+    // Complete-mode sink's first batch, the CTAS race fallback) is the
+    // append it semantically is: an op-upsert first commit would make
+    // the change feed and plain streams refuse the table forever
+    SnapshotLog.commit(spark, dir, if (removed.isEmpty) "append" else "upsert",
+      added, removed = removed, summary = summary)
+  }
 
   /** The pruning-metadata columns the table's existing live files carry —
     * inherited by SQL INSERTs and any writer that doesn't name its own,

@@ -532,10 +532,14 @@ object GraftDml {
         "files_untouched" ->
           (if (rewriteTouched) untouched.size
            else touched.size + untouched.size).toString) ++
-        // the feed contract needs a key; only a key-equality merge has one
-        (if (lin.isDefined && keyEq.isDefined)
-          Map("lineage" -> "true", "key" -> keyEq.get._1.name)
-        else Map.empty))
+        // the feed key is the table's LINEAGE key (row-unique by the
+        // declared/established contract), never the ON-clause column —
+        // an ON key like `bucket` need not identify rows, and cowChanges'
+        // removed-minus-added anti-join would silently drop delete events
+        // for partially-deleted groups. Recorded whenever stamps were
+        // written (keyEq or not), so an arbitrary-ON merge on a lineage
+        // table stays feed-derivable instead of wasting its stamps.
+        lineageSummary(lin))
     ()
   }
 }

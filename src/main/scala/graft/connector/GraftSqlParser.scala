@@ -123,7 +123,8 @@ object GraftMaintenance {
         val m = OptimizeRe.matcher(sqlText)
         require(m.matches(),
           "graft OPTIMIZE: expected OPTIMIZE <table|'path'> [WHERE <pred>] " +
-            s"[TARGET <n> MB] [ZORDER BY (x, y) | CLUSTER BY c], got: $sqlText")
+            "[TARGET <n> MB] [ZORDER BY (x, y) | CLUSTER BY c] " +
+            s"(clauses in exactly this order), got: $sqlText")
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
         val zorder = Option(m.group(5)).toSeq.map(unquote) ++
           Option(m.group(6)).toSeq.map(unquote)
@@ -225,15 +226,25 @@ final case class GraftOptimizeCommand(target: String, where: Option[String],
       s"graft OPTIMIZE: TARGET must be at least 1 MB, got $mb"))
     val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
     val scope = where.map { predText =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       val schema = GraftDataSource.visibleState(spark, dir, None)._4
-      val conjuncts = split(spark.sessionState.sqlParser.parseExpression(predText))
-      val unknown = conjuncts.flatMap(_.collect {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.name
+      val raw = split(spark.sessionState.sqlParser.parseExpression(predText))
+      val unknown = raw.flatMap(_.collect {
+        case u: UnresolvedAttribute => u.name
       }).distinct.filterNot(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(unknown.isEmpty,
         s"graft OPTIMIZE WHERE references unknown column(s) " +
           s"${unknown.mkString(", ")} of $target (has: " +
           s"${schema.fieldNames.mkString(", ")})")
+      // canonicalize attribute case to the schema's exact names:
+      // manifest zone/bloom/partition keys are stored case-sensitively,
+      // so `WHERE ID < 9` must constrain column `id`, not silently
+      // match nothing and unscope the compaction
+      val conjuncts = raw.map(_.transform {
+        case u: UnresolvedAttribute =>
+          UnresolvedAttribute.quoted(
+            schema.fieldNames.find(_.equalsIgnoreCase(u.name)).getOrElse(u.name))
+      })
       val cs = Constraints.from(conjuncts, schema)
       (f: graft.table.SnapshotLog.DataFile) => cs.keeps(f)
     }
@@ -312,14 +323,9 @@ final case class GraftRestoreCommand(target: String, version: Option[Long],
   override def run(spark: SparkSession): Seq[Row] = {
     val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
     val toSnapshot = version.getOrElse {
-      tag.map(SnapshotLog.snapshotForTag(spark, dir, _)).getOrElse {
-        val norm = timestamp.get.replace('T', ' ')
-        val ms =
-          try java.sql.Timestamp.valueOf(norm).getTime
-          catch { case _: IllegalArgumentException =>
-            java.sql.Date.valueOf(norm.trim).getTime }
-        SnapshotLog.snapshotAsOfTimestamp(spark, dir, ms)
-      }
+      tag.map(SnapshotLog.snapshotForTag(spark, dir, _)).getOrElse(
+        SnapshotLog.snapshotAsOfTimestamp(spark, dir,
+          GraftDataSource.parseTimestampMs(timestamp.get)))
     }
     val newId = SnapshotLog.rollback(spark, dir, toSnapshot)
     ident.foreach(spark.sessionState.catalog.refreshTable)

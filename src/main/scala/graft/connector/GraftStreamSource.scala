@@ -148,6 +148,18 @@ final class GraftStreamSource(
     Some(new GraftSourceOffset(to))
   }
 
+  /** Null-fill a frame to the stream's FIXED schema: delete events are
+    * key-only, batches of files older than an ALTER TABLE ADD COLUMNS
+    * lack the declared column (parquet's own null-fill semantics), and
+    * internal lineage columns are projected away. */
+  private def alignTo(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.map(f =>
+      (if (have(f.name)) col(f.name)
+       else org.apache.spark.sql.functions.lit(null))
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startFrom)
     val to = end.json.toLong
@@ -156,16 +168,8 @@ final class GraftStreamSource(
       if (to <= from) None
       else if (readChangeFeed)
         // row-level events of (from, to]; the feed's own retention and
-        // lineage-derivability refusals propagate (loud, named snapshots).
-        // Null-fill to the source's fixed schema: delete events are
-        // key-only, and internal lineage columns are projected away.
-        SnapshotLog.changes(spark, tableDir, from, Some(to)).map { df =>
-          val have = df.columns.toSet
-          df.select(schema.map(f =>
-            (if (have(f.name)) col(f.name)
-             else org.apache.spark.sql.functions.lit(null))
-              .cast(f.dataType).as(f.name)).toSeq: _*)
-        }
+        // lineage-derivability refusals propagate (loud, named snapshots)
+        SnapshotLog.changes(spark, tableDir, from, Some(to)).map(alignTo)
       else {
         val ids = SnapshotLog.snapshots(spark, tableDir)
         val missing = ((from + 1) to to).filterNot(ids.contains)
@@ -188,17 +192,7 @@ final class GraftStreamSource(
         val files = commits.filter(_.op == "append")
           .flatMap(_.added).filter(_.kind == "data")
         if (files.isEmpty) None
-        else Some {
-          // null-fill to the stream's FIXED schema: a batch of files
-          // older than an ALTER TABLE ADD COLUMNS lacks the declared
-          // column (exactly parquet's own null-fill semantics)
-          val df = SnapshotLog.readEpochSafe(spark, files)
-          val have = df.columns.toSet
-          df.select(schema.map(f =>
-            (if (have(f.name)) col(f.name)
-             else org.apache.spark.sql.functions.lit(null))
-              .cast(f.dataType).as(f.name)).toSeq: _*)
-        }
+        else Some(alignTo(SnapshotLog.readEpochSafe(spark, files)))
       }
     org.apache.spark.sql.graftshim.GraftSqlShim
       .streamingDataFrame(sqlContext, batch, schema)

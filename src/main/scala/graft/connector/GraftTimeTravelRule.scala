@@ -42,10 +42,7 @@ final class GraftTimeTravelRule(session: SparkSession) extends Rule[LogicalPlan]
             case None =>
               val ms = ts match {
                 case Some(Literal(s: UTF8String, StringType)) =>
-                  val norm = s.toString.replace('T', ' ')
-                  try java.sql.Timestamp.valueOf(norm).getTime
-                  catch { case _: IllegalArgumentException =>
-                    java.sql.Date.valueOf(norm.trim).getTime }
+                  GraftDataSource.parseTimestampMs(s.toString)
                 case Some(Literal(us: Long, TimestampType)) => us / 1000L
                 case other => throw new IllegalArgumentException(
                   s"graft table $dir: TIMESTAMP AS OF must be a literal " +

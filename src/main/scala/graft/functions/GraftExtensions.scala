@@ -35,10 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   private def tvf(name: String, usage: String)
-                 (builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+                 (builder: PartialFunction[Seq[Expression],
+                    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
       : (FunctionIdentifier, ExpressionInfo,
          Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft.connector", name, usage), builder)
+    (FunctionIdentifier(name), new ExpressionInfo("graft.connector", name, usage),
+      // a wrong argument count must read as a usage error, never a
+      // bare scala.MatchError out of the partial builder
+      args => builder.applyOrElse(args, (as: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name: wrong number of arguments (${as.size}) — usage: $usage")))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension: native as-of join (marker → analyzer rule

@@ -1195,8 +1195,11 @@ object SnapshotLog {
     val missing = ((from + 1) to hi).filterNot(ids.contains)
     require(missing.isEmpty,
       s"cannot read changes ($from, $hi] of $tableDir: snapshots ${missing.mkString(",")} expired")
-    val inRange = commits(spark, tableDir, Some(hi).filter(_ > 0))
-      .filter(_.snapshotId > from)
+    // RANGED manifest reads — O(interval), never O(retained history):
+    // a long-lived CDF stream calls this once per trigger, and reading
+    // every retained manifest up to `hi` each time would grow linearly
+    // with history (the non-CDF stream path's commitsInRange posture)
+    val inRange = commitsInRange(spark, tableDir, from, hi)
     // a COW upsert WITH row lineage is derivable (below); one without is
     // opaque — added files mix carried and changed rows indistinguishably
     val opaque = inRange.filter(c =>

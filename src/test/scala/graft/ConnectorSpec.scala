@@ -725,6 +725,22 @@ class ConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE conn_alt_stream")
   }
 
+  test("INSERT OVERWRITE that replaces nothing commits as the append it is") {
+    val dir = tmp("ovwempty")
+    rows(20).write.format("graft").save(dir)
+    spark.sql(s"CREATE TABLE conn_ovw_empty USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("DELETE FROM conn_ovw_empty") // metadata truncation
+      rows(10).createOrReplaceTempView("conn_ovw_src")
+      spark.sql("INSERT OVERWRITE conn_ovw_empty SELECT * FROM conn_ovw_src")
+      assert(spark.sql("SELECT count(*) FROM conn_ovw_empty").head.getLong(0) === 10)
+      // the live set was empty, so nothing was replaced: an op-upsert
+      // commit here would make feeds/streams refuse the table
+      assert(SnapshotLog.commits(spark, dir).map(_.op) ===
+        Seq("append", "upsert", "append"))
+    } finally spark.sql("DROP TABLE conn_ovw_empty")
+  }
+
   test("CREATE TABLE AS SELECT lands as a log commit; INSERT works after") {
     val dir = tmp("ctas")
     rows(500).createOrReplaceTempView("conn_ctas_src")

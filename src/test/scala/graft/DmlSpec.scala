@@ -313,6 +313,42 @@ class DmlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE dml_latelin")
   }
 
+  test("MERGE feed events key on the LINEAGE key, not the ON column; arbitrary ON stays derivable") {
+    val dir = tmp("mrgkey")
+    import spark.implicits._
+    Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("id", "bucket", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE dml_mrgkey USING graft " +
+      s"OPTIONS (path '$dir', lineageKey 'id')")
+    try {
+      // ON a NON-unique column (bucket 10 matches ids 1 and 2): the
+      // conditional DELETE removes only id 1; id 2 is carried. The feed
+      // must emit the id-1 delete — keying events on `bucket` would
+      // anti-join it away because the carried id 2 re-adds bucket 10.
+      Seq(10L).toDF("bucket").createOrReplaceTempView("dml_mrgkey_src")
+      spark.sql(
+        """MERGE INTO dml_mrgkey t USING dml_mrgkey_src s ON t.bucket = s.bucket
+          |WHEN MATCHED AND t.id = 1 THEN DELETE""".stripMargin)
+      val feed1 = SnapshotLog.changes(spark, dir, 1L, Some(2L)).get
+        .select(col("id"), col("_change_op")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(feed1 === Set((1L, "delete")),
+        s"the partially-deleted bucket's delete event must survive: $feed1")
+      // an ON clause with NO extractable key equality (expression form):
+      // stamps are written, so the commit must still record lineage and
+      // the feed must derive — not waste the stamps as an opaque upsert
+      Seq((300L, 333L)).toDF("sv", "nv").createOrReplaceTempView("dml_mrgkey_src2")
+      spark.sql(
+        """MERGE INTO dml_mrgkey t USING dml_mrgkey_src2 s ON t.v + 0 = s.sv
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+      val feed2 = SnapshotLog.changes(spark, dir, 2L, Some(3L)).get
+        .select(col("id"), col("_change_op"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(feed2 === Set((3L, "upsert", 333L)), s"got: $feed2")
+    } finally spark.sql("DROP TABLE dml_mrgkey")
+  }
+
   test("DML refuses time-travel relations and tables with pending masks") {
     val dir = rangeTable("refuse", "dml_refuse")
     spark.sql(s"CREATE TABLE dml_refuse_tt USING graft " +

@@ -163,8 +163,11 @@ class MaintenanceSqlSpec extends AnyFunSuite {
         .filter(_.stats("id")._1 >= 2000).map(_.path)
       assert(highPath.size === 1)
       // predicate misses every file: listing proves no candidates, no commit
+      // — in BOTH cases (SQL is case-insensitive; manifest zone keys are
+      // case-sensitive, so the scope must canonicalize, not unscope)
       val before = SnapshotLog.commits(spark, dir).size
       spark.sql("OPTIMIZE maint_scoped WHERE id > 5000")
+      spark.sql("OPTIMIZE maint_scoped WHERE ID > 5000")
       assert(SnapshotLog.commits(spark, dir).size === before)
       // low-band scope: the 4 low files pack, the high file is NOT a
       // candidate and carries by path identity
