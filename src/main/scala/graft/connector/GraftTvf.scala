@@ -31,23 +31,33 @@ object GraftTvf {
 
   private def spark: SparkSession = SparkSession.active
 
-  def history(path: String): LogicalPlan =
-    GraftSqlShim.planOf(SnapshotLog.history(spark, path))
+  /** Targets are a table DIRECTORY (contains '/') or a graft catalog
+    * table NAME — the same dual addressing as the maintenance
+    * statements, so `SELECT * FROM graft_history('my_table')` works
+    * without the user knowing the storage path. */
+  private def dirOf(target: String): String =
+    if (target.contains("/")) target
+    else GraftMaintenance.graftCatalogDir(spark, target.split('.').toSeq)
+      .map(_._2).getOrElse(throw new IllegalArgumentException(
+        s"$target is neither a graft catalog table nor a table directory"))
 
-  def files(path: String, asOf: Option[Long]): LogicalPlan = {
+  def history(target: String): LogicalPlan =
+    GraftSqlShim.planOf(SnapshotLog.history(spark, dirOf(target)))
+
+  def files(target: String, asOf: Option[Long]): LogicalPlan = {
     val s = spark
     import s.implicits._
     GraftSqlShim.planOf(
-      SnapshotLog.filesAt(s, path, asOf)
+      SnapshotLog.filesAt(s, dirOf(target), asOf)
         .map(f => (f.path, f.kind, f.seq, f.rows, f.bytes))
         .toDF("path", "kind", "seq", "rows", "bytes"))
   }
 
-  def tags(path: String): LogicalPlan = {
+  def tags(target: String): LogicalPlan = {
     val s = spark
     import s.implicits._
     GraftSqlShim.planOf(
-      SnapshotLog.tags(s, path).toSeq.sortBy(_._2)
+      SnapshotLog.tags(s, dirOf(target)).toSeq.sortBy(_._2)
         .toDF("tag", "snapshot_id"))
   }
 
@@ -55,8 +65,9 @@ object GraftTvf {
     * [[SnapshotLog.changes]] (expired snapshots, lineage-less rewrites
     * throw); an empty range yields an empty frame under the table's
     * current read schema + the change columns. */
-  def changes(path: String, from: Long, to: Option[Long]): LogicalPlan = {
+  def changes(target: String, from: Long, to: Option[Long]): LogicalPlan = {
     val s = spark
+    val path = dirOf(target)
     val df = SnapshotLog.changes(s, path, from, to).getOrElse {
       import org.apache.spark.sql.functions.lit
       val base = SnapshotLog.read(s, path).getOrElse(

@@ -725,6 +725,31 @@ class ConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE conn_alt_stream")
   }
 
+  test("a CDF stream that lost its interval to retention fails loudly") {
+    val dir = tmp("cdfexp"); val cp = tmp("cdfexpcp"); val sink = tmp("cdfexpout")
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // consumes snapshot 1
+    // three more commits land while the stream is down…
+    for (i <- 3 to 5)
+      Merge.mergeOnRead(spark, dir, Seq((i.toLong, i * 100L)).toDF("id", "v"), "id")
+    // …and retention outpaces the consumer: snapshots 2-3 expire
+    SnapshotLog.expireSnapshots(spark, dir, retainLast = 2, orphanGraceMs = 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getCause.getMessage.contains("expired"),
+      s"the resumed stream must name the lost snapshots, got: ${e.getCause}")
+  }
+
   test("INSERT OVERWRITE that replaces nothing commits as the append it is") {
     val dir = tmp("ovwempty")
     rows(20).write.format("graft").save(dir)

@@ -292,6 +292,18 @@ class DmlSpec extends AnyFunSuite {
     assert(ins === Seq(3L))
     // empty range: empty frame, schema present
     assert(spark.sql(s"SELECT * FROM graft_changes('$dir', 2, 2)").count() === 0)
+    // TVFs also address the table by CATALOG NAME (no path needed)
+    spark.sql(s"CREATE TABLE dml_tvf_named USING graft OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_history('dml_tvf_named')")
+        .head.getLong(0) === 2)
+      assert(spark.sql("SELECT sum(rows) FROM graft_files('dml_tvf_named')")
+        .head.getLong(0) === 3)
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM graft_history('no_such_table')").collect()
+      }
+      assert(e.getMessage.contains("neither a graft catalog table"))
+    } finally spark.sql("DROP TABLE dml_tvf_named")
   }
 
   test("SET TBLPROPERTIES lineageKey enables feed lineage on an existing table") {
