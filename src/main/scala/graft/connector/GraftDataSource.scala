@@ -234,13 +234,23 @@ object GraftDataSource {
   private[connector] def replaceAll(spark: SparkSession, dir: String,
                                     added: Seq[SnapshotLog.DataFile],
                                     summary: Map[String, String]): Long = {
-    val removed = SnapshotLog.filesAt(spark, dir).map(_.path)
-      .filterNot(added.map(_.path).toSet)
+    // PIN the base snapshot and commit at exactly its successor:
+    // resolving "latest" once for the removed set and again inside a
+    // plain commit() would let an append land in the window — its files
+    // absent from `removed`, silently surviving the overwrite. With the
+    // pinned pair any interleaved commit makes commitAt throw instead
+    // (the same discipline as Merge.applyChanges / materializeDeletes).
+    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(0L)
+    val removed =
+      (if (baseId == 0L) Seq.empty[String]
+       else SnapshotLog.filesAt(spark, dir, Some(baseId)).map(_.path))
+        .filterNot(added.map(_.path).toSet)
     // an overwrite that replaced NOTHING (first INSERT OVERWRITE, a
     // Complete-mode sink's first batch, the CTAS race fallback) is the
     // append it semantically is: an op-upsert first commit would make
     // the change feed and plain streams refuse the table forever
-    SnapshotLog.commit(spark, dir, if (removed.isEmpty) "append" else "upsert",
+    SnapshotLog.commitAt(spark, dir, baseId + 1,
+      if (removed.isEmpty) "append" else "upsert",
       added, removed = removed, summary = summary)
   }
 

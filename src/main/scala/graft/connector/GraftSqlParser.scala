@@ -101,10 +101,36 @@ object GraftMaintenance {
 
   private def unquote(s: String): String = s.replace("`", "")
 
+  /** Does the identifier resolve to an EXISTING catalog table of some
+    * OTHER provider? Such a target belongs to that provider's extension
+    * (e.g. Delta sitting behind this parser in the delegate chain) —
+    * claiming its OPTIMIZE/VACUUM/RESTORE here would shadow it with a
+    * bogus "not a graft catalog table" error. Unknown names stay OURS:
+    * delegating a typo'd graft-table name would surface as Spark's
+    * misleading "syntax error at OPTIMIZE" instead of our named error. */
+  private def foreignCatalogTable(session: SparkSession, target: String): Boolean = {
+    if (target.contains("/")) return false // quoted paths are always ours
+    val parts = target.split('.').toSeq
+    if (graftCatalogDir(session, parts).isDefined) return false
+    val catalog = session.sessionState.catalog
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return false
+    }
+    if (catalog.isTempView(parts)) return false
+    scala.util.Try(catalog.getTableMetadata(ident)).toOption
+      .exists(!_.provider.exists(_.equalsIgnoreCase("graft")))
+  }
+
   /** Some(command) when the statement is one of ours; None delegates.
     * A statement that LEADS with our keyword but doesn't match the
     * grammar throws here with the grammar in the message — handing it
-    * to Spark would produce a misleading "syntax error at OPTIMIZE". */
+    * to Spark would produce a misleading "syntax error at OPTIMIZE" —
+    * UNLESS its target resolves to another provider's catalog table,
+    * which delegates (that extension's parser owns the statement). */
   private[connector] def parse(sqlText: String, session: SparkSession,
                                delegate: ParserInterface): Option[LogicalPlan] = {
     val lead = sqlText.stripLeading()
@@ -126,6 +152,7 @@ object GraftMaintenance {
             "[TARGET <n> MB] [ZORDER BY (x, y) | CLUSTER BY c] " +
             s"(clauses in exactly this order), got: $sqlText")
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        if (foreignCatalogTable(session, target)) return None
         val zorder = Option(m.group(5)).toSeq.map(unquote) ++
           Option(m.group(6)).toSeq.map(unquote)
         Some(GraftOptimizeCommand(target,
@@ -139,6 +166,7 @@ object GraftMaintenance {
           "graft VACUUM: expected VACUUM <table|'path'> [RETAIN <n> HOURS], " +
             s"got: $sqlText")
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        if (foreignCatalogTable(session, target)) return None
         Some(GraftVacuumCommand(target,
           retainHours = Option(m.group(3)).map(_.toLong)))
       case "RESTORE" =>
@@ -147,6 +175,7 @@ object GraftMaintenance {
           "graft RESTORE: expected RESTORE [TABLE] <table|'path'> [TO] " +
             "VERSION AS OF <n>|'tag' | TIMESTAMP AS OF '<ts>', got: " + sqlText)
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        if (foreignCatalogTable(session, target)) return None
         Some(GraftRestoreCommand(target,
           version = Option(m.group(3)).map(_.toLong),
           tag = Option(m.group(4)),

@@ -73,30 +73,53 @@ final class GraftStreamSource(
     * skip everything committed while the stream was down (and a WAL'd
     * first batch replayed after a crash would resolve empty). The pin
     * file is written create-no-overwrite, so a racing duplicate start
-    * reads the winner's value. */
-  private val startFrom: Long = {
+    * reads the winner's value.
+    *
+    * With `startingVersion` ABSENT on a retention-maintained table whose
+    * early snapshots are already vacuumed, a literal 0 lower bound can
+    * never resolve (the missing-id check refuses the interval) — a
+    * brand-new default stream would be permanently unstartable. That
+    * case pins INITIAL-SNAPSHOT semantics instead (the Delta "initial
+    * snapshot then deltas" shape, pin form `init:<id>`): the first batch
+    * seeds the oldest retained snapshot's resolved live state, and
+    * deltas follow from there. The seed id is pinned, not re-resolved,
+    * so a WAL'd first batch replays the same state. */
+  private val (startFrom: Long, initialSnapshot: Option[Long]) = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(metadataPath + "/"), spark.sparkContext.hadoopConfiguration)
     val pin = new org.apache.hadoop.fs.Path(metadataPath, "graft-start")
-    def readPin(): Option[Long] =
+    def parsePin(s: String): (Long, Option[Long]) = {
+      val t = s.trim
+      if (t.startsWith("init:")) {
+        val id = t.stripPrefix("init:").toLong
+        (id, Some(id))
+      } else (t.toLong, None)
+    }
+    def readPin(): Option[(Long, Option[Long])] =
       if (!fs.exists(pin)) None
       else {
         val in = fs.open(pin)
-        try Some(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+        try Some(parsePin(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")))
         finally in.close()
       }
     readPin().getOrElse {
-      val resolved = options.get("startingVersion") match {
+      val resolved: (Long, Option[Long]) = options.get("startingVersion") match {
         case Some("latest") =>
-          SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L)
-        case Some(v) => v.toLong
-        case None => 0L
+          (SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L), None)
+        case Some(v) => (v.toLong, None)
+        case None =>
+          val ids = SnapshotLog.snapshots(spark, tableDir)
+          ids.headOption match {
+            case Some(oldest) if oldest > 1L => (oldest, Some(oldest))
+            case _ => (0L, None) // empty table, or full history retained
+          }
       }
       fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val encoded = resolved._2.fold(resolved._1.toString)(id => s"init:$id")
       try {
         val out = fs.create(pin, false) // no-overwrite: first writer wins
-        out.write(resolved.toString.getBytes("UTF-8"))
+        out.write(encoded.getBytes("UTF-8"))
         out.close()
         resolved
       } catch {
@@ -124,7 +147,14 @@ final class GraftStreamSource(
     val head = SnapshotLog.currentSnapshotId(spark, tableDir)
       .getOrElse(return None)
     val from = math.max(lastEnd, startFrom)
-    if (head <= from) return None
+    if (head <= from) {
+      // initial-snapshot mode with nothing committed after the seed:
+      // the seed alone is batch one — offer the pinned start offset
+      // itself (the engine ignores it once a batch at it is committed)
+      return if (initialSnapshot.isDefined && head == startFrom && lastEnd == startFrom)
+        Some(new GraftSourceOffset(startFrom))
+      else None
+    }
     val to = maxFilesPerTrigger match {
       case None => head
       case Some(cap) =>
@@ -164,7 +194,24 @@ final class GraftStreamSource(
     val from = start.map(_.json.toLong).getOrElse(startFrom)
     val to = end.json.toLong
     lastEnd = math.max(lastEnd, to) // restore the limiter cursor on recovery
-    val batch =
+    // initial-snapshot mode: the FIRST batch (start empty — includes its
+    // WAL replay, which re-reads the same pinned id) seeds the oldest
+    // retained snapshot's resolved state — masks applied, epochs merged —
+    // before any deltas; in CDF mode the seed rows are `insert` events of
+    // the seed snapshot (the Delta initial-snapshot CDF shape)
+    val seed: Option[DataFrame] =
+      initialSnapshot.filter(_ => start.isEmpty).flatMap { snap =>
+        SnapshotLog.read(spark, tableDir, asOf = Some(snap)).map { df =>
+          alignTo(
+            if (readChangeFeed)
+              df.withColumn("_change_op",
+                  org.apache.spark.sql.functions.lit("insert"))
+                .withColumn("_change_snapshot",
+                  org.apache.spark.sql.functions.lit(snap))
+            else df)
+        }
+      }
+    val deltas =
       if (to <= from) None
       else if (readChangeFeed)
         // row-level events of (from, to]; the feed's own retention and
@@ -194,6 +241,10 @@ final class GraftStreamSource(
         if (files.isEmpty) None
         else Some(alignTo(SnapshotLog.readEpochSafe(spark, files)))
       }
+    val batch = (seed, deltas) match {
+      case (Some(s), Some(d)) => Some(s.unionByName(d))
+      case (s, d) => s.orElse(d)
+    }
     org.apache.spark.sql.graftshim.GraftSqlShim
       .streamingDataFrame(sqlContext, batch, schema)
   }

@@ -68,11 +68,12 @@ object StreamSync {
     val q = stream.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = b.sparkSession
-        val already = batchAlreadyCommitted(spark, tableDir, batchId)
+        val already = batchAlreadyCommitted(spark, tableDir, batchId, checkpointDir)
         if (!already) {
           val files = SnapshotLog.writeData(b, tableDir, statsCol)
           SnapshotLog.commit(spark, tableDir, "append", files,
-            summary = Map("batch_id" -> batchId.toString))
+            summary = Map("batch_id" -> batchId.toString,
+              "stream_id" -> checkpointDir))
         }
         () // foreachBatch needs Unit, not the commit id
       }
@@ -109,7 +110,7 @@ object StreamSync {
     val q = stream.writeStream
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = b.sparkSession
-        val already = batchAlreadyCommitted(spark, tableDir, batchId)
+        val already = batchAlreadyCommitted(spark, tableDir, batchId, checkpointDir)
         if (!already) {
           val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
           val latest = b.withColumn("_rk", row_number().over(w))
@@ -136,12 +137,14 @@ object StreamSync {
                   // unprunable
                   bloomCol = Some(keyCol).filter(_ => rows.schema(keyCol)
                     .dataType == org.apache.spark.sql.types.StringType)),
-                summary = Map("batch_id" -> batchId.toString))
+                summary = Map("batch_id" -> batchId.toString,
+                  "stream_id" -> checkpointDir))
           } else if (latest.isEmpty) {
             () // empty micro-batch: nothing to merge, nothing to commit
           } else {
             Merge.mergeOnRead(spark, tableDir, latest, keyCol, deleteCol,
-              summary = Map("batch_id" -> batchId.toString))
+              summary = Map("batch_id" -> batchId.toString,
+                "stream_id" -> checkpointDir))
             // inline maintenance: once pending mask ENTRIES cross the
             // threshold, fold them back into clustered data — bounding
             // read amplification without an external job. The `replace`
@@ -222,21 +225,31 @@ object StreamSync {
         fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMIT")))
       .map(_.getName.stripPrefix("batch=").toLong).sorted
 
-  /** Was `batchId` already committed to this table? Batch ids are
-    * monotone within a checkpoint lineage, so the REVERSE manifest scan
-    * stops at the first data commit whose batch id falls below the
-    * probe — O(1) typical, O(intervening maintenance commits) worst
-    * case, never O(table history) (the old full-log scan cost every
-    * micro-batch a pass over the table's whole life). */
+  /** Was `batchId` already committed to this table BY THIS STREAM?
+    * Batch ids are monotone only within one checkpoint lineage, so the
+    * guard is scoped by `streamId` (the checkpoint location — the same
+    * stable identity GraftStreamSink's txnAppId uses): two streams with
+    * separate checkpoints appending to one table interleave their ids,
+    * and an unscoped early-stop at the first `b < batchId` would miss
+    * this stream's own older commit and re-commit duplicate rows. The
+    * REVERSE manifest scan stops at the first SAME-LINEAGE data commit
+    * whose batch id falls below the probe — O(1) typical, never
+    * O(table history); foreign-lineage commits are walked past without
+    * stopping. Legacy commits written before the stream_id field are
+    * attributed to every lineage (conservative: a pre-upgrade
+    * single-stream table keeps its early stop and its dedup). */
   private def batchAlreadyCommitted(spark: org.apache.spark.sql.SparkSession,
-                                    tableDir: String, batchId: Long): Boolean = {
+                                    tableDir: String, batchId: Long,
+                                    streamId: String): Boolean = {
     import graft.table.SnapshotLog
     val it = SnapshotLog.commitsReverse(spark, tableDir)
     while (it.hasNext) {
-      it.next().summary.get("batch_id").map(_.toLong) match {
-        case Some(b) if b == batchId => return true
-        case Some(b) if b < batchId => return false
-        case _ => () // maintenance commit (no batch id): keep walking
+      val s = it.next().summary
+      val sameLineage = s.get("stream_id").forall(_ == streamId)
+      s.get("batch_id").map(_.toLong) match {
+        case Some(b) if sameLineage && b == batchId => return true
+        case Some(b) if sameLineage && b < batchId => return false
+        case _ => () // maintenance or foreign-stream commit: keep walking
       }
     }
     false

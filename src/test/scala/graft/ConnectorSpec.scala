@@ -490,6 +490,38 @@ class ConnectorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("default readStream on a vacuumed table seeds the oldest retained snapshot") {
+    val dir = tmp("streaminit")
+    // three appends, then retention drops snapshot 1: a literal-0 start
+    // can never resolve (0, head] any more — the source must pin
+    // initial-snapshot semantics at the oldest retained id instead of
+    // refusing the table forever
+    rows(90).filter(col("id") < 30)
+      .write.format("graft").option("statsCols", "id").save(dir)
+    rows(90).filter(col("id") >= 30 && col("id") < 60)
+      .write.format("graft").mode("append").save(dir)
+    rows(90).filter(col("id") >= 60)
+      .write.format("graft").mode("append").save(dir)
+    SnapshotLog.expireSnapshots(spark, dir, retainLast = 2)
+    assert(SnapshotLog.snapshots(spark, dir) === Seq(2L, 3L))
+    val cp = tmp("streaminitcp")
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("conn_stream_init")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      // seed = live state at snapshot 2 (ids 0..59), delta = snapshot 3
+      assert(spark.table("conn_stream_init").count() === 90)
+      // the stream keeps tailing ordinary appends after the seed
+      rows(100).filter(col("id") >= 90)
+        .write.format("graft").mode("append").save(dir)
+      q.processAllAvailable()
+      val got = spark.table("conn_stream_init")
+      assert(got.count() === 100)
+      assert(got.select("id").distinct().count() === 100, "no dupes, no loss")
+    } finally q.stop()
+  }
+
   test("streaming source: data-changing commits throw; skipChangeCommits streams past") {
     val dir = tmp("streamch")
     rows(30).write.format("graft").save(dir)

@@ -251,15 +251,44 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE maint_alter")
   }
 
+  test("maintenance statements over another provider's catalog table delegate") {
+    // a session that also hosts another lakehouse extension (Delta et al.
+    // behind this parser in the delegate chain) must receive ITS tables'
+    // OPTIMIZE/VACUUM/RESTORE statements — claiming them here would shadow
+    // the other extension with a bogus "not a graft catalog table" error.
+    // With no such extension installed, delegation surfaces as Spark's own
+    // parse error — the pin is that OUR claim message never appears.
+    val base = java.nio.file.Files.createTempDirectory("graft-foreign").toString
+    spark.range(10).write.parquet(s"$base/p")
+    spark.sql(s"CREATE TABLE maint_foreign USING parquet LOCATION '$base/p'")
+    try {
+      for (stmt <- Seq("OPTIMIZE maint_foreign",
+                       "VACUUM maint_foreign",
+                       "RESTORE maint_foreign TO VERSION AS OF 1")) {
+        val e = intercept[Exception](spark.sql(stmt))
+        assert(!e.getMessage.contains("graft"),
+          s"'$stmt' was claimed instead of delegated: ${e.getMessage}")
+      }
+      // unknown names remain OURS: the informative refusal, not a
+      // misleading Spark syntax error
+      val e = intercept[Exception](spark.sql("OPTIMIZE maint_no_such_table"))
+      assert(e.getMessage.contains("graft"))
+    } finally spark.sql("DROP TABLE maint_foreign")
+  }
+
   test("quoted-path targets; refusals; ordinary SQL passes through") {
     val dir = debtTable("path", "maint_path")
     try {
       val rep = spark.sql(s"OPTIMIZE '$dir' TARGET 1 MB").head
       assert(rep.getInt(1) === 4 && rep.getInt(2) === 1)
-      // non-graft table refuses with the provider in the message
+      // another provider's EXISTING table delegates (its own extension —
+      // or, with none installed, Spark's parser — owns the statement; the
+      // dedicated delegation test pins all three statements)
       spark.range(3).write.mode("overwrite").saveAsTable("maint_plain")
-      val e1 = intercept[Exception] { spark.sql("OPTIMIZE maint_plain") }
-      assert(e1.getMessage.contains("USING graft"))
+      try {
+        val e1 = intercept[Exception] { spark.sql("OPTIMIZE maint_plain") }
+        assert(!e1.getMessage.contains("graft"))
+      } finally spark.sql("DROP TABLE maint_plain")
       // malformed statement: OUR grammar error, not Spark's confusing one
       val e2 = intercept[Exception] {
         spark.sql("OPTIMIZE maint_path ZORDER BY (only_one)")
@@ -269,7 +298,6 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       assert(e3.getMessage.contains("not a graft table"))
       // the delegating parser leaves everything else to Spark
       assert(spark.sql("SELECT 1 + 1 AS two").head.getInt(0) === 2)
-      spark.sql("DROP TABLE maint_plain")
     } finally spark.sql("DROP TABLE maint_path")
   }
 }

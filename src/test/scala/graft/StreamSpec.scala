@@ -555,6 +555,41 @@ class StreamSpec extends AnyFunSuite {
     assert(consumer.consume(spark, s"$base/t", "idx")._1.isEmpty)
   }
 
+  test("two streams with separate checkpoints into one table: replay guard is lineage-scoped") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-two-streams").toString
+    def addFile(dir: String, rows: Seq[(Long, String)], tag: String): Unit = {
+      val stage = s"$base/stage_$tag"
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(stage)
+      import scala.jdk.CollectionConverters._
+      Files.createDirectories(Paths.get(dir))
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.copy(p, Paths.get(s"$dir/${tag}_${p.getFileName}")))
+    }
+    val schema = Seq((0L, "")).toDF("id", "v").schema
+    def drain(in: String, chk: String): Unit = StreamSync.snapshotSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in),
+      s"$base/t", chk, statsCol = Some("id"))
+    // stream A commits batches 0 and 1
+    addFile(s"$base/inA", Seq((1L, "a")), "a0")
+    addFile(s"$base/inA", Seq((2L, "b")), "a1")
+    drain(s"$base/inA", s"$base/chkA")
+    // stream B (own checkpoint, ids restart at 0) appends to the SAME
+    // table: its batch 0 must NOT be mistaken for stream A's batch 0
+    // (an unscoped guard would skip it — silent data loss)
+    addFile(s"$base/inB", Seq((10L, "x")), "b0")
+    drain(s"$base/inB", s"$base/chkB")
+    assert(SnapshotLog.read(spark, s"$base/t").get
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 10L))
+    // and each lineage's own replay still dedups: re-drain both, no dupes
+    drain(s"$base/inA", s"$base/chkA")
+    drain(s"$base/inB", s"$base/chkB")
+    assert(SnapshotLog.read(spark, s"$base/t").get.count() == 3)
+  }
+
   test("streaming upsert sink: rowdelta commits, zero rewrites, row-level change tailing") {
     import spark.implicits._
     import graft.table.{DiffConsumer, Merge, SnapshotLog}
