@@ -123,14 +123,49 @@ object SnapshotLog {
     * 10 commits by default for the same trade.
     *
     * The checkpoint itself remains the one O(live) artifact — inherent:
-    * SOME file must enumerate the live set. At ~1 M live files a JSON
-    * checkpoint is ~100 MB written once per N commits; the published
-    * next step (Delta parquet checkpoints / Iceberg avro manifest
-    * lists) stores it columnar-compressed and row-group-splittable so
-    * even the checkpoint read parallelizes. Stated here honestly; the
-    * JSON form is kept for its one-reader simplicity at this engine's
-    * file-count envelope (bin-pack bounds live files well under that). */
+    * SOME file must enumerate the live set. Its FORM switches by size
+    * (the Delta parquet-checkpoint school): small live sets write the
+    * one-blob JSON (microsecond cost, no job overhead on the commit
+    * path); past [[checkpointParquetThreshold]] live files the
+    * checkpoint is written as PARQUET ROWS — one row per live file,
+    * multi-part, encoded and compressed by a distributed Spark job —
+    * published behind the same atomic pointer manifest, and read back
+    * with Spark so a cold resolution's decode parallelizes across
+    * row groups instead of parsing ~100 MB of JSON on one thread. */
   val CheckpointInterval: Long = 10L
+
+  /** Live-file count at which checkpoints switch from one-blob JSON to
+    * parquet rows. Overridable per session for tests and tuning via
+    * `spark.conf.set("graft.checkpoint.parquetThreshold", n)`. */
+  val DefaultCheckpointParquetThreshold: Int = 10000
+
+  private def checkpointParquetThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("graft.checkpoint.parquetThreshold")
+      .map(_.toInt).getOrElse(DefaultCheckpointParquetThreshold)
+
+  /** One live file as a parquet checkpoint row. Per-column zone stats
+    * ride three PARALLEL arrays (sorted by column) rather than a map of
+    * tuples — flat columns compress and vector-decode better than
+    * nested structs, and the row stays a plain product encoder. */
+  private[graft] final case class CheckpointRow(
+      path: String, rows: Long, bytes: Long,
+      statsMin: Option[Long], statsMax: Option[Long],
+      kind: String, seq: Long,
+      statsCols: Seq[String], statsMins: Seq[Long], statsMaxs: Seq[Long],
+      blooms: Map[String, String], parts: Map[String, Seq[String]]) {
+    def toDataFile: DataFile = DataFile(path, rows, bytes, statsMin, statsMax,
+      kind = kind, seq = seq,
+      stats = statsCols.indices.map(i =>
+        statsCols(i) -> (statsMins(i), statsMaxs(i))).toMap,
+      blooms = blooms, parts = parts)
+  }
+
+  private def toCheckpointRow(f: DataFile): CheckpointRow = {
+    val cols = f.stats.keys.toSeq.sorted
+    CheckpointRow(f.path, f.rows, f.bytes, f.statsMin, f.statsMax, f.kind,
+      f.seq, cols, cols.map(f.stats(_)._1), cols.map(f.stats(_)._2),
+      f.blooms, f.parts)
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -407,15 +442,41 @@ object SnapshotLog {
     if (fs.exists(target)) return false
     val live = filesAt(spark, tableDir, Some(id))
     val root: ObjectNode = mapper.createObjectNode()
-    root.put("format", "graft-checkpoint-v1")
     root.put("snapshot_id", id)
-    putFiles(root.putArray("live"), live)
+    val parquetDir: Option[String] =
+      if (live.size <= checkpointParquetThreshold(spark)) {
+        root.put("format", "graft-checkpoint-v1")
+        putFiles(root.putArray("live"), live)
+        None
+      } else {
+        // PARQUET checkpoint: the live rows encode in a distributed write
+        // (multi-part, column-compressed), and the pointer manifest —
+        // tiny and atomic through the same putIfAbsent — names the dir.
+        // Part count scales with the live set so both the encode and a
+        // cold read's decode parallelize; the driver holds the DataFile
+        // seq either way (it IS resolution's output).
+        import spark.implicits._
+        val rel = f"ckpt-data/$id%020d-${java.util.UUID.randomUUID()}"
+        val dataDir = new Path(logDir(tableDir), rel)
+        val parts = math.max(1, math.min(64, live.size / 20000 + 1))
+        spark.createDataset(live.map(toCheckpointRow))
+          .repartition(parts).write.mode("error").parquet(dataDir.toString)
+        root.put("format", "graft-checkpoint-v2-parquet")
+        root.put("parquet_dir", rel)
+        root.put("live_count", live.size)
+        Some(rel)
+      }
     val tmp = new Path(logDir(tableDir), s".ckpt-${java.util.UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     out.close()
     val won = LogStore.forFileSystem(fs).putIfAbsent(fs, tmp, target)
     fs.delete(tmp, false)
+    if (!won)
+      // a concurrent writer published the (value-identical) checkpoint
+      // first: this attempt's parquet rows are garbage — reclaim now
+      parquetDir.foreach(rel =>
+        fs.delete(new Path(logDir(tableDir), rel), true))
     if (won) {
       try {
         val hint = fs.create(lastCheckpointPath(tableDir), true)
@@ -510,10 +571,30 @@ object SnapshotLog {
   private def readManifest(fs: FileSystem, tableDir: String, id: Long): Commit =
     readManifestFull(fs, tableDir, id)._1
 
-  private def readCheckpoint(fs: FileSystem, tableDir: String, id: Long): Seq[DataFile] = {
+  /** Read a checkpoint's live set — inline JSON (v1) decoded here, a
+    * parquet checkpoint (v2 pointer) decoded by a Spark read so the
+    * O(live) parse spreads across cores/row groups. A parquet dir
+    * vanishing mid-read (concurrent expiry of this checkpoint) rethrows
+    * as FileNotFound so [[filesAt]]'s retry re-resolves from the fresh
+    * anchor expiry published first. */
+  private def readCheckpoint(spark: SparkSession, fs: FileSystem,
+                             tableDir: String, id: Long): Seq[DataFile] = {
     val in = fs.open(checkpointPath(tableDir, id))
     val node: JsonNode = try mapper.readTree(in) finally in.close()
-    parseFiles(node, "live")
+    Option(node.get("parquet_dir")).map(_.asText()) match {
+      case None => parseFiles(node, "live")
+      case Some(rel) =>
+        val dir = new Path(logDir(tableDir), rel)
+        import spark.implicits._
+        try spark.read.parquet(dir.toString).as[CheckpointRow]
+          .collect().toSeq.map(_.toDataFile) // one row per live FILE: metadata
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") =>
+            throw new java.io.FileNotFoundException(
+              s"parquet checkpoint $dir expired mid-read: ${e.getMessage}")
+        }
+    }
   }
 
   /** Retained commits NEWEST-FIRST as a LAZY iterator — manifests are
@@ -570,7 +651,7 @@ object SnapshotLog {
           i
         case None => if (ids.isEmpty) return Seq.empty else ids.last
       }
-      try return resolveLive(fs, tableDir, id, cps)
+      try return resolveLive(spark, fs, tableDir, id, cps)
       catch {
         case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
       }
@@ -582,10 +663,11 @@ object SnapshotLog {
     * a v1 manifest's embedded live list), then fold the collected delta
     * manifests forward: live = anchor − removed + added per commit.
     * Reads O(manifests since anchor) metadata files, each O(its delta). */
-  private def resolveLive(fs: FileSystem, tableDir: String, id: Long,
+  private def resolveLive(spark: SparkSession, fs: FileSystem,
+                          tableDir: String, id: Long,
                           checkpointIds: Seq[Long]): Seq[DataFile] = {
     val anchor = checkpointIds.filter(_ <= id).maxOption
-    if (anchor.contains(id)) return readCheckpoint(fs, tableDir, id)
+    if (anchor.contains(id)) return readCheckpoint(spark, fs, tableDir, id)
     val floor = anchor.getOrElse(0L)
     val deltas = scala.collection.mutable.ListBuffer.empty[Commit]
     var seed: Seq[DataFile] = Seq.empty
@@ -598,7 +680,7 @@ object SnapshotLog {
         case None => deltas.prepend(c); cur -= 1
       }
     }
-    if (!found && anchor.isDefined) seed = readCheckpoint(fs, tableDir, floor)
+    if (!found && anchor.isDefined) seed = readCheckpoint(spark, fs, tableDir, floor)
     deltas.foldLeft(seed) { (live, c) =>
       val removedSet = c.removed.toSet
       live.filterNot(f => removedSet.contains(f.path)) ++ c.added
@@ -1476,11 +1558,41 @@ object SnapshotLog {
     expired.foreach(id => fs.delete(manifestPath(tableDir, id), false))
     // a checkpoint is kept while some retained id still resolves
     // THROUGH it: its own id retained, or the next id retained (one
-    // delta-manifest fold). Everything else anchors nothing.
+    // delta-manifest fold). Everything else anchors nothing. A parquet
+    // checkpoint's row dir goes with its pointer (pointer first would
+    // strand the rows; rows first is safe — a racing reader hitting the
+    // missing dir retries via the FileNotFound path onto a fresh anchor).
+    def checkpointParquetRel(id: Long): Option[String] =
+      try {
+        val in = fs.open(checkpointPath(tableDir, id))
+        val node = try mapper.readTree(in) finally in.close()
+        Option(node.get("parquet_dir")).map(_.asText())
+      } catch { case scala.util.control.NonFatal(_) => None }
     val retainedSet = retainedIds.toSet
-    listLog(fs, tableDir)._2
-      .filterNot(c => retainedSet.contains(c) || retainedSet.contains(c + 1))
-      .foreach(id => fs.delete(checkpointPath(tableDir, id), false))
+    val (_, allCps) = listLog(fs, tableDir)
+    val (keptCps, dropCps) = allCps.partition(c =>
+      retainedSet.contains(c) || retainedSet.contains(c + 1))
+    dropCps.foreach { id =>
+      checkpointParquetRel(id).foreach(rel =>
+        fs.delete(new Path(logDir(tableDir), rel), true))
+      fs.delete(checkpointPath(tableDir, id), false)
+    }
+    // orphan parquet-checkpoint dirs (a writer that died between its row
+    // write and its pointer publish, or a lost pointer race whose loser
+    // died before its own cleanup): anything under ckpt-data/ that no
+    // surviving pointer references, age-gated like the data sweep
+    val ckptRoot = new Path(logDir(tableDir), "ckpt-data")
+    if (fs.exists(ckptRoot)) {
+      val referenced = keptCps.flatMap(checkpointParquetRel)
+        .map(rel => new Path(logDir(tableDir), rel).toUri.getPath).toSet
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      fs.listStatus(ckptRoot).foreach { st =>
+        if (st.isDirectory && !referenced.contains(st.getPath.toUri.getPath) &&
+            st.getModificationTime <= cutoff)
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+      }
+    }
     val dataRoot = new Path(s"$tableDir/data")
     val sweepBefore = System.currentTimeMillis() - orphanGraceMs
     var deleted = 0

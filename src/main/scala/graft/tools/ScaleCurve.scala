@@ -214,8 +214,25 @@ object ScaleCurve {
           statsCol = Some("id"))))
       val manifestBytes = new java.io.File(
         f"$blDir/_graft_log/$ckptId%020d.json").length()
-      SnapshotLog.writeCheckpoint(spark, blDir, ckptId)
+      val (_, tCkptJson) = timed(SnapshotLog.writeCheckpoint(spark, blDir, ckptId))
       val (liveN, tResolve) = timed(SnapshotLog.filesAt(spark, blDir).size)
+      // r11: the PARQUET checkpoint form (threshold forced to 0 so the
+      // fixture-scale live set exercises it) — write the same live set
+      // as distributed parquet rows at the next id, then cold-resolve
+      // through that anchor. The walls carry the flat-per-core claim:
+      // both the encode and the decode are Spark jobs over one row per
+      // live file, so growing the live set ×10 widens the job instead
+      // of a single-threaded JSON parse.
+      val (ckptId2, _) = timed(SnapshotLog.commit(spark, blDir, "append",
+        SnapshotLog.writeData(state.limit(16).coalesce(1), blDir,
+          statsCol = Some("id"))))
+      spark.conf.set("graft.checkpoint.parquetThreshold", "0")
+      val (_, tCkptPq) =
+        try timed(SnapshotLog.writeCheckpoint(spark, blDir, ckptId2))
+        finally spark.conf.unset("graft.checkpoint.parquetThreshold")
+      val (liveN2, tResolvePq) = timed(
+        SnapshotLog.filesAt(spark, blDir, Some(ckptId2)).size)
+      require(liveN2 == liveN + 1, s"parquet anchor resolved $liveN2 files")
       // r10: the same point lookup through the CONNECTOR face — the
       // planned parquet scan's file count must track bloom_kept (~flat
       // while the table grows ×k), proving the manifest pruning engages
@@ -278,7 +295,8 @@ object ScaleCurve {
         s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
         s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +
-        s"log_resolve=${s(tResolve)}s " +
+        s"log_resolve=${s(tResolve)}s ckpt_json=${s(tCkptJson)}s " +
+        s"ckpt_parquet=${s(tCkptPq)}s resolve_parquet=${s(tResolvePq)}s " +
         s"conn_scan_files=$connFiles conn_lookup=${s(tConn)}s " +
         s"sql_delete=${delC.summary("files_touched")}f/" +
         s"${delC.summary("rows_deleted")}rd/${s(tSqlDel)}s " +

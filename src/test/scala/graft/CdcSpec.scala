@@ -1802,6 +1802,65 @@ class CdcSpec extends AnyFunSuite {
       f"${10L}%020d.checkpoint.json")) > manBytes(12))
   }
 
+  test("parquet checkpoints: past the threshold the live set round-trips through Spark rows") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-ckpt-pq").toString
+    val dir = s"$base/t"
+    // force the parquet form at fixture scale; restore after
+    spark.conf.set("graft.checkpoint.parquetThreshold", "4")
+    try {
+      // commits carrying the FULL metadata surface: multi-column zones,
+      // a string-key bloom, partition values — everything a checkpoint
+      // row must round-trip losslessly (a dropped bloom would silently
+      // unprune every later point lookup; a dropped seq would misapply
+      // merge-on-read masks)
+      for (i <- 1 to 12)
+        SnapshotLog.commit(spark, dir, "append",
+          SnapshotLog.writeData(
+            Seq((i.toLong, s"k$i", s"p${i % 3}", i * 10L)).toDF("id", "k", "part", "v")
+              .coalesce(1),
+            dir, statsCols = Seq("id", "v"), bloomCol = Some("k"),
+            partitionCols = Seq("part")))
+      // the interval checkpoint is a POINTER + parquet rows, not a blob
+      val ptr = Paths.get(dir, "_graft_log", f"${10L}%020d.checkpoint.json")
+      assert(Files.exists(ptr))
+      val ptrText = new String(Files.readAllBytes(ptr), "UTF-8")
+      assert(ptrText.contains("graft-checkpoint-v2-parquet") &&
+        ptrText.contains("ckpt-data/"), ptrText)
+      // resolution THROUGH the parquet anchor is metadata-identical to a
+      // pure delta-fold of the same log (fold from scratch = ground truth)
+      val viaAnchor = SnapshotLog.filesAt(spark, dir, Some(12L))
+        .sortBy(_.path)
+      val truth = SnapshotLog.commits(spark, dir, Some(12L))
+        .flatMap(_.added).sortBy(_.path)
+      assert(viaAnchor == truth,
+        "parquet checkpoint round-trip lost manifest metadata")
+      assert(viaAnchor.forall(f => f.blooms.contains("k") &&
+        f.stats.contains("v") && f.parts.contains("part") && f.seq > 0))
+      // pruned reads keep working through the anchor
+      assert(SnapshotLog.readWhere(spark, dir, Map("v" -> (30L, 30L)))
+        .get.count() == 1)
+      assert(SnapshotLog.readPointString(spark, dir, "k", "k7").get
+        .filter(col("k") === "k7").count() == 1)
+      // expiry sweeps a superseded parquet checkpoint's row dir with it
+      for (i <- 13 to 22)
+        SnapshotLog.commit(spark, dir, "append",
+          SnapshotLog.writeData(Seq((i.toLong, s"k$i", s"p${i % 3}", i * 10L))
+            .toDF("id", "k", "part", "v").coalesce(1), dir,
+            statsCols = Seq("id", "v"), bloomCol = Some("k"),
+            partitionCols = Seq("part")))
+      SnapshotLog.expireSnapshots(spark, dir, retainLast = 2, orphanGraceMs = 0L)
+      assert(!Files.exists(ptr), "stale pointer not swept")
+      import scala.jdk.CollectionConverters._
+      val ckptData = Paths.get(dir, "_graft_log", "ckpt-data")
+      val leftover = Files.list(ckptData).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(f"${10L}%020d")).toSeq
+      assert(leftover.isEmpty, s"orphaned checkpoint rows: $leftover")
+      assert(SnapshotLog.read(spark, dir).get.count() == 22)
+    } finally spark.conf.unset("graft.checkpoint.parquetThreshold")
+  }
+
   test("expiry anchors the new retention horizon before dropping the prefix") {
     import spark.implicits._
     import graft.table.SnapshotLog
