@@ -202,6 +202,33 @@ object ConnectorQueries {
       sink
     }
 
+  /** A table whose change feed is read with PRE/POST-IMAGES: seed = all
+    * orders (snapshot 1), then one merge-on-read commit mixing true
+    * updates (doubled prices on keys %3=0 — all exist in the seed) with
+    * true inserts (keys shifted past the max — provably new), then one
+    * tombstone commit deleting keys %10=0. The feed from snapshot 1 must
+    * classify exactly: updates as preimage/postimage pairs, shifted keys
+    * as inserts, deletes with the FULL parent-state payload (doubled
+    * where %30=0 — the state after the update commit). */
+  private def preimgWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "preimg") { base =>
+      val dir = s"$base/orders_preimg"
+      val ord = orders(s, d)
+      ord.write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      val mx = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+      val updates = ord.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = ord.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + mx + 1) // strictly new
+      graft.table.Merge.mergeOnRead(s, dir, updates.unionByName(inserts),
+        "o_orderkey")
+      graft.table.Merge.mergeOnRead(s, dir,
+        ord.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("_del", lit(true)),
+        "o_orderkey", deleteCol = Some("_del"))
+      dir
+    }
+
   /** A table widened by `ALTER TABLE ADD COLUMNS` mid-life: F-status
     * orders first (pre-ALTER epoch, flag reads null), then the rest
     * INSERTed WITH the flag set from the status — reads must null-fill
@@ -242,6 +269,19 @@ object ConnectorQueries {
         .groupBy(col("_change_op"))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
           round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+        .orderBy(col("_change_op"))
+    }),
+    // the pre/post-image change feed: updates emit paired
+    // update_preimage (parent values) / update_postimage (new values)
+    // events, genuinely-new keys emit insert, deletes carry the full
+    // parent-state payload — per-op counts, key checksums and value
+    // sums must equal the declaratively-derived events of the raw input
+    "conn_cdf_preimages" -> ((s, d) => {
+      SnapshotLog.changes(s, preimgWarehouse(s, d), from = 1L,
+          preImages = true).get
+        .groupBy(col("_change_op"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy(col("_change_op"))
     }),
     // the SQL maintenance faces end-to-end: OPTIMIZE (mask-materializing
@@ -367,6 +407,26 @@ object ConnectorQueries {
         |  FROM orders WHERE o_orderkey % 2 = 1
         |  UNION ALL
         |  SELECT o_orderkey, 0.0, 'delete'
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT _change_op, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM ev GROUP BY _change_op ORDER BY _change_op""".stripMargin,
+    "conn_cdf_preimages" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey, o_totalprice, 'update_preimage' AS _change_op
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, 'update_postimage'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        |         o_totalprice, 'insert'
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 30 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END, 'delete'
         |  FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT _change_op, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,

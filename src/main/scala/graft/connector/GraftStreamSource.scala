@@ -66,6 +66,17 @@ final class GraftStreamSource(
     "readChangeFeed consumes change commits as row-level events; " +
       "skipChangeCommits would contradict it — set only one")
 
+  /** `cdfPreImages=true` (with readChangeFeed): events arrive in the
+    * Delta-CDF vocabulary — update_preimage/update_postimage pairs for
+    * keys that existed in the commit's parent, full-payload deletes —
+    * so a retraction-based downstream materialization maintains itself
+    * from the stream alone. Same schema, richer `_change_op` values. */
+  private val cdfPreImages =
+    options.get("cdfPreImages").exists(_.toBoolean)
+  require(!cdfPreImages || readChangeFeed,
+    "cdfPreImages=true needs readChangeFeed=true (it refines the change " +
+      "feed's event vocabulary)")
+
   /** Exclusive lower bound of the first batch, fixed ONCE per checkpoint
     * and pinned under `metadataPath` — `startingVersion=latest` must
     * resolve to the snapshot at FIRST start, not at every restart: a
@@ -216,7 +227,8 @@ final class GraftStreamSource(
       else if (readChangeFeed)
         // row-level events of (from, to]; the feed's own retention and
         // lineage-derivability refusals propagate (loud, named snapshots)
-        SnapshotLog.changes(spark, tableDir, from, Some(to)).map(alignTo)
+        SnapshotLog.changes(spark, tableDir, from, Some(to),
+          preImages = cdfPreImages).map(alignTo)
       else {
         val ids = SnapshotLog.snapshots(spark, tableDir)
         val missing = ((from + 1) to to).filterNot(ids.contains)

@@ -63,12 +63,19 @@ final class DiffConsumer(stateDir: String) {
     * lineage-less COW upserts and rollbacks still throw.
     * Compaction/materialization/mask-consolidation `replace` commits
     * contribute nothing. Same at-least-once [[commit]] contract. */
+  /** With `preImages = true` events arrive in the Delta-CDF vocabulary
+    * (insert / update_preimage / update_postimage / full-payload delete
+    * — [[SnapshotLog.changes]]'s preImages contract), which is what a
+    * RETRACTION-based incremental materialization needs: subtract the
+    * pre-image, add the post-image, never re-read the parent snapshot. */
   def consumeChanges(spark: SparkSession, tableDir: String,
-                     name: String): (Option[DataFrame], Long) = {
+                     name: String,
+                     preImages: Boolean = false): (Option[DataFrame], Long) = {
     val from = lastConsumed(name)
     val current = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L)
     if (current <= from) (None, from)
-    else (SnapshotLog.changes(spark, tableDir, from, Some(current)), current)
+    else (SnapshotLog.changes(spark, tableDir, from, Some(current),
+      preImages = preImages), current)
   }
 
   /** Persist the high-water mark — call strictly AFTER processing the

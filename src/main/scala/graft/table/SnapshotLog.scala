@@ -1270,8 +1270,25 @@ object SnapshotLog {
     *    metadata + delta files alone — deltas are read, the 100 TB of
     *    untouched table is never touched.
     */
+  /** With `preImages = true` the feed upgrades to the Delta-CDF event
+    * vocabulary: a changed key that EXISTED in the commit's parent
+    * snapshot emits an `update_preimage` row (the old values, read from
+    * the parent state) paired with an `update_postimage` row (the new
+    * values) under the same `_change_snapshot`; keys new to the table
+    * stay `insert`, and `delete` events carry the FULL deleted row (the
+    * parent's values) instead of key-only. Downstream retraction-based
+    * consumers (incremental aggregates, the repo's own [[DiffConsumer]]
+    * IVM face) then maintain views from the feed ALONE — the pre-image
+    * is the retraction they previously had to re-read the parent
+    * snapshot for. Existence is decided against the parent's ACTUAL
+    * visible rows (zone ∧ bloom-pruned to O(touched files), masks
+    * applied), so the split is exact, not metadata-approximate; the
+    * price is that every changed commit's PARENT must still be retained
+    * (refused loudly otherwise — plain mode keeps its weaker
+    * metadata-pruned fallback). */
   def changes(spark: SparkSession, tableDir: String, from: Long,
-              to: Option[Long] = None): Option[DataFrame] = {
+              to: Option[Long] = None,
+              preImages: Boolean = false): Option[DataFrame] = {
     val ids = snapshots(spark, tableDir)
     val hi = to.getOrElse(ids.lastOption.getOrElse(from))
     val missing = ((from + 1) to hi).filterNot(ids.contains)
@@ -1293,7 +1310,10 @@ object SnapshotLog {
         "rewrote rows without row lineage (copy-on-write); use merge-on-read " +
         "commits or applyChanges(lineage = true)")
     val parts = inRange.flatMap { c =>
-      if (c.op == "upsert") cowChanges(spark, tableDir, c, ids) else {
+      if (c.op == "upsert") cowChanges(spark, tableDir, c, ids, preImages)
+      else if (c.op == "rowdelta" && preImages)
+        morChangesWithImages(spark, tableDir, c, ids)
+      else {
       val dataAdded = c.added.filter(_.kind == "data")
       val delAdded = c.added.filter(_.kind == "eqdelete")
       val op = if (c.op == "append") "insert" else "upsert"
@@ -1350,8 +1370,13 @@ object SnapshotLog {
     * Needs the removed files' bytes, which are referenced by the parent
     * snapshot: the parent manifest must still be retained or the delete
     * side is underivable — refused loudly, never guessed. */
+  private def tagOp(df: DataFrame, op: String, snapshotId: Long): DataFrame =
+    df.withColumn("_change_op", lit(op))
+      .withColumn("_change_snapshot", lit(snapshotId))
+
   private def cowChanges(spark: SparkSession, tableDir: String, c: Commit,
-                         ids: Seq[Long]): Seq[DataFrame] = {
+                         ids: Seq[Long],
+                         preImages: Boolean = false): Seq[DataFrame] = {
     val keyCol = c.summary.getOrElse("key",
       throw new IllegalStateException(
         s"lineage upsert ${c.snapshotId} of $tableDir lacks a key in its summary"))
@@ -1359,25 +1384,125 @@ object SnapshotLog {
     val addedDf =
       if (dataAdded.isEmpty) None // all-tombstone merge: nothing rewritten in
       else Some(spark.read.parquet(dataAdded.map(_.path): _*))
-    val upserts = addedDf.map(_
+    val changed = addedDf.map(_
       .filter(col(Merge.LineageCol) === c.snapshotId)
-      .drop(Merge.LineageCol)
-      .withColumn("_change_op", lit("upsert"))
-      .withColumn("_change_snapshot", lit(c.snapshotId)))
-    val deletes =
-      if (c.removed.isEmpty) None
-      else {
-        require(ids.contains(c.snapshotId - 1),
-          s"cannot derive deletes of COW upsert ${c.snapshotId} of $tableDir: " +
-            "parent snapshot expired (its file references anchor the removed bytes)")
-        val removedKeys = spark.read.parquet(c.removed: _*)
-          .select(col(keyCol)).distinct()
-        Some(addedDf.fold(removedKeys)(a =>
-            removedKeys.join(a.select(col(keyCol)), Seq(keyCol), "left_anti"))
-          .withColumn("_change_op", lit("delete"))
-          .withColumn("_change_snapshot", lit(c.snapshotId)))
-      }
-    upserts.toSeq ++ deletes.toSeq
+      .drop(Merge.LineageCol))
+    // the rewritten (removed) files ARE the parent state of every touched
+    // key — COW refuses pending masks, so their raw rows are visible
+    lazy val removedRows = {
+      require(ids.contains(c.snapshotId - 1),
+        s"cannot derive row changes of COW upsert ${c.snapshotId} of $tableDir: " +
+          "parent snapshot expired (its file references anchor the removed bytes)")
+      hideInternal(spark.read.parquet(c.removed: _*)).localCheckpoint(true)
+    }
+    if (!preImages) {
+      val upserts = changed.map(tagOp(_, "upsert", c.snapshotId))
+      val deletes =
+        if (c.removed.isEmpty) None
+        else {
+          val removedKeys = removedRows.select(col(keyCol)).distinct()
+          Some(tagOp(addedDf.fold(removedKeys)(a =>
+              removedKeys.join(a.select(col(keyCol)), Seq(keyCol), "left_anti")),
+            "delete", c.snapshotId))
+        }
+      upserts.toSeq ++ deletes.toSeq
+    } else if (c.removed.isEmpty) {
+      // nothing rewritten: every changed row is a brand-new key
+      changed.map(tagOp(_, "insert", c.snapshotId)).toSeq
+    } else {
+      val removedKeys = removedRows.select(col(keyCol)).distinct()
+      val posts = changed.map(ch =>
+        tagOp(ch.join(removedKeys, Seq(keyCol), "left_semi"),
+          "update_postimage", c.snapshotId))
+      val inserts = changed.map(ch =>
+        tagOp(ch.join(removedKeys, Seq(keyCol), "left_anti"),
+          "insert", c.snapshotId))
+      val pres = changed.map(ch =>
+        tagOp(removedRows.join(ch.select(col(keyCol)).distinct(),
+            Seq(keyCol), "left_semi"),
+          "update_preimage", c.snapshotId))
+      // deletes carry the FULL parent row (the removed files' values);
+      // carried-forward keys (present in the added files with an older
+      // stamp) are not deletes
+      val delRows = tagOp(addedDf.fold(removedRows)(a =>
+          removedRows.join(a.select(col(keyCol)), Seq(keyCol), "left_anti")),
+        "delete", c.snapshotId)
+      inserts.toSeq ++ posts.toSeq ++ pres.toSeq :+ delRows
+    }
+  }
+
+  /** The parent snapshot's VISIBLE rows for a key set — zone ∧ bloom
+    * pruned to the files that might hold any of the keys (O(touched),
+    * never O(table)), pending masks applied, then semi-joined to exactly
+    * the asked keys. None when no parent file can hold any key. */
+  private def parentStateForKeys(spark: SparkSession, tableDir: String,
+                                 parentId: Long, keyCol: String,
+                                 keys: DataFrame): Option[DataFrame] = {
+    val (dels, data) = filesAt(spark, tableDir, Some(parentId))
+      .partition(_.kind == "eqdelete")
+    val (touched, _) = Merge.pruneTouched(spark, keyCol, data, keys)
+    if (touched.isEmpty) None
+    else Some(hideInternal(
+      if (dels.isEmpty) readEpochSafe(spark, touched)
+      else applyEqDeletes(spark, touched, dels))
+      .join(keys.distinct(), Seq(keyCol), "left_semi"))
+  }
+
+  /** Pre/post-image events of one merge-on-read commit: split its added
+    * rows into `insert` (key absent from the parent) vs
+    * `update_postimage` (key present — its parent row emits as the
+    * paired `update_preimage`), and emit full-payload `delete` rows for
+    * masked keys that actually existed and were not re-inserted.
+    * Existence is the parent's actual visible state for the delta's
+    * keys ([[parentStateForKeys]]) — exact, not bloom-approximate. */
+  private def morChangesWithImages(spark: SparkSession, tableDir: String,
+                                   c: Commit, ids: Seq[Long]): Seq[DataFrame] = {
+    val keyCol = c.summary.getOrElse("key",
+      throw new IllegalStateException(
+        s"rowdelta ${c.snapshotId} of $tableDir lacks a key in its summary"))
+    val dataAdded = c.added.filter(_.kind == "data")
+    val delAdded = c.added.filter(_.kind == "eqdelete")
+    val addedDf =
+      if (dataAdded.isEmpty) None
+      else Some(spark.read.parquet(dataAdded.map(_.path): _*))
+    val maskKeys =
+      if (delAdded.isEmpty) None
+      else Some(spark.read.parquet(delAdded.map(_.path): _*)
+        .select(col(keyCol)).distinct())
+    val parentId = c.snapshotId - 1
+    if (parentId < 1) // no parent: nothing existed, everything inserts
+      return addedDf.map(tagOp(_, "insert", c.snapshotId)).toSeq
+    require(ids.contains(parentId),
+      s"cannot derive pre-images of rowdelta ${c.snapshotId} of $tableDir: " +
+        s"parent snapshot $parentId expired; read changes without preImages " +
+        "or keep the retention horizon beyond consumer lag")
+    val candKeys = (addedDf.map(_.select(col(keyCol))).toSeq ++ maskKeys.toSeq)
+      .reduceOption(_ unionByName _).map(_.distinct())
+    val parent = candKeys.flatMap(
+      parentStateForKeys(spark, tableDir, parentId, keyCol, _))
+      .map(_.localCheckpoint(true)) // consumed up to four times; O(delta keys)
+    parent match {
+      case None => // no candidate key could exist: pure inserts, no deletes
+        addedDf.map(tagOp(_, "insert", c.snapshotId)).toSeq
+      case Some(pk) =>
+        val pkKeys = pk.select(col(keyCol)).distinct()
+        val posts = addedDf.map(a =>
+          tagOp(a.join(pkKeys, Seq(keyCol), "left_semi"),
+            "update_postimage", c.snapshotId))
+        val inserts = addedDf.map(a =>
+          tagOp(a.join(pkKeys, Seq(keyCol), "left_anti"),
+            "insert", c.snapshotId))
+        val pres = addedDf.map(a =>
+          tagOp(pk.join(a.select(col(keyCol)).distinct(),
+              Seq(keyCol), "left_semi"),
+            "update_preimage", c.snapshotId))
+        val deletes = maskKeys.map { mk =>
+          val gone = addedDf.fold(mk)(a =>
+            mk.join(a.select(col(keyCol)), Seq(keyCol), "left_anti"))
+          tagOp(pk.join(gone, Seq(keyCol), "left_semi"), "delete", c.snapshotId)
+        }
+        inserts.toSeq ++ posts.toSeq ++ pres.toSeq ++ deletes.toSeq
+    }
   }
 
   /** Drop delete keys PROVABLY absent from `files` (the parent

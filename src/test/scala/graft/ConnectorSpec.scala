@@ -697,6 +697,45 @@ class ConnectorSpec extends AnyFunSuite {
     assert(one.count() === 200)
   }
 
+  test("streaming change feed with cdfPreImages: pre/post pairs and full-payload deletes") {
+    val dir = tmp("cdfpre"); val cp = tmp("cdfprecp"); val sink = tmp("cdfpreout")
+    import spark.implicits._
+    (0L until 10L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(dir)
+    // one MOR commit: update ids 3,4 (v+100), insert ids 20,21;
+    // one tombstone commit: delete id 5
+    Merge.mergeOnRead(spark, dir,
+      Seq((3L, 106L), (4L, 108L), (20L, 40L), (21L, 42L)).toDF("id", "v"), "id")
+    Merge.mergeOnRead(spark, dir,
+      Seq((5L, 0L)).toDF("id", "v").withColumn("_d", lit(true)),
+      "id", deleteCol = Some("_d"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("cdfPreImages", "true")
+      .option("startingVersion", "1").load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    val ev = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_op"),
+        r.getAs[Long]("v"))).toSet
+    assert(ev === Set(
+      (3L, "update_preimage", 6L), (3L, "update_postimage", 106L),
+      (4L, "update_preimage", 8L), (4L, "update_postimage", 108L),
+      (20L, "insert", 40L), (21L, "insert", 42L),
+      (5L, "delete", 10L))) // delete carries the parent row's payload
+    // cdfPreImages without readChangeFeed refuses loudly (the refusal may
+    // surface at start or wrapped in the query's failure)
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("graft").option("cdfPreImages", "true")
+        .load(dir).writeStream.format("memory").queryName("cdfpre_bad")
+        .option("checkpointLocation", tmp("cdfprebad")).start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("readChangeFeed"), messages(e))
+  }
+
   test("streaming change feed: readChangeFeed emits row-level events across DML") {
     val dir = tmp("cdf"); val cp = tmp("cdfcp"); val sink = tmp("cdfout")
     import spark.implicits._
