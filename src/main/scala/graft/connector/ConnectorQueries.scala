@@ -379,6 +379,16 @@ object ConnectorQueries {
           max(col("o_custkey")).as("max_cust"))
         .orderBy(col("o_orderstatus"))
     }),
+    // metadata-only aggregates: an unfiltered count(*)/min/max over the
+    // connector relation answers from manifest row counts and zones
+    // alone — ConnectorSpec pins that the optimized plan is a
+    // LocalRelation with NO scan node; the oracle pins the values
+    "conn_count_meta" -> ((s, d) => {
+      s.read.format("graft").load(ordersWarehouse(s, d))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+    }),
     "conn_point_lookup" -> ((s, d) => {
       val dir = bloomWarehouse(s, d)
       val key = SnapshotLog.filesAt(s, dir)
@@ -477,6 +487,9 @@ object ConnectorQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders
         |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
+    "conn_count_meta" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
     "conn_stream_sink" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust

@@ -60,6 +60,12 @@ final class GraftFileIndex(
     * cosmetic (the scan's "Location" metadata string). */
   override def rootPaths: Seq[Path] = Seq.empty
 
+  /** The pinned snapshot's live data files with their manifest stats —
+    * the metadata [[GraftMetadataAggRule]] answers unfiltered aggregates
+    * from (the fast path never carries eqdelete masks, so these rows ARE
+    * the logical rows). */
+  private[connector] def liveDataFiles: Seq[DataFile] = files
+
   override def partitionSchema: StructType = new StructType()
 
   override def inputFiles: Array[String] = files.map(_.path).toArray

@@ -59,6 +59,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolved-plan interception lowered onto copy-on-write log commits
     // (the Delta DeltaAnalysis school; see GraftDmlRule's docstring)
     ext.injectResolutionRule(_ => new graft.connector.GraftDmlRule)
+    // unfiltered count(*)/min/max over a fast-path graft relation answer
+    // from manifest metadata alone — the plan collapses to a
+    // LocalRelation with no scan (the Delta OptimizeMetadataOnlyQuery
+    // school; see GraftMetadataAggRule's docstring for the exactness
+    // preconditions)
+    ext.injectOptimizerRule(_ => new graft.connector.GraftMetadataAggRule)
     // SQL time travel (VERSION AS OF n / 'tag', TIMESTAMP AS OF ts) on
     // graft catalog tables. This MUST ride the hint-resolution batch:
     // ResolveRelations THROWS on V1 time travel in the same iteration it

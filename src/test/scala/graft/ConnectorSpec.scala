@@ -855,6 +855,51 @@ class ConnectorSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE conn_ctas")
   }
 
+  test("metadata-only aggregates: unfiltered count/min/max plan NO scan") {
+    val dir = tmp("metaagg")
+    rows(1000).write.format("graft").option("statsCols", "id").save(dir)
+    rows(2000).filter(col("id") >= 1000)
+      .write.format("graft").mode("append").option("statsCols", "id").save(dir)
+    val agg = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val row = agg.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((2000L, 0L, 1999L)))
+    // the optimized plan is a LocalRelation — zero scan nodes, the
+    // manifest answered everything
+    val optimized = agg.queryExecution.optimizedPlan
+    assert(optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected a LocalRelation-only plan, got:\n$optimized")
+
+    // any Filter (even one the zones could prune) disables the rewrite:
+    // the filtered aggregate still scans and still answers correctly
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("id") < 1000).agg(count(lit(1)).as("n"))
+    assert(filtered.head.getLong(0) === 1000L)
+    assert(!filtered.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+    // count(col) needs null accounting the manifest doesn't have: scan
+    val perCol = spark.read.format("graft").load(dir).agg(count(col("cat")).as("n"))
+    assert(!perCol.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(perCol.head.getLong(0) === 2000L)
+
+    // a column with NO recorded zone (v was not a statsCol) bails to the
+    // scan for min/max but the answer is identical
+    val noZone = spark.read.format("graft").load(dir).agg(max(col("v")).as("mx"))
+    assert(!noZone.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(noZone.head.getLong(0) === 3998L)
+
+    // a MASKED snapshot plans the computed relation — never matched, and
+    // the metadata row counts (which over-count masked rows) are not used
+    Merge.mergeOnRead(spark, dir,
+      rows(2000).filter(col("id") < 10).withColumn("_del", lit(true)),
+      "id", deleteCol = Some("_del"))
+    val masked = spark.read.format("graft").load(dir).agg(count(lit(1)).as("n"))
+    assert(masked.head.getLong(0) === 1990L)
+  }
+
   test("manifest-accurate sizeInBytes: a small graft table auto-broadcasts unhinted") {
     val dir = tmp("cbo")
     rows(50).write.format("graft").save(dir) // a few KB: far under the threshold
