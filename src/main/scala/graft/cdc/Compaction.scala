@@ -175,12 +175,22 @@ object Compaction {
     // retries next cycle.
     val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(
       return CompactionResult(table, 0, 0, 0L, 0L))
-    val files = SnapshotLog.filesAt(spark, dir, Some(baseId))
+    val (files, reg0) = SnapshotLog.stateAt(spark, dir, Some(baseId))
     if (files.isEmpty) return CompactionResult(table, 0, 0, 0L, 0L)
+    // a LIVE (non-identity) field registry routes through the FULL
+    // materializing rewrite: logical names get written into fresh files
+    // and the commit carries the RESET (identity) registry — the one
+    // road back to the connector fast path after RENAME/DROP COLUMN
+    val reg = reg0.filterNot(_.isIdentity)
+    require(scope.isEmpty || reg.isEmpty,
+      s"a scoped (WHERE) compaction refuses tables with a live column " +
+        "mapping (renamed/dropped columns pending materialization): the " +
+        "rewrite must cover every file to reset the registry — run an " +
+        "unscoped OPTIMIZE first")
     val (delFiles, dataFiles) = files.partition(_.kind == "eqdelete")
     val totalBytes = dataFiles.map(_.bytes).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (clusterBy.isEmpty && clusterZOrder.isEmpty &&
+    if (clusterBy.isEmpty && clusterZOrder.isEmpty && reg.isEmpty &&
         delFiles.isEmpty && dataFiles.size <= targetFiles)
       return CompactionResult(table, files.size, files.size,
         dataFiles.map(_.rows).sum, totalBytes)
@@ -198,7 +208,8 @@ object Compaction {
         s"equality-delete masks (${delFiles.size} here): the mask fold " +
         "spans files the predicate would exclude — run an unscoped " +
         "OPTIMIZE (or materializeDeletes) first")
-    if (clusterBy.isEmpty && clusterZOrder.isEmpty && delFiles.isEmpty)
+    if (clusterBy.isEmpty && clusterZOrder.isEmpty && delFiles.isEmpty &&
+        reg.isEmpty)
       return binPack(spark, table, dir, files, dataFiles, targetBytes, totalBytes,
         baseId, scope.getOrElse(_ => true))
 
@@ -211,7 +222,11 @@ object Compaction {
     // MATERIALIZES the widened schema — a declared-rename registry is
     // not known here, so renamed columns stay separate; lossless)
     val df =
-      if (delFiles.isEmpty) SnapshotLog.readEpochSafe(spark, dataFiles)
+      if (delFiles.isEmpty && reg.isEmpty)
+        SnapshotLog.readEpochSafe(spark, dataFiles)
+      // masked and/or registry tables rewrite THROUGH the full read:
+      // masks materialize, renamed columns materialize under their
+      // logical names, dropped columns' bytes are finally reclaimed
       else SnapshotLog.read(spark, dir, asOf = Some(baseId)).get
     val nOld =
       if (delFiles.isEmpty) dataFiles.map(_.rows).sum
@@ -229,9 +244,15 @@ object Compaction {
       statsCols = clusterZOrder,
       // partition-value metadata survives the rewrite (a compaction must
       // not blind readPartitions); an unclustered rewrite may mix values
-      // per file — over-cap sets simply stop recording (conservative)
+      // per file — over-cap sets simply stop recording (conservative).
+      // Registry tables translate the recorded (physical) keys to the
+      // frame's logical names — which this rewrite then makes physical
       partitionCols = dataFiles.flatMap(_.parts.keys).distinct
-        .filter(df.columns.contains))
+        .map(c => reg.flatMap(_.logicalOf(c)).getOrElse(c)).distinct
+        .filter(df.columns.contains),
+      // the frame is in its FINAL name space (logical names become the
+      // rewritten files' stored names); no further translation
+      rawPhysical = true)
     val nNew = rewritten.map(_.rows).sum
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")
@@ -239,7 +260,10 @@ object Compaction {
       removed = files.map(_.path),
       summary = Map("table" -> table, "files_before" -> files.size.toString,
         "files_after" -> rewritten.size.toString,
-        "materialized_deletes" -> delFiles.map(_.rows).sum.toString))
+        "materialized_deletes" -> delFiles.map(_.rows).sum.toString) ++
+        // the reset registry rides the SAME atomic commit as the rewrite:
+        // either both land (fast path restored) or neither
+        reg.map(r => graft.table.FieldRegistry.SummaryKey -> r.reset.toJson))
     CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
   }
 
@@ -301,7 +325,8 @@ object Compaction {
           .filter(df.columns.contains)
         val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
           statsCol = ordered.headOption, statsCols = ordered.drop(1),
-          bloomCol = bloom, partitionCols = partCols)
+          bloomCol = bloom, partitionCols = partCols,
+          rawPhysical = true) // raw class read: names are already physical
         val (nOld, nNew) = (cls.map(_.rows).sum, rewritten.map(_.rows).sum)
         require(nNew == nOld,
           s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")

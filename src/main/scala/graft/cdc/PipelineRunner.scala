@@ -106,7 +106,8 @@ object PipelineRunner {
           snapshotted: Boolean = false,
           autoMaintain: Boolean = false,
           retainLast: Int = 5,
-          wap: Boolean = false): PipelineReport = {
+          wap: Boolean = false,
+          epoch: Boolean = false): PipelineReport = {
     // configure: warehouse root must exist before the first append
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouseDir))
 
@@ -122,8 +123,28 @@ object PipelineRunner {
     val source = new FileCdcSource(fixtureDir)
     val offsets = new OffsetStore(offsetDir)
     val job = new SyncJob(source, offsets, warehouseDir, singleFile = singleFile,
-      snapshotted = snapshotted, wap = wap && snapshotted)
-    val synced = job.syncAll(spark, tables.filter(healthy))
+      snapshotted = snapshotted, wap = (wap || epoch) && snapshotted)
+    // --epoch (snapshot mode): the fan-out stages EVERY table invisibly,
+    // then publishes all commits plus ONE epoch marker — readers joining
+    // via SyncEpoch.readAt always see a consistent multi-table state,
+    // never table A's new sync with table B's old one
+    val synced =
+      if (epoch && snapshotted) {
+        import scala.concurrent.{Await, Future, ExecutionContext}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val staged = Await.result(
+          Future.traverse(tables.filter(healthy))(t =>
+            Future(job.stageSync(spark, t))), Duration.Inf)
+        val (results, epochId) = job.publishEpoch(spark, staged)
+        epochId.foreach(id =>
+          System.err.println(s"[pipeline] published sync epoch $id"))
+        results
+      } else {
+        if (epoch)
+          System.err.println("[pipeline] WARNING: --epoch needs --snapshots; skipped")
+        job.syncAll(spark, tables.filter(healthy))
+      }
 
     // maintenance (optional): compact the small-file ingest layout before
     // verification reads it back — failures abort before the swap, so the
@@ -186,10 +207,13 @@ object PipelineRunner {
     // --wap: stage each sync invisibly, audit the staged read-back
     // against the observed delta, publish only on success
     val wap = a.get("wap").contains("true")
+    // --epoch: additionally publish ONE cross-table epoch marker per run
+    val epoch = a.get("epoch").contains("true")
     val spark = graft.Sessions.local(appName = a.getOrElse("JOB_NAME", "graft-pipeline"))
     try {
       val report = run(spark, fixtureDir, warehouseDir, offsetDir, tables,
-        singleFile, compactTarget, snapshotted, autoMaintain, wap = wap)
+        singleFile, compactTarget, snapshotted, autoMaintain, wap = wap,
+        epoch = epoch)
       // the reference's eyeball source-vs-sink report, machine-checkable
       println(f"${"table"}%-12s ${"synced"}%8s ${"hwm"}%6s ${"source"}%8s ${"sink"}%8s  status")
       report.tables.foreach { r =>

@@ -173,6 +173,87 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
     }
   }
 
+  /** One table's delta STAGED invisibly (write-audit, no publish) — the
+    * first phase of an EPOCH fan-out. `token` is None for an empty delta
+    * or a failed audit (already discarded); `partitionHwm` carries the
+    * per-partition offset marks the later offset commit needs. */
+  final case class StagedSync(table: String, token: Option[String],
+                              records: Long, maxOffset: Long,
+                              partitionHwm: Map[Int, Long])
+
+  /** Stage one table's sync without making it visible — the same decode →
+    * observe → stage → audit pipeline as [[sync]]'s WAP path, but the
+    * PUBLISH is deferred to [[publishEpoch]] so all tables of a fan-out
+    * become visible as one unit. Offsets are NOT committed here. */
+  def stageSync(spark: SparkSession, table: String): StagedSync = {
+    require(snapshotted, "epoch staging routes through the snapshot log: " +
+      "construct the SyncJob with snapshotted = true")
+    val topic = Schemas.topicFor(table)
+    val starting = offsets.startingOffsetsFor(table, topic)
+    val wire = source.read(spark, topic, starting)
+    val decoded0 = Envelope.decode(wire, table, keepPartition = true)
+    val decoded =
+      if (partitionBySyncDate)
+        decoded0.withColumn("sync_date", to_date(col("kafka_timestamp")))
+      else decoded0
+    if (decoded.isEmpty)
+      return StagedSync(table, None, 0L, offsets.lastOffset(table), Map.empty)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = decoded.observe(obs,
+        count(lit(1)).as("n"), max(col("kafka_offset")).as("hwm"),
+        graft.functions.GraftFunctions
+          .keyed_max(col("kafka_partition"), col("kafka_offset")).as("phwm"))
+      .drop("kafka_partition")
+    val out = if (singleFile) observed.coalesce(1) else observed
+    val staged =
+      if (partitionBySyncDate && !singleFile) out.repartition(col("sync_date"))
+      else out
+    val partCols = if (partitionBySyncDate) Seq("sync_date") else Nil
+    val token = SnapshotLog.stageAppend(staged, tableDir(table),
+      statsCol = Some("kafka_offset"), partitionCols = partCols,
+      summary = Map("table" -> table))
+    val m = obs.get
+    val n = m("n").asInstanceOf[Long]
+    val stagedN = SnapshotLog.readStagedOnly(spark, tableDir(table), token).count()
+    if (stagedN != n) {
+      SnapshotLog.discardStaged(spark, tableDir(table), token)
+      System.err.println(s"[sync] epoch-stage audit failed for $table: " +
+        s"staged $stagedN rows != observed $n — discarded; offsets unchanged")
+      return StagedSync(table, None, 0L, offsets.lastOffset(table), Map.empty)
+    }
+    StagedSync(table, Some(token), n, m("hwm").asInstanceOf[Long], partitionHwm(m))
+  }
+
+  /** Phase two of the epoch fan-out: publish every staged append (per-
+    * table atomic commits), then ONE epoch marker pinning each table's
+    * resulting snapshot ([[graft.table.SyncEpoch]] — the instant the
+    * whole fan-out becomes visible as a consistent unit to epoch
+    * readers), then the offset commits (strictly after durability — the
+    * at-least-once contract [[sync]] keeps). Tables with an empty delta
+    * or failed audit pin their UNCHANGED current snapshot, so the epoch
+    * still names a consistent all-table state. Returns the per-table
+    * results and the published epoch id (None when no table has any
+    * snapshot yet). */
+  def publishEpoch(spark: SparkSession,
+                   staged: Seq[StagedSync]): (Seq[SyncResult], Option[Long]) = {
+    val pinned = staged.map { s =>
+      val id = s.token match {
+        case Some(tok) => SnapshotLog.publishStaged(spark, tableDir(s.table), tok)
+        case None => SnapshotLog.currentSnapshotId(spark, tableDir(s.table))
+          .getOrElse(0L)
+      }
+      s.table -> id
+    }.filter(_._2 > 0L).toMap
+    val epoch =
+      if (pinned.isEmpty) None
+      else Some(graft.table.SyncEpoch.publish(spark, warehouseDir, pinned))
+    staged.foreach(s => s.token.foreach(_ =>
+      offsets.commitPartitioned(s.table, s.partitionHwm, s.records)))
+    (staged.map(s =>
+      SyncResult(s.table, s.records, s.maxOffset, wrote = s.token.isDefined)),
+      epoch)
+  }
+
   /** The reference fans out 4 tables as parallel Airflow tasks
     * (cdc_auto_sync_every_5min.py:263-264); here tables run as concurrent
     * Spark jobs inside one session (fair-scheduled threads).

@@ -250,7 +250,89 @@ object ConnectorQueries {
       dir
     }
 
+  /** A table RENAMED mid-life (metadata-only field-id mapping): F-status
+    * orders land under the original column names, then `ALTER TABLE …
+    * RENAME COLUMN o_totalprice TO o_price`, then the REST of the orders
+    * INSERT under the new name — the read must resolve both epochs (old
+    * physical files + new writes) into one logical column. */
+  private def renameWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "rename") { base =>
+      val dir = s"$base/orders_rename"
+      val ord = orders(s, d)
+      ord.filter(col("o_orderstatus") === "F")
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      s.sql(s"CREATE TABLE conn_ren_wh USING graft OPTIONS (path '$dir')")
+      try {
+        s.sql("ALTER TABLE conn_ren_wh RENAME COLUMN o_totalprice TO o_price")
+        ord.filter(col("o_orderstatus") =!= "F")
+          .withColumnRenamed("o_totalprice", "o_price")
+          .createOrReplaceTempView("conn_ren_src")
+        s.sql("INSERT INTO conn_ren_wh SELECT * FROM conn_ren_src")
+      } finally s.sql("DROP TABLE conn_ren_wh")
+      dir
+    }
+
+  /** A two-table warehouse published in SYNC EPOCHS: epoch 1 = even
+    * orderkeys of orders AND lineitem, epoch 2 = the odd halves — then a
+    * TORN commit lands on orders alone (no epoch marker), the state a
+    * crashed fan-out leaves. Epoch readers must join exactly the epoch-2
+    * state: both complete halves, none of the torn rows. */
+  private def epochWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "epoch") { wh =>
+      import graft.table.SyncEpoch
+      val ord = orders(s, d)
+      val li = graft.schema.Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      def half(df: DataFrame, c: String, m: Int) =
+        df.filter(pmod(col(c), lit(2)) === m)
+      half(ord, "o_orderkey", 0).write.format("graft")
+        .option("statsCols", "o_orderkey").save(s"$wh/orders_parquet")
+      half(li, "l_orderkey", 0).write.format("graft")
+        .option("statsCols", "l_orderkey").save(s"$wh/lineitem_parquet")
+      SyncEpoch.publish(s, wh, Map("orders" -> 1L, "lineitem" -> 1L))
+      half(ord, "o_orderkey", 1).write.format("graft").mode("append")
+        .option("statsCols", "o_orderkey").save(s"$wh/orders_parquet")
+      half(li, "l_orderkey", 1).write.format("graft").mode("append")
+        .option("statsCols", "l_orderkey").save(s"$wh/lineitem_parquet")
+      SyncEpoch.publish(s, wh, Map("orders" -> 2L, "lineitem" -> 2L))
+      // the torn tail: orders advances, lineitem does not, NO marker
+      val mx = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+      ord.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + mx + 1)
+        .write.format("graft").mode("append")
+        .option("statsCols", "o_orderkey").save(s"$wh/orders_parquet")
+      wh
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cross-table atomic publish: orders ⋈ lineitem AT the current sync
+    // epoch joins the consistent pinned pair — the torn orders-only
+    // commit after the marker is invisible (SyncEpochSpec pins the
+    // counterexample: a latest-snapshot read DOES see it)
+    "conn_epoch_join" -> ((s, d) => {
+      import graft.table.SyncEpoch
+      val wh = epochWarehouse(s, d)
+      SyncEpoch.readAt(s, wh, "orders").get
+        .join(SyncEpoch.readAt(s, wh, "lineitem").get,
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // metadata-only RENAME COLUMN under the oracle: pre-rename files
+    // (old physical name) and post-rename INSERTs resolve by field id
+    // into one logical column whose aggregate equals the raw input's
+    "conn_alter_rename" -> ((s, d) => {
+      s.read.format("graft").load(renameWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_price")), 2).as("total_price"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // the SQL ALTER ADD COLUMNS face end-to-end: the widened table's
     // per-status counts and non-null flag counts must equal the
     // declaratively-widened raw input (old epoch null, new epoch set)
@@ -401,6 +483,18 @@ object ConnectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "conn_epoch_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  max(o_orderkey) AS max_key
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_alter_rename" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_alter_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  count(CASE WHEN o_orderstatus <> 'F'

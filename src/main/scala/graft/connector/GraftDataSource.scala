@@ -261,7 +261,13 @@ object GraftDataSource {
   private[connector] def inheritedMeta(spark: SparkSession, dir: String,
                                        schema: StructType)
       : (Seq[String], Option[String], Seq[String]) = {
-    val live = SnapshotLog.filesAt(spark, dir).filter(_.kind == "data")
+    // metadata keys resolve through the field registry (LOGICAL names):
+    // an INSERT into a renamed table inherits the CURRENT column names,
+    // which writeData translates back to physical at record time
+    val (files0, reg) = SnapshotLog.stateAt(spark, dir)
+    val live = reg.filterNot(_.isIdentity)
+      .map(r => files0.map(r.translateMeta)).getOrElse(files0)
+      .filter(_.kind == "data")
     val present = schema.fieldNames.toSet
     val stats = live.flatMap(_.stats.keys).distinct.filter(present)
     val bloom = live.flatMap(_.blooms.keys).distinct.filter(present)
@@ -289,11 +295,16 @@ object GraftDataSource {
   private[connector] def visibleState(spark: SparkSession, dir: String,
                                       asOf: Option[Long])
       : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile],
-         Seq[StructType], StructType) = {
-    val (dels, data) = SnapshotLog.filesAt(spark, dir, asOf)
-      .partition(_.kind == "eqdelete")
-    def hide(sch: StructType): StructType =
-      StructType(sch.fields.filterNot(f => isInternal(f.name)))
+         Seq[StructType], StructType, Option[graft.table.FieldRegistry]) = {
+    val (files, reg0) = SnapshotLog.stateAt(spark, dir, asOf)
+    // identity registries impose nothing; only a live rename/drop makes
+    // schemas resolve through the mapping (and forces the computed path)
+    val reg = reg0.filterNot(_.isIdentity)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
+    def hide(sch: StructType): StructType = {
+      val h = StructType(sch.fields.filterNot(f => isInternal(f.name)))
+      reg.map(_.toLogicalSchema(h)).getOrElse(h)
+    }
     if (data.isEmpty) {
       val recovered = SnapshotLog.commitsReverse(spark, dir)
         .filter(c => asOf.forall(c.snapshotId <= _))
@@ -304,7 +315,7 @@ object GraftDataSource {
         asOf.fold("")(v => s" at snapshot $v") +
         " and no retained manifest references a readable file to recover" +
         " the schema from")
-      (dels, data, Seq.empty, nullable(hide(recovered.get)))
+      (dels, data, Seq.empty, nullable(hide(recovered.get)), reg)
     } else {
       val groups = SnapshotLog.epochGroups(spark, data)
       val all = groups.map { case (sch, _) => nullable(hide(sch)) }
@@ -319,7 +330,7 @@ object GraftDataSource {
       // the merge unchanged (relationFor checks exactly that)
       val bearing = groups.filter(_._2.exists(_.rows > 0))
         .map { case (sch, _) => nullable(hide(sch)) }
-      (dels, data, bearing, merged)
+      (dels, data, bearing, merged, reg)
     }
   }
 
@@ -333,13 +344,17 @@ object GraftDataSource {
     * `HadoopFsRelation` (dropping any subclass) for catalog tables. */
   private[connector] def relationFor(spark: SparkSession, sqlContext: SQLContext,
                                      dir: String, asOf: Option[Long]): BaseRelation = {
-    val (dels, data, epochSchemas, visible) = visibleState(spark, dir, asOf)
+    val (dels, data, epochSchemas, visible, reg) = visibleState(spark, dir, asOf)
     if (data.isEmpty) // empty snapshot: zero rows under the recovered schema
       new GraftComputedRelation(sqlContext,
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], visible),
         dir, insertable = asOf.isEmpty)
-    else if (dels.isEmpty && epochSchemas.distinct.size <= 1 &&
+    // a live (non-identity) field registry resolves columns by id —
+    // physical file names differ from the visible ones, which the bare
+    // parquet scan cannot express: the computed path projects them;
+    // OPTIMIZE's materializing rewrite is the road back to this fast path
+    else if (reg.isEmpty && dels.isEmpty && epochSchemas.distinct.size <= 1 &&
         // a visible schema WIDER than the bearing epoch (schema carriers
         // from ALTER ADD COLUMNS) stays on the fast path only when the
         // bearing columns' types survived the merge unchanged: parquet

@@ -188,17 +188,24 @@ object GraftDml {
     * tables pass back None, pending masks refuse (the COW-vs-mask
     * hazard [[Merge.applyChanges]] documents). */
   private def pinned(spark: SparkSession, t: DmlTarget,
-                     what: String): Option[(Long, Seq[DataFile])] = {
+                     what: String): Option[(Long, Seq[DataFile],
+                       Option[graft.table.FieldRegistry])] = {
     require(!t.timeTravel, s"graft table ${t.dir}: cannot run $what " +
       "against a time-travel (versionAsOf/timestampAsOf/tagAsOf) relation " +
       "— DML always applies to the current snapshot")
     SnapshotLog.currentSnapshotId(spark, t.dir).map { baseId =>
-      val (masks, live) = SnapshotLog.filesAt(spark, t.dir, Some(baseId))
-        .partition(_.kind == "eqdelete")
+      val (files, reg0) = SnapshotLog.stateAt(spark, t.dir, Some(baseId))
+      // DML speaks LOGICAL names end to end: file metadata translates
+      // here for candidate pruning, raw file reads project via toLogical
+      // in readFiles/touchDetect, and writeData translates the rewritten
+      // frame back to physical — renames stay metadata-only under DML
+      val reg = reg0.filterNot(_.isIdentity)
+      val (masks, live) = reg.map(r => files.map(r.translateMeta))
+        .getOrElse(files).partition(_.kind == "eqdelete")
       require(masks.isEmpty, s"graft table ${t.dir} has ${masks.size} " +
         s"pending equality-delete file(s); consolidate/materializeDeletes " +
         s"before SQL $what (a copy-on-write rewrite would detach the masks)")
-      (baseId, live)
+      (baseId, live, reg)
     }
   }
 
@@ -238,7 +245,10 @@ object GraftDml {
   }
 
   private def readFiles(spark: SparkSession, t: DmlTarget,
-                        files: Seq[DataFile], lineage: Boolean): DataFrame =
+                        files: Seq[DataFile], lineage: Boolean,
+                        reg: Option[graft.table.FieldRegistry]): DataFrame = {
+    def logical(df: DataFrame): DataFrame =
+      reg.map(_.toLogical(df)).getOrElse(df)
     if (files.isEmpty)
       // the empty frame must still carry the lineage column when the
       // table is lineage-stamped: a MERGE inserting into zero touched
@@ -246,8 +256,10 @@ object GraftDml {
       // summary, and the change feed would throw at read time
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (lineage) schemaOf(t).add(Merge.LineageCol, LongType) else schemaOf(t))
-    else if (lineage) aligned(Merge.readTouchedLineage(spark, files, Map.empty), t)
-    else aligned(SnapshotLog.readEpochSafe(spark, files), t)
+    else if (lineage)
+      aligned(logical(Merge.readTouchedLineage(spark, files, Map.empty)), t)
+    else aligned(logical(SnapshotLog.readEpochSafe(spark, files)), t)
+  }
 
   private def split(e: Expression): Seq[Expression] = e match {
     case And(l, r) => split(l) ++ split(r)
@@ -268,10 +280,12 @@ object GraftDml {
     * (metadata-sized result): the files that ACTUALLY hold matching
     * rows, plus the matched-row count for the commit summary. */
   private def touchDetect(spark: SparkSession, t: DmlTarget,
-                          candidates: Seq[DataFile], cond: Expression)
+                          candidates: Seq[DataFile], cond: Expression,
+                          reg: Option[graft.table.FieldRegistry])
       : (Seq[DataFile], Long) = {
     if (candidates.isEmpty) return (Nil, 0L)
-    val base = aligned(SnapshotLog.readEpochSafe(spark, candidates), t)
+    val raw = SnapshotLog.readEpochSafe(spark, candidates)
+    val base = aligned(reg.map(_.toLogical(raw)).getOrElse(raw), t)
     val perFile = base.filter(rebind(cond, t.output, base))
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()
@@ -290,14 +304,21 @@ object GraftDml {
       partitionCols = parts)
   }
 
-  private def lineageSummary(lin: Option[String]): Map[String, String] =
-    lin.map(k => Map("lineage" -> "true", "key" -> k)).getOrElse(Map.empty)
+  private def lineageSummary(lin: Option[String],
+      reg: Option[graft.table.FieldRegistry]): Map[String, String] =
+    // the summary key is what cowChanges joins the RAW (physical-space)
+    // rewritten files on — record the physical name; the feed's final
+    // registry projection hands consumers the logical one
+    lin.map { k =>
+      val phys = reg.flatMap(_.physicalOf(k)).getOrElse(k)
+      Map("lineage" -> "true", "key" -> phys)
+    }.getOrElse(Map.empty)
 
   // ---------------------------------------------------------------- DELETE
 
   def delete(spark: SparkSession, t: DmlTarget, cond: Expression): Unit = {
     checkExpr(cond, "DELETE")
-    val (baseId, live) = pinned(spark, t, "DELETE").getOrElse(return)
+    val (baseId, live, reg) = pinned(spark, t, "DELETE").getOrElse(return)
     if (live.isEmpty) return
     val lin = effectiveLineage(spark, t)
     cond match {
@@ -307,13 +328,13 @@ object GraftDml {
         SnapshotLog.commitAt(spark, t.dir, baseId + 1, "upsert", Seq.empty,
           live.map(_.path), Map("mode" -> "delete-sql",
             "rows_deleted" -> live.map(_.rows).sum.toString,
-            "files_touched" -> live.size.toString) ++ lineageSummary(lin))
+            "files_touched" -> live.size.toString) ++ lineageSummary(lin, reg))
         ()
       case _ =>
         val candidates = candidatesFor(live, cond, schemaOf(t))
-        val (touched, nMatched) = touchDetect(spark, t, candidates, cond)
+        val (touched, nMatched) = touchDetect(spark, t, candidates, cond, reg)
         if (touched.isEmpty) return // nothing matched: no commit, no-op
-        val tDf = readFiles(spark, t, touched, lin.isDefined)
+        val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
         // rows where cond is NULL are KEPT (SQL deletes only where TRUE)
         val survivors = tDf.filter(!coalesce(rebind(cond, t.output, tDf), lit(false)))
         val written = writeInherited(spark, t.dir, survivors)
@@ -322,7 +343,7 @@ object GraftDml {
             "rows_deleted" -> nMatched.toString,
             "files_touched" -> touched.size.toString,
             "files_untouched" -> (live.size - touched.size).toString) ++
-            lineageSummary(lin))
+            lineageSummary(lin, reg))
         ()
     }
   }
@@ -343,14 +364,14 @@ object GraftDml {
       }
     }
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
-    val (baseId, live) = pinned(spark, t, "UPDATE").getOrElse(return)
+    val (baseId, live, reg) = pinned(spark, t, "UPDATE").getOrElse(return)
     if (live.isEmpty) return
     val candidates = candidatesFor(live, cond, schemaOf(t))
-    val (touched, nMatched) = touchDetect(spark, t, candidates, cond)
+    val (touched, nMatched) = touchDetect(spark, t, candidates, cond, reg)
     if (touched.isEmpty) return
     val lin = effectiveLineage(spark, t)
     val intendedId = baseId + 1
-    val tDf = readFiles(spark, t, touched, lin.isDefined)
+    val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
     // every assignment evaluates against the PRE-update row (standard SQL:
     // `SET a = b, b = a` swaps); one simultaneous select guarantees it
     val hit = coalesce(rebind(cond, t.output, tDf), lit(false))
@@ -370,7 +391,7 @@ object GraftDml {
         "rows_updated" -> nMatched.toString,
         "files_touched" -> touched.size.toString,
         "files_untouched" -> (live.size - touched.size).toString) ++
-        lineageSummary(lin))
+        lineageSummary(lin, reg))
     ()
   }
 
@@ -427,7 +448,7 @@ object GraftDml {
             as.key.sql)
       }
     }
-    val (baseId, live) = pinned(spark, t, "MERGE").getOrElse(
+    val (baseId, live, reg) = pinned(spark, t, "MERGE").getOrElse(
       throw new IllegalArgumentException(
         s"MERGE target ${t.dir} is not an existing graft table"))
     val intendedId = baseId + 1
@@ -452,7 +473,7 @@ object GraftDml {
     if (touched.isEmpty && notMatched.isEmpty) return // no matches possible, nothing to insert
 
     val lin = effectiveLineage(spark, t)
-    val tBase = readFiles(spark, t, touched, lin.isDefined)
+    val tBase = readFiles(spark, t, touched, lin.isDefined, reg)
     val tDf = tBase.withColumn(TMark, lit(true))
       .withColumn(TId, monotonically_increasing_id())
     val sDf = sDf0.withColumn(SMark, lit(true))
@@ -539,7 +560,7 @@ object GraftDml {
         // for partially-deleted groups. Recorded whenever stamps were
         // written (keyEq or not), so an arbitrary-ON merge on a lineage
         // table stays feed-derivable instead of wasting its stamps.
-        lineageSummary(lin))
+        lineageSummary(lin, reg))
     ()
   }
 }

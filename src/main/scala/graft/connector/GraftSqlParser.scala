@@ -98,6 +98,16 @@ object GraftMaintenance {
   private val AlterAddRe = Pattern.compile(
     s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+COLUMNS?\\s*\\((.*)\\)\\s*;?\\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  // RENAME/DROP COLUMN — metadata-only through the field registry (the
+  // Delta column-mapping / Iceberg field-id school); vanilla Spark
+  // refuses both on v1 tables, so claiming them for graft targets takes
+  // nothing from anyone
+  private val AlterRenameRe = Pattern.compile(
+    s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+RENAME\\s+COLUMN\\s+([\\w`]+)\\s+TO\\s+([\\w`]+)\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE)
+  private val AlterDropRe = Pattern.compile(
+    s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+COLUMNS?\\s+\\(?\\s*([\\w`]+)\\s*\\)?\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE)
 
   private def unquote(s: String): String = s.replace("`", "")
 
@@ -137,14 +147,27 @@ object GraftMaintenance {
     val head = lead.takeWhile(!_.isWhitespace).toUpperCase(Locale.ROOT)
     head match {
       case "ALTER" =>
-        val m = AlterAddRe.matcher(sqlText)
-        if (!m.matches()) return None // every other ALTER form is Spark's
-        val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
-        val isGraft = target.contains("/") ||
-          graftCatalogDir(session, target.split('.').toSeq).isDefined
-        if (!isGraft) return None // non-graft ADD COLUMNS keeps Spark's path
-        Some(GraftAddColumnsCommand(target,
-          delegate.parseTableSchema(m.group(3))))
+        def graftTarget(raw: String, quoted: String): Option[String] = {
+          val target = Option(raw).getOrElse(unquote(quoted))
+          if (target.contains("/") ||
+              graftCatalogDir(session, target.split('.').toSeq).isDefined)
+            Some(target)
+          else None // non-graft ALTER keeps Spark's path
+        }
+        val mAdd = AlterAddRe.matcher(sqlText)
+        if (mAdd.matches())
+          return graftTarget(mAdd.group(1), mAdd.group(2)).map(t =>
+            GraftAddColumnsCommand(t, delegate.parseTableSchema(mAdd.group(3))))
+        val mRen = AlterRenameRe.matcher(sqlText)
+        if (mRen.matches())
+          return graftTarget(mRen.group(1), mRen.group(2)).map(t =>
+            GraftRenameColumnCommand(t, unquote(mRen.group(3)),
+              unquote(mRen.group(4))))
+        val mDrop = AlterDropRe.matcher(sqlText)
+        if (mDrop.matches())
+          return graftTarget(mDrop.group(1), mDrop.group(2)).map(t =>
+            GraftDropColumnCommand(t, unquote(mDrop.group(3))))
+        None // every other ALTER form is Spark's
       case "OPTIMIZE" =>
         val m = OptimizeRe.matcher(sqlText)
         require(m.matches(),
@@ -200,6 +223,49 @@ object GraftMaintenance {
           s"$target is not a graft catalog table (OPTIMIZE/VACUUM apply " +
             "only to tables created USING graft, or to a quoted table path)"))
     }
+
+  /** Register any VISIBLE column the registry doesn't know yet (columns
+    * introduced by drift-bearing writes after bootstrap): their physical
+    * name is their own (the writeData collision guard refused anything
+    * ambiguous), so `add` records them verbatim and later renames/drops
+    * can address them. */
+  private[connector] def syncRegistry(reg: graft.table.FieldRegistry,
+      visibleNames: Seq[String]): graft.table.FieldRegistry = {
+    val unknown = visibleNames.filter(n => reg.physicalOf(n).isEmpty)
+    if (unknown.isEmpty) reg else reg.add(unknown)._1
+  }
+
+  /** The one registry-mutation commit shape shared by RENAME and DROP:
+    * resolve (or bootstrap) the registry at the pinned snapshot, sync in
+    * drift columns, apply the change, commit it as a file-less `schema`
+    * snapshot at exactly the successor id (a racing commit throws — the
+    * registry must never fork), then refresh the catalog's schema. */
+  private[connector] def commitRegistryChange(spark: SparkSession, dir: String,
+      ident: Option[TableIdentifier], note: Map[String, String])(
+      change: graft.table.FieldRegistry => graft.table.FieldRegistry): Long = {
+    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val visible = GraftDataSource.visibleState(spark, dir, None)._4
+    val reg = SnapshotLog.registryAt(spark, dir, Some(baseId))
+      .getOrElse(graft.table.FieldRegistry.bootstrap(visible.fieldNames.toSeq))
+    val updated = change(syncRegistry(reg, visible.fieldNames.toSeq))
+    val id = SnapshotLog.commitAt(spark, dir, baseId + 1, "schema",
+      Seq.empty, Seq.empty,
+      note + (graft.table.FieldRegistry.SummaryKey -> updated.toJson))
+    ident.foreach { tid =>
+      val after = GraftDataSource.visibleState(spark, dir, None)._4
+      // the SessionCatalog face refuses any change that removes a column
+      // NAME (renames and drops both do); the external catalog applies
+      // the log-derived truth directly — reads would otherwise refuse on
+      // a stored-vs-actual schema mismatch
+      try spark.sharedState.externalCatalog.alterTableDataSchema(
+        tid.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase),
+        tid.table, after)
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sessionState.catalog.refreshTable(tid)
+    }
+    id
+  }
 
   /** (identifier, table dir) when the name resolves to a graft catalog
     * table — temp views and every other provider return None. Shared by
@@ -313,12 +379,32 @@ final case class GraftAddColumnsCommand(target: String, cols: StructType)
       s"${dup.mkString(", ")} already exist")
     val widened = cols.fields.foldLeft(visible)((s, f) =>
       s.add(f.name, f.dataType, nullable = true))
+    // on a registry table the new fields REGISTER (fresh ids; physical
+    // names disambiguated against every name ever used, so re-adding a
+    // dropped column's name can never resurrect old bytes) and the
+    // carrier is written in PHYSICAL space like every data file
+    val reg = SnapshotLog.registryAt(spark, dir, Some(baseId))
+    val (reg2, physNames) = reg match {
+      case Some(r0) =>
+        val r1 = GraftMaintenance.syncRegistry(r0, visible.fieldNames.toSeq)
+        val (r2, ps) = r1.add(cols.fieldNames.toSeq)
+        (Some(r2), ps)
+      case None => (None, cols.fieldNames.toSeq)
+    }
+    val carrierSchema = reg2 match {
+      case Some(r) =>
+        val physVisible = StructType(visible.fields.map(f =>
+          f.copy(name = r.physicalOf(f.name).getOrElse(f.name))))
+        cols.fields.zip(physNames).foldLeft(physVisible) {
+          case (s, (f, p)) => s.add(p, f.dataType, nullable = true) }
+      case None => widened
+    }
     // the carrier: one empty parquet file whose FOOTER declares the
     // widened schema — written directly (writeData's per-file stats
     // aggregate records only row-bearing files)
     val uuid = java.util.UUID.randomUUID().toString
     val dst = s"$dir/data/$uuid"
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], widened)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], carrierSchema)
       .repartition(1).write.parquet(dst)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dst + "/"), spark.sparkContext.hadoopConfiguration)
@@ -328,13 +414,53 @@ final case class GraftAddColumnsCommand(target: String, cols: StructType)
     val carrier = SnapshotLog.DataFile(part.getPath.toUri.getPath, 0L,
       part.getLen, None, None, kind = "data")
     SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq(carrier),
-      Seq.empty, Map("add_columns" -> cols.fieldNames.mkString(",")))
+      Seq.empty, Map("add_columns" -> cols.fieldNames.mkString(",")) ++
+        reg2.map(r => graft.table.FieldRegistry.SummaryKey -> r.toJson))
     ident.foreach { id =>
       // keep DESCRIBE in sync with the log-derived truth
       try spark.sessionState.catalog.alterTableDataSchema(id, widened)
       catch { case scala.util.control.NonFatal(_) => () }
       spark.sessionState.catalog.refreshTable(id)
     }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — METADATA-ONLY: one `schema`
+  * commit carrying the updated field registry; zero data files touched
+  * (the Delta column-mapping / Iceberg field-id school). The field keeps
+  * its id and its PHYSICAL name (what every existing file's footer and
+  * manifest stats are recorded under); only the LOGICAL name changes.
+  * Reads resolve per snapshot, so time travel before the commit shows
+  * the old name; writes after it accept the new name and translate back
+  * at the writeData chokepoint. The first rename BOOTSTRAPS the registry
+  * as identity over the current visible schema. */
+final case class GraftRenameColumnCommand(target: String, from: String,
+    to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    GraftMaintenance.commitRegistryChange(spark, dir, ident,
+      Map("rename_column" -> s"$from->$to"))(_.rename(from, to))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN c` — METADATA-ONLY tombstone: the field's
+  * entry stays in the registry marked dropped, its physical columns stay
+  * in old files (invisible to every read face) and its manifest zone/
+  * bloom/partition entries stop participating in pruning — which is what
+  * keeps a later `ADD COLUMNS (c …)` safe: the namesake is a NEW field
+  * with fresh physical storage, and the old zones can never prune (or
+  * resurrect) against it. Storage is reclaimed lazily by the next full
+  * rewrite (OPTIMIZE), never eagerly. */
+final case class GraftDropColumnCommand(target: String, column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    GraftMaintenance.commitRegistryChange(spark, dir, ident,
+      Map("drop_column" -> column))(_.drop(column))
     Seq.empty
   }
 }

@@ -251,7 +251,13 @@ final class GraftStreamSource(
         val files = commits.filter(_.op == "append")
           .flatMap(_.added).filter(_.kind == "data")
         if (files.isEmpty) None
-        else Some(alignTo(SnapshotLog.readEpochSafe(spark, files)))
+        // batch files read raw (physical names) and project through the
+        // field registry at the batch's end snapshot, so a stream over a
+        // renamed table emits the same columns its fixed schema declares
+        // instead of silently null-filling them in alignTo
+        else Some(alignTo(SnapshotLog.applyRegistry(
+          SnapshotLog.readEpochSafe(spark, files),
+          SnapshotLog.registryAt(spark, tableDir, Some(to)))))
       }
     val batch = (seed, deltas) match {
       case (Some(s), Some(d)) => Some(s.unionByName(d))

@@ -258,8 +258,16 @@ object Merge {
     val baseId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"cannot merge into empty table $tableDir"))
     val intendedId = baseId + 1
-    val (pendingMasks, live) =
-      SnapshotLog.filesAt(spark, tableDir, Some(baseId)).partition(_.kind == "eqdelete")
+    val (allFiles, reg0) = SnapshotLog.stateAt(spark, tableDir, Some(baseId))
+    // renamed/dropped tables merge in PHYSICAL space end to end: the
+    // caller's logical delta translates once here, and from then on the
+    // raw file reads, manifest key zones, mask files and the rewritten
+    // output all share one coordinate system — a rename stays
+    // metadata-only even under a COW merge
+    val reg = reg0.filterNot(_.isIdentity)
+    val delta0 = reg.map(_.toPhysical(delta)).getOrElse(delta)
+    val keyColP = reg.flatMap(_.physicalOf(keyCol)).getOrElse(keyCol)
+    val (pendingMasks, live) = allFiles.partition(_.kind == "eqdelete")
     // a COW rewrite reads touched files RAW and re-stamps their rows with
     // a fresh seq — pending equality-delete masks would stop applying to
     // the rewritten copies (deleted rows resurrect). Refuse the mix
@@ -268,16 +276,16 @@ object Merge {
       s"table $tableDir has ${pendingMasks.size} pending equality-delete file(s); " +
         "run materializeDeletes before a copy-on-write merge, or use mergeOnRead")
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
-    val keys = keySet(delta, keyCol, maxDriverKeys)
+    val keys = keySet(delta0, keyColP, maxDriverKeys)
     val nKeys = keys.fold(_.length.toLong, _.count())
-    val (touched, untouched) = touchedFiles(spark, keyCol, live, keys)
+    val (touched, untouched) = touchedFiles(spark, keyColP, live, keys)
     // tombstones drop out of the written rows; their keys still anti-join.
     // A NULL flag is NOT a delete (`!NULL` is NULL, which a bare filter
     // silently drops — the row's key would anti-join its old version
     // away with no replacement): coalesce to false so nullable CDC flag
     // columns mean "not deleted" on null, the only safe reading.
-    val upserts0 = deleteCol.fold(delta)(dc =>
-      delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
+    val upserts0 = deleteCol.fold(delta0)(dc =>
+      delta0.filter(!coalesce(col(dc), lit(false))).drop(dc))
     val upserts =
       if (lineage) upserts0.withColumn(LineageCol, lit(intendedId))
       else upserts0
@@ -293,7 +301,7 @@ object Merge {
           if (lineage) readTouchedLineage(spark, touched, renames)
           else SnapshotLog.readEpochSafe(spark, touched, renames)
         val survivors = touchedDf
-          .join(delta.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .join(delta0.select(col(keyColP)).distinct(), Seq(keyColP), "left_anti")
         if (sameShape(survivors.schema, upserts.schema))
           survivors.unionByName(upserts)
         // drifted delta: LUB-cast both sides, null-fill additions on the
@@ -302,11 +310,12 @@ object Merge {
       }
     // string keys get a manifest bloom instead of the (impossible) long
     // zone, so the NEXT merge prunes these files too
-    val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyCol),
-      bloomCol = Some(keyCol).filter(_ => isStringKey(delta, keyCol)))
+    val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyColP),
+      bloomCol = Some(keyColP).filter(_ => isStringKey(delta0, keyColP)),
+      rawPhysical = true)
     val id = SnapshotLog.commitAt(spark, tableDir, intendedId, "upsert", written,
       removed = touched.map(_.path),
-      summary = Map("key" -> keyCol, "delta_keys" -> nKeys.toString,
+      summary = Map("key" -> keyColP, "delta_keys" -> nKeys.toString,
         "files_touched" -> touched.size.toString,
         "files_untouched" -> untouched.size.toString) ++
         (if (lineage) Map("lineage" -> "true") else Map.empty))
@@ -396,11 +405,17 @@ object Merge {
                   renames: Map[String, String] = Map.empty,
                   maxDriverKeys: Int = DefaultMaxDriverKeys,
                   maxRetries: Int = 5): MorResult = {
-    val live0 = SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
+    val (allFiles0, mreg0) = SnapshotLog.stateAt(spark, tableDir)
+    val live0 = allFiles0.filter(_.kind == "data")
     require(live0.nonEmpty, s"cannot merge into empty table $tableDir")
+    // physical-space adapter — same reasoning as applyChanges: one
+    // translation at entry, physical names everywhere after
+    val mreg = mreg0.filterNot(_.isIdentity)
+    val delta0 = mreg.map(_.toPhysical(delta)).getOrElse(delta)
+    val keyColP = mreg.flatMap(_.physicalOf(keyCol)).getOrElse(keyCol)
     // NULL delete flags read as "not deleted" — see applyChanges
-    val upserts = deleteCol.fold(delta)(dc =>
-        delta.filter(!coalesce(col(dc), lit(false))).drop(dc))
+    val upserts = deleteCol.fold(delta0)(dc =>
+        delta0.filter(!coalesce(col(dc), lit(false))).drop(dc))
       .localCheckpoint(true) // consumed twice: emptiness probe + write
     // off-lattice drift fails the WRITE: cheap fast path (one footer)
     // when nothing drifted, full per-epoch validation when it did
@@ -410,22 +425,22 @@ object Merge {
         .map(fs => spark.read.parquet(fs.head.path).schema).toSeq
       graft.schema.Evolution.mergedSchema(epochSchemas :+ upserts.schema, renames)
     }
-    val keys = keySet(delta, keyCol, maxDriverKeys)
+    val keys = keySet(delta0, keyColP, maxDriverKeys)
     val nKeys = keys.fold(_.length.toLong, _.count())
     // the delta's data files are immutable and state-independent — write
     // them ONCE, outside the retry loop. An all-tombstone delta writes NO
     // data files (parquet emits no part files for an empty frame, and the
     // stats read-back would fail); the commit then carries only the mask.
-    val keyBloom = Some(keyCol).filter(_ => isStringKey(delta, keyCol))
+    val keyBloom = Some(keyColP).filter(_ => isStringKey(delta0, keyColP))
     val dataFiles =
       if (upserts.isEmpty) Seq.empty[SnapshotLog.DataFile]
-      else SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyCol),
-        bloomCol = keyBloom)
+      else SnapshotLog.writeData(upserts, tableDir, statsCol = Some(keyColP),
+        bloomCol = keyBloom, rawPhysical = true)
 
     // the delta keys that MIGHT exist in `live` data (mask entries); pure
     // inserts — provably outside every file's zone ∧ bloom — get none
     def maskKeyDf(live: Seq[SnapshotLog.DataFile]): DataFrame = {
-      val stated = live.filter(prunable(_, keyCol))
+      val stated = live.filter(prunable(_, keyColP))
       val unstated = live.size > stated.size
       keys match {
         case Left(arr) =>
@@ -437,8 +452,8 @@ object Merge {
               // decodes once, not once per key), then every key tests
               // zone ∧ bloom
               val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
-              val probes = stated.map(f => (keyZone(f, keyCol),
-                f.blooms.get(keyCol).filter(_ => budget)
+              val probes = stated.map(f => (keyZone(f, keyColP),
+                f.blooms.get(keyColP).filter(_ => budget)
                   .map(java.util.Base64.getDecoder.decode)))
               arr.toSeq.filter(k => probes.exists { case (zone, bloom) =>
                 zone.forall { case (mn, mx) => k >= mn && k <= mx } &&
@@ -449,7 +464,7 @@ object Merge {
           masks.toDF("k")
         case Right(keyDf) =>
           if (unstated) keyDf
-          else keyDf.join(broadcast(fileStatsDf(spark, keyCol, stated)),
+          else keyDf.join(broadcast(fileStatsDf(spark, keyColP, stated)),
               probeCond(col("k")), "left_semi")
       }
     }
@@ -465,20 +480,22 @@ object Merge {
     while (true) {
       val live = if (attempt == 0) live0
         else SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
+      // (metadata keys stay physical — keyColP probes them directly)
       val mk = maskKeyDf(live)
-      val keyProj = delta.select(col(keyCol)).distinct()
+      val keyProj = delta0.select(col(keyColP)).distinct()
       val delFiles =
         if (mk.isEmpty) Seq.empty
         else SnapshotLog.writeData(
           keyProj
-            .join(mk, SnapshotLog.keyAsLong(keyProj, keyCol) === col("k"), "left_semi")
+            .join(mk, SnapshotLog.keyAsLong(keyProj, keyColP) === col("k"), "left_semi")
             .coalesce(1),
-          tableDir, statsCol = Some(keyCol), kind = "eqdelete", bloomCol = keyBloom)
+          tableDir, statsCol = Some(keyColP), kind = "eqdelete",
+          bloomCol = keyBloom, rawPhysical = true)
       val maskEntries = delFiles.map(_.rows).sum
       try {
         val id = SnapshotLog.commit(spark, tableDir, "rowdelta",
           dataFiles ++ delFiles,
-          summary = summary ++ Map("key" -> keyCol,
+          summary = summary ++ Map("key" -> keyColP,
             "delta_keys" -> nKeys.toString,
             "delete_entries" -> maskEntries.toString,
             "insert_only_keys" -> (nKeys - maskEntries).toString))
@@ -522,17 +539,28 @@ object Merge {
     val live = SnapshotLog.filesAt(spark, tableDir, Some(baseId))
     val (dels, data) = live.partition(_.kind == "eqdelete")
     if (dels.isEmpty) return None
-    val keyCol = spark.read.parquet(dels.head.path).columns
+    val keyColP = spark.read.parquet(dels.head.path).columns
       .filterNot(_ == "_graft_del_seq").head
-    val masked = SnapshotLog.read(spark, tableDir, asOf = Some(baseId),
-      renames = renames).get
-    val rewritten = clusterZOrder match {
+    // the masked read exits in LOGICAL space (registry projection);
+    // translate back to physical once so the mask key, the cluster
+    // columns and the written footers all agree
+    val reg = SnapshotLog.registryAt(spark, tableDir, Some(baseId))
+      .filterNot(_.isIdentity)
+    val masked = reg.map(_.toPhysical(
+        SnapshotLog.read(spark, tableDir, asOf = Some(baseId),
+          renames = renames).get))
+      .getOrElse(SnapshotLog.read(spark, tableDir, asOf = Some(baseId),
+        renames = renames).get)
+    val zOrderP = clusterZOrder.map(c =>
+      reg.flatMap(_.physicalOf(c)).getOrElse(c))
+    val rewritten = zOrderP match {
       case Seq(cx, cy) => graft.cdc.Compaction.zorderArrange(masked, cx, cy, targetFiles)
-      case _ => masked.repartitionByRange(targetFiles, col(keyCol))
+      case _ => masked.repartitionByRange(targetFiles, col(keyColP))
     }
     val written = SnapshotLog.writeData(rewritten, tableDir,
-      statsCol = Some(keyCol), statsCols = clusterZOrder,
-      bloomCol = Some(keyCol).filter(_ => isStringKey(masked, keyCol)))
+      statsCol = Some(keyColP), statsCols = zOrderP,
+      bloomCol = Some(keyColP).filter(_ => isStringKey(masked, keyColP)),
+      rawPhysical = true)
     Some(SnapshotLog.commitAt(spark, tableDir, baseId + 1, "replace", written,
       removed = live.map(_.path),
       summary = Map("materialized_deletes" -> dels.map(_.rows).sum.toString)))
@@ -567,7 +595,8 @@ object Merge {
       .coalesce(1) // mask debt is O(delta keys): KBs against a 100 TB table
     val written = SnapshotLog.writeData(folded, tableDir,
       statsCol = Some(keyCol), kind = "eqdelete",
-      bloomCol = Some(keyCol).filter(_ => isStringKey(folded, keyCol)))
+      bloomCol = Some(keyCol).filter(_ => isStringKey(folded, keyCol)),
+      rawPhysical = true)
     Some(SnapshotLog.commitAt(spark, tableDir, baseId + 1, "replace", written,
       removed = dels.map(_.path),
       summary = Map("consolidated_masks" -> dels.size.toString,

@@ -257,17 +257,28 @@ object SnapshotLog {
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
+  /** `rawPhysical = true` declares the frame (and the requested metadata
+    * column names) ALREADY in physical space — set by internal rewrites
+    * that read files raw (bin-pack, mask consolidation, merge adapters);
+    * everything else is logical space and translates through the table's
+    * field registry here, the ONE writer chokepoint, so no caller can
+    * write a renamed column's bytes under its logical name. */
   def writeData(df: DataFrame, tableDir: String,
                 statsCol: Option[String] = None,
                 kind: String = "data",
                 statsCols: Seq[String] = Nil,
                 bloomCol: Option[String] = None,
-                partitionCols: Seq[String] = Nil): Seq[DataFile] = {
+                partitionCols: Seq[String] = Nil,
+                rawPhysical: Boolean = false): Seq[DataFile] = {
     require(kind == "data" || kind == "eqdelete", s"unknown file kind: $kind")
     val spark = df.sparkSession
+    val reg = if (rawPhysical) None
+      else registryAt(spark, tableDir).filterNot(_.isIdentity)
+    val dfP = reg.map(_.toPhysical(df)).getOrElse(df)
+    def phys(c: String): String = reg.flatMap(_.physicalOf(c)).getOrElse(c)
     val uuid = java.util.UUID.randomUUID().toString
     val dst = s"$tableDir/data/$uuid"
-    df.write.mode("error").parquet(dst)
+    dfP.write.mode("error").parquet(dst)
     val fs = fsOf(spark, tableDir)
     val sizes = fs.listStatus(new Path(dst)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -283,10 +294,12 @@ object SnapshotLog {
     // domain); a requested stats column that yields NO zone and is not
     // bloom-covered is reported loudly, never dropped in silence: the
     // caller believes pruning exists where none will.
-    val requested = (statsCol.toSeq ++ statsCols).distinct
+    val requested = (statsCol.toSeq ++ statsCols).distinct.map(phys)
+    val bloomColP = bloomCol.map(phys)
+    val partitionColsP = partitionCols.map(phys)
     val allStats = requested.filter(c => zoneExpr(written, c).isDefined)
     requested.filterNot(allStats.contains)
-      .filterNot(bloomCol.contains)
+      .filterNot(bloomColP.contains)
       .foreach(c => System.err.println(
         s"[graft] WARNING: stats column '$c' of $tableDir is " +
           s"${written.schema(c).dataType.simpleString} — no long zone kind " +
@@ -300,10 +313,10 @@ object SnapshotLog {
     val statsAggs = ((count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
       case (c, i) => Seq(min(zoneExpr(written, c).get).as(s"smin_$i"),
         max(zoneExpr(written, c).get).as(s"smax_$i"))
-    }) ++ partitionCols.zipWithIndex.map { case (c, i) =>
+    }) ++ partitionColsP.zipWithIndex.map { case (c, i) =>
       slice(sort_array(collect_set(col(c).cast("string"))),
         1, MaxPartValuesPerFile + 1).as(s"pvals_$i")
-    }) ++ bloomCol.map(c => graft.functions.GraftFunctions
+    }) ++ bloomColP.map(c => graft.functions.GraftFunctions
       .bloom_build(keyAsLong(written, c), BloomBits, BloomHashes).as("bloom"))
     written
       .groupBy(input_file_name().as("file"))
@@ -318,9 +331,9 @@ object SnapshotLog {
             case _ => None
           }
         }.toMap
-        val blooms = bloomCol.map(c => c ->
+        val blooms = bloomColP.map(c => c ->
           java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom"))).toMap
-        val parts = partitionCols.zipWithIndex.flatMap { case (c, i) =>
+        val parts = partitionColsP.zipWithIndex.flatMap { case (c, i) =>
           val vs = r.getAs[scala.collection.Seq[String]](s"pvals_$i")
           // over-cap (the +1 slice overflowed) or all-null: record
           // nothing — the file stays conservatively unprunable on c
@@ -440,9 +453,12 @@ object SnapshotLog {
     val fs = fsOf(spark, tableDir)
     val target = checkpointPath(tableDir, id)
     if (fs.exists(target)) return false
-    val live = filesAt(spark, tableDir, Some(id))
+    val (live, reg) = stateAt(spark, tableDir, Some(id))
     val root: ObjectNode = mapper.createObjectNode()
     root.put("snapshot_id", id)
+    // pin the field registry at the anchor so resolution never needs to
+    // walk past a checkpoint to learn the column mapping
+    reg.foreach(r => root.put(FieldRegistry.SummaryKey, r.toJson))
     val parquetDir: Option[String] =
       if (live.size <= checkpointParquetThreshold(spark)) {
         root.put("format", "graft-checkpoint-v1")
@@ -571,17 +587,22 @@ object SnapshotLog {
   private def readManifest(fs: FileSystem, tableDir: String, id: Long): Commit =
     readManifestFull(fs, tableDir, id)._1
 
-  /** Read a checkpoint's live set — inline JSON (v1) decoded here, a
+  /** Read a checkpoint's live set (plus the field registry pinned at the
+    * checkpoint, when one existed) — inline JSON (v1) decoded here, a
     * parquet checkpoint (v2 pointer) decoded by a Spark read so the
-    * O(live) parse spreads across cores/row groups. A parquet dir
+    * O(live) parse spreads across cores/row groups. The registry always
+    * rides the tiny pointer JSON, never the rows. A parquet dir
     * vanishing mid-read (concurrent expiry of this checkpoint) rethrows
     * as FileNotFound so [[filesAt]]'s retry re-resolves from the fresh
     * anchor expiry published first. */
   private def readCheckpoint(spark: SparkSession, fs: FileSystem,
-                             tableDir: String, id: Long): Seq[DataFile] = {
+                             tableDir: String, id: Long)
+      : (Seq[DataFile], Option[FieldRegistry]) = {
     val in = fs.open(checkpointPath(tableDir, id))
     val node: JsonNode = try mapper.readTree(in) finally in.close()
-    Option(node.get("parquet_dir")).map(_.asText()) match {
+    val reg = Option(node.get(FieldRegistry.SummaryKey))
+      .map(n => FieldRegistry.fromJson(n.asText()))
+    val live = Option(node.get("parquet_dir")).map(_.asText()) match {
       case None => parseFiles(node, "live")
       case Some(rel) =>
         val dir = new Path(logDir(tableDir), rel)
@@ -595,6 +616,7 @@ object SnapshotLog {
               s"parquet checkpoint $dir expired mid-read: ${e.getMessage}")
         }
     }
+    (live, reg)
   }
 
   /** Retained commits NEWEST-FIRST as a LAZY iterator — manifests are
@@ -639,7 +661,17 @@ object SnapshotLog {
     * at the new retention horizon FIRST, so the retry after the
     * FileNotFound re-resolves against that anchor. */
   def filesAt(spark: SparkSession, tableDir: String,
-              asOf: Option[Long] = None): Seq[DataFile] = {
+              asOf: Option[Long] = None): Seq[DataFile] =
+    stateAt(spark, tableDir, asOf)._1
+
+  /** [[filesAt]] plus the FIELD REGISTRY in force at the snapshot (None
+    * for the common registry-less table) — both resolved in the SAME
+    * anchor+delta fold, so the registry costs no extra metadata reads.
+    * The returned files are RAW (physical-name metadata keys); callers
+    * serving logical-space consumers translate via
+    * [[FieldRegistry.translateMeta]]. */
+  def stateAt(spark: SparkSession, tableDir: String,
+              asOf: Option[Long] = None): (Seq[DataFile], Option[FieldRegistry]) = {
     val fs = fsOf(spark, tableDir)
     var attempt = 0
     while (true) {
@@ -649,9 +681,9 @@ object SnapshotLog {
           require(ids.contains(i),
             s"snapshot $i of $tableDir does not exist (retained: ${ids.mkString(",")})")
           i
-        case None => if (ids.isEmpty) return Seq.empty else ids.last
+        case None => if (ids.isEmpty) return (Seq.empty, None) else ids.last
       }
-      try return resolveLive(spark, fs, tableDir, id, cps)
+      try return resolveState(spark, fs, tableDir, id, cps)
       catch {
         case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
       }
@@ -659,18 +691,27 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The field registry in force at a snapshot (latest when None). */
+  def registryAt(spark: SparkSession, tableDir: String,
+                 asOf: Option[Long] = None): Option[FieldRegistry] =
+    stateAt(spark, tableDir, asOf)._2
+
   /** Walk BACKWARD from `id` to the nearest anchor (checkpoint ≤ id, or
     * a v1 manifest's embedded live list), then fold the collected delta
-    * manifests forward: live = anchor − removed + added per commit.
-    * Reads O(manifests since anchor) metadata files, each O(its delta). */
-  private def resolveLive(spark: SparkSession, fs: FileSystem,
-                          tableDir: String, id: Long,
-                          checkpointIds: Seq[Long]): Seq[DataFile] = {
+    * manifests forward: live = anchor − removed + added per commit, and
+    * registry = anchor's pinned registry overridden by the newest
+    * `fields` summary in the deltas (full-state, last wins). Reads
+    * O(manifests since anchor) metadata files, each O(its delta). */
+  private def resolveState(spark: SparkSession, fs: FileSystem,
+                           tableDir: String, id: Long,
+                           checkpointIds: Seq[Long])
+      : (Seq[DataFile], Option[FieldRegistry]) = {
     val anchor = checkpointIds.filter(_ <= id).maxOption
     if (anchor.contains(id)) return readCheckpoint(spark, fs, tableDir, id)
     val floor = anchor.getOrElse(0L)
     val deltas = scala.collection.mutable.ListBuffer.empty[Commit]
     var seed: Seq[DataFile] = Seq.empty
+    var seedReg: Option[FieldRegistry] = None
     var cur = id
     var found = false
     while (cur > floor && !found) {
@@ -680,11 +721,19 @@ object SnapshotLog {
         case None => deltas.prepend(c); cur -= 1
       }
     }
-    if (!found && anchor.isDefined) seed = readCheckpoint(spark, fs, tableDir, floor)
-    deltas.foldLeft(seed) { (live, c) =>
+    if (!found && anchor.isDefined) {
+      val (s, r) = readCheckpoint(spark, fs, tableDir, floor)
+      seed = s; seedReg = r
+    }
+    val live = deltas.foldLeft(seed) { (live, c) =>
       val removedSet = c.removed.toSet
       live.filterNot(f => removedSet.contains(f.path)) ++ c.added
     }
+    val reg = deltas.foldLeft(seedReg) { (r, c) =>
+      c.summary.get(FieldRegistry.SummaryKey)
+        .map(FieldRegistry.fromJson).orElse(r)
+    }
+    (live, reg)
   }
 
   /** Apply the live equality-delete files to the live data files — the
@@ -828,7 +877,8 @@ object SnapshotLog {
   def readStaged(spark: SparkSession, tableDir: String, token: String): DataFrame = {
     val fs = fsOf(spark, tableDir)
     val (files, _) = readStagedManifest(fs, tableDir, token)
-    val stagedDf = spark.read.parquet(files.map(_.path): _*)
+    val stagedDf = applyRegistry(spark.read.parquet(files.map(_.path): _*),
+      registryAt(spark, tableDir))
     read(spark, tableDir) match {
       case Some(cur) => cur.unionByName(stagedDf, allowMissingColumns = true)
       case None => stagedDf
@@ -839,7 +889,8 @@ object SnapshotLog {
   def readStagedOnly(spark: SparkSession, tableDir: String, token: String): DataFrame = {
     val fs = fsOf(spark, tableDir)
     val (files, _) = readStagedManifest(fs, tableDir, token)
-    spark.read.parquet(files.map(_.path): _*)
+    applyRegistry(spark.read.parquet(files.map(_.path): _*),
+      registryAt(spark, tableDir))
   }
 
   /** Publish a staged append as one ordinary atomic `append` snapshot
@@ -999,20 +1050,44 @@ object SnapshotLog {
     * hide. One definition so no reader can drift from [[read]]'s
     * semantics. */
   private def assemble(spark: SparkSession, pruned: Seq[DataFile],
-                       dels: Seq[DataFile]): Option[DataFrame] =
+                       dels: Seq[DataFile],
+                       reg: Option[FieldRegistry] = None): Option[DataFrame] =
     if (pruned.isEmpty) None
-    else Some(hideInternal(
+    else Some(applyRegistry(hideInternal(
       if (dels.isEmpty) readEpochSafe(spark, pruned)
-      else applyEqDeletes(spark, pruned, dels)))
+      else applyEqDeletes(spark, pruned, dels)), reg))
+
+  /** Project a physical-space frame to logical space through the field
+    * registry (identity/absent registries are free). Every read face
+    * exits through this, so renamed/dropped columns resolve by field id
+    * no matter which files an epoch spans. */
+  private[graft] def applyRegistry(df: DataFrame,
+                                   reg: Option[FieldRegistry]): DataFrame =
+    reg.filterNot(_.isIdentity).map(_.toLogical(df)).getOrElse(df)
+
+  /** The snapshot's state with manifest metadata keys translated to
+    * LOGICAL names (tombstoned fields' entries removed — pruning must
+    * never consult a dropped column's zones for a re-added namesake):
+    * what every logical-space pruning face resolves against. */
+  private def logicalStateAt(spark: SparkSession, tableDir: String,
+                             asOf: Option[Long])
+      : (Seq[DataFile], Option[FieldRegistry]) = {
+    val (files, reg) = stateAt(spark, tableDir, asOf)
+    reg.filterNot(_.isIdentity) match {
+      case Some(r) => (files.map(r.translateMeta), reg)
+      case None => (files, reg)
+    }
+  }
 
   def read(spark: SparkSession, tableDir: String,
            asOf: Option[Long] = None,
            renames: Map[String, String] = Map.empty): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = stateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     if (data.isEmpty) None
-    else Some(hideInternal(
+    else Some(applyRegistry(hideInternal(
       if (dels.isEmpty) readEpochSafe(spark, data, renames)
-      else applyEqDeletes(spark, data, dels, renames)))
+      else applyEqDeletes(spark, data, dels, renames)), reg))
   }
 
   /** Manifest-pruned range read over the stats column: files whose
@@ -1023,13 +1098,14 @@ object SnapshotLog {
     * produced rows — pruning them could resurrect deleted rows). */
   def readRange(spark: SparkSession, tableDir: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = logicalStateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     val pruned = data.filter(f =>
       (f.statsMin, f.statsMax) match {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
         case _ => true
       })
-    assemble(spark, pruned, dels)
+    assemble(spark, pruned, dels, reg)
   }
 
   /** Multi-column manifest-pruned read: skip every data file whose
@@ -1048,9 +1124,10 @@ object SnapshotLog {
   def readWhere(spark: SparkSession, tableDir: String,
                 ranges: Map[String, (Long, Long)],
                 asOf: Option[Long] = None): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = logicalStateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     val pruned = data.filter(zoneKeeps(_, ranges))
-    assemble(spark, pruned, dels)
+    assemble(spark, pruned, dels, reg)
   }
 
   /** [[readWhere]] phrased in TIME: bounds given as timestamps prune
@@ -1080,16 +1157,17 @@ object SnapshotLog {
   def readPartitions(spark: SparkSession, tableDir: String,
                      filters: Map[String, Seq[String]],
                      asOf: Option[Long] = None): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = logicalStateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     val pruned = data.filter(partKeeps(_, filters))
-    assemble(spark, pruned, dels)
+    assemble(spark, pruned, dels, reg)
   }
 
   /** [[readPartitions]]'s pruning decision alone: (kept, skipped). */
   def prunePartitionStats(spark: SparkSession, tableDir: String,
                           filters: Map[String, Seq[String]],
                           asOf: Option[Long] = None): (Int, Int) = {
-    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val data = logicalStateAt(spark, tableDir, asOf)._1.filter(_.kind == "data")
     val kept = data.count(partKeeps(_, filters))
     (kept, data.size - kept)
   }
@@ -1108,7 +1186,7 @@ object SnapshotLog {
   def pruneStats(spark: SparkSession, tableDir: String,
                  ranges: Map[String, (Long, Long)],
                  asOf: Option[Long] = None): (Int, Int) = {
-    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val data = logicalStateAt(spark, tableDir, asOf)._1.filter(_.kind == "data")
     val kept = data.count(zoneKeeps(_, ranges))
     (kept, data.size - kept)
   }
@@ -1145,9 +1223,10 @@ object SnapshotLog {
     * predicate on the result. */
   def readPoint(spark: SparkSession, tableDir: String, column: String,
                 key: Long, asOf: Option[Long] = None): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = logicalStateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     val pruned = data.filter(pointKeeps(_, column, key))
-    assemble(spark, pruned, dels)
+    assemble(spark, pruned, dels, reg)
   }
 
   /** Point lookup on a STRING key column (UUID-style keys): lexicographic
@@ -1159,21 +1238,22 @@ object SnapshotLog {
     * exact after the caller's equality filter. */
   def readPointString(spark: SparkSession, tableDir: String, column: String,
                       key: String, asOf: Option[Long] = None): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = logicalStateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     val h = hashStringKey(key)
     val pruned = data.filter(f => f.blooms.get(column) match {
       case Some(b64) => graft.functions.BloomFilterOps.mightContain(
         java.util.Base64.getDecoder.decode(b64), h, BloomHashes)
       case None => true
     })
-    assemble(spark, pruned, dels)
+    assemble(spark, pruned, dels, reg)
   }
 
   /** [[readPointString]]'s pruning decision alone: (kept, skipped). */
   def prunePointStringStats(spark: SparkSession, tableDir: String,
                             column: String, key: String,
                             asOf: Option[Long] = None): (Int, Int) = {
-    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val data = logicalStateAt(spark, tableDir, asOf)._1.filter(_.kind == "data")
     val h = hashStringKey(key)
     val kept = data.count(f => f.blooms.get(column) match {
       case Some(b64) => graft.functions.BloomFilterOps.mightContain(
@@ -1191,16 +1271,17 @@ object SnapshotLog {
     * IN filter; pruning may only skip, never lose. */
   def readPoints(spark: SparkSession, tableDir: String, column: String,
                  keys: Seq[Long], asOf: Option[Long] = None): Option[DataFrame] = {
-    val (dels, data) = filesAt(spark, tableDir, asOf).partition(_.kind == "eqdelete")
+    val (files, reg) = logicalStateAt(spark, tableDir, asOf)
+    val (dels, data) = files.partition(_.kind == "eqdelete")
     val pruned = data.filter(f => keys.exists(pointKeeps(f, column, _)))
-    assemble(spark, pruned, dels)
+    assemble(spark, pruned, dels, reg)
   }
 
   /** [[readPoint]]'s pruning decision alone: (kept, skipped) data-file
     * counts for a key. */
   def prunePointStats(spark: SparkSession, tableDir: String, column: String,
                       key: Long, asOf: Option[Long] = None): (Int, Int) = {
-    val data = filesAt(spark, tableDir, asOf).filter(_.kind == "data")
+    val data = logicalStateAt(spark, tableDir, asOf)._1.filter(_.kind == "data")
     val kept = data.count(pointKeeps(_, column, key))
     (kept, data.size - kept)
   }
@@ -1235,9 +1316,12 @@ object SnapshotLog {
         "carry row-level changes with no pure file-level delta — use changes()")
     val files = inRange.filter(_.op == "append").flatMap(_.added)
     // append deltas may themselves span schema epochs — merge through
-    // the Evolution lattice like every other file-set consumer
+    // the Evolution lattice like every other file-set consumer; the
+    // field registry AT THE RANGE END names the columns (the Delta CDF
+    // schema-at-end-of-range contract)
     if (files.isEmpty) None
-    else Some(hideInternal(readEpochSafe(spark, files)))
+    else Some(applyRegistry(hideInternal(readEpochSafe(spark, files)),
+      registryAt(spark, tableDir, Some(hi))))
   }
 
   /** Row-level CHANGE FEED over (from, to] — the face [[diff]] refuses to
@@ -1352,7 +1436,9 @@ object SnapshotLog {
       }
     }
     if (parts.isEmpty) None
-    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
+    else Some(applyRegistry(
+      parts.reduce(_.unionByName(_, allowMissingColumns = true)),
+      registryAt(spark, tableDir, Some(hi))))
   }
 
   /** Row-level changes of a LINEAGE-stamped copy-on-write upsert commit
