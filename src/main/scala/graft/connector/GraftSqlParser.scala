@@ -483,7 +483,17 @@ final case class GraftRestoreCommand(target: String, version: Option[Long],
           GraftDataSource.parseTimestampMs(timestamp.get)))
     }
     val newId = SnapshotLog.rollback(spark, dir, toSnapshot)
-    ident.foreach(spark.sessionState.catalog.refreshTable)
+    ident.foreach { tid =>
+      // RESTORE restores the schema too (dropped schema carriers, reverted
+      // registries): re-derive the catalog's stored schema from the
+      // restored log state or every later read refuses on the mismatch
+      val after = GraftDataSource.visibleState(spark, dir, None)._4
+      try spark.sharedState.externalCatalog.alterTableDataSchema(
+        tid.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase),
+        tid.table, after)
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sessionState.catalog.refreshTable(tid)
+    }
     Seq(Row(toSnapshot, newId))
   }
 }

@@ -61,6 +61,47 @@ object GraftTvf {
         .toDF("tag", "snapshot_id"))
   }
 
+  /** SCHEMA LOG: the column-mapping history as queryable table metadata —
+    * one row per retained schema-bearing commit per field, showing each
+    * field's id, physical (storage) name, logical name and liveness AT
+    * that commit. A rename's old and new names, and a drop's tombstone,
+    * are therefore first-class history (`WHERE field_id = 3 ORDER BY
+    * snapshot_id` replays one column's biography). Tables that never
+    * renamed/dropped return zero rows — they have no mapping to narrate. */
+  def schemaLog(target: String): LogicalPlan = {
+    val s = spark
+    import s.implicits._
+    val path = dirOf(target)
+    val rows = SnapshotLog.commits(s, path).flatMap { c =>
+      c.summary.get(graft.table.FieldRegistry.SummaryKey).toSeq.flatMap { js =>
+        val change = c.summary.collectFirst {
+          case ("rename_column", v) => s"rename $v"
+          case ("drop_column", v) => s"drop $v"
+          case ("add_columns", v) => s"add $v"
+        }.getOrElse(if (c.op == "replace") "materialize (registry reset)"
+          else "registry update")
+        graft.table.FieldRegistry.fromJson(js).fields.map(f =>
+          (c.snapshotId, change, f.id, f.physical, f.logical, !f.dropped))
+      }
+    }
+    GraftSqlShim.planOf(rows.toDF("snapshot_id", "change", "field_id",
+      "physical_name", "logical_name", "live"))
+  }
+
+  /** SYNC EPOCHS: every published cross-table epoch marker of a
+    * warehouse, one row per (epoch, pinned table) — what an operator
+    * joins against `graft_history` to see which snapshot of each table a
+    * consumer pinned to an epoch actually reads. */
+  def epochs(warehouseDir: String): LogicalPlan = {
+    val s = spark
+    import s.implicits._
+    val rows = graft.table.SyncEpoch.epochs(s, warehouseDir).flatMap { e =>
+      graft.table.SyncEpoch.pins(s, warehouseDir, Some(e)).toSeq.sortBy(_._1)
+        .map { case (t, pin) => (e, t, pin.dir, pin.snapshot) }
+    }
+    GraftSqlShim.planOf(rows.toDF("epoch", "table", "dir", "snapshot_id"))
+  }
+
   /** The row-level change feed (from, to] — same refusal semantics as
     * [[SnapshotLog.changes]] (expired snapshots, lineage-less rewrites
     * throw); an empty range yields an empty frame under the table's

@@ -92,6 +92,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_tags(path) - snapshot tags of a graft table") {
       case Seq(p) => graft.connector.GraftTvf.tags(strArg(p, "path"))
     })
+    ext.injectTableFunction(tvf("graft_schema_log",
+      "graft_schema_log(path) - column-mapping (rename/drop/add) history") {
+      case Seq(p) => graft.connector.GraftTvf.schemaLog(strArg(p, "path"))
+    })
+    ext.injectTableFunction(tvf("graft_epochs",
+      "graft_epochs(warehouse) - published cross-table sync epochs") {
+      case Seq(p) => graft.connector.GraftTvf.epochs(strArg(p, "warehouse"))
+    })
     ext.injectTableFunction(tvf("graft_changes",
       "graft_changes(path, from[, to]) - row-level change feed (from, to]") {
       case Seq(p, f) => graft.connector.GraftTvf.changes(strArg(p, "path"),

@@ -670,6 +670,44 @@ object SnapshotLog {
     * The returned files are RAW (physical-name metadata keys); callers
     * serving logical-space consumers translate via
     * [[FieldRegistry.translateMeta]]. */
+  /** Memoized resolutions keyed by (table dir, snapshot id): the fold's
+    * output is a PURE function of the immutable manifest log, so a hit
+    * replays zero metadata reads — under the checkpointed format a cold
+    * resolution costs 1 anchor + ≤[[CheckpointInterval]]−1 delta reads,
+    * and a hot table's queries were paying that on every pin. Freshness
+    * is untouched: the snapshot LISTING (one listStatus) still runs per
+    * call — it is what resolves "latest" and refuses expired ids — only
+    * the per-id fold is cached. Bounded by TOTAL cached file entries
+    * (LRU), so a million-file live set cannot accumulate 64×. */
+  private val ResolveCacheMaxFiles = 1 << 18
+  private val resolveCache =
+    new java.util.LinkedHashMap[String, (Seq[DataFile], Option[FieldRegistry])](
+      64, 0.75f, true)
+  private var resolveCacheFiles = 0L
+
+  private def cachedResolve(key: String)(
+      miss: => (Seq[DataFile], Option[FieldRegistry]))
+      : (Seq[DataFile], Option[FieldRegistry]) = {
+    resolveCache.synchronized {
+      val hit = resolveCache.get(key)
+      if (hit != null) return hit
+    }
+    val v = miss
+    resolveCache.synchronized {
+      if (!resolveCache.containsKey(key)) {
+        resolveCache.put(key, v)
+        resolveCacheFiles += v._1.size
+        val it = resolveCache.entrySet().iterator()
+        while (resolveCacheFiles > ResolveCacheMaxFiles && resolveCache.size() > 1
+            && it.hasNext) {
+          resolveCacheFiles -= it.next().getValue._1.size
+          it.remove()
+        }
+      }
+    }
+    v
+  }
+
   def stateAt(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): (Seq[DataFile], Option[FieldRegistry]) = {
     val fs = fsOf(spark, tableDir)
@@ -683,8 +721,16 @@ object SnapshotLog {
           i
         case None => if (ids.isEmpty) return (Seq.empty, None) else ids.last
       }
-      try return resolveState(spark, fs, tableDir, id, cps)
-      catch {
+      try {
+        // the cache key carries the id manifest's (mtime, length): a
+        // table dropped and recreated at the same path reuses snapshot
+        // ids but never byte-identical manifests, so its entries miss
+        // instead of replaying the dead table's file list
+        val st = fs.getFileStatus(manifestPath(tableDir, id))
+        return cachedResolve(
+          s"$tableDir@$id@${st.getModificationTime}:${st.getLen}")(
+          resolveState(spark, fs, tableDir, id, cps))
+      } catch {
         case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
       }
     }
@@ -1634,14 +1680,24 @@ object SnapshotLog {
       throw new IllegalArgumentException(s"cannot rollback empty table $tableDir"))
     require(toSnapshot < current,
       s"rollback target $toSnapshot is not older than current $current")
-    val target = filesAt(spark, tableDir, Some(toSnapshot))
-    val live = filesAt(spark, tableDir, Some(current))
+    val (target, targetReg) = stateAt(spark, tableDir, Some(toSnapshot))
+    val (live, curReg) = stateAt(spark, tableDir, Some(current))
     val livePaths = live.map(_.path).toSet
     val targetPaths = target.map(_.path).toSet
+    // RESTORE restores the SCHEMA with the content (the Delta RESTORE
+    // contract): the rollback commit re-pins the target's field registry
+    // — renames/drops made after the target revert with the rows they
+    // described, and a rolled-out schema-carrier's columns disappear
+    // coherently. A target with NO registry pins the empty identity
+    // registry (equivalent to none) so the newer mapping stops applying.
+    val regSummary =
+      if (curReg == targetReg) Map.empty[String, String]
+      else Map(FieldRegistry.SummaryKey ->
+        targetReg.getOrElse(FieldRegistry(Nil, 1)).toJson)
     commit(spark, tableDir, "rollback",
       added = target.filterNot(f => livePaths.contains(f.path)),
       removed = live.map(_.path).filterNot(targetPaths.contains),
-      summary = Map("rolled_back_to" -> toSnapshot.toString))
+      summary = Map("rolled_back_to" -> toSnapshot.toString) ++ regSummary)
   }
 
   /** Table HISTORY introspection (the DESCRIBE HISTORY / metadata-table

@@ -215,6 +215,30 @@ class SchemaRegistrySpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE reg_ckpt")
   }
 
+  test("graft_schema_log: rename history is queryable table metadata") {
+    val dir = seed("log", "reg_log")
+    try {
+      spark.sql("ALTER TABLE reg_log RENAME COLUMN v TO val")
+      spark.sql("ALTER TABLE reg_log DROP COLUMN cat")
+      spark.sql("ALTER TABLE reg_log ADD COLUMNS (note STRING)")
+      val log = spark.sql(s"SELECT * FROM graft_schema_log('$dir')")
+      // one column's biography: field v (#2) was born 'v', renamed to
+      // 'val', physical name fixed forever
+      val vRows = log.filter(col("field_id") === 2)
+        .orderBy(col("snapshot_id"))
+        .select(col("physical_name"), col("logical_name")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(vRows.head === (("v", "val")))
+      assert(vRows.forall(_._1 == "v"), "physical name never changes")
+      // the drop shows as a dead row in later registry states
+      assert(log.filter(col("logical_name") === "cat" && !col("live"))
+        .count() > 0)
+      // the re-registered ADD appears with a fresh id
+      assert(log.filter(col("logical_name") === "note" && col("live"))
+        .count() > 0)
+    } finally spark.sql("DROP TABLE reg_log")
+  }
+
   test("rename refusals: unknown column, collision; non-graft ALTER delegates") {
     val dir = seed("ref", "reg_ref")
     try {

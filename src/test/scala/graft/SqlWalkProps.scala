@@ -59,7 +59,11 @@ object SqlWalkProps extends Properties("SqlWalk") {
     val dir: String =
       java.nio.file.Files.createTempDirectory(s"graft-walk-$id").toString + "/t"
     var rows: Map[Long, (Long, Double)] = Map.empty // id -> (bucket, score)
-    var history: Map[Long, Map[Long, (Long, Double)]] = Map.empty
+    // per-snapshot twin STATE: rows + the schema bits RESTORE must revert
+    // (score column's current name, extra columns) — RESTORE restores the
+    // schema with the content, the Delta contract
+    var history: Map[Long, (Map[Long, (Long, Double)], String, Seq[String])] =
+      Map.empty
     var nextId: Long = 0L
     var scoreCol: String = "score"
     var renames: Int = 0
@@ -84,7 +88,7 @@ object SqlWalkProps extends Properties("SqlWalk") {
 
     def record(): Unit =
       SnapshotLog.currentSnapshotId(spark, dir)
-        .foreach(id => history += id -> rows)
+        .foreach(id => history += id -> ((rows, scoreCol, extraCols)))
 
     def check(op: Op): Prop = {
       val r = spark.sql(
@@ -135,10 +139,9 @@ object SqlWalkProps extends Properties("SqlWalk") {
         if (retained.nonEmpty) {
           val target = retained(pick % retained.size)
           spark.sql(s"RESTORE $table TO VERSION AS OF $target")
-          rows = history(target)
+          val (r, sc, ec) = history(target)
+          rows = r; scoreCol = sc; extraCols = ec // schema restores too
           restored = true
-          // a restore rewinds CONTENT but not the registry: the score
-          // column keeps its current name (metadata is not data)
         }
       case AddCol(tag) =>
         val c = s"extra_${extraCols.size}_$tag"
@@ -174,8 +177,8 @@ object SqlWalkProps extends Properties("SqlWalk") {
       retained.map { sid =>
         val n = spark.sql(s"SELECT count(*) FROM $table VERSION AS OF $sid")
           .head.getLong(0)
-        if (n == history(sid).size) Prop.passed
-        else Prop.falsified :| s"VERSION AS OF $sid: $n != ${history(sid).size}"
+        if (n == history(sid)._1.size) Prop.passed
+        else Prop.falsified :| s"VERSION AS OF $sid: $n != ${history(sid)._1.size}"
       }.foldLeft(Prop.passed)(_ && _)
     }
 

@@ -62,6 +62,11 @@ class SyncEpochSpec extends AnyFunSuite {
     assert(caught.count() === 200 && caught.filter(col("qty").isNull).count() === 0)
     // older epochs stay readable (time travel composes)
     assert(SyncEpoch.readAt(spark, wh, "orders", Some(1L)).get.count() === 50)
+    // the graft_epochs TVF narrates the markers
+    val tvf = spark.sql(s"SELECT * FROM graft_epochs('$wh')").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(tvf === Set((1L, "orders", 1L), (1L, "items", 1L),
+      (2L, "orders", 2L), (2L, "items", 2L)))
     // unknown table / epoch fail loudly
     assert(intercept[IllegalArgumentException] {
       SyncEpoch.readAt(spark, wh, "nope") }.getMessage.contains("does not pin"))
