@@ -256,14 +256,21 @@ object Compaction {
     val nNew = rewritten.map(_.rows).sum
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")
-    SnapshotLog.commitAt(spark, dir, baseId + 1, "replace", rewritten,
+    // row-preserving rewrite: a lost race rebases over interleaved
+    // appends instead of aborting the whole O(table) job — the appended
+    // files stay live (merely unclustered until the next pass). A
+    // registry-materializing rewrite additionally conflicts with any
+    // interleaved schema/registry change (the reset must describe every
+    // live file).
+    SnapshotLog.commitPinned(spark, dir, baseId, "replace", rewritten,
       removed = files.map(_.path),
       summary = Map("table" -> table, "files_before" -> files.size.toString,
         "files_after" -> rewritten.size.toString,
         "materialized_deletes" -> delFiles.map(_.rows).sum.toString) ++
         // the reset registry rides the SAME atomic commit as the rewrite:
         // either both land (fast path restored) or neither
-        reg.map(r => graft.table.FieldRegistry.SummaryKey -> r.reset.toJson))
+        reg.map(r => graft.table.FieldRegistry.SummaryKey -> r.reset.toJson),
+      guard = SnapshotLog.ConflictGuard(registrySensitive = reg.nonEmpty))
     CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
   }
 
@@ -340,17 +347,19 @@ object Compaction {
     // and the epoch-merging read path resolves schemas per seq group —
     // mixing two classes under one id would hand it a heterogeneous
     // group (each commit stays individually atomic; diff ignores both).
-    // Ids chain from the pinned base: each class removes files derived
-    // from THAT state, so a foreign commit interleaving anywhere in the
-    // chain throws instead of silently misremoving (the already-landed
+    // Ids chain from the pinned base; each class commit is a
+    // row-preserving rewrite of exactly its own removed set, so a lost
+    // race anywhere in the chain REBASES over compatible interleaves
+    // (appends, disjoint rewrites) and only a true conflict — a foreign
+    // commit touching this class's files, or a new mask whose deletes
+    // the re-stamped rows would escape — aborts (the already-landed
     // class replaces stay valid — each was individually consistent).
-    var nextId = baseId + 1
+    var base = baseId
     packed.foreach { case (cls, rw) =>
-      SnapshotLog.commitAt(spark, dir, nextId, "replace", rw,
+      base = SnapshotLog.commitPinned(spark, dir, base, "replace", rw,
         removed = cls.map(_.path),
         summary = Map("table" -> table, "bin_packed" -> cls.size.toString,
           "carried_forward" -> (dataFiles.size - cls.size).toString))
-      nextId += 1
     }
     CompactionResult(table, files.size,
       files.size - removed.size + rewritten.size,

@@ -24,9 +24,13 @@ import graft.table.SnapshotLog.DataFile
   * snapshot log's copy-on-write commit protocol.
   *
   * All three execute against the CURRENT snapshot with the same pinned
-  * base-id discipline as [[Merge.applyChanges]] (an interleaved commit
-  * makes `commitAt` throw, never silently merge), and all three are
-  * O(touched files + source), never O(table):
+  * base-id discipline as [[Merge.applyChanges]], committed through
+  * [[SnapshotLog.commitPinned]]: a lost id race REBASES when every
+  * interleaved commit is provably outside the statement's read footprint
+  * (decided from manifest metadata — the Delta ConflictChecker school),
+  * and throws with the conflicting commit named otherwise — never a
+  * silent merge. All three are O(touched files + source), never
+  * O(table):
   *
   *  - DELETE/UPDATE prune candidate files driver-side against manifest
   *    zones/blooms/partition values ([[Constraints]] — the same decision
@@ -266,16 +270,6 @@ object GraftDml {
     case x => Seq(x)
   }
 
-  /** Manifest-metadata candidate pruning for a predicate — the same
-    * zone/bloom/partition decision the reader's [[GraftFileIndex]]
-    * makes, so a key-clustered or partitioned layout bounds DELETE/
-    * UPDATE cost by the predicate's actual footprint. */
-  private def candidatesFor(live: Seq[DataFile], cond: Expression,
-                            schema: StructType): Seq[DataFile] = {
-    val cs = Constraints.from(split(cond), schema)
-    live.filter(cs.keeps)
-  }
-
   /** One filtered pass over the candidates, aggregated per file
     * (metadata-sized result): the files that ACTUALLY hold matching
     * rows, plus the matched-row count for the commit summary. */
@@ -323,29 +317,59 @@ object GraftDml {
     val lin = effectiveLineage(spark, t)
     cond match {
       // unconditional DELETE: metadata-only truncation — remove every
-      // live file in one commit, bytes untouched, history intact
+      // live file in one commit, bytes untouched, history intact. The
+      // read footprint is the whole table, so ANY interleaved append
+      // conflicts (rows it should have deleted) — never a silent rebase
+      // that leaves "truncated" rows live.
       case Literal(true, BooleanType) =>
-        SnapshotLog.commitAt(spark, t.dir, baseId + 1, "upsert", Seq.empty,
+        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", Seq.empty,
           live.map(_.path), Map("mode" -> "delete-sql",
             "rows_deleted" -> live.map(_.rows).sum.toString,
-            "files_touched" -> live.size.toString) ++ lineageSummary(lin, reg))
+            "files_touched" -> live.size.toString) ++ lineageSummary(lin, reg),
+          guard = SnapshotLog.ConflictGuard(mayReadAdded = Some(fs => fs)))
         ()
       case _ =>
-        val candidates = candidatesFor(live, cond, schemaOf(t))
+        val cs = Constraints.from(split(cond), schemaOf(t))
+        val candidates = live.filter(cs.keeps)
         val (touched, nMatched) = touchDetect(spark, t, candidates, cond, reg)
         if (touched.isEmpty) return // nothing matched: no commit, no-op
         val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
         // rows where cond is NULL are KEPT (SQL deletes only where TRUE)
         val survivors = tDf.filter(!coalesce(rebind(cond, t.output, tDf), lit(false)))
         val written = writeInherited(spark, t.dir, survivors)
-        SnapshotLog.commitAt(spark, t.dir, baseId + 1, "upsert", written,
+        // a lost race rebases when the interleaved commits are provably
+        // outside this DELETE's footprint: an appended file conflicts
+        // only if its metadata can't exclude the predicate, and any
+        // commit that removed a candidate this pass READ (touched or
+        // not) conflicts — the Delta ConcurrentAppend/DeleteRead rules
+        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
           touched.map(_.path), Map("mode" -> "delete-sql",
             "rows_deleted" -> nMatched.toString,
             "files_touched" -> touched.size.toString,
             "files_untouched" -> (live.size - touched.size).toString) ++
-            lineageSummary(lin, reg))
+            lineageSummary(lin, reg),
+          guard = dmlGuard(cs, candidates, touched, reg, idStamped = false))
         ()
     }
+  }
+
+  /** The conflict guard a predicate-scoped DML rewrite hands
+    * [[SnapshotLog.commitPinned]]: interleaved ADDED files prune against
+    * the same zone/bloom/partition constraints that picked the
+    * candidates (metadata keys translated when the table has a live
+    * column mapping — interleaved writers record PHYSICAL names), and
+    * every candidate this pass read without rewriting joins the
+    * read-set. */
+  private def dmlGuard(cs: Constraints, candidates: Seq[DataFile],
+                       touched: Seq[DataFile],
+                       reg: Option[graft.table.FieldRegistry],
+                       idStamped: Boolean): SnapshotLog.ConflictGuard = {
+    val touchedPaths = touched.map(_.path).toSet
+    SnapshotLog.ConflictGuard(
+      mayReadAdded = Some(fs => fs.filter(f =>
+        cs.keeps(reg.map(_.translateMeta(f)).getOrElse(f)))),
+      readPaths = candidates.map(_.path).toSet -- touchedPaths,
+      idStamped = idStamped)
   }
 
   // ---------------------------------------------------------------- UPDATE
@@ -366,7 +390,8 @@ object GraftDml {
     val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
     val (baseId, live, reg) = pinned(spark, t, "UPDATE").getOrElse(return)
     if (live.isEmpty) return
-    val candidates = candidatesFor(live, cond, schemaOf(t))
+    val cs = Constraints.from(split(cond), schemaOf(t))
+    val candidates = live.filter(cs.keeps)
     val (touched, nMatched) = touchDetect(spark, t, candidates, cond, reg)
     if (touched.isEmpty) return
     val lin = effectiveLineage(spark, t)
@@ -386,12 +411,15 @@ object GraftDml {
       }
     }
     val written = writeInherited(spark, t.dir, tDf.select(outCols.toSeq: _*))
-    SnapshotLog.commitAt(spark, t.dir, intendedId, "upsert", written,
+    // same rebase discipline as DELETE; a lineage UPDATE stamped
+    // intendedId into the rewritten rows, so it refuses any other id
+    SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
       touched.map(_.path), Map("mode" -> "update-sql",
         "rows_updated" -> nMatched.toString,
         "files_touched" -> touched.size.toString,
         "files_untouched" -> (live.size - touched.size).toString) ++
-        lineageSummary(lin, reg))
+        lineageSummary(lin, reg),
+      guard = dmlGuard(cs, candidates, touched, reg, idStamped = lin.isDefined))
     ()
   }
 
@@ -546,7 +574,26 @@ object GraftDml {
       }
     }
     val written = writeInherited(spark, t.dir, kept.select(outCols.toSeq: _*))
-    SnapshotLog.commitAt(spark, t.dir, intendedId, "upsert", written,
+    // rebase footprint: with an ON-key equality the same zone-∧-bloom
+    // probe that picked `touched` decides whether an interleaved ADDED
+    // file may hold one of the source's keys (translated to physical
+    // metadata space when a column mapping is live); an arbitrary-ON or
+    // BY SOURCE merge ranges over every row, so any append conflicts.
+    // An insert-only merge leaves the probed files live — they join the
+    // read-set so a commit that removed one aborts the rebase.
+    val mergeGuard = SnapshotLog.ConflictGuard(
+      mayReadAdded = Some { fs =>
+        if (nmbs.nonEmpty || keyEq.isEmpty) fs
+        else {
+          val logical = fs.map(f => reg.map(_.translateMeta(f)).getOrElse(f))
+          Merge.pruneTouched(spark, keyEq.get._1.name, logical,
+            sDf0.select(column(keyEq.get._2).as("_gk")))._1
+        }
+      },
+      readPaths =
+        if (rewriteTouched) Set.empty else touched.map(_.path).toSet,
+      idStamped = lin.isDefined && changedTags.nonEmpty)
+    SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
       if (rewriteTouched) touched.map(_.path) else Seq.empty,
       Map("mode" -> "merge-sql",
         "files_touched" -> (if (rewriteTouched) touched.size else 0).toString,
@@ -560,7 +607,8 @@ object GraftDml {
         // for partially-deleted groups. Recorded whenever stamps were
         // written (keyEq or not), so an arbitrary-ON merge on a lineage
         // table stays feed-derivable instead of wasting its stamps.
-        lineageSummary(lin, reg))
+        lineageSummary(lin, reg),
+      guard = mergeGuard)
     ()
   }
 }

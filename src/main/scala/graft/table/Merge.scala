@@ -247,14 +247,15 @@ object Merge {
                    renames: Map[String, String] = Map.empty,
                    maxDriverKeys: Int = DefaultMaxDriverKeys,
                    lineage: Boolean = false): MergeResult = {
-    // PIN the snapshot this merge derives from and commit at EXACTLY
-    // its successor: reading "latest" twice (once for the file list,
-    // once for the commit id) would let a commit land in between and
-    // defeat both the optimistic-concurrency check and the
-    // pendingMasks guard below — e.g. a racing mergeOnRead's mask
-    // (seq N+1) would silently stop applying to files this rewrite
-    // re-stamps at N+2, resurrecting deleted rows. With the pinned
-    // pair, any interleaved commit makes commitAt throw instead.
+    // PIN the snapshot this merge derives from: reading "latest" twice
+    // (once for the file list, once for the commit id) would let a
+    // commit land in between and defeat both the optimistic-concurrency
+    // check and the pendingMasks guard below — e.g. a racing
+    // mergeOnRead's mask (seq N+1) would silently stop applying to
+    // files this rewrite re-stamps at N+2, resurrecting deleted rows.
+    // With the pinned pair an interleaved commit is either proven
+    // compatible and REBASED over (commitPinned's guard below) or
+    // throws — never silently merged.
     val baseId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"cannot merge into empty table $tableDir"))
     val intendedId = baseId + 1
@@ -313,12 +314,22 @@ object Merge {
     val written = SnapshotLog.writeData(merged, tableDir, statsCol = Some(keyColP),
       bloomCol = Some(keyColP).filter(_ => isStringKey(delta0, keyColP)),
       rawPhysical = true)
-    val id = SnapshotLog.commitAt(spark, tableDir, intendedId, "upsert", written,
+    // a lost id race rebases when every interleaved commit is provably
+    // indifferent to this merge: an appended file conflicts only when
+    // its key zone/bloom may hold one of the DELTA's keys (rows the
+    // anti-join should have consumed) — the same metadata decision that
+    // picked `touched`. Lineage merges stamped intendedId into rows, so
+    // they refuse any other id.
+    val guard = SnapshotLog.ConflictGuard(
+      mayReadAdded = Some(fs => touchedFiles(spark, keyColP, fs, keys)._1),
+      idStamped = lineage)
+    val id = SnapshotLog.commitPinned(spark, tableDir, baseId, "upsert", written,
       removed = touched.map(_.path),
       summary = Map("key" -> keyColP, "delta_keys" -> nKeys.toString,
         "files_touched" -> touched.size.toString,
         "files_untouched" -> untouched.size.toString) ++
-        (if (lineage) Map("lineage" -> "true") else Map.empty))
+        (if (lineage) Map("lineage" -> "true") else Map.empty),
+      guard = guard)
     MergeResult(id, touched.size, untouched.size, written.map(_.rows).sum)
   }
 
@@ -561,7 +572,11 @@ object Merge {
       statsCol = Some(keyColP), statsCols = zOrderP,
       bloomCol = Some(keyColP).filter(_ => isStringKey(masked, keyColP)),
       rawPhysical = true)
-    Some(SnapshotLog.commitAt(spark, tableDir, baseId + 1, "replace", written,
+    // row-preserving rewrite of exactly its removed set: a lost race
+    // rebases over interleaved appends (their files simply stay live);
+    // an interleaved rowdelta's new mask still conflicts (rule 4 —
+    // this rewrite's re-stamped rows would escape it)
+    Some(SnapshotLog.commitPinned(spark, tableDir, baseId, "replace", written,
       removed = live.map(_.path),
       summary = Map("materialized_deletes" -> dels.map(_.rows).sum.toString)))
   }
@@ -597,9 +612,16 @@ object Merge {
       statsCol = Some(keyCol), kind = "eqdelete",
       bloomCol = Some(keyCol).filter(_ => isStringKey(folded, keyCol)),
       rawPhysical = true)
-    Some(SnapshotLog.commitAt(spark, tableDir, baseId + 1, "replace", written,
+    // masksOnly guard: application seq is EMBEDDED per key, so even an
+    // interleaved rowdelta (the streaming sink — exactly the writer this
+    // maintenance races in production) composes: its new mask file is
+    // untouched by the fold and its data files are younger than every
+    // embedded seq here. Only a commit that REMOVED one of the folded
+    // masks (a racing materialization/consolidation) conflicts.
+    Some(SnapshotLog.commitPinned(spark, tableDir, baseId, "replace", written,
       removed = dels.map(_.path),
       summary = Map("consolidated_masks" -> dels.size.toString,
-        "mask_entries" -> written.map(_.rows).sum.toString)))
+        "mask_entries" -> written.map(_.rows).sum.toString),
+      guard = SnapshotLog.ConflictGuard(masksOnly = true)))
   }
 }

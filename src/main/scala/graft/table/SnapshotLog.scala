@@ -417,6 +417,127 @@ object SnapshotLog {
     id
   }
 
+  /** What a PINNED-BASE writer's derivation logically READ — the inputs
+    * to [[commitPinned]]'s conflict check when the id race is lost. The
+    * default guard describes a ROW-PRESERVING rewrite that read exactly
+    * the files it removes (bin-pack, clustering, mask materialization):
+    * such a commit composes with any interleaved append, so losing the
+    * race to one rebases instead of aborting.
+    *
+    *  - `mayReadAdded`: when the derivation's semantics range over rows
+    *    beyond its removed files (DML predicates, merge keys), the
+    *    subset of an interleaved commit's ADDED data files that MAY hold
+    *    rows the derivation should have seen — nonEmpty means conflict
+    *    (the Delta ConcurrentAppend rule, decided from manifest
+    *    zones/blooms/partition values, never a data read). None = the
+    *    rewrite is indifferent to rows it didn't remove.
+    *  - `readPaths`: files the derivation read WITHOUT removing
+    *    (DML candidates that held no matches, an insert-only merge's
+    *    probed files) — an interleaved commit that removed one of them
+    *    invalidated the read (the Delta ConcurrentDeleteRead rule).
+    *  - `registrySensitive`: the commit materializes names or carries a
+    *    field-registry change — any interleaved schema/registry commit
+    *    conflicts.
+    *  - `masksOnly`: the commit touches only equality-delete files whose
+    *    application seq is EMBEDDED per key (mask consolidation) — an
+    *    interleaved rowdelta's new mask doesn't interact with the fold,
+    *    so it does not conflict.
+    *  - `idStamped`: the written data embeds the intended commit id in
+    *    its ROWS (lineage stamps) — the commit cannot take a different
+    *    id than it pinned, so a lost race always aborts. */
+  final case class ConflictGuard(
+      mayReadAdded: Option[Seq[DataFile] => Seq[DataFile]] = None,
+      readPaths: Set[String] = Set.empty,
+      registrySensitive: Boolean = false,
+      masksOnly: Boolean = false,
+      idStamped: Boolean = false)
+
+  /** [[commitAt]] base+1 with LOGICAL conflict detection and automatic
+    * REBASE on a lost id race — the Delta OptimisticTransaction
+    * ConflictChecker / Iceberg validate-and-retry school, applied to the
+    * pinned-base writers (compaction, mask maintenance, copy-on-write
+    * merges, SQL DML). Physically losing the race no longer aborts the
+    * job: the interleaved commits (base, head] are read (metadata-only,
+    * O(interleave) manifest reads) and classified against `guard`; when
+    * every one is logically compatible the SAME staged files re-commit
+    * at head+1 — at 100 TB this is the difference between "hourly
+    * OPTIMIZE and the streaming sink serialize by aborting each other"
+    * and "maintenance composes with ingest". A true conflict throws
+    * [[ConcurrentCommitException]] naming the commit and the reason.
+    *
+    * Conflict rules, per interleaved commit c (first match wins):
+    *  1. c is a rollback → conflict (history this commit derived from
+    *     was rewritten).
+    *  2. guard.registrySensitive and c is a schema commit or carries a
+    *     registry change → conflict.
+    *  3. c.removed intersects my removed ∪ guard.readPaths → conflict
+    *     (double-rewrite, or my derivation read files that died).
+    *  4. c added equality-delete masks and !guard.masksOnly → conflict
+    *     (my rewrite re-stamps rows at a seq ABOVE the mask's, so its
+    *     deletes would silently stop applying — resurrection).
+    *  5. guard.mayReadAdded keeps any of c's added row-bearing data
+    *     files → conflict (rows my derivation should have read).
+    * Anything else — appends, disjoint rewrites, schema widening under a
+    * registry-indifferent commit — rebases. */
+  def commitPinned(spark: SparkSession, tableDir: String, baseId: Long,
+                   op: String, added: Seq[DataFile], removed: Seq[String],
+                   summary: Map[String, String],
+                   guard: ConflictGuard = ConflictGuard(),
+                   maxRebases: Int = 10): Long = {
+    val myRemoved = removed.toSet
+    var base = baseId
+    var rebases = 0
+    while (true) {
+      val sum =
+        if (base == baseId) summary
+        else summary ++ Map("rebased_from" -> (baseId + 1).toString,
+          "rebased_over" -> (base - baseId).toString)
+      try return commitAt(spark, tableDir, base + 1, op, added, removed, sum)
+      catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          if (guard.idStamped) throw new ConcurrentCommitException(
+            s"snapshot ${base + 1} of $tableDir lost its commit race and " +
+              "cannot rebase: the staged rows embed the intended commit id " +
+              "(lineage stamps) — retry the operation against the new state")
+          val head = currentSnapshotId(spark, tableDir).getOrElse(throw e)
+          if (head <= base) throw e // lost to an id at/below base: stale state
+          commitsInRange(spark, tableDir, base, head).foreach { c =>
+            rebaseConflict(c, myRemoved, guard).foreach { why =>
+              throw new ConcurrentCommitException(
+                s"snapshot ${base + 1} of $tableDir lost its commit race " +
+                  s"and cannot rebase past commit ${c.snapshotId} (${c.op}): $why")
+            }
+          }
+          base = head // every interleaved commit composes: rebase and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rebaseConflict(c: Commit, myRemoved: Set[String],
+                             guard: ConflictGuard): Option[String] = {
+    if (c.op == "rollback")
+      return Some("it rolled back the history this commit derived from")
+    if (guard.registrySensitive &&
+        (c.op == "schema" || c.summary.contains(FieldRegistry.SummaryKey)))
+      return Some("it changed the table schema/field registry while this " +
+        "commit materializes names from the pinned one")
+    val died = c.removed.filter(p => myRemoved(p) || guard.readPaths(p))
+    if (died.nonEmpty)
+      return Some(s"it removed ${died.size} file(s) this commit read or " +
+        s"rewrites (e.g. ${died.head})")
+    val masks = c.added.count(_.kind == "eqdelete")
+    if (masks > 0 && !guard.masksOnly)
+      return Some(s"it added $masks equality-delete mask(s) whose deletes " +
+        "would stop applying to this commit's re-stamped rows")
+    val data = c.added.filter(f => f.kind == "data" && f.rows > 0)
+    guard.mayReadAdded.map(_(data)).filter(_.nonEmpty).map(hit =>
+      s"it added ${hit.size} file(s) that may hold rows this commit's " +
+        s"derivation should have read (e.g. ${hit.head.path})")
+  }
+
   private def putFiles(arr: ArrayNode, files: Seq[DataFile]): Unit = files.foreach { f =>
     val n = arr.addObject()
     n.put("path", f.path); n.put("rows", f.rows); n.put("bytes", f.bytes)
