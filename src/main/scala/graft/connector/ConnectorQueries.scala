@@ -471,6 +471,13 @@ object ConnectorQueries {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+    // ANALYZE from the manifest: the report row is computed metadata-only
+    // (live data files' row sum — no scan); the oracle pins it to the
+    // real count(*)
+    "conn_analyze" -> ((s, d) => {
+      s.sql(s"ANALYZE TABLE '${ordersWarehouse(s, d)}' COMPUTE STATISTICS")
+        .select(col("row_count").as("n"))
+    }),
     "conn_point_lookup" -> ((s, d) => {
       val dir = bloomWarehouse(s, d)
       val key = SnapshotLog.filesAt(s, dir)
@@ -584,6 +591,8 @@ object ConnectorQueries {
     "conn_count_meta" ->
       """SELECT count(*) AS n, min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
+    "conn_analyze" ->
+      "SELECT count(*) AS n FROM orders",
     "conn_stream_sink" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust

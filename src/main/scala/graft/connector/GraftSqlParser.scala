@@ -32,6 +32,8 @@ import graft.table.SnapshotLog
   *   RESTORE tbl TO VERSION AS OF 'tag'    -- …to a tagged snapshot
   *   RESTORE tbl TO TIMESTAMP AS OF '2026-01-01 12:00:00'
   *   ALTER TABLE tbl ADD COLUMNS (c INT)   -- schema-carrier commit
+  *   ANALYZE TABLE tbl COMPUTE STATISTICS  -- CBO stats from the manifest
+  *   ANALYZE TABLE tbl COMPUTE STATISTICS FOR COLUMNS a, b
   * }}}
   *
   * The target is a graft catalog table (`CREATE TABLE … USING graft`) or
@@ -107,6 +109,15 @@ object GraftMaintenance {
     Pattern.CASE_INSENSITIVE)
   private val AlterDropRe = Pattern.compile(
     s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+COLUMNS?\\s+\\(?\\s*([\\w`]+)\\s*\\)?\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE)
+  // ANALYZE is vanilla grammar — claimed ONLY for graft targets, where
+  // Spark's own command would mis-measure (its file listing sees dead
+  // files, masks and staged writes under the table location; the
+  // manifest is the truth). Non-matching ANALYZE forms and non-graft
+  // targets keep Spark's path.
+  private val AnalyzeRe = Pattern.compile(
+    s"""\\s*ANALYZE\\s+TABLE\\s+$Target\\s+COMPUTE\\s+STATISTICS""" +
+      """(?:\s+(NOSCAN)|\s+FOR\s+COLUMNS\s+([\w`,\s]+?)|\s+FOR\s+(ALL)\s+COLUMNS)?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE)
 
   private def unquote(s: String): String = s.replace("`", "")
@@ -203,6 +214,17 @@ object GraftMaintenance {
           version = Option(m.group(3)).map(_.toLong),
           tag = Option(m.group(4)),
           timestamp = Option(m.group(5))))
+      case "ANALYZE" =>
+        val m = AnalyzeRe.matcher(sqlText)
+        if (!m.matches()) return None // wider ANALYZE grammar is Spark's
+        val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
+        val isGraft = target.contains("/") ||
+          graftCatalogDir(session, target.split('.').toSeq).isDefined
+        if (!isGraft) return None // non-graft targets keep Spark's ANALYZE
+        Some(GraftAnalyzeCommand(target,
+          columns = Option(m.group(4)).map(_.split(',').toSeq
+            .map(c => unquote(c.trim)).filter(_.nonEmpty)),
+          allColumns = m.group(5) != null))
       case _ => None
     }
   }
@@ -517,5 +539,110 @@ final case class GraftVacuumCommand(target: String, retainHours: Option[Long])
         System.currentTimeMillis() - h * 3600L * 1000L))
     ident.foreach(spark.sessionState.catalog.refreshTable)
     Seq(Row(manifests, dataFiles))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN | FOR COLUMNS c, … | FOR
+  * ALL COLUMNS]` on a graft table — CBO statistics from the MANIFEST,
+  * not a file listing. Spark's own AnalyzeTableCommand sizes a table by
+  * listing its location, which over a graft directory counts dead
+  * (superseded) files, equality-delete masks and invisibly staged
+  * writes; here `sizeInBytes` is the manifest-summed LIVE data bytes
+  * and `row_count` the manifest row sum — metadata-only, no scan, at
+  * any table size (COMPUTE STATISTICS and NOSCAN are therefore the same
+  * operation). A table with pending masks counts through the masked
+  * read instead (manifests alone can't know the logical count) — the
+  * usual mask debt, repaid by consolidate/materialize.
+  *
+  * `FOR COLUMNS` adds per-column NDV (approx, the HLL sketch Spark's
+  * own ANALYZE uses), null count, min/max (lossless-stringable types),
+  * and avg/max byte lengths in ONE aggregation pass over the logical
+  * read — stored as [[CatalogColumnStat]]s so `spark.sql.cbo.enabled`
+  * join reordering and selectivity estimation see a graft table exactly
+  * like an analyzed parquet one. Catalog-backed targets persist the
+  * stats; a quoted-path target just returns the report row (no catalog
+  * entry to store into). */
+final case class GraftAnalyzeCommand(target: String,
+                                     columns: Option[Seq[String]],
+                                     allColumns: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("row_count", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("live_files", IntegerType, nullable = false)(),
+    AttributeReference("analyzed_columns", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    val files = SnapshotLog.filesAt(spark, dir)
+    val (masks, data) = files.partition(_.kind == "eqdelete")
+    val sizeBytes = data.map(_.bytes).sum
+    lazy val df = spark.read.format("graft").load(dir)
+    val rowCount =
+      if (masks.isEmpty) data.map(_.rows).sum
+      else df.count()
+
+    def losslessMinMax(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | BooleanType | _: DecimalType => true
+      case _ => false
+    }
+    val wanted: Seq[StructField] =
+      if (allColumns) df.schema.fields.toSeq
+      else columns.getOrElse(Nil).map { c =>
+        df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE … FOR COLUMNS: $target has no column '$c' " +
+              s"(has: ${df.schema.fieldNames.mkString(", ")})"))
+      }
+    val colStats: Map[String, CatalogColumnStat] =
+      if (wanted.isEmpty) Map.empty
+      else {
+        val aggs = wanted.flatMap { f =>
+          val c = col(f.name)
+          Seq(approx_count_distinct(c).as(s"ndv_${f.name}"),
+            count(when(c.isNull, lit(1))).as(s"null_${f.name}")) ++
+            (if (losslessMinMax(f.dataType))
+              Seq(min(c).cast(StringType).as(s"min_${f.name}"),
+                max(c).cast(StringType).as(s"max_${f.name}"))
+            else Seq.empty) ++
+            (f.dataType match {
+              case StringType | BinaryType =>
+                val len = length(c).cast(LongType)
+                Seq(ceil(avg(len)).cast(LongType).as(s"avg_${f.name}"),
+                  max(len).as(s"max_len_${f.name}"))
+              case _ => Seq.empty
+            })
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        def opt[T](name: String)(get: Int => T): Option[T] = {
+          val i = r.fieldIndex(name)
+          if (r.isNullAt(i)) None else Some(get(i))
+        }
+        wanted.map { f =>
+          val fixedLen: Option[Long] = f.dataType match {
+            case StringType | BinaryType => None
+            case dt => Some(dt.defaultSize.toLong)
+          }
+          f.name -> CatalogColumnStat(
+            distinctCount = opt(s"ndv_${f.name}")(i => BigInt(r.getLong(i))),
+            min = if (losslessMinMax(f.dataType))
+              opt(s"min_${f.name}")(r.getString) else None,
+            max = if (losslessMinMax(f.dataType))
+              opt(s"max_${f.name}")(r.getString) else None,
+            nullCount = opt(s"null_${f.name}")(i => BigInt(r.getLong(i))),
+            avgLen = fixedLen.orElse(opt(s"avg_${f.name}")(r.getLong)),
+            maxLen = fixedLen.orElse(opt(s"max_len_${f.name}")(r.getLong)))
+        }.toMap
+      }
+    ident.foreach { tid =>
+      spark.sessionState.catalog.alterTableStats(tid, Some(
+        CatalogStatistics(BigInt(sizeBytes), Some(BigInt(rowCount)), colStats)))
+      spark.sessionState.catalog.refreshTable(tid)
+    }
+    Seq(Row(rowCount, sizeBytes, data.size, wanted.size))
   }
 }

@@ -35,9 +35,11 @@ final class GraftSourceOffset(val snapshotId: Long) extends Offset {
   * sink is idempotent per batch id. `startingVersion` picks the first
   * batch's exclusive lower bound: absent = 0 (the whole table-so-far is
   * batch one), `latest` = only commits after stream start, N = commits
-  * after snapshot N. Expired snapshots inside a requested interval fail
-  * loudly (retention must outlive consumer lag — the same contract as
-  * the change feed).
+  * after snapshot N; `startingTimestamp` resolves to the earliest
+  * retained commit at/after the timestamp (mutually exclusive with
+  * `startingVersion`). Expired snapshots inside a requested interval
+  * fail loudly (retention must outlive consumer lag — the same contract
+  * as the change feed).
   */
 final class GraftStreamSource(
     sqlContext: SQLContext,
@@ -115,10 +117,33 @@ final class GraftStreamSource(
         finally in.close()
       }
     readPin().getOrElse {
+      require(!(options.contains("startingVersion") &&
+          options.contains("startingTimestamp")),
+        "graft stream source: specify startingVersion OR startingTimestamp, " +
+          "not both")
       val resolved: (Long, Option[Long]) = options.get("startingVersion") match {
         case Some("latest") =>
           (SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(0L), None)
         case Some(v) => (v.toLong, None)
+        // startingTimestamp (the Delta option): the first batch begins
+        // with the earliest retained commit AT OR AFTER the timestamp —
+        // the exclusive lower bound is the last commit strictly before
+        // it. A timestamp predating RETAINED history can't replay the
+        // vacuumed commits, so it degrades to the same initial-snapshot
+        // seeding as a default start (the oldest retained snapshot IS
+        // the union of everything vacuumed before it); legacy manifests
+        // without ts_ms sort as older than any real timestamp.
+        case None if options.contains("startingTimestamp") =>
+          val t = GraftDataSource.parseTimestampMs(options("startingTimestamp"))
+          val cs = SnapshotLog.commits(spark, tableDir)
+          val before = cs.takeWhile(_.tsMs < t)
+          if (before.size == cs.size) // after every commit: only new ones
+            (cs.lastOption.map(_.snapshotId).getOrElse(0L), None)
+          else if (before.nonEmpty) (before.last.snapshotId, None)
+          else cs.headOption match {
+            case Some(c) if c.snapshotId > 1L => (c.snapshotId, Some(c.snapshotId))
+            case _ => (0L, None)
+          }
         case None =>
           val ids = SnapshotLog.snapshots(spark, tableDir)
           ids.headOption match {

@@ -582,6 +582,40 @@ class ConnectorSpec extends AnyFunSuite {
     assert(back.select("id").distinct().count() === 200)
   }
 
+  test("streaming source: startingTimestamp begins at the earliest commit at/after it") {
+    val dir = tmp("startts")
+    for (s <- 0 until 3) {
+      rows(300).filter(col("id") >= s * 100 && col("id") < (s + 1) * 100)
+        .coalesce(1)
+        .write.format("graft").mode(if (s == 0) "error" else "append").save(dir)
+      Thread.sleep(15) // distinct commit timestamps
+    }
+    val cs = SnapshotLog.commits(spark, dir)
+    assert(cs.size === 3 && cs.map(_.tsMs).distinct.size === 3)
+    // a timestamp strictly between commit 1 and commit 2: the stream must
+    // deliver commits 2 and 3 only
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val t = fmt.format(new java.util.Date((cs(0).tsMs + cs(1).tsMs) / 2))
+    val dst = tmp("startts-dst"); val cp = tmp("startts-cp")
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", t).load(dir)
+      .writeStream.format("graft")
+      .option("checkpointLocation", cp).start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.format("graft").load(dst)
+    assert(got.count() === 200 && got.agg(min(col("id"))).head.getLong(0) === 100L)
+    // both options together refuse
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft")
+        .option("startingTimestamp", t).option("startingVersion", "1").load(dir)
+        .writeStream.format("console")
+        .option("checkpointLocation", tmp("startts-cp2")).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e.getMessage.contains("not both") ||
+      Option(e.getCause).exists(_.getMessage.contains("not both")))
+  }
+
   test("streaming sink: graft→graft append, exactly-once across restarts") {
     val src = tmp("sinksrc"); val dst = tmp("sinkdst"); val cp = tmp("sinkcp")
     rows(50).write.format("graft").option("statsCols", "id").save(src)
@@ -913,5 +947,66 @@ class ConnectorSpec extends AnyFunSuite {
     assert(planStr.contains("BroadcastHashJoin"),
       "manifest byte stats must let the planner broadcast the small side " +
         s"without a hint; got:\n$planStr")
+  }
+
+  test("ANALYZE TABLE: manifest-derived stats land in the catalog; CBO sees them") {
+    val dir = tmp("analyze")
+    spark.range(0, 1000)
+      .select(col("id"), concat(lit("name_"), col("id")).as("name"),
+        (col("id") % 10).as("bucket"))
+      .write.format("graft").option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE conn_an USING graft OPTIONS (path '$dir')")
+    try {
+      // DML so the live set differs from the raw directory listing —
+      // Spark's own ANALYZE would count the dead pre-rewrite files too
+      spark.sql("DELETE FROM conn_an WHERE id < 100")
+      val rep = spark.sql(
+        "ANALYZE TABLE conn_an COMPUTE STATISTICS FOR ALL COLUMNS").head
+      assert(rep.getLong(0) === 900L && rep.getInt(3) === 3)
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("conn_an"))
+      val st = meta.stats.get
+      assert(st.rowCount.contains(BigInt(900)))
+      assert(st.sizeInBytes > 0 &&
+        st.sizeInBytes === SnapshotLog.filesAt(spark, dir)
+          .filter(_.kind == "data").map(_.bytes).sum)
+      val idStat = st.colStats("id")
+      assert(idStat.min.contains("100") && idStat.max.contains("999"))
+      assert(idStat.nullCount.contains(BigInt(0)))
+      assert(idStat.distinctCount.exists(n => n > 800 && n < 1000)) // approx NDV
+      val nameStat = st.colStats("name")
+      assert(nameStat.min.isEmpty && nameStat.maxLen.contains(8L)) // "name_999"
+      val bucketStat = st.colStats("bucket")
+      assert(bucketStat.min.contains("0") && bucketStat.max.contains("9"))
+      // the optimizer-visible relation stats carry the analyzed row count
+      // when CBO is on
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val plan = spark.table("conn_an").queryExecution.optimizedPlan
+        assert(plan.stats.rowCount.contains(BigInt(900)))
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    } finally spark.sql("DROP TABLE conn_an")
+  }
+
+  test("ANALYZE delegation: non-graft targets and wider forms keep Spark's path") {
+    spark.range(10).write.mode("overwrite").saveAsTable("conn_an_parquet")
+    try {
+      // parquet table: Spark's own ANALYZE runs (ours returns None)
+      spark.sql("ANALYZE TABLE conn_an_parquet COMPUTE STATISTICS")
+      val st = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("conn_an_parquet")).stats
+      assert(st.exists(_.rowCount.contains(BigInt(10))))
+      // a wider ANALYZE form on a graft table delegates too (Spark then
+      // fails it as unsupported for the source, not as a graft error)
+      val dir = tmp("an-deleg")
+      spark.range(5).write.format("graft").save(dir)
+      spark.sql(s"CREATE TABLE conn_an_g USING graft OPTIONS (path '$dir')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("ANALYZE TABLE conn_an_g PARTITION (p=1) COMPUTE STATISTICS")
+        }
+        assert(!e.getMessage.contains("graft ANALYZE"))
+      } finally spark.sql("DROP TABLE conn_an_g")
+    } finally spark.sql("DROP TABLE conn_an_parquet")
   }
 }
