@@ -2,7 +2,7 @@ package graft.connector
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -270,6 +270,70 @@ object GraftDml {
     case x => Seq(x)
   }
 
+  /** MUST-match (coverage) analysis — the dual of [[Constraints]]' MAY-
+    * match pruning: `from` returns the accepted CLOSED interval per
+    * column when EVERY conjunct of the predicate is a recognized
+    * zone-domain comparison against a literal (anything else — an OR, a
+    * function, a string comparison, an IN with gaps — returns None: a
+    * file can then never be PROVEN all-matching, only tested row-wise).
+    * `covered(f)` then holds when each constrained column's zone lies
+    * entirely inside its interval AND the manifest proves the file has
+    * ZERO nulls in it (zones describe only non-null values, and SQL
+    * comparisons never match null — a covered-looking file with nulls
+    * must keep those rows). Old manifests without null counts are never
+    * covered — conservative, like every pruning decision here. */
+  private object Covers {
+    import org.apache.spark.sql.types._
+    private def zl(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+      case (_, null) => None
+      case (ByteType, x: Byte) => Some(x.toLong)
+      case (ShortType, x: Short) => Some(x.toLong)
+      case (IntegerType, x: Int) => Some(x.toLong)
+      case (LongType, x: Long) => Some(x)
+      case (DateType, x: Int) => Some(x.toLong)
+      case (TimestampType, x: Long) => Some(x)
+      case _ => None
+    }
+
+    def from(conjuncts: Seq[Expression]): Option[Map[String, (Long, Long)]] = {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      def narrow(c: String, lo: Long, hi: Long): Boolean = {
+        val (l0, h0) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        acc(c) = (math.max(l0, lo), math.min(h0, hi)); true
+      }
+      val ok = conjuncts.forall {
+        case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+          zl(dt, v).exists(x => narrow(a.name, x, x))
+        case EqualTo(Literal(v, dt), a: AttributeReference) =>
+          zl(dt, v).exists(x => narrow(a.name, x, x))
+        case GreaterThan(a: AttributeReference, Literal(v, dt)) => // col > v
+          zl(dt, v).exists(x => x < Long.MaxValue && narrow(a.name, x + 1, Long.MaxValue))
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+          zl(dt, v).exists(x => narrow(a.name, x, Long.MaxValue))
+        case LessThan(a: AttributeReference, Literal(v, dt)) => // col < v
+          zl(dt, v).exists(x => x > Long.MinValue && narrow(a.name, Long.MinValue, x - 1))
+        case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+          zl(dt, v).exists(x => narrow(a.name, Long.MinValue, x))
+        case GreaterThan(Literal(v, dt), a: AttributeReference) => // v > col
+          zl(dt, v).exists(x => x > Long.MinValue && narrow(a.name, Long.MinValue, x - 1))
+        case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+          zl(dt, v).exists(x => narrow(a.name, Long.MinValue, x))
+        case LessThan(Literal(v, dt), a: AttributeReference) => // v < col
+          zl(dt, v).exists(x => x < Long.MaxValue && narrow(a.name, x + 1, Long.MaxValue))
+        case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+          zl(dt, v).exists(x => narrow(a.name, x, Long.MaxValue))
+        case _ => false
+      }
+      if (ok && acc.nonEmpty) Some(acc.toMap) else None
+    }
+
+    def covered(f: DataFile, intervals: Map[String, (Long, Long)]): Boolean =
+      intervals.forall { case (c, (lo, hi)) =>
+        f.stats.get(c).exists { case (mn, mx) => mn >= lo && mx <= hi } &&
+          f.nulls.get(c).contains(0L)
+      }
+  }
+
   /** One filtered pass over the candidates, aggregated per file
     * (metadata-sized result): the files that ACTUALLY hold matching
     * rows, plus the matched-row count for the commit summary. */
@@ -331,24 +395,43 @@ object GraftDml {
       case _ =>
         val cs = Constraints.from(split(cond), schemaOf(t))
         val candidates = live.filter(cs.keeps)
-        val (touched, nMatched) = touchDetect(spark, t, candidates, cond, reg)
-        if (touched.isEmpty) return // nothing matched: no commit, no-op
+        // FILE-LEVEL metadata deletes (the Delta/Iceberg school): when
+        // the manifest PROVES every row of a candidate matches the
+        // predicate — its zone lies entirely inside the predicate's
+        // accepted interval on every constrained column AND its recorded
+        // null count there is zero — the file is dropped from the commit
+        // without being read or rewritten. The retention case
+        // (`DELETE WHERE ts < cutoff` over a time-clustered table) then
+        // touches metadata for the interior files and rewrites only the
+        // boundary file, at ANY table size.
+        val coverIv = Covers.from(split(cond))
+        val (dropped, boundary) = coverIv match {
+          case Some(iv) => candidates.partition(Covers.covered(_, iv))
+          case None => (Seq.empty[DataFile], candidates)
+        }
+        val (touched, nMatched) = touchDetect(spark, t, boundary, cond, reg)
+        if (dropped.isEmpty && touched.isEmpty) return // nothing matched
         val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
         // rows where cond is NULL are KEPT (SQL deletes only where TRUE)
         val survivors = tDf.filter(!coalesce(rebind(cond, t.output, tDf), lit(false)))
-        val written = writeInherited(spark, t.dir, survivors)
+        val written =
+          if (touched.isEmpty) Seq.empty
+          else writeInherited(spark, t.dir, survivors)
         // a lost race rebases when the interleaved commits are provably
         // outside this DELETE's footprint: an appended file conflicts
         // only if its metadata can't exclude the predicate, and any
         // commit that removed a candidate this pass READ (touched or
         // not) conflicts — the Delta ConcurrentAppend/DeleteRead rules
         SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
-          touched.map(_.path), Map("mode" -> "delete-sql",
-            "rows_deleted" -> nMatched.toString,
+          (dropped ++ touched).map(_.path), Map("mode" -> "delete-sql",
+            "rows_deleted" -> (dropped.map(_.rows).sum + nMatched).toString,
             "files_touched" -> touched.size.toString,
-            "files_untouched" -> (live.size - touched.size).toString) ++
+            "files_dropped_metadata" -> dropped.size.toString,
+            "files_untouched" ->
+              (live.size - touched.size - dropped.size).toString) ++
             lineageSummary(lin, reg),
-          guard = dmlGuard(cs, candidates, touched, reg, idStamped = false))
+          guard = dmlGuard(cs, candidates, dropped ++ touched, reg,
+            idStamped = false))
         ()
     }
   }

@@ -126,7 +126,8 @@ final case class FieldRegistry(fields: Seq[FieldDef], nextId: Int) {
     f.copy(
       stats = f.stats.flatMap { case (k, v) => key(k).map(_ -> v) },
       blooms = f.blooms.flatMap { case (k, v) => key(k).map(_ -> v) },
-      parts = f.parts.flatMap { case (k, v) => key(k).map(_ -> v) })
+      parts = f.parts.flatMap { case (k, v) => key(k).map(_ -> v) },
+      nulls = f.nulls.flatMap { case (k, v) => key(k).map(_ -> v) })
   }
 
   /** Rename a live field's LOGICAL name — metadata only. */

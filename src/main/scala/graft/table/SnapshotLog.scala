@@ -74,12 +74,20 @@ object SnapshotLog {
     * it (stamped by [[commitAt]]); a delete file applies only to data
     * files with a STRICTLY SMALLER seq, which is what lets a re-insert
     * after a delete survive (the Iceberg sequence-number rule). */
+  /** `nulls`: per-ZONE-column NULL counts (recorded alongside min/max
+    * since r11, absent on older manifests — consumers must treat a
+    * missing entry as "unknown", never as zero). Zones are min/max over
+    * NON-null values, so a range containment proof alone cannot clear a
+    * file of null rows; the null count is what lets a predicate-covered
+    * file be dropped METADATA-ONLY by SQL DELETE (nulls fail every SQL
+    * comparison, so a file with any would wrongly lose them). */
   final case class DataFile(path: String, rows: Long, bytes: Long,
                             statsMin: Option[Long], statsMax: Option[Long],
                             kind: String = "data", seq: Long = 0L,
                             stats: Map[String, (Long, Long)] = Map.empty,
                             blooms: Map[String, String] = Map.empty,
-                            parts: Map[String, Seq[String]] = Map.empty)
+                            parts: Map[String, Seq[String]] = Map.empty,
+                            nulls: Map[String, Long] = Map.empty)
 
   /** Cap on distinct partition values recorded per file per column: a
     * file that genuinely belongs to a partitioned layout holds one (or
@@ -152,19 +160,22 @@ object SnapshotLog {
       statsMin: Option[Long], statsMax: Option[Long],
       kind: String, seq: Long,
       statsCols: Seq[String], statsMins: Seq[Long], statsMaxs: Seq[Long],
-      blooms: Map[String, String], parts: Map[String, Seq[String]]) {
+      blooms: Map[String, String], parts: Map[String, Seq[String]],
+      // per-zone-column null counts (r11); pre-r11 parquet checkpoints
+      // lack the column and read back as empty = unknown
+      nulls: Map[String, Long]) {
     def toDataFile: DataFile = DataFile(path, rows, bytes, statsMin, statsMax,
       kind = kind, seq = seq,
       stats = statsCols.indices.map(i =>
         statsCols(i) -> (statsMins(i), statsMaxs(i))).toMap,
-      blooms = blooms, parts = parts)
+      blooms = blooms, parts = parts, nulls = nulls)
   }
 
   private def toCheckpointRow(f: DataFile): CheckpointRow = {
     val cols = f.stats.keys.toSeq.sorted
     CheckpointRow(f.path, f.rows, f.bytes, f.statsMin, f.statsMax, f.kind,
       f.seq, cols, cols.map(f.stats(_)._1), cols.map(f.stats(_)._2),
-      f.blooms, f.parts)
+      f.blooms, f.parts, f.nulls)
   }
 
   private val mapper = new ObjectMapper()
@@ -312,7 +323,12 @@ object SnapshotLog {
     // collect_set is capped by [[MaxPartValuesPerFile]] at record time.
     val statsAggs = ((count(lit(1)).as("rows") +: allStats.zipWithIndex.flatMap {
       case (c, i) => Seq(min(zoneExpr(written, c).get).as(s"smin_$i"),
-        max(zoneExpr(written, c).get).as(s"smax_$i"))
+        max(zoneExpr(written, c).get).as(s"smax_$i"),
+        // per-zone-column null count: min/max describe only non-null
+        // values, so this is the missing bit that lets a fully-covered
+        // file be dropped metadata-only (SQL comparisons never match
+        // null — a file with any null must keep those rows)
+        count(when(col(c).isNull, lit(1))).as(s"snull_$i"))
     }) ++ partitionColsP.zipWithIndex.map { case (c, i) =>
       slice(sort_array(collect_set(col(c).cast("string"))),
         1, MaxPartValuesPerFile + 1).as(s"pvals_$i")
@@ -340,10 +356,13 @@ object SnapshotLog {
           if (vs == null || vs.isEmpty || vs.size > MaxPartValuesPerFile) None
           else Some(c -> vs.toSeq)
         }.toMap
+        val nulls = allStats.zipWithIndex.collect {
+          case (c, i) if stats.contains(c) => c -> r.getAs[Long](s"snull_$i")
+        }.toMap
         val first = allStats.headOption.flatMap(stats.get)
         DataFile(path, r.getAs[Long]("rows"), sizes.getOrElse(path, 0L),
           first.map(_._1), first.map(_._2), kind = kind, stats = stats,
-          blooms = blooms, parts = parts)
+          blooms = blooms, parts = parts, nulls = nulls)
       }
   }
 
@@ -548,6 +567,7 @@ object SnapshotLog {
       val sn = n.putObject("stats")
       f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
         val cn = sn.putObject(c); cn.put("min", mn); cn.put("max", mx)
+        f.nulls.get(c).foreach(cn.put("nulls", _))
       }
     }
     if (f.blooms.nonEmpty) {
@@ -673,6 +693,13 @@ object SnapshotLog {
           e.getKey -> (e.getValue.get("min").asLong(), e.getValue.get("max").asLong())
         }.toMap
       }.getOrElse(Map.empty[String, (Long, Long)])
+      // null counts ride each stats entry since r11; ABSENT on older
+      // manifests = unknown (consumers must not read it as zero)
+      val nulls = Option(f.get("stats")).map { sn =>
+        sn.fields().asScala.flatMap { e =>
+          Option(e.getValue.get("nulls")).map(n => e.getKey -> n.asLong())
+        }.toMap
+      }.getOrElse(Map.empty[String, Long])
       val blooms = Option(f.get("blooms")).map { bn =>
         bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }.getOrElse(Map.empty[String, String])
@@ -685,7 +712,7 @@ object SnapshotLog {
         Option(f.get("stats_max")).map(_.asLong()),
         kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
         seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-        stats = stats, blooms = blooms, parts = parts)
+        stats = stats, blooms = blooms, parts = parts, nulls = nulls)
     }
   }
 
@@ -728,8 +755,17 @@ object SnapshotLog {
       case Some(rel) =>
         val dir = new Path(logDir(tableDir), rel)
         import spark.implicits._
-        try spark.read.parquet(dir.toString).as[CheckpointRow]
-          .collect().toSeq.map(_.toDataFile) // one row per live FILE: metadata
+        try {
+          val raw = spark.read.parquet(dir.toString)
+          // pre-r11 parquet checkpoints lack the null-count column:
+          // fill with empty (= unknown) so the row decodes
+          val compat =
+            if (raw.columns.contains("nulls")) raw
+            else raw.withColumn("nulls",
+              typedLit(Map.empty[String, Long]))
+          compat.as[CheckpointRow]
+            .collect().toSeq.map(_.toDataFile) // one row per live FILE: metadata
+        }
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("PATH_NOT_FOUND") =>

@@ -41,6 +41,56 @@ class DmlSpec extends AnyFunSuite {
   private def livePaths(dir: String): Set[String] =
     SnapshotLog.filesAt(spark, dir).map(_.path).toSet
 
+  test("DELETE drops fully-covered files metadata-only; boundary files rewrite") {
+    val dir = rangeTable("meta-del", "dml_metadel")
+    try {
+      val before = livePaths(dir)
+      // id < 1500 covers file [0,999] entirely (zone + zero nulls proven
+      // by the manifest) and half of [1000,1999]
+      spark.sql("DELETE FROM dml_metadel WHERE id < 1500")
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.summary("files_dropped_metadata") === "1")
+      assert(c.summary("files_touched") === "1")
+      assert(c.summary("rows_deleted") === "1500")
+      // the dropped file was REMOVED without a replacement rewrite of it:
+      // one new file (the boundary survivors), two files gone
+      assert(c.added.size === 1 && c.removed.size === 2)
+      val after = livePaths(dir)
+      assert((before intersect after).size === 1) // [2000,2999] by reference
+      val back = spark.sql(
+        "SELECT count(*) AS n, min(id) AS lo FROM dml_metadel").head
+      assert(back.getLong(0) === 1500 && back.getLong(1) === 1500L)
+      // a whole-file predicate with NO boundary is a pure metadata commit
+      spark.sql("DELETE FROM dml_metadel WHERE id >= 2000")
+      val c2 = SnapshotLog.commits(spark, dir).last
+      assert(c2.summary("files_dropped_metadata") === "1" &&
+        c2.summary("files_touched") === "0" && c2.added.isEmpty)
+      assert(spark.sql("SELECT count(*) FROM dml_metadel").head.getLong(0) === 500)
+    } finally spark.sql("DROP TABLE dml_metadel")
+  }
+
+  test("metadata DELETE never drops a file with nulls in the predicate column") {
+    val dir = tmp("null-del")
+    // one file whose id zone is [0,9] but which ALSO holds null ids —
+    // `id < 100` covers the zone, yet the null rows must survive (SQL
+    // deletes only where the predicate is TRUE)
+    spark.range(10).select(
+        when(col("id") < 5, col("id")).as("id"), col("id").as("v"))
+      .coalesce(1)
+      .write.format("graft").option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE dml_nulldel USING graft OPTIONS (path '$dir')")
+    try {
+      val f = SnapshotLog.filesAt(spark, dir).head
+      assert(f.nulls.get("id").contains(5L), s"manifest null count: ${f.nulls}")
+      spark.sql("DELETE FROM dml_nulldel WHERE id < 100")
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.summary("files_dropped_metadata") === "0",
+        "a file with nulls in the predicate column must never drop by metadata")
+      val back = spark.sql("SELECT count(*) AS n FROM dml_nulldel").head
+      assert(back.getLong(0) === 5) // the 5 null-id rows survive
+    } finally spark.sql("DROP TABLE dml_nulldel")
+  }
+
   test("DELETE rewrites only files holding matching rows; the rest carry by reference") {
     val dir = rangeTable("del", "dml_del")
     try {
