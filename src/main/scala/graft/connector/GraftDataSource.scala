@@ -69,6 +69,32 @@ final class GraftDataSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = tableDirOf(parameters)
+    // batch change-feed read (the Delta batch-CDF option surface):
+    // .option("readChangeFeed", "true") with startingVersion (exclusive
+    // lower bound, Delta's own semantics for the graft log) and optional
+    // endingVersion — the row-level feed as a DataFrame, same refusal
+    // semantics as the graft_changes TVF (expired snapshots and
+    // lineage-less rewrites throw); cdfPreImages=true emits
+    // update_preimage/update_postimage pairs
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      require(!parameters.contains("versionAsOf") &&
+          !parameters.contains("timestampAsOf") && !parameters.contains("tagAsOf"),
+        "readChangeFeed does not compose with time-travel options; bound " +
+          "the feed with startingVersion/endingVersion instead")
+      val from = parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp").map(ts =>
+          SnapshotLog.snapshotAsOfTimestamp(spark, dir,
+            GraftDataSource.parseTimestampMs(ts))))
+        .getOrElse(throw new IllegalArgumentException(
+          "batch readChangeFeed needs startingVersion (exclusive lower " +
+            "bound) or startingTimestamp"))
+      val to = parameters.get("endingVersion").map(_.toLong)
+      val pre = parameters.get("cdfPreImages").exists(_.toBoolean)
+      val feed = SnapshotLog.changes(spark, dir, from, to, preImages = pre)
+        .getOrElse(spark.emptyDataFrame)
+      return new GraftComputedRelation(sqlContext, feed, dir,
+        insertable = false)
+    }
     val asOf = resolveAsOf(spark, dir, parameters)
     GraftDataSource.relationFor(spark, sqlContext, dir, asOf)
   }

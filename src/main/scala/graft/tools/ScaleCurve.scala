@@ -282,6 +282,39 @@ object ScaleCurve {
       settle()
       val insC = SnapshotLog.commits(spark, dmlDir).last
       spark.sql(s"DROP TABLE scale_dml_x$k")
+      // r11: file-level metadata DELETE curve — a predicate covering a
+      // GROWING number of whole files (everything below the median) must
+      // drop them from the manifest without reading them: dropped-file
+      // count grows ×k while wall time stays ~flat (one boundary file
+      // rewrites; the interior is metadata)
+      spark.sql(s"CREATE TABLE scale_mdel_x$k USING graft OPTIONS (path '$dmlDir')")
+      val (_, tMetaDel) = timed(spark.sql(
+        s"DELETE FROM scale_mdel_x$k WHERE id < $bandLo"))
+      settle()
+      val mdelC = SnapshotLog.commits(spark, dmlDir).last
+      spark.sql(s"DROP TABLE scale_mdel_x$k")
+      // r11: OCC rebase curve — a pinned replace that loses its id race
+      // to j interleaved appends must rebase in O(j) MANIFEST reads:
+      // wall time ~flat while the table (live rows and files) grows ×k,
+      // and grows only with the interleave count. Staging cost is
+      // excluded — the probe times exactly the lost-race path
+      // (commitPinned: miss, read j manifests, classify, re-commit).
+      val occTimes = Seq(1, 8).map { j =>
+        val occBase = SnapshotLog.currentSnapshotId(spark, dmlDir).get
+        val occLive = SnapshotLog.filesAt(spark, dmlDir)
+          .filter(_.kind == "data").sortBy(_.bytes).take(2)
+        val occStaged = SnapshotLog.writeData(
+          SnapshotLog.readEpochSafe(spark, occLive).repartition(1),
+          dmlDir, statsCol = Some("id"))
+        for (i <- 0 until j) // the interleaves that steal the pinned id
+          SnapshotLog.commit(spark, dmlDir, "append",
+            SnapshotLog.writeData(
+              spark.range(i, i + 1).select((col("id") - 1000000L).as("id"),
+                lit(-1.0).as("v")), dmlDir, statsCol = Some("id")))
+        val (_, tOcc) = timed(SnapshotLog.commitPinned(spark, dmlDir, occBase,
+          "replace", occStaged, occLive.map(_.path), Map("table" -> "occ")))
+        j -> tOcc
+      }.toMap
       def s(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       println(s"SCALE x$k docs=$nDocs " +
         s"minhash_cand=$nCand/${s(tCand)}s simhash_pairs=$nSim/${s(tSim)}s " +
@@ -300,7 +333,11 @@ object ScaleCurve {
         s"conn_scan_files=$connFiles conn_lookup=${s(tConn)}s " +
         s"sql_delete=${delC.summary("files_touched")}f/" +
         s"${delC.summary("rows_deleted")}rd/${s(tSqlDel)}s " +
-        s"sql_insmerge=${insC.summary("files_touched")}f/${s(tSqlIns)}s")
+        s"sql_insmerge=${insC.summary("files_touched")}f/${s(tSqlIns)}s " +
+        s"meta_delete=${mdelC.summary("files_dropped_metadata")}dropped/" +
+        s"${mdelC.summary("files_touched")}f/" +
+        s"${mdelC.summary("rows_deleted")}rd/${s(tMetaDel)}s " +
+        s"occ_rebase_j1=${s(occTimes(1))}s occ_rebase_j8=${s(occTimes(8))}s")
     }
     spark.stop()
   }

@@ -949,6 +949,40 @@ class ConnectorSpec extends AnyFunSuite {
         s"without a hint; got:\n$planStr")
   }
 
+  test("batch readChangeFeed options: the reader face equals the changes() feed") {
+    val dir = tmp("batchcdf")
+    rows(100).coalesce(1).write.format("graft")
+      .option("statsCols", "id").save(dir)
+    // MOR upserts + deletes so the feed has insert/upsert/delete events
+    Merge.mergeOnRead(spark, dir,
+      rows(150).filter(col("id") >= 50).withColumn("v", col("v") * 10), "id")
+    Merge.mergeOnRead(spark, dir,
+      rows(10).withColumn("_del", lit(true)), "id", deleteCol = Some("_del"))
+    val viaOptions = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(dir)
+    val direct = SnapshotLog.changes(spark, dir, 1L).get
+    assert(viaOptions.count() === direct.count() && direct.count() > 0)
+    assert(viaOptions.exceptAll(direct).isEmpty &&
+      direct.exceptAll(viaOptions).isEmpty)
+    // endingVersion bounds the feed; column pruning works through the face
+    val bounded = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "2").load(dir)
+    // (1, 2] covers only the first merge's rowdelta: upsert events, no
+    // deletes yet
+    assert(bounded.select(col("_change_op")).distinct().collect()
+      .map(_.getString(0)).toSet === Set("upsert"))
+    // feed + time travel refuse; missing start refuses with the option named
+    assert(intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("versionAsOf", "1").load(dir)
+    }.getMessage.contains("time-travel"))
+    assert(intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(dir)
+    }.getMessage.contains("startingVersion"))
+  }
+
   test("ANALYZE TABLE: manifest-derived stats land in the catalog; CBO sees them") {
     val dir = tmp("analyze")
     spark.range(0, 1000)
