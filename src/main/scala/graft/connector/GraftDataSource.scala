@@ -82,16 +82,33 @@ final class GraftDataSource extends RelationProvider
         "readChangeFeed does not compose with time-travel options; bound " +
           "the feed with startingVersion/endingVersion instead")
       val from = parameters.get("startingVersion").map(_.toLong)
-        .orElse(parameters.get("startingTimestamp").map(ts =>
-          SnapshotLog.snapshotAsOfTimestamp(spark, dir,
-            GraftDataSource.parseTimestampMs(ts))))
+        .orElse(parameters.get("startingTimestamp").map { ts =>
+          // same semantics as the STREAM source's startingTimestamp: the
+          // feed begins with the earliest retained commit AT OR AFTER
+          // the timestamp, so the exclusive bound is the last commit
+          // strictly before it — snapshotAsOfTimestamp (greatest ≤ ts)
+          // would silently omit a commit landing exactly at ts, and a
+          // timestamp predating the whole history replays everything
+          // instead of erroring
+          val t = GraftDataSource.parseTimestampMs(ts)
+          SnapshotLog.commits(spark, dir).takeWhile(_.tsMs < t)
+            .lastOption.map(_.snapshotId).getOrElse(0L)
+        })
         .getOrElse(throw new IllegalArgumentException(
           "batch readChangeFeed needs startingVersion (exclusive lower " +
             "bound) or startingTimestamp"))
       val to = parameters.get("endingVersion").map(_.toLong)
       val pre = parameters.get("cdfPreImages").exists(_.toBoolean)
+      // an empty interval yields an empty frame UNDER THE FEED'S SCHEMA
+      // (the graft_changes TVF contract) — a schemaless emptyDataFrame
+      // would fail any reference to the documented change columns
       val feed = SnapshotLog.changes(spark, dir, from, to, preImages = pre)
-        .getOrElse(spark.emptyDataFrame)
+        .getOrElse {
+          val base = GraftDataSource.visibleState(spark, dir, None)._4
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            base.add("_change_op", org.apache.spark.sql.types.StringType)
+              .add("_change_snapshot", org.apache.spark.sql.types.LongType))
+        }
       return new GraftComputedRelation(sqlContext, feed, dir,
         insertable = false)
     }

@@ -122,6 +122,20 @@ object GraftMaintenance {
 
   private def unquote(s: String): String = s.replace("`", "")
 
+  // the statement's target by PREFIX only — consulted when the full
+  // grammar does NOT match, so a statement in another provider's WIDER
+  // grammar (e.g. Delta's `OPTIMIZE t FULL`) can be recognized as
+  // foreign and delegated instead of shadowed by our grammar error
+  private val LooseTargetRe = Pattern.compile(
+    s"""\\s*(?:OPTIMIZE|VACUUM|RESTORE)\\s+(?:TABLE\\s+)?$Target\\b.*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+
+  private def looseTargetOf(sqlText: String): Option[String] = {
+    val m = LooseTargetRe.matcher(sqlText)
+    if (m.matches()) Some(Option(m.group(1)).getOrElse(unquote(m.group(2))))
+    else None
+  }
+
   /** Does the identifier resolve to an EXISTING catalog table of some
     * OTHER provider? Such a target belongs to that provider's extension
     * (e.g. Delta sitting behind this parser in the delegate chain) —
@@ -181,6 +195,9 @@ object GraftMaintenance {
         None // every other ALTER form is Spark's
       case "OPTIMIZE" =>
         val m = OptimizeRe.matcher(sqlText)
+        if (!m.matches() &&
+            looseTargetOf(sqlText).exists(foreignCatalogTable(session, _)))
+          return None // another provider's wider OPTIMIZE grammar: theirs
         require(m.matches(),
           "graft OPTIMIZE: expected OPTIMIZE <table|'path'> [WHERE <pred>] " +
             "[TARGET <n> MB] [ZORDER BY (x, y) | CLUSTER BY c] " +
@@ -196,6 +213,9 @@ object GraftMaintenance {
           clusterBy = Option(m.group(7)).map(unquote)))
       case "VACUUM" =>
         val m = VacuumRe.matcher(sqlText)
+        if (!m.matches() &&
+            looseTargetOf(sqlText).exists(foreignCatalogTable(session, _)))
+          return None // e.g. Delta's `VACUUM t DRY RUN`: theirs
         require(m.matches(),
           "graft VACUUM: expected VACUUM <table|'path'> [RETAIN <n> HOURS], " +
             s"got: $sqlText")
@@ -205,6 +225,9 @@ object GraftMaintenance {
           retainHours = Option(m.group(3)).map(_.toLong)))
       case "RESTORE" =>
         val m = RestoreRe.matcher(sqlText)
+        if (!m.matches() &&
+            looseTargetOf(sqlText).exists(foreignCatalogTable(session, _)))
+          return None // another provider's RESTORE variant: theirs
         require(m.matches(),
           "graft RESTORE: expected RESTORE [TABLE] <table|'path'> [TO] " +
             "VERSION AS OF <n>|'tag' | TIMESTAMP AS OF '<ts>', got: " + sqlText)

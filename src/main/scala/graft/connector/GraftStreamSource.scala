@@ -214,6 +214,34 @@ final class GraftStreamSource(
     Some(new GraftSourceOffset(to))
   }
 
+  /** Fail LOUDLY when a column of the stream's fixed schema was renamed
+    * or dropped at/before snapshot `at` — alignTo would otherwise
+    * null-fill it forever (the table still HAS the values, under the new
+    * name), silently corrupting every downstream row; the stream must
+    * restart to adopt the new schema (the Delta non-additive-change
+    * contract). ADDITIVE gaps still null-fill: a name the registry can
+    * still resolve (or a registry-less table) is just an older epoch's
+    * file lacking a later-declared column. */
+  private def guardNonAdditive(df: DataFrame, at: Long): DataFrame = {
+    val have = df.columns.toSet
+    val missing = schema.fieldNames
+      .filterNot(n => n == "_change_op" || n == "_change_snapshot")
+      .filterNot(have)
+    if (missing.nonEmpty)
+      SnapshotLog.registryAt(spark, tableDir,
+          if (at <= 0) None else Some(at))
+        .filterNot(_.isIdentity).foreach { reg =>
+          val gone = missing.filter(n => reg.physicalOf(n).isEmpty)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"stream over $tableDir: column(s) ${gone.mkString(", ")} of " +
+              s"the stream's fixed schema were renamed or dropped (registry " +
+              s"at snapshot $at) — an in-flight stream cannot adopt a " +
+              "non-additive schema change; restart it to pick up the new " +
+              "schema")
+        }
+    df
+  }
+
   /** Null-fill a frame to the stream's FIXED schema: delete events are
     * key-only, batches of files older than an ALTER TABLE ADD COLUMNS
     * lack the declared column (parquet's own null-fill semantics), and
@@ -237,7 +265,8 @@ final class GraftStreamSource(
     // the seed snapshot (the Delta initial-snapshot CDF shape)
     val seed: Option[DataFrame] =
       initialSnapshot.filter(_ => start.isEmpty).flatMap { snap =>
-        SnapshotLog.read(spark, tableDir, asOf = Some(snap)).map { df =>
+        SnapshotLog.read(spark, tableDir, asOf = Some(snap)).map { df0 =>
+          val df = guardNonAdditive(df0, snap)
           alignTo(
             if (readChangeFeed)
               df.withColumn("_change_op",
@@ -253,7 +282,8 @@ final class GraftStreamSource(
         // row-level events of (from, to]; the feed's own retention and
         // lineage-derivability refusals propagate (loud, named snapshots)
         SnapshotLog.changes(spark, tableDir, from, Some(to),
-          preImages = cdfPreImages).map(alignTo)
+          preImages = cdfPreImages).map(f =>
+          alignTo(guardNonAdditive(f, to)))
       else {
         val ids = SnapshotLog.snapshots(spark, tableDir)
         val missing = ((from + 1) to to).filterNot(ids.contains)
@@ -277,12 +307,16 @@ final class GraftStreamSource(
           .flatMap(_.added).filter(_.kind == "data")
         if (files.isEmpty) None
         // batch files read raw (physical names) and project through the
-        // field registry at the batch's end snapshot, so a stream over a
-        // renamed table emits the same columns its fixed schema declares
-        // instead of silently null-filling them in alignTo
-        else Some(alignTo(SnapshotLog.applyRegistry(
+        // CURRENT field registry — physical names never change, so the
+        // current mapping is correct for ANY batch interval, and a
+        // restarted stream (schema re-derived at start) replays
+        // pre-rename batches under the new names instead of null-filling
+        // them. A rename landing MID-query instead fails loudly in
+        // guardNonAdditive — alignTo would null-fill the old name
+        // forever otherwise.
+        else Some(alignTo(guardNonAdditive(SnapshotLog.applyRegistry(
           SnapshotLog.readEpochSafe(spark, files),
-          SnapshotLog.registryAt(spark, tableDir, Some(to)))))
+          SnapshotLog.registryAt(spark, tableDir, None)), at = 0L)))
       }
     val batch = (seed, deltas) match {
       case (Some(s), Some(d)) => Some(s.unionByName(d))

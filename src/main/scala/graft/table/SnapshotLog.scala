@@ -865,6 +865,14 @@ object SnapshotLog {
     v
   }
 
+  /** Drop every memoized resolution — for measurement harnesses that
+    * need a provably COLD fold (ScaleCurve's checkpoint-resolve probes)
+    * and tests; never required for correctness (keys are content-hashed,
+    * so stale entries cannot be observed). */
+  private[graft] def clearResolveCache(): Unit = resolveCache.synchronized {
+    resolveCache.clear(); resolveCacheFiles = 0L
+  }
+
   def stateAt(spark: SparkSession, tableDir: String,
               asOf: Option[Long] = None): (Seq[DataFile], Option[FieldRegistry]) = {
     val fs = fsOf(spark, tableDir)
@@ -879,13 +887,22 @@ object SnapshotLog {
         case None => if (ids.isEmpty) return (Seq.empty, None) else ids.last
       }
       try {
-        // the cache key carries the id manifest's (mtime, length): a
-        // table dropped and recreated at the same path reuses snapshot
-        // ids but never byte-identical manifests, so its entries miss
-        // instead of replaying the dead table's file list
-        val st = fs.getFileStatus(manifestPath(tableDir, id))
-        return cachedResolve(
-          s"$tableDir@$id@${st.getModificationTime}:${st.getLen}")(
+        // the cache key carries the id manifest's CONTENT hash: a table
+        // dropped and recreated at the same path reuses snapshot ids,
+        // and (mtime, length) is not enough to tell the two manifests
+        // apart (manifest JSON is near-constant-width — UUID paths,
+        // fixed ts_ms digits — and object-store mtimes have 1-second
+        // granularity, so a scripted drop-and-recreate can collide).
+        // The hash costs one ~550 B manifest read per call; the cache
+        // still saves the FOLD — anchor + delta replay, and at scale a
+        // distributed parquet-checkpoint decode.
+        val mp = manifestPath(tableDir, id)
+        val in = fs.open(mp)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+        val digest = java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(bytes))
+        return cachedResolve(s"$tableDir@$id@$digest")(
           resolveState(spark, fs, tableDir, id, cps))
       } catch {
         case _: java.io.FileNotFoundException if attempt < 3 => attempt += 1
@@ -1677,12 +1694,20 @@ object SnapshotLog {
       .filter(col(Merge.LineageCol) === c.snapshotId)
       .drop(Merge.LineageCol))
     // the rewritten (removed) files ARE the parent state of every touched
-    // key — COW refuses pending masks, so their raw rows are visible
+    // key — COW refuses pending masks, so their raw rows are visible.
+    // They may span SCHEMA EPOCHS (an ALTER-widened table keeps old-epoch
+    // files live by reference), so the read goes through the epoch-safe
+    // merge — a raw multi-path read would adopt one footer's schema and
+    // silently null/drop the other epoch's columns from the emitted
+    // pre-image and delete payloads.
     lazy val removedRows = {
       require(ids.contains(c.snapshotId - 1),
         s"cannot derive row changes of COW upsert ${c.snapshotId} of $tableDir: " +
           "parent snapshot expired (its file references anchor the removed bytes)")
-      hideInternal(spark.read.parquet(c.removed: _*)).localCheckpoint(true)
+      val removedSet = c.removed.toSet
+      val parentFiles = filesAt(spark, tableDir, Some(c.snapshotId - 1))
+        .filter(f => removedSet(f.path))
+      hideInternal(readEpochSafe(spark, parentFiles)).localCheckpoint(true)
     }
     if (!preImages) {
       val upserts = changed.map(tagOp(_, "upsert", c.snapshotId))

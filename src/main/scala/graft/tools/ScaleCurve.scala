@@ -215,6 +215,10 @@ object ScaleCurve {
       val manifestBytes = new java.io.File(
         f"$blDir/_graft_log/$ckptId%020d.json").length()
       val (_, tCkptJson) = timed(SnapshotLog.writeCheckpoint(spark, blDir, ckptId))
+      // the r11 memo would otherwise hand these probes a cache hit (the
+      // checkpoint write itself resolves the live set): clear it so the
+      // timing is the genuinely COLD anchor-plus-delta fold it claims
+      SnapshotLog.clearResolveCache()
       val (liveN, tResolve) = timed(SnapshotLog.filesAt(spark, blDir).size)
       // r11: the PARQUET checkpoint form (threshold forced to 0 so the
       // fixture-scale live set exercises it) — write the same live set
@@ -230,6 +234,7 @@ object ScaleCurve {
       val (_, tCkptPq) =
         try timed(SnapshotLog.writeCheckpoint(spark, blDir, ckptId2))
         finally spark.conf.unset("graft.checkpoint.parquetThreshold")
+      SnapshotLog.clearResolveCache() // cold decode, not a memo hit
       val (liveN2, tResolvePq) = timed(
         SnapshotLog.filesAt(spark, blDir, Some(ckptId2)).size)
       require(liveN2 == liveN + 1, s"parquet anchor resolved $liveN2 files")

@@ -808,6 +808,45 @@ class ConnectorSpec extends AnyFunSuite {
     assert(events.map(e => (e._1, e._3)).toSet === batchFeed)
   }
 
+  test("a mid-stream RENAME COLUMN fails the stream loudly, never null-fills") {
+    val dir = tmp("renstream"); val cp = tmp("rencp"); val sink = tmp("renout")
+    rows(50).write.format("graft").save(dir)
+    spark.sql(s"CREATE TABLE conn_ren_stream USING graft OPTIONS (path '$dir')")
+    try {
+      // ONE live query across the rename — a query's schema is fixed at
+      // its start, so this is the window where silent null-fill would
+      // corrupt the sink
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", cp).start()
+      val e = try {
+        q.processAllAvailable() // batch 1 under the fixed schema (has `v`)
+        assert(spark.read.parquet(sink).filter(col("v").isNotNull).count() === 50)
+        spark.sql("ALTER TABLE conn_ren_stream RENAME COLUMN v TO val")
+        spark.sql("INSERT INTO conn_ren_stream VALUES (900, 'cat9', 1800)")
+        // the fixed schema's `v` was renamed away: silently null-filling
+        // it would corrupt every subsequent row (the table HAS the
+        // values, under `val`) — the stream must fail asking for restart
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("renamed or dropped")),
+        s"got: ${messages(e)}")
+      // a FRESH stream (new checkpoint) adopts the new schema and flows
+      val cp2 = tmp("rencp2"); val sink2 = tmp("renout2")
+      val q2 = spark.readStream.format("graft").load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink2).option("checkpointLocation", cp2).start()
+      try q2.processAllAvailable() finally q2.stop()
+      val fresh = spark.read.parquet(sink2)
+      assert(fresh.columns.contains("val") && !fresh.columns.contains("v"))
+      assert(fresh.filter(col("val") === 1800).count() === 1)
+    } finally spark.sql("DROP TABLE conn_ren_stream")
+  }
+
   test("streaming across ALTER ADD COLUMNS: fixed widened schema, old batches null-fill") {
     val dir = tmp("altstream"); val cp = tmp("altcp"); val sink = tmp("altout")
     rows(100).write.format("graft").save(dir)
@@ -981,6 +1020,29 @@ class ConnectorSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       spark.read.format("graft").option("readChangeFeed", "true").load(dir)
     }.getMessage.contains("startingVersion"))
+    // startingTimestamp: a commit landing EXACTLY at the timestamp is
+    // included (stream-source semantics), and a timestamp predating the
+    // whole history replays everything instead of erroring
+    val cs = SnapshotLog.commits(spark, dir)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val atC2 = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp", fmt.format(new java.util.Date(cs(1).tsMs)))
+      .load(dir)
+    assert(atC2.select(col("_change_snapshot")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L))
+    val preHistory = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp",
+        fmt.format(new java.util.Date(cs(0).tsMs - 60000)))
+      .load(dir)
+    assert(preHistory.count() === direct.count() +
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "0").option("endingVersion", "1").load(dir)
+        .count())
+    // an EMPTY interval is an empty frame UNDER THE FEED'S SCHEMA — the
+    // change columns stay referencable (the graft_changes TVF contract)
+    val idle = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", cs.last.snapshotId.toString).load(dir)
+    assert(idle.filter(col("_change_op") === "insert").count() === 0)
   }
 
   test("ANALYZE TABLE: manifest-derived stats land in the catalog; CBO sees them") {

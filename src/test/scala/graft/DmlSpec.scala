@@ -41,6 +41,35 @@ class DmlSpec extends AnyFunSuite {
   private def livePaths(dir: String): Set[String] =
     SnapshotLog.filesAt(spark, dir).map(_.path).toSet
 
+  test("CDF pre-images across schema epochs keep the widened column's values") {
+    val dir = tmp("epoch-pre")
+    spark.range(0, 10).select(col("id"), lit(1L).as("v")).coalesce(1)
+      .write.format("graft").option("statsCols", "id")
+      .option("lineageKey", "id").save(dir)
+    spark.sql(s"CREATE TABLE dml_epochpre USING graft " +
+      s"OPTIONS (path '$dir', lineageKey 'id')")
+    try {
+      spark.sql("ALTER TABLE dml_epochpre ADD COLUMNS (flag BIGINT)")
+      // new-epoch file WITH flag values, old-epoch file without
+      spark.sql("INSERT INTO dml_epochpre VALUES (100, 2, 77), (101, 2, 88)")
+      // one UPDATE touching BOTH epochs' files: the removed set then
+      // spans two schemas, and a raw multi-path read of it could adopt
+      // the old footer and silently drop `flag` from the emitted
+      // pre-image payloads
+      spark.sql("UPDATE dml_epochpre SET v = v * 10 WHERE id IN (1, 100)")
+      val feedFrom = SnapshotLog.currentSnapshotId(spark, dir).get - 1
+      val feed = SnapshotLog.changes(spark, dir, feedFrom, preImages = true).get
+      val pre100 = feed.filter(col("_change_op") === "update_preimage" &&
+        col("id") === 100).select(col("flag")).collect()
+      assert(pre100.length === 1 && pre100.head.getLong(0) === 77L,
+        "the new-epoch row's pre-image must carry its real flag value")
+      val pre1 = feed.filter(col("_change_op") === "update_preimage" &&
+        col("id") === 1).select(col("flag")).collect()
+      assert(pre1.length === 1 && pre1.head.isNullAt(0),
+        "the old-epoch row's pre-image null-fills the later column")
+    } finally spark.sql("DROP TABLE dml_epochpre")
+  }
+
   test("DELETE drops fully-covered files metadata-only; boundary files rewrite") {
     val dir = rangeTable("meta-del", "dml_metadel")
     try {
