@@ -121,6 +121,30 @@ object ConnectorQueries {
       dir
     }
 
+  /** A key-clustered warehouse truncated below its key midpoint by SQL
+    * DELETE — the predicate covers whole files, so the build REQUIRES
+    * the file-level metadata-drop path to have engaged (r11 DS18): the
+    * oracle then pins that dropping files without reading them loses
+    * and keeps exactly the right rows. */
+  private def metaDeleteWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "metadel") { base =>
+      val dir = s"$base/orders_metadel"
+      val ord = orders(s, d)
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      val b = ord.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      val (lo, hi) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+      val pivot = lo + (hi - lo) / 2
+      s.sql(s"CREATE TABLE conn_metadel_wh USING graft OPTIONS (path '$dir')")
+      try {
+        s.sql(s"DELETE FROM conn_metadel_wh WHERE o_orderkey < $pivot")
+        val c = graft.table.SnapshotLog.commits(s, dir).last
+        require(c.summary("files_dropped_metadata").toLong > 0,
+          s"metadata-drop path must engage on the clustered layout: ${c.summary}")
+      } finally s.sql("DROP TABLE conn_metadel_wh")
+      dir
+    }
+
   /** A warehouse assembled by SQL `MERGE INTO`: target = every 3rd
     * orderkey, source = every 2nd with doubled prices; matched F-status
     * rows DELETE, other matches UPDATE, the rest INSERT — all three WHEN
@@ -471,6 +495,18 @@ object ConnectorQueries {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
     }),
+    // file-level metadata DELETE: whole files below the key midpoint were
+    // DROPPED from the manifest without being read (the builder requires
+    // files_dropped_metadata > 0); the remaining aggregate must equal the
+    // declarative WHERE — nothing lost, nothing resurrected
+    "conn_meta_delete" -> ((s, d) => {
+      s.read.format("graft").load(metaDeleteWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // ANALYZE from the manifest: the report row is computed metadata-only
     // (live data files' row sum — no scan); the oracle pins it to the
     // real count(*)
@@ -593,6 +629,14 @@ object ConnectorQueries {
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
     "conn_analyze" ->
       "SELECT count(*) AS n FROM orders",
+    "conn_meta_delete" ->
+      """WITH b AS (SELECT min(o_orderkey) +
+        |  (max(o_orderkey) - min(o_orderkey)) // 2 AS cutoff FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders, b WHERE o_orderkey >= cutoff
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_stream_sink" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust
