@@ -259,9 +259,14 @@ object Compaction {
     // row-preserving rewrite: a lost race rebases over interleaved
     // appends instead of aborting the whole O(table) job — the appended
     // files stay live (merely unclustered until the next pass). A
-    // registry-materializing rewrite additionally conflicts with any
-    // interleaved schema/registry change (the reset must describe every
-    // live file).
+    // registry-MATERIALIZING rewrite cannot afford that: it commits a
+    // reset identity registry that must describe EVERY live file, but an
+    // interleaved append's files were written in the OLD physical name
+    // space (the writer read the registry before the reset) — rebasing
+    // over it would leave those rows' renamed columns unmapped (read
+    // back null under their logical name). So with a registry in play,
+    // ANY interleaved row-bearing add conflicts, alongside any
+    // schema/registry change.
     SnapshotLog.commitPinned(spark, dir, baseId, "replace", rewritten,
       removed = files.map(_.path),
       summary = Map("table" -> table, "files_before" -> files.size.toString,
@@ -270,7 +275,9 @@ object Compaction {
         // the reset registry rides the SAME atomic commit as the rewrite:
         // either both land (fast path restored) or neither
         reg.map(r => graft.table.FieldRegistry.SummaryKey -> r.reset.toJson),
-      guard = SnapshotLog.ConflictGuard(registrySensitive = reg.nonEmpty))
+      guard = SnapshotLog.ConflictGuard(
+        registrySensitive = reg.nonEmpty,
+        mayReadAdded = if (reg.nonEmpty) Some(fs => fs) else None))
     CompactionResult(table, files.size, rewritten.size, nNew, rewritten.map(_.bytes).sum)
   }
 
@@ -354,12 +361,24 @@ object Compaction {
     // commit touching this class's files, or a new mask whose deletes
     // the re-stamped rows would escape — aborts (the already-landed
     // class replaces stay valid — each was individually consistent).
+    // "This class's files" is not enough: the chain as a whole was
+    // derived from the pinned base, and only the FIRST commit to
+    // actually lose a race classifies an interleave — a foreign commit
+    // that removed a LATER class's files would otherwise slip past
+    // (that class then commits at a free id, re-adding its rows from
+    // the stale read: duplication). Every class commit therefore
+    // guards the ENTIRE pinned live set minus its own removed files as
+    // read paths, so any interleaved removal of ANY pinned file aborts
+    // the remaining chain.
+    val allPinnedPaths = dataFiles.map(_.path).toSet
     var base = baseId
     packed.foreach { case (cls, rw) =>
       base = SnapshotLog.commitPinned(spark, dir, base, "replace", rw,
         removed = cls.map(_.path),
         summary = Map("table" -> table, "bin_packed" -> cls.size.toString,
-          "carried_forward" -> (dataFiles.size - cls.size).toString))
+          "carried_forward" -> (dataFiles.size - cls.size).toString),
+        guard = SnapshotLog.ConflictGuard(
+          readPaths = allPinnedPaths -- cls.map(_.path)))
     }
     CompactionResult(table, files.size,
       files.size - removed.size + rewritten.size,

@@ -214,6 +214,14 @@ final class SyncJob(source: CdcSource, offsets: OffsetStore, warehouseDir: Strin
       summary = Map("table" -> table))
     val m = obs.get
     val n = m("n").asInstanceOf[Long]
+    // the isEmpty probe and the staging write are SEPARATE jobs over an
+    // external source: if the second read observed zero rows, m("hwm")
+    // is null (unboxing would NPE after the append was already staged,
+    // leaking the token) — treat it like the audit-failure path
+    if (n == 0L) {
+      SnapshotLog.discardStaged(spark, tableDir(table), token)
+      return StagedSync(table, None, 0L, offsets.lastOffset(table), Map.empty)
+    }
     val stagedN = SnapshotLog.readStagedOnly(spark, tableDir(table), token).count()
     if (stagedN != n) {
       SnapshotLog.discardStaged(spark, tableDir(table), token)

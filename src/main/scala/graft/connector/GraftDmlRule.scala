@@ -354,12 +354,28 @@ object GraftDml {
   /** Rewritten files inherit the table's recorded pruning metadata
     * (zones/bloom/partition values), so DML never decays the layout's
     * indexability — the [[GraftDataSource.inheritedMeta]] contract the
-    * SQL INSERT path already follows. */
+    * SQL INSERT path already follows. Metadata keys derive from the
+    * PINNED live set and the frame translates through the PINNED
+    * registry (rawPhysical): the whole rewrite — read, prune, write,
+    * commit — shares one registry epoch, so an interleaved RENAME/DROP
+    * can never split the coordinate system (the guard's
+    * registrySensitive aborts the rebase in that case anyway; this
+    * keeps the written bytes consistent even before the race is
+    * decided). */
   private def writeInherited(spark: SparkSession, dir: String,
-                             df: DataFrame): Seq[DataFile] = {
-    val (stats, bloom, parts) = GraftDataSource.inheritedMeta(spark, dir, df.schema)
-    SnapshotLog.writeData(df, dir, statsCols = stats, bloomCol = bloom,
-      partitionCols = parts)
+                             df: DataFrame, live: Seq[DataFile],
+                             reg: Option[graft.table.FieldRegistry])
+      : Seq[DataFile] = {
+    val present = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
+    def keep(k: String) = present(k.toLowerCase(java.util.Locale.ROOT))
+    val data = live.filter(_.kind == "data")
+    val stats = data.flatMap(_.stats.keys).distinct.filter(keep)
+    val bloom = data.flatMap(_.blooms.keys).distinct.filter(keep).headOption
+    val parts = data.flatMap(_.parts.keys).distinct.filter(keep)
+    def phys(c: String) = reg.flatMap(_.physicalOf(c)).getOrElse(c)
+    SnapshotLog.writeData(reg.map(_.toPhysical(df)).getOrElse(df), dir,
+      statsCols = stats.map(phys), bloomCol = bloom.map(phys),
+      partitionCols = parts.map(phys), rawPhysical = true)
   }
 
   private def lineageSummary(lin: Option[String],
@@ -416,7 +432,7 @@ object GraftDml {
         val survivors = tDf.filter(!coalesce(rebind(cond, t.output, tDf), lit(false)))
         val written =
           if (touched.isEmpty) Seq.empty
-          else writeInherited(spark, t.dir, survivors)
+          else writeInherited(spark, t.dir, survivors, live, reg)
         // a lost race rebases when the interleaved commits are provably
         // outside this DELETE's footprint: an appended file conflicts
         // only if its metadata can't exclude the predicate, and any
@@ -452,6 +468,12 @@ object GraftDml {
       mayReadAdded = Some(fs => fs.filter(f =>
         cs.keeps(reg.map(_.translateMeta(f)).getOrElse(f)))),
       readPaths = candidates.map(_.path).toSet -- touchedPaths,
+      // the rewrite read, pruned AND wrote in the pinned registry's
+      // coordinate system — an interleaved RENAME/DROP would leave the
+      // rewritten files speaking a dead name space (a dropped column's
+      // values staying visible, a re-added name resurrecting them), so
+      // any schema/registry commit aborts the rebase
+      registrySensitive = true,
       idStamped = idStamped)
   }
 
@@ -493,7 +515,8 @@ object GraftDml {
         case None => tDf.col(f.name)
       }
     }
-    val written = writeInherited(spark, t.dir, tDf.select(outCols.toSeq: _*))
+    val written = writeInherited(spark, t.dir, tDf.select(outCols.toSeq: _*),
+      live, reg)
     // same rebase discipline as DELETE; a lineage UPDATE stamped
     // intendedId into the rewritten rows, so it refuses any other id
     SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
@@ -656,7 +679,8 @@ object GraftDml {
         }.cast(f.dataType).as(f.name)
       }
     }
-    val written = writeInherited(spark, t.dir, kept.select(outCols.toSeq: _*))
+    val written = writeInherited(spark, t.dir, kept.select(outCols.toSeq: _*),
+      live, reg)
     // rebase footprint: with an ON-key equality the same zone-∧-bloom
     // probe that picked `touched` decides whether an interleaved ADDED
     // file may hold one of the source's keys (translated to physical
@@ -675,6 +699,10 @@ object GraftDml {
       },
       readPaths =
         if (rewriteTouched) Set.empty else touched.map(_.path).toSet,
+      // same pinned-registry discipline as dmlGuard: the merge's reads
+      // and writes share the baseId registry, so interleaved
+      // schema/registry commits must abort the rebase
+      registrySensitive = true,
       idStamped = lin.isDefined && changedTags.nonEmpty)
     SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
       if (rewriteTouched) touched.map(_.path) else Seq.empty,

@@ -65,7 +65,11 @@ object SyncEpoch {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json").toLong).sorted
+      .map(_.stripSuffix(".json"))
+      // strictly numeric names only: a stray file in _graft_epochs must
+      // not throw NumberFormatException for every reader
+      .filter(_.forall(_.isDigit)).filter(_.nonEmpty)
+      .map(_.toLong).sorted
   }
 
   def currentEpoch(spark: SparkSession, warehouseDir: String): Option[Long] =
@@ -89,12 +93,27 @@ object SyncEpoch {
     fs.mkdirs(epochRoot(warehouseDir))
     var attempt = 0
     while (true) {
-      val id = currentEpoch(spark, warehouseDir).getOrElse(0L) + 1
+      val prev = currentEpoch(spark, warehouseDir)
+      val id = prev.getOrElse(0L) + 1
+      // monotonicity: two concurrent fan-outs over one warehouse publish
+      // in some order, and the later epoch id must never pin a table to
+      // an OLDER snapshot than the earlier one did ("current epoch"
+      // readers would regress). Per table, carry the prior marker's pin
+      // forward when it is newer — recomputed inside the retry loop so a
+      // lost id race re-reads the marker that beat us.
+      val priorPins = prev.map(e => this.pins(spark, warehouseDir, Some(e)))
+        .getOrElse(Map.empty)
+      val effective = pins.map { case (t, pin) =>
+        t -> (priorPins.get(t) match {
+          case Some(p) if p.dir == pin.dir && p.snapshot > pin.snapshot => p
+          case _ => pin
+        })
+      }
       val root: ObjectNode = mapper.createObjectNode()
       root.put("epoch", id)
       root.put("ts_ms", System.currentTimeMillis())
       val tn = root.putObject("tables")
-      pins.toSeq.sortBy(_._1).foreach { case (t, pin) =>
+      effective.toSeq.sortBy(_._1).foreach { case (t, pin) =>
         val n = tn.putObject(t)
         n.put("dir", pin.dir); n.put("snapshot", pin.snapshot)
       }

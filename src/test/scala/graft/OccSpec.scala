@@ -181,6 +181,75 @@ class OccSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rolled back"))
   }
 
+  test("a registry-materializing rewrite conflicts with an interleaved row-bearing append") {
+    // the clustering compaction over a renamed table commits a RESET
+    // identity registry that must describe every live file — but an
+    // interleaved append's file was written in the OLD physical name
+    // space (its writer read the registry before the reset). Rebasing
+    // over it would leave that file's renamed column unmapped (null
+    // under its logical name, phantom physical column). The guard
+    // Compaction.compactSnapshotted:273 now passes (registrySensitive +
+    // mayReadAdded = all row-bearing adds) must therefore ABORT.
+    val dir = seed("regmat")
+    val (base, files, written) = stageRewrite(dir)
+    append(dir, 5000, 5100) // interleave: old-name-space rows
+    val e = intercept[SnapshotLog.ConcurrentCommitException] {
+      SnapshotLog.commitPinned(spark, dir, base, "replace", written,
+        removed = files.map(_.path), summary = Map("t" -> "x"),
+        guard = ConflictGuard(registrySensitive = true,
+          mayReadAdded = Some(fs => fs)))
+    }
+    assert(e.getMessage.contains("may hold rows"))
+    assert(count(dir) === 2100) // nothing replaced; interleave intact
+  }
+
+  test("bin-pack chain: a foreign removal of a LATER class's file aborts the chain") {
+    // binPack commits one replace PER schema class, ids chained from one
+    // pinned base — only the FIRST commit to lose a race classifies an
+    // interleave, so every class commit must guard the ENTIRE pinned
+    // live set (minus its own removed files) as read paths: a foreign
+    // rewrite that removed a later class's file would otherwise slip
+    // past and that class would re-add its rows from the stale read
+    // (duplication). Mirrors Compaction.binPack's guard.
+    val dir = tmp("chain")
+    for (b <- 0 until 3) append(dir, b * 1000L, (b + 1) * 1000L) // A, B, C
+    val base = SnapshotLog.currentSnapshotId(spark, dir).get
+    val all = SnapshotLog.filesAt(spark, dir, Some(base)).filter(_.kind == "data")
+    assert(all.size === 3)
+    val Seq(fa, _, fc) = all.sortBy(_.path)
+    // class-1 stage: rewrite A only
+    val w1 = SnapshotLog.writeData(
+      spark.read.parquet(fa.path).repartition(1), dir, statsCol = Some("id"))
+    // interleave: a foreign compaction replaces C
+    val wc = SnapshotLog.writeData(
+      spark.read.parquet(fc.path).repartition(1), dir, statsCol = Some("id"))
+    SnapshotLog.commitAt(spark, dir, base + 1, "replace", wc, Seq(fc.path),
+      Map("who" -> "foreign"))
+    val chainGuard = ConflictGuard(
+      readPaths = all.map(_.path).toSet - fa.path)
+    val e = intercept[SnapshotLog.ConcurrentCommitException] {
+      SnapshotLog.commitPinned(spark, dir, base, "replace", w1,
+        removed = Seq(fa.path), summary = Map("t" -> "x"),
+        guard = chainGuard)
+    }
+    assert(e.getMessage.contains("removed"))
+    // the same guard still REBASES over a disjoint append (composability
+    // with ingest is why the chain rebases at all)
+    val dir2 = tmp("chain2")
+    for (b <- 0 until 3) append(dir2, b * 1000L, (b + 1) * 1000L)
+    val base2 = SnapshotLog.currentSnapshotId(spark, dir2).get
+    val all2 = SnapshotLog.filesAt(spark, dir2, Some(base2)).filter(_.kind == "data")
+    val f2 = all2.sortBy(_.path).head
+    val w2 = SnapshotLog.writeData(
+      spark.read.parquet(f2.path).repartition(1), dir2, statsCol = Some("id"))
+    append(dir2, 9000, 9100) // interleave: plain append
+    val id = SnapshotLog.commitPinned(spark, dir2, base2, "replace", w2,
+      removed = Seq(f2.path), summary = Map("t" -> "x"),
+      guard = ConflictGuard(readPaths = all2.map(_.path).toSet - f2.path))
+    assert(id === base2 + 2)
+    assert(count(dir2) === 3100)
+  }
+
   test("soak: compaction composes with live appends — no aborts, no lost rows") {
     val dir = tmp("soak1")
     // many tiny files = permanent bin-pack debt, so every pass commits

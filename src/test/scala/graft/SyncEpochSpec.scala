@@ -104,4 +104,37 @@ class SyncEpochSpec extends AnyFunSuite {
       "an all-empty fan-out must pin the unchanged snapshots")
     assert(SyncEpoch.readAt(spark, wh, "orders").get.count() === n1)
   }
+
+  test("epoch pins never regress: a stale publish carries the newer prior pin forward") {
+    val wh = tmp("mono")
+    orders(10).write.format("graft").save(s"$wh/orders_parquet")
+    orders(10, from = 10).write.format("graft").mode("append")
+      .save(s"$wh/orders_parquet") // snapshot 2
+    assert(SyncEpoch.publish(spark, wh, Map("orders" -> 2L)) === 1L)
+    // a SLOWER concurrent fan-out resolved its pins before the first one
+    // published, then publishes second: its stale pin must not make
+    // "current epoch" readers regress to snapshot 1
+    val e2 = SyncEpoch.publish(spark, wh, Map("orders" -> 1L))
+    assert(e2 === 2L)
+    assert(SyncEpoch.pins(spark, wh, Some(e2))("orders").snapshot === 2L,
+      "epoch N+1 must never pin a table OLDER than epoch N did")
+    assert(SyncEpoch.readAt(spark, wh, "orders").get.count() === 20)
+  }
+
+  test("a stray non-numeric file in _graft_epochs never breaks readers") {
+    val wh = tmp("stray")
+    orders(10).write.format("graft").save(s"$wh/orders_parquet")
+    SyncEpoch.publish(spark, wh, Map("orders" -> 1L))
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (junk <- Seq("notes.json", "backup-2.json")) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$wh/_graft_epochs/$junk"), false)
+      out.write("not an epoch marker".getBytes("UTF-8")); out.close()
+    }
+    assert(SyncEpoch.currentEpoch(spark, wh) === Some(1L))
+    assert(SyncEpoch.readAt(spark, wh, "orders").get.count() === 10)
+    // and publishing on top of the junk still works
+    assert(SyncEpoch.publish(spark, wh, Map("orders" -> 1L)) === 2L)
+  }
 }
