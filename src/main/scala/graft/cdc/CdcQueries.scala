@@ -481,6 +481,19 @@ object CdcQueries {
           col("_change_snapshot").as("change_snapshot"))
         .orderBy(col("pk"))
     }),
+    // DELETION-VECTOR merge ([[graft.table.Merge.deleteWhere]] — Iceberg
+    // position deletes / Delta deletion vectors): delta-touched keys'
+    // old versions masked by (file, row-ordinal) pairs with ZERO data
+    // files rewritten, surviving delta rows appended. Fourth storage
+    // strategy, same delete-aware-compaction oracle — and the masked
+    // read never touches a key column (the anti-join keys on scan
+    // metadata), which is what wide/composite-key tables buy here.
+    "cdc_mor_posdelete" -> ((s, _) => {
+      graft.table.SnapshotLog.read(s, posDelWarehouse(s)).get
+        .select(col("order_id"), col("customer_id"), col("status"),
+          col("total_amount"), col("kafka_offset"))
+        .orderBy(col("order_id"))
+    }),
     // Delete MATERIALIZATION ([[graft.table.Merge.materializeDeletes]]):
     // folding the pending equality-delete masks back into key-clustered
     // data files must not change a single row — the rewritten table
@@ -779,6 +792,32 @@ object CdcQueries {
       dir
     })
 
+  private val posDelWarehouseCache =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  /** The DELETION-VECTOR merge warehouse behind `cdc_mor_posdelete` —
+    * FOURTH storage strategy over the same stream, same oracle: every
+    * delta-touched key's OLD version is masked POSITIONALLY
+    * ([[graft.table.Merge.deleteWhere]] — (file, row-ordinal) pairs,
+    * zero data files rewritten, and later masked scans anti-join on
+    * scan metadata instead of reading key columns), then the delta's
+    * surviving rows append as plain data. The Delta deletion-vector
+    * MERGE shape. */
+  private def posDelWarehouse(spark: SparkSession): String =
+    posDelWarehouseCache.getOrElseUpdate(System.identityHashCode(spark), {
+      import graft.table.{Merge, SnapshotLog}
+      val (dir, delta) = delStateEpoch1(spark, "graft-posdelwh")
+      val touched = delta.select(col("pk")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      Merge.deleteWhere(spark, dir, col("pk").isin(touched: _*))
+      val survivors = delta.filter(!coalesce(col("is_delete"), lit(false)))
+        .drop("is_delete")
+      if (!survivors.isEmpty)
+        SnapshotLog.commit(spark, dir, "append",
+          SnapshotLog.writeData(survivors, dir, statsCol = Some("pk")),
+          summary = Map("table" -> "orders_del_state"))
+      dir
+    })
+
   private val cowLineageWarehouseCache =
     scala.collection.concurrent.TrieMap.empty[Int, String]
   /** The LINEAGE-stamped copy-on-write twin of [[morWarehouse]]: the
@@ -1043,6 +1082,24 @@ object CdcQueries {
     // merge-on-read: same invariant as the COW form — the masked read
     // equals delete-aware compaction over the full stream
     "cdc_merge_mor" ->
+      s"""WITH p AS (
+         |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
+         |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,
+         |    json_extract_string(value, '$$.status') AS status,
+         |    json_extract_string(value, '$$.total_amount') AS total_amount,
+         |    value IS NULL AS is_tombstone,
+         |    coalesce(CAST(json_extract_string(value, '$$.order_id') AS INTEGER),
+         |             CAST(json_extract_string(key, '$$.order_id') AS INTEGER)) AS pk,
+         |    "offset" AS kafka_offset
+         |  FROM ${wireSql("orders_del")})
+         |SELECT order_id, customer_id, status, total_amount, kafka_offset
+         |FROM (SELECT *, row_number() OVER (PARTITION BY pk
+         |                                   ORDER BY kafka_offset DESC) AS rk
+         |      FROM p) t
+         |WHERE rk = 1 AND NOT is_tombstone
+         |ORDER BY order_id""".stripMargin,
+    // deletion-vector merge: fourth storage strategy, same invariant
+    "cdc_mor_posdelete" ->
       s"""WITH p AS (
          |  SELECT CAST(json_extract_string(value, '$$.order_id') AS INTEGER) AS order_id,
          |    CAST(json_extract_string(value, '$$.customer_id') AS INTEGER) AS customer_id,

@@ -187,7 +187,7 @@ object Compaction {
         "mapping (renamed/dropped columns pending materialization): the " +
         "rewrite must cover every file to reset the registry — run an " +
         "unscoped OPTIMIZE first")
-    val (delFiles, dataFiles) = files.partition(_.kind == "eqdelete")
+    val (delFiles, dataFiles) = files.partition(SnapshotLog.isMask)
     val totalBytes = dataFiles.map(_.bytes).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (clusterBy.isEmpty && clusterZOrder.isEmpty && reg.isEmpty &&

@@ -296,6 +296,66 @@ object ConnectorQueries {
       dir
     }
 
+  /** A table WIDENED mid-life (`ALTER COLUMN … TYPE`, the schema-carrier
+    * commit): F-status orders land with an INT `o_units` column, then
+    * `ALTER TABLE … ALTER COLUMN o_units TYPE bigint`, then the REST of
+    * the orders INSERT values beyond the int range — the read must LUB
+    * both epochs to bigint (old files' int values widen at scan time;
+    * no data byte rewritten). */
+  private def widenWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "widen") { base =>
+      val dir = s"$base/orders_widen"
+      val ord = orders(s, d)
+      ord.filter(col("o_orderstatus") === "F")
+        .withColumn("o_units", (col("o_orderkey") % 100).cast("int"))
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      s.sql(s"CREATE TABLE conn_widen_wh USING graft OPTIONS (path '$dir')")
+      try {
+        s.sql("ALTER TABLE conn_widen_wh ALTER COLUMN o_units TYPE bigint")
+        ord.filter(col("o_orderstatus") =!= "F")
+          .withColumn("o_units", col("o_orderkey") % 100 + lit(3000000000L))
+          .createOrReplaceTempView("conn_widen_src")
+        s.sql("INSERT INTO conn_widen_wh SELECT * FROM conn_widen_src")
+      } finally s.sql("DROP TABLE conn_widen_wh")
+      dir
+    }
+
+  /** The V2-catalog warehouse behind `conn_v2_agg`: one orders table
+    * under a [[GraftCatalog]] root; the query goes through the V2
+    * TableCatalog + complete aggregate pushdown (manifest-only answers —
+    * the engine-contract twin of the injected GraftMetadataAggRule). */
+  private def v2Warehouse(s: SparkSession, d: String): String =
+    cached(s, d, "v2") { base =>
+      orders(s, d).write.format("graft")
+        .option("statsCols", "o_orderkey").save(s"$base/orders_v2")
+      base
+    }
+
+  /** A WAP-CHAIN branch warehouse ([[graft.table.Branch]]): F-status
+    * orders land on main, then a branch stages the O and P halves as TWO
+    * chain commits — auditable at the branch head the whole time while
+    * main-line readers stay pinned to the F half (the build REQUIRES the
+    * invisibility, so a leak fails every query over this warehouse).
+    * Left UNPUBLISHED: the oracled query exercises the branch READ face;
+    * publish semantics are pinned in BranchSpec. */
+  private def branchWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "branch") { base =>
+      import graft.table.Branch
+      val dir = s"$base/orders_branch"
+      val ord = orders(s, d)
+      val nF = ord.filter(col("o_orderstatus") === "F").count()
+      ord.filter(col("o_orderstatus") === "F")
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      Branch.create(s, dir, "wap")
+      Branch.commitTo(s, dir, "wap",
+        ord.filter(col("o_orderstatus") === "O"), statsCol = Some("o_orderkey"))
+      Branch.commitTo(s, dir, "wap",
+        ord.filter(col("o_orderstatus") === "P"), statsCol = Some("o_orderkey"))
+      require(s.read.format("graft").load(dir).count() == nF,
+        "branch chain leaked into the main-line read")
+      dir
+    }
+
   /** A two-table warehouse published in SYNC EPOCHS: epoch 1 = even
     * orderkeys of orders AND lineitem, epoch 2 = the odd halves — then a
     * TORN commit lands on orders alone (no epoch marker), the state a
@@ -365,6 +425,39 @@ object ConnectorQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), count(col("o_flag")).as("flagged"),
           max(col("o_flag")).as("max_flag"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // the DataSourceV2 catalog face: count/min/max answered COMPLETELY
+    // pushed down (manifest-only, zero files opened) through the
+    // engine's own SupportsPushDownAggregates contract
+    "conn_v2_agg" -> ((s, d) => {
+      val root = v2Warehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_v2",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_v2.warehouse", root)
+      s.sql("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key FROM graft_v2.orders_v2")
+    }),
+    // the branch-head read: a two-commit staged chain folds over the
+    // fork base exactly like published history — full-table totals out
+    // of a state main-line readers cannot see yet
+    "conn_branch_read" -> ((s, d) => {
+      graft.table.Branch.read(s, branchWarehouse(s, d), "wap").get
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // SQL type widening across the epoch: int-epoch values LUB up to
+    // bigint at scan time, the post-widening epoch holds values no int
+    // can — one logical bigint column, zero rewrites
+    "conn_alter_widen" -> ((s, d) => {
+      s.read.format("graft").load(widenWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_units")).as("units_sum"),
+          max(col("o_units")).as("units_max"),
+          max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderstatus"))
     }),
     // the streaming change-data-feed face end-to-end: per-event-kind
@@ -544,6 +637,22 @@ object ConnectorQueries {
         |             THEN 's:' || o_orderstatus END) AS flagged,
         |  max(CASE WHEN o_orderstatus <> 'F'
         |           THEN 's:' || o_orderstatus END) AS max_flag
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_v2_agg" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
+    "conn_branch_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_alter_widen" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN o_orderkey % 100
+        |       ELSE o_orderkey % 100 + 3000000000 END) AS BIGINT) AS units_sum,
+        |  CAST(max(CASE WHEN o_orderstatus = 'F' THEN o_orderkey % 100
+        |       ELSE o_orderkey % 100 + 3000000000 END) AS BIGINT) AS units_max,
+        |  max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_cdf_stream" ->
       """WITH ev AS (

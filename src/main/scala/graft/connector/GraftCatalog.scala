@@ -1,0 +1,392 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max => VMax, Min => VMin}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.SnapshotLog
+
+/** DataSourceV2 `TableCatalog` face of the snapshot-log format — the
+  * catalog-first integration the V1 provider can't express:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.gft.warehouse", "/data/warehouse")
+  *   spark.sql("SHOW TABLES IN gft")
+  *   spark.sql("SELECT count(*) FROM gft.orders_state")  -- metadata-only
+  *   spark.sql("SHOW CREATE TABLE gft.orders_state")
+  * }}}
+  *
+  * The read path follows the JDBC connector's published V2 shape: a
+  * [[ScanBuilder]] with `SupportsPushDownFilters` (manifest zone / bloom
+  * / partition-value FILE PRUNING — filters stay residual, pruning may
+  * only skip), `SupportsPushDownRequiredColumns`, and
+  * `SupportsPushDownAggregates` with COMPLETE pushdown for the exact
+  * cases [[GraftMetadataAggRule]] answers (unfiltered ungrouped
+  * count(*) / min / max over a mask-free single-epoch snapshot with
+  * zones on every row-bearing file) — so the metadata-only answer rides
+  * the ENGINE's own pushdown contract instead of an injected rule's
+  * ordering. The scan itself is a [[V1Scan]] bridge (the JDBCScan
+  * pattern): correctness-first over the full merge-on-read read, with
+  * file pruning already applied. `SupportsReportStatistics` hands CBO
+  * manifest-exact row/byte counts.
+  *
+  * Writes stay on the V1 face (`format("graft")` / SQL through the
+  * injected rules) — the published Delta posture for a long migration:
+  * both faces share one log, so mixing them is safe by construction. */
+final class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+
+  private def dirOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty ||
+      (ident.namespace().length == 1 && ident.namespace()(0) == "default"),
+      s"catalog $catName has a single flat namespace, got " +
+        ident.namespace().mkString("."))
+    s"$warehouse/${ident.name()}"
+  }
+
+  private def isTable(dir: String): Boolean = {
+    val p = new Path(s"$dir/_graft_log")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new Path(warehouse)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && isTable(s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    new GraftV2Table(dir)
+  }
+
+  /** CREATE TABLE: an empty snapshot-1 table whose schema rides a
+    * zero-row carrier file — immediately readable, writable through the
+    * V1 face at the same location. Partitioning transforms refuse (the
+    * format's layout is manifest-driven, not directory-driven). */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft V2 tables take no PARTITIONED BY transforms: layout is " +
+        "manifest-driven (statsCols/bloomCol/partitionCols write options)")
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, schema)
+    SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
+      Map("created_by" -> "v2-catalog"))
+    new GraftV2Table(dir)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through the graft V2 catalog is not supported yet — use the " +
+        "SQL maintenance face on a V1 catalog table or the table-dir " +
+        "target form (ALTER TABLE 'path/to/dir' …)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) false
+    else {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(dirOf(oldIdent))
+    val to = new Path(dirOf(newIdent))
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isTable(from.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catName) ++ oldIdent.namespace() :+ oldIdent.name())
+    require(fs.rename(from, to),
+      s"could not rename $from to $to (target exists?)")
+  }
+}
+
+/** One graft table under the V2 catalog: BATCH_READ via the
+  * pushdown-aware scan builder below. */
+private[connector] final class GraftV2Table(dir: String)
+    extends Table with SupportsRead {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = dir
+
+  override lazy val schema: StructType =
+    GraftDataSource.visibleState(spark, dir, None)._4
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> dir).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, dir)
+}
+
+/** The V2 scan builder: pins ONE snapshot at construction (every
+  * pushdown decision and the final scan read the same state), prunes
+  * candidate files from pushed filters via the manifests (zones, blooms,
+  * partition values — filters remain residual: pruning only skips),
+  * prunes columns, and answers the provably-exact aggregate pushdowns
+  * from metadata alone. */
+private[connector] final class GraftScanBuilder(spark: SparkSession,
+                                                dir: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  // pinned snapshot state — the scan's one consistent view
+  private val (dels, data, epochSchemas, visible, reg) =
+    GraftDataSource.visibleState(spark, dir, None)
+
+  private var required: StructType = visible
+  private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Row)] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // ALL residual: manifests prune files, Spark re-applies rows
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // ------------------------------------------------------ agg pushdown
+
+  /** Exactness gate, mirroring [[GraftMetadataAggRule]]'s preconditions:
+    * mask-free, registry-free, no residual filters, no grouping; count
+    * only as count(*); min/max only on lossless-zone columns with a zone
+    * on EVERY row-bearing file. */
+  private def answerable(aggregation: Aggregation): Option[(StructType, Row)] = {
+    if (dels.nonEmpty || reg.nonEmpty || pushed.nonEmpty) return None
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    val bearing = data.filter(_.rows > 0)
+    def lossless(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType => true
+      case _ => false
+    }
+    def colOf(e: AnyRef): Option[StructField] = e match {
+      // FieldReference itself is private[sql]; the public face is the
+      // NamedReference interface it implements
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        visible.fields.find(_.name.equalsIgnoreCase(f.fieldNames()(0)))
+      case _ => None
+    }
+    def zone(f: StructField, isMin: Boolean): Option[Any] = {
+      if (!lossless(f.dataType)) return None
+      if (bearing.isEmpty) return Some(null)
+      val zs = bearing.map(_.stats.get(f.name))
+      if (zs.exists(_.isEmpty)) return None
+      val v = if (isMin) zs.map(_.get._1).min else zs.map(_.get._2).max
+      f.dataType match {
+        case ByteType => Some(v.toByte)
+        case ShortType => Some(v.toShort)
+        case IntegerType => Some(v.toInt)
+        case LongType => Some(v)
+        case DateType =>
+          Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v)))
+        case TimestampType => Some(java.sql.Timestamp.from(
+          java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS)))
+        case _ => None
+      }
+    }
+    val answered = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some(StructField("count(*)", LongType, nullable = false) ->
+          data.map(_.rows).sum.asInstanceOf[Any])
+      case m: VMin => colOf(m.column).flatMap(f =>
+        zone(f, isMin = true).map(v =>
+          StructField(s"min(${f.name})", f.dataType) -> v))
+      case m: VMax => colOf(m.column).flatMap(f =>
+        zone(f, isMin = false).map(v =>
+          StructField(s"max(${f.name})", f.dataType) -> v))
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) None
+    else Some((StructType(answered.map(_.get._1)),
+      Row.fromSeq(answered.map(_.get._2))))
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    answerable(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    aggAnswer = answerable(aggregation)
+    aggAnswer.isDefined
+  }
+
+  // ------------------------------------------------------ file pruning
+
+  /** sources.Filter → per-column long intervals, over the SAME domains
+    * the zones were recorded in — consumed by zoneKeeps so a provably
+    * non-matching file is skipped from manifest metadata alone. Only
+    * conjunctive top-level constraints narrow; anything else keeps. */
+  private def ranges(fs: Array[Filter]): Map[String, (Long, Long)] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case n: Byte => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Int => Some(n.toLong)
+      case n: Long => Some(n)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case t: java.time.Instant =>
+        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case _ => None
+    }
+    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    fs.foreach {
+      case sources.EqualTo(c, v) => asLong(v).foreach(x => narrow(c, x, x))
+      case sources.GreaterThan(c, v) =>
+        asLong(v).foreach(x => narrow(c, x + 1, Long.MaxValue))
+      case sources.GreaterThanOrEqual(c, v) =>
+        asLong(v).foreach(x => narrow(c, x, Long.MaxValue))
+      case sources.LessThan(c, v) =>
+        asLong(v).foreach(x => narrow(c, Long.MinValue, x - 1))
+      case sources.LessThanOrEqual(c, v) =>
+        asLong(v).foreach(x => narrow(c, Long.MinValue, x))
+      case sources.In(c, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(asLong)
+        if (ls.forall(_.isDefined))
+          narrow(c, ls.map(_.get).min, ls.map(_.get).max)
+      case _ => () // non-range shapes never prune
+    }
+    bounds.toMap
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((aggSchema, row)) =>
+      new GraftMetadataAggScan(aggSchema, row)
+    case None =>
+      val rs = ranges(pushed)
+      val kept =
+        if (rs.isEmpty) data
+        else data.filter(SnapshotLog.zoneKeeps(_, rs))
+      new GraftBridgeScan(dir, kept, dels, required,
+        prunedAway = data.size - kept.size)
+  }
+}
+
+/** A completely-pushed-down aggregate: one precomputed row, zero files
+  * opened — `SELECT count(*)` at 100 TB through the V2 contract. */
+private[connector] final class GraftMetadataAggScan(aggSchema: StructType,
+                                                    row: Row)
+    extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftMetadataAggScan(manifest-only, ${aggSchema.fieldNames.mkString(",")})"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = aggSchema
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.sparkContext.parallelize(Seq(row), 1)
+      override def toString: String = "GraftMetadataAggRelation"
+    }.asInstanceOf[T]
+}
+
+/** The general V2 scan: manifest-pruned file set through the full
+  * masked, epoch-safe read, bridged to V1 rows (the JDBCScan shape).
+  * Reports manifest-exact statistics to CBO. */
+private[connector] final class GraftBridgeScan(dir: String,
+    kept: Seq[SnapshotLog.DataFile], dels: Seq[SnapshotLog.DataFile],
+    required: StructType, prunedAway: Int)
+    extends V1Scan with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftBridgeScan(files=${kept.size}, pruned=$prunedAway, " +
+      s"masks=${dels.size})"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, kept.map(_.bytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      if (dels.isEmpty)
+        java.util.OptionalLong.of(kept.map(_.rows).sum)
+      else java.util.OptionalLong.empty() // masks subtract an unknown count
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val scanDir = dir; val files = kept; val masks = dels
+    val cols = required
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = cols
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        val df =
+          if (files.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cols)
+          else {
+            val full = SnapshotLog.applyMasks(spark, files, masks)
+            val reg = SnapshotLog.registryAt(spark, scanDir)
+              .filterNot(_.isIdentity)
+            val logical = reg.map(_.toLogical(full)).getOrElse(full)
+            val present = logical.columns
+              .map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
+            // old epochs may lack declared columns: null-fill like the
+            // V1 computed relation does
+            cols.fields.foldLeft(logical)((d, f) =>
+              if (present(f.name.toLowerCase(java.util.Locale.ROOT))) d
+              else d.withColumn(f.name,
+                org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+              .select(cols.fieldNames.map(org.apache.spark.sql.functions.col)
+                .toSeq: _*)
+          }
+        df.rdd
+      }
+      override def toString: String = "GraftBridgeRelation"
+    }.asInstanceOf[T]
+  }
+}

@@ -343,7 +343,7 @@ object GraftDataSource {
     // identity registries impose nothing; only a live rename/drop makes
     // schemas resolve through the mapping (and forces the computed path)
     val reg = reg0.filterNot(_.isIdentity)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(SnapshotLog.isMask)
     def hide(sch: StructType): StructType = {
       val h = StructType(sch.fields.filterNot(f => isInternal(f.name)))
       reg.map(_.toLogicalSchema(h)).getOrElse(h)

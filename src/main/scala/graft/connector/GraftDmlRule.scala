@@ -205,9 +205,9 @@ object GraftDml {
       // frame back to physical — renames stay metadata-only under DML
       val reg = reg0.filterNot(_.isIdentity)
       val (masks, live) = reg.map(r => files.map(r.translateMeta))
-        .getOrElse(files).partition(_.kind == "eqdelete")
+        .getOrElse(files).partition(SnapshotLog.isMask)
       require(masks.isEmpty, s"graft table ${t.dir} has ${masks.size} " +
-        s"pending equality-delete file(s); consolidate/materializeDeletes " +
+        s"pending delete mask file(s); consolidate/materializeDeletes " +
         s"before SQL $what (a copy-on-write rewrite would detach the masks)")
       (baseId, live, reg)
     }
@@ -237,15 +237,25 @@ object GraftDml {
             s"(has: ${t.output.map(_.name).mkString(", ")})")).name
     })
 
-  /** Null-fill any relation column the scanned files don't carry yet —
-    * files older than an `ALTER TABLE ADD COLUMNS` lack the declared
-    * column, while every resolved condition/assignment references it
-    * through the relation's (widened) output. Appends only; existing
+  /** Align a scanned-files frame with the RELATION's schema: null-fill
+    * any column the files don't carry yet (files older than an `ALTER
+    * TABLE ADD COLUMNS`), and upcast any column the files carry NARROWER
+    * than declared (files older than an `ALTER COLUMN … TYPE` widening —
+    * a DML rewrite touching only pre-widening files would otherwise
+    * rewrite, and overflow-cast assigned values, in the dead narrow
+    * type). Exactly the LUB the epoch-merging read applies at scan time;
     * column order is untouched. */
   private def aligned(df: DataFrame, t: DmlTarget): DataFrame = {
-    val have = df.columns.toSet
-    schemaOf(t).fields.filterNot(f => have(f.name)).foldLeft(df)((d, f) =>
-      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val resolver = org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution
+    val have = df.schema.fields
+    schemaOf(t).fields.foldLeft(df) { (d, f) =>
+      have.find(x => resolver(x.name, f.name)) match {
+        case None => d.withColumn(f.name, lit(null).cast(f.dataType))
+        case Some(x) if x.dataType != f.dataType =>
+          d.withColumn(x.name, d.col(x.name).cast(f.dataType))
+        case _ => d
+      }
+    }
   }
 
   private def readFiles(spark: SparkSession, t: DmlTarget,

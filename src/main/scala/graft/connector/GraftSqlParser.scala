@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.table.SnapshotLog
 
@@ -110,6 +110,13 @@ object GraftMaintenance {
   private val AlterDropRe = Pattern.compile(
     s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+COLUMNS?\\s+\\(?\\s*([\\w`]+)\\s*\\)?\\s*;?\\s*""",
     Pattern.CASE_INSENSITIVE)
+  // ALTER COLUMN … TYPE — widening-only, metadata-only (schema-carrier
+  // commit; the epoch-merging read LUBs older files' narrow values up).
+  // Vanilla Spark refuses type changes on v1 tables, so claiming the
+  // form for graft targets takes nothing from anyone.
+  private val AlterTypeRe = Pattern.compile(
+    s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([\\w`]+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   // ANALYZE is vanilla grammar — claimed ONLY for graft targets, where
   // Spark's own command would mis-measure (its file listing sees dead
   // files, masks and staged writes under the table location; the
@@ -192,6 +199,11 @@ object GraftMaintenance {
         if (mDrop.matches())
           return graftTarget(mDrop.group(1), mDrop.group(2)).map(t =>
             GraftDropColumnCommand(t, unquote(mDrop.group(3))))
+        val mTyp = AlterTypeRe.matcher(sqlText)
+        if (mTyp.matches())
+          return graftTarget(mTyp.group(1), mTyp.group(2)).map(t =>
+            GraftAlterColumnTypeCommand(t, unquote(mTyp.group(3)),
+              delegate.parseDataType(mTyp.group(4))))
         None // every other ALTER form is Spark's
       case "OPTIMIZE" =>
         val m = OptimizeRe.matcher(sqlText)
@@ -310,6 +322,27 @@ object GraftMaintenance {
       spark.sessionState.catalog.refreshTable(tid)
     }
     id
+  }
+
+  /** One zero-row parquet data file whose FOOTER declares `schema` — the
+    * carrier ADD COLUMNS and ALTER COLUMN TYPE commit: the epoch-merging
+    * read folds it into the visible schema (null-filling or LUB-widening
+    * older epochs), so schema changes never rewrite a data byte. Written
+    * directly because writeData's per-file stats aggregate records only
+    * row-bearing files. */
+  private[connector] def writeSchemaCarrier(spark: SparkSession, dir: String,
+      schema: StructType): SnapshotLog.DataFile = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val dst = s"$dir/data/$uuid"
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .repartition(1).write.parquet(dst)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst + "/"), spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dst)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .maxBy(_.getLen)
+    SnapshotLog.DataFile(part.getPath.toUri.getPath, 0L, part.getLen,
+      None, None, kind = "data")
   }
 
   /** (identifier, table dir) when the name resolves to a graft catalog
@@ -445,19 +478,8 @@ final case class GraftAddColumnsCommand(target: String, cols: StructType)
       case None => widened
     }
     // the carrier: one empty parquet file whose FOOTER declares the
-    // widened schema — written directly (writeData's per-file stats
-    // aggregate records only row-bearing files)
-    val uuid = java.util.UUID.randomUUID().toString
-    val dst = s"$dir/data/$uuid"
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], carrierSchema)
-      .repartition(1).write.parquet(dst)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dst + "/"), spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(new org.apache.hadoop.fs.Path(dst)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .maxBy(_.getLen)
-    val carrier = SnapshotLog.DataFile(part.getPath.toUri.getPath, 0L,
-      part.getLen, None, None, kind = "data")
+    // widened schema
+    val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, carrierSchema)
     SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq(carrier),
       Seq.empty, Map("add_columns" -> cols.fieldNames.mkString(",")) ++
         reg2.map(r => graft.table.FieldRegistry.SummaryKey -> r.toJson))
@@ -506,6 +528,60 @@ final case class GraftDropColumnCommand(target: String, column: String)
     val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
     GraftMaintenance.commitRegistryChange(spark, dir, ident,
       Map("drop_column" -> column))(_.drop(column))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <dataType>` — WIDENING-ONLY,
+  * METADATA-ONLY: one `schema` commit adding a zero-row carrier file
+  * whose footer declares the widened type; the epoch-merging read
+  * ([[graft.schema.Evolution]]'s LUB lattice — the machinery that
+  * already serves write-time drift) then widens every older file's
+  * narrow values at scan time, so no data byte is rewritten — the
+  * Delta type-widening / Iceberg schema-evolution school. Narrowing or
+  * off-lattice changes refuse loudly (they would corrupt, not widen);
+  * time travel to a pre-widening snapshot shows the narrow type.
+  * Manifest zone stats stay exact: the byte<short<int<long chain
+  * shares the manifests' long domain, so pruning and the metadata-only
+  * aggregates keep working across the widening epoch. */
+final case class GraftAlterColumnTypeCommand(target: String, column: String,
+    newType: DataType) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val visible = GraftDataSource.visibleState(spark, dir, None)._4
+    val f = visible.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"graft table $dir: no such column " +
+        s"'$column' (has: ${visible.fieldNames.mkString(", ")})"))
+    require(f.dataType != newType,
+      s"graft table $dir: column '$column' already has type ${newType.sql}")
+    require(graft.schema.Evolution.widen(f.dataType, newType).contains(newType),
+      s"graft ALTER COLUMN TYPE is widening-only: ${f.dataType.sql} -> " +
+        s"${newType.sql} is not a lossless widening (allowed: the " +
+        "byte<short<int<long chain, float<double, decimal precision/scale " +
+        "growth, integral->decimal)")
+    val widened = StructType(visible.fields.map(x =>
+      if (x.name.equalsIgnoreCase(column)) x.copy(dataType = newType,
+        nullable = true)
+      else x))
+    // registry tables carry the widening in PHYSICAL space like any file
+    val reg = SnapshotLog.registryAt(spark, dir, Some(baseId))
+      .filterNot(_.isIdentity)
+    val carrierSchema = reg match {
+      case Some(r) => StructType(widened.fields.map(x =>
+        x.copy(name = r.physicalOf(x.name).getOrElse(x.name))))
+      case None => widened
+    }
+    val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, carrierSchema)
+    SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq(carrier),
+      Seq.empty, Map("widen_column" -> s"$column:${newType.sql}"))
+    ident.foreach { id =>
+      try spark.sessionState.catalog.alterTableDataSchema(id, widened)
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sessionState.catalog.refreshTable(id)
+    }
     Seq.empty
   }
 }
@@ -601,7 +677,7 @@ final case class GraftAnalyzeCommand(target: String,
     import org.apache.spark.sql.types._
     val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
     val files = SnapshotLog.filesAt(spark, dir)
-    val (masks, data) = files.partition(_.kind == "eqdelete")
+    val (masks, data) = files.partition(SnapshotLog.isMask)
     val sizeBytes = data.map(_.bytes).sum
     lazy val df = spark.read.format("graft").load(dir)
     val rowCount =

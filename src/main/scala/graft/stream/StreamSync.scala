@@ -152,7 +152,7 @@ object StreamSync {
             // batch id, so replay guards are unaffected.
             materializeAtMasks.foreach { threshold =>
               val pending = SnapshotLog.filesAt(spark, tableDir)
-                .filter(_.kind == "eqdelete").map(_.rows).sum
+                .filter(SnapshotLog.isMask).map(_.rows).sum
               if (pending >= threshold) Merge.materializeDeletes(spark, tableDir)
             }
             // cheaper inline maintenance (r10): once mask FILE count

@@ -43,7 +43,7 @@ object Advisor {
              maskFileThreshold: Int = 4): DataFrame = {
     import spark.implicits._
     val live = SnapshotLog.filesAt(spark, tableDir)
-    val (dels, data) = live.partition(_.kind == "eqdelete")
+    val (dels, data) = live.partition(SnapshotLog.isMask)
     val findings = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
 
     val small = data.count(_.bytes < targetBytes / 2)

@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -268,13 +268,14 @@ object Merge {
     val reg = reg0.filterNot(_.isIdentity)
     val delta0 = reg.map(_.toPhysical(delta)).getOrElse(delta)
     val keyColP = reg.flatMap(_.physicalOf(keyCol)).getOrElse(keyCol)
-    val (pendingMasks, live) = allFiles.partition(_.kind == "eqdelete")
+    val (pendingMasks, live) = allFiles.partition(SnapshotLog.isMask)
     // a COW rewrite reads touched files RAW and re-stamps their rows with
-    // a fresh seq — pending equality-delete masks would stop applying to
-    // the rewritten copies (deleted rows resurrect). Refuse the mix
-    // loudly; the caller materializes first or stays on merge-on-read.
+    // a fresh seq — pending equality masks would stop applying to the
+    // rewritten copies, and pending POSITION masks would keep pointing
+    // at removed files (deleted rows resurrect either way). Refuse the
+    // mix loudly; the caller materializes first or stays on merge-on-read.
     require(pendingMasks.isEmpty,
-      s"table $tableDir has ${pendingMasks.size} pending equality-delete file(s); " +
+      s"table $tableDir has ${pendingMasks.size} pending delete mask file(s); " +
         "run materializeDeletes before a copy-on-write merge, or use mergeOnRead")
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
     val keys = keySet(delta0, keyColP, maxDriverKeys)
@@ -533,6 +534,67 @@ object Merge {
     * maintenance on a Z-ordered table doesn't silently decay the layout
     * `readWhere` depends on. Returns None when the table has no pending
     * deletes (no commit made). */
+  /** POSITIONAL merge-on-read DELETE — the deletion-vector path (Iceberg
+    * position deletes / Delta deletion vectors, both published designs):
+    * ONE scan locates the matching rows' (file path, row ordinal) pairs
+    * and commits them as a `posdelete` mask. Zero data files rewritten;
+    * and — unlike an equality mask — later masked scans anti-join on
+    * SCAN METADATA (`_metadata.file_path` + `row_index`) instead of
+    * reading key columns, so WIDE or COMPOSITE keys stop paying
+    * key-column reads on every read (the gap the composite-key sentinel
+    * encoding left open). `cond` speaks logical names; `ranges`
+    * optionally prunes the locating scan through the same manifest
+    * zones the readers use ("delete last month" never scans the cold
+    * years). Positions need no seq arithmetic: they name physical rows
+    * of immutable files, valid exactly as long as the file is live —
+    * any rewrite of a targeted file retires the mask with it (the full
+    * materializing paths fold masks in and remove them atomically).
+    * Returns the commit id, or None when nothing matched. */
+  def deleteWhere(spark: SparkSession, tableDir: String, cond: Column,
+                  ranges: Map[String, (Long, Long)] = Map.empty,
+                  summary: Map[String, String] = Map.empty): Option[Long] = {
+    val baseId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot delete from empty table $tableDir"))
+    val (live, reg0) = SnapshotLog.stateAt(spark, tableDir, Some(baseId))
+    val reg = reg0.filterNot(_.isIdentity)
+    val data = live.filter(_.kind == "data")
+    if (data.isEmpty) return None
+    // manifest zone pruning; metadata keys are physical — translate once
+    val rangesP = ranges.map { case (c, r) =>
+      reg.flatMap(_.physicalOf(c)).getOrElse(c) -> r }
+    val candidates =
+      if (rangesP.isEmpty) data
+      else data.filter(SnapshotLog.zoneKeeps(_, rangesP))
+    if (candidates.isEmpty) return None
+    // cond evaluates in LOGICAL space; the recorded positions are
+    // physical. Rows hidden by a PENDING mask may re-mask (a position
+    // delete of an already-deleted row is a no-op) — keeping the
+    // locating scan single-pass instead of mask-applied.
+    val raw = SnapshotLog.readEpochSafeWithPos(spark, candidates)
+    val hits = reg.map(_.toLogical(raw)).getOrElse(raw)
+      .filter(cond)
+      .select(col(SnapshotLog.PosFileCol), col(SnapshotLog.PosOrdCol))
+    if (hits.isEmpty) return None
+    val written = SnapshotLog.writeData(hits.coalesce(1), tableDir,
+      kind = "posdelete", rawPhysical = true)
+    // the predicate ranged over every candidate row: an interleaved
+    // append inside the pruning window may hold rows this DELETE should
+    // have covered (ConcurrentAppend), and a commit that removed a
+    // scanned file invalidates its recorded positions. Interleaved MASK
+    // additions compose (masksOnly): positions are untouched by another
+    // writer's masks — exactly the streaming-sink race this path runs in.
+    Some(SnapshotLog.commitPinned(spark, tableDir, baseId, "rowdelta",
+      written, removed = Seq.empty,
+      summary = summary ++ Map("mode" -> "posdelete",
+        "pos_delete_entries" -> written.map(_.rows).sum.toString),
+      guard = SnapshotLog.ConflictGuard(
+        mayReadAdded = Some(fs => fs.filter(f =>
+          rangesP.isEmpty || SnapshotLog.zoneKeeps(f, rangesP))),
+        readPaths = candidates.map(_.path).toSet,
+        masksOnly = true)))
+  }
+
   def materializeDeletes(spark: SparkSession, tableDir: String,
                          targetFiles: Int = 2,
                          clusterZOrder: Seq[String] = Nil,
@@ -548,10 +610,15 @@ object Merge {
     val baseId = SnapshotLog.currentSnapshotId(spark, tableDir)
       .getOrElse(return None)
     val live = SnapshotLog.filesAt(spark, tableDir, Some(baseId))
-    val (dels, data) = live.partition(_.kind == "eqdelete")
+    val (dels, data) = live.partition(SnapshotLog.isMask)
     if (dels.isEmpty) return None
-    val keyColP = spark.read.parquet(dels.head.path).columns
-      .filterNot(_ == "_graft_del_seq").head
+    // clustering key: the equality masks' key column when any exists; a
+    // posdelete-only fold has no key of its own — fall back to the data
+    // files' first recorded zone column (keeps the rewrite prunable)
+    val keyColPOpt = dels.find(_.kind == "eqdelete")
+      .map(f => spark.read.parquet(f.path).columns
+        .filterNot(_ == "_graft_del_seq").head)
+      .orElse(data.flatMap(_.stats.keys).headOption)
     // the masked read exits in LOGICAL space (registry projection);
     // translate back to physical once so the mask key, the cluster
     // columns and the written footers all agree
@@ -564,13 +631,17 @@ object Merge {
         renames = renames).get)
     val zOrderP = clusterZOrder.map(c =>
       reg.flatMap(_.physicalOf(c)).getOrElse(c))
+    val keyColP = keyColPOpt.filter(masked.columns.contains)
     val rewritten = zOrderP match {
       case Seq(cx, cy) => graft.cdc.Compaction.zorderArrange(masked, cx, cy, targetFiles)
-      case _ => masked.repartitionByRange(targetFiles, col(keyColP))
+      case _ => keyColP match {
+        case Some(k) => masked.repartitionByRange(targetFiles, col(k))
+        case None => masked.repartition(targetFiles)
+      }
     }
     val written = SnapshotLog.writeData(rewritten, tableDir,
-      statsCol = Some(keyColP), statsCols = zOrderP,
-      bloomCol = Some(keyColP).filter(_ => isStringKey(masked, keyColP)),
+      statsCol = keyColP, statsCols = zOrderP,
+      bloomCol = keyColP.filter(isStringKey(masked, _)),
       rawPhysical = true)
     // row-preserving rewrite of exactly its removed set: a lost race
     // rebases over interleaved appends (their files simply stay live);

@@ -178,11 +178,11 @@ object SnapshotLog {
       f.blooms, f.parts, f.nulls)
   }
 
-  private val mapper = new ObjectMapper()
+  private[table] val mapper = new ObjectMapper()
 
-  private def logDir(tableDir: String) = new Path(s"$tableDir/_graft_log")
+  private[table] def logDir(tableDir: String) = new Path(s"$tableDir/_graft_log")
 
-  private def fsOf(spark: SparkSession, tableDir: String): FileSystem =
+  private[table] def fsOf(spark: SparkSession, tableDir: String): FileSystem =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(tableDir: String, id: Long): Path =
@@ -281,7 +281,8 @@ object SnapshotLog {
                 bloomCol: Option[String] = None,
                 partitionCols: Seq[String] = Nil,
                 rawPhysical: Boolean = false): Seq[DataFile] = {
-    require(kind == "data" || kind == "eqdelete", s"unknown file kind: $kind")
+    require(kind == "data" || kind == "eqdelete" || kind == "posdelete",
+      s"unknown file kind: $kind")
     val spark = df.sparkSession
     val reg = if (rawPhysical) None
       else registryAt(spark, tableDir).filterNot(_.isIdentity)
@@ -535,7 +536,7 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
-  private def rebaseConflict(c: Commit, myRemoved: Set[String],
+  private[table] def rebaseConflict(c: Commit, myRemoved: Set[String],
                              guard: ConflictGuard): Option[String] = {
     if (c.op == "rollback")
       return Some("it rolled back the history this commit derived from")
@@ -547,17 +548,17 @@ object SnapshotLog {
     if (died.nonEmpty)
       return Some(s"it removed ${died.size} file(s) this commit read or " +
         s"rewrites (e.g. ${died.head})")
-    val masks = c.added.count(_.kind == "eqdelete")
+    val masks = c.added.count(isMask)
     if (masks > 0 && !guard.masksOnly)
-      return Some(s"it added $masks equality-delete mask(s) whose deletes " +
-        "would stop applying to this commit's re-stamped rows")
+      return Some(s"it added $masks delete mask(s) whose deletes would " +
+        "stop applying to this commit's re-stamped/re-positioned rows")
     val data = c.added.filter(f => f.kind == "data" && f.rows > 0)
     guard.mayReadAdded.map(_(data)).filter(_.nonEmpty).map(hit =>
       s"it added ${hit.size} file(s) that may hold rows this commit's " +
         s"derivation should have read (e.g. ${hit.head.path})")
   }
 
-  private def putFiles(arr: ArrayNode, files: Seq[DataFile]): Unit = files.foreach { f =>
+  private[table] def putFiles(arr: ArrayNode, files: Seq[DataFile]): Unit = files.foreach { f =>
     val n = arr.addObject()
     n.put("path", f.path); n.put("rows", f.rows); n.put("bytes", f.bytes)
     n.put("kind", f.kind); n.put("seq", f.seq)
@@ -685,7 +686,7 @@ object SnapshotLog {
     throw new IllegalStateException("unreachable")
   }
 
-  private def parseFiles(node: JsonNode, field: String): Seq[DataFile] = {
+  private[table] def parseFiles(node: JsonNode, field: String): Seq[DataFile] = {
     import scala.jdk.CollectionConverters._
     node.get(field).elements().asScala.toSeq.map { f =>
       val stats = Option(f.get("stats")).map { sn =>
@@ -1015,19 +1016,90 @@ object SnapshotLog {
       renames)
   }
 
+  /** [[readEpochSafe]] with the two scan-metadata position columns
+    * ([[PosFileCol]], [[PosOrdCol]]) appended — what a positional-delete
+    * writer scans to locate matching rows. Metadata columns attach PER
+    * EPOCH GROUP (before any union — a unioned plan has no single file
+    * source to ask for `_metadata`). */
+  private[graft] def readEpochSafeWithPos(spark: SparkSession,
+                                          files: Seq[DataFile],
+                                          renames: Map[String, String] = Map.empty)
+      : DataFrame = {
+    def withPos(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_path").as(PosFileCol),
+      col("_metadata.row_index").as(PosOrdCol))
+    val groups = epochGroups(spark, files)
+    val schemas = groups.map(_._1)
+    if (renames.isEmpty && schemas.forall(_ == schemas.head))
+      withPos(spark.read.parquet(files.map(_.path): _*))
+    else graft.schema.Evolution.mergeEpochs(
+      groups.map { case (_, fs) =>
+        withPos(spark.read.parquet(fs.map(_.path): _*)) },
+      renames)
+  }
+
+  /** Is this manifest entry a pending DELETE MASK (either kind)?
+    * Every reader that partitions a live set into "masks vs data" must
+    * go through this — a new mask kind silently classified as data
+    * would be read as rows. */
+  def isMask(f: DataFile): Boolean =
+    f.kind == "eqdelete" || f.kind == "posdelete"
+
+  /** The two columns a POSITIONAL delete file carries: the target data
+    * file's scan-metadata path (`_metadata.file_path` — recorded and
+    * probed in the same representation, so equality is exact) and the
+    * 0-based row ordinal within it (`_metadata.row_index`). Positions
+    * name PHYSICAL rows, so a posdelete needs no key column at all:
+    * masked scans pay a metadata-column anti-join instead of reading
+    * (wide or composite) key columns — the Iceberg position-delete /
+    * Delta deletion-vector school. */
+  val PosFileCol = "_graft_file"
+  val PosOrdCol = "_graft_pos"
+
   private def applyEqDeletes(spark: SparkSession, data: Seq[DataFile],
                              dels: Seq[DataFile],
-                             renames: Map[String, String] = Map.empty): DataFrame = {
+                             renames: Map[String, String] = Map.empty): DataFrame =
+    applyMasks(spark, data, dels, renames)
+
+  /** Apply EVERY pending mask kind to the epoch-safe read of `data`:
+    * equality masks fold to (key → max seq) and filter by the seq rule
+    * (re-inserts at/after the mask's seq survive); positional masks
+    * anti-join on (file path, row ordinal) — exact physical addressing,
+    * no seq arithmetic needed (a file's rows can never be re-written in
+    * place, so a recorded position is valid for exactly as long as the
+    * file is live). */
+  private[graft] def applyMasks(spark: SparkSession, data: Seq[DataFile],
+                                dels: Seq[DataFile],
+                                renames: Map[String, String] = Map.empty): DataFrame = {
+    val (posDels, eqDels) = dels.partition(_.kind == "posdelete")
     val bySeq = data.groupBy(_.seq).toSeq.sortBy(_._1)
     val withSeq = unionEpochs(bySeq.map { case (seq, fs) =>
-      spark.read.parquet(fs.map(_.path): _*).withColumn("_graft_seq", lit(seq))
+      val raw = spark.read.parquet(fs.map(_.path): _*)
+      val df =
+        if (posDels.isEmpty) raw
+        else raw.select(col("*"),
+          col("_metadata.file_path").as(PosFileCol),
+          col("_metadata.row_index").as(PosOrdCol))
+      df.withColumn("_graft_seq", lit(seq))
     }, renames)
-    if (dels.isEmpty) return withSeq.drop("_graft_seq")
-    val (delAgg, keyCol) = foldMasks(spark, dels)
-    withSeq
-      .join(broadcast(delAgg), Seq(keyCol), "left")
-      .filter(col("_graft_del_seq").isNull || col("_graft_del_seq") <= col("_graft_seq"))
-      .drop("_graft_seq", "_graft_del_seq")
+    val eqApplied =
+      if (eqDels.isEmpty) withSeq
+      else {
+        val (delAgg, keyCol) = foldMasks(spark, eqDels)
+        withSeq
+          .join(broadcast(delAgg), Seq(keyCol), "left")
+          .filter(col("_graft_del_seq").isNull ||
+            col("_graft_del_seq") <= col("_graft_seq"))
+          .drop("_graft_del_seq")
+      }
+    val posApplied =
+      if (posDels.isEmpty) eqApplied
+      else eqApplied
+        .join(broadcast(spark.read.parquet(posDels.map(_.path): _*)
+            .select(col(PosFileCol), col(PosOrdCol)).distinct()),
+          Seq(PosFileCol, PosOrdCol), "left_anti")
+        .drop(PosFileCol, PosOrdCol)
+    posApplied.drop("_graft_seq")
   }
 
   private def stagedPath(tableDir: String, token: String): Path =
@@ -1303,7 +1375,7 @@ object SnapshotLog {
            asOf: Option[Long] = None,
            renames: Map[String, String] = Map.empty): Option[DataFrame] = {
     val (files, reg) = stateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     if (data.isEmpty) None
     else Some(applyRegistry(hideInternal(
       if (dels.isEmpty) readEpochSafe(spark, data, renames)
@@ -1319,7 +1391,7 @@ object SnapshotLog {
   def readRange(spark: SparkSession, tableDir: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None): Option[DataFrame] = {
     val (files, reg) = logicalStateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     val pruned = data.filter(f =>
       (f.statsMin, f.statsMax) match {
         case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
@@ -1345,7 +1417,7 @@ object SnapshotLog {
                 ranges: Map[String, (Long, Long)],
                 asOf: Option[Long] = None): Option[DataFrame] = {
     val (files, reg) = logicalStateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     val pruned = data.filter(zoneKeeps(_, ranges))
     assemble(spark, pruned, dels, reg)
   }
@@ -1378,7 +1450,7 @@ object SnapshotLog {
                      filters: Map[String, Seq[String]],
                      asOf: Option[Long] = None): Option[DataFrame] = {
     val (files, reg) = logicalStateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     val pruned = data.filter(partKeeps(_, filters))
     assemble(spark, pruned, dels, reg)
   }
@@ -1444,7 +1516,7 @@ object SnapshotLog {
   def readPoint(spark: SparkSession, tableDir: String, column: String,
                 key: Long, asOf: Option[Long] = None): Option[DataFrame] = {
     val (files, reg) = logicalStateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     val pruned = data.filter(pointKeeps(_, column, key))
     assemble(spark, pruned, dels, reg)
   }
@@ -1459,7 +1531,7 @@ object SnapshotLog {
   def readPointString(spark: SparkSession, tableDir: String, column: String,
                       key: String, asOf: Option[Long] = None): Option[DataFrame] = {
     val (files, reg) = logicalStateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     val h = hashStringKey(key)
     val pruned = data.filter(f => f.blooms.get(column) match {
       case Some(b64) => graft.functions.BloomFilterOps.mightContain(
@@ -1492,7 +1564,7 @@ object SnapshotLog {
   def readPoints(spark: SparkSession, tableDir: String, column: String,
                  keys: Seq[Long], asOf: Option[Long] = None): Option[DataFrame] = {
     val (files, reg) = logicalStateAt(spark, tableDir, asOf)
-    val (dels, data) = files.partition(_.kind == "eqdelete")
+    val (dels, data) = files.partition(isMask)
     val pruned = data.filter(f => keys.exists(pointKeeps(f, column, _)))
     assemble(spark, pruned, dels, reg)
   }
@@ -1613,10 +1685,23 @@ object SnapshotLog {
       s"cannot read changes ($from, $hi] of $tableDir: snapshots ${opaque.mkString(",")} " +
         "rewrote rows without row lineage (copy-on-write); use merge-on-read " +
         "commits or applyChanges(lineage = true)")
+    // positional masks derive delete events with FULL payloads in both
+    // modes: the positions name exact physical rows of still-referenced
+    // files, so the deleted values (the pre-images) are read back
+    // verbatim — no key arithmetic, no phantom ambiguity
+    def posDeleteEvents(c: Commit): Seq[DataFrame] =
+      c.added.filter(_.kind == "posdelete") match {
+        case pos if pos.isEmpty || c.op == "replace" => Seq.empty
+        case pos => Seq(tagOp(posDeleteRows(spark, pos), "delete", c.snapshotId))
+      }
     val parts = inRange.flatMap { c =>
       if (c.op == "upsert") cowChanges(spark, tableDir, c, ids, preImages)
       else if (c.op == "rowdelta" && preImages)
-        morChangesWithImages(spark, tableDir, c, ids)
+        // a position-only rowdelta (deleteWhere) has no merge key to
+        // classify by — its delete events derive from positions alone
+        (if (c.added.exists(f => f.kind == "data" || f.kind == "eqdelete"))
+           morChangesWithImages(spark, tableDir, c, ids)
+         else Seq.empty) ++ posDeleteEvents(c)
       else {
       val dataAdded = c.added.filter(_.kind == "data")
       val delAdded = c.added.filter(_.kind == "eqdelete")
@@ -1652,7 +1737,7 @@ object SnapshotLog {
             .withColumn("_change_op", lit("delete"))
             .withColumn("_change_snapshot", lit(c.snapshotId)))
         }
-      upserts.toSeq ++ deletes.toSeq
+      upserts.toSeq ++ deletes.toSeq ++ posDeleteEvents(c)
       }
     }
     if (parts.isEmpty) None
@@ -1707,7 +1792,13 @@ object SnapshotLog {
       val removedSet = c.removed.toSet
       val parentFiles = filesAt(spark, tableDir, Some(c.snapshotId - 1))
         .filter(f => removedSet(f.path))
-      hideInternal(readEpochSafe(spark, parentFiles)).localCheckpoint(true)
+      // persist, not an EAGER localCheckpoint: the slice is consumed by
+      // several branches of ONE final union job, so a lazy cache is
+      // populated inside that job — an eager materialization would pay a
+      // whole extra Spark job PER COMMIT in the feed (scheduler-overhead-
+      // dominated at small scale, an extra pass at large)
+      hideInternal(readEpochSafe(spark, parentFiles))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     if (!preImages) {
       val upserts = changed.map(tagOp(_, "upsert", c.snapshotId))
@@ -1753,7 +1844,7 @@ object SnapshotLog {
                                  parentId: Long, keyCol: String,
                                  keys: DataFrame): Option[DataFrame] = {
     val (dels, data) = filesAt(spark, tableDir, Some(parentId))
-      .partition(_.kind == "eqdelete")
+      .partition(isMask)
     val (touched, _) = Merge.pruneTouched(spark, keyCol, data, keys)
     if (touched.isEmpty) None
     else Some(hideInternal(
@@ -1794,7 +1885,10 @@ object SnapshotLog {
       .reduceOption(_ unionByName _).map(_.distinct())
     val parent = candKeys.flatMap(
       parentStateForKeys(spark, tableDir, parentId, keyCol, _))
-      .map(_.localCheckpoint(true)) // consumed up to four times; O(delta keys)
+      // consumed by up to four event-class branches of one union job;
+      // O(delta keys). Lazy persist over eager checkpoint — same sharing,
+      // no extra per-commit materialization job (see cowChanges)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     parent match {
       case None => // no candidate key could exist: pure inserts, no deletes
         addedDf.map(tagOp(_, "insert", c.snapshotId)).toSeq
@@ -1817,6 +1911,27 @@ object SnapshotLog {
         }
         inserts.toSeq ++ posts.toSeq ++ pres.toSeq ++ deletes.toSeq
     }
+  }
+
+  /** The FULL rows a positional mask deleted: the targeted file paths
+    * come from the mask itself (driver-side, O(masked files) strings),
+    * then exactly those files read back with scan metadata and the
+    * positions semi-join. Payloads are exact pre-images by construction
+    * — a position names one physical row of a file the commit's parent
+    * still references (retention keeps referenced bytes). */
+  private def posDeleteRows(spark: SparkSession,
+                            posAdded: Seq[DataFile]): DataFrame = {
+    val masks = spark.read.parquet(posAdded.map(_.path): _*)
+      .select(col(PosFileCol), col(PosOrdCol)).distinct()
+    val targets = masks.select(PosFileCol).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    hideInternal(
+      spark.read.parquet(targets: _*)
+        .select(col("*"),
+          col("_metadata.file_path").as(PosFileCol),
+          col("_metadata.row_index").as(PosOrdCol))
+        .join(broadcast(masks), Seq(PosFileCol, PosOrdCol), "left_semi")
+        .drop(PosFileCol, PosOrdCol))
   }
 
   /** Drop delete keys PROVABLY absent from `files` (the parent
@@ -1914,7 +2029,7 @@ object SnapshotLog {
           .map(f => f.path -> f).toMap
       (c.snapshotId, c.op,
         c.added.filter(_.kind == "data").map(_.rows).sum,
-        c.added.filter(_.kind == "eqdelete").map(_.rows).sum,
+        c.added.filter(isMask).map(_.rows).sum,
         liveMap.values.filter(_.kind == "data").map(_.rows).sum)
     }
     rows.toDF("snapshot_id", "op", "rows_added", "rows_deleted", "rows_live")
@@ -1930,7 +2045,7 @@ object SnapshotLog {
     import spark.implicits._
     val ids = snapshots(spark, tableDir)
     val live = if (ids.isEmpty) Seq.empty else filesAt(spark, tableDir)
-    val (dels, data) = live.partition(_.kind == "eqdelete")
+    val (dels, data) = live.partition(isMask)
     Seq((
       ids.lastOption.getOrElse(0L), ids.size,
       data.size, data.map(_.rows).sum, data.map(_.bytes).sum,
@@ -1981,8 +2096,11 @@ object SnapshotLog {
     }
     // TAGGED snapshots are exempt from retention (the Iceberg ref
     // contract): they stay resolvable until the tag is removed, and may
-    // punch HOLES in the otherwise-prefix expiry set
-    val taggedIds = tags(spark, tableDir).values.toSet
+    // punch HOLES in the otherwise-prefix expiry set. Live BRANCH fork
+    // bases are exempt the same way — a branch read resolves THROUGH
+    // its base until the branch publishes or drops.
+    val taggedIds = tags(spark, tableDir).values.toSet ++
+      Branch.baseIds(spark, tableDir)
     val expired = ids.dropRight(retainLast).filter(byAge)
       .filterNot(taggedIds.contains)
     val expiredSet = expired.toSet
@@ -1993,7 +2111,11 @@ object SnapshotLog {
     val referenced = retainedIds.flatMap(id =>
       filesAt(spark, tableDir, Some(id)).map(_.path)).toSet ++
       stagedTokens(spark, tableDir).flatMap(t =>
-        readStagedManifest(fs, tableDir, t)._1.map(_.path))
+        readStagedManifest(fs, tableDir, t)._1.map(_.path)) ++
+      // files referenced only by a live BRANCH chain survive the sweep
+      // until the branch publishes (they become main-referenced) or
+      // drops (they age out through the grace gate)
+      Branch.protectedPaths(spark, tableDir)
     // anchor every retained id stranded by the deletions BEFORE they
     // happen: resolution folds forward from a checkpoint (or v1
     // manifest), so each retained id whose direct predecessor expires —

@@ -125,6 +125,24 @@ object ScaleCurve {
       val (morRes, tMor) = timed(
         Merge.mergeOnRead(spark, s"$tfBase/mor", delta, "id")); settle()
       val (_, tMorRead) = timed(SnapshotLog.read(spark, s"$tfBase/mor").get.count()); settle()
+      // r12: POSITIONAL deletion-vector curve — a ~constant-count ranged
+      // DELETE against the ×k table. Writes must stay O(matches) (one
+      // tiny posdelete file, ZERO data files rewritten) while the
+      // locating scan is zone-bounded by the predicate's range; the
+      // masked read stays a metadata anti-join (no key-column reads).
+      val posTbl = s"$tfBase/pos"
+      SnapshotLog.commit(spark, posTbl, "append",
+        SnapshotLog.writeData(state, posTbl, statsCol = Some("id")))
+      val posLo = 0L
+      val posHi = nState / 16 // ~2 of 32 clustered files intersect
+      val (posId, tPosDel) = timed(Merge.deleteWhere(spark, posTbl,
+        col("id").between(posLo, posHi) && pmod(col("id"), lit(97)) === 0,
+        ranges = Map("id" -> (posLo, posHi)))); settle()
+      val posMasks = SnapshotLog.filesAt(spark, posTbl)
+        .filter(_.kind == "posdelete")
+      val (_, tPosRead) = timed(
+        SnapshotLog.read(spark, posTbl).get.count()); settle()
+      require(posId.isDefined, "posdelete curve: the ranged DELETE matched nothing")
       // r9: CDC apply-rate curve — a ~constant-size (~100k-row)
       // update-dominated delta drained through the STREAMING upsert sink
       // against the ×k table. The apply path costs O(delta + file
@@ -330,6 +348,8 @@ object ScaleCurve {
         s"state_rows=$nState cow_touched=${cowRes.filesTouched}f/${cowRes.rowsWritten}rw/${s(tCow)}s " +
         s"mor_masks=${morRes.deleteEntries}/${morRes.rowsWritten}rw/${s(tMor)}s " +
         s"mor_read=${s(tMorRead)}s " +
+        s"pos_delete=${posMasks.map(_.rows).sum}pos/0rw/${s(tPosDel)}s " +
+        s"pos_read=${s(tPosRead)}s " +
         s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
         s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +

@@ -2691,6 +2691,29 @@ class CdcSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("production resume composition: saved state -> fillEarliest -> strict multi-topic options") {
+    // the END-TO-END option map a real deployment hands spark-sql-kafka:
+    // OffsetStore state for SOME topics/partitions, completed against
+    // broker partition counts, rendered as ONE subscription whose
+    // specific-offsets JSON lists EVERY TopicPartition (the connector
+    // asserts on omissions — this map would drive it unchanged)
+    val store = new OffsetStore(
+      Files.createTempDirectory("graft-kstrict").toString)
+    store.commitPartitioned("orders", Map(0 -> 5L), 5L)
+    val topics = Seq("orders" -> Schemas.topicFor("orders"),
+      "customers" -> Schemas.topicFor("customers"))
+    val st = store.startingOffsetsForAll(topics)
+    val filled = StartingOffsets.fillEarliest(st, Map(
+      Schemas.topicFor("orders") -> 2, Schemas.topicFor("customers") -> 1))
+    val opts = new KafkaCdcSource("broker:9092").optionsMulti(
+      topics.map(_._2), filled)
+    assert(opts("subscribe") == topics.map(_._2).mkString(","))
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("startingOffsets") ==
+      s"""{"${Schemas.topicFor("customers")}": {"0": -2}, """ +
+        s""""${Schemas.topicFor("orders")}": {"0": 6, "1": -2}}""")
+  }
+
   test("null-status groups retract correctly through the incremental view") {
     import spark.implicits._
     // a status=null order arrives, then UPDATES to a real status: the

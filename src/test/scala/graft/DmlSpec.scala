@@ -455,7 +455,7 @@ class DmlSpec extends AnyFunSuite {
       val e2 = intercept[Exception] {
         spark.sql("UPDATE dml_refuse SET v = 0 WHERE id = 10")
       }
-      assert(e2.getMessage.contains("equality-delete"))
+      assert(e2.getMessage.contains("delete mask"))
     } finally {
       spark.sql("DROP TABLE dml_refuse")
       spark.sql("DROP TABLE dml_refuse_tt")

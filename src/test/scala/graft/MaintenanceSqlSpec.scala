@@ -254,6 +254,47 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE maint_alter")
   }
 
+  test("ALTER TABLE ALTER COLUMN TYPE: widening-only schema-carrier commit") {
+    val dir = tmp("widen")
+    spark.range(0, 100)
+      .select(col("id"), (col("id") % 7).cast("int").as("units"))
+      .coalesce(1).write.format("graft").option("statsCols", "id").save(dir)
+    spark.sql(s"CREATE TABLE maint_widen USING graft OPTIONS (path '$dir')")
+    try {
+      // refusals: narrowing and off-lattice changes would corrupt
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE maint_widen ALTER COLUMN id TYPE int") }
+      assert(e1.getMessage.contains("widening-only"))
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE maint_widen ALTER COLUMN units TYPE string") }
+      assert(e2.getMessage.contains("widening-only"))
+      // the widening: one metadata-only schema commit, zero data rewrites
+      spark.sql("ALTER TABLE maint_widen ALTER COLUMN units TYPE bigint")
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.op === "schema" && c.summary("widen_column") === "units:BIGINT" &&
+        c.added.forall(_.rows == 0L) && c.removed.isEmpty)
+      // reads LUB the int epoch up to the declared type
+      assert(spark.sql("SELECT units FROM maint_widen").schema.head.dataType ===
+        org.apache.spark.sql.types.LongType)
+      // values beyond any int land and read back across the epoch
+      spark.sql("INSERT INTO maint_widen VALUES (9000, 3000000007)")
+      assert(spark.sql("SELECT max(units) FROM maint_widen")
+        .head.getLong(0) === 3000000007L)
+      // time travel BEFORE the widening shows the narrow type
+      assert(spark.sql("SELECT units FROM maint_widen VERSION AS OF 1")
+        .schema.head.dataType === org.apache.spark.sql.types.IntegerType)
+      // DML across the widening epoch rewrites old-epoch rows wide
+      spark.sql("UPDATE maint_widen SET units = units + 3000000000 WHERE id = 7")
+      assert(spark.sql("SELECT units FROM maint_widen WHERE id = 7")
+        .head.getLong(0) === 3000000000L)
+      // OPTIMIZE materializes the widened schema; every value survives
+      spark.sql("OPTIMIZE maint_widen")
+      assert(spark.sql("SELECT count(*) FROM maint_widen").head.getLong(0) === 101)
+      assert(spark.sql("SELECT max(units) FROM maint_widen")
+        .head.getLong(0) === 3000000007L)
+    } finally spark.sql("DROP TABLE maint_widen")
+  }
+
   test("maintenance statements over another provider's catalog table delegate") {
     // a session that also hosts another lakehouse extension (Delta et al.
     // behind this parser in the delegate chain) must receive ITS tables'

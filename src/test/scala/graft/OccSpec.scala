@@ -108,7 +108,7 @@ class OccSpec extends AnyFunSuite {
       SnapshotLog.commitPinned(spark, dir, base, "replace", written,
         files.map(_.path), Map.empty)
     }
-    assert(e.getMessage.contains("equality-delete"))
+    assert(e.getMessage.contains("delete mask"))
   }
 
   test("mayReadAdded: append inside the read footprint conflicts, outside rebases") {

@@ -43,6 +43,10 @@ object OccWalkProps extends Properties("OccWalk") {
   final case class StagedGuarded(inside: Boolean) extends Op
   /** Registry-sensitive staged rewrite racing a schema commit. */
   case object StagedRegistry extends Op
+  /** A one-delta BRANCH forked, interleaved against, then published:
+    * appends compose (rebase), anything that removed fork-base files,
+    * added a mask or touched the schema must abort the publish. */
+  final case class BranchPublish(n: Int, ix: List[Ix]) extends Op
 
   private val genIx: Gen[Ix] = Gen.frequency(
     5 -> Gen.choose(1, 8).map(AppendIx),
@@ -55,7 +59,9 @@ object OccWalkProps extends Properties("OccWalk") {
     3 -> Gen.listOfN(2, genIx).map(StagedReplace),
     1 -> Gen.listOfN(3, genIx).map(StagedReplace),
     2 -> Gen.oneOf(true, false).map(StagedGuarded),
-    1 -> Gen.const(StagedRegistry))
+    1 -> Gen.const(StagedRegistry),
+    2 -> Gen.zip(Gen.choose(1, 10), Gen.listOfN(2, genIx))
+      .map((BranchPublish.apply _).tupled))
 
   private lazy val spark: SparkSession = Sessions.local("4", "occ-walk-props")
   private val walkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -66,6 +72,11 @@ object OccWalkProps extends Properties("OccWalk") {
       .toString + "/t"
     var rows: Long = 0L   // model: live logical row count (ids unique)
     var nextId: Long = 0L
+    // branch chunks draw ids from a far-away space so the "ids < nextId
+    // are live on main" invariant RowdeltaIx depends on survives an
+    // aborted publish (the chunk simply never lands)
+    var branchLo: Long = 10000000L
+    var branchN: Int = 0
 
     def append(n: Int): Unit = {
       spark.range(nextId, nextId + n)
@@ -93,11 +104,14 @@ object OccWalkProps extends Properties("OccWalk") {
     def interleave(ix: Ix, stagedRemoved: Set[String]): Boolean = ix match {
       case AppendIx(n) => append(n); false
       case RowdeltaIx =>
-        // update-only upsert of up to 5 existing ids: adds a mask file,
-        // count unchanged — conflicts with any re-stamping rewrite
+        // update-only upsert of 5 ALWAYS-LIVE ids (the walk seed appends
+        // 0..9 and nothing ever deletes): adds a mask file, count
+        // unchanged — conflicts with any re-stamping rewrite. Ids below
+        // nextId are NOT all live (StagedGuarded's outside append jumps
+        // the id space), so a nextId-relative window would silently
+        // INSERT phantoms and desync the row-count model.
         Merge.mergeOnRead(spark, dir,
-          spark.range(math.max(0L, nextId - 5), nextId)
-            .select(col("id"), lit(-1L).as("v")), "id")
+          spark.range(0L, 5L).select(col("id"), lit(-1L).as("v")), "id")
         true
       case ReplaceIx =>
         // a racing full rewrite: removes the current live set, which
@@ -179,6 +193,36 @@ object OccWalkProps extends Properties("OccWalk") {
         if (outcome.isDefined) Prop.passed
         else Prop.falsified :| s"$op: schema interleave must conflict"
       agrees && w.check(s"after $op")
+    case BranchPublish(n, ix) =>
+      import graft.table.Branch
+      w.branchN += 1
+      val name = s"walkb${w.branchN}"
+      Branch.create(spark, w.dir, name)
+      val lo = w.branchLo
+      w.branchLo += n
+      Branch.commitTo(spark, w.dir, name,
+        spark.range(lo, lo + n)
+          .select(col("id"), (col("id") * 2).as("v")).coalesce(1),
+        statsCol = Some("id"))
+      // interleaves land on MAIN for real; the model's publish verdict:
+      // appends compose, a mask / base-file removal / schema commit aborts
+      val conflict = ix.map { i =>
+        w.interleave(i, Set.empty)
+        i match {
+          case _: AppendIx => false
+          case RowdeltaIx | ReplaceIx | SchemaIx => true
+        }
+      }.exists(identity)
+      val outcome =
+        try { Branch.publish(spark, w.dir, name); None }
+        catch { case e: SnapshotLog.ConcurrentCommitException => Some(e) }
+      if (outcome.isEmpty) w.rows += n
+      else Branch.drop(spark, w.dir, name)
+      val agrees =
+        if (conflict == outcome.isDefined) Prop.passed
+        else Prop.falsified :|
+          s"$op: model predicted conflict=$conflict, got ${outcome.orNull}"
+      agrees && w.check(s"after $op (conflict=$conflict)")
   }
 
   property("any stage/interleave/commit schedule agrees with the conflict model") =

@@ -37,6 +37,7 @@ object SqlWalkProps extends Properties("SqlWalk") {
   case object RenameScore extends Op // score column cycles to a fresh name
   final case class Restore(pick: Int) extends Op // k-th retained snapshot
   final case class AddCol(tag: Int) extends Op
+  case object WidenUnits extends Op // units INT -> BIGINT (no-op if wide)
 
   private val genOp: Gen[Op] = Gen.frequency(
     4 -> Gen.choose(1, 30).map(Insert),
@@ -46,7 +47,8 @@ object SqlWalkProps extends Properties("SqlWalk") {
     2 -> Gen.const(Optimize),
     2 -> Gen.const(RenameScore),
     1 -> Gen.choose(0, 100).map(Restore),
-    1 -> Gen.choose(0, 100).map(AddCol))
+    1 -> Gen.choose(0, 100).map(AddCol),
+    2 -> Gen.const(WidenUnits))
 
   private lazy val spark: SparkSession = Sessions.local("4", "sql-walk-props")
 
@@ -59,22 +61,34 @@ object SqlWalkProps extends Properties("SqlWalk") {
     val dir: String =
       java.nio.file.Files.createTempDirectory(s"graft-walk-$id").toString + "/t"
     var rows: Map[Long, (Long, Double)] = Map.empty // id -> (bucket, score)
+    var units: Map[Long, Long] = Map.empty // id -> units (int epoch or wide)
     // per-snapshot twin STATE: rows + the schema bits RESTORE must revert
-    // (score column's current name, extra columns) — RESTORE restores the
-    // schema with the content, the Delta contract
-    var history: Map[Long, (Map[Long, (Long, Double)], String, Seq[String])] =
-      Map.empty
+    // (score column's current name, extra columns, the widened flag) —
+    // RESTORE restores the schema with the content, the Delta contract
+    final case class ModelState(rows: Map[Long, (Long, Double)],
+        units: Map[Long, Long], scoreCol: String, extraCols: Seq[String],
+        widened: Boolean)
+    var history: Map[Long, ModelState] = Map.empty
     var nextId: Long = 0L
     var scoreCol: String = "score"
     var renames: Int = 0
     var extraCols: Seq[String] = Nil
+    var widened: Boolean = false
     var restored: Boolean = false
+    var lastRollbackId: Option[Long] = None
+
+    // post-widening inserts carry values no int can hold — proof the
+    // declared widening is live, not cosmetic
+    def unitsOf(i: Long): Long = i % 50 + (if (widened) 3000000000L else 0L)
 
     def selectFor(ids: Seq[Long]): String = {
       val extras = extraCols.map(c => s", CAST(NULL AS INT) AS $c").mkString
+      val unitsTy = if (widened) "BIGINT" else "INT"
       ids.map(i =>
         s"SELECT CAST($i AS BIGINT) AS id, CAST(${i % 10} AS BIGINT) AS bucket, " +
-          s"CAST(${i * 2}.5 AS DOUBLE) AS $scoreCol$extras").mkString(" UNION ALL ")
+          s"CAST(${i * 2}.5 AS DOUBLE) AS $scoreCol, " +
+          s"CAST(${unitsOf(i)} AS $unitsTy) AS units$extras")
+        .mkString(" UNION ALL ")
     }
 
     def create(): Unit = {
@@ -82,22 +96,27 @@ object SqlWalkProps extends Properties("SqlWalk") {
       spark.sql(s"CREATE TABLE $table USING graft " +
         s"OPTIONS (path '$dir', lineageKey 'id') AS ${selectFor(ids)}")
       rows = ids.map(i => i -> ((i % 10, i * 2 + 0.5))).toMap
+      units = ids.map(i => i -> unitsOf(i)).toMap
       nextId = 20L
       record()
     }
 
     def record(): Unit =
       SnapshotLog.currentSnapshotId(spark, dir)
-        .foreach(id => history += id -> ((rows, scoreCol, extraCols)))
+        .foreach(id => history +=
+          id -> ModelState(rows, units, scoreCol, extraCols, widened))
 
     def check(op: Op): Prop = {
       val r = spark.sql(
-        s"SELECT count(*), coalesce(sum($scoreCol), 0.0) FROM $table").head
-      val (n, sum) = (r.getLong(0), r.getDouble(1))
+        s"SELECT count(*), coalesce(sum($scoreCol), 0.0), " +
+          s"coalesce(sum(units), 0) FROM $table").head
+      val (n, sum, usum) = (r.getLong(0), r.getDouble(1), r.getLong(2))
       val wantSum = rows.values.map(_._2).sum
-      val ok = n == rows.size && math.abs(sum - wantSum) < 1e-6
-      if (!ok) Prop.falsified :| s"after $op: table ($n, $sum) != model " +
-        s"(${rows.size}, $wantSum)"
+      val wantUnits = units.values.sum
+      val ok = n == rows.size && math.abs(sum - wantSum) < 1e-6 &&
+        usum == wantUnits
+      if (!ok) Prop.falsified :| s"after $op: table ($n, $sum, $usum) != " +
+        s"model (${rows.size}, $wantSum, $wantUnits)"
       else Prop.passed
     }
 
@@ -106,6 +125,7 @@ object SqlWalkProps extends Properties("SqlWalk") {
         val ids = nextId until (nextId + n)
         spark.sql(s"INSERT INTO $table ${selectFor(ids)}")
         rows ++= ids.map(i => i -> ((i % 10, i * 2 + 0.5)))
+        units ++= ids.map(i => i -> unitsOf(i))
         nextId += n
       case Update(b, d) =>
         spark.sql(s"UPDATE $table SET $scoreCol = $scoreCol + $d WHERE bucket = $b")
@@ -113,7 +133,9 @@ object SqlWalkProps extends Properties("SqlWalk") {
           i -> ((bk, if (bk == b) sc + d else sc)) }
       case Delete(b) =>
         spark.sql(s"DELETE FROM $table WHERE bucket = $b")
+        val gone = rows.collect { case (i, (bk, _)) if bk == b => i }.toSet
         rows = rows.filterNot { case (_, (bk, _)) => bk == b }
+        units = units.filterNot { case (i, _) => gone(i) }
       case MergeUp(n) =>
         val existing = rows.keys.toSeq.sorted.take(n / 2)
         val fresh = nextId until (nextId + (n - existing.size))
@@ -121,10 +143,11 @@ object SqlWalkProps extends Properties("SqlWalk") {
         spark.sql(
           s"""MERGE INTO $table t USING (${selectFor(ids)}) s ON t.id = s.id
              |WHEN MATCHED THEN UPDATE SET $scoreCol = s.$scoreCol + 100.0
-             |WHEN NOT MATCHED THEN INSERT (id, bucket, $scoreCol)
-             |  VALUES (s.id, s.bucket, s.$scoreCol)""".stripMargin)
+             |WHEN NOT MATCHED THEN INSERT (id, bucket, $scoreCol, units)
+             |  VALUES (s.id, s.bucket, s.$scoreCol, s.units)""".stripMargin)
         rows ++= existing.map(i => i -> ((i % 10, i * 2 + 100.5)))
         rows ++= fresh.map(i => i -> ((i % 10, i * 2 + 0.5)))
+        units ++= fresh.map(i => i -> unitsOf(i)) // matched rows keep theirs
         nextId += (n - existing.size)
       case Optimize =>
         spark.sql(s"OPTIMIZE $table") // logical rows unchanged
@@ -139,36 +162,70 @@ object SqlWalkProps extends Properties("SqlWalk") {
         if (retained.nonEmpty) {
           val target = retained(pick % retained.size)
           spark.sql(s"RESTORE $table TO VERSION AS OF $target")
-          val (r, sc, ec) = history(target)
-          rows = r; scoreCol = sc; extraCols = ec // schema restores too
+          val st = history(target)
+          rows = st.rows; units = st.units; scoreCol = st.scoreCol
+          extraCols = st.extraCols; widened = st.widened // schema restores too
           restored = true
+          lastRollbackId = SnapshotLog.currentSnapshotId(spark, dir)
         }
       case AddCol(tag) =>
         val c = s"extra_${extraCols.size}_$tag"
         spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c INT)")
         extraCols :+= c
+      case WidenUnits =>
+        // modulo state: already-wide tables no-op (any sub-list of a
+        // failing walk stays valid, preserving shrinkability)
+        if (!widened) {
+          spark.sql(s"ALTER TABLE $table ALTER COLUMN units TYPE bigint")
+          widened = true
+        }
     }
 
-    /** Fold the whole change feed: the latest event per key decides
-      * survival — the surviving set must be exactly the model's keys.
-      * Only meaningful when no RESTORE rewound history (the feed refuses
-      * rollback ranges by design). */
-    def feedProp(): Prop =
-      if (restored) Prop.passed
-      else {
-        import org.apache.spark.sql.functions._
-        val feed = spark.sql(s"SELECT * FROM graft_changes('$dir', 0)")
-        val surviving = feed
+    /** Fold the change feed: the latest event per key decides survival —
+      * the surviving set must be exactly the model's keys. A walk that
+      * RESTOREd asserts BOTH halves of the rollback contract: the
+      * full-range feed REFUSES (a rollback commit rewrote the history a
+      * consumer derived from — silently skipping it would desync every
+      * downstream view), and the feed FROM the rollback commit folds
+      * cleanly over the model state recorded at that commit. */
+    def feedProp(): Prop = {
+      import org.apache.spark.sql.functions._
+      def latestEvents(from: Long): Seq[(Long, String)] =
+        spark.sql(s"SELECT id, _change_op, _change_snapshot " +
+            s"FROM graft_changes('$dir', $from)")
           .withColumn("_rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
               .orderBy(col("_change_snapshot").desc)))
-          .filter(col("_rn") === 1 && col("_change_op") =!= "delete")
-          .select(col("id")).collect().map(_.getLong(0)).toSet
+          .filter(col("_rn") === 1)
+          .select(col("id"), col("_change_op")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      if (restored) {
+        val refused = scala.util.Try(
+          spark.sql(s"SELECT * FROM graft_changes('$dir', 0)").collect())
+        val refusedOk =
+          if (refused.isFailure) Prop.passed
+          else Prop.falsified :| "a feed range crossing a rollback must refuse"
+        val fromId = lastRollbackId.get
+        val base = history(fromId).rows.keySet
+        val events = latestEvents(fromId)
+        val surviving = base --
+          events.collect { case (i, "delete") => i } ++
+          events.collect { case (i, op) if op != "delete" => i }
+        val foldOk =
+          if (surviving == rows.keySet) Prop.passed
+          else Prop.falsified :| s"post-rollback feed fold " +
+            s"${surviving.size} != model ${rows.keySet.size}: diff=" +
+            s"${(surviving diff rows.keySet) ++ (rows.keySet diff surviving)}"
+        refusedOk && foldOk
+      } else {
+        val surviving =
+          latestEvents(0).collect { case (i, op) if op != "delete" => i }.toSet
         if (surviving == rows.keySet) Prop.passed
         else Prop.falsified :| s"feed fold keys ${surviving.size} != " +
           s"model ${rows.keySet.size}: diff=" +
           s"${(surviving diff rows.keySet) ++ (rows.keySet diff surviving)}"
       }
+    }
 
     /** Time-travel spot checks: every retained recorded snapshot's count
       * equals the model's history at that snapshot. */
@@ -177,8 +234,8 @@ object SqlWalkProps extends Properties("SqlWalk") {
       retained.map { sid =>
         val n = spark.sql(s"SELECT count(*) FROM $table VERSION AS OF $sid")
           .head.getLong(0)
-        if (n == history(sid)._1.size) Prop.passed
-        else Prop.falsified :| s"VERSION AS OF $sid: $n != ${history(sid)._1.size}"
+        if (n == history(sid).rows.size) Prop.passed
+        else Prop.falsified :| s"VERSION AS OF $sid: $n != ${history(sid).rows.size}"
       }.foldLeft(Prop.passed)(_ && _)
     }
 
