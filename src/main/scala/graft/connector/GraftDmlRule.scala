@@ -128,7 +128,8 @@ object GraftDml {
   final case class DmlTarget(dir: String, output: Seq[Attribute],
                              timeTravel: Boolean,
                              catalogIdent: Option[TableIdentifier],
-                             declaredKey: Option[String] = None)
+                             declaredKey: Option[String] = None,
+                             posDeletes: Boolean = false)
 
   private[connector] def dmlTarget(plan: LogicalPlan): Option[DmlTarget] =
     plan match {
@@ -142,15 +143,21 @@ object GraftDml {
         val declared = lr.catalogTable.flatMap(m =>
           (m.storage.properties ++ m.properties)
             .collectFirst { case (k, v) if k.equalsIgnoreCase("lineageKey") => v })
+        // `posDeletes true` (OPTIONS or TBLPROPERTIES) opts the table's
+        // SQL DELETE into positional deletion vectors — zero rewrites
+        val posDv = lr.catalogTable.exists(m =>
+          (m.storage.properties ++ m.properties).exists { case (k, v) =>
+            k.equalsIgnoreCase("posDeletes") && v.equalsIgnoreCase("true") })
         lr.relation match {
           case h: HadoopFsRelation => h.location match {
             case g: GraftFileIndex =>
               Some(DmlTarget(g.tableDir, lr.output, g.pinnedAsOf.isDefined,
-                ident, declared))
+                ident, declared, posDv))
             case _ => None
           }
           case c: GraftComputedRelation =>
-            Some(DmlTarget(c.tableDir, lr.output, !c.insertable, ident, declared))
+            Some(DmlTarget(c.tableDir, lr.output, !c.insertable, ident,
+              declared, posDv))
           case _ => None
         }
       case _ => None
@@ -402,6 +409,24 @@ object GraftDml {
 
   def delete(spark: SparkSession, t: DmlTarget, cond: Expression): Unit = {
     checkExpr(cond, "DELETE")
+    // opt-in DELETION VECTORS (`posDeletes true`): a predicate DELETE
+    // commits (file, row-ordinal) pairs instead of rewriting files —
+    // and because positions compose with EXISTING masks of both kinds
+    // (re-masking a hidden row is a no-op), this path works on masked
+    // tables the COW path refuses, so repeated deletes never force a
+    // materialization between them. Unconditional DELETE stays on the
+    // cheaper metadata truncation below.
+    cond match {
+      case Literal(true, BooleanType) => ()
+      case _ if t.posDeletes =>
+        require(!t.timeTravel, s"graft table ${t.dir}: cannot DELETE " +
+          "against a time-travel relation")
+        graft.table.Merge.deleteWhereFn(spark, t.dir,
+          df => coalesce(rebind(cond, t.output, df), lit(false)),
+          summary = Map("sql" -> "delete-posdv"))
+        return
+      case _ => ()
+    }
     val (baseId, live, reg) = pinned(spark, t, "DELETE").getOrElse(return)
     if (live.isEmpty) return
     val lin = effectiveLineage(spark, t)

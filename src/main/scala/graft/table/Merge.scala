@@ -552,7 +552,16 @@ object Merge {
     * Returns the commit id, or None when nothing matched. */
   def deleteWhere(spark: SparkSession, tableDir: String, cond: Column,
                   ranges: Map[String, (Long, Long)] = Map.empty,
-                  summary: Map[String, String] = Map.empty): Option[Long] = {
+                  summary: Map[String, String] = Map.empty): Option[Long] =
+    deleteWhereFn(spark, tableDir, _ => cond, ranges, summary)
+
+  /** [[deleteWhere]] with the predicate built against the locating
+    * scan's OWN frame — what a SQL front end needs to rebind analyzed
+    * attribute references (the `posDeletes` table-property DELETE). */
+  def deleteWhereFn(spark: SparkSession, tableDir: String,
+                    cond: DataFrame => Column,
+                    ranges: Map[String, (Long, Long)] = Map.empty,
+                    summary: Map[String, String] = Map.empty): Option[Long] = {
     val baseId = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"cannot delete from empty table $tableDir"))
@@ -572,8 +581,8 @@ object Merge {
     // delete of an already-deleted row is a no-op) — keeping the
     // locating scan single-pass instead of mask-applied.
     val raw = SnapshotLog.readEpochSafeWithPos(spark, candidates)
-    val hits = reg.map(_.toLogical(raw)).getOrElse(raw)
-      .filter(cond)
+    val logical = reg.map(_.toLogical(raw)).getOrElse(raw)
+    val hits = logical.filter(cond(logical))
       .select(col(SnapshotLog.PosFileCol), col(SnapshotLog.PosOrdCol))
     if (hits.isEmpty) return None
     val written = SnapshotLog.writeData(hits.coalesce(1), tableDir,

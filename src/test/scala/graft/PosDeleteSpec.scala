@@ -120,6 +120,36 @@ class PosDeleteSpec extends AnyFunSuite {
     assert(got.filter(col("id") === 1).head.getString(2) === "p1")
   }
 
+  test("SQL DELETE on a posDeletes table commits deletion vectors, composes repeatedly") {
+    val dir = seed("sqldv")
+    spark.sql(s"CREATE TABLE posdv_t USING graft " +
+      s"OPTIONS (path '$dir', posDeletes 'true')")
+    try {
+      spark.sql("DELETE FROM posdv_t WHERE id % 10 = 3")
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.op === "rowdelta" && c.summary("mode") === "posdelete")
+      assert(c.removed.isEmpty && c.added.forall(_.kind == "posdelete"),
+        "a deletion-vector DELETE must rewrite nothing")
+      assert(spark.sql("SELECT count(*) FROM posdv_t").head.getLong(0) === 1800)
+      // a SECOND delete composes on the already-masked table — exactly
+      // the case the copy-on-write path refuses (pending masks)
+      spark.sql("DELETE FROM posdv_t WHERE id < 100")
+      assert(spark.sql("SELECT count(*) FROM posdv_t").head.getLong(0) === 1710)
+      // the non-DELETE DML posture is unchanged: rewrites refuse masks
+      val e = intercept[Exception] {
+        spark.sql("UPDATE posdv_t SET v = 0 WHERE id = 500") }
+      assert(e.getMessage.contains("delete mask"))
+      // OPTIMIZE materializes the vectors; everything is exact after
+      spark.sql("OPTIMIZE posdv_t")
+      assert(spark.sql("SELECT count(*) FROM posdv_t").head.getLong(0) === 1710)
+      assert(spark.sql("SELECT count(*) FROM posdv_t WHERE id % 10 = 3")
+        .head.getLong(0) === 0)
+      spark.sql("UPDATE posdv_t SET v = 0 WHERE id = 500")
+      assert(spark.sql("SELECT v FROM posdv_t WHERE id = 500")
+        .head.getLong(0) === 0)
+    } finally spark.sql("DROP TABLE posdv_t")
+  }
+
   test("OCC: an interleaved append of possibly-matching rows aborts the rebase") {
     val dir = seed("occ")
     // stage the locating scan's inputs by hand: pin, interleave, commit —
