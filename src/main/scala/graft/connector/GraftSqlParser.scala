@@ -117,6 +117,11 @@ object GraftMaintenance {
   private val AlterTypeRe = Pattern.compile(
     s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+([\\w`]+)\\s+(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)\\s*;?\\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+  // branch refs (the Iceberg CREATE/DROP BRANCH school; PUBLISH is the
+  // fast-forward verb Iceberg phrases as a procedure) — metadata-only
+  private val AlterBranchRe = Pattern.compile(
+    s"""\\s*ALTER\\s+TABLE\\s+$Target\\s+(CREATE|DROP|PUBLISH)\\s+BRANCH\\s+([\\w.-]+)\\s*;?\\s*""",
+    Pattern.CASE_INSENSITIVE)
   // ANALYZE is vanilla grammar — claimed ONLY for graft targets, where
   // Spark's own command would mis-measure (its file listing sees dead
   // files, masks and staged writes under the table location; the
@@ -204,6 +209,11 @@ object GraftMaintenance {
           return graftTarget(mTyp.group(1), mTyp.group(2)).map(t =>
             GraftAlterColumnTypeCommand(t, unquote(mTyp.group(3)),
               delegate.parseDataType(mTyp.group(4))))
+        val mBr = AlterBranchRe.matcher(sqlText)
+        if (mBr.matches())
+          return graftTarget(mBr.group(1), mBr.group(2)).map(t =>
+            GraftBranchCommand(t, mBr.group(3).toUpperCase(Locale.ROOT),
+              mBr.group(4)))
         None // every other ALTER form is Spark's
       case "OPTIMIZE" =>
         val m = OptimizeRe.matcher(sqlText)
@@ -583,6 +593,35 @@ final case class GraftAlterColumnTypeCommand(target: String, column: String,
       spark.sessionState.catalog.refreshTable(id)
     }
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t CREATE|PUBLISH|DROP BRANCH b` — the SQL face of
+  * [[graft.table.Branch]] (Iceberg's CREATE/DROP BRANCH grammar;
+  * PUBLISH is the fast-forward): CREATE forks at the current snapshot,
+  * PUBLISH replays the staged chain onto main (OCC-classified against
+  * every interleaved main commit), DROP abandons. Branch WRITES stay on
+  * the Scala face (`Branch.commitTo`) — staging is a programmatic
+  * pipeline concern; reads compose via the `graft_branch` /
+  * `graft_branches` TVFs. */
+final case class GraftBranchCommand(target: String, action: String,
+    branch: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", StringType, nullable = false)(),
+    AttributeReference("snapshot", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    action match {
+      case "CREATE" =>
+        Seq(Row(branch, graft.table.Branch.create(spark, dir, branch)))
+      case "DROP" =>
+        graft.table.Branch.drop(spark, dir, branch)
+        Seq(Row(branch, -1L))
+      case "PUBLISH" =>
+        val id = graft.table.Branch.publish(spark, dir, branch)
+        ident.foreach(spark.sessionState.catalog.refreshTable)
+        Seq(Row(branch, id))
+    }
   }
 }
 

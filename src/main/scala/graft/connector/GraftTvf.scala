@@ -106,6 +106,29 @@ object GraftTvf {
     * [[SnapshotLog.changes]] (expired snapshots, lineage-less rewrites
     * throw); an empty range yields an empty frame under the table's
     * current read schema + the change columns. */
+  /** Live branch refs: name, fork-base snapshot, staged chain length. */
+  def branches(target: String): LogicalPlan = {
+    val s = spark
+    import s.implicits._
+    val path = dirOf(target)
+    GraftSqlShim.planOf(
+      graft.table.Branch.branches(s, path).map { n =>
+        (n, graft.table.Branch.baseOf(s, path, n),
+          graft.table.Branch.chainLength(s, path, n))
+      }.toDF("branch", "base_snapshot", "staged_commits"))
+  }
+
+  /** A branch's HEAD state — the fork base folded through its staged
+    * chain, masks applied; the SQL face of [[graft.table.Branch.read]]
+    * (audit a whole staged pipeline with one query). */
+  def branch(target: String, name: String): LogicalPlan = {
+    val s = spark
+    val path = dirOf(target)
+    GraftSqlShim.planOf(graft.table.Branch.read(s, path, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch '$name' of $path has no data files")))
+  }
+
   def changes(target: String, from: Long, to: Option[Long]): LogicalPlan = {
     val s = spark
     val path = dirOf(target)

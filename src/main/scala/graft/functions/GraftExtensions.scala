@@ -100,6 +100,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_epochs(warehouse) - published cross-table sync epochs") {
       case Seq(p) => graft.connector.GraftTvf.epochs(strArg(p, "warehouse"))
     })
+    ext.injectTableFunction(tvf("graft_branches",
+      "graft_branches(path) - live branch refs of a graft table") {
+      case Seq(p) => graft.connector.GraftTvf.branches(strArg(p, "path"))
+    })
+    ext.injectTableFunction(tvf("graft_branch",
+      "graft_branch(path, name) - read a branch's HEAD state") {
+      case Seq(p, n) => graft.connector.GraftTvf.branch(strArg(p, "path"),
+        strArg(n, "name"))
+    })
     ext.injectTableFunction(tvf("graft_changes",
       "graft_changes(path, from[, to]) - row-level change feed (from, to]") {
       case Seq(p, f) => graft.connector.GraftTvf.changes(strArg(p, "path"),

@@ -126,6 +126,13 @@ object Branch {
     base
   }
 
+  /** Number of staged (unpublished) commits on the branch. */
+  def chainLength(spark: SparkSession, tableDir: String, name: String): Int = {
+    val ids = entryIds(spark, tableDir, name)
+    require(ids.contains(0), s"no branch '$name' on $tableDir")
+    ids.size - 1
+  }
+
   /** The fork-base snapshot id of a branch. */
   def baseOf(spark: SparkSession, tableDir: String, name: String): Long = {
     require(entryIds(spark, tableDir, name).contains(0),

@@ -106,6 +106,31 @@ class BranchSpec extends AnyFunSuite {
     assert(SnapshotLog.currentSnapshotId(spark, dir).contains(head))
   }
 
+  test("SQL faces: CREATE/PUBLISH/DROP BRANCH and the branch TVFs") {
+    val dir = seed("sql")
+    spark.sql(s"CREATE TABLE branch_sql USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE branch_sql CREATE BRANCH audit")
+      Branch.commitTo(spark, dir, "audit", rows(100, 120),
+        statsCol = Some("id"))
+      val b = spark.sql(s"SELECT * FROM graft_branches('$dir')").collect()
+      assert(b.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq ===
+        Seq(("audit", 1L, 1)))
+      assert(spark.sql(s"SELECT count(*) FROM graft_branch('$dir', 'audit')")
+        .head.getLong(0) === 120)
+      assert(spark.sql("SELECT count(*) FROM branch_sql")
+        .head.getLong(0) === 100, "main must not see the staged chain")
+      val pub = spark.sql("ALTER TABLE branch_sql PUBLISH BRANCH audit").head
+      assert(pub.getString(0) === "audit" && pub.getLong(1) === 2L)
+      assert(spark.sql("SELECT count(*) FROM branch_sql")
+        .head.getLong(0) === 120)
+      spark.sql("ALTER TABLE branch_sql CREATE BRANCH tmp")
+      spark.sql("ALTER TABLE branch_sql DROP BRANCH tmp")
+      assert(spark.sql(s"SELECT count(*) FROM graft_branches('$dir')")
+        .head.getLong(0) === 0)
+    } finally spark.sql("DROP TABLE branch_sql")
+  }
+
   test("branch read composes with merge-on-read masks staged on main") {
     val dir = seed("masks")
     Merge.mergeOnRead(spark, dir,
