@@ -150,6 +150,44 @@ class PosDeleteSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE posdv_t")
   }
 
+  test("soak: deletion vectors race live appends — rebases, no losses, no resurrection") {
+    val dir = seed("soak")
+    @volatile var appenderErr: Option[Throwable] = None
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val appender = new Thread(() => {
+      try {
+        for (i <- 0 until 10) {
+          spark.range(100000L + i * 10, 100000L + i * 10 + 10)
+            .select(col("id"), (col("id") % 10).as("k2"),
+              concat(lit("a"), col("id")).as("payload"), (col("id") * 2).as("v"))
+            .coalesce(1).write.format("graft").mode("append")
+            .option("statsCols", "id").save(dir)
+          appended.addAndGet(10)
+        }
+      } catch { case t: Throwable => appenderErr = Some(t) }
+    })
+    appender.start()
+    var rebases = 0
+    try {
+      // ranged deletes of single low keys: every interleaved append's
+      // zone (1e5+) is provably outside the range, so lost races REBASE
+      for (k <- 0 until 10) {
+        val id = Merge.deleteWhere(spark, dir, col("id") === k * 7,
+          ranges = Map("id" -> (k * 7L, k * 7L)))
+        assert(id.isDefined, s"key ${k * 7} must exist and delete")
+      }
+      rebases = SnapshotLog.commits(spark, dir)
+        .count(_.summary.contains("rebased_from"))
+    } finally appender.join()
+    assert(appenderErr.isEmpty, s"appender failed: $appenderErr")
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() === 2000 - 10 + appended.get())
+    assert(got.filter(col("id") % 7 === 0 && col("id") < 64).count() === 0)
+    assert(got.filter(col("id") >= 100000L).count() === appended.get(),
+      "no appended row may be lost to a delete rebase")
+    info(s"soak observed $rebases rebased commit(s)")
+  }
+
   test("OCC: an interleaved append of possibly-matching rows aborts the rebase") {
     val dir = seed("occ")
     // stage the locating scan's inputs by hand: pin, interleave, commit —
