@@ -150,6 +150,33 @@ class PosDeleteSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE posdv_t")
   }
 
+  test("positions apply across SCHEMA EPOCHS: drifted files read through the merge") {
+    // epoch 1: narrow schema; epoch 2: a widened/extra-column epoch —
+    // the masked read must merge epochs through the Evolution lattice
+    // WITH the scan-metadata columns attached per epoch group
+    val dir = tmp("drift")
+    spark.range(0, 100).select(col("id"), (col("id") % 7).cast("int").as("units"))
+      .coalesce(1).write.format("graft").option("statsCols", "id").save(dir)
+    spark.range(100, 200).select(col("id"), col("id").cast("long").as("units"),
+        concat(lit("n"), col("id")).as("note"))
+      .coalesce(1).write.format("graft").mode("append")
+      .option("statsCols", "id").save(dir)
+    // positions in BOTH epochs' files
+    assert(Merge.deleteWhere(spark, dir, col("id") % 50 === 1).isDefined)
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() === 196) // ids 1, 51, 101, 151 gone
+    assert(got.filter(col("id") % 50 === 1).count() === 0)
+    // the drifted columns survive the masked merge intact
+    assert(got.filter(col("id") === 150).head.getAs[String]("note") === "n150")
+    assert(got.filter(col("id") === 2).schema("units").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // and the feed derives full payloads from both epochs' positions
+    val feed = SnapshotLog.changes(spark, dir, from = 2L).get
+      .filter(col("_change_op") === "delete")
+    assert(feed.count() === 4)
+    assert(feed.filter(col("id") === 151).head.getAs[String]("note") === "n151")
+  }
+
   test("soak: deletion vectors race live appends — rebases, no losses, no resurrection") {
     val dir = seed("soak")
     @volatile var appenderErr: Option[Throwable] = None
