@@ -93,6 +93,30 @@ final class GraftCatalog extends TableCatalog {
     new GraftV2Table(dir)
   }
 
+  /** `SELECT … FROM cat.t VERSION AS OF n|'tag'` — the V2 time-travel
+    * contract: version strings resolve as snapshot ids or named tags,
+    * exactly the V1 `versionAsOf`/`tagAsOf` semantics. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    val snap =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else SnapshotLog.snapshotForTag(spark, dir, version)
+    new GraftV2Table(dir, Some(snap))
+  }
+
+  /** `… TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    new GraftV2Table(dir,
+      Some(SnapshotLog.snapshotAsOfTimestamp(spark, dir, timestamp / 1000L)))
+  }
+
   /** CREATE TABLE: an empty snapshot-1 table whose schema rides a
     * zero-row carrier file — immediately readable, writable through the
     * V1 face at the same location. Partitioning transforms refuse (the
@@ -141,17 +165,20 @@ final class GraftCatalog extends TableCatalog {
   }
 }
 
-/** One graft table under the V2 catalog: BATCH_READ via the
-  * pushdown-aware scan builder below. */
-private[connector] final class GraftV2Table(dir: String)
+/** One graft table under the V2 catalog (optionally pinned to a
+  * time-travel snapshot): BATCH_READ via the pushdown-aware scan
+  * builder below. */
+private[connector] final class GraftV2Table(dir: String,
+                                            asOf: Option[Long] = None)
     extends Table with SupportsRead {
 
   private def spark = SparkSession.active
 
-  override def name(): String = dir
+  override def name(): String =
+    dir + asOf.fold("")(v => s"@v$v")
 
   override lazy val schema: StructType =
-    GraftDataSource.visibleState(spark, dir, None)._4
+    GraftDataSource.visibleState(spark, dir, asOf)._4
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -160,7 +187,7 @@ private[connector] final class GraftV2Table(dir: String)
     Map("provider" -> "graft", "location" -> dir).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, dir)
+    new GraftScanBuilder(spark, dir, asOf)
 }
 
 /** The V2 scan builder: pins ONE snapshot at construction (every
@@ -170,13 +197,14 @@ private[connector] final class GraftV2Table(dir: String)
   * prunes columns, and answers the provably-exact aggregate pushdowns
   * from metadata alone. */
 private[connector] final class GraftScanBuilder(spark: SparkSession,
-                                                dir: String)
+                                                dir: String,
+                                                asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   // pinned snapshot state — the scan's one consistent view
   private val (dels, data, epochSchemas, visible, reg) =
-    GraftDataSource.visibleState(spark, dir, None)
+    GraftDataSource.visibleState(spark, dir, asOf)
 
   private var required: StructType = visible
   private var pushed: Array[Filter] = Array.empty
@@ -309,7 +337,7 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       val kept =
         if (rs.isEmpty) data
         else data.filter(SnapshotLog.zoneKeeps(_, rs))
-      new GraftBridgeScan(dir, kept, dels, required,
+      new GraftBridgeScan(dir, kept, dels, reg, required,
         prunedAway = data.size - kept.size)
   }
 }
@@ -338,6 +366,7 @@ private[connector] final class GraftMetadataAggScan(aggSchema: StructType,
   * Reports manifest-exact statistics to CBO. */
 private[connector] final class GraftBridgeScan(dir: String,
     kept: Seq[SnapshotLog.DataFile], dels: Seq[SnapshotLog.DataFile],
+    pinnedReg: Option[graft.table.FieldRegistry],
     required: StructType, prunedAway: Int)
     extends V1Scan with SupportsReportStatistics {
 
@@ -358,7 +387,7 @@ private[connector] final class GraftBridgeScan(dir: String,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
-    val scanDir = dir; val files = kept; val masks = dels
+    val files = kept; val masks = dels
     val cols = required
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
@@ -370,9 +399,9 @@ private[connector] final class GraftBridgeScan(dir: String,
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cols)
           else {
             val full = SnapshotLog.applyMasks(spark, files, masks)
-            val reg = SnapshotLog.registryAt(spark, scanDir)
-              .filterNot(_.isIdentity)
-            val logical = reg.map(_.toLogical(full)).getOrElse(full)
+            // the registry PINNED with the file set — resolving latest
+            // here would rename a time-travel read's columns forward
+            val logical = pinnedReg.map(_.toLogical(full)).getOrElse(full)
             val present = logical.columns
               .map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
             // old epochs may lack declared columns: null-fill like the

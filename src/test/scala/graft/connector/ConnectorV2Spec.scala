@@ -117,6 +117,24 @@ class ConnectorV2Spec extends AnyFunSuite {
       "WHERE id >= 2100 AND id < 2200").head.getLong(0) === 95)
   }
 
+  test("V2 time travel: VERSION AS OF id and tag pin the snapshot") {
+    val wh = freshWarehouse("tt")
+    val dir = s"$wh/t"
+    rows(0, 50).coalesce(1).write.format("graft")
+      .option("statsCols", "id").save(dir)
+    SnapshotLog.tag(spark, dir, "first", 1L)
+    rows(50, 80).coalesce(1).write.format("graft").mode("append")
+      .option("statsCols", "id").save(dir)
+    assert(spark.sql("SELECT count(*) FROM gv2_tt.t").head.getLong(0) === 80)
+    assert(spark.sql("SELECT count(*) FROM gv2_tt.t VERSION AS OF 1")
+      .head.getLong(0) === 50)
+    assert(spark.sql("SELECT count(*) FROM gv2_tt.t VERSION AS OF 'first'")
+      .head.getLong(0) === 50)
+    assert(spark.sql(
+      "SELECT count(*) FROM gv2_tt.t TIMESTAMP AS OF '2099-01-01 00:00:00'")
+      .head.getLong(0) === 80)
+  }
+
   test("CBO statistics come from manifests (exact rows on mask-free tables)") {
     val wh = freshWarehouse("stats")
     rows(0, 500).coalesce(1).write.format("graft")
