@@ -68,6 +68,13 @@ final class GraftCatalog extends TableCatalog {
       (ident.namespace().length == 1 && ident.namespace()(0) == "default"),
       s"catalog $catName has a single flat namespace, got " +
         ident.namespace().mkString("."))
+    // table names map to DIRECT children of the warehouse root — a
+    // backquoted name carrying '/' or '..' would otherwise escape it
+    // (DROP TABLE would then recursively delete a foreign directory)
+    require(ident.name().matches("[A-Za-z0-9._-]{1,128}") &&
+      !ident.name().contains(".."),
+      s"catalog $catName: table name '${ident.name()}' must be 1-128 " +
+        "chars of [A-Za-z0-9._-] without '..'")
     s"$warehouse/${ident.name()}"
   }
 
@@ -153,32 +160,41 @@ final class GraftCatalog extends TableCatalog {
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = new Path(dirOf(oldIdent))
-    val to = new Path(dirOf(newIdent))
-    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!isTable(from.toString))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Array(catName) ++ oldIdent.namespace() :+ oldIdent.name())
-    require(fs.rename(from, to),
-      s"could not rename $from to $to (target exists?)")
-  }
+  /** Refused: graft manifests record ABSOLUTE data-file paths, so a
+    * directory move would strand every reference (the first read after
+    * a naive fs rename throws PATH_NOT_FOUND — caught by the V2 spec's
+    * post-rename read). A rename needs a manifest-rewriting migration
+    * (or relative-path manifests); until then the honest answer is a
+    * loud refusal, never a table that lists but cannot be read. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catName: RENAME of graft tables is not supported — " +
+        "manifests reference absolute data-file paths; copy with CTAS " +
+        "(CREATE TABLE … AS SELECT) instead")
 }
 
 /** One graft table under the V2 catalog (optionally pinned to a
   * time-travel snapshot): BATCH_READ via the pushdown-aware scan
-  * builder below. */
+  * builder below. The snapshot resolves ONCE per table instance and is
+  * SHARED with every scan builder — the schema Spark analyzed against
+  * and the files the scan reads can never disagree (a commit landing
+  * between analysis and planning would otherwise silently null-fill
+  * the difference), and manifest/footer IO is paid once per query. */
 private[connector] final class GraftV2Table(dir: String,
                                             asOf: Option[Long] = None)
     extends Table with SupportsRead {
 
   private def spark = SparkSession.active
 
+  private[connector] lazy val state
+      : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile],
+         Seq[StructType], StructType, Option[graft.table.FieldRegistry]) =
+    GraftDataSource.visibleState(spark, dir, asOf)
+
   override def name(): String =
     dir + asOf.fold("")(v => s"@v$v")
 
-  override lazy val schema: StructType =
-    GraftDataSource.visibleState(spark, dir, asOf)._4
+  override lazy val schema: StructType = state._4
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -187,7 +203,7 @@ private[connector] final class GraftV2Table(dir: String,
     Map("provider" -> "graft", "location" -> dir).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, dir, asOf)
+    new GraftScanBuilder(spark, dir, state)
 }
 
 /** The V2 scan builder: pins ONE snapshot at construction (every
@@ -197,14 +213,17 @@ private[connector] final class GraftV2Table(dir: String,
   * prunes columns, and answers the provably-exact aggregate pushdowns
   * from metadata alone. */
 private[connector] final class GraftScanBuilder(spark: SparkSession,
-                                                dir: String,
-                                                asOf: Option[Long] = None)
+    dir: String,
+    state: (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile],
+      Seq[StructType], StructType, Option[graft.table.FieldRegistry]))
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  // pinned snapshot state — the scan's one consistent view
-  private val (dels, data, epochSchemas, visible, reg) =
-    GraftDataSource.visibleState(spark, dir, asOf)
+  private[connector] def this(spark: SparkSession, dir: String) =
+    this(spark, dir, GraftDataSource.visibleState(spark, dir, None))
+
+  // pinned snapshot state — shared with the TABLE's analyzed schema
+  private val (dels, data, epochSchemas, visible, reg) = state
 
   private var required: StructType = visible
   private var pushed: Array[Filter] = Array.empty
@@ -334,9 +353,14 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       new GraftMetadataAggScan(aggSchema, row)
     case None =>
       val rs = ranges(pushed)
+      // pruning decisions speak LOGICAL names (the filters') — manifest
+      // stats keys are PHYSICAL: translate each file's metadata through
+      // the pinned registry first, or a rename-swap / re-added namesake
+      // column would prune against the WRONG column's zones
       val kept =
         if (rs.isEmpty) data
-        else data.filter(SnapshotLog.zoneKeeps(_, rs))
+        else data.filter(f => SnapshotLog.zoneKeeps(
+          reg.map(_.translateMeta(f)).getOrElse(f), rs))
       new GraftBridgeScan(dir, kept, dels, reg, required,
         prunedAway = data.size - kept.size)
   }

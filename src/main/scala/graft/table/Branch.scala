@@ -115,13 +115,18 @@ object Branch {
   }
 
   /** Fork a branch at the CURRENT main snapshot. Throws if the name is
-    * taken or the table is empty. */
+    * taken or the table is empty. The fork records a unique TOKEN: the
+    * publish-idempotence markers are scoped to it, so re-creating and
+    * re-publishing a previously-published NAME (the normal fixed-name
+    * WAP pattern) can never mistake an old publish's markers for this
+    * chain's and silently skip staged commits. */
   def create(spark: SparkSession, tableDir: String, name: String): Long = {
     val base = SnapshotLog.currentSnapshotId(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"cannot branch an empty table $tableDir"))
     require(writeEntry(spark, tableDir, name, 0, "fork", Seq.empty, Seq.empty,
-      Map("branch" -> name), base),
+      Map("branch" -> name,
+        "token" -> java.util.UUID.randomUUID().toString), base),
       s"branch '$name' already exists on $tableDir")
     base
   }
@@ -231,15 +236,23 @@ object Branch {
     // between a delta's commit and its entry delete leaves the entry
     // looking pending — the summary marker on the landed commit is the
     // durability witness, so a re-run finishes the cleanup instead of
-    // re-referencing the same files twice
-    val already = SnapshotLog.commits(spark, tableDir)
-      .filter(_.summary.get("branch_published").contains(name))
-      .flatMap(_.summary.get("branch_k")).map(_.toInt).toSet
+    // re-referencing the same files twice. Markers are scoped by the
+    // fork TOKEN: a marker left by a PREVIOUS publish of the same
+    // branch NAME must never claim this chain's k values (it would
+    // silently skip — lose — the re-created branch's staged commits).
+    val token = entries.head.summary.getOrElse("token", "")
+    val already =
+      if (token.isEmpty) Set.empty[Int] // pre-token fork: never skip
+      else SnapshotLog.commits(spark, tableDir)
+        .filter(c => c.summary.get("branch_published").contains(name) &&
+          c.summary.get("branch_token").contains(token))
+        .flatMap(_.summary.get("branch_k")).map(_.toInt).toSet
     entries.drop(1).foreach { e =>
       if (!already.contains(e.k))
         head = SnapshotLog.commitPinned(spark, tableDir, head, e.op, e.added,
           e.removed, e.summary ++
-            Map("branch_published" -> name, "branch_k" -> e.k.toString),
+            Map("branch_published" -> name, "branch_k" -> e.k.toString,
+              "branch_token" -> token),
           guard = guard) // same rules for races DURING the replay
       fs.delete(entryPath(tableDir, name, e.k), false)
     }

@@ -584,9 +584,14 @@ object Merge {
     val logical = reg.map(_.toLogical(raw)).getOrElse(raw)
     val hits = logical.filter(cond(logical))
       .select(col(SnapshotLog.PosFileCol), col(SnapshotLog.PosOrdCol))
-    if (hits.isEmpty) return None
+    // ONE pass: write the mask first, discard it when nothing matched —
+    // an emptiness pre-probe would run the (possibly large, zone-pruned)
+    // locating scan twice. A discarded zero-row file is an unreferenced
+    // orphan the grace-gated sweep reclaims, the same contract as a
+    // superseded merge attempt's mask.
     val written = SnapshotLog.writeData(hits.coalesce(1), tableDir,
       kind = "posdelete", rawPhysical = true)
+    if (written.map(_.rows).sum == 0L) return None
     // the predicate ranged over every candidate row: an interleaved
     // append inside the pruning window may hold rows this DELETE should
     // have covered (ConcurrentAppend), and a commit that removed a

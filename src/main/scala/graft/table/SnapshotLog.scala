@@ -295,6 +295,10 @@ object SnapshotLog {
     val sizes = fs.listStatus(new Path(dst)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
+    // an EMPTY frame emits no part files at all — return no entries
+    // instead of failing the stats read-back on a fileless directory
+    // (write-first-then-discard callers depend on this: deleteWhere)
+    if (sizes.isEmpty) { fs.delete(new Path(dst), true); return Seq.empty }
     val written = spark.read.parquet(dst)
     // every requested stats column rides the same one-pass per-file
     // aggregate — a per-COLUMN zone map, the Iceberg metrics posture.
@@ -1925,11 +1929,24 @@ object SnapshotLog {
       .select(col(PosFileCol), col(PosOrdCol)).distinct()
     val targets = masks.select(PosFileCol).distinct()
       .collect().map(_.getString(0)).toIndexedSeq
+    // the targets may span SCHEMA EPOCHS (positions in a pre-widening
+    // file next to positions in a drifted one): a raw multi-path read
+    // would adopt one arbitrary footer and silently null/drop the other
+    // epoch's columns from the delete payloads — group by footer schema
+    // (one read per targeted file: O(masked files), driver metadata)
+    // and merge through the Evolution lattice like every file-list
+    // consumer
+    def withPos(df: DataFrame) = df.select(col("*"),
+      col("_metadata.file_path").as(PosFileCol),
+      col("_metadata.row_index").as(PosOrdCol))
+    val groups = targets.map(p => spark.read.parquet(p).schema -> p)
+      .groupBy(_._1).toSeq.map { case (_, ps) =>
+        withPos(spark.read.parquet(ps.map(_._2): _*)) }
+    val unioned =
+      if (groups.size == 1) groups.head
+      else graft.schema.Evolution.mergeEpochs(groups, Map.empty)
     hideInternal(
-      spark.read.parquet(targets: _*)
-        .select(col("*"),
-          col("_metadata.file_path").as(PosFileCol),
-          col("_metadata.row_index").as(PosOrdCol))
+      unioned
         .join(broadcast(masks), Seq(PosFileCol, PosOrdCol), "left_semi")
         .drop(PosFileCol, PosOrdCol))
   }

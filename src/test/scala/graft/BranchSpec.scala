@@ -131,6 +131,23 @@ class BranchSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE branch_sql")
   }
 
+  test("re-creating a published branch NAME republishes cleanly (no marker collision)") {
+    // the fixed-name WAP pattern: the same branch name forks, stages and
+    // publishes every cycle — an old publish's idempotence markers must
+    // never claim the NEW chain's k values (the token scoping)
+    val dir = seed("republish")
+    Branch.create(spark, dir, "wap")
+    Branch.commitTo(spark, dir, "wap", rows(100, 110), statsCol = Some("id"))
+    Branch.publish(spark, dir, "wap")
+    assert(spark.read.format("graft").load(dir).count() === 110)
+    Branch.create(spark, dir, "wap")
+    Branch.commitTo(spark, dir, "wap", rows(200, 220), statsCol = Some("id"))
+    Branch.publish(spark, dir, "wap")
+    assert(spark.read.format("graft").load(dir).count() === 130,
+      "the re-created chain's staged commits must land, not be skipped " +
+        "as already-published")
+  }
+
   test("branch read composes with merge-on-read masks staged on main") {
     val dir = seed("masks")
     Merge.mergeOnRead(spark, dir,

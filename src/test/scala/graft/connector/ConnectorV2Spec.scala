@@ -50,10 +50,20 @@ class ConnectorV2Spec extends AnyFunSuite {
       .write.format("graft").mode("append").save(s"$wh/t2")
     assert(spark.sql("SELECT count(*) FROM gv2_cat.t2").head.getLong(0) === 5)
     intercept[Exception] { spark.sql("CREATE TABLE gv2_cat.t2 (x INT)") }
-    spark.sql("ALTER TABLE gv2_cat.t2 RENAME TO t3")
-    assert(spark.sql("SHOW TABLES IN gv2_cat").collect()
-      .map(_.getString(1)).toSet === Set("t1", "t3"))
-    spark.sql("DROP TABLE gv2_cat.t3")
+    // RENAME refuses loudly: manifests hold ABSOLUTE file paths, so a
+    // directory move would strand every reference — a naive fs rename
+    // left a table that listed but threw PATH_NOT_FOUND on first read
+    val eRen = intercept[Exception] {
+      spark.sql("ALTER TABLE gv2_cat.t2 RENAME TO t3") }
+    assert(eRen.getMessage.contains("absolute data-file paths"),
+      eRen.getMessage)
+    assert(spark.sql("SELECT count(*) FROM gv2_cat.t2").head.getLong(0) === 5,
+      "the refused rename must leave the table fully readable")
+    // a path-escaping identifier must refuse before any fs operation
+    val eEsc = intercept[Exception] {
+      spark.sql("DROP TABLE gv2_cat.`../escape`") }
+    assert(eEsc.getMessage.contains("must be 1-128 chars"), eEsc.getMessage)
+    spark.sql("DROP TABLE gv2_cat.t2")
     assert(spark.sql("SHOW TABLES IN gv2_cat").collect()
       .map(_.getString(1)).toSet === Set("t1"))
   }
