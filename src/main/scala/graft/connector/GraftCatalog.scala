@@ -217,7 +217,8 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
     state: (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile],
       Seq[StructType], StructType, Option[graft.table.FieldRegistry]))
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private[connector] def this(spark: SparkSession, dir: String) =
     this(spark, dir, GraftDataSource.visibleState(spark, dir, None))
@@ -238,6 +239,20 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  private var limit: Option[Int] = None
+
+  /** LIMIT prunes FILES from manifest row counts: keep files only until
+    * the cumulative count covers n — `SELECT * FROM t LIMIT 10` opens
+    * ONE file of a million. Sound only when manifest rows equal logical
+    * rows (mask-free) and no residual filter could reject rows (Spark
+    * still re-applies the LIMIT; this pruning may only skip files whose
+    * rows provably cannot be needed). Partial pushdown: return false so
+    * Spark keeps its own Limit on top. */
+  override def pushLimit(n: Int): Boolean = {
+    if (dels.isEmpty && pushed.isEmpty) limit = Some(n)
+    false // we only prune files; the engine's Limit still applies
+  }
 
   // ------------------------------------------------------ agg pushdown
 
@@ -357,10 +372,18 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       // stats keys are PHYSICAL: translate each file's metadata through
       // the pinned registry first, or a rename-swap / re-added namesake
       // column would prune against the WRONG column's zones
-      val kept =
+      val zoneKept =
         if (rs.isEmpty) data
         else data.filter(f => SnapshotLog.zoneKeeps(
           reg.map(_.translateMeta(f)).getOrElse(f), rs))
+      val kept = limit match {
+        case Some(n) =>
+          // prefix of files whose cumulative manifest rows covers n
+          val counts = zoneKept.scanLeft(0L)(_ + _.rows).tail
+          val need = counts.indexWhere(_ >= n.toLong)
+          if (need < 0) zoneKept else zoneKept.take(need + 1)
+        case None => zoneKept
+      }
       new GraftBridgeScan(dir, kept, dels, reg, required,
         prunedAway = data.size - kept.size)
   }

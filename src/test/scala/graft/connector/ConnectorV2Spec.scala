@@ -145,6 +145,35 @@ class ConnectorV2Spec extends AnyFunSuite {
       .head.getLong(0) === 80)
   }
 
+  test("LIMIT prunes files by manifest row counts on mask-free tables") {
+    val wh = freshWarehouse("limit")
+    val dir = s"$wh/t"
+    for (b <- 0 until 4)
+      rows(b * 1000L, (b + 1) * 1000L).coalesce(1).write.format("graft")
+        .mode(if (b == 0) "error" else "append")
+        .option("statsCols", "id").save(dir)
+    val sb = new GraftScanBuilder(spark, dir)
+    assert(!sb.pushLimit(10), "partial pushdown: the engine keeps its Limit")
+    sb.build() match {
+      case b: GraftBridgeScan =>
+        assert(b.description().contains("files=1"), b.description())
+        assert(b.description().contains("pruned=3"), b.description())
+      case other => fail(s"expected the bridge scan, got $other")
+    }
+    assert(spark.sql("SELECT * FROM gv2_limit.t LIMIT 10").count() === 10)
+    assert(spark.sql("SELECT count(*) FROM (SELECT * FROM gv2_limit.t LIMIT 3500) s")
+      .head.getLong(0) === 3500, "a limit spanning files keeps enough of them")
+    // masked tables never limit-prune (manifest rows ≠ logical rows)
+    Merge.deleteWhere(spark, dir, col("id") < 5)
+    val sb2 = new GraftScanBuilder(spark, dir)
+    sb2.pushLimit(10)
+    sb2.build() match {
+      case b: GraftBridgeScan =>
+        assert(b.description().contains("pruned=0"), b.description())
+      case other => fail(s"expected the bridge scan, got $other")
+    }
+  }
+
   test("CBO statistics come from manifests (exact rows on mask-free tables)") {
     val wh = freshWarehouse("stats")
     rows(0, 500).coalesce(1).write.format("graft")
