@@ -331,6 +331,30 @@ object ConnectorQueries {
       base
     }
 
+  /** The V2 WRITE-face warehouse behind `conn_v2_write`: the table is
+    * built end-to-end through the DataSourceV2 catalog's OWN write
+    * contract — atomic CTAS (even orderkeys, with pruning metadata via
+    * TBLPROPERTIES), SQL INSERT INTO (the odd half, a V1Write-bridge
+    * append commit), then a V2 `DELETE` whose filters lower onto the
+    * zone-pruned row-level DML machinery. Every row surviving in the
+    * final read proves the whole write path against the DuckDB oracle. */
+  private def v2WriteWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "v2w") { base =>
+      s.conf.set("spark.sql.catalog.graft_v2w", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_v2w.warehouse", base)
+      orders(s, d).createOrReplaceTempView("v2w_src")
+      s.sql("""CREATE TABLE graft_v2w.orders_w
+              |TBLPROPERTIES ('statsCols' = 'o_orderkey') AS
+              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              |FROM v2w_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_v2w.orders_w
+              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              |FROM v2w_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql("DELETE FROM graft_v2w.orders_w " +
+        "WHERE o_orderkey < 300 OR o_orderstatus = 'P'")
+      base
+    }
+
   /** A WAP-CHAIN branch warehouse ([[graft.table.Branch]]): F-status
     * orders land on main, then a branch stages the O and P halves as TWO
     * chain commits — auditable at the branch head the whole time while
@@ -437,6 +461,20 @@ object ConnectorQueries {
       s.conf.set("spark.sql.catalog.graft_v2.warehouse", root)
       s.sql("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key FROM graft_v2.orders_v2")
+    }),
+    // the V2 WRITE face end-to-end: a table built purely through the
+    // V2 catalog's write contract (atomic CTAS + INSERT INTO + V2
+    // DELETE) must read back exactly as the declarative SQL over the
+    // raw input — writes may only change the LOG, never the answer
+    "conn_v2_write" -> ((s, d) => {
+      val root = v2WriteWarehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_v2w", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_v2w.warehouse", root)
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM graft_v2w.orders_w
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
     // the branch-head read: a two-commit staged chain folds over the
     // fork base exactly like published history — full-table totals out
@@ -641,6 +679,13 @@ object ConnectorQueries {
     "conn_v2_agg" ->
       """SELECT count(*) AS n, min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
+    "conn_v2_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderkey < 300 OR o_orderstatus = 'P')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_branch_read" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

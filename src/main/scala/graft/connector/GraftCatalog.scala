@@ -7,10 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => cexpr}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max => VMax, Min => VMin}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types._
@@ -43,10 +45,17 @@ import graft.table.SnapshotLog
   * file pruning already applied. `SupportsReportStatistics` hands CBO
   * manifest-exact row/byte counts.
   *
-  * Writes stay on the V1 face (`format("graft")` / SQL through the
-  * injected rules) — the published Delta posture for a long migration:
-  * both faces share one log, so mixing them is safe by construction. */
-final class GraftCatalog extends TableCatalog {
+  * The WRITE path (r12) rides the V1-fallback write contract — see
+  * [[GraftV2WriteBuilder]]: `INSERT INTO cat.t`, `INSERT OVERWRITE`,
+  * `df.writeTo("cat.t").append()`, `TRUNCATE TABLE`, filter-convertible
+  * `DELETE`, and atomic CTAS / `[CREATE OR] REPLACE TABLE … AS SELECT`
+  * through [[StagingTableCatalog]] (files stage invisibly, the manifest
+  * commits last — a killed CTAS leaves no half-table). `ALTER TABLE`
+  * maps [[TableChange]]s onto the same metadata-only maintenance
+  * commits the SQL face uses (ADD COLUMNS carrier, field-registry
+  * RENAME/DROP, widening-only TYPE changes). Both faces share one
+  * optimistic log, so V1 and V2 writers interleave safely. */
+final class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -144,12 +153,103 @@ final class GraftCatalog extends TableCatalog {
     new GraftV2Table(dir)
   }
 
+  /** `ALTER TABLE cat.t …` through the V2 contract, lowered onto the
+    * SAME metadata-only maintenance commits the SQL face performs (one
+    * `schema` commit each; zero data bytes move): ADD COLUMNS → a
+    * zero-row schema-carrier file, RENAME/DROP COLUMN → a field-registry
+    * commit (Delta column-mapping school), ALTER COLUMN TYPE → the
+    * widening-only carrier. Property / position / nullability /
+    * constraint changes refuse loudly. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through the graft V2 catalog is not supported yet — use the " +
-        "SQL maintenance face on a V1 catalog table or the table-dir " +
-        "target form (ALTER TABLE 'path/to/dir' …)")
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    // every ADD in one statement lands as ONE carrier commit (the SQL
+    // face's ADD COLUMNS (a, b) shape); other change kinds apply in
+    // statement order
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1,
+        "graft ALTER TABLE: nested ADD COLUMN is not supported, got " +
+          a.fieldNames().mkString("."))
+      require(a.position() == null,
+        "graft ALTER TABLE: column positions (FIRST/AFTER) are not " +
+          "supported — columns append")
+    }
+    if (adds.nonEmpty)
+      GraftAddColumnsCommand(dir, StructType(adds.map(a =>
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true))))
+        .run(spark)
+    changes.filterNot(_.isInstanceOf[TableChange.AddColumn]).foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft ALTER TABLE: nested RENAME COLUMN is not supported")
+        GraftRenameColumnCommand(dir, r.fieldNames()(0), r.newName()).run(spark)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "graft ALTER TABLE: nested DROP COLUMN is not supported")
+        GraftDropColumnCommand(dir, d.fieldNames()(0)).run(spark)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft ALTER TABLE: nested ALTER COLUMN TYPE is not supported")
+        GraftAlterColumnTypeCommand(dir, u.fieldNames()(0), u.newDataType())
+          .run(spark)
+      case n: TableChange.UpdateColumnNullability if n.nullable() =>
+        () // every graft column is already nullable: a no-op, not an error
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE: unsupported change $other (supported: ADD " +
+          "COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE)")
+    }
+    new GraftV2Table(dir)
+  }
+
+  // ----------------------------------------------- atomic CTAS / RTAS
+
+  /** CTAS: the staged table collects the query's files; the manifest
+    * commits only in `commitStagedChanges` (CAS at snapshot 1 — a racing
+    * creator throws). A pre-existing table refuses HERE, before any
+    * write work. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft V2 tables take no PARTITIONED BY transforms: layout is " +
+        "manifest-driven (statsCols/bloomCol/partitionCols properties)")
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    new GraftStagedTable(spark, dir, schema, replace = false,
+      orCreate = false, properties)
+  }
+
+  /** RTAS: files stage invisibly, then ONE atomic whole-live-set swap —
+    * readers see the old table or the new one, never a mixture, and
+    * pre-replace snapshots stay time-travelable. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty,
+      "graft V2 tables take no PARTITIONED BY transforms")
+    val dir = dirOf(ident)
+    if (!isTable(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catName) ++ ident.namespace() :+ ident.name())
+    new GraftStagedTable(spark, dir, schema, replace = true,
+      orCreate = false, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable = {
+    require(partitions.isEmpty,
+      "graft V2 tables take no PARTITIONED BY transforms")
+    new GraftStagedTable(spark, dirOf(ident), schema, replace = true,
+      orCreate = true, properties)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
@@ -182,9 +282,13 @@ final class GraftCatalog extends TableCatalog {
   * the difference), and manifest/footer IO is paid once per query. */
 private[connector] final class GraftV2Table(dir: String,
                                             asOf: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite
+    with TruncatableTable with SupportsDelete {
 
   private def spark = SparkSession.active
+
+  private[connector] def tableDir: String = dir
+  private[connector] def pinnedAsOf: Option[Long] = asOf
 
   private[connector] lazy val state
       : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile],
@@ -196,14 +300,111 @@ private[connector] final class GraftV2Table(dir: String,
 
   override lazy val schema: StructType = state._4
 
+  /** A time-travel-pinned table is READ-ONLY (no write capabilities at
+    * all, so INSERT/DELETE refuse at analysis, not at commit time). */
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    (if (asOf.isDefined) Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)).asJava
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "location" -> dir).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, dir, state)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"graft table $dir: cannot write to a time-travel relation")
+    new GraftV2WriteBuilder(dir, state._4)
+  }
+
+  /** `TRUNCATE TABLE cat.t` — one metadata commit removing every live
+    * file; the schema survives on a zero-row carrier (in PHYSICAL space
+    * on registry tables, like every data file), and pre-truncate
+    * snapshots stay time-travelable. Zero data bytes move. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty,
+      s"graft table $dir: cannot TRUNCATE a time-travel relation")
+    val reg = SnapshotLog.registryAt(spark, dir).filterNot(_.isIdentity)
+    val visible = GraftDataSource.visibleState(spark, dir, None)._4
+    val carrierSchema = reg match {
+      case Some(r) => StructType(visible.fields.map(f =>
+        f.copy(name = r.physicalOf(f.name).getOrElse(f.name))))
+      case None => visible
+    }
+    val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, carrierSchema)
+    GraftDataSource.replaceAll(spark, dir, Seq(carrier),
+      Map("mode" -> "truncate"))
+    true
+  }
+
+  // ------------------------------------------------------- V2 DELETE
+
+  /** Filters → a Catalyst predicate over the V1 relation's output
+    * attributes, so V2 DELETE lowers onto the SAME row-level machinery
+    * ([[GraftDml.delete]]: metadata-provable file drops, zone/bloom-
+    * pruned COW rewrite, pinned-base OCC) as the V1 SQL face. */
+  private def toExpr(f: Filter, out: Seq[cexpr.Attribute])
+      : Option[cexpr.Expression] = {
+    def attr(name: String): Option[cexpr.Attribute] =
+      out.find(_.name.equalsIgnoreCase(name))
+    def lit(v: Any): cexpr.Literal = cexpr.Literal(v)
+    f match {
+      case sources.AlwaysTrue() => Some(cexpr.Literal.TrueLiteral)
+      case sources.AlwaysFalse() => Some(cexpr.Literal.FalseLiteral)
+      case sources.EqualTo(c, v) => attr(c).map(a => cexpr.EqualTo(a, lit(v)))
+      case sources.EqualNullSafe(c, v) =>
+        attr(c).map(a => cexpr.EqualNullSafe(a, lit(v)))
+      case sources.GreaterThan(c, v) =>
+        attr(c).map(a => cexpr.GreaterThan(a, lit(v)))
+      case sources.GreaterThanOrEqual(c, v) =>
+        attr(c).map(a => cexpr.GreaterThanOrEqual(a, lit(v)))
+      case sources.LessThan(c, v) => attr(c).map(a => cexpr.LessThan(a, lit(v)))
+      case sources.LessThanOrEqual(c, v) =>
+        attr(c).map(a => cexpr.LessThanOrEqual(a, lit(v)))
+      case sources.In(c, vs) =>
+        attr(c).map(a => cexpr.In(a, vs.toSeq.map(lit)))
+      case sources.IsNull(c) => attr(c).map(cexpr.IsNull)
+      case sources.IsNotNull(c) => attr(c).map(cexpr.IsNotNull)
+      case sources.StringStartsWith(c, p) =>
+        attr(c).map(a => cexpr.StartsWith(a, lit(p)))
+      case sources.StringEndsWith(c, p) =>
+        attr(c).map(a => cexpr.EndsWith(a, lit(p)))
+      case sources.StringContains(c, p) =>
+        attr(c).map(a => cexpr.Contains(a, lit(p)))
+      case sources.And(l, r) =>
+        for (le <- toExpr(l, out); re <- toExpr(r, out))
+          yield cexpr.And(le, re)
+      case sources.Or(l, r) =>
+        for (le <- toExpr(l, out); re <- toExpr(r, out))
+          yield cexpr.Or(le, re)
+      case sources.Not(c) => toExpr(c, out).map(cexpr.Not)
+      case _ => None
+    }
+  }
+
+  private def v1Target: GraftDml.DmlTarget = {
+    val plan = spark.read.format("graft").load(dir).queryExecution.analyzed
+    GraftDml.dmlTarget(plan).getOrElse(throw new IllegalStateException(
+      s"graft table $dir: could not resolve the DML target relation"))
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    if (asOf.isDefined) return false
+    val out = v1Target.output
+    filters.forall(f => toExpr(f, out).isDefined)
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty,
+      s"graft table $dir: cannot DELETE from a time-travel relation")
+    val t = v1Target
+    val cond = filters.toSeq.flatMap(toExpr(_, t.output))
+      .reduceOption[cexpr.Expression](cexpr.And)
+      .getOrElse(cexpr.Literal.TrueLiteral)
+    GraftDml.delete(spark, t, cond)
+  }
 }
 
 /** The V2 scan builder: pins ONE snapshot at construction (every

@@ -134,6 +134,18 @@ object GraftDml {
   private[connector] def dmlTarget(plan: LogicalPlan): Option[DmlTarget] =
     plan match {
       case SubqueryAlias(_, child) => dmlTarget(child)
+      // the DataSourceV2 catalog face (r12): UPDATE / MERGE / arbitrary-
+      // predicate DELETE against `cat.t` lower onto the SAME commands as
+      // the V1 face — the V2 table contributes only (dir, output attrs);
+      // filter-convertible DELETEs on sessions WITHOUT the graft
+      // extensions still work through SupportsDelete (the engine
+      // contract), this rule just claims them first when injected
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table match {
+          case g: GraftV2Table =>
+            Some(DmlTarget(g.tableDir, r.output, g.pinnedAsOf.isDefined, None))
+          case _ => None
+        }
       case lr: LogicalRelation =>
         val ident = lr.catalogTable.map(_.identifier)
         // the declared lineage key reads from CREATE TABLE OPTIONS

@@ -1,0 +1,176 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+
+import graft.table.SnapshotLog
+
+/** The WRITE half of the DataSourceV2 face ([[GraftCatalog]]).
+  *
+  * Both shapes ride the engine's V1-fallback write contract (the
+  * published JDBC-connector pattern): the [[WriteBuilder]] returns a
+  * [[V1Write]] whose `InsertableRelation` lowers onto the SAME
+  * snapshot-log commit entry points every other face uses
+  * ([[GraftDataSource.insertInto]] / [[SnapshotLog.writeData]] +
+  * [[SnapshotLog.commitAt]]), so V1 writers, SQL DML, streaming sinks
+  * and V2 writers interleave safely by construction — one optimistic
+  * log arbitrates them all.
+  *
+  *  - [[GraftV2WriteBuilder]] — writes into an EXISTING table:
+  *    `INSERT INTO cat.t`, `df.writeTo("cat.t").append()`, and
+  *    `INSERT OVERWRITE` (the builder's `truncate()` flips the commit
+  *    from an append to the atomic whole-live-set replacement).
+  *  - [[GraftStagedTable]] — atomic CTAS / RTAS through
+  *    [[StagingTableCatalog]]: the CTAS query's files are written
+  *    (invisible — the log-structured format makes "staged" the
+  *    natural state of any uncommitted file) and the MANIFEST commit
+  *    happens only in `commitStagedChanges()`, so a failed or killed
+  *    CTAS leaves no half-table behind and REPLACE swaps old for new
+  *    in one snapshot readers either see entirely or not at all.
+  *
+  * 100 TB posture: identical to every other write face — data moves
+  * once through a distributed parquet write, the commit is one tiny
+  * manifest CAS, and a replace carries zero data bytes for untouched
+  * history (time travel to the pre-replace snapshot still works).
+  */
+private[connector] final class GraftV2WriteBuilder(dir: String,
+    visible: StructType) extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  /** INSERT OVERWRITE / `writeTo(...).createOrReplace()`-style truncate:
+    * the V1 exec always passes `overwrite = false` to the relation, so
+    * the decision must be captured HERE, at the builder. */
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    private val ow = overwrite
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          GraftDataSource.insertInto(data.sparkSession, dir, visible, data,
+            overwrite = ow)
+      }
+    override def toString: String =
+      s"GraftV1Write($dir, ${if (ow) "overwrite" else "append"})"
+  }
+}
+
+/** A table staged by CTAS / RTAS: collects the query's written files
+  * and commits them — with the staged DDL — only in
+  * `commitStagedChanges()`. Until then nothing references the files,
+  * so abort (or a crash) costs only orphan bytes the grace-gated
+  * sweep reclaims. `replace` commits through
+  * [[GraftDataSource.replaceAll]]'s pinned-base protocol: a commit
+  * interleaving with the replace throws instead of being silently
+  * overwritten. */
+private[connector] final class GraftStagedTable(spark: SparkSession,
+    dir: String, declared: StructType, replace: Boolean, orCreate: Boolean,
+    properties: util.Map[String, String])
+    extends StagedTable with SupportsWrite {
+
+  private val existedAtStage = SnapshotLog.currentSnapshotId(spark, dir).isDefined
+
+  // files the CTAS query wrote, recorded by the staged write below
+  @volatile private var staged: Seq[SnapshotLog.DataFile] = Seq.empty
+  @volatile private var wrote = false
+
+  override def name(): String = s"$dir (staged)"
+  override def schema(): StructType = declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> dir).asJava
+
+  private def prop(key: String): Option[String] =
+    Option(properties).flatMap(p => p.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v })
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS arrives as OverwriteByExpression(true) → truncate(); the
+      // replace decision already lives in the staged mode, so this is
+      // a no-op acknowledgement, not state
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              // pruning metadata rides CTAS TBLPROPERTIES — the same
+              // keys the writer options take (statsCols, bloomCol,
+              // partitionCols), so a V2-created table is as indexable
+              // as a V1-written one
+              val stats = prop("statsCols").toSeq
+                .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+              val parts = prop("partitionCols").toSeq
+                .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+              staged = SnapshotLog.writeData(data, dir,
+                statsCols = stats, bloomCol = prop("bloomCol"),
+                partitionCols = parts)
+              wrote = true
+            }
+          }
+        override def toString: String = s"GraftStagedV1Write($dir)"
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // a zero-row CTAS (or a staged CREATE that never wrote) still needs
+    // the DECLARED schema durable: commit a zero-row schema carrier
+    val files =
+      if (staged.nonEmpty) staged
+      else Seq(GraftMaintenance.writeSchemaCarrier(spark, dir, declared))
+    if (!replace) {
+      // CTAS create: CAS at snapshot 1 — a racing creator makes this
+      // throw (TableAlreadyExists semantics), never a silent merge
+      try SnapshotLog.commitAt(spark, dir, 1L, "append", files, Seq.empty,
+        Map("created_by" -> "v2-ctas"))
+      catch {
+        case e: SnapshotLog.ConcurrentCommitException =>
+          abortStagedChanges()
+          throw new IllegalStateException(
+            s"graft table $dir: lost the CTAS creation race", e)
+      }
+    } else if (!existedAtStage &&
+        SnapshotLog.currentSnapshotId(spark, dir).isEmpty) {
+      require(orCreate, s"graft table $dir: REPLACE TABLE target does " +
+        "not exist (use CREATE OR REPLACE)")
+      SnapshotLog.commitAt(spark, dir, 1L, "append", files, Seq.empty,
+        Map("created_by" -> "v2-rtas"))
+    } else {
+      // RTAS: one atomic whole-live-set swap through the pinned-base
+      // protocol — an interleaved commit throws, readers see old or
+      // new, never a mixture; pre-replace snapshots stay travelable
+      GraftDataSource.replaceAll(spark, dir, files,
+        Map("mode" -> "replace-table"))
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    staged.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f.path)
+      try p.getFileSystem(conf).delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // a staged CREATE that never became a table leaves an empty shell
+    // directory (data/ with deleted files): remove it ONLY when no log
+    // exists — a concurrent creator's real table must survive our abort
+    if (!existedAtStage && wrote &&
+        SnapshotLog.currentSnapshotId(spark, dir).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try p.getFileSystem(conf).delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+}

@@ -187,4 +187,171 @@ class ConnectorV2Spec extends AnyFunSuite {
       case other => fail(s"expected the bridge scan, got $other")
     }
   }
+
+  // ------------------------------------------------------ write face
+
+  test("V2 writes: INSERT INTO, writeTo.append, INSERT OVERWRITE; V1 interop") {
+    val wh = freshWarehouse("w")
+    rows(0, 10).write.format("graft").option("statsCols", "id").save(s"$wh/t")
+    // SQL INSERT through the V2 catalog → an append commit on the log
+    spark.sql("INSERT INTO gv2_w.t SELECT id, id * 2 FROM range(10, 20)")
+    assert(spark.sql("SELECT count(*) FROM gv2_w.t").head.getLong(0) === 20)
+    // the V1 face reads the V2-landed commit (one shared log) …
+    assert(spark.read.format("graft").load(s"$wh/t").count() === 20)
+    // … and the V2 face reads a V1-landed one
+    rows(20, 25).write.format("graft").mode("append").save(s"$wh/t")
+    assert(spark.sql("SELECT count(*) FROM gv2_w.t").head.getLong(0) === 25)
+    // DataFrameWriterV2 append (byName)
+    rows(25, 30).writeTo("gv2_w.t").append()
+    assert(spark.sql("SELECT sum(v) FROM gv2_w.t").head.getLong(0) ===
+      (0L until 30L).map(_ * 2).sum)
+    // INSERT OVERWRITE: one atomic whole-live-set replacement; the
+    // pre-overwrite snapshot stays time-travelable
+    val preId = SnapshotLog.currentSnapshotId(spark, s"$wh/t").get
+    spark.sql("INSERT OVERWRITE gv2_w.t SELECT id, id FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*), max(v) FROM gv2_w.t").head match {
+      case r => (r.getLong(0), r.getLong(1)) == ((7L, 6L)) })
+    assert(spark.sql(
+      s"SELECT count(*) FROM gv2_w.t VERSION AS OF $preId")
+      .head.getLong(0) === 30)
+    // a time-travel relation refuses writes at ANALYSIS (no write caps)
+    val e = intercept[Exception] { spark.sql(
+      s"INSERT INTO gv2_w.t VERSION AS OF $preId VALUES (99, 99)") }
+    assert(e.getMessage != null)
+  }
+
+  test("atomic CTAS: commit-last semantics; a failed CTAS leaves no table") {
+    val wh = freshWarehouse("ctas")
+    rows(0, 50).write.format("graft").save(s"$wh/src")
+    spark.sql("CREATE TABLE gv2_ctas.dst AS SELECT id, v FROM gv2_ctas.src " +
+      "WHERE id < 30")
+    assert(spark.sql("SELECT count(*) FROM gv2_ctas.dst").head.getLong(0) === 30)
+    // the CTAS table is a first-class graft table: V1 face reads it too
+    assert(spark.read.format("graft").load(s"$wh/dst").count() === 30)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gv2_ctas.dst AS SELECT 1 AS x") }
+    // a CTAS whose query THROWS mid-write must leave no table behind —
+    // the manifest commit is last, so there is nothing to roll back
+    intercept[Exception] { spark.sql(
+      "CREATE TABLE gv2_ctas.bad AS " +
+        "SELECT CASE WHEN id < 5 THEN id ELSE raise_error('boom') END AS x " +
+        "FROM gv2_ctas.src") }
+    assert(!spark.sql("SHOW TABLES IN gv2_ctas").collect()
+      .map(_.getString(1)).contains("bad"))
+    intercept[Exception] { spark.sql("SELECT * FROM gv2_ctas.bad") }
+  }
+
+  test("atomic RTAS: REPLACE swaps in one snapshot; CREATE OR REPLACE creates") {
+    val wh = freshWarehouse("rtas")
+    rows(0, 40).write.format("graft").option("statsCols", "id").save(s"$wh/t")
+    val preId = SnapshotLog.currentSnapshotId(spark, s"$wh/t").get
+    spark.sql("REPLACE TABLE gv2_rtas.t AS SELECT id AS k, id * 10 AS w " +
+      "FROM range(0, 8)")
+    val r = spark.sql("SELECT count(*), max(w) FROM gv2_rtas.t").head
+    assert((r.getLong(0), r.getLong(1)) === ((8L, 70L)))
+    // the replaced history survives: time travel shows the old shape
+    assert(spark.sql(s"SELECT count(*) FROM gv2_rtas.t VERSION AS OF $preId")
+      .head.getLong(0) === 40)
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates it
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gv2_rtas.missing AS SELECT 1 AS x") }
+    spark.sql("CREATE OR REPLACE TABLE gv2_rtas.fresh AS SELECT 1 AS x")
+    assert(spark.sql("SELECT x FROM gv2_rtas.fresh").head.getInt(0) === 1)
+  }
+
+  test("TRUNCATE TABLE: metadata-only, schema survives, history travelable") {
+    val wh = freshWarehouse("trunc")
+    rows(0, 25).write.format("graft").option("statsCols", "id").save(s"$wh/t")
+    val preId = SnapshotLog.currentSnapshotId(spark, s"$wh/t").get
+    spark.sql("TRUNCATE TABLE gv2_trunc.t")
+    assert(spark.sql("SELECT count(*) FROM gv2_trunc.t").head.getLong(0) === 0)
+    assert(spark.sql("SELECT * FROM gv2_trunc.t").schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+    assert(spark.sql(s"SELECT count(*) FROM gv2_trunc.t VERSION AS OF $preId")
+      .head.getLong(0) === 25)
+    // the table accepts writes again after the truncate
+    spark.sql("INSERT INTO gv2_trunc.t VALUES (1, 2)")
+    assert(spark.sql("SELECT count(*) FROM gv2_trunc.t").head.getLong(0) === 1)
+  }
+
+  test("V2 DELETE lowers onto the row-level DML machinery") {
+    val wh = freshWarehouse("del")
+    rows(0, 100).repartitionByRange(4, col("id"))
+      .write.format("graft").option("statsCols", "id").save(s"$wh/t")
+    spark.sql("DELETE FROM gv2_del.t WHERE id < 25 OR id >= 90")
+    assert(spark.sql("SELECT count(*), min(id), max(id) FROM gv2_del.t")
+      .head match { case r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)) == ((65L, 25L, 89L)) })
+    // IN-list and null-test shapes convert too
+    spark.sql("DELETE FROM gv2_del.t WHERE id IN (30, 31) AND v IS NOT NULL")
+    assert(spark.sql("SELECT count(*) FROM gv2_del.t").head.getLong(0) === 63)
+    // unconditional DELETE = the metadata truncation path
+    spark.sql("DELETE FROM gv2_del.t")
+    assert(spark.sql("SELECT count(*) FROM gv2_del.t").head.getLong(0) === 0)
+  }
+
+  test("V2 UPDATE / MERGE / arbitrary-predicate DELETE ride the DML commands") {
+    val wh = freshWarehouse("dml")
+    rows(0, 50).repartitionByRange(4, col("id"))
+      .write.format("graft").option("statsCols", "id").save(s"$wh/t")
+    // UPDATE through the V2 catalog (no SupportsRowLevelOperations
+    // needed: the injected rule lowers the resolved plan onto the same
+    // pinned-base COW commit as the V1 face)
+    spark.sql("UPDATE gv2_dml.t SET v = v + 1000 WHERE id < 10")
+    assert(spark.sql("SELECT sum(v) FROM gv2_dml.t WHERE id < 10")
+      .head.getLong(0) === (0L until 10L).map(_ * 2 + 1000).sum)
+    assert(spark.sql("SELECT sum(v) FROM gv2_dml.t WHERE id >= 10")
+      .head.getLong(0) === (10L until 50L).map(_ * 2).sum)
+    // a predicate NO source filter can express (modulo) still deletes —
+    // the rule path, not SupportsDelete's filter contract
+    spark.sql("DELETE FROM gv2_dml.t WHERE id % 10 = 3")
+    assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 45)
+    // MERGE INTO the V2 table from a view: update one key, insert a new
+    spark.range(0, 2).selectExpr("CAST(id * 490 AS BIGINT) AS id",
+      "CAST(7777 AS BIGINT) AS v").createOrReplaceTempView("gv2_dml_src")
+    spark.sql("""MERGE INTO gv2_dml.t AS t USING gv2_dml_src AS s
+                |ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                |""".stripMargin)
+    assert(spark.sql("SELECT v FROM gv2_dml.t WHERE id = 0")
+      .head.getLong(0) === 7777, "matched key updated")
+    assert(spark.sql("SELECT v FROM gv2_dml.t WHERE id = 490")
+      .head.getLong(0) === 7777, "unmatched key inserted")
+    assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 46)
+  }
+
+  test("V2 ALTER TABLE maps onto the metadata-only maintenance commits") {
+    val wh = freshWarehouse("alter")
+    rows(0, 12).write.format("graft").option("statsCols", "id").save(s"$wh/t")
+    spark.sql("ALTER TABLE gv2_alter.t ADD COLUMNS (note STRING, extra INT)")
+    assert(spark.sql("SELECT * FROM gv2_alter.t").schema.fieldNames.toSeq ===
+      Seq("id", "v", "note", "extra"))
+    assert(spark.sql("SELECT count(*) FROM gv2_alter.t WHERE note IS NULL")
+      .head.getLong(0) === 12)
+    spark.sql("ALTER TABLE gv2_alter.t RENAME COLUMN v TO doubled")
+    assert(spark.sql("SELECT sum(doubled) FROM gv2_alter.t")
+      .head.getLong(0) === (0L until 12L).map(_ * 2).sum)
+    spark.sql("ALTER TABLE gv2_alter.t DROP COLUMN extra")
+    assert(spark.sql("SELECT * FROM gv2_alter.t").schema.fieldNames.toSeq ===
+      Seq("id", "doubled", "note"))
+    // widening-only TYPE change; narrowing refuses
+    spark.sql("CREATE TABLE gv2_alter.w (k INT, s STRING)")
+    spark.sql("INSERT INTO gv2_alter.w VALUES (7, 'a')")
+    spark.sql("ALTER TABLE gv2_alter.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO gv2_alter.w VALUES (4000000000, 'b')")
+    val r = spark.sql("SELECT sum(k), count(*) FROM gv2_alter.w").head
+    assert((r.getLong(0), r.getLong(1)) === ((4000000007L, 2L)))
+    // narrowing refuses — Spark's analyzer rejects long→int itself
+    // (NOT_SUPPORTED_CHANGE_COLUMN) before our widening guard even runs;
+    // an off-lattice change that PASSES the analyzer (long→double is a
+    // Spark "compatible" change) must then hit the graft guard
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gv2_alter.w ALTER COLUMN k TYPE INT") }
+    val eOff = intercept[Exception] {
+      spark.sql("ALTER TABLE gv2_alter.w ALTER COLUMN k TYPE DOUBLE") }
+    assert(eOff.getMessage.contains("widening-only") ||
+      eOff.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eOff.getMessage)
+  }
 }
