@@ -159,8 +159,8 @@ object Compaction {
       : CompactionResult = {
     import graft.table.SnapshotLog
     val table = if (label.nonEmpty) label else dir
-    require(clusterZOrder.isEmpty || clusterZOrder.size == 2,
-      s"clusterZOrder takes exactly two dimensions, got $clusterZOrder")
+    require(clusterZOrder.isEmpty || clusterZOrder.size >= 2,
+      s"clusterZOrder takes at least two dimensions, got $clusterZOrder")
     require(clusterBy.isEmpty || clusterZOrder.isEmpty,
       "clusterBy and clusterZOrder are mutually exclusive")
     require(scope.isEmpty || (clusterBy.isEmpty && clusterZOrder.isEmpty),
@@ -235,7 +235,7 @@ object Compaction {
     val arranged = (clusterBy, clusterZOrder) match {
       case (Some(c), _) =>
         df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case (None, Seq(cx, cy)) => zorderArrange(df, cx, cy, targetFiles)
+      case (None, zs) if zs.nonEmpty => zorderArrange(df, zs, targetFiles)
       case _ => df.repartition(targetFiles)
     }
     val rewritten = SnapshotLog.writeData(arranged, dir,
@@ -394,28 +394,51 @@ object Compaction {
     * tile of the 2-D key space, so BOTH dims' manifest stats prune. */
   private[graft] def zorderArrange(df: org.apache.spark.sql.DataFrame,
                                    cx: String, cy: String,
+                                   targetFiles: Int): org.apache.spark.sql.DataFrame =
+    zorderArrange(df, Seq(cx, cy), targetFiles)
+
+  /** N-dimensional Z-order (Morton) arrangement: each dimension buckets
+    * to `bits` levels within its observed range (bits shrinks as
+    * dimensions grow so the interleaved value stays in one long — 8 bits
+    * × 2 dims, 5 bits × 4 dims, 3 bits × 8+), the per-dimension bits
+    * interleave into one codegen'd arithmetic expression (no custom
+    * Expression needed beyond 2-D: `D × bits` shift-and-mask terms), and
+    * the frame range-partitions + sorts by the interleaved value — every
+    * dimension's zone maps then prune roughly equally, the multi-dim
+    * analog of Delta's `ZORDER BY (a, b, …)`. */
+  private[graft] def zorderArrange(df: org.apache.spark.sql.DataFrame,
+                                   dims: Seq[String],
                                    targetFiles: Int): org.apache.spark.sql.DataFrame = {
-    val b = df.agg(min(col(cx)).cast("long"), max(col(cx)).cast("long"),
-      min(col(cy)).cast("long"), max(col(cy)).cast("long")).collect()(0)
-    val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    // 0..255 bucket of (v - lo) within the observed range. Exact integer
-    // math while it provably cannot overflow ((v-lo)*256 needs range <
-    // 2^55); beyond that — hash-valued or full-range-long dimensions —
-    // switch to doubles: bin width is ≥ 2^47 there, double rounding
-    // (~2^11 ulp at 2^63) moves a value across a bin edge only at the
-    // edge itself, which z-order locality is indifferent to.
+    require(dims.size >= 2, s"zorderArrange needs >= 2 dimensions, got $dims")
+    val d = dims.size
+    val bits = math.max(1, math.min(8, 62 / d))
+    val side = 1L << bits
+    val aggs = dims.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // 0..side-1 bucket of (v - lo) within the observed range. Exact
+    // integer math while it provably cannot overflow ((v-lo)*side needs
+    // range < 2^(63-bits)); beyond that — hash-valued or full-range-long
+    // dimensions — switch to doubles: bin width is huge there, and double
+    // rounding moves a value across a bin edge only at the edge itself,
+    // which z-order locality is indifferent to.
     def bucket(c: String, lo: Long, hi: Long): org.apache.spark.sql.Column = {
       val range = (BigInt(hi) - BigInt(lo) + 1).max(1)
-      if (range <= BigInt(1L << 55))
-        expr(s"((CAST($c AS BIGINT) - (${lo}L)) * 256) div ${range.toLong}L")
+      if (range <= BigInt(1L << (55 - bits + 8)))
+        expr(s"((CAST($c AS BIGINT) - (${lo}L)) * ${side}L) div ${range.toLong}L")
       else {
-        val w = range.toDouble / 256.0
-        expr(s"greatest(0L, least(255L, " +
+        val w = range.toDouble / side.toDouble
+        expr(s"greatest(0L, least(${side - 1}L, " +
           s"floor((CAST($c AS DOUBLE) - (${lo.toDouble}D)) / ${w}D)))")
       }
     }
-    val zv = graft.functions.GraftFunctions.zvalue(
-      bucket(cx, x0, x1), bucket(cy, y0, y1), 8)
+    val buckets = dims.zipWithIndex.map { case (c, i) =>
+      bucket(c, bounds.getLong(2 * i), bounds.getLong(2 * i + 1)) }
+    // bit interleave: z = Σ_b Σ_i bit_b(bucket_i) << (b*D + i) — plain
+    // shift/mask arithmetic, fully inside whole-stage codegen
+    val zv = (for (b <- 0 until bits; i <- 0 until d) yield
+      shiftleft(shiftright(buckets(i), b).bitwiseAND(lit(1L)), b * d + i))
+      .reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
     df.withColumn("_graft_zv", zv)
       .repartitionByRange(targetFiles, col("_graft_zv"))
       .sortWithinPartitions(col("_graft_zv"))

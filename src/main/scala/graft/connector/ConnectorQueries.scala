@@ -355,6 +355,22 @@ object ConnectorQueries {
       base
     }
 
+  /** The partition-listing warehouse behind `conn_partitions`: one
+    * append per order status, each with `partitionCols=o_orderstatus`,
+    * so every live file records exactly one status value — the layout
+    * where manifest partition listing is EXACT. */
+  private def partitionsWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "parts") { base =>
+      val dir = s"$base/orders_parts"
+      Seq("F", "O", "P").zipWithIndex.foreach { case (st, i) =>
+        val w = orders(s, d).filter(col("o_orderstatus") === st)
+          .write.format("graft").option("statsCols", "o_orderkey")
+          .option("partitionCols", "o_orderstatus")
+        (if (i == 0) w else w.mode("append")).save(dir)
+      }
+      dir
+    }
+
   /** A WAP-CHAIN branch warehouse ([[graft.table.Branch]]): F-status
     * orders land on main, then a branch stages the O and P halves as TWO
     * chain commits — auditable at the branch head the whole time while
@@ -461,6 +477,15 @@ object ConnectorQueries {
       s.conf.set("spark.sql.catalog.graft_v2.warehouse", root)
       s.sql("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
         "max(o_orderkey) AS max_key FROM graft_v2.orders_v2")
+    }),
+    // partition listing from MANIFESTS alone (the Iceberg `partitions`
+    // metadata table as a TVF): per-value row counts over a
+    // single-status-per-file layout must equal the true GROUP BY —
+    // zero data files open, at any table size
+    "conn_partitions" -> ((s, d) => {
+      val dir = partitionsWarehouse(s, d)
+      s.sql("SELECT value AS o_orderstatus, rows AS n, exact " +
+        s"FROM graft_partitions('$dir', 'o_orderstatus') ORDER BY value")
     }),
     // the V2 WRITE face end-to-end: a table built purely through the
     // V2 catalog's write contract (atomic CTAS + INSERT INTO + V2
@@ -679,6 +704,9 @@ object ConnectorQueries {
     "conn_v2_agg" ->
       """SELECT count(*) AS n, min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
+    "conn_partitions" ->
+      """SELECT o_orderstatus, count(*) AS n, true AS exact
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_v2_write" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

@@ -92,6 +92,14 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The table directory behind `name`, when it IS a graft table of this
+    * catalog — how the maintenance statements (OPTIMIZE / VACUUM /
+    * RESTORE / ANALYZE / ALTER / TVFs) resolve `cat.name` targets. */
+  private[connector] def tableDirFor(name: String): Option[String] = {
+    val dir = dirOf(Identifier.of(Array.empty, name))
+    if (isTable(dir)) Some(dir) else None
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val root = new Path(warehouse)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -336,6 +344,8 @@ private[connector] final class GraftV2Table(dir: String,
     val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, carrierSchema)
     GraftDataSource.replaceAll(spark, dir, Seq(carrier),
       Map("mode" -> "truncate"))
+    // V1 catalog tables over this dir must re-resolve (no ident known)
+    spark.sessionState.catalog.invalidateAllCachedTables()
     true
   }
 
@@ -404,6 +414,7 @@ private[connector] final class GraftV2Table(dir: String,
       .reduceOption[cexpr.Expression](cexpr.And)
       .getOrElse(cexpr.Literal.TrueLiteral)
     GraftDml.delete(spark, t, cond)
+    GraftDml.refreshAfter(spark, t)
   }
 }
 

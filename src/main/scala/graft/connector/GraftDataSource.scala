@@ -15,7 +15,7 @@ import graft.table.SnapshotLog
   *
   * {{{
   *   df.write.format("graft").option("statsCols", "id").save(dir)
-  *   df.write.format("graft").option("zorderBy", "x,y").save(dir) // 2-D tiles
+  *   df.write.format("graft").option("zorderBy", "x,y[,…]").save(dir) // Z-order tiles
   *   spark.read.format("graft").load(dir)                      // latest
   *   spark.read.format("graft").option("versionAsOf", 2).load(dir)
   *   spark.read.format("graft").option("timestampAsOf", "2026-…").load(dir)
@@ -148,13 +148,20 @@ final class GraftDataSource extends RelationProvider
     // recorded automatically — a Z-order without zone maps would cluster
     // for nobody
     val zcols = GraftDataSource.csv(parameters, "zorderBy")
-    require(zcols.isEmpty || zcols.size == 2,
-      s"zorderBy takes exactly two comma-separated columns, got: " +
+    require(zcols.isEmpty || zcols.size >= 2,
+      s"zorderBy takes at least two comma-separated columns, got: " +
         zcols.mkString(","))
+    // a declared lineage key persists in the COMMIT SUMMARY too: the
+    // catalog-carried OPTIONS form is invisible to catalog-bypassing
+    // faces (the V2 TableCatalog), which must still bootstrap lineage
+    // on their first DML instead of silently downgrading the feed
+    val declared = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("lineageKey") => v }
+      .map(SnapshotLog.LineageDeclaredKey -> _).toMap
     def write(): Seq[SnapshotLog.DataFile] = {
       val arranged =
         if (zcols.isEmpty) data
-        else graft.cdc.Compaction.zorderArrange(data, zcols(0), zcols(1),
+        else graft.cdc.Compaction.zorderArrange(data, zcols,
           parameters.get("targetFiles").map(_.toInt).getOrElse(32))
       SnapshotLog.writeData(arranged, dir,
         statsCols = (GraftDataSource.csv(parameters, "statsCols") ++ zcols).distinct,
@@ -171,7 +178,7 @@ final class GraftDataSource extends RelationProvider
         // — the exists flag alone would be check-then-act, letting two
         // racing creators BOTH land their data as appends
         try SnapshotLog.commitAt(spark, dir, 1L, "append", write(),
-          Seq.empty, Map.empty)
+          Seq.empty, declared)
         catch {
           case e: SnapshotLog.ConcurrentCommitException =>
             if (mode == SaveMode.ErrorIfExists) throw new IllegalStateException(
@@ -181,7 +188,7 @@ final class GraftDataSource extends RelationProvider
             // unreferenced orphans for the grace-gated sweep
         }
       case SaveMode.Append =>
-        SnapshotLog.commitRetrying(spark, dir, write())
+        SnapshotLog.commitRetrying(spark, dir, write(), summary = declared)
       case SaveMode.Overwrite if !exists =>
         // Overwrite of a table that does not exist REPLACED NOTHING: commit
         // it as the append it semantically is (CTAS routes here), keeping
@@ -192,16 +199,16 @@ final class GraftDataSource extends RelationProvider
         // are written ONCE and re-referenced by the fallback commit.
         val files = write()
         try SnapshotLog.commitAt(spark, dir, 1L, "append", files,
-          Seq.empty, Map("mode" -> "create"))
+          Seq.empty, Map("mode" -> "create") ++ declared)
         catch {
           case _: SnapshotLog.ConcurrentCommitException =>
             GraftDataSource.replaceAll(spark, dir, files,
-              Map("mode" -> "overwrite"))
+              Map("mode" -> "overwrite") ++ declared)
         }
       case SaveMode.Overwrite =>
         // one atomic whole-live-set replacement; see replaceAll
         GraftDataSource.replaceAll(spark, dir, write(),
-          Map("mode" -> "overwrite"))
+          Map("mode" -> "overwrite") ++ declared)
     }
     GraftDataSource.relationFor(spark, sqlContext, dir, asOf = None)
   }

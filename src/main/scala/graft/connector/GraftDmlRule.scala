@@ -90,7 +90,7 @@ final case class GraftDeleteCommand(t: GraftDml.DmlTarget, cond: Expression)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDml.delete(spark, t, cond)
-    t.catalogIdent.foreach(spark.sessionState.catalog.refreshTable)
+    GraftDml.refreshAfter(spark, t)
     Seq.empty
   }
 }
@@ -100,7 +100,7 @@ final case class GraftUpdateCommand(t: GraftDml.DmlTarget,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDml.update(spark, t, assignments, cond)
-    t.catalogIdent.foreach(spark.sessionState.catalog.refreshTable)
+    GraftDml.refreshAfter(spark, t)
     Seq.empty
   }
 }
@@ -112,7 +112,7 @@ final case class GraftMergeCommand(t: GraftDml.DmlTarget, source: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDml.merge(spark, t, source, onCond, matched, notMatched,
       notMatchedBySource)
-    t.catalogIdent.foreach(spark.sessionState.catalog.refreshTable)
+    GraftDml.refreshAfter(spark, t)
     Seq.empty
   }
 }
@@ -130,6 +130,20 @@ object GraftDml {
                              catalogIdent: Option[TableIdentifier],
                              declaredKey: Option[String] = None,
                              posDeletes: Boolean = false)
+
+  /** Post-commit catalog hygiene: a catalog-backed target refreshes its
+    * own entry; a target WITHOUT a known ident (the V2 TableCatalog
+    * face, or a path-addressed relation) invalidates the session
+    * catalog's whole relation cache instead — a V1 catalog table over
+    * the same directory would otherwise keep serving its cached
+    * (point-in-time) file list and read STALE data after the commit.
+    * The cache repopulates lazily; re-resolution is manifest-metadata
+    * cheap next to any commit. */
+  private[connector] def refreshAfter(spark: SparkSession, t: DmlTarget): Unit =
+    t.catalogIdent match {
+      case Some(ident) => spark.sessionState.catalog.refreshTable(ident)
+      case None => spark.sessionState.catalog.invalidateAllCachedTables()
+    }
 
   private[connector] def dmlTarget(plan: LogicalPlan): Option[DmlTarget] =
     plan match {
@@ -241,20 +255,31 @@ object GraftDml {
       .find(_.summary.get("lineage").contains("true"))
       .flatMap(_.summary.get("key"))
 
-  /** History-carried lineage key, or the table's DECLARED one (`CREATE
-    * TABLE … OPTIONS (lineageKey 'id')`) — the declaration lets a
-    * pure-SQL table BOOTSTRAP row lineage on its first DML (carried rows
-    * stamp from their file seq via the lineage-preserving read), so its
-    * change feed is derivable from snapshot 1 without ever touching the
-    * Scala API. A declared key that names no column throws — a typo must
-    * not silently disable lineage. */
+  /** History-carried lineage key, the table's DECLARED one (`CREATE
+    * TABLE … OPTIONS (lineageKey 'id')`), or the declaration PERSISTED
+    * in the log at creation ([[SnapshotLog.LineageDeclaredKey]]) — the
+    * declaration lets a pure-SQL table BOOTSTRAP row lineage on its
+    * first DML (carried rows stamp from their file seq via the
+    * lineage-preserving read), so its change feed is derivable from
+    * snapshot 1 without ever touching the Scala API. The log-persisted
+    * form exists because the catalog-carried declaration is invisible to
+    * faces that bypass the session catalog (the V2 TableCatalog): without
+    * it, a V2 UPDATE on a declared-but-not-yet-bootstrapped table would
+    * silently commit a lineage-less rewrite and downgrade the feed. A
+    * declared key that names no column throws — a typo must not silently
+    * disable lineage. */
   private def effectiveLineage(spark: SparkSession, t: DmlTarget): Option[String] =
-    lineageKey(spark, t.dir).orElse(t.declaredKey.map { k =>
-      t.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft table ${t.dir}: declared lineageKey '$k' is not a column " +
-            s"(has: ${t.output.map(_.name).mkString(", ")})")).name
-    })
+    lineageKey(spark, t.dir)
+      .orElse(t.declaredKey.orElse(
+        SnapshotLog.commitsReverse(spark, t.dir)
+          .flatMap(_.summary.get(SnapshotLog.LineageDeclaredKey))
+          .nextOption())
+        .map { k =>
+          t.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft table ${t.dir}: declared lineageKey '$k' is not a " +
+                s"column (has: ${t.output.map(_.name).mkString(", ")})")).name
+        })
 
   /** Align a scanned-files frame with the RELATION's schema: null-fill
     * any column the files don't carry yet (files older than an `ALTER

@@ -25,7 +25,7 @@ import graft.table.SnapshotLog
   *   OPTIMIZE tbl WHERE ds = '2026-01-01'  -- scoped bin-pack (hot partition)
   *   OPTIMIZE tbl TARGET 256 MB            -- explicit file-size target
   *   OPTIMIZE tbl CLUSTER BY col           -- full rewrite, range-clustered
-  *   OPTIMIZE tbl ZORDER BY (x, y)         -- full rewrite, 2-D Z-order
+  *   OPTIMIZE tbl ZORDER BY (x, y[, …])    -- full rewrite, N-dim Z-order
   *   VACUUM tbl                            -- expire beyond last 2 snapshots
   *   VACUUM tbl RETAIN 168 HOURS           -- expire history older than 7d
   *   RESTORE tbl TO VERSION AS OF 3        -- metadata-only rollback
@@ -36,8 +36,9 @@ import graft.table.SnapshotLog
   *   ANALYZE TABLE tbl COMPUTE STATISTICS FOR COLUMNS a, b
   * }}}
   *
-  * The target is a graft catalog table (`CREATE TABLE … USING graft`) or
-  * a quoted table directory. Both commands lower onto the library's own
+  * The target is a graft catalog table (`CREATE TABLE … USING graft`), a
+  * graft V2 catalog's `cat.table` name ([[GraftCatalog]], r12), or a
+  * quoted table directory. All forms lower onto the library's own
   * maintenance entry points — [[graft.cdc.Compaction.compactDir]] and
   * [[SnapshotLog.expireSnapshots]] — so SQL users get the identical
   * O(debt) bin-pack, mask-materializing rewrite, pinned-base concurrency
@@ -83,7 +84,7 @@ object GraftMaintenance {
     s"""\\s*OPTIMIZE\\s+$Target""" +
       """(?:\s+WHERE\s+(.+?))?""" +
       """(?:\s+TARGET\s+(\d+)\s+MB)?""" +
-      """(?:\s+ZORDER\s+BY\s*\(\s*([\w`]+)\s*,\s*([\w`]+)\s*\))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([\w`,\s]+)\))?""" +
       """(?:\s+CLUSTER\s+BY\s+([\w`]+))?\s*;?\s*""",
     Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
   private val VacuumRe = Pattern.compile(
@@ -186,8 +187,10 @@ object GraftMaintenance {
       case "ALTER" =>
         def graftTarget(raw: String, quoted: String): Option[String] = {
           val target = Option(raw).getOrElse(unquote(quoted))
+          val parts = target.split('.').toSeq
           if (target.contains("/") ||
-              graftCatalogDir(session, target.split('.').toSeq).isDefined)
+              graftCatalogDir(session, parts).isDefined ||
+              v2CatalogDir(session, parts).isDefined)
             Some(target)
           else None // non-graft ALTER keeps Spark's path
         }
@@ -226,13 +229,16 @@ object GraftMaintenance {
             s"(clauses in exactly this order), got: $sqlText")
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
         if (foreignCatalogTable(session, target)) return None
-        val zorder = Option(m.group(5)).toSeq.map(unquote) ++
-          Option(m.group(6)).toSeq.map(unquote)
+        val zorder = Option(m.group(5)).toSeq
+          .flatMap(_.split(',')).map(c => unquote(c.trim)).filter(_.nonEmpty)
+        require(m.group(5) == null || zorder.size >= 2,
+          s"graft OPTIMIZE ZORDER BY takes at least two columns, got: " +
+            zorder.mkString(", "))
         Some(GraftOptimizeCommand(target,
           where = Option(m.group(3)).map(_.trim),
           targetMb = Option(m.group(4)).map(_.toLong),
           zorder = zorder,
-          clusterBy = Option(m.group(7)).map(unquote)))
+          clusterBy = Option(m.group(6)).map(unquote)))
       case "VACUUM" =>
         val m = VacuumRe.matcher(sqlText)
         if (!m.matches() &&
@@ -264,7 +270,8 @@ object GraftMaintenance {
         if (!m.matches()) return None // wider ANALYZE grammar is Spark's
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
         val isGraft = target.contains("/") ||
-          graftCatalogDir(session, target.split('.').toSeq).isDefined
+          graftCatalogDir(session, target.split('.').toSeq).isDefined ||
+          v2CatalogDir(session, target.split('.').toSeq).isDefined
         if (!isGraft) return None // non-graft targets keep Spark's ANALYZE
         Some(GraftAnalyzeCommand(target,
           columns = Option(m.group(4)).map(_.split(',').toSeq
@@ -286,9 +293,11 @@ object GraftMaintenance {
     } else {
       val parts = target.split('.').toSeq
       graftCatalogDir(spark, parts).map { case (ident, dir) => (dir, Some(ident)) }
+        .orElse(v2CatalogDir(spark, parts).map(dir => (dir, None)))
         .getOrElse(throw new IllegalArgumentException(
           s"$target is not a graft catalog table (OPTIMIZE/VACUUM apply " +
-            "only to tables created USING graft, or to a quoted table path)"))
+            "only to tables created USING graft, to a graft V2 catalog's " +
+            "cat.table name, or to a quoted table path)"))
     }
 
   /** Register any VISIBLE column the registry doesn't know yet (columns
@@ -355,6 +364,22 @@ object GraftMaintenance {
       None, None, kind = "data")
   }
 
+  /** The table dir behind a `cat.name` target when `cat` is a REGISTERED
+    * graft V2 catalog ([[GraftCatalog]]) holding that table — so every
+    * maintenance statement (OPTIMIZE / VACUUM / RESTORE / ANALYZE /
+    * ALTER / branch DDL) and TVF accepts V2 catalog names exactly like
+    * V1 idents and quoted paths. No V1 TableIdentifier exists for these
+    * (nothing to refresh: V2 reads resolve the log fresh per query). */
+  private[connector] def v2CatalogDir(session: SparkSession,
+      parts: Seq[String]): Option[String] = parts match {
+    case Seq(cat, name) =>
+      org.apache.spark.sql.graftshim.GraftSqlShim
+        .registeredCatalog(session, cat)
+        .collect { case g: GraftCatalog => g }
+        .flatMap(_.tableDirFor(name))
+    case _ => None
+  }
+
   /** (identifier, table dir) when the name resolves to a graft catalog
     * table — temp views and every other provider return None. Shared by
     * the time-travel rule and the maintenance commands. */
@@ -379,7 +404,9 @@ object GraftMaintenance {
 }
 
 /** `OPTIMIZE` — [[graft.cdc.Compaction.compactDir]] under the SQL face:
-  * bin-pack by default (O(debt)); `CLUSTER BY`/`ZORDER BY` force the
+  * bin-pack by default (O(debt)); `CLUSTER BY`/`ZORDER BY (a, b[, …])`
+  * (N-dimensional Morton interleave — per-dim bit budget shrinks as
+  * dimensions grow so the z-value stays in one long) force the
   * layout-restoring full rewrite; pending merge-on-read masks always
   * route through the materializing rewrite (read amplification returns
   * to zero, and SQL DML — which refuses masked tables — works again).

@@ -38,8 +38,11 @@ object GraftTvf {
   private def dirOf(target: String): String =
     if (target.contains("/")) target
     else GraftMaintenance.graftCatalogDir(spark, target.split('.').toSeq)
-      .map(_._2).getOrElse(throw new IllegalArgumentException(
-        s"$target is neither a graft catalog table nor a table directory"))
+      .map(_._2)
+      .orElse(GraftMaintenance.v2CatalogDir(spark, target.split('.').toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$target is neither a graft catalog table (V1 or V2 cat.name) " +
+          "nor a table directory"))
 
   def history(target: String): LogicalPlan =
     GraftSqlShim.planOf(SnapshotLog.history(spark, dirOf(target)))
@@ -127,6 +130,46 @@ object GraftTvf {
     GraftSqlShim.planOf(graft.table.Branch.read(s, path, name).getOrElse(
       throw new IllegalArgumentException(
         s"branch '$name' of $path has no data files")))
+  }
+
+  /** Partition listing from MANIFESTS alone (the Iceberg `partitions`
+    * metadata-table analog): per (partition column, value) — live file
+    * count, row/byte sums, and whether the attribution is EXACT (every
+    * contributing file records that single value for the column; a
+    * multi-value file's rows can't be split between its values, so its
+    * groups report `exact = false` and the sums are upper bounds).
+    * Zero data files open at any table size — at 100 TB "what days do
+    * we have and how big is each" is a driver-side manifest fold.
+    * Values report under LOGICAL column names (registry-translated). */
+  def partitions(target: String, column: Option[String]): LogicalPlan = {
+    val s = spark
+    import s.implicits._
+    val path = dirOf(target)
+    val files0 = SnapshotLog.filesAt(s, path).filter(_.kind == "data")
+    val reg = SnapshotLog.registryAt(s, path).filterNot(_.isIdentity)
+    val files = reg.map(r => files0.map(r.translateMeta)).getOrElse(files0)
+    column.foreach { c =>
+      val known = files.flatMap(_.parts.keys).distinct
+      require(known.exists(_.equalsIgnoreCase(c)),
+        s"graft_partitions: $path records no partition values for " +
+          s"column '$c' (has: ${if (known.isEmpty) "none" else known.mkString(", ")})")
+    }
+    val rows = files
+      .flatMap { f =>
+        f.parts.toSeq
+          .filter { case (c, _) => column.forall(_.equalsIgnoreCase(c)) }
+          .flatMap { case (c, vs) => vs.map(v => (c, v, f, vs.size == 1)) }
+      }
+      .groupBy { case (c, v, _, _) => (c, v) }
+      .toSeq
+      .map { case ((c, v), grp) =>
+        val fs = grp.map(_._3)
+        (c, v, fs.size, fs.map(_.rows).sum, fs.map(_.bytes).sum,
+          grp.forall(_._4))
+      }
+      .sortBy { case (c, v, _, _, _, _) => (c, v) }
+    GraftSqlShim.planOf(rows
+      .toDF("column", "value", "files", "rows", "bytes", "exact"))
   }
 
   def changes(target: String, from: Long, to: Option[Long]): LogicalPlan = {

@@ -54,9 +54,13 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
     private val ow = overwrite
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, ignored: Boolean): Unit =
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
           GraftDataSource.insertInto(data.sparkSession, dir, visible, data,
             overwrite = ow)
+          // a V1 catalog table over the same dir must not keep serving
+          // its cached pre-commit file list (no ident known here)
+          data.sparkSession.sessionState.catalog.invalidateAllCachedTables()
+        }
       }
     override def toString: String =
       s"GraftV1Write($dir, ${if (ow) "overwrite" else "append"})"
@@ -154,6 +158,8 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
       GraftDataSource.replaceAll(spark, dir, files,
         Map("mode" -> "replace-table"))
     }
+    // V1 catalog tables over this dir must re-resolve (no ident known)
+    spark.sessionState.catalog.invalidateAllCachedTables()
   }
 
   override def abortStagedChanges(): Unit = {

@@ -109,6 +109,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(p, n) => graft.connector.GraftTvf.branch(strArg(p, "path"),
         strArg(n, "name"))
     })
+    ext.injectTableFunction(tvf("graft_partitions",
+      "graft_partitions(path[, column]) - manifest partition listing: " +
+        "per (column, value) live files/rows/bytes + exactness") {
+      case Seq(p) =>
+        graft.connector.GraftTvf.partitions(strArg(p, "path"), None)
+      case Seq(p, c) => graft.connector.GraftTvf.partitions(strArg(p, "path"),
+        Some(strArg(c, "column")))
+    })
     ext.injectTableFunction(tvf("graft_changes",
       "graft_changes(path, from[, to]) - row-level change feed (from, to]") {
       case Seq(p, f) => graft.connector.GraftTvf.changes(strArg(p, "path"),

@@ -96,6 +96,14 @@ object SnapshotLog {
     * (conservative — pruning may only skip, never lose). */
   val MaxPartValuesPerFile: Int = 8
 
+  /** Commit-summary key persisting a CREATE TABLE–declared lineage key
+    * (`OPTIONS (lineageKey 'id')`) in the LOG itself: the catalog-carried
+    * declaration is invisible to faces that bypass the session catalog
+    * (the V2 TableCatalog), and without this a V2 UPDATE on a declared-
+    * but-not-yet-bootstrapped table would silently commit a lineage-less
+    * rewrite and downgrade the change feed. */
+  val LineageDeclaredKey: String = "lineage_declared"
+
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
     * `added`/`removed` are this commit's DELTA — and since format v2

@@ -362,6 +362,31 @@ class ConnectorSpec extends AnyFunSuite {
     assert(yband.count() === 31L * 200L)
   }
 
+  test("writer zorderBy: N-dim (3-col) layout prunes on every dimension") {
+    val dir = tmp("zorder3")
+    // 40^3 grid: any single-dimension band must prune most of the 16
+    // files — only an N-dim interleave gives ALL dims that property
+    spark.range(64000).select((col("id") % 40).as("x"),
+        expr("(id DIV 40) % 40").as("y"), expr("id DIV 1600").as("z"),
+        col("id").as("v"))
+      .write.format("graft")
+      .option("zorderBy", "x,y,z").option("targetFiles", "16").save(dir)
+    val all = spark.read.format("graft").load(dir)
+    assert(fileScanOf(all).get.metrics("numFiles").value === 16)
+    assert(all.count() === 64000)
+    for (dim <- Seq("x", "y", "z")) {
+      val band = all.filter(col(dim).between(0, 7)) // a 20% band
+      val kept = fileScanOf(band).get.metrics("numFiles").value
+      assert(kept <= 10, s"a 20% $dim-band over 16 z-tiles must skip " +
+        s"files, kept $kept")
+      assert(band.count() === 64000L / 5L)
+    }
+    // a 3-D box is the sweet spot: ~0.8% of the space
+    val box = all.filter(col("x") < 8 && col("y") < 8 && col("z") < 8)
+    assert(fileScanOf(box).get.metrics("numFiles").value <= 4)
+    assert(box.count() === 8L * 8L * 8L)
+  }
+
   test("timestamp equality never bloom-probes across domains (no silent row loss)") {
     val dir = tmp("tsbloom")
     // blooms over a timestamp column are built in cast-to-long SECONDS;

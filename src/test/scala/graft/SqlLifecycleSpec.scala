@@ -121,4 +121,48 @@ class SqlLifecycleSpec extends AnyFunSuite {
       }
     } finally spark.sql("DROP TABLE life")
   }
+
+  test("graft_partitions: manifest listing, exactness flag, rename, refusal") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-parts-tvf").toString + "/t"
+    // two single-day files + ONE file spanning both days (multi-value)
+    spark.range(0, 10).withColumn("ds", lit("2026-01-01"))
+      .coalesce(1).write.format("graft")
+      .option("partitionCols", "ds").save(dir)
+    spark.range(0, 20).withColumn("ds", lit("2026-01-02"))
+      .coalesce(1).write.format("graft").mode("append")
+      .option("partitionCols", "ds").save(dir)
+    spark.range(0, 6).withColumn("ds",
+        org.apache.spark.sql.functions.when(col("id") < 3, "2026-01-01")
+          .otherwise("2026-01-02"))
+      .coalesce(1).write.format("graft").mode("append")
+      .option("partitionCols", "ds").save(dir)
+    val rows = spark.sql(s"SELECT value, files, rows, exact " +
+      s"FROM graft_partitions('$dir', 'ds') ORDER BY value").collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("2026-01-01", "2026-01-02"))
+    // each day: its exact file + the spanning file; rows are the UPPER
+    // BOUND (the spanning file's 6 rows count under both days) and the
+    // exactness flag says so
+    assert(rows.map(r => (r.getInt(1), r.getLong(2), r.getBoolean(3))).toSeq
+      === Seq((2, 16L), (2, 26L)).map { case (f, n) => (f, n, false) })
+    // single-value-per-file layouts report exact
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-parts-tvf2").toString + "/t"
+    spark.range(0, 4).withColumn("ds", lit("a")).coalesce(1)
+      .write.format("graft").option("partitionCols", "ds").save(dir2)
+    val r2 = spark.sql(s"SELECT rows, exact FROM graft_partitions('$dir2')")
+      .head
+    assert((r2.getLong(0), r2.getBoolean(1)) === ((4L, true)))
+    // values follow a RENAME (logical names, the registry school)
+    spark.sql(s"ALTER TABLE '$dir2' RENAME COLUMN ds TO day")
+    assert(spark.sql(s"SELECT column FROM graft_partitions('$dir2', 'day')")
+      .head.getString(0) === "day")
+    // a column with no recorded partition values refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_partitions('$dir2', 'nope')").collect() }
+    assert(e.getMessage.contains("records no partition values"),
+      e.getMessage)
+  }
 }

@@ -29,21 +29,29 @@ object SqlWalkProps extends Properties("SqlWalk") {
     p.withMinSuccessfulTests(5).withMaxDiscardRatio(10f)
 
   sealed trait Op
-  final case class Insert(n: Int) extends Op
-  final case class Update(bucket: Int, delta: Int) extends Op
-  final case class Delete(bucket: Int) extends Op
-  final case class MergeUp(n: Int) extends Op // half existing keys, half new
+  // viaV2: the op executes against the DataSourceV2 catalog face
+  // (`gwalk.walk_N`) instead of the V1 session-catalog name — BOTH faces
+  // mutate one shared log, so a walk interleaving them must still agree
+  // with the model (the dual-face contract; lineage bootstraps from the
+  // log-persisted declaration either way)
+  final case class Insert(n: Int, viaV2: Boolean = false) extends Op
+  final case class Update(bucket: Int, delta: Int, viaV2: Boolean = false) extends Op
+  final case class Delete(bucket: Int, viaV2: Boolean = false) extends Op
+  final case class MergeUp(n: Int, viaV2: Boolean = false) extends Op // half existing keys, half new
   case object Optimize extends Op
   case object RenameScore extends Op // score column cycles to a fresh name
   final case class Restore(pick: Int) extends Op // k-th retained snapshot
   final case class AddCol(tag: Int) extends Op
   case object WidenUnits extends Op // units INT -> BIGINT (no-op if wide)
 
+  private val genFace: Gen[Boolean] = Gen.frequency(3 -> false, 1 -> true)
+
   private val genOp: Gen[Op] = Gen.frequency(
-    4 -> Gen.choose(1, 30).map(Insert),
-    4 -> Gen.zip(Gen.choose(0, 9), Gen.choose(1, 5)).map((Update.apply _).tupled),
-    3 -> Gen.choose(0, 9).map(Delete),
-    3 -> Gen.choose(2, 20).map(MergeUp),
+    4 -> Gen.zip(Gen.choose(1, 30), genFace).map((Insert.apply _).tupled),
+    4 -> Gen.zip(Gen.choose(0, 9), Gen.choose(1, 5), genFace)
+      .map((Update.apply _).tupled),
+    3 -> Gen.zip(Gen.choose(0, 9), genFace).map((Delete.apply _).tupled),
+    3 -> Gen.zip(Gen.choose(2, 20), genFace).map((MergeUp.apply _).tupled),
     2 -> Gen.const(Optimize),
     2 -> Gen.const(RenameScore),
     1 -> Gen.choose(0, 100).map(Restore),
@@ -52,14 +60,27 @@ object SqlWalkProps extends Properties("SqlWalk") {
 
   private lazy val spark: SparkSession = Sessions.local("4", "sql-walk-props")
 
+  /** One shared V2 warehouse root for every walk table: registered once
+    * as catalog `gwalk`, so each walk's log is addressable through BOTH
+    * faces. */
+  private lazy val v2Warehouse: String = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-walk-v2").toString
+    spark.conf.set("spark.sql.catalog.gwalk",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwalk.warehouse", wh)
+    wh
+  }
+
   private val walkCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The mutable walk state: the SQL table plus its in-memory twin. */
   private final class Walk {
     val id: Int = walkCounter.incrementAndGet()
     val table = s"walk_$id"
-    val dir: String =
-      java.nio.file.Files.createTempDirectory(s"graft-walk-$id").toString + "/t"
+    // the table dir lives under the SHARED V2 warehouse root, so the
+    // same log is addressable as `walk_N` (V1) and `gwalk.walk_N` (V2)
+    val dir: String = s"${SqlWalkProps.v2Warehouse}/walk_$id"
+    val v2Table = s"gwalk.walk_$id"
     var rows: Map[Long, (Long, Double)] = Map.empty // id -> (bucket, score)
     var units: Map[Long, Long] = Map.empty // id -> units (int epoch or wide)
     // per-snapshot twin STATE: rows + the schema bits RESTORE must revert
@@ -120,28 +141,30 @@ object SqlWalkProps extends Properties("SqlWalk") {
       else Prop.passed
     }
 
+    private def faceOf(viaV2: Boolean): String = if (viaV2) v2Table else table
+
     def apply(op: Op): Unit = op match {
-      case Insert(n) =>
+      case Insert(n, v2) =>
         val ids = nextId until (nextId + n)
-        spark.sql(s"INSERT INTO $table ${selectFor(ids)}")
+        spark.sql(s"INSERT INTO ${faceOf(v2)} ${selectFor(ids)}")
         rows ++= ids.map(i => i -> ((i % 10, i * 2 + 0.5)))
         units ++= ids.map(i => i -> unitsOf(i))
         nextId += n
-      case Update(b, d) =>
-        spark.sql(s"UPDATE $table SET $scoreCol = $scoreCol + $d WHERE bucket = $b")
+      case Update(b, d, v2) =>
+        spark.sql(s"UPDATE ${faceOf(v2)} SET $scoreCol = $scoreCol + $d WHERE bucket = $b")
         rows = rows.map { case (i, (bk, sc)) =>
           i -> ((bk, if (bk == b) sc + d else sc)) }
-      case Delete(b) =>
-        spark.sql(s"DELETE FROM $table WHERE bucket = $b")
+      case Delete(b, v2) =>
+        spark.sql(s"DELETE FROM ${faceOf(v2)} WHERE bucket = $b")
         val gone = rows.collect { case (i, (bk, _)) if bk == b => i }.toSet
         rows = rows.filterNot { case (_, (bk, _)) => bk == b }
         units = units.filterNot { case (i, _) => gone(i) }
-      case MergeUp(n) =>
+      case MergeUp(n, v2) =>
         val existing = rows.keys.toSeq.sorted.take(n / 2)
         val fresh = nextId until (nextId + (n - existing.size))
         val ids = existing ++ fresh
         spark.sql(
-          s"""MERGE INTO $table t USING (${selectFor(ids)}) s ON t.id = s.id
+          s"""MERGE INTO ${faceOf(v2)} t USING (${selectFor(ids)}) s ON t.id = s.id
              |WHEN MATCHED THEN UPDATE SET $scoreCol = s.$scoreCol + 100.0
              |WHEN NOT MATCHED THEN INSERT (id, bucket, $scoreCol, units)
              |  VALUES (s.id, s.bucket, s.$scoreCol, s.units)""".stripMargin)

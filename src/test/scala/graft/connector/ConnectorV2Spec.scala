@@ -321,6 +321,36 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 46)
   }
 
+  test("maintenance SQL and TVFs accept V2 catalog names") {
+    val wh = freshWarehouse("maint")
+    rows(0, 40).repartition(4).write.format("graft")
+      .option("statsCols", "id").save(s"$wh/t")
+    spark.sql("INSERT INTO gv2_maint.t SELECT id, id * 2 FROM range(40, 50)")
+    // OPTIMIZE by V2 name bin-packs the small-file debt
+    val opt = spark.sql("OPTIMIZE gv2_maint.t").head
+    assert(opt.getInt(2) <= opt.getInt(1), s"files ${opt.getInt(1)} -> ${opt.getInt(2)}")
+    assert(spark.sql("SELECT count(*) FROM gv2_maint.t").head.getLong(0) === 50)
+    // TVFs by V2 name
+    assert(spark.sql("SELECT count(*) FROM graft_history('gv2_maint.t')")
+      .head.getLong(0) >= 3)
+    // RESTORE by V2 name: back to the initial 40 rows
+    spark.sql("RESTORE gv2_maint.t TO VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM gv2_maint.t").head.getLong(0) === 40)
+    // branch DDL by V2 name
+    spark.sql("ALTER TABLE gv2_maint.t CREATE BRANCH wap")
+    assert(spark.sql("SELECT count(*) FROM graft_branches('gv2_maint.t')")
+      .head.getLong(0) === 1)
+    // ANALYZE by V2 name: manifest-exact row count in the report row
+    assert(spark.sql("ANALYZE TABLE gv2_maint.t COMPUTE STATISTICS")
+      .head.getLong(0) === 40)
+    // VACUUM by V2 name
+    spark.sql("VACUUM gv2_maint.t")
+    assert(spark.sql("SELECT count(*) FROM gv2_maint.t").head.getLong(0) === 40)
+    // an unknown V2 name still refuses loudly
+    val e = intercept[Exception] { spark.sql("OPTIMIZE gv2_maint.nope") }
+    assert(e.getMessage.contains("not a graft catalog table"), e.getMessage)
+  }
+
   test("V2 ALTER TABLE maps onto the metadata-only maintenance commits") {
     val wh = freshWarehouse("alter")
     rows(0, 12).write.format("graft").option("statsCols", "id").save(s"$wh/t")
