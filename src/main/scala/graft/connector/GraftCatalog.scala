@@ -157,7 +157,8 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
         Array(catName) ++ ident.namespace() :+ ident.name())
     val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, schema)
     SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
-      Map("created_by" -> "v2-catalog"))
+      Map("created_by" -> "v2-catalog") ++
+        GraftCatalog.durableProps(properties))
     new GraftV2Table(dir)
   }
 
@@ -206,9 +207,19 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
           .run(spark)
       case n: TableChange.UpdateColumnNullability if n.nullable() =>
         () // every graft column is already nullable: a no-op, not an error
+      // SET/UNSET TBLPROPERTIES — DURABLE properties in the log itself
+      // (one fileless metadata commit carrying the complete new map), so
+      // behavior-bearing keys (posDeletes, lineageKey) bind to the TABLE,
+      // not to whichever catalog the statement went through
+      case p: TableChange.SetProperty =>
+        GraftCatalog.commitProps(spark, dir,
+          _ + (p.property() -> p.value()))
+      case p: TableChange.RemoveProperty =>
+        GraftCatalog.commitProps(spark, dir, _ - p.property())
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE: unsupported change $other (supported: ADD " +
-          "COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN TYPE)")
+          "COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN " +
+          "TYPE, SET/UNSET TBLPROPERTIES)")
     }
     new GraftV2Table(dir)
   }
@@ -281,6 +292,38 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
         "(CREATE TABLE … AS SELECT) instead")
 }
 
+private[connector] object GraftCatalog {
+
+  /** Keys the engine or catalog synthesizes — never persisted as user
+    * properties. `option.`-prefixed keys are DataFrameWriterV2 write
+    * options, transient by definition. */
+  private val Reserved = Set("provider", "location", "owner", "external")
+
+  /** The subset of a CREATE/CTAS properties map that persists in the
+    * log as durable table properties (empty → no summary entry). */
+  private[connector] def durableProps(properties: util.Map[String, String])
+      : Map[String, String] = {
+    val user = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
+      .filterNot { case (k, _) =>
+        Reserved.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
+          k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") }
+    if (user.isEmpty) Map.empty
+    else Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(user))
+  }
+
+  /** SET/UNSET TBLPROPERTIES: ONE fileless metadata commit carrying the
+    * complete updated map, CAS'd at the pinned successor id (a racing
+    * commit throws — properties must never fork). */
+  private[connector] def commitProps(spark: SparkSession, dir: String,
+      change: Map[String, String] => Map[String, String]): Long = {
+    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val updated = change(SnapshotLog.tableProps(spark, dir))
+    SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq.empty,
+      Seq.empty, Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(updated)))
+  }
+}
+
 /** One graft table under the V2 catalog (optionally pinned to a
   * time-travel snapshot): BATCH_READ via the pushdown-aware scan
   * builder below. The snapshot resolves ONCE per table instance and is
@@ -315,8 +358,11 @@ private[connector] final class GraftV2Table(dir: String,
      else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)).asJava
 
+  /** Provider/location plus the DURABLE log-persisted properties — what
+    * `SHOW TBLPROPERTIES cat.t` and `DESCRIBE EXTENDED` surface. */
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "location" -> dir).asJava
+    (SnapshotLog.tableProps(spark, dir) ++
+      Map("provider" -> "graft", "location" -> dir)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, dir, state)

@@ -270,10 +270,11 @@ object GraftDml {
     * disable lineage. */
   private def effectiveLineage(spark: SparkSession, t: DmlTarget): Option[String] =
     lineageKey(spark, t.dir)
-      .orElse(t.declaredKey.orElse(
-        SnapshotLog.commitsReverse(spark, t.dir)
+      .orElse(t.declaredKey
+        .orElse(SnapshotLog.commitsReverse(spark, t.dir)
           .flatMap(_.summary.get(SnapshotLog.LineageDeclaredKey))
           .nextOption())
+        .orElse(SnapshotLog.tableProps(spark, t.dir).get("lineageKey"))
         .map { k =>
           t.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
             throw new IllegalArgumentException(
@@ -453,9 +454,16 @@ object GraftDml {
     // tables the COW path refuses, so repeated deletes never force a
     // materialization between them. Unconditional DELETE stays on the
     // cheaper metadata truncation below.
+    // the posDeletes opt-in binds to the TABLE: the catalog-carried
+    // property (V1 OPTIONS/TBLPROPERTIES) or the log-persisted durable
+    // property (V2 CTAS TBLPROPERTIES / ALTER … SET TBLPROPERTIES) —
+    // both faces must make the same storage-strategy decision
+    lazy val posDv = t.posDeletes ||
+      SnapshotLog.tableProps(spark, t.dir).get("posDeletes")
+        .exists(_.equalsIgnoreCase("true"))
     cond match {
       case Literal(true, BooleanType) => ()
-      case _ if t.posDeletes =>
+      case _ if posDv =>
         require(!t.timeTravel, s"graft table ${t.dir}: cannot DELETE " +
           "against a time-travel relation")
         graft.table.Merge.deleteWhereFn(spark, t.dir,

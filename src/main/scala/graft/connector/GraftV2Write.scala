@@ -80,7 +80,11 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
     properties: util.Map[String, String])
     extends StagedTable with SupportsWrite {
 
-  private val existedAtStage = SnapshotLog.currentSnapshotId(spark, dir).isDefined
+  // the REPLACE transaction's base pins at STAGE time, not commit time:
+  // a commit landing while the RTAS query runs must CONFLICT (throw),
+  // never be silently swallowed by a replace derived from older state
+  private val stagedBase: Option[Long] = SnapshotLog.currentSnapshotId(spark, dir)
+  private def existedAtStage = stagedBase.isDefined
 
   // files the CTAS query wrote, recorded by the staged write below
   @volatile private var staged: Seq[SnapshotLog.DataFile] = Seq.empty
@@ -134,11 +138,13 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
     val files =
       if (staged.nonEmpty) staged
       else Seq(GraftMaintenance.writeSchemaCarrier(spark, dir, declared))
+    // durable TBLPROPERTIES ride the creating/replacing commit itself
+    val props = GraftCatalog.durableProps(properties)
     if (!replace) {
       // CTAS create: CAS at snapshot 1 — a racing creator makes this
       // throw (TableAlreadyExists semantics), never a silent merge
       try SnapshotLog.commitAt(spark, dir, 1L, "append", files, Seq.empty,
-        Map("created_by" -> "v2-ctas"))
+        Map("created_by" -> "v2-ctas") ++ props)
       catch {
         case e: SnapshotLog.ConcurrentCommitException =>
           abortStagedChanges()
@@ -150,13 +156,28 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
       require(orCreate, s"graft table $dir: REPLACE TABLE target does " +
         "not exist (use CREATE OR REPLACE)")
       SnapshotLog.commitAt(spark, dir, 1L, "append", files, Seq.empty,
-        Map("created_by" -> "v2-rtas"))
+        Map("created_by" -> "v2-rtas") ++ props)
     } else {
-      // RTAS: one atomic whole-live-set swap through the pinned-base
-      // protocol — an interleaved commit throws, readers see old or
-      // new, never a mixture; pre-replace snapshots stay travelable
-      GraftDataSource.replaceAll(spark, dir, files,
-        Map("mode" -> "replace-table"))
+      // RTAS: one atomic whole-live-set swap committed at the STAGE-TIME
+      // base's successor — any commit that landed while the RTAS query
+      // ran makes this throw (the replace was derived from state that no
+      // longer holds), readers see old or new, never a mixture, and
+      // pre-replace snapshots stay travelable. REPLACE REDEFINES the
+      // table, properties included: with none given, an explicit empty
+      // map commits so stale behavior-bearing keys (posDeletes,
+      // lineageKey) don't silently survive the swap
+      val declaredProps =
+        if (props.nonEmpty) props
+        else Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(Map.empty))
+      val baseId = stagedBase.getOrElse(0L)
+      val removed =
+        (if (baseId == 0L) Seq.empty[String]
+         else SnapshotLog.filesAt(spark, dir, Some(baseId)).map(_.path))
+          .filterNot(files.map(_.path).toSet)
+      SnapshotLog.commitAt(spark, dir, baseId + 1,
+        if (removed.isEmpty) "append" else "upsert",
+        files, removed,
+        Map("mode" -> "replace-table") ++ declaredProps)
     }
     // V1 catalog tables over this dir must re-resolve (no ident known)
     spark.sessionState.catalog.invalidateAllCachedTables()

@@ -104,6 +104,34 @@ object SnapshotLog {
     * rewrite and downgrade the change feed. */
   val LineageDeclaredKey: String = "lineage_declared"
 
+  /** Commit-summary key carrying the table's DURABLE user properties as
+    * a JSON object (the Delta school: TBLPROPERTIES live in the table's
+    * own metadata, not in any one engine's catalog) — written at V2
+    * CREATE/CTAS and by `ALTER TABLE … SET/UNSET TBLPROPERTIES`, read by
+    * EVERY face (`posDeletes`, `lineageKey`, SHOW TBLPROPERTIES), so
+    * behavior-bearing properties can never differ between two catalogs
+    * pointed at one table. Resolution: the NEWEST commit carrying the
+    * key holds the complete current map. */
+  val TablePropsKey: String = "graft_props"
+
+  /** The table's durable properties at HEAD (empty if none declared). */
+  def tableProps(spark: SparkSession, tableDir: String): Map[String, String] =
+    commitsReverse(spark, tableDir)
+      .flatMap(_.summary.get(TablePropsKey))
+      .nextOption().map(parseProps).getOrElse(Map.empty)
+
+  private[graft] def parseProps(json: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val node = mapper.readTree(json)
+    node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private[graft] def propsJson(props: Map[String, String]): String = {
+    val root = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    mapper.writeValueAsString(root)
+  }
+
   /** One committed manifest. `op` is `append` (new logical rows) or
     * `replace` (rewrite: same logical rows, new physical layout).
     * `added`/`removed` are this commit's DELTA — and since format v2

@@ -321,6 +321,86 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 46)
   }
 
+  test("staged CTAS/RTAS races resolve by CAS: loser throws, winner intact") {
+    import org.apache.spark.sql.types.{LongType, StructType => ST}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val wh = freshWarehouse("race")
+    val cat = new GraftCatalog
+    cat.initialize("gv2_race_api",
+      new CaseInsensitiveStringMap(Map("warehouse" -> wh).asJava))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "t")
+    val schema = new ST().add("id", LongType).add("v", LongType)
+    val none = new java.util.HashMap[String, String]()
+    // CTAS race: stage a create, let a rival land the table first — the
+    // staged commit must THROW (CAS at snapshot 1) and the rival's data
+    // must stand untouched
+    val stagedCreate = cat.stageCreate(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform], none)
+    rows(0, 5).write.format("graft").save(s"$wh/t")
+    intercept[IllegalStateException] { stagedCreate.commitStagedChanges() }
+    assert(spark.read.format("graft").load(s"$wh/t").count() === 5,
+      "the CTAS loser must not disturb the racing winner")
+    // RTAS race: the replace pins its base at STAGE time — an append
+    // landing while the (hypothetical) query runs makes the commit
+    // throw instead of being silently swallowed by the swap
+    val stagedReplace = cat.stageReplace(ident, schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform], none)
+    rows(5, 10).write.format("graft").mode("append").save(s"$wh/t")
+    intercept[Exception] { stagedReplace.commitStagedChanges() }
+    assert(spark.read.format("graft").load(s"$wh/t").count() === 10,
+      "the refused replace must leave both commits standing")
+  }
+
+  test("durable TBLPROPERTIES bind behavior to the table across faces") {
+    val wh = freshWarehouse("props")
+    spark.sql("CREATE TABLE gv2_props.t TBLPROPERTIES ('posDeletes' = " +
+      "'true', 'lineageKey' = 'id', 'team' = 'data') AS " +
+      "SELECT id, CAST(id * 2 AS BIGINT) AS v FROM range(0, 100)")
+    // SHOW TBLPROPERTIES surfaces the log-persisted map
+    val props = spark.sql("SHOW TBLPROPERTIES gv2_props.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("posDeletes").contains("true") &&
+      props.get("team").contains("data"), props.toString)
+    // lineage declared via durable props: a V2 UPDATE bootstraps stamps,
+    // so the change feed folds instead of refusing the rewrite
+    spark.sql("UPDATE gv2_props.t SET v = 0 WHERE id = 50")
+    val ops = spark.sql("SELECT _change_op, count(*) AS n FROM " +
+      "graft_changes('gv2_props.t', 1) GROUP BY _change_op").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the default feed vocabulary tags changed rows "upsert" (preImages
+    // mode refines them to update_pre/postimage pairs); the point here is
+    // the feed FOLDS — a lineage-less rewrite would have refused instead
+    assert(ops.get("upsert").contains(1L), s"feed ops: $ops")
+    // posDeletes declared via durable props: a V2 DELETE commits
+    // (file, ordinal) masks — zero data-file rewrites
+    val dataBefore = spark.sql("SELECT count(*) FROM " +
+      "graft_files('gv2_props.t') WHERE kind = 'data'").head.getLong(0)
+    spark.sql("DELETE FROM gv2_props.t WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM gv2_props.t").head.getLong(0) === 90)
+    val kinds = spark.sql("SELECT kind, count(*) FROM " +
+      "graft_files('gv2_props.t') GROUP BY kind").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds("data") === dataBefore,
+      s"posdelete DELETE must not rewrite data files: $kinds")
+    assert(kinds.getOrElse("posdelete", 0L) >= 1L, kinds.toString)
+    // SET/UNSET round-trip on a second table flips the storage strategy
+    spark.sql("CREATE TABLE gv2_props.t2 AS SELECT id FROM range(0, 20)")
+    spark.sql("ALTER TABLE gv2_props.t2 SET TBLPROPERTIES " +
+      "('posDeletes' = 'true')")
+    spark.sql("DELETE FROM gv2_props.t2 WHERE id < 5")
+    assert(spark.sql("SELECT count(*) FROM graft_files('gv2_props.t2') " +
+      "WHERE kind = 'posdelete'").head.getLong(0) >= 1L)
+    spark.sql("ALTER TABLE gv2_props.t2 UNSET TBLPROPERTIES ('posDeletes')")
+    assert(!spark.sql("SHOW TBLPROPERTIES gv2_props.t2").collect()
+      .exists(_.getString(0) == "posDeletes"))
+    // REPLACE TABLE redefines properties: none given → stale keys gone
+    spark.sql("REPLACE TABLE gv2_props.t2 AS SELECT id FROM range(0, 3)")
+    assert(!spark.sql("SHOW TBLPROPERTIES gv2_props.t2").collect()
+      .exists(_.getString(0) == "posDeletes"))
+  }
+
   test("maintenance SQL and TVFs accept V2 catalog names") {
     val wh = freshWarehouse("maint")
     rows(0, 40).repartition(4).write.format("graft")
