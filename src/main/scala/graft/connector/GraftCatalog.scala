@@ -92,13 +92,6 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** The table directory behind `name`, when it IS a graft table of this
-    * catalog — how the maintenance statements (OPTIMIZE / VACUUM /
-    * RESTORE / ANALYZE / ALTER / TVFs) resolve `cat.name` targets. */
-  private[connector] def tableDirFor(name: String): Option[String] = {
-    val dir = dirOf(Identifier.of(Array.empty, name))
-    if (isTable(dir)) Some(dir) else None
-  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val root = new Path(warehouse)

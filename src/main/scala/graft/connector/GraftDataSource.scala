@@ -283,14 +283,18 @@ object GraftDataSource {
     * sink's Complete mode so the data-and-mask subtlety lives once. */
   private[connector] def replaceAll(spark: SparkSession, dir: String,
                                     added: Seq[SnapshotLog.DataFile],
-                                    summary: Map[String, String]): Long = {
+                                    summary: Map[String, String],
+                                    pinnedBase: Option[Long] = None): Long = {
     // PIN the base snapshot and commit at exactly its successor:
     // resolving "latest" once for the removed set and again inside a
     // plain commit() would let an append land in the window — its files
     // absent from `removed`, silently surviving the overwrite. With the
     // pinned pair any interleaved commit makes commitAt throw instead
     // (the same discipline as Merge.applyChanges / materializeDeletes).
-    val baseId = SnapshotLog.currentSnapshotId(spark, dir).getOrElse(0L)
+    // `pinnedBase` moves the pin even earlier — the staged RTAS pins at
+    // STAGE time, so commits landing while its query ran conflict too.
+    val baseId = pinnedBase.getOrElse(
+      SnapshotLog.currentSnapshotId(spark, dir).getOrElse(0L))
     val removed =
       (if (baseId == 0L) Seq.empty[String]
        else SnapshotLog.filesAt(spark, dir, Some(baseId)).map(_.path))

@@ -246,41 +246,43 @@ object GraftDml {
     }
   }
 
-  /** The table's lineage merge key, when its retained history carries a
-    * lineage-stamped commit — SQL DML then preserves stamps and commits
-    * with the same summary contract, keeping [[SnapshotLog.changes]]
-    * derivable. */
-  private def lineageKey(spark: SparkSession, dir: String): Option[String] =
-    SnapshotLog.commitsReverse(spark, dir)
-      .find(_.summary.get("lineage").contains("true"))
-      .flatMap(_.summary.get("key"))
+  /** Case-insensitive durable-property lookup — the V1 catalog path
+    * matches property KEYS with equalsIgnoreCase, so the durable-log
+    * path must too or the two faces would make different decisions for
+    * one declaration. */
+  private[connector] def propCI(props: Map[String, String],
+                                key: String): Option[String] =
+    props.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   /** History-carried lineage key, the table's DECLARED one (`CREATE
-    * TABLE … OPTIONS (lineageKey 'id')`), or the declaration PERSISTED
-    * in the log at creation ([[SnapshotLog.LineageDeclaredKey]]) — the
-    * declaration lets a pure-SQL table BOOTSTRAP row lineage on its
-    * first DML (carried rows stamp from their file seq via the
-    * lineage-preserving read), so its change feed is derivable from
-    * snapshot 1 without ever touching the Scala API. The log-persisted
-    * form exists because the catalog-carried declaration is invisible to
-    * faces that bypass the session catalog (the V2 TableCatalog): without
-    * it, a V2 UPDATE on a declared-but-not-yet-bootstrapped table would
-    * silently commit a lineage-less rewrite and downgrade the feed. A
-    * declared key that names no column throws — a typo must not silently
-    * disable lineage. */
-  private def effectiveLineage(spark: SparkSession, t: DmlTarget): Option[String] =
-    lineageKey(spark, t.dir)
-      .orElse(t.declaredKey
-        .orElse(SnapshotLog.commitsReverse(spark, t.dir)
-          .flatMap(_.summary.get(SnapshotLog.LineageDeclaredKey))
-          .nextOption())
-        .orElse(SnapshotLog.tableProps(spark, t.dir).get("lineageKey"))
+    * TABLE … OPTIONS (lineageKey 'id')`), the declaration PERSISTED in
+    * the log at creation ([[SnapshotLog.LineageDeclaredKey]]), or a
+    * durable `lineageKey` table property — the declaration lets a
+    * pure-SQL table BOOTSTRAP row lineage on its first DML (carried rows
+    * stamp from their file seq via the lineage-preserving read), so its
+    * change feed is derivable from snapshot 1 without ever touching the
+    * Scala API. The log-persisted forms exist because the
+    * catalog-carried declaration is invisible to faces that bypass the
+    * session catalog (the V2 TableCatalog): without them, a V2 UPDATE on
+    * a declared-but-not-yet-bootstrapped table would silently commit a
+    * lineage-less rewrite and downgrade the feed. All log scans ride ONE
+    * redefinition-bounded [[SnapshotLog.durableMeta]] pass — REPLACE
+    * TABLE kills older declarations, so a replaced table's DML never
+    * trips over a column the old schema had. A declared key that names
+    * no column throws — a typo must not silently disable lineage. */
+  private def effectiveLineage(spark: SparkSession, t: DmlTarget): Option[String] = {
+    val (history, logDeclared, props) = SnapshotLog.durableMeta(spark, t.dir)
+    history.orElse(
+      t.declaredKey
+        .orElse(logDeclared)
+        .orElse(propCI(props, "lineageKey"))
         .map { k =>
           t.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
             throw new IllegalArgumentException(
               s"graft table ${t.dir}: declared lineageKey '$k' is not a " +
                 s"column (has: ${t.output.map(_.name).mkString(", ")})")).name
         })
+  }
 
   /** Align a scanned-files frame with the RELATION's schema: null-fill
     * any column the files don't carry yet (files older than an `ALTER
@@ -457,9 +459,10 @@ object GraftDml {
     // the posDeletes opt-in binds to the TABLE: the catalog-carried
     // property (V1 OPTIONS/TBLPROPERTIES) or the log-persisted durable
     // property (V2 CTAS TBLPROPERTIES / ALTER … SET TBLPROPERTIES) —
-    // both faces must make the same storage-strategy decision
+    // both faces must make the same storage-strategy decision, with the
+    // same case-insensitive key matching the V1 catalog path uses
     lazy val posDv = t.posDeletes ||
-      SnapshotLog.tableProps(spark, t.dir).get("posDeletes")
+      propCI(SnapshotLog.tableProps(spark, t.dir), "posDeletes")
         .exists(_.equalsIgnoreCase("true"))
     cond match {
       case Literal(true, BooleanType) => ()

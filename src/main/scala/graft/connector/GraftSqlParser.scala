@@ -328,6 +328,8 @@ object GraftMaintenance {
     val id = SnapshotLog.commitAt(spark, dir, baseId + 1, "schema",
       Seq.empty, Seq.empty,
       note + (graft.table.FieldRegistry.SummaryKey -> updated.toJson))
+    if (ident.isEmpty) // V2-name / path target: no entry to refresh
+      spark.sessionState.catalog.invalidateAllCachedTables()
     ident.foreach { tid =>
       val after = GraftDataSource.visibleState(spark, dir, None)._4
       // the SessionCatalog face refuses any change that removes a column
@@ -364,20 +366,40 @@ object GraftMaintenance {
       None, None, kind = "data")
   }
 
-  /** The table dir behind a `cat.name` target when `cat` is a REGISTERED
+  /** The table dir behind a `cat.name` target when `cat` is a CONFIGURED
     * graft V2 catalog ([[GraftCatalog]]) holding that table — so every
     * maintenance statement (OPTIMIZE / VACUUM / RESTORE / ANALYZE /
     * ALTER / branch DDL) and TVF accepts V2 catalog names exactly like
-    * V1 idents and quoted paths. No V1 TableIdentifier exists for these
-    * (nothing to refresh: V2 reads resolve the log fresh per query). */
+    * V1 idents and quoted paths. Resolution reads the CONF alone
+    * (`spark.sql.catalog.<cat>` must name GraftCatalog, the warehouse
+    * key supplies the root): going through CatalogManager would
+    * INSTANTIATE whatever plugin the name matches — Spark's
+    * isCatalogRegistered is try{catalog(name)} — and parsing a
+    * maintenance statement must never initialize a foreign catalog as a
+    * side effect. No V1 TableIdentifier exists for these (the commands
+    * invalidate the relation cache instead of refreshing one entry). */
   private[connector] def v2CatalogDir(session: SparkSession,
       parts: Seq[String]): Option[String] = parts match {
     case Seq(cat, name) =>
-      org.apache.spark.sql.graftshim.GraftSqlShim
-        .registeredCatalog(session, cat)
-        .collect { case g: GraftCatalog => g }
-        .flatMap(_.tableDirFor(name))
+      session.conf.getOption(s"spark.sql.catalog.$cat")
+        .filter(_ == classOf[GraftCatalog].getName)
+        .flatMap(_ => session.conf.getOption(s"spark.sql.catalog.$cat.warehouse"))
+        .filter(_ => name.matches("[A-Za-z0-9._-]{1,128}") && !name.contains(".."))
+        .map(wh => s"$wh/$name")
+        .filter(dir => SnapshotLog.currentSnapshotId(session, dir).isDefined)
     case _ => None
+  }
+
+  /** Post-commit catalog hygiene for the maintenance commands — the
+    * twin of [[GraftDml.refreshAfter]]: a catalog-backed target
+    * refreshes its own entry; an ident-less target (V2 catalog name,
+    * quoted path) invalidates the session relation cache so a V1
+    * catalog table over the same directory can't keep serving its
+    * cached point-in-time file list. */
+  private[connector] def refreshAfter(spark: SparkSession,
+      ident: Option[TableIdentifier]): Unit = ident match {
+    case Some(id) => spark.sessionState.catalog.refreshTable(id)
+    case None => spark.sessionState.catalog.invalidateAllCachedTables()
   }
 
   /** (identifier, table dir) when the name resolves to a graft catalog
@@ -462,7 +484,7 @@ final case class GraftOptimizeCommand(target: String, where: Option[String],
       targetBytes = targetMb.map(_ * 1024 * 1024).getOrElse(128L * 1024 * 1024),
       clusterBy = clusterBy, clusterZOrder = zorder, label = target,
       scope = scope)
-    ident.foreach(spark.sessionState.catalog.refreshTable)
+    GraftMaintenance.refreshAfter(spark, ident)
     Seq(Row(r.table, r.filesBefore, r.filesAfter, r.rows, r.bytes))
   }
 }
@@ -520,6 +542,8 @@ final case class GraftAddColumnsCommand(target: String, cols: StructType)
     SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq(carrier),
       Seq.empty, Map("add_columns" -> cols.fieldNames.mkString(",")) ++
         reg2.map(r => graft.table.FieldRegistry.SummaryKey -> r.toJson))
+    if (ident.isEmpty)
+      spark.sessionState.catalog.invalidateAllCachedTables()
     ident.foreach { id =>
       // keep DESCRIBE in sync with the log-derived truth
       try spark.sessionState.catalog.alterTableDataSchema(id, widened)
@@ -614,6 +638,8 @@ final case class GraftAlterColumnTypeCommand(target: String, column: String,
     val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, carrierSchema)
     SnapshotLog.commitAt(spark, dir, baseId + 1, "schema", Seq(carrier),
       Seq.empty, Map("widen_column" -> s"$column:${newType.sql}"))
+    if (ident.isEmpty)
+      spark.sessionState.catalog.invalidateAllCachedTables()
     ident.foreach { id =>
       try spark.sessionState.catalog.alterTableDataSchema(id, widened)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -646,7 +672,7 @@ final case class GraftBranchCommand(target: String, action: String,
         Seq(Row(branch, -1L))
       case "PUBLISH" =>
         val id = graft.table.Branch.publish(spark, dir, branch)
-        ident.foreach(spark.sessionState.catalog.refreshTable)
+        GraftMaintenance.refreshAfter(spark, ident)
         Seq(Row(branch, id))
     }
   }
@@ -670,6 +696,8 @@ final case class GraftRestoreCommand(target: String, version: Option[Long],
           GraftDataSource.parseTimestampMs(timestamp.get)))
     }
     val newId = SnapshotLog.rollback(spark, dir, toSnapshot)
+    if (ident.isEmpty) // V2-name / path target: no entry to refresh
+      spark.sessionState.catalog.invalidateAllCachedTables()
     ident.foreach { tid =>
       // RESTORE restores the schema too (dropped schema carriers, reverted
       // registries): re-derive the catalog's stored schema from the
@@ -702,7 +730,7 @@ final case class GraftVacuumCommand(target: String, retainHours: Option[Long])
       retainLast = if (retainHours.isDefined) 1 else 2,
       olderThanMs = retainHours.map(h =>
         System.currentTimeMillis() - h * 3600L * 1000L))
-    ident.foreach(spark.sessionState.catalog.refreshTable)
+    GraftMaintenance.refreshAfter(spark, ident)
     Seq(Row(manifests, dataFiles))
   }
 }

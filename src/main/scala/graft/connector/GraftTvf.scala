@@ -134,10 +134,14 @@ object GraftTvf {
 
   /** Partition listing from MANIFESTS alone (the Iceberg `partitions`
     * metadata-table analog): per (partition column, value) — live file
-    * count, row/byte sums, and whether the attribution is EXACT (every
-    * contributing file records that single value for the column; a
-    * multi-value file's rows can't be split between its values, so its
-    * groups report `exact = false` and the sums are upper bounds).
+    * count, row/byte sums, and whether the attribution is EXACT. Exact
+    * requires: no pending delete masks (masked rows would overcount),
+    * every row-bearing file RECORDS values for the column (an over-cap
+    * or pre-partitioning file could hold any value — undercount), and
+    * every contributing file records that single value (a multi-value
+    * file's rows can't split between its values — overcount). Inexact
+    * groups' sums are BOUNDS, and value lists may be incomplete when
+    * value-blind files exist — exact=false is the signal.
     * Zero data files open at any table size — at 100 TB "what days do
     * we have and how big is each" is a driver-side manifest fold.
     * Values report under LOGICAL column names (registry-translated). */
@@ -145,7 +149,12 @@ object GraftTvf {
     val s = spark
     import s.implicits._
     val path = dirOf(target)
-    val files0 = SnapshotLog.filesAt(s, path).filter(_.kind == "data")
+    val all = SnapshotLog.filesAt(s, path)
+    // pending delete masks hide rows the manifests still count — per-
+    // value rows become upper bounds, so EVERY group reports exact=false
+    // (the same honesty estimateStatistics applies to masked numRows)
+    val masked = all.exists(SnapshotLog.isMask)
+    val files0 = all.filter(_.kind == "data")
     val reg = SnapshotLog.registryAt(s, path).filterNot(_.isIdentity)
     val files = reg.map(r => files0.map(r.translateMeta)).getOrElse(files0)
     column.foreach { c =>
@@ -154,6 +163,14 @@ object GraftTvf {
         s"graft_partitions: $path records no partition values for " +
           s"column '$c' (has: ${if (known.isEmpty) "none" else known.mkString(", ")})")
     }
+    // a row-bearing file that recorded NO values for a column (over the
+    // MaxPartValuesPerFile cap, or written before partitionCols named
+    // it) may hold ANY value of it — its rows are attributable to no
+    // group, so every group of that column is an undercount: flag the
+    // whole column non-exact rather than silently drop the file
+    val bearing = files.filter(_.rows > 0)
+    def columnExact(c: String): Boolean =
+      !masked && bearing.forall(_.parts.keys.exists(_.equalsIgnoreCase(c)))
     val rows = files
       .flatMap { f =>
         f.parts.toSeq
@@ -165,7 +182,7 @@ object GraftTvf {
       .map { case ((c, v), grp) =>
         val fs = grp.map(_._3)
         (c, v, fs.size, fs.map(_.rows).sum, fs.map(_.bytes).sum,
-          grp.forall(_._4))
+          grp.forall(_._4) && columnExact(c))
       }
       .sortBy { case (c, v, _, _, _, _) => (c, v) }
     GraftSqlShim.planOf(rows

@@ -169,15 +169,9 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
       val declaredProps =
         if (props.nonEmpty) props
         else Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(Map.empty))
-      val baseId = stagedBase.getOrElse(0L)
-      val removed =
-        (if (baseId == 0L) Seq.empty[String]
-         else SnapshotLog.filesAt(spark, dir, Some(baseId)).map(_.path))
-          .filterNot(files.map(_.path).toSet)
-      SnapshotLog.commitAt(spark, dir, baseId + 1,
-        if (removed.isEmpty) "append" else "upsert",
-        files, removed,
-        Map("mode" -> "replace-table") ++ declaredProps)
+      GraftDataSource.replaceAll(spark, dir, files,
+        Map("mode" -> "replace-table") ++ declaredProps,
+        pinnedBase = Some(stagedBase.getOrElse(0L)))
     }
     // V1 catalog tables over this dir must re-resolve (no ident known)
     spark.sessionState.catalog.invalidateAllCachedTables()
@@ -185,19 +179,25 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
 
   override def abortStagedChanges(): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    staged.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f.path)
-      try p.getFileSystem(conf).delete(p, false)
-      catch { case scala.util.control.NonFatal(_) => () }
-    }
-    // a staged CREATE that never became a table leaves an empty shell
-    // directory (data/ with deleted files): remove it ONLY when no log
-    // exists — a concurrent creator's real table must survive our abort
+    // delete OUR staged write's uuid dirs (writeData gives each write an
+    // exclusive data/<uuid>/ directory, so recursing into those touches
+    // nothing foreign), then peel the empty shell NON-recursively — a
+    // racing creator's already-written-but-uncommitted files under
+    // data/<other-uuid>/ make the rmdir fail harmlessly instead of
+    // being destroyed by a recursive delete of the whole table dir
+    staged.map(f => new org.apache.hadoop.fs.Path(f.path).getParent)
+      .distinct.foreach { d =>
+        try d.getFileSystem(conf).delete(d, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     if (!existedAtStage && wrote &&
         SnapshotLog.currentSnapshotId(spark, dir).isEmpty) {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      try p.getFileSystem(conf).delete(p, true)
-      catch { case scala.util.control.NonFatal(_) => () }
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      try {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data"), false)
+        fs.delete(root, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -114,11 +114,57 @@ object SnapshotLog {
     * key holds the complete current map. */
   val TablePropsKey: String = "graft_props"
 
+  /** Is this commit a whole-table REDEFINITION (V2 `REPLACE TABLE`)?
+    * Durable metadata older than it is dead: REPLACE redefines the
+    * table, so property/lineage resolution never scans past one.
+    * Compaction's `replace` op and INSERT OVERWRITE keep metadata — only
+    * the explicit redefinition cuts. */
+  private def isRedefinition(c: Commit): Boolean =
+    c.summary.get("mode").contains("replace-table")
+
+  /** Newest summary value for `key`, scanning back only to the most
+    * recent whole-table redefinition. */
+  private[graft] def newestSummary(spark: SparkSession, tableDir: String,
+                                   key: String): Option[String] =
+    commitsReverse(spark, tableDir)
+      .find(c => c.summary.contains(key) || isRedefinition(c))
+      .flatMap(_.summary.get(key))
+
+  /** ONE backward scan resolving every durable-metadata question a DML
+    * statement asks — (history lineage key, log-declared lineage key,
+    * durable properties) — each independently bounded by the newest
+    * whole-table redefinition. Shared so a statement never pays three
+    * separate O(retained-history) walks; a table with none of the keys
+    * still walks its retained manifests once (bounded by retention). */
+  private[graft] def durableMeta(spark: SparkSession, tableDir: String)
+      : (Option[String], Option[String], Map[String, String]) = {
+    var lineage: Option[Option[String]] = None   // Some(found-or-dead)
+    var declared: Option[Option[String]] = None
+    var props: Option[Map[String, String]] = None
+    val it = commitsReverse(spark, tableDir)
+    while (it.hasNext &&
+        (lineage.isEmpty || declared.isEmpty || props.isEmpty)) {
+      val c = it.next()
+      if (lineage.isEmpty && c.summary.get("lineage").contains("true"))
+        lineage = Some(c.summary.get("key"))
+      if (declared.isEmpty && c.summary.contains(LineageDeclaredKey))
+        declared = Some(c.summary.get(LineageDeclaredKey))
+      if (props.isEmpty && c.summary.contains(TablePropsKey))
+        props = Some(parseProps(c.summary(TablePropsKey)))
+      if (isRedefinition(c)) {
+        // anything not found yet is DEAD beyond this commit
+        if (lineage.isEmpty) lineage = Some(None)
+        if (declared.isEmpty) declared = Some(None)
+        if (props.isEmpty) props = Some(Map.empty)
+      }
+    }
+    (lineage.flatten, declared.flatten, props.getOrElse(Map.empty))
+  }
+
   /** The table's durable properties at HEAD (empty if none declared). */
   def tableProps(spark: SparkSession, tableDir: String): Map[String, String] =
-    commitsReverse(spark, tableDir)
-      .flatMap(_.summary.get(TablePropsKey))
-      .nextOption().map(parseProps).getOrElse(Map.empty)
+    newestSummary(spark, tableDir, TablePropsKey)
+      .map(parseProps).getOrElse(Map.empty)
 
   private[graft] def parseProps(json: String): Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -2169,6 +2215,40 @@ object SnapshotLog {
       // until the branch publishes (they become main-referenced) or
       // drops (they age out through the grace gate)
       Branch.protectedPaths(spark, tableDir)
+    // durable metadata (TBLPROPERTIES, the lineage declaration) rides
+    // ordinary commit summaries; if expiry would delete the NEWEST
+    // carrier of either, carry it forward as ONE fileless metadata
+    // commit FIRST — retention must never silently change table
+    // behavior (a vacuumed posDeletes table flipping to COW rewrites,
+    // a declared feed losing its bootstrap). The carrier scan is
+    // redefinition-bounded, so a pre-REPLACE declaration is never
+    // resurrected by its own expiry.
+    if (expired.nonEmpty) {
+      val carry = Seq(TablePropsKey, LineageDeclaredKey).flatMap { key =>
+        commitsReverse(spark, tableDir)
+          .find(c => c.summary.contains(key) || isRedefinition(c))
+          .filter(c => c.summary.contains(key) &&
+            expiredSet.contains(c.snapshotId))
+          .map(c => key -> c.summary(key))
+      }.toMap
+      if (carry.nonEmpty) {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          try {
+            commitAt(spark, tableDir,
+              currentSnapshotId(spark, tableDir).getOrElse(0L) + 1,
+              "schema", Seq.empty, Seq.empty,
+              carry + ("mode" -> "retention-carry"))
+            done = true
+          } catch {
+            case e: ConcurrentCommitException =>
+              attempts += 1
+              if (attempts > 5) throw e
+          }
+        }
+      }
+    }
     // anchor every retained id stranded by the deletions BEFORE they
     // happen: resolution folds forward from a checkpoint (or v1
     // manifest), so each retained id whose direct predecessor expires —

@@ -73,16 +73,4 @@ object GraftSqlShim {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
-  /** A REGISTERED (already-loaded) V2 catalog plugin by name, or None —
-    * `CatalogManager` is `private[sql]`, hence the forward. Maintenance
-    * statements use it to resolve `cat.table` targets against graft V2
-    * catalogs; looking up only registered names never instantiates a
-    * catalog as a side effect of a maintenance statement. */
-  def registeredCatalog(spark: org.apache.spark.sql.SparkSession,
-                        name: String)
-      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
-    val cm = spark.sessionState.catalogManager
-    if (!cm.isCatalogRegistered(name)) None
-    else scala.util.Try(cm.catalog(name)).toOption
-  }
 }

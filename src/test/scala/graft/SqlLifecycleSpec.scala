@@ -164,5 +164,27 @@ class SqlLifecycleSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft_partitions('$dir2', 'nope')").collect() }
     assert(e.getMessage.contains("records no partition values"),
       e.getMessage)
+    // pending delete masks make every group an upper bound → exact=false
+    graft.table.Merge.deleteWhere(spark, dir2,
+      col("day") === "a" && col("id") < 2)
+    val r3 = spark.sql(s"SELECT rows, exact FROM graft_partitions('$dir2')")
+      .head
+    assert((r3.getLong(0), r3.getBoolean(1)) === ((4L, false)),
+      "masked tables must report bounds, never exact attributions")
+    // a row-bearing file that recorded NO values for the column (e.g.
+    // written before partitionCols named it) makes the whole column
+    // non-exact — its rows could belong to any value
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("graft-parts-tvf3").toString + "/t"
+    spark.range(0, 4).withColumn("ds", lit("a")).coalesce(1)
+      .write.format("graft").option("partitionCols", "ds").save(dir3)
+    spark.range(0, 3).withColumn("ds", lit("b")).coalesce(1)
+      .write.format("graft").mode("append").save(dir3) // value-blind file
+    val r4 = spark.sql(s"SELECT value, rows, exact " +
+      s"FROM graft_partitions('$dir3', 'ds')").collect()
+    assert(r4.map(_.getString(0)).toSeq === Seq("a"),
+      "the blind file's value is unknowable — only 'a' lists")
+    assert(!r4.head.getBoolean(2),
+      "a value-blind row-bearing file must flag the column non-exact")
   }
 }

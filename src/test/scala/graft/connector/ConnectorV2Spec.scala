@@ -321,6 +321,36 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 46)
   }
 
+  test("durable metadata survives retention; REPLACE kills dead declarations") {
+    val wh = freshWarehouse("meta")
+    // props + lineage declared at creation (commit 1), then enough
+    // commits that VACUUM expires the carrier — behavior must not
+    // silently change when history ages out
+    spark.sql("CREATE TABLE gv2_meta.t TBLPROPERTIES ('posDeletes' = " +
+      "'true', 'team' = 'data') AS SELECT id FROM range(0, 10)")
+    for (i <- 1 to 4)
+      spark.sql(s"INSERT INTO gv2_meta.t SELECT id FROM range(${i * 10}, ${i * 10 + 10})")
+    spark.sql("VACUUM gv2_meta.t") // retainLast=2: commit 1 expires
+    val props = spark.sql("SHOW TBLPROPERTIES gv2_meta.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("posDeletes").contains("true"),
+      s"durable props must survive snapshot expiry, got $props")
+    spark.sql("DELETE FROM gv2_meta.t WHERE id < 5")
+    assert(spark.sql("SELECT count(*) FROM graft_files('gv2_meta.t') " +
+      "WHERE kind = 'posdelete'").head.getLong(0) >= 1L,
+      "the vacuumed table must still take the deletion-vector path")
+    // a dead lineage declaration must not outlive REPLACE TABLE: the
+    // old table declared lineageKey 'id'; the replacement has no 'id'
+    // column, and its DML must not trip over the stale declaration
+    spark.range(0, 5).selectExpr("id", "id * 2 AS v")
+      .write.format("graft").option("lineageKey", "id").save(s"$wh/r")
+    spark.sql("REPLACE TABLE gv2_meta.r AS SELECT CAST(id AS STRING) " +
+      "AS name, id * 10 AS score FROM range(0, 6)")
+    spark.sql("UPDATE gv2_meta.r SET score = 0 WHERE name = '3'")
+    assert(spark.sql("SELECT sum(score) FROM gv2_meta.r")
+      .head.getLong(0) === (0L +: Seq(0L, 10L, 20L, 40L, 50L)).sum)
+  }
+
   test("staged CTAS/RTAS races resolve by CAS: loser throws, winner intact") {
     import org.apache.spark.sql.types.{LongType, StructType => ST}
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -429,6 +459,26 @@ class ConnectorV2Spec extends AnyFunSuite {
     // an unknown V2 name still refuses loudly
     val e = intercept[Exception] { spark.sql("OPTIMIZE gv2_maint.nope") }
     assert(e.getMessage.contains("not a graft catalog table"), e.getMessage)
+    // resolution never INSTANTIATES a foreign catalog: a configured
+    // non-graft (here: nonexistent-class) catalog neither matches nor
+    // class-loads during parse — the error is ours, not ClassNotFound
+    spark.conf.set("spark.sql.catalog.gv2_foreign", "no.such.CatalogImpl")
+    val eF = intercept[Exception] { spark.sql("OPTIMIZE gv2_foreign.t") }
+    assert(eF.getMessage.contains("not a graft catalog table"), eF.getMessage)
+    // a V1 catalog table over the SAME dir must re-resolve after a
+    // V2-name maintenance commit (no cached point-in-time file list)
+    spark.sql(s"CREATE TABLE gv2_maint_v1 USING graft LOCATION '$wh/t'")
+    try {
+      assert(spark.sql("SELECT count(*) FROM gv2_maint_v1")
+        .head.getLong(0) === 40) // populates the relation cache
+      spark.sql("INSERT INTO gv2_maint.t VALUES (999, 999)")
+      spark.sql(s"RESTORE gv2_maint.t TO VERSION AS OF " +
+        spark.sql("SELECT max(snapshot_id) - 1 FROM graft_history('gv2_maint.t')")
+          .head.getLong(0))
+      assert(spark.sql("SELECT count(*) FROM gv2_maint_v1")
+        .head.getLong(0) === 40,
+        "the V1 cached relation must re-resolve after a V2-name RESTORE")
+    } finally spark.sql("DROP TABLE gv2_maint_v1")
   }
 
   test("V2 ALTER TABLE maps onto the metadata-only maintenance commits") {
