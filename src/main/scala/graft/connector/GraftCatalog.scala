@@ -136,14 +136,15 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   /** CREATE TABLE: an empty snapshot-1 table whose schema rides a
     * zero-row carrier file — immediately readable, writable through the
-    * V1 face at the same location. Partitioning transforms refuse (the
-    * format's layout is manifest-driven, not directory-driven). */
+    * V1 face at the same location. IDENTITY `PARTITIONED BY (c, …)`
+    * transforms become the durable `partitionCols` property (the
+    * format's layout is manifest-driven, not directory-driven — the
+    * declaration makes every later INSERT record per-file partition
+    * values without the writer naming them); non-identity transforms
+    * (bucket, days, …) refuse. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft V2 tables take no PARTITIONED BY transforms: layout is " +
-        "manifest-driven (statsCols/bloomCol/partitionCols write options)")
     val dir = dirOf(ident)
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
@@ -151,7 +152,8 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, schema)
     SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
       Map("created_by" -> "v2-catalog") ++
-        GraftCatalog.durableProps(properties))
+        GraftCatalog.durableProps(properties,
+          GraftCatalog.identityPartitionCols(catName, partitions)))
     new GraftV2Table(dir)
   }
 
@@ -223,18 +225,31 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * commits only in `commitStagedChanges` (CAS at snapshot 1 — a racing
     * creator throws). A pre-existing table refuses HERE, before any
     * write work. */
+  /** Identity `PARTITIONED BY` transforms fold into the staged
+    * properties as `partitionCols` — the staged write records per-file
+    * partition values and the durable property keeps later INSERTs
+    * doing the same. */
+  private def withPartitionProps(partitions: Array[Transform],
+      properties: util.Map[String, String]): util.Map[String, String] = {
+    val cols = GraftCatalog.identityPartitionCols(catName, partitions)
+    if (cols.isEmpty) properties
+    else {
+      val m = new java.util.HashMap[String, String](
+        Option(properties).getOrElse(java.util.Collections.emptyMap()))
+      m.put("partitionCols", cols.mkString(","))
+      m
+    }
+  }
+
   override def stageCreate(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft V2 tables take no PARTITIONED BY transforms: layout is " +
-        "manifest-driven (statsCols/bloomCol/partitionCols properties)")
     val dir = dirOf(ident)
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         Array(catName) ++ ident.namespace() :+ ident.name())
     new GraftStagedTable(spark, dir, schema, replace = false,
-      orCreate = false, properties)
+      orCreate = false, withPartitionProps(partitions, properties))
   }
 
   /** RTAS: files stage invisibly, then ONE atomic whole-live-set swap —
@@ -243,24 +258,20 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def stageReplace(ident: Identifier, schema: StructType,
                             partitions: Array[Transform],
                             properties: util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "graft V2 tables take no PARTITIONED BY transforms")
     val dir = dirOf(ident)
     if (!isTable(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catName) ++ ident.namespace() :+ ident.name())
     new GraftStagedTable(spark, dir, schema, replace = true,
-      orCreate = false, properties)
+      orCreate = false, withPartitionProps(partitions, properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String])
       : StagedTable = {
-    require(partitions.isEmpty,
-      "graft V2 tables take no PARTITIONED BY transforms")
     new GraftStagedTable(spark, dirOf(ident), schema, replace = true,
-      orCreate = true, properties)
+      orCreate = true, withPartitionProps(partitions, properties))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -293,16 +304,32 @@ private[connector] object GraftCatalog {
   private val Reserved = Set("provider", "location", "owner", "external")
 
   /** The subset of a CREATE/CTAS properties map that persists in the
-    * log as durable table properties (empty → no summary entry). */
-  private[connector] def durableProps(properties: util.Map[String, String])
+    * log as durable table properties (empty → no summary entry);
+    * identity `PARTITIONED BY` columns fold in as `partitionCols`. */
+  private[connector] def durableProps(properties: util.Map[String, String],
+                                      partitionCols: Seq[String] = Nil)
       : Map[String, String] = {
     val user = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
       .filterNot { case (k, _) =>
         Reserved.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
-          k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") }
+          k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") } ++
+      (if (partitionCols.isEmpty) Map.empty
+       else Map("partitionCols" -> partitionCols.mkString(",")))
     if (user.isEmpty) Map.empty
     else Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(user))
   }
+
+  /** `PARTITIONED BY` columns when every transform is IDENTITY; bucket/
+    * days/… refuse — the manifest-driven layout has no directory tree to
+    * hang computed transforms on. */
+  private[connector] def identityPartitionCols(catName: String,
+      partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"catalog $catName: only identity PARTITIONED BY columns are " +
+          s"supported (layout is manifest-driven), got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
 
   /** SET/UNSET TBLPROPERTIES: ONE fileless metadata commit carrying the
     * complete updated map, CAS'd at the pinned successor id (a racing

@@ -442,8 +442,20 @@ object GraftDataSource {
     val aligned = data.select(data.columns.zip(visible.fields).map {
       case (from, to) => col(from).cast(to.dataType).as(to.name) }.toSeq: _*)
     // inherit the table's pruning metadata so INSERTed files stay as
-    // indexable as the files around them
-    val (stats, bloom, parts) = inheritedMeta(spark, dir, visible)
+    // indexable as the files around them; an EMPTY table (V2 CREATE, a
+    // truncate) has nothing to inherit — fall back to the DURABLE layout
+    // properties (PARTITIONED BY, statsCols/bloomCol TBLPROPERTIES) so a
+    // declared layout binds from the FIRST insert instead of silently
+    // never taking effect
+    val (stats0, bloom0, parts0) = inheritedMeta(spark, dir, visible)
+    lazy val props = SnapshotLog.tableProps(spark, dir)
+    def propCols(key: String): Seq[String] = props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v }.toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .filter(c => visible.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val stats = if (stats0.nonEmpty) stats0 else propCols("statsCols")
+    val bloom = bloom0.orElse(propCols("bloomCol").headOption)
+    val parts = if (parts0.nonEmpty) parts0 else propCols("partitionCols")
     val added = SnapshotLog.writeData(aligned, dir,
       statsCols = stats, bloomCol = bloom, partitionCols = parts)
     if (overwrite)

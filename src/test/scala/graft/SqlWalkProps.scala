@@ -38,7 +38,9 @@ object SqlWalkProps extends Properties("SqlWalk") {
   final case class Update(bucket: Int, delta: Int, viaV2: Boolean = false) extends Op
   final case class Delete(bucket: Int, viaV2: Boolean = false) extends Op
   final case class MergeUp(n: Int, viaV2: Boolean = false) extends Op // half existing keys, half new
-  case object Optimize extends Op
+  // layout%3: 0 = bin-pack, 1 = CLUSTER BY id, 2 = N-dim ZORDER BY
+  // (id, bucket) — all rows-preserving full/partial rewrites
+  final case class Optimize(layout: Int) extends Op
   case object RenameScore extends Op // score column cycles to a fresh name
   final case class Restore(pick: Int) extends Op // k-th retained snapshot
   final case class AddCol(tag: Int) extends Op
@@ -52,7 +54,7 @@ object SqlWalkProps extends Properties("SqlWalk") {
       .map((Update.apply _).tupled),
     3 -> Gen.zip(Gen.choose(0, 9), genFace).map((Delete.apply _).tupled),
     3 -> Gen.zip(Gen.choose(2, 20), genFace).map((MergeUp.apply _).tupled),
-    2 -> Gen.const(Optimize),
+    2 -> Gen.choose(0, 2).map(Optimize),
     2 -> Gen.const(RenameScore),
     1 -> Gen.choose(0, 100).map(Restore),
     1 -> Gen.choose(0, 100).map(AddCol),
@@ -172,8 +174,12 @@ object SqlWalkProps extends Properties("SqlWalk") {
         rows ++= fresh.map(i => i -> ((i % 10, i * 2 + 0.5)))
         units ++= fresh.map(i => i -> unitsOf(i)) // matched rows keep theirs
         nextId += (n - existing.size)
-      case Optimize =>
-        spark.sql(s"OPTIMIZE $table") // logical rows unchanged
+      case Optimize(layout) => // logical rows unchanged by any layout
+        spark.sql(layout % 3 match {
+          case 0 => s"OPTIMIZE $table"
+          case 1 => s"OPTIMIZE $table CLUSTER BY id"
+          case _ => s"OPTIMIZE $table ZORDER BY (id, bucket)"
+        })
       case RenameScore =>
         renames += 1
         val to = s"score_$renames"

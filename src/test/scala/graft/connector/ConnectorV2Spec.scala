@@ -321,6 +321,36 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 46)
   }
 
+  test("PARTITIONED BY (identity) binds durable layout from the first insert") {
+    val wh = freshWarehouse("pby")
+    spark.sql("CREATE TABLE gv2_pby.t (id BIGINT, ds STRING) " +
+      "PARTITIONED BY (ds) TBLPROPERTIES ('statsCols' = 'id')")
+    // first INSERT into the EMPTY table: nothing to inherit — the
+    // declared layout must bind from durable properties
+    for (d <- Seq("a", "b"))
+      spark.sql(s"INSERT INTO gv2_pby.t SELECT id, '$d' FROM range(0, 10)")
+    val parts = spark.sql("SELECT value, rows, exact FROM " +
+      "graft_partitions('gv2_pby.t', 'ds') ORDER BY value").collect()
+    assert(parts.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq === Seq(("a", 10L, true), ("b", 10L, true)),
+      "declared partition columns must record from the first insert")
+    // the declared zone column recorded too (pruning-ready files)
+    assert(spark.read.format("graft").load(s"$wh/t")
+      .filter(col("id") === 3).count() === 2)
+    // CTAS with PARTITIONED BY stages partition values the same way
+    spark.sql("CREATE TABLE gv2_pby.c PARTITIONED BY (ds) AS " +
+      "SELECT id, CASE WHEN id < 5 THEN 'x' ELSE 'y' END AS ds " +
+      "FROM range(0, 12)")
+    val cparts = spark.sql("SELECT value FROM " +
+      "graft_partitions('gv2_pby.c', 'ds') ORDER BY value").collect()
+    assert(cparts.map(_.getString(0)).toSeq === Seq("x", "y"))
+    // non-identity transforms refuse loudly
+    val e = intercept[Exception] { spark.sql(
+      "CREATE TABLE gv2_pby.bad (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))") }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+  }
+
   test("durable metadata survives retention; REPLACE kills dead declarations") {
     val wh = freshWarehouse("meta")
     // props + lineage declared at creation (commit 1), then enough
