@@ -398,9 +398,9 @@ object Compaction {
     zorderArrange(df, Seq(cx, cy), targetFiles)
 
   /** N-dimensional Z-order (Morton) arrangement: each dimension buckets
-    * to `bits` levels within its observed range (bits shrinks as
-    * dimensions grow so the interleaved value stays in one long — 8 bits
-    * × 2 dims, 5 bits × 4 dims, 3 bits × 8+), the per-dimension bits
+    * to `bits` levels within its observed range (bits = min(8, 62/D),
+    * so the interleaved value stays in one long — 8 bits through 7
+    * dims, 7 bits at 8, degrading gracefully beyond), the per-dimension bits
     * interleave into one codegen'd arithmetic expression (no custom
     * Expression needed beyond 2-D: `D × bits` shift-and-mask terms), and
     * the frame range-partitions + sorts by the interleaved value — every

@@ -371,6 +371,24 @@ object ConnectorQueries {
       dir
     }
 
+  /** The replaceWhere warehouse behind `conn_replace_where`: a full
+    * orders table, then `mode("overwrite").option("replaceWhere",
+    * "o_orderstatus = 'P'")` atomically swaps the P slice for a
+    * price-doubled version — the idempotent partition-reload pattern,
+    * under the oracle (no row may leak out of, or survive inside, the
+    * replaced slice). */
+  private def replaceWhereWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "rw") { base =>
+      val dir = s"$base/orders_rw"
+      orders(s, d).write.format("graft")
+        .option("statsCols", "o_orderkey").save(dir)
+      orders(s, d).filter(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "o_orderstatus = 'P'").save(dir)
+      dir
+    }
+
   /** A WAP-CHAIN branch warehouse ([[graft.table.Branch]]): F-status
     * orders land on main, then a branch stages the O and P halves as TWO
     * chain commits — auditable at the branch head the whole time while
@@ -486,6 +504,17 @@ object ConnectorQueries {
       val dir = partitionsWarehouse(s, d)
       s.sql("SELECT value AS o_orderstatus, rows AS n, exact " +
         s"FROM graft_partitions('$dir', 'o_orderstatus') ORDER BY value")
+    }),
+    // Delta-style replaceWhere: one ATOMIC commit deletes the matching
+    // slice and lands its replacement — the final state must equal the
+    // declarative CASE rewrite of the raw input
+    "conn_replace_where" -> ((s, d) => {
+      s.read.format("graft").load(replaceWhereWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
     }),
     // the V2 WRITE face end-to-end: a table built purely through the
     // V2 catalog's write contract (atomic CTAS + INSERT INTO + V2
@@ -706,6 +735,12 @@ object ConnectorQueries {
         |  max(o_orderkey) AS max_key FROM orders""".stripMargin,
     "conn_partitions" ->
       """SELECT o_orderstatus, count(*) AS n, true AS exact
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_replace_where" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+        |            ELSE o_totalprice END), 2) AS total,
+        |  max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_v2_write" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -168,6 +168,30 @@ final class GraftDataSource extends RelationProvider
         bloomCol = parameters.get("bloomCol"),
         partitionCols = GraftDataSource.csv(parameters, "partitionCols"))
     }
+    // Delta-style replaceWhere: predicate-scoped ATOMIC overwrite — one
+    // commit deletes the matching slice and adds the incoming data
+    // (the idempotent partition-reload pattern); only meaningful with
+    // SaveMode.Overwrite on an existing table
+    parameters.get("replaceWhere").foreach { pred =>
+      require(mode == SaveMode.Overwrite,
+        s"""option("replaceWhere", …) requires mode("overwrite")""")
+      require(exists,
+        s"replaceWhere needs an existing graft table at $dir")
+      val explicit = {
+        val st = (GraftDataSource.csv(parameters, "statsCols") ++ zcols).distinct
+        val bl = parameters.get("bloomCol")
+        val pc = GraftDataSource.csv(parameters, "partitionCols")
+        if (st.nonEmpty || bl.isDefined || pc.nonEmpty) Some((st, bl, pc))
+        else None
+      }
+      GraftDml.replaceWhere(spark, dir, data, pred,
+        arrange = d =>
+          if (zcols.isEmpty) d
+          else graft.cdc.Compaction.zorderArrange(d, zcols,
+            parameters.get("targetFiles").map(_.toInt).getOrElse(32)),
+        explicitMeta = explicit)
+      return GraftDataSource.relationFor(spark, sqlContext, dir, asOf = None)
+    }
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(

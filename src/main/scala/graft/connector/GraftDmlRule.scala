@@ -272,16 +272,25 @@ object GraftDml {
     * no column throws — a typo must not silently disable lineage. */
   private def effectiveLineage(spark: SparkSession, t: DmlTarget): Option[String] = {
     val (history, logDeclared, props) = SnapshotLog.durableMeta(spark, t.dir)
+    def asColumn(k: String): Option[String] =
+      t.output.find(_.name.equalsIgnoreCase(k)).map(_.name)
     history.orElse(
-      t.declaredKey
-        .orElse(logDeclared)
-        .orElse(propCI(props, "lineageKey"))
-        .map { k =>
-          t.output.find(_.name.equalsIgnoreCase(k)).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft table ${t.dir}: declared lineageKey '$k' is not a " +
-                s"column (has: ${t.output.map(_.name).mkString(", ")})")).name
-        })
+      // a LIVE catalog-carried declaration that names no column throws —
+      // it is current config, and a typo must not silently disable
+      // lineage. A LOG-carried declaration whose column no longer exists
+      // (schema-changing overwrite, DROP COLUMN of the key) is DEAD and
+      // lapses instead: the commits it produced are honest opaque
+      // upserts, and the feed reports the range loudly when consumed —
+      // throwing here would make the stale history brick every DML
+      // forever (nothing but REPLACE TABLE can clear the old summary).
+      t.declaredKey match {
+        case Some(k) => Some(asColumn(k).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft table ${t.dir}: declared lineageKey '$k' is not a " +
+              s"column (has: ${t.output.map(_.name).mkString(", ")})")))
+        case None =>
+          logDeclared.orElse(propCI(props, "lineageKey")).flatMap(asColumn)
+      })
   }
 
   /** Align a scanned-files frame with the RELATION's schema: null-fill
@@ -324,7 +333,20 @@ object GraftDml {
 
   private def split(e: Expression): Seq[Expression] = e match {
     case And(l, r) => split(l) ++ split(r)
-    case x => Seq(x)
+    case x => Seq(foldLiteralCasts(x))
+  }
+
+  /** Fold analyzer-inserted casts AROUND literals (`id >= 1000` on a
+    * BIGINT column resolves as `id >= cast(1000 as bigint)`): the
+    * Constraints/Covers matchers speak `Literal` directly, and without
+    * the fold every int-literal predicate over a long column silently
+    * loses zone pruning AND the metadata-drop proof — exactly the
+    * retention-DELETE shape. Only foldable literal casts evaluate;
+    * everything else passes through untouched. */
+  private def foldLiteralCasts(e: Expression): Expression = e.transform {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if c.child.isInstanceOf[Literal] && c.foldable =>
+      Literal.create(c.eval(null), c.dataType)
   }
 
   /** MUST-match (coverage) analysis — the dual of [[Constraints]]' MAY-
@@ -462,7 +484,7 @@ object GraftDml {
     // both faces must make the same storage-strategy decision, with the
     // same case-insensitive key matching the V1 catalog path uses
     lazy val posDv = t.posDeletes ||
-      propCI(SnapshotLog.tableProps(spark, t.dir), "posDeletes")
+      propCI(SnapshotLog.durableMeta(spark, t.dir)._3, "posDeletes")
         .exists(_.equalsIgnoreCase("true"))
     cond match {
       case Literal(true, BooleanType) => ()
@@ -533,6 +555,112 @@ object GraftDml {
             idStamped = false))
         ()
     }
+  }
+
+  /** Delta-style `replaceWhere`: ONE atomic commit that deletes every
+    * row matching the predicate and adds the incoming data — the
+    * idempotent partition-reload pattern
+    * (`df.write.format("graft").mode("overwrite")
+    *    .option("replaceWhere", "ds = '2026-01-01'").save(dir)`).
+    * Every incoming row must satisfy the predicate (loud refusal
+    * otherwise — a silent mismatch would scatter rows outside the slice
+    * being replaced). The delete side reuses the SQL DELETE machinery:
+    * zone/bloom/partition candidate pruning, metadata-provable file
+    * drops, boundary-file rewrites keeping non-matching rows — O(touched
+    * + incoming), never O(table). On lineage-stamped tables the incoming
+    * rows stamp the commit id (idStamped guard: a lost race aborts
+    * instead of rebasing stamps onto a different id), so the change feed
+    * derives the swap as deletes + inserts. Tables with pending masks
+    * refuse (the [[pinned]] contract); `replaceWhere 'true'` degrades to
+    * the full atomic overwrite. */
+  def replaceWhere(spark: SparkSession, dir: String, data0: DataFrame,
+                   predText: String,
+                   arrange: DataFrame => DataFrame = identity,
+                   explicitMeta: Option[(Seq[String], Option[String],
+                     Seq[String])] = None): Unit = {
+    import org.apache.spark.sql.functions.{expr, not}
+    // resolve predicate AND target from ONE analyzed plan, so the
+    // condition's attributes are the relation's own output
+    val analyzed = spark.read.format("graft").load(dir)
+      .filter(expr(predText)).queryExecution.analyzed
+    val fNode = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }
+      .getOrElse(throw new IllegalArgumentException(
+        s"replaceWhere: could not resolve predicate '$predText'"))
+    val t = dmlTarget(fNode.child).getOrElse(
+      throw new IllegalStateException(
+        s"replaceWhere: $dir did not resolve to a graft relation"))
+    val cond = fNode.condition
+    checkExpr(cond, "replaceWhere")
+    // byName alignment to the table's visible schema (replaceWhere
+    // predicates speak column names, so the write does too)
+    val visible = schemaOf(t)
+    require(data0.columns.length == visible.length &&
+      visible.fieldNames.forall(n =>
+        data0.columns.exists(_.equalsIgnoreCase(n))),
+      s"replaceWhere into $dir needs exactly the table's columns " +
+        s"(${visible.fieldNames.mkString(", ")}), got " +
+        s"(${data0.columns.mkString(", ")})")
+    val aligned = data0.select(visible.fields.map(f =>
+      col(data0.columns.find(_.equalsIgnoreCase(f.name)).get)
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+    // every incoming row must satisfy the predicate — the written slice
+    // IS the slice being replaced, nothing may leak outside it
+    require(aligned
+        .filter(not(coalesce(expr(predText), lit(false)))).isEmpty,
+      s"replaceWhere '$predText': the written data contains rows that " +
+        "do NOT satisfy the predicate — they would land outside the " +
+        "slice being replaced")
+    val (baseId, live, reg) = pinned(spark, t, "replaceWhere").getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val lin = effectiveLineage(spark, t)
+    val stamped = lin.fold(aligned)(_ =>
+      aligned.withColumn(Merge.LineageCol, lit(baseId + 1)))
+    val arrangedDf = arrange(stamped)
+    val added = explicitMeta match {
+      case Some((st, bl, pc)) => SnapshotLog.writeData(arrangedDf, dir,
+        statsCols = st, bloomCol = bl, partitionCols = pc)
+      case None => writeInherited(spark, dir, arrangedDf, live, reg)
+    }
+    cond match {
+      case Literal(true, BooleanType) =>
+        // replaceWhere 'true' = the full atomic overwrite; the read
+        // footprint is the whole table, so any interleaved add conflicts
+        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", added,
+          live.map(_.path),
+          Map("mode" -> "replace-where", "predicate" -> predText,
+            "rows_deleted" -> live.map(_.rows).sum.toString) ++
+            lineageSummary(lin, reg),
+          guard = SnapshotLog.ConflictGuard(mayReadAdded = Some(fs => fs)))
+      case _ =>
+        val cs = Constraints.from(split(cond), schemaOf(t))
+        val candidates = live.filter(cs.keeps)
+        val coverIv = Covers.from(split(cond))
+        val (dropped, boundary) = coverIv match {
+          case Some(iv) => candidates.partition(Covers.covered(_, iv))
+          case None => (Seq.empty[DataFile], candidates)
+        }
+        val (touched, nMatched) = touchDetect(spark, t, boundary, cond, reg)
+        val rewritten =
+          if (touched.isEmpty) Seq.empty
+          else {
+            val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
+            writeInherited(spark, t.dir, tDf.filter(
+              !coalesce(rebind(cond, t.output, tDf), lit(false))), live, reg)
+          }
+        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert",
+          rewritten ++ added, (dropped ++ touched).map(_.path),
+          Map("mode" -> "replace-where", "predicate" -> predText,
+            "rows_deleted" -> (dropped.map(_.rows).sum + nMatched).toString,
+            "files_touched" -> touched.size.toString,
+            "files_dropped_metadata" -> dropped.size.toString,
+            "files_untouched" ->
+              (live.size - touched.size - dropped.size).toString) ++
+            lineageSummary(lin, reg),
+          guard = dmlGuard(cs, candidates, dropped ++ touched, reg,
+            idStamped = lin.isDefined))
+    }
+    refreshAfter(spark, t)
   }
 
   /** The conflict guard a predicate-scoped DML rewrite hands

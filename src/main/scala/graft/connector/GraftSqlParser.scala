@@ -225,7 +225,7 @@ object GraftMaintenance {
           return None // another provider's wider OPTIMIZE grammar: theirs
         require(m.matches(),
           "graft OPTIMIZE: expected OPTIMIZE <table|'path'> [WHERE <pred>] " +
-            "[TARGET <n> MB] [ZORDER BY (x, y) | CLUSTER BY c] " +
+            "[TARGET <n> MB] [ZORDER BY (x, y[, ...]) | CLUSTER BY c] " +
             s"(clauses in exactly this order), got: $sqlText")
         val target = Option(m.group(1)).getOrElse(unquote(m.group(2)))
         if (foreignCatalogTable(session, target)) return None

@@ -613,8 +613,8 @@ object Merge {
                          targetFiles: Int = 2,
                          clusterZOrder: Seq[String] = Nil,
                          renames: Map[String, String] = Map.empty): Option[Long] = {
-    require(clusterZOrder.isEmpty || clusterZOrder.size == 2,
-      s"clusterZOrder takes exactly two dimensions, got $clusterZOrder")
+    require(clusterZOrder.isEmpty || clusterZOrder.size >= 2,
+      s"clusterZOrder takes at least two dimensions, got $clusterZOrder")
     // pin ONE snapshot for the file list, the masked read and the
     // commit id: resolving "latest" separately for each would let a
     // concurrent rowdelta slip between them — its rows duplicated (file
@@ -646,13 +646,13 @@ object Merge {
     val zOrderP = clusterZOrder.map(c =>
       reg.flatMap(_.physicalOf(c)).getOrElse(c))
     val keyColP = keyColPOpt.filter(masked.columns.contains)
-    val rewritten = zOrderP match {
-      case Seq(cx, cy) => graft.cdc.Compaction.zorderArrange(masked, cx, cy, targetFiles)
-      case _ => keyColP match {
+    val rewritten =
+      if (zOrderP.size >= 2)
+        graft.cdc.Compaction.zorderArrange(masked, zOrderP, targetFiles)
+      else keyColP match {
         case Some(k) => masked.repartitionByRange(targetFiles, col(k))
         case None => masked.repartition(targetFiles)
       }
-    }
     val written = SnapshotLog.writeData(rewritten, tableDir,
       statsCol = keyColP, statsCols = zOrderP,
       bloomCol = keyColP.filter(isStringKey(masked, _)),

@@ -130,13 +130,32 @@ object SnapshotLog {
       .find(c => c.summary.contains(key) || isRedefinition(c))
       .flatMap(_.summary.get(key))
 
+  // memo: one durable-metadata resolution per (table, head snapshot) —
+  // properties()/DML calls between commits are cache hits; any commit
+  // moves the head and naturally invalidates. One entry per table dir.
+  private val durableMetaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, (Option[String], Option[String], Map[String, String]))]
+
   /** ONE backward scan resolving every durable-metadata question a DML
     * statement asks — (history lineage key, log-declared lineage key,
     * durable properties) — each independently bounded by the newest
-    * whole-table redefinition. Shared so a statement never pays three
-    * separate O(retained-history) walks; a table with none of the keys
-    * still walks its retained manifests once (bounded by retention). */
+    * whole-table redefinition, MEMOIZED per (dir, head snapshot) so a
+    * statement never pays repeated O(retained-history) walks; a table
+    * with none of the keys walks its retained manifests once per head
+    * (bounded by retention). */
   private[graft] def durableMeta(spark: SparkSession, tableDir: String)
+      : (Option[String], Option[String], Map[String, String]) = {
+    val head = currentSnapshotId(spark, tableDir).getOrElse(0L)
+    durableMetaCache.get(tableDir) match {
+      case Some((h, r)) if h == head => return r
+      case _ => ()
+    }
+    val r = durableMetaScan(spark, tableDir)
+    durableMetaCache.put(tableDir, (head, r))
+    r
+  }
+
+  private def durableMetaScan(spark: SparkSession, tableDir: String)
       : (Option[String], Option[String], Map[String, String]) = {
     var lineage: Option[Option[String]] = None   // Some(found-or-dead)
     var declared: Option[Option[String]] = None
@@ -161,10 +180,11 @@ object SnapshotLog {
     (lineage.flatten, declared.flatten, props.getOrElse(Map.empty))
   }
 
-  /** The table's durable properties at HEAD (empty if none declared). */
+  /** The table's durable properties at HEAD (empty if none declared) —
+    * the memoized [[durableMeta]] pass, so repeated `properties()` /
+    * DML lookups between commits cost one map hit. */
   def tableProps(spark: SparkSession, tableDir: String): Map[String, String] =
-    newestSummary(spark, tableDir, TablePropsKey)
-      .map(parseProps).getOrElse(Map.empty)
+    durableMeta(spark, tableDir)._3
 
   private[graft] def parseProps(json: String): Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -2224,28 +2244,34 @@ object SnapshotLog {
     // redefinition-bounded, so a pre-REPLACE declaration is never
     // resurrected by its own expiry.
     if (expired.nonEmpty) {
-      val carry = Seq(TablePropsKey, LineageDeclaredKey).flatMap { key =>
-        commitsReverse(spark, tableDir)
-          .find(c => c.summary.contains(key) || isRedefinition(c))
-          .filter(c => c.summary.contains(key) &&
-            expiredSet.contains(c.snapshotId))
-          .map(c => key -> c.summary(key))
-      }.toMap
-      if (carry.nonEmpty) {
-        var attempts = 0
-        var done = false
-        while (!done) {
-          try {
-            commitAt(spark, tableDir,
-              currentSnapshotId(spark, tableDir).getOrElse(0L) + 1,
-              "schema", Seq.empty, Seq.empty,
-              carry + ("mode" -> "retention-carry"))
-            done = true
-          } catch {
-            case e: ConcurrentCommitException =>
-              attempts += 1
-              if (attempts > 5) throw e
-          }
+      // the carry RECOMPUTES on every attempt: a concurrent SET
+      // TBLPROPERTIES landing a NEWER retained carrier makes the carry
+      // unnecessary — blindly recommitting the old map after a lost
+      // race would silently revert the user's change, the exact
+      // behavior drift this block exists to prevent
+      def carryNow(): Map[String, String] =
+        Seq(TablePropsKey, LineageDeclaredKey).flatMap { key =>
+          commitsReverse(spark, tableDir)
+            .find(c => c.summary.contains(key) || isRedefinition(c))
+            .filter(c => c.summary.contains(key) &&
+              expiredSet.contains(c.snapshotId))
+            .map(c => key -> c.summary(key))
+        }.toMap
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val carry = carryNow()
+        if (carry.isEmpty) done = true
+        else try {
+          commitAt(spark, tableDir,
+            currentSnapshotId(spark, tableDir).getOrElse(0L) + 1,
+            "schema", Seq.empty, Seq.empty,
+            carry + ("mode" -> "retention-carry"))
+          done = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempts += 1
+            if (attempts > 5) throw e
         }
       }
     }

@@ -461,4 +461,74 @@ class DmlSpec extends AnyFunSuite {
       spark.sql("DROP TABLE dml_refuse_tt")
     }
   }
+
+  test("replaceWhere: one atomic commit swaps exactly the matching slice") {
+    val dir = rangeTable("rw", "dml_rw")
+    try {
+      val preCommits = SnapshotLog.commits(spark, dir).size
+      // replace band [1000, 2000) with 5 fresh rows
+      spark.range(1000, 1005).select(col("id"), lit(-1L).as("v"))
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "id >= 1000 AND id < 2000").save(dir)
+      // exactly ONE commit; band gone, replacement in, other bands intact
+      assert(SnapshotLog.commits(spark, dir).size === preCommits + 1)
+      val r = spark.sql("SELECT count(*), sum(CASE WHEN v = -1 THEN 1 " +
+        "ELSE 0 END) FROM dml_rw").head
+      assert((r.getLong(0), r.getLong(1)) === ((2005L, 5L)))
+      assert(spark.sql(
+        "SELECT count(*) FROM dml_rw WHERE id >= 1000 AND id < 2000")
+        .head.getLong(0) === 5)
+      // the slice predicate COVERED the middle file: it dropped by
+      // metadata, and the two outer files carried by reference
+      val c = SnapshotLog.commits(spark, dir).last
+      assert(c.summary("mode") === "replace-where", c.summary.toString)
+      assert(c.summary("files_dropped_metadata").toLong === 1, c.summary)
+      assert(c.summary("files_untouched").toLong === 2, c.summary)
+      // rows that do NOT satisfy the predicate refuse loudly
+      val e = intercept[Exception] {
+        spark.range(0, 3).select(col("id"), lit(0L).as("v"))
+          .write.format("graft").mode("overwrite")
+          .option("replaceWhere", "id >= 1000 AND id < 2000").save(dir) }
+      assert(e.getMessage.contains("do NOT satisfy"), e.getMessage)
+      // replaceWhere without overwrite mode refuses
+      val e2 = intercept[Exception] {
+        spark.range(1000, 1001).select(col("id"), lit(0L).as("v"))
+          .write.format("graft").mode("append")
+          .option("replaceWhere", "id >= 1000").save(dir) }
+      assert(e2.getMessage.contains("overwrite"), e2.getMessage)
+      // a nothing-matched slice still lands its data (pure insert)
+      spark.range(90000, 90002).select(col("id"), lit(7L).as("v"))
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "id >= 90000").save(dir)
+      assert(spark.sql("SELECT count(*) FROM dml_rw WHERE id >= 90000")
+        .head.getLong(0) === 2)
+    } finally spark.sql("DROP TABLE dml_rw")
+  }
+
+  test("replaceWhere on a lineage table: the feed derives the swap") {
+    val dir = tmp("rwlin")
+    spark.range(0, 20).select(col("id"), col("id").as("v"))
+      .write.format("graft").option("lineageKey", "id")
+      .option("statsCols", "id").save(dir)
+    // bootstrap lineage with one SQL update so the history is stamped
+    spark.sql(s"CREATE TABLE dml_rwlin USING graft OPTIONS (path '$dir', " +
+      "lineageKey 'id')")
+    try {
+      spark.sql("UPDATE dml_rwlin SET v = 100 WHERE id = 0")
+      val preId = SnapshotLog.currentSnapshotId(spark, dir).get
+      spark.range(5, 8).select(col("id"), lit(-5L).as("v"))
+        .write.format("graft").mode("overwrite")
+        .option("replaceWhere", "id >= 5 AND id < 10").save(dir)
+      // the feed over the replaceWhere commit: 5 keys leave (5..9),
+      // 3 arrive (5,6,7) — fold must equal the final state
+      val ev = SnapshotLog.changes(spark, dir, from = preId).get
+        .groupBy(col("_change_op")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ev.getOrElse("delete", 0L) === 2L, // 8, 9 leave outright
+        s"feed ops: $ev")
+      assert(ev.filterKeys(_ != "delete").values.sum === 3L, // 5,6,7 re-land
+        s"feed ops: $ev")
+      assert(spark.sql("SELECT count(*) FROM dml_rwlin").head.getLong(0) === 18)
+    } finally spark.sql("DROP TABLE dml_rwlin")
+  }
 }

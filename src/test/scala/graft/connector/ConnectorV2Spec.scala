@@ -379,6 +379,17 @@ class ConnectorV2Spec extends AnyFunSuite {
     spark.sql("UPDATE gv2_meta.r SET score = 0 WHERE name = '3'")
     assert(spark.sql("SELECT sum(score) FROM gv2_meta.r")
       .head.getLong(0) === (0L +: Seq(0L, 10L, 20L, 40L, 50L)).sum)
+    // a SCHEMA-CHANGING V1 overwrite (not a redefinition commit) also
+    // orphans the log-carried declaration — it must LAPSE, not brick
+    // every later DML with "not a column" forever
+    spark.range(0, 4).selectExpr("id", "id AS v")
+      .write.format("graft").option("lineageKey", "id").save(s"$wh/ow")
+    spark.range(0, 4).selectExpr("CAST(id AS STRING) AS label")
+      .write.format("graft").mode("overwrite").save(s"$wh/ow")
+    spark.sql("DELETE FROM gv2_meta.ow WHERE label = '2'")
+    assert(spark.sql("SELECT count(*) FROM gv2_meta.ow")
+      .head.getLong(0) === 3,
+      "a dead log-carried declaration lapses instead of failing DML")
   }
 
   test("staged CTAS/RTAS races resolve by CAS: loser throws, winner intact") {
