@@ -376,7 +376,8 @@ private[connector] final class GraftV2Table(dir: String,
   override def capabilities(): util.Set[TableCapability] =
     (if (asOf.isDefined) Set(TableCapability.BATCH_READ)
      else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)).asJava
+       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+       TableCapability.OVERWRITE_BY_FILTER)).asJava
 
   /** Provider/location plus the DURABLE log-persisted properties — what
     * `SHOW TBLPROPERTIES cat.t` and `DESCRIBE EXTENDED` surface. */
@@ -417,66 +418,20 @@ private[connector] final class GraftV2Table(dir: String,
 
   // ------------------------------------------------------- V2 DELETE
 
-  /** Filters → a Catalyst predicate over the V1 relation's output
-    * attributes, so V2 DELETE lowers onto the SAME row-level machinery
-    * ([[GraftDml.delete]]: metadata-provable file drops, zone/bloom-
-    * pruned COW rewrite, pinned-base OCC) as the V1 SQL face. */
-  private def toExpr(f: Filter, out: Seq[cexpr.Attribute])
-      : Option[cexpr.Expression] = {
-    def attr(name: String): Option[cexpr.Attribute] =
-      out.find(_.name.equalsIgnoreCase(name))
-    def lit(v: Any): cexpr.Literal = cexpr.Literal(v)
-    f match {
-      case sources.AlwaysTrue() => Some(cexpr.Literal.TrueLiteral)
-      case sources.AlwaysFalse() => Some(cexpr.Literal.FalseLiteral)
-      case sources.EqualTo(c, v) => attr(c).map(a => cexpr.EqualTo(a, lit(v)))
-      case sources.EqualNullSafe(c, v) =>
-        attr(c).map(a => cexpr.EqualNullSafe(a, lit(v)))
-      case sources.GreaterThan(c, v) =>
-        attr(c).map(a => cexpr.GreaterThan(a, lit(v)))
-      case sources.GreaterThanOrEqual(c, v) =>
-        attr(c).map(a => cexpr.GreaterThanOrEqual(a, lit(v)))
-      case sources.LessThan(c, v) => attr(c).map(a => cexpr.LessThan(a, lit(v)))
-      case sources.LessThanOrEqual(c, v) =>
-        attr(c).map(a => cexpr.LessThanOrEqual(a, lit(v)))
-      case sources.In(c, vs) =>
-        attr(c).map(a => cexpr.In(a, vs.toSeq.map(lit)))
-      case sources.IsNull(c) => attr(c).map(cexpr.IsNull)
-      case sources.IsNotNull(c) => attr(c).map(cexpr.IsNotNull)
-      case sources.StringStartsWith(c, p) =>
-        attr(c).map(a => cexpr.StartsWith(a, lit(p)))
-      case sources.StringEndsWith(c, p) =>
-        attr(c).map(a => cexpr.EndsWith(a, lit(p)))
-      case sources.StringContains(c, p) =>
-        attr(c).map(a => cexpr.Contains(a, lit(p)))
-      case sources.And(l, r) =>
-        for (le <- toExpr(l, out); re <- toExpr(r, out))
-          yield cexpr.And(le, re)
-      case sources.Or(l, r) =>
-        for (le <- toExpr(l, out); re <- toExpr(r, out))
-          yield cexpr.Or(le, re)
-      case sources.Not(c) => toExpr(c, out).map(cexpr.Not)
-      case _ => None
-    }
-  }
-
-  private def v1Target: GraftDml.DmlTarget = {
-    val plan = spark.read.format("graft").load(dir).queryExecution.analyzed
-    GraftDml.dmlTarget(plan).getOrElse(throw new IllegalStateException(
-      s"graft table $dir: could not resolve the DML target relation"))
-  }
-
+  /** Filters lower onto the SAME row-level machinery
+    * ([[GraftDml.delete]]) as the V1 SQL face — conversion and target
+    * resolution shared via [[GraftDml.sourceFilterExpr]]/[[GraftDml.v1Target]]. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     if (asOf.isDefined) return false
-    val out = v1Target.output
-    filters.forall(f => toExpr(f, out).isDefined)
+    val out = GraftDml.v1Target(spark, dir).output
+    filters.forall(f => GraftDml.sourceFilterExpr(f, out).isDefined)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(asOf.isEmpty,
       s"graft table $dir: cannot DELETE from a time-travel relation")
-    val t = v1Target
-    val cond = filters.toSeq.flatMap(toExpr(_, t.output))
+    val t = GraftDml.v1Target(spark, dir)
+    val cond = filters.toSeq.flatMap(GraftDml.sourceFilterExpr(_, t.output))
       .reduceOption[cexpr.Expression](cexpr.And)
       .getOrElse(cexpr.Literal.TrueLiteral)
     GraftDml.delete(spark, t, cond)

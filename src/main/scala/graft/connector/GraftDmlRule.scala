@@ -557,6 +557,54 @@ object GraftDml {
     }
   }
 
+  /** The current-snapshot DML target of a table DIRECTORY — how the V2
+    * faces (SupportsDelete, filtered overwrite) borrow the V1 relation's
+    * resolved output as the predicate coordinate system. */
+  private[connector] def v1Target(spark: SparkSession, dir: String): DmlTarget =
+    dmlTarget(spark.read.format("graft").load(dir).queryExecution.analyzed)
+      .getOrElse(throw new IllegalStateException(
+        s"graft table $dir: could not resolve the DML target relation"))
+
+  /** sources.Filter → a Catalyst predicate over `out` — shared by the V2
+    * SupportsDelete face and the V2 filtered-overwrite (replaceWhere)
+    * face, so both lower onto the same row-level machinery as SQL DML. */
+  private[connector] def sourceFilterExpr(f: org.apache.spark.sql.sources.Filter,
+      out: Seq[Attribute]): Option[Expression] = {
+    import org.apache.spark.sql.{sources => sf}
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attr(name: String): Option[Attribute] =
+      out.find(_.name.equalsIgnoreCase(name))
+    def lit(v: Any): ce.Literal = ce.Literal(v)
+    f match {
+      case sf.AlwaysTrue() => Some(ce.Literal.TrueLiteral)
+      case sf.AlwaysFalse() => Some(ce.Literal.FalseLiteral)
+      case sf.EqualTo(c, v) => attr(c).map(a => ce.EqualTo(a, lit(v)))
+      case sf.EqualNullSafe(c, v) =>
+        attr(c).map(a => ce.EqualNullSafe(a, lit(v)))
+      case sf.GreaterThan(c, v) => attr(c).map(a => ce.GreaterThan(a, lit(v)))
+      case sf.GreaterThanOrEqual(c, v) =>
+        attr(c).map(a => ce.GreaterThanOrEqual(a, lit(v)))
+      case sf.LessThan(c, v) => attr(c).map(a => ce.LessThan(a, lit(v)))
+      case sf.LessThanOrEqual(c, v) =>
+        attr(c).map(a => ce.LessThanOrEqual(a, lit(v)))
+      case sf.In(c, vs) => attr(c).map(a => ce.In(a, vs.toSeq.map(lit)))
+      case sf.IsNull(c) => attr(c).map(ce.IsNull)
+      case sf.IsNotNull(c) => attr(c).map(ce.IsNotNull)
+      case sf.StringStartsWith(c, p) =>
+        attr(c).map(a => ce.StartsWith(a, lit(p)))
+      case sf.StringEndsWith(c, p) => attr(c).map(a => ce.EndsWith(a, lit(p)))
+      case sf.StringContains(c, p) => attr(c).map(a => ce.Contains(a, lit(p)))
+      case sf.And(l, r) =>
+        for (le <- sourceFilterExpr(l, out); re <- sourceFilterExpr(r, out))
+          yield ce.And(le, re)
+      case sf.Or(l, r) =>
+        for (le <- sourceFilterExpr(l, out); re <- sourceFilterExpr(r, out))
+          yield ce.Or(le, re)
+      case sf.Not(c) => sourceFilterExpr(c, out).map(ce.Not)
+      case _ => None
+    }
+  }
+
   /** Delta-style `replaceWhere`: ONE atomic commit that deletes every
     * row matching the predicate and adds the incoming data — the
     * idempotent partition-reload pattern
@@ -578,7 +626,7 @@ object GraftDml {
                    arrange: DataFrame => DataFrame = identity,
                    explicitMeta: Option[(Seq[String], Option[String],
                      Seq[String])] = None): Unit = {
-    import org.apache.spark.sql.functions.{expr, not}
+    import org.apache.spark.sql.functions.expr
     // resolve predicate AND target from ONE analyzed plan, so the
     // condition's attributes are the relation's own output
     val analyzed = spark.read.format("graft").load(dir)
@@ -590,7 +638,19 @@ object GraftDml {
     val t = dmlTarget(fNode.child).getOrElse(
       throw new IllegalStateException(
         s"replaceWhere: $dir did not resolve to a graft relation"))
-    val cond = fNode.condition
+    replaceWhereCond(spark, dir, data0, fNode.condition, t, predText,
+      arrange, explicitMeta)
+  }
+
+  /** The resolved-condition core of [[replaceWhere]] — also the landing
+    * point for the V2 `writeTo(...).overwrite(condition)` contract,
+    * whose filters arrive already bound to the relation's output. */
+  private[connector] def replaceWhereCond(spark: SparkSession, dir: String,
+      data0: DataFrame, cond: Expression, t: DmlTarget, predLabel: String,
+      arrange: DataFrame => DataFrame = identity,
+      explicitMeta: Option[(Seq[String], Option[String],
+        Seq[String])] = None): Unit = {
+    import org.apache.spark.sql.functions.not
     checkExpr(cond, "replaceWhere")
     // byName alignment to the table's visible schema (replaceWhere
     // predicates speak column names, so the write does too)
@@ -605,10 +665,13 @@ object GraftDml {
       col(data0.columns.find(_.equalsIgnoreCase(f.name)).get)
         .cast(f.dataType).as(f.name)).toSeq: _*)
     // every incoming row must satisfy the predicate — the written slice
-    // IS the slice being replaced, nothing may leak outside it
+    // IS the slice being replaced, nothing may leak outside it. The
+    // condition rebinds onto the ALIGNED frame by name (the V2 filters
+    // and the text face both speak the table's column names).
     require(aligned
-        .filter(not(coalesce(expr(predText), lit(false)))).isEmpty,
-      s"replaceWhere '$predText': the written data contains rows that " +
+        .filter(not(coalesce(rebind(cond, t.output, aligned), lit(false))))
+        .isEmpty,
+      s"replaceWhere '$predLabel': the written data contains rows that " +
         "do NOT satisfy the predicate — they would land outside the " +
         "slice being replaced")
     val (baseId, live, reg) = pinned(spark, t, "replaceWhere").getOrElse(
@@ -628,7 +691,7 @@ object GraftDml {
         // footprint is the whole table, so any interleaved add conflicts
         SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", added,
           live.map(_.path),
-          Map("mode" -> "replace-where", "predicate" -> predText,
+          Map("mode" -> "replace-where", "predicate" -> predLabel,
             "rows_deleted" -> live.map(_.rows).sum.toString) ++
             lineageSummary(lin, reg),
           guard = SnapshotLog.ConflictGuard(mayReadAdded = Some(fs => fs)))
@@ -650,7 +713,7 @@ object GraftDml {
           }
         SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert",
           rewritten ++ added, (dropped ++ touched).map(_.path),
-          Map("mode" -> "replace-where", "predicate" -> predText,
+          Map("mode" -> "replace-where", "predicate" -> predLabel,
             "rows_deleted" -> (dropped.map(_.rows).sum + nMatched).toString,
             "files_touched" -> touched.size.toString,
             "files_dropped_metadata" -> dropped.size.toString,

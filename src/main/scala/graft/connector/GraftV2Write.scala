@@ -6,8 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 
 import graft.table.SnapshotLog
@@ -41,29 +41,63 @@ import graft.table.SnapshotLog
   * history (time travel to the pre-replace snapshot still works).
   */
 private[connector] final class GraftV2WriteBuilder(dir: String,
-    visible: StructType) extends WriteBuilder with SupportsTruncate {
+    visible: StructType) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite {
 
   private var overwrite = false
+  private var overwriteFilters: Array[Filter] = Array.empty
 
   /** INSERT OVERWRITE / `writeTo(...).createOrReplace()`-style truncate:
     * the V1 exec always passes `overwrite = false` to the relation, so
     * the decision must be captured HERE, at the builder. */
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = {
+    overwrite = true; overwriteFilters = Array.empty; this
+  }
+
+  /** `writeTo("cat.t").overwrite(condition)` — the V2-native
+    * replaceWhere: the filters become the predicate of ONE atomic
+    * delete-and-insert commit ([[GraftDml.replaceWhereCond]]). Only
+    * filter shapes convertible against the table's columns are
+    * accepted (the engine re-plans otherwise). */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f =>
+      f.references.forall(r => visible.fieldNames.exists(_.equalsIgnoreCase(r))))
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwrite = true; overwriteFilters = filters; this
+  }
 
   override def build(): Write = new V1Write {
     private val ow = overwrite
+    private val fs = overwriteFilters
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {
-          GraftDataSource.insertInto(data.sparkSession, dir, visible, data,
-            overwrite = ow)
+          val spark = data.sparkSession
+          val isTruncate = fs.isEmpty ||
+            fs.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+          if (ow && !isTruncate) {
+            // predicate-scoped atomic overwrite (V2 replaceWhere)
+            val t = GraftDml.v1Target(spark, dir)
+            val cond = fs.toSeq
+              .map(f => GraftDml.sourceFilterExpr(f, t.output).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"graft table $dir: cannot overwrite by filter $f")))
+              .reduce[org.apache.spark.sql.catalyst.expressions.Expression](
+                org.apache.spark.sql.catalyst.expressions.And)
+            GraftDml.replaceWhereCond(spark, dir, data, cond, t,
+              predLabel = fs.mkString(" AND "))
+          } else
+            GraftDataSource.insertInto(spark, dir, visible, data,
+              overwrite = ow)
           // a V1 catalog table over the same dir must not keep serving
           // its cached pre-commit file list (no ident known here)
-          data.sparkSession.sessionState.catalog.invalidateAllCachedTables()
+          spark.sessionState.catalog.invalidateAllCachedTables()
         }
       }
     override def toString: String =
-      s"GraftV1Write($dir, ${if (ow) "overwrite" else "append"})"
+      s"GraftV1Write($dir, ${if (ow) "overwrite" else "append"}" +
+        (if (fs.nonEmpty) s", where=${fs.mkString(" AND ")}" else "") + ")"
   }
 }
 

@@ -38,6 +38,10 @@ object SqlWalkProps extends Properties("SqlWalk") {
   final case class Update(bucket: Int, delta: Int, viaV2: Boolean = false) extends Op
   final case class Delete(bucket: Int, viaV2: Boolean = false) extends Op
   final case class MergeUp(n: Int, viaV2: Boolean = false) extends Op // half existing keys, half new
+  // replaceWhere: atomically swap one bucket's rows for n fresh ones
+  // (the writer-option face — always targets the DIR, exercising the
+  // ident-less cache-invalidation path)
+  final case class ReplaceSlice(bucket: Int, n: Int) extends Op
   // layout%3: 0 = bin-pack, 1 = CLUSTER BY id, 2 = N-dim ZORDER BY
   // (id, bucket) — all rows-preserving full/partial rewrites
   final case class Optimize(layout: Int) extends Op
@@ -54,6 +58,8 @@ object SqlWalkProps extends Properties("SqlWalk") {
       .map((Update.apply _).tupled),
     3 -> Gen.zip(Gen.choose(0, 9), genFace).map((Delete.apply _).tupled),
     3 -> Gen.zip(Gen.choose(2, 20), genFace).map((MergeUp.apply _).tupled),
+    2 -> Gen.zip(Gen.choose(0, 9), Gen.choose(1, 6))
+      .map((ReplaceSlice.apply _).tupled),
     2 -> Gen.choose(0, 2).map(Optimize),
     2 -> Gen.const(RenameScore),
     1 -> Gen.choose(0, 100).map(Restore),
@@ -174,6 +180,27 @@ object SqlWalkProps extends Properties("SqlWalk") {
         rows ++= fresh.map(i => i -> ((i % 10, i * 2 + 0.5)))
         units ++= fresh.map(i => i -> unitsOf(i)) // matched rows keep theirs
         nextId += (n - existing.size)
+      case ReplaceSlice(b, n) =>
+        // fresh DISTINCT ids for this bucket, all >= nextId and all
+        // ≡ b (mod 10) so the bucket = id % 10 invariant the other ops
+        // rely on holds for the replacements too
+        val base = (nextId / 10 + 1) * 10
+        val bids = (0 until n).map(k => base + k * 10 + b)
+        val extras = extraCols.map(c => s", CAST(NULL AS INT) AS $c").mkString
+        val unitsTy = if (widened) "BIGINT" else "INT"
+        val sel = bids.map(i =>
+          s"SELECT CAST($i AS BIGINT) AS id, CAST($b AS BIGINT) AS bucket, " +
+            s"CAST(${i * 2}.5 AS DOUBLE) AS $scoreCol, " +
+            s"CAST(${unitsOf(i)} AS $unitsTy) AS units$extras")
+          .mkString(" UNION ALL ")
+        spark.sql(sel).write.format("graft").mode("overwrite")
+          .option("replaceWhere", s"bucket = $b").save(dir)
+        val gone = rows.collect { case (i, (bk, _)) if bk == b => i }.toSet
+        rows = rows.filterNot { case (_, (bk, _)) => bk == b } ++
+          bids.map(i => i -> ((b.toLong, i * 2 + 0.5)))
+        units = units.filterNot { case (i, _) => gone(i) } ++
+          bids.map(i => i -> unitsOf(i))
+        nextId = bids.max + 1
       case Optimize(layout) => // logical rows unchanged by any layout
         spark.sql(layout % 3 match {
           case 0 => s"OPTIMIZE $table"

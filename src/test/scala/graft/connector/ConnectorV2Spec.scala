@@ -321,6 +321,28 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gv2_dml.t").head.getLong(0) === 46)
   }
 
+  test("writeTo(...).overwrite(cond) = the V2-native replaceWhere") {
+    val wh = freshWarehouse("rw")
+    spark.sql("CREATE TABLE gv2_rw.t AS SELECT id, " +
+      "CASE WHEN id < 50 THEN 'a' ELSE 'b' END AS ds FROM range(0, 100)")
+    // swap slice 'a' for 5 fresh rows in ONE atomic commit
+    val pre = SnapshotLog.commits(spark, s"$wh/t").size
+    spark.range(0, 5).selectExpr("id + 1000 AS id", "'a' AS ds")
+      .writeTo("gv2_rw.t").overwrite(col("ds") === "a")
+    assert(SnapshotLog.commits(spark, s"$wh/t").size === pre + 1)
+    val r = spark.sql("SELECT ds, count(*) AS n FROM gv2_rw.t " +
+      "GROUP BY ds ORDER BY ds").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 5L, "b" -> 50L))
+    assert(spark.sql("SELECT min(id) FROM gv2_rw.t WHERE ds = 'a'")
+      .head.getLong(0) === 1000L)
+    // rows landing OUTSIDE the overwrite condition refuse loudly
+    val e = intercept[Exception] {
+      spark.range(0, 2).selectExpr("id", "'b' AS ds")
+        .writeTo("gv2_rw.t").overwrite(col("ds") === "a") }
+    assert(e.getMessage.contains("do NOT satisfy"), e.getMessage)
+  }
+
   test("PARTITIONED BY (identity) binds durable layout from the first insert") {
     val wh = freshWarehouse("pby")
     spark.sql("CREATE TABLE gv2_pby.t (id BIGINT, ds STRING) " +
