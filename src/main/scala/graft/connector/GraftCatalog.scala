@@ -279,7 +279,12 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (!isTable(dir)) false
     else {
       val p = new Path(dir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val ok = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      // a recreate at this dir restarts at snapshot 1 — the memoized
+      // durable metadata (keyed dir -> head) must not survive the drop
+      SnapshotLog.invalidateDurableMeta(dir)
+      ok
     }
   }
 

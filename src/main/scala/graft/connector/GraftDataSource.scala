@@ -189,7 +189,11 @@ final class GraftDataSource extends RelationProvider
           if (zcols.isEmpty) d
           else graft.cdc.Compaction.zorderArrange(d, zcols,
             parameters.get("targetFiles").map(_.toInt).getOrElse(32)),
-        explicitMeta = explicit)
+        explicitMeta = explicit,
+        // a lineageKey option rides this commit's summary like every
+        // other save mode — the declaration must not silently vanish
+        // just because the first write was a replaceWhere
+        extraSummary = declared)
       return GraftDataSource.relationFor(spark, sqlContext, dir, asOf = None)
     }
     mode match {

@@ -283,13 +283,17 @@ object GraftDml {
       // upserts, and the feed reports the range loudly when consumed —
       // throwing here would make the stale history brick every DML
       // forever (nothing but REPLACE TABLE can clear the old summary).
-      t.declaredKey match {
+      t.declaredKey.orElse(propCI(props, "lineageKey")) match {
+        // LIVE, correctable config (catalog OPTIONS / TBLPROPERTIES —
+        // removable via UNSET): a typo throws, never silently disables
         case Some(k) => Some(asColumn(k).getOrElse(
           throw new IllegalArgumentException(
             s"graft table ${t.dir}: declared lineageKey '$k' is not a " +
               s"column (has: ${t.output.map(_.name).mkString(", ")})")))
-        case None =>
-          logDeclared.orElse(propCI(props, "lineageKey")).flatMap(asColumn)
+        // the immutable log-carried creation declaration: lapses when
+        // its column no longer exists (nothing but REPLACE could clear
+        // it — throwing would brick every DML forever)
+        case None => logDeclared.flatMap(asColumn)
       })
   }
 
@@ -500,61 +504,73 @@ object GraftDml {
     val (baseId, live, reg) = pinned(spark, t, "DELETE").getOrElse(return)
     if (live.isEmpty) return
     val lin = effectiveLineage(spark, t)
-    cond match {
-      // unconditional DELETE: metadata-only truncation — remove every
-      // live file in one commit, bytes untouched, history intact. The
-      // read footprint is the whole table, so ANY interleaved append
-      // conflicts (rows it should have deleted) — never a silent rebase
-      // that leaves "truncated" rows live.
-      case Literal(true, BooleanType) =>
-        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", Seq.empty,
-          live.map(_.path), Map("mode" -> "delete-sql",
-            "rows_deleted" -> live.map(_.rows).sum.toString,
-            "files_touched" -> live.size.toString) ++ lineageSummary(lin, reg),
-          guard = SnapshotLog.ConflictGuard(mayReadAdded = Some(fs => fs)))
-        ()
-      case _ =>
-        val cs = Constraints.from(split(cond), schemaOf(t))
-        val candidates = live.filter(cs.keeps)
-        // FILE-LEVEL metadata deletes (the Delta/Iceberg school): when
-        // the manifest PROVES every row of a candidate matches the
-        // predicate — its zone lies entirely inside the predicate's
-        // accepted interval on every constrained column AND its recorded
-        // null count there is zero — the file is dropped from the commit
-        // without being read or rewritten. The retention case
-        // (`DELETE WHERE ts < cutoff` over a time-clustered table) then
-        // touches metadata for the interior files and rewrites only the
-        // boundary file, at ANY table size.
-        val coverIv = Covers.from(split(cond))
-        val (dropped, boundary) = coverIv match {
-          case Some(iv) => candidates.partition(Covers.covered(_, iv))
-          case None => (Seq.empty[DataFile], candidates)
+    removeSliceCommit(spark, t, cond, baseId, live, reg, lin,
+      added = Seq.empty, mode = "delete-sql", extra = Map.empty,
+      idStamped = false)
+  }
+
+  /** The shared SLICE-REMOVAL commit — the core of predicate DELETE and
+    * of replaceWhere (which rides it with `added` = the replacement
+    * files and `idStamped` when those rows carry lineage stamps):
+    *
+    *  - unconditional (`cond` = TRUE): metadata-only truncation — every
+    *    live file out, `added` in, bytes untouched, history intact. The
+    *    read footprint is the whole table, so ANY interleaved add
+    *    conflicts — never a silent rebase that leaves "removed" rows
+    *    live.
+    *  - predicate: zone/bloom/partition candidate pruning, FILE-LEVEL
+    *    metadata drops for provably-covered candidates (the Delta/
+    *    Iceberg school: zone ⊆ predicate interval ∧ zero recorded
+    *    nulls), touch detection, and a survivors rewrite of only the
+    *    boundary files (rows where cond is NULL are KEPT — SQL removes
+    *    only where TRUE). A lost race rebases when every interleaved
+    *    commit is provably outside the footprint (dmlGuard), and
+    *    idStamped commits always abort instead of re-numbering their
+    *    embedded lineage stamps. */
+  private def removeSliceCommit(spark: SparkSession, t: DmlTarget,
+      cond: Expression, baseId: Long, live: Seq[DataFile],
+      reg: Option[graft.table.FieldRegistry], lin: Option[String],
+      added: Seq[DataFile], mode: String, extra: Map[String, String],
+      idStamped: Boolean): Unit = cond match {
+    case Literal(true, BooleanType) =>
+      SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", added,
+        live.map(_.path), Map("mode" -> mode,
+          "rows_deleted" -> live.map(_.rows).sum.toString,
+          "files_touched" -> live.size.toString) ++ extra ++
+          lineageSummary(lin, reg),
+        guard = SnapshotLog.ConflictGuard(mayReadAdded = Some(fs => fs),
+          idStamped = idStamped))
+      ()
+    case _ =>
+      val cs = Constraints.from(split(cond), schemaOf(t))
+      val candidates = live.filter(cs.keeps)
+      val coverIv = Covers.from(split(cond))
+      val (dropped, boundary) = coverIv match {
+        case Some(iv) => candidates.partition(Covers.covered(_, iv))
+        case None => (Seq.empty[DataFile], candidates)
+      }
+      val (touched, nMatched) = touchDetect(spark, t, boundary, cond, reg)
+      if (dropped.isEmpty && touched.isEmpty && added.isEmpty)
+        return // nothing matched, nothing to add
+      val written =
+        if (touched.isEmpty) Seq.empty
+        else {
+          val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
+          writeInherited(spark, t.dir, tDf.filter(
+            !coalesce(rebind(cond, t.output, tDf), lit(false))), live, reg)
         }
-        val (touched, nMatched) = touchDetect(spark, t, boundary, cond, reg)
-        if (dropped.isEmpty && touched.isEmpty) return // nothing matched
-        val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
-        // rows where cond is NULL are KEPT (SQL deletes only where TRUE)
-        val survivors = tDf.filter(!coalesce(rebind(cond, t.output, tDf), lit(false)))
-        val written =
-          if (touched.isEmpty) Seq.empty
-          else writeInherited(spark, t.dir, survivors, live, reg)
-        // a lost race rebases when the interleaved commits are provably
-        // outside this DELETE's footprint: an appended file conflicts
-        // only if its metadata can't exclude the predicate, and any
-        // commit that removed a candidate this pass READ (touched or
-        // not) conflicts — the Delta ConcurrentAppend/DeleteRead rules
-        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", written,
-          (dropped ++ touched).map(_.path), Map("mode" -> "delete-sql",
-            "rows_deleted" -> (dropped.map(_.rows).sum + nMatched).toString,
-            "files_touched" -> touched.size.toString,
-            "files_dropped_metadata" -> dropped.size.toString,
-            "files_untouched" ->
-              (live.size - touched.size - dropped.size).toString) ++
-            lineageSummary(lin, reg),
-          guard = dmlGuard(cs, candidates, dropped ++ touched, reg,
-            idStamped = false))
-        ()
-    }
+      SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert",
+        written ++ added, (dropped ++ touched).map(_.path),
+        Map("mode" -> mode,
+          "rows_deleted" -> (dropped.map(_.rows).sum + nMatched).toString,
+          "files_touched" -> touched.size.toString,
+          "files_dropped_metadata" -> dropped.size.toString,
+          "files_untouched" ->
+            (live.size - touched.size - dropped.size).toString) ++ extra ++
+          lineageSummary(lin, reg),
+        guard = dmlGuard(cs, candidates, dropped ++ touched, reg,
+          idStamped = idStamped))
+      ()
   }
 
   /** The current-snapshot DML target of a table DIRECTORY — how the V2
@@ -625,7 +641,8 @@ object GraftDml {
                    predText: String,
                    arrange: DataFrame => DataFrame = identity,
                    explicitMeta: Option[(Seq[String], Option[String],
-                     Seq[String])] = None): Unit = {
+                     Seq[String])] = None,
+                   extraSummary: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.expr
     // resolve predicate AND target from ONE analyzed plan, so the
     // condition's attributes are the relation's own output
@@ -639,7 +656,7 @@ object GraftDml {
       throw new IllegalStateException(
         s"replaceWhere: $dir did not resolve to a graft relation"))
     replaceWhereCond(spark, dir, data0, fNode.condition, t, predText,
-      arrange, explicitMeta)
+      arrange, explicitMeta, extraSummary)
   }
 
   /** The resolved-condition core of [[replaceWhere]] — also the landing
@@ -649,7 +666,8 @@ object GraftDml {
       data0: DataFrame, cond: Expression, t: DmlTarget, predLabel: String,
       arrange: DataFrame => DataFrame = identity,
       explicitMeta: Option[(Seq[String], Option[String],
-        Seq[String])] = None): Unit = {
+        Seq[String])] = None,
+      extraSummary: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.not
     checkExpr(cond, "replaceWhere")
     // byName alignment to the table's visible schema (replaceWhere
@@ -661,68 +679,49 @@ object GraftDml {
       s"replaceWhere into $dir needs exactly the table's columns " +
         s"(${visible.fieldNames.mkString(", ")}), got " +
         s"(${data0.columns.mkString(", ")})")
+    // the incoming frame is consumed TWICE (predicate validation, then
+    // the write) — persist it so an expensive source query computes
+    // once and a non-deterministic one cannot write rows the validation
+    // pass never saw; freed deterministically below
     val aligned = data0.select(visible.fields.map(f =>
       col(data0.columns.find(_.equalsIgnoreCase(f.name)).get)
         .cast(f.dataType).as(f.name)).toSeq: _*)
-    // every incoming row must satisfy the predicate — the written slice
-    // IS the slice being replaced, nothing may leak outside it. The
-    // condition rebinds onto the ALIGNED frame by name (the V2 filters
-    // and the text face both speak the table's column names).
-    require(aligned
-        .filter(not(coalesce(rebind(cond, t.output, aligned), lit(false))))
-        .isEmpty,
-      s"replaceWhere '$predLabel': the written data contains rows that " +
-        "do NOT satisfy the predicate — they would land outside the " +
-        "slice being replaced")
-    val (baseId, live, reg) = pinned(spark, t, "replaceWhere").getOrElse(
-      throw new IllegalArgumentException(s"not a graft table: $dir"))
-    val lin = effectiveLineage(spark, t)
-    val stamped = lin.fold(aligned)(_ =>
-      aligned.withColumn(Merge.LineageCol, lit(baseId + 1)))
-    val arrangedDf = arrange(stamped)
-    val added = explicitMeta match {
-      case Some((st, bl, pc)) => SnapshotLog.writeData(arrangedDf, dir,
-        statsCols = st, bloomCol = bl, partitionCols = pc)
-      case None => writeInherited(spark, dir, arrangedDf, live, reg)
-    }
-    cond match {
-      case Literal(true, BooleanType) =>
-        // replaceWhere 'true' = the full atomic overwrite; the read
-        // footprint is the whole table, so any interleaved add conflicts
-        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert", added,
-          live.map(_.path),
-          Map("mode" -> "replace-where", "predicate" -> predLabel,
-            "rows_deleted" -> live.map(_.rows).sum.toString) ++
-            lineageSummary(lin, reg),
-          guard = SnapshotLog.ConflictGuard(mayReadAdded = Some(fs => fs)))
-      case _ =>
-        val cs = Constraints.from(split(cond), schemaOf(t))
-        val candidates = live.filter(cs.keeps)
-        val coverIv = Covers.from(split(cond))
-        val (dropped, boundary) = coverIv match {
-          case Some(iv) => candidates.partition(Covers.covered(_, iv))
-          case None => (Seq.empty[DataFile], candidates)
-        }
-        val (touched, nMatched) = touchDetect(spark, t, boundary, cond, reg)
-        val rewritten =
-          if (touched.isEmpty) Seq.empty
-          else {
-            val tDf = readFiles(spark, t, touched, lin.isDefined, reg)
-            writeInherited(spark, t.dir, tDf.filter(
-              !coalesce(rebind(cond, t.output, tDf), lit(false))), live, reg)
-          }
-        SnapshotLog.commitPinned(spark, t.dir, baseId, "upsert",
-          rewritten ++ added, (dropped ++ touched).map(_.path),
-          Map("mode" -> "replace-where", "predicate" -> predLabel,
-            "rows_deleted" -> (dropped.map(_.rows).sum + nMatched).toString,
-            "files_touched" -> touched.size.toString,
-            "files_dropped_metadata" -> dropped.size.toString,
-            "files_untouched" ->
-              (live.size - touched.size - dropped.size).toString) ++
-            lineageSummary(lin, reg),
-          guard = dmlGuard(cs, candidates, dropped ++ touched, reg,
-            idStamped = lin.isDefined))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // every incoming row must satisfy the predicate — the written
+      // slice IS the slice being replaced, nothing may leak outside it.
+      // The condition rebinds onto the ALIGNED frame by name (the V2
+      // filters and the text face both speak the table's column names).
+      require(aligned
+          .filter(not(coalesce(rebind(cond, t.output, aligned), lit(false))))
+          .isEmpty,
+        s"replaceWhere '$predLabel': the written data contains rows that " +
+          "do NOT satisfy the predicate — they would land outside the " +
+          "slice being replaced")
+      val (baseId, live, reg) = pinned(spark, t, "replaceWhere").getOrElse(
+        throw new IllegalArgumentException(s"not a graft table: $dir"))
+      // a lineageKey declaration RIDING THIS COMMIT (the writer option's
+      // extraSummary) must bootstrap THIS commit's own rows — it is not
+      // in the log yet when effectiveLineage scans, so feed it forward
+      // as a live declaration
+      val tEff = extraSummary.get(SnapshotLog.LineageDeclaredKey) match {
+        case Some(k) => t.copy(declaredKey = t.declaredKey.orElse(Some(k)))
+        case None => t
+      }
+      val lin = effectiveLineage(spark, tEff)
+      val stamped = lin.fold(aligned: DataFrame)(_ =>
+        aligned.withColumn(Merge.LineageCol, lit(baseId + 1)))
+      val arrangedDf = arrange(stamped)
+      val added = explicitMeta match {
+        case Some((st, bl, pc)) => SnapshotLog.writeData(arrangedDf, dir,
+          statsCols = st, bloomCol = bl, partitionCols = pc)
+        case None => writeInherited(spark, dir, arrangedDf, live, reg)
+      }
+      removeSliceCommit(spark, t, cond, baseId, live, reg, lin,
+        added = added, mode = "replace-where",
+        extra = Map("predicate" -> predLabel) ++ extraSummary,
+        idStamped = lin.isDefined)
+    } finally aligned.unpersist()
     refreshAfter(spark, t)
   }
 

@@ -540,7 +540,20 @@ object SnapshotLog {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] WARNING: checkpoint at $id of $tableDir " +
           s"failed (resolution falls back to delta replay): $e") }
+    // every commit moves (or re-creates) the head: drop the table's
+    // durable-metadata memo so a DROP + CREATE at the same dir — which
+    // reproduces head id 1 — can never serve the dead table's properties
+    invalidateDurableMeta(tableDir)
     id
+  }
+
+  /** Drop the durable-metadata memo for a table (every commit does this
+    * through [[commitAt]]; external deleters — DROP TABLE — must too).
+    * Also bounds the cache: entries live per table dir, and a runaway
+    * many-table workload clears rather than grows without limit. */
+  private[graft] def invalidateDurableMeta(tableDir: String): Unit = {
+    durableMetaCache.remove(tableDir)
+    if (durableMetaCache.size > 10000) durableMetaCache.clear()
   }
 
   /** What a PINNED-BASE writer's derivation logically READ — the inputs

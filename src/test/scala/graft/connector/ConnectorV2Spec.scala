@@ -414,6 +414,48 @@ class ConnectorV2Spec extends AnyFunSuite {
       "a dead log-carried declaration lapses instead of failing DML")
   }
 
+  test("durable-metadata edges: drop/recreate, typo'd key, replaceWhere declaration") {
+    val wh = freshWarehouse("edge")
+    // DROP + CREATE at the same name must not resurrect the dead
+    // table's durable properties (the memo is keyed dir -> head, and a
+    // recreate restarts at head 1)
+    spark.sql("CREATE TABLE gv2_edge.t TBLPROPERTIES ('posDeletes' = " +
+      "'true') AS SELECT id FROM range(0, 10)")
+    spark.sql("SELECT count(*) FROM gv2_edge.t").collect() // warm caches
+    assert(spark.sql("SHOW TBLPROPERTIES gv2_edge.t").collect()
+      .exists(_.getString(0) == "posDeletes"))
+    spark.sql("DROP TABLE gv2_edge.t")
+    spark.sql("CREATE TABLE gv2_edge.t AS SELECT id FROM range(0, 10)")
+    assert(!spark.sql("SHOW TBLPROPERTIES gv2_edge.t").collect()
+      .exists(_.getString(0) == "posDeletes"),
+      "the dead table's properties must not resurrect")
+    spark.sql("DELETE FROM gv2_edge.t WHERE id < 3")
+    assert(spark.sql("SELECT count(*) FROM graft_files('gv2_edge.t') " +
+      "WHERE kind = 'posdelete'").head.getLong(0) === 0,
+      "without the property the DELETE must take the COW path")
+    // a TYPO'D durable lineageKey is live, correctable config: it must
+    // THROW on DML, never silently disable lineage
+    spark.sql("ALTER TABLE gv2_edge.t SET TBLPROPERTIES " +
+      "('lineageKey' = 'nope')")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gv2_edge.t SET id = 0 WHERE id = 5") }
+    assert(e.getMessage.contains("is not a column"), e.getMessage)
+    spark.sql("ALTER TABLE gv2_edge.t UNSET TBLPROPERTIES ('lineageKey')")
+    spark.sql("UPDATE gv2_edge.t SET id = 0 WHERE id = 5") // works again
+    // a lineageKey OPTION on a replaceWhere write persists its
+    // declaration like every other save mode: the feed folds afterwards
+    spark.range(0, 10).selectExpr("id", "id AS v")
+      .write.format("graft").save(s"$wh/rwl")
+    spark.range(0, 2).selectExpr("id", "id + 100 AS v")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "id < 2").option("lineageKey", "id")
+      .save(s"$wh/rwl")
+    val ops = SnapshotLog.changes(spark, s"$wh/rwl", from = 1L).get
+      .groupBy(col("_change_op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.values.sum >= 2L, s"the declared feed must fold: $ops")
+  }
+
   test("staged CTAS/RTAS races resolve by CAS: loser throws, winner intact") {
     import org.apache.spark.sql.types.{LongType, StructType => ST}
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
