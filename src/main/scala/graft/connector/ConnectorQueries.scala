@@ -85,6 +85,32 @@ object ConnectorQueries {
       dst
     }
 
+  /** The source table streamed into a sibling table ENTIRELY BY V2 NAME
+    * — `spark.readStream.table("cat.src")` → `writeStream.format("graft")
+    * .toTable("cat.dst")` (the r13 V2TableWithV1Fallback streaming
+    * faces): the table-name loop must be row-identical to the raw input,
+    * same exactly-once contract as the path-addressed loop. */
+  private def tableStreamWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "tstream") { base =>
+      val ord = orders(s, d)
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.format("graft").option("statsCols", "o_orderkey")
+        .save(s"$base/src")
+      ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.format("graft").mode("append")
+        .option("statsCols", "o_orderkey").save(s"$base/src")
+      s.conf.set("spark.sql.catalog.graft_vstream",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_vstream.warehouse", base)
+      val q = s.readStream.table("graft_vstream.src")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$base/cp")
+        .option("statsCols", "o_orderkey")
+        .toTable("graft_vstream.dst")
+      try q.processAllAvailable() finally q.stop()
+      base
+    }
+
   /** A warehouse assembled through the SQL DDL face alone: CREATE TABLE
     * USING graft, then INSERT INTO from a view — the analyzer-rewrite
     * insert path (log commits, inherited pruning metadata) under the
@@ -670,6 +696,20 @@ object ConnectorQueries {
           max(col("o_custkey")).as("max_cust"))
         .orderBy(col("o_orderstatus"))
     }),
+    // the V2-NAME streaming loop: readStream.table → writeStream.toTable
+    // (catalog-first, no path strings anywhere) — the streamed-by-name
+    // copy must aggregate exactly like the raw input
+    "conn_stream_table" -> ((s, d) => {
+      val root = tableStreamWarehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_vstream",
+        classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_vstream.warehouse", root)
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  max(o_custkey) AS max_cust
+              |FROM graft_vstream.dst
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     // metadata-only aggregates: an unfiltered count(*)/min/max over the
     // connector relation answers from manifest row counts and zones
     // alone — ConnectorSpec pins that the optimized plan is a
@@ -855,6 +895,10 @@ object ConnectorQueries {
         |FROM orders, b WHERE o_orderkey >= cutoff
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_stream_sink" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_stream_table" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -107,7 +107,7 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (!isTable(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catName) ++ ident.namespace() :+ ident.name())
-    new GraftV2Table(dir)
+    new GraftV2Table(dir, None, Some((catName, ident)))
   }
 
   /** `SELECT … FROM cat.t VERSION AS OF n|'tag'` — the V2 time-travel
@@ -121,7 +121,7 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val snap =
       if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
       else SnapshotLog.snapshotForTag(spark, dir, version)
-    new GraftV2Table(dir, Some(snap))
+    new GraftV2Table(dir, Some(snap), Some((catName, ident)))
   }
 
   /** `… TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
@@ -131,7 +131,8 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catName) ++ ident.namespace() :+ ident.name())
     new GraftV2Table(dir,
-      Some(SnapshotLog.snapshotAsOfTimestamp(spark, dir, timestamp / 1000L)))
+      Some(SnapshotLog.snapshotAsOfTimestamp(spark, dir, timestamp / 1000L)),
+      Some((catName, ident)))
   }
 
   /** CREATE TABLE: an empty snapshot-1 table whose schema rides a
@@ -150,11 +151,20 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
       .TableAlreadyExistsException(
         Array(catName) ++ ident.namespace() :+ ident.name())
     val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, schema)
-    SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
+    // the isTable check above is check-then-act; the CAS at snapshot 1 is
+    // the real arbiter — a racing creator surfaces as the SAME analysis
+    // exception a pre-existing table does, not a raw commit conflict
+    try SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
       Map("created_by" -> "v2-catalog") ++
         GraftCatalog.durableProps(properties,
           GraftCatalog.identityPartitionCols(catName, partitions)))
-    new GraftV2Table(dir)
+    catch {
+      case e: SnapshotLog.ConcurrentCommitException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            Array(catName) ++ ident.namespace() :+ ident.name())
+    }
+    new GraftV2Table(dir, None, Some((catName, ident)))
   }
 
   /** `ALTER TABLE cat.t …` through the V2 contract, lowered onto the
@@ -216,7 +226,7 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
           "COLUMNS, RENAME COLUMN, DROP COLUMN, widening ALTER COLUMN " +
           "TYPE, SET/UNSET TBLPROPERTIES)")
     }
-    new GraftV2Table(dir)
+    new GraftV2Table(dir, None, Some((catName, ident)))
   }
 
   // ----------------------------------------------- atomic CTAS / RTAS
@@ -355,11 +365,27 @@ private[connector] object GraftCatalog {
   * SHARED with every scan builder — the schema Spark analyzed against
   * and the files the scan reads can never disagree (a commit landing
   * between analysis and planning would otherwise silently null-fill
-  * the difference), and manifest/footer IO is paid once per query. */
+  * the difference), and manifest/footer IO is paid once per query.
+  *
+  * STREAMING faces ride the Delta-published `V2TableWithV1Fallback`
+  * shape: `spark.readStream.table("cat.t")` resolves through the engine's
+  * own streaming fallback onto the V1 `format("graft")` source (reader
+  * options pass through [[org.apache.spark.sql.graftshim.GraftStreamingTableRule]]),
+  * and `df.writeStream.toTable("cat.t")` lands in `DataStreamWriter`'s
+  * `writeToV1Table` path → [[GraftStreamSink]] with the user's full
+  * option surface (checkpointLocation, mergeKey, output modes) — so the
+  * transactional stream semantics live ONCE, shared by both faces. */
 private[connector] final class GraftV2Table(dir: String,
-                                            asOf: Option[Long] = None)
+                                            asOf: Option[Long] = None,
+                                            /** (catalog name, identifier) when loaded through a
+                                              * catalog — what [[v1Table]] names itself so the
+                                              * engine's post-batch `refreshTable(name)` resolves
+                                              * back through the SAME catalog. */
+                                            v2Ident: Option[(String, Identifier)] = None)
     extends Table with SupportsRead with SupportsWrite
-    with TruncatableTable with SupportsDelete {
+    with TruncatableTable with SupportsDelete
+    with org.apache.spark.sql.graftshim.GraftV1FallbackBridge
+    with GraftStreamableTable {
 
   private def spark = SparkSession.active
 
@@ -375,6 +401,37 @@ private[connector] final class GraftV2Table(dir: String,
     dir + asOf.fold("")(v => s"@v$v")
 
   override lazy val schema: StructType = state._4
+
+  override def streamTableDir: String = dir
+  override def streamPinnedAsOf: Option[Long] = asOf
+
+  /** The V1 face of this table for the engine's streaming fallbacks —
+    * provider + location are what both consumers read
+    * (`RelationResolution`'s streaming branch, `DataStreamWriter
+    * .writeToV1Table`). The identifier must RESOLVE by name: after every
+    * committed micro-batch the engine calls `catalog.refreshTable` on it
+    * (MicroBatchExecution's post-batch cache refresh), which re-reads the
+    * table through `spark.table(name)` — so it names this table through
+    * its OWN V2 catalog (`cat.default.t`), never a fabricated database.
+    * Only called on streaming paths, where a time-travel pin refuses. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOf.isEmpty,
+      s"graft table $dir: cannot stream from a time-travel pinned relation")
+    val tid = v2Ident match {
+      case Some((cat, id)) => org.apache.spark.sql.catalyst.TableIdentifier(
+        id.name(), Some(id.namespace().lastOption.getOrElse("default")),
+        Some(cat))
+      case None => org.apache.spark.sql.catalyst.TableIdentifier(
+        new Path(dir).getName)
+    }
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = tid,
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(new Path(dir).toUri)),
+      schema = schema,
+      provider = Some("graft"))
+  }
 
   /** A time-travel-pinned table is READ-ONLY (no write capabilities at
     * all, so INSERT/DELETE refuse at analysis, not at commit time). */
@@ -436,7 +493,16 @@ private[connector] final class GraftV2Table(dir: String,
     require(asOf.isEmpty,
       s"graft table $dir: cannot DELETE from a time-travel relation")
     val t = GraftDml.v1Target(spark, dir)
-    val cond = filters.toSeq.flatMap(GraftDml.sourceFilterExpr(_, t.output))
+    // every filter MUST convert: silently dropping an unconvertible one
+    // would WIDEN the delete (an all-unconvertible array would degrade
+    // to delete-everything). canDeleteWhere gates this today, but a
+    // direct call or a future Filter shape must fail loudly here too;
+    // TrueLiteral is reserved for an explicitly EMPTY filter array (the
+    // engine's "delete all rows" contract).
+    val cond = filters.toSeq
+      .map(f => GraftDml.sourceFilterExpr(f, t.output).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft table $dir: cannot DELETE by filter $f")))
       .reduceOption[cexpr.Expression](cexpr.And)
       .getOrElse(cexpr.Literal.TrueLiteral)
     GraftDml.delete(spark, t, cond)

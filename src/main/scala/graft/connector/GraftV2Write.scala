@@ -5,6 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{expressions => cexpr}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -56,12 +57,18 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
 
   /** `writeTo("cat.t").overwrite(condition)` — the V2-native
     * replaceWhere: the filters become the predicate of ONE atomic
-    * delete-and-insert commit ([[GraftDml.replaceWhereCond]]). Only
-    * filter shapes convertible against the table's columns are
-    * accepted (the engine re-plans otherwise). */
-  override def canOverwrite(filters: Array[Filter]): Boolean =
-    filters.forall(f =>
-      f.references.forall(r => visible.fieldNames.exists(_.equalsIgnoreCase(r))))
+    * delete-and-insert commit ([[GraftDml.replaceWhereCond]]). Accepts
+    * exactly what `insert()` can execute — [[GraftDml.sourceFilterExpr]]
+    * convertibility (the same gate canDeleteWhere uses) — so a filter
+    * shape the conversion lacks is rejected at PLANNING (the engine
+    * re-plans) instead of throwing at execution. */
+  override def canOverwrite(filters: Array[Filter]): Boolean = {
+    // convertibility needs only name resolution; synthesized attributes
+    // over the visible schema answer it without loading the relation
+    val out: Seq[cexpr.Attribute] = visible.fields.toSeq.map(f =>
+      cexpr.AttributeReference(f.name, f.dataType, nullable = true)())
+    filters.forall(f => GraftDml.sourceFilterExpr(f, out).isDefined)
+  }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     overwrite = true; overwriteFilters = filters; this

@@ -71,6 +71,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would first see the node, so an extendedResolutionRule (appended
     // after it) never runs — the hints batch precedes resolution
     ext.injectHintResolutionRule(s => new graft.connector.GraftTimeTravelRule(s))
+    // spark.readStream.table("cat.t") on graft V2 catalog tables lowers
+    // onto the V1 format("graft") source WITH the reader's options (the
+    // engine's own V2TableWithV1Fallback path drops them — see the
+    // rule's docstring); CDF reads widen the output by the change columns
+    ext.injectResolutionRule(s =>
+      new org.apache.spark.sql.graftshim.GraftStreamingTableRule(s))
     // SQL maintenance statements (OPTIMIZE / VACUUM) — a delegating
     // parser claims the two statements vanilla Spark has no grammar for
     // and lowers them onto compactDir/expireSnapshots (the Delta

@@ -133,25 +133,49 @@ object SnapshotLog {
   // memo: one durable-metadata resolution per (table, head snapshot) —
   // properties()/DML calls between commits are cache hits; any commit
   // moves the head and naturally invalidates. One entry per table dir.
+  // The cached value is keyed by an INCARNATION token (head id + the head
+  // manifest's mtime/length), not the head id alone: a DROP + recreate
+  // that reproduces the same head id (both tables at snapshot 1) must
+  // never serve the dead table's properties — and the head-id key alone
+  // has an ABA race where a scan of the OLD table is put() after the
+  // recreate (dropTable's invalidation can't help; the stale put lands
+  // after it). Manifests are immutable once published, so the token is
+  // stable within one incarnation and differs across them.
   private val durableMetaCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Long, (Option[String], Option[String], Map[String, String]))]
+    .empty[String, ((Long, Long), (Option[String], Option[String], Map[String, String]))]
+
+  /** (head id, head-manifest mtime ^ length) — the incarnation identity
+    * a durableMeta memo entry is valid for. A missing manifest (mid-drop,
+    * not-a-table) tokens as (head, -1), which never matches a real one. */
+  private def metaToken(spark: SparkSession, tableDir: String): (Long, Long) = {
+    val head = currentSnapshotId(spark, tableDir).getOrElse(0L)
+    if (head == 0L) (0L, -1L)
+    else try {
+      val st = fsOf(spark, tableDir).getFileStatus(manifestPath(tableDir, head))
+      (head, st.getModificationTime ^ (st.getLen << 20))
+    } catch { case _: java.io.IOException => (head, -1L) }
+  }
 
   /** ONE backward scan resolving every durable-metadata question a DML
     * statement asks — (history lineage key, log-declared lineage key,
     * durable properties) — each independently bounded by the newest
-    * whole-table redefinition, MEMOIZED per (dir, head snapshot) so a
+    * whole-table redefinition, MEMOIZED per (dir, head incarnation) so a
     * statement never pays repeated O(retained-history) walks; a table
     * with none of the keys walks its retained manifests once per head
     * (bounded by retention). */
   private[graft] def durableMeta(spark: SparkSession, tableDir: String)
       : (Option[String], Option[String], Map[String, String]) = {
-    val head = currentSnapshotId(spark, tableDir).getOrElse(0L)
+    val token = metaToken(spark, tableDir)
     durableMetaCache.get(tableDir) match {
-      case Some((h, r)) if h == head => return r
+      case Some((t, r)) if t == token && t._2 != -1L => return r
       case _ => ()
     }
     val r = durableMetaScan(spark, tableDir)
-    durableMetaCache.put(tableDir, (head, r))
+    // re-read the incarnation AFTER the scan: if the table was dropped /
+    // recreated / committed to underneath us, the scan's result belongs
+    // to a dead incarnation — serve it to THIS caller but don't memoize
+    if (metaToken(spark, tableDir) == token)
+      durableMetaCache.put(tableDir, (token, r))
     r
   }
 
@@ -2257,13 +2281,36 @@ object SnapshotLog {
     // redefinition-bounded, so a pre-REPLACE declaration is never
     // resurrected by its own expiry.
     if (expired.nonEmpty) {
+      // REDEFINITION boundaries need carrying too: expiring a
+      // `replace-table` commit while an OLDER tagged (or branch-base)
+      // commit survives the hole would let durableMetaScan walk past the
+      // vanished boundary and RESURRECT the dead pre-REPLACE lineage key
+      // / properties off the surviving older carrier. When that shape is
+      // about to happen, the carry commit is itself stamped
+      // `mode -> replace-table` AND carries the complete currently-
+      // resolved durable metadata (props, declaration, history lineage
+      // marker) — the tombstone becomes both the new boundary and the
+      // new newest carrier, so resolution finds today's values AT it
+      // instead of stopping empty or scanning past it.
+      val expiredRedefs = commits(spark, tableDir)
+        .filter(c => expiredSet.contains(c.snapshotId) && isRedefinition(c))
+        .map(_.snapshotId)
+      val needBoundary = expiredRedefs.nonEmpty &&
+        retainedIds.exists(_ < expiredRedefs.max)
       // the carry RECOMPUTES on every attempt: a concurrent SET
       // TBLPROPERTIES landing a NEWER retained carrier makes the carry
       // unnecessary — blindly recommitting the old map after a lost
       // race would silently revert the user's change, the exact
       // behavior drift this block exists to prevent
       def carryNow(): Map[String, String] =
-        Seq(TablePropsKey, LineageDeclaredKey).flatMap { key =>
+        if (needBoundary) {
+          val (lineage, declared, props) = durableMetaScan(spark, tableDir)
+          Map("mode" -> "replace-table",
+              TablePropsKey -> propsJson(props)) ++
+            declared.map(LineageDeclaredKey -> _) ++
+            lineage.map(k => Map("lineage" -> "true", "key" -> k))
+              .getOrElse(Map.empty)
+        } else Seq(TablePropsKey, LineageDeclaredKey).flatMap { key =>
           commitsReverse(spark, tableDir)
             .find(c => c.summary.contains(key) || isRedefinition(c))
             .filter(c => c.summary.contains(key) &&
@@ -2279,7 +2326,8 @@ object SnapshotLog {
           commitAt(spark, tableDir,
             currentSnapshotId(spark, tableDir).getOrElse(0L) + 1,
             "schema", Seq.empty, Seq.empty,
-            carry + ("mode" -> "retention-carry"))
+            if (carry.contains("mode")) carry
+            else carry + ("mode" -> "retention-carry"))
           done = true
         } catch {
           case e: ConcurrentCommitException =>

@@ -960,4 +960,62 @@ class StreamSpec extends AnyFunSuite {
     val n = spark.table("dedup_out").count()
     assert(n == 100, s"expected 100 deduped events, got $n")
   }
+
+  test("V2 table-name streaming: readStream.table / writeStream.toTable drain like the path faces") {
+    import spark.implicits._
+    import graft.table.SnapshotLog
+    val base = Files.createTempDirectory("graft-v2-stream").toString
+    spark.conf.set("spark.sql.catalog.gvstream",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gvstream.warehouse", base)
+    // source table: two append commits through the V1 writer face
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft")
+      .option("statsCols", "id").save(s"$base/src")
+    Seq((3L, "c")).toDF("id", "v").write.format("graft").mode("append")
+      .option("statsCols", "id").save(s"$base/src")
+    // the full V2-NAME loop: table in, table out — must match the
+    // format("graft")+path loop row for row (same checkpoint contract)
+    // the engine's writeToV1Table contract: the writer's format must
+    // name the table's provider (the same rule stock V1 tables follow)
+    def drain(): Unit = {
+      val q = spark.readStream.table("gvstream.src")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$base/cp")
+        .toTable("gvstream.dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.sql("SELECT * FROM gvstream.dst").collect().toSet ===
+      spark.sql("SELECT * FROM gvstream.src").collect().toSet)
+    // replay-safe: an idle re-drain commits nothing new
+    val commits0 = SnapshotLog.commits(spark, s"$base/dst").size
+    drain()
+    assert(spark.sql("SELECT count(*) FROM gvstream.dst").head.getLong(0) === 3)
+    // incremental: only the delta flows on the shared checkpoint
+    Seq((4L, "d")).toDF("id", "v").write.format("graft").mode("append")
+      .save(s"$base/src")
+    drain()
+    assert(spark.sql("SELECT * FROM gvstream.dst").collect().toSet ===
+      spark.sql("SELECT * FROM gvstream.src").collect().toSet)
+    // reader OPTIONS pass through the table-name face: a CDF stream by
+    // V2 name carries the change columns and the row-level events
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val qc = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .table("gvstream.src")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("id", "v", "_change_op").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        ()
+      }
+      .option("checkpointLocation", s"$base/cp_cdf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qc.awaitTermination()
+    assert(got.toSet === Set((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert"), (4L, "d", "insert")))
+    // a time-travel pinned relation refuses to stream
+    val e = intercept[Exception] {
+      spark.readStream.table("gvstream.src VERSION AS OF 1") }
+    assert(e != null)
+  }
 }

@@ -536,6 +536,41 @@ class ConnectorV2Spec extends AnyFunSuite {
       .exists(_.getString(0) == "posDeletes"))
   }
 
+  test("expiry carries the replace-table boundary past tagged holes") {
+    val wh = freshWarehouse("redef")
+    val dir = s"$wh/t"
+    // incarnation 1 declares behavior-bearing durable metadata: a
+    // posDeletes property AND a lineage key — both DEAD after REPLACE
+    spark.sql("CREATE TABLE gv2_redef.t TBLPROPERTIES " +
+      "('posDeletes' = 'true', 'lineageKey' = 'id') " +
+      "AS SELECT id, id * 2 AS v FROM range(0, 5)") // snapshot 1
+    SnapshotLog.tag(spark, dir, "audit", 1L) // exempt from retention
+    spark.sql("INSERT INTO gv2_redef.t SELECT id, id FROM range(5, 8)") // 2
+    // the REDEFINITION: new schema, no properties — everything older dies
+    spark.sql("REPLACE TABLE gv2_redef.t AS SELECT CAST(id AS STRING) " +
+      "AS name, id * 10 AS score FROM range(0, 6)") // snapshot 3
+    spark.sql("INSERT INTO gv2_redef.t VALUES ('x', 1)") // 4
+    spark.sql("INSERT INTO gv2_redef.t VALUES ('y', 2)") // 5
+    // retainLast=2 expires {2, 3} — snapshot 1 survives through its TAG,
+    // punching a hole: without the boundary carry, deleting the
+    // redefinition manifest (3) lets durableMetaScan walk from head
+    // straight to the surviving snapshot-1 carrier and RESURRECT the
+    // dead posDeletes property and 'id' lineage declaration
+    SnapshotLog.expireSnapshots(spark, dir, retainLast = 2,
+      orphanGraceMs = 0L)
+    assert(!spark.sql("SHOW TBLPROPERTIES gv2_redef.t").collect()
+      .exists(_.getString(0) == "posDeletes"),
+      "expired replace-table boundary must not resurrect dead properties")
+    // a resurrected 'id' declaration would make this DML bootstrap
+    // lineage on a column the replaced table doesn't have — fail loudly
+    spark.sql("DELETE FROM gv2_redef.t WHERE name = 'x'")
+    assert(spark.sql("SELECT count(*) FROM gv2_redef.t")
+      .head.getLong(0) === 7)
+    // the tagged pre-REPLACE snapshot stays travelable with ITS schema
+    assert(spark.sql("SELECT sum(v) FROM gv2_redef.t VERSION AS OF 'audit'")
+      .head.getLong(0) === (0 until 5).map(_ * 2).sum)
+  }
+
   test("maintenance SQL and TVFs accept V2 catalog names") {
     val wh = freshWarehouse("maint")
     rows(0, 40).repartition(4).write.format("graft")
