@@ -111,6 +111,50 @@ object ConnectorQueries {
       base
     }
 
+  /** Fact/dim pair for the V2 runtime-filtering (DPP) entry: the fact is
+    * laid out one STATUS per file with per-file partition-value sets
+    * recorded; the dim maps status → tier. A join filtered on the DIM
+    * side lets the fact's [[GraftV2BatchScan]] drop whole files at
+    * runtime from the realized join keys — the oracle only checks the
+    * ANSWER (pruning may only skip); ConnectorV2Spec pins the file
+    * drop itself. */
+  private def dppWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "dpp") { base =>
+      val ord = orders(s, d)
+      val statuses = ord.select(col("o_orderstatus")).distinct()
+        .collect().map(_.getString(0)).sorted
+      statuses.zipWithIndex.foreach { case (st, i) =>
+        ord.filter(col("o_orderstatus") === st).coalesce(1)
+          .write.format("graft").mode(if (i == 0) "error" else "append")
+          .option("statsCols", "o_orderkey")
+          .option("partitionCols", "o_orderstatus").save(s"$base/fact")
+      }
+      s.createDataFrame(statuses.toSeq.map(st =>
+          (st, if (st == "F") "busy" else "quiet")))
+        .toDF("o_orderstatus", "tier")
+        .write.format("graft").save(s"$base/dim")
+      base
+    }
+
+  /** Two tables CO-BUCKETED on the join key (`bucketBy` writer option →
+    * durable props + per-file bucket(n,col) manifest keys): the layout
+    * the V2 scan reports as KeyGroupedPartitioning so same-keyed joins
+    * skip the exchange (ConnectorV2Spec pins the no-Exchange plan); the
+    * oracle pins that the clustered layout changed NOTHING about the
+    * answer. */
+  private def spjWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "spj") { base =>
+      graft.schema.Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.format("graft").option("bucketBy", "8,o_custkey")
+        .option("statsCols", "o_custkey").save(s"$base/orders_b")
+      graft.schema.Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .write.format("graft").option("bucketBy", "8,c_custkey")
+        .option("statsCols", "c_custkey").save(s"$base/cust_b")
+      base
+    }
+
   /** A warehouse assembled through the SQL DDL face alone: CREATE TABLE
     * USING graft, then INSERT INTO from a view — the analyzer-rewrite
     * insert path (log commits, inherited pruning metadata) under the
@@ -710,6 +754,38 @@ object ConnectorQueries {
               |FROM graft_vstream.dst
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // V2 runtime filtering (DPP for the table format): the fact scan
+    // drops whole FILES at execution from the dim join's realized keys
+    // (ConnectorV2Spec pins kept=1); the oracle pins that runtime
+    // pruning only SKIPPED — the filtered join equals the plain SQL
+    "conn_dpp_join" -> ((s, d) => {
+      val root = dppWarehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_dpp", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dpp.warehouse", root)
+      s.sql("""SELECT f.o_orderstatus, count(*) AS n,
+              |  round(sum(f.o_totalprice), 2) AS total,
+              |  max(f.o_orderkey) AS max_key
+              |FROM graft_dpp.fact f
+              |JOIN graft_dpp.dim d ON f.o_orderstatus = d.o_orderstatus
+              |WHERE d.tier = 'busy'
+              |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
+    }),
+    // co-bucketed join through V2 names with SPJ reporting enabled:
+    // the bucketed layout (durable props + per-file residue keys) may
+    // only change the PLAN (ConnectorV2Spec pins zero-exchange), never
+    // the answer — the oracle replays the plain join
+    "conn_colocated_join" -> ((s, d) => {
+      val root = spjWarehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_spj", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_spj.warehouse", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("""SELECT c.c_nationkey, count(*) AS n,
+              |  round(sum(o.o_totalprice), 2) AS total,
+              |  max(o.o_orderkey) AS max_key
+              |FROM graft_spj.orders_b o
+              |JOIN graft_spj.cust_b c ON o.o_custkey = c.c_custkey
+              |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+    }),
     // metadata-only aggregates: an unfiltered count(*)/min/max over the
     // connector relation answers from manifest row counts and zones
     // alone — ConnectorSpec pins that the optimized plan is a
@@ -902,6 +978,16 @@ object ConnectorQueries {
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_custkey) AS max_cust
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_dpp_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_colocated_join" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "conn_insert_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

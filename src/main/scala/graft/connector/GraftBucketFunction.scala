@@ -1,0 +1,54 @@
+package graft.connector
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** The catalog's `bucket` function — what the engine resolves the
+  * `bucket(n, col)` transform of [[GraftV2BatchScan.outputPartitioning]]
+  * against (`V2ExpressionUtils` loads it from the scan relation's
+  * [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]). Two
+  * scans whose bound functions share a `canonicalName` report COMPATIBLE
+  * key-grouped partitionings, which is what lets `EnsureRequirements`
+  * zip them without an exchange (the Iceberg SPJ function-catalog
+  * design).
+  *
+  * The bucket of an integral value is `floorMod(v, n)` — deliberately
+  * the plain modulo, not a hash: it matches Spark's `pmod(col, n)` on
+  * the write side ([[GraftDataSource]]'s `bucketBy` arrangement) and is
+  * replayable in ANSI SQL for the oracle. A hash bucketing would swap
+  * one expression here and one in the writer; the alignment contract is
+  * the canonical name, not the formula. */
+object GraftBucketFunction extends UnboundFunction {
+
+  override def name(): String = "bucket"
+
+  override def description(): String =
+    "bucket(n, col) - modulo bucket id of an integral column"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"graft bucket(n, col) takes 2 arguments, got ${inputType.length}")
+    val colType = inputType.fields(1).dataType
+    require(colType.isInstanceOf[ByteType] || colType.isInstanceOf[ShortType] ||
+      colType.isInstanceOf[IntegerType] || colType.isInstanceOf[LongType],
+      s"graft bucket(n, col): col must be integral, got $colType")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val v = colType match {
+          case _: ByteType => input.getByte(1).toLong
+          case _: ShortType => input.getShort(1).toLong
+          case _: IntegerType => input.getInt(1).toLong
+          case _ => input.getLong(1)
+        }
+        Math.floorMod(v, n.toLong).toInt
+      }
+    }
+  }
+}

@@ -55,7 +55,8 @@ import graft.table.SnapshotLog
   * commits the SQL face uses (ADD COLUMNS carrier, field-registry
   * RENAME/DROP, widening-only TYPE changes). Both faces share one
   * optimistic log, so V1 and V2 writers interleave safely. */
-final class GraftCatalog extends TableCatalog with StagingTableCatalog {
+final class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -154,10 +155,10 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     // the isTable check above is check-then-act; the CAS at snapshot 1 is
     // the real arbiter — a racing creator surfaces as the SAME analysis
     // exception a pre-existing table does, not a raw commit conflict
+    val (idCols, bucket) = GraftCatalog.splitPartitionTransforms(catName, partitions)
     try SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
       Map("created_by" -> "v2-catalog") ++
-        GraftCatalog.durableProps(properties,
-          GraftCatalog.identityPartitionCols(catName, partitions)))
+        GraftCatalog.durableProps(properties, idCols, bucket))
     catch {
       case e: SnapshotLog.ConcurrentCommitException =>
         throw new org.apache.spark.sql.catalyst.analysis
@@ -241,12 +242,14 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * doing the same. */
   private def withPartitionProps(partitions: Array[Transform],
       properties: util.Map[String, String]): util.Map[String, String] = {
-    val cols = GraftCatalog.identityPartitionCols(catName, partitions)
-    if (cols.isEmpty) properties
+    val (cols, bucket) = GraftCatalog.splitPartitionTransforms(catName, partitions)
+    if (cols.isEmpty && bucket.isEmpty) properties
     else {
       val m = new java.util.HashMap[String, String](
         Option(properties).getOrElse(java.util.Collections.emptyMap()))
-      m.put("partitionCols", cols.mkString(","))
+      if (cols.nonEmpty) m.put("partitionCols", cols.mkString(","))
+      bucket.foreach { case (c, n) =>
+        m.put("bucketCol", c); m.put("bucketCount", n.toString) }
       m
     }
   }
@@ -309,6 +312,23 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog {
       s"catalog $catName: RENAME of graft tables is not supported — " +
         "manifests reference absolute data-file paths; copy with CTAS " +
         "(CREATE TABLE … AS SELECT) instead")
+
+  // ------------------------------------------------- FunctionCatalog
+
+  /** The `bucket` transform function — resolved by the engine when a
+    * graft scan reports a key-grouped (bucketed) partitioning; see
+    * [[GraftBucketFunction]]. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        (namespace.length == 1 && namespace(0) == "default"))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }
 
 private[connector] object GraftCatalog {
@@ -320,31 +340,63 @@ private[connector] object GraftCatalog {
 
   /** The subset of a CREATE/CTAS properties map that persists in the
     * log as durable table properties (empty → no summary entry);
-    * identity `PARTITIONED BY` columns fold in as `partitionCols`. */
+    * identity `PARTITIONED BY` columns fold in as `partitionCols`, a
+    * `bucket(n, col)` transform as `bucketCol`/`bucketCount`. */
   private[connector] def durableProps(properties: util.Map[String, String],
-                                      partitionCols: Seq[String] = Nil)
+                                      partitionCols: Seq[String] = Nil,
+                                      bucket: Option[(String, Int)] = None)
       : Map[String, String] = {
     val user = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
       .filterNot { case (k, _) =>
         Reserved.contains(k.toLowerCase(java.util.Locale.ROOT)) ||
           k.toLowerCase(java.util.Locale.ROOT).startsWith("option.") } ++
       (if (partitionCols.isEmpty) Map.empty
-       else Map("partitionCols" -> partitionCols.mkString(",")))
+       else Map("partitionCols" -> partitionCols.mkString(","))) ++
+      bucket.fold(Map.empty[String, String]) { case (c, n) =>
+        Map("bucketCol" -> c, "bucketCount" -> n.toString) }
     if (user.isEmpty) Map.empty
     else Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(user))
   }
 
-  /** `PARTITIONED BY` columns when every transform is IDENTITY; bucket/
-    * days/… refuse — the manifest-driven layout has no directory tree to
-    * hang computed transforms on. */
-  private[connector] def identityPartitionCols(catName: String,
-      partitions: Array[Transform]): Seq[String] =
-    partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1,
-        s"catalog $catName: only identity PARTITIONED BY columns are " +
-          s"supported (layout is manifest-driven), got $t")
-      t.references.head.fieldNames.mkString(".")
+  /** `PARTITIONED BY` transforms split into (identity columns, at most
+    * one `bucket(n, col)` spec). Identity columns become the durable
+    * `partitionCols` property (per-file value sets); the bucket
+    * transform becomes `bucketCol`/`bucketCount` — the clustered layout
+    * every insert maintains and the V2 scan reports for storage-
+    * partitioned joins. Other transforms (days, hours, truncate, …)
+    * refuse — the manifest-driven layout has no directory tree to hang
+    * them on. */
+  private[connector] def splitPartitionTransforms(catName: String,
+      partitions: Array[Transform]): (Seq[String], Option[(String, Int)]) = {
+    var bucket: Option[(String, Int)] = None
+    val ids = partitions.toSeq.flatMap { t =>
+      t.name match {
+        case "identity" =>
+          require(t.references.length == 1,
+            s"catalog $catName: identity PARTITIONED BY takes one column, got $t")
+          Some(t.references.head.fieldNames.mkString("."))
+        case "bucket" =>
+          require(bucket.isEmpty,
+            s"catalog $catName: at most one bucket(n, col) transform")
+          require(t.references.length == 1,
+            s"catalog $catName: bucket takes one column, got $t")
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"catalog $catName: bucket needs a literal count, got $t"))
+          require(n > 0, s"catalog $catName: bucket count must be positive")
+          bucket = Some((t.references.head.fieldNames.mkString("."), n))
+          None
+        case _ => throw new UnsupportedOperationException(
+          s"catalog $catName: only identity and bucket(n, col) " +
+            s"PARTITIONED BY transforms are supported " +
+            "(layout is manifest-driven), got " + t)
+      }
     }
+    (ids, bucket)
+  }
 
   /** SET/UNSET TBLPROPERTIES: ONE fileless metadata commit carrying the
     * complete updated map, CAS'd at the pinned successor id (a racing
@@ -625,61 +677,22 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
 
   // ------------------------------------------------------ file pruning
 
-  /** sources.Filter → per-column long intervals, over the SAME domains
-    * the zones were recorded in — consumed by zoneKeeps so a provably
-    * non-matching file is skipped from manifest metadata alone. Only
-    * conjunctive top-level constraints narrow; anything else keeps. */
-  private def ranges(fs: Array[Filter]): Map[String, (Long, Long)] = {
-    def asLong(v: Any): Option[Long] = v match {
-      case n: Byte => Some(n.toLong)
-      case n: Short => Some(n.toLong)
-      case n: Int => Some(n.toLong)
-      case n: Long => Some(n)
-      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-      case d: java.time.LocalDate => Some(d.toEpochDay)
-      case t: java.sql.Timestamp =>
-        Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
-      case t: java.time.Instant =>
-        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
-      case _ => None
-    }
-    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    def narrow(c: String, lo: Long, hi: Long): Unit = {
-      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
-    }
-    fs.foreach {
-      case sources.EqualTo(c, v) => asLong(v).foreach(x => narrow(c, x, x))
-      case sources.GreaterThan(c, v) =>
-        asLong(v).foreach(x => narrow(c, x + 1, Long.MaxValue))
-      case sources.GreaterThanOrEqual(c, v) =>
-        asLong(v).foreach(x => narrow(c, x, Long.MaxValue))
-      case sources.LessThan(c, v) =>
-        asLong(v).foreach(x => narrow(c, Long.MinValue, x - 1))
-      case sources.LessThanOrEqual(c, v) =>
-        asLong(v).foreach(x => narrow(c, Long.MinValue, x))
-      case sources.In(c, vs) if vs.nonEmpty =>
-        val ls = vs.toSeq.map(asLong)
-        if (ls.forall(_.isDefined))
-          narrow(c, ls.map(_.get).min, ls.map(_.get).max)
-      case _ => () // non-range shapes never prune
-    }
-    bounds.toMap
-  }
-
   override def build(): Scan = aggAnswer match {
     case Some((aggSchema, row)) =>
       new GraftMetadataAggScan(aggSchema, row)
     case None =>
-      val rs = ranges(pushed)
-      // pruning decisions speak LOGICAL names (the filters') — manifest
+      // full manifest pruning from the pushed filters — zones, blooms
+      // AND partition-value sets, through the same Constraints the V1
+      // FileIndex uses (the r13 upgrade from zone-only ranges).
+      // Pruning decisions speak LOGICAL names (the filters') — manifest
       // stats keys are PHYSICAL: translate each file's metadata through
       // the pinned registry first, or a rename-swap / re-added namesake
       // column would prune against the WRONG column's zones
+      val cs = GraftSourceConstraints.from(pushed, visible)
       val zoneKept =
-        if (rs.isEmpty) data
-        else data.filter(f => SnapshotLog.zoneKeeps(
-          reg.map(_.translateMeta(f)).getOrElse(f), rs))
+        if (pushed.isEmpty) data
+        else data.filter(f =>
+          cs.keeps(reg.map(_.translateMeta(f)).getOrElse(f)))
       val kept = limit match {
         case Some(n) =>
           // prefix of files whose cumulative manifest rows covers n
@@ -688,8 +701,32 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
           if (need < 0) zoneKept else zoneKept.take(need + 1)
         case None => zoneKept
       }
-      new GraftBridgeScan(dir, kept, dels, reg, required,
-        prunedAway = data.size - kept.size)
+      // the fast path (same gate as the V1 relation's): mask-free,
+      // registry-free, one bearing epoch whose column TYPES survive the
+      // visible merge — a REAL vectorized parquet Batch with runtime
+      // file filtering; anything else reads through the V1 bridge
+      val fastPath = dels.isEmpty && reg.isEmpty &&
+        epochSchemas.distinct.size <= 1 &&
+        epochSchemas.headOption.forall(_.fields.forall(f =>
+          visible.fields.exists(v =>
+            v.name == f.name && v.dataType == f.dataType)))
+      if (fastPath) {
+        // declared bucket layout (durable props) → the scan can report
+        // key-grouped partitioning for storage-partitioned joins
+        val props = SnapshotLog.tableProps(spark, dir)
+        def prop(k: String): Option[String] = props.collectFirst {
+          case (kk, v) if kk.equalsIgnoreCase(k) => v }
+        val bucketSpec = for {
+          c <- prop("bucketCol")
+          n <- prop("bucketCount").flatMap(_.toIntOption)
+        } yield (c, n)
+        new GraftV2BatchScan(spark, dir, visible, required, pushed,
+          kept, staticPruned = data.size - kept.size,
+          bucketSpec = bucketSpec)
+      }
+      else
+        new GraftBridgeScan(dir, kept, dels, reg, required,
+          prunedAway = data.size - kept.size)
   }
 }
 

@@ -151,22 +151,52 @@ final class GraftDataSource extends RelationProvider
     require(zcols.isEmpty || zcols.size >= 2,
       s"zorderBy takes at least two comma-separated columns, got: " +
         zcols.mkString(","))
+    // bucketBy=n,col — the storage-partitioned-join layout: rows
+    // range-partition on pmod(col, n) so each file holds ONE bucket
+    // residue, the synthetic bucket(n,col) key is recorded per file,
+    // and (on table creation) the layout persists as durable props so
+    // every later INSERT keeps it
+    val bucketBy: Option[(String, Int)] = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("bucketBy") => v }.map { s =>
+        val ps = s.split(",", 2).map(_.trim)
+        require(ps.length == 2 && ps(0).forall(_.isDigit) && ps(0).toInt > 0,
+          s"bucketBy takes 'n,col', got: $s")
+        (ps(1), ps(0).toInt)
+      }
+    require(bucketBy.isEmpty || zcols.isEmpty,
+      "bucketBy and zorderBy are competing layouts — pick one")
     // a declared lineage key persists in the COMMIT SUMMARY too: the
     // catalog-carried OPTIONS form is invisible to catalog-bypassing
     // faces (the V2 TableCatalog), which must still bootstrap lineage
     // on their first DML instead of silently downgrading the feed
     val declared = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("lineageKey") => v }
-      .map(SnapshotLog.LineageDeclaredKey -> _).toMap
+      .map(SnapshotLog.LineageDeclaredKey -> _).toMap ++
+      // the bucket layout declares durably at CREATION (the commit that
+      // makes the table); appends inherit through the manifest keys and
+      // must never clobber an existing table's property map
+      (bucketBy match {
+        case Some((c, n)) if !exists =>
+          Map(SnapshotLog.TablePropsKey -> SnapshotLog.propsJson(
+            Map("bucketCol" -> c, "bucketCount" -> n.toString)))
+        case _ => Map.empty[String, String]
+      })
     def write(): Seq[SnapshotLog.DataFile] = {
-      val arranged =
-        if (zcols.isEmpty) data
-        else graft.cdc.Compaction.zorderArrange(data, zcols,
-          parameters.get("targetFiles").map(_.toInt).getOrElse(32))
+      val arranged = bucketBy match {
+        case Some((c, n)) => data.repartitionByRange(n,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col(c).cast("long"),
+            org.apache.spark.sql.functions.lit(n)))
+        case None =>
+          if (zcols.isEmpty) data
+          else graft.cdc.Compaction.zorderArrange(data, zcols,
+            parameters.get("targetFiles").map(_.toInt).getOrElse(32))
+      }
       SnapshotLog.writeData(arranged, dir,
         statsCols = (GraftDataSource.csv(parameters, "statsCols") ++ zcols).distinct,
         bloomCol = parameters.get("bloomCol"),
-        partitionCols = GraftDataSource.csv(parameters, "partitionCols"))
+        partitionCols = GraftDataSource.csv(parameters, "partitionCols") ++
+          bucketBy.map { case (c, n) => SnapshotLog.bucketPartKey(n, c) })
     }
     // Delta-style replaceWhere: predicate-scoped ATOMIC overwrite — one
     // commit deletes the matching slice and adds the incoming data
@@ -353,7 +383,13 @@ object GraftDataSource {
     val present = schema.fieldNames.toSet
     val stats = live.flatMap(_.stats.keys).distinct.filter(present)
     val bloom = live.flatMap(_.blooms.keys).distinct.filter(present)
-    val parts = live.flatMap(_.parts.keys).distinct.filter(present)
+    // synthetic bucket(n,col) partition keys inherit when their INNER
+    // column is present — a bucketed layout must not silently decay
+    // through one metadata-less insert
+    val parts = live.flatMap(_.parts.keys).distinct.filter {
+      case SnapshotLog.BucketKeyPattern(_, inner) => present(inner)
+      case c => present(c)
+    }
     (stats, bloom.headOption, parts)
   }
 
@@ -483,8 +519,36 @@ object GraftDataSource {
       .filter(c => visible.fieldNames.exists(_.equalsIgnoreCase(c)))
     val stats = if (stats0.nonEmpty) stats0 else propCols("statsCols")
     val bloom = bloom0.orElse(propCols("bloomCol").headOption)
-    val parts = if (parts0.nonEmpty) parts0 else propCols("partitionCols")
-    val added = SnapshotLog.writeData(aligned, dir,
+    val parts1 = if (parts0.nonEmpty) parts0 else propCols("partitionCols")
+    // a declared BUCKET layout (durable bucketCol/bucketCount props from
+    // `PARTITIONED BY (bucket(n, col))`, or an inherited bucket(n,col)
+    // manifest key) clusters every insert: rows range-partition on the
+    // modulo residue so each file holds ONE bucket, and the synthetic
+    // key is recorded — the layout the V2 scan reports for
+    // storage-partitioned joins must never decay through one insert
+    val bucketSpec: Option[(String, Int)] = {
+      def prop(key: String): Option[String] = props.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(key) => v }
+      (for { c <- prop("bucketCol"); n <- prop("bucketCount") }
+        yield (c, n.toInt))
+        .orElse(parts1.collectFirst {
+          case SnapshotLog.BucketKeyPattern(n, inner) => (inner, n.toInt) })
+        .filter { case (c, _) =>
+          visible.fieldNames.exists(_.equalsIgnoreCase(c)) }
+    }
+    val parts = bucketSpec match {
+      case Some((c, n)) =>
+        val key = SnapshotLog.bucketPartKey(n, c)
+        if (parts1.contains(key)) parts1 else parts1 :+ key
+      case None => parts1
+    }
+    val arranged = bucketSpec match {
+      case Some((c, n)) => aligned.repartitionByRange(n,
+        org.apache.spark.sql.functions.pmod(col(c).cast("long"),
+          org.apache.spark.sql.functions.lit(n)))
+      case None => aligned
+    }
+    val added = SnapshotLog.writeData(arranged, dir,
       statsCols = stats, bloomCol = bloom, partitionCols = parts)
     if (overwrite)
       replaceAll(spark, dir, added, Map("mode" -> "insert-overwrite"))

@@ -1,0 +1,247 @@
+package graft.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+import graft.table.SnapshotLog
+import graft.table.SnapshotLog.DataFile
+
+/** The FAST-PATH V2 scan: a real [[Batch]] over the engine's own
+  * vectorized parquet reader (no Row bridge, columnar, whole-stage-
+  * codegen-friendly), with [[SupportsRuntimeFiltering]] — the V2 face of
+  * dynamic partition pruning for the table format. Eligibility mirrors
+  * the V1 relation's fast path ([[GraftDataSource.relationFor]]):
+  * mask-free, registry-free, one bearing schema epoch whose column types
+  * survive the visible merge (parquet null-fills later-declared columns
+  * natively). Everything else stays on the always-correct
+  * [[GraftBridgeScan]].
+  *
+  * RUNTIME file pruning: when this scan sits under a join whose other
+  * side is selectively filtered, Catalyst's partition-pruning rule sees
+  * [[filterAttributes]] (every column the manifests can prune on —
+  * zones, blooms, partition-value sets) and inserts a DPP subquery; at
+  * execution `BatchScanExec` hands the realized join keys here as
+  * `In`/`EqualTo` filters and [[filter]] re-prunes the FILE LIST through
+  * the same [[Constraints]] machinery the static pushdown uses. At
+  * 100 TB this is the difference between scanning every fact file and
+  * only the ones whose metadata admits a surviving dim key — for a
+  * predicate the user never wrote against the fact. Pruning may only
+  * skip: a file is dropped only when its metadata PROVES no qualifying
+  * row lives in it, and the join itself still filters rows.
+  *
+  * The file list is pinned at build (snapshot isolation); runtime
+  * filtering only shrinks it, and [[toBatch]]/[[planInputPartitions]]
+  * re-plan from the current list — `BatchScanExec` calls them again
+  * after `filter(...)`, which is the engine's re-plan contract. */
+private[connector] final class GraftV2BatchScan(
+    spark: SparkSession,
+    dir: String,
+    visible: StructType,
+    required: StructType,
+    pushed: Array[Filter],
+    staticKept: Seq[DataFile],
+    staticPruned: Int,
+    /** Declared `bucket(n, col)` layout (durable bucketCol/bucketCount
+      * props) — reported as [[KeyGroupedPartitioning]] when every kept
+      * file provably holds ONE bucket residue. */
+    bucketSpec: Option[(String, Int)] = None)
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
+
+  @volatile private var kept: Seq[DataFile] = staticKept
+  @volatile private var runtimePruned: Int = 0
+
+  /** Test face: the CURRENT file list (post runtime filtering). */
+  private[connector] def keptFiles: Seq[DataFile] = kept
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBatchScan(files=${kept.size}, pruned=$staticPruned, " +
+      s"rtPruned=$runtimePruned, cols=${required.fieldNames.mkString(",")})"
+
+  /** Columns a runtime filter could prune files on: anything with a zone
+    * map, manifest bloom or partition-value set on some kept file —
+    * restricted to the scan's OUTPUT (the engine resolves these against
+    * the column-pruned relation; naming a pruned-away column throws). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val prunable = kept.iterator
+      .flatMap(f => f.stats.keysIterator ++ f.blooms.keysIterator ++
+        f.parts.keysIterator).toSet
+    required.fieldNames.filter(prunable.contains).map(Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val cs = GraftSourceConstraints.from(filters, visible)
+    val before = kept.size
+    kept = kept.filter(cs.keeps)
+    runtimePruned += before - kept.size
+  }
+
+  // -------------------------------------- storage-partitioned reporting
+
+  /** Bucket-id groups of the CURRENT file list, defined only when the
+    * declared layout provably holds: every row-bearing kept file records
+    * the synthetic `bucket(n,col)` manifest key with EXACTLY one value.
+    * A multi-residue or unrecorded file disables reporting (correct,
+    * just unoptimized) — reporting a layout the files don't have would
+    * mis-join, so the manifest is the proof, never the declaration. */
+  private def bucketGroups: Option[Seq[(Int, Seq[DataFile])]] =
+    bucketSpec.flatMap { case (c, n) =>
+      val key = SnapshotLog.bucketPartKey(n, c)
+      val bearing = kept.filter(_.rows > 0)
+      if (bearing.isEmpty) None
+      else {
+        val ids = bearing.map(f => f.parts.get(key) match {
+          case Some(Seq(one)) => one.toIntOption
+          case _ => None
+        })
+        if (ids.exists(_.isEmpty)) None
+        else Some(bearing.zip(ids.map(_.get)).groupBy(_._2).toSeq
+          .sortBy(_._1).map { case (b, fs) => (b, fs.map(_._1)) })
+      }
+    }
+
+  /** The engine consults this under `spark.sql.sources.v2.bucketing
+    * .enabled`: two graft scans reporting the same `bucket(n, col)`
+    * transform (resolved through [[GraftBucketFunction]]) join WITHOUT
+    * an exchange — the Iceberg storage-partitioned-join design. */
+  override def outputPartitioning(): Partitioning = bucketGroups match {
+    case Some(gs) =>
+      val (c, n) = bucketSpec.get
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, c)), gs.size)
+    case None => new UnknownPartitioning(0)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = inner().planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory = inner().createReaderFactory()
+
+  private def inner(): Batch = bucketGroups match {
+    case Some(gs) =>
+      org.apache.spark.sql.graftshim.GraftParquetShim.bucketedBatch(
+        spark, gs.map { case (b, fs) => (b, fs.map(f => (f.path, f.bytes))) },
+        visible, required, pushed)
+    case None =>
+      org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
+        spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
+  }
+
+  /** Manifest-exact statistics over the CURRENT (runtime-filtered) file
+    * list — the fast path never carries masks, so manifest rows ARE the
+    * logical rows. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, kept.map(_.bytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(kept.map(_.rows).sum)
+  }
+}
+
+/** `sources.Filter` (EXTERNAL JVM literal types) → the driver-side
+  * [[Constraints]] the manifest pruning predicates consume — the V2 twin
+  * of [[Constraints.from]] (which walks Catalyst expressions with
+  * INTERNAL literal types). Shared by the static V2 pushdown and the
+  * runtime DPP filters, so both prune through identical semantics:
+  * zones in the writer's long domains, blooms via the shared key hash,
+  * partition values as the recorded string casts. Unrecognized shapes
+  * constrain nothing (pruning may only skip). */
+private[connector] object GraftSourceConstraints {
+
+  /** Zone-domain long of an external literal — numerics as themselves,
+    * dates as epoch days, timestamps as epoch micros (the exact domains
+    * [[SnapshotLog.writeData]] records). */
+  private def zoneLong(v: Any): Option[Long] = v match {
+    case null => None
+    case n: Byte => Some(n.toLong)
+    case n: Short => Some(n.toLong)
+    case n: Int => Some(n.toLong)
+    case n: Long => Some(n)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case _ => None
+  }
+
+  /** Bloom-domain key: integrals as themselves, strings through the
+    * shared xxhash64; temporal types deliberately EXCLUDED — the bloom
+    * build's `cast(col AS long)` records epoch SECONDS while these
+    * literals carry micros/days, and probing across domains would turn
+    * pruning into silent row loss (the [[Constraints]] rule). */
+  private def bloomKey(v: Any): Option[Long] = v match {
+    case s: String => Some(SnapshotLog.hashStringKey(s))
+    case _: Byte | _: Short | _: Int | _: Long => zoneLong(v)
+    case _ => None
+  }
+
+  /** Partition-value sets are recorded as `cast(col AS string)`; only
+    * string literals round-trip that verbatim. */
+  private def partString(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  def from(filters: Array[Filter], schema: StructType): Constraints = {
+    val ranges = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val points = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    val parts = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def col(c: String): Option[String] =
+      schema.fieldNames.find(_.equalsIgnoreCase(c))
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      ranges(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    // independent equality constraints on one column intersect; keeping
+    // only the first key set stays conservative (the Constraints rule)
+    def addPoints(c: String, ks: Seq[Long]): Unit =
+      if (!points.contains(c)) points(c) = ks
+    def addParts(c: String, vs: Seq[String]): Unit =
+      if (!parts.contains(c)) parts(c) = vs
+    def eq(c0: String, v: Any): Unit = col(c0).foreach { c =>
+      if (v != null) {
+        zoneLong(v).foreach(x => narrow(c, x, x))
+        bloomKey(v).foreach(k => addPoints(c, Seq(k)))
+        partString(v).foreach(s => addParts(c, Seq(s)))
+      }
+    }
+    def walk(f: Filter): Unit = f match {
+      case sources.And(l, r) => walk(l); walk(r)
+      case sources.EqualTo(c, v) => eq(c, v)
+      case sources.EqualNullSafe(c, v) => eq(c, v)
+      case sources.GreaterThan(c, v) => col(c).foreach(cc =>
+        zoneLong(v).foreach(x => narrow(cc, x + 1, Long.MaxValue)))
+      case sources.GreaterThanOrEqual(c, v) => col(c).foreach(cc =>
+        zoneLong(v).foreach(x => narrow(cc, x, Long.MaxValue)))
+      case sources.LessThan(c, v) => col(c).foreach(cc =>
+        zoneLong(v).foreach(x => narrow(cc, Long.MinValue, x - 1)))
+      case sources.LessThanOrEqual(c, v) => col(c).foreach(cc =>
+        zoneLong(v).foreach(x => narrow(cc, Long.MinValue, x)))
+      case sources.In(c0, vs0) if vs0.nonEmpty => col(c0).foreach { c =>
+        val vs = vs0.toSeq.filter(_ != null)
+        if (vs.nonEmpty && vs.size == vs0.length) {
+          val zs = vs.flatMap(zoneLong(_))
+          if (zs.size == vs.size) narrow(c, zs.min, zs.max)
+          val ks = vs.flatMap(bloomKey(_))
+          if (ks.size == vs.size) addPoints(c, ks)
+          val ps = vs.flatMap(partString(_))
+          if (ps.size == vs.size) addParts(c, ps)
+        }
+      }
+      case _ => () // non-conjunctive / unrecognized shapes never prune
+    }
+    filters.foreach(walk)
+    Constraints(ranges.toMap, points.toMap, parts.toMap)
+  }
+}

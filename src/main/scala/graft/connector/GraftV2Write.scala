@@ -163,9 +163,25 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
                 .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
               val parts = prop("partitionCols").toSeq
                 .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-              staged = SnapshotLog.writeData(data, dir,
+              // PARTITIONED BY (bucket(n, col)) CTAS: arrange the query
+              // result so each staged file holds one residue, and record
+              // the synthetic bucket key — the SPJ layout holds from the
+              // table's very first commit
+              val bucket = for {
+                c <- prop("bucketCol")
+                n <- prop("bucketCount").flatMap(_.toIntOption)
+              } yield (c, n)
+              val arranged = bucket match {
+                case Some((c, n)) => data.repartitionByRange(n,
+                  org.apache.spark.sql.functions.pmod(
+                    org.apache.spark.sql.functions.col(c).cast("long"),
+                    org.apache.spark.sql.functions.lit(n)))
+                case None => data
+              }
+              staged = SnapshotLog.writeData(arranged, dir,
                 statsCols = stats, bloomCol = prop("bloomCol"),
-                partitionCols = parts)
+                partitionCols = parts ++ bucket.map { case (c, n) =>
+                  SnapshotLog.bucketPartKey(n, c) })
               wrote = true
             }
           }

@@ -96,6 +96,17 @@ object SnapshotLog {
     * (conservative — pruning may only skip, never lose). */
   val MaxPartValuesPerFile: Int = 8
 
+  /** Manifest key of a file's modulo-BUCKET id for a `bucket(n, col)`
+    * clustered layout — a synthetic partition-value entry (the Iceberg
+    * bucket-transform posture): `bucket(8,o_custkey)` records the set of
+    * `pmod(o_custkey, 8)` values the file holds. Written by bucketed
+    * writers, consumed by the V2 scan's storage-partitioned-join
+    * reporting; inert for ordinary column predicates. */
+  private[graft] val BucketKeyPattern = """bucket\((\d+),(.+)\)""".r
+
+  private[graft] def bucketPartKey(n: Int, col: String): String =
+    s"bucket($n,$col)"
+
   /** Commit-summary key persisting a CREATE TABLE–declared lineage key
     * (`OPTIONS (lineageKey 'id')`) in the LOG itself: the catalog-carried
     * declaration is invisible to faces that bypass the session catalog
@@ -438,7 +449,10 @@ object SnapshotLog {
     // caller believes pruning exists where none will.
     val requested = (statsCol.toSeq ++ statsCols).distinct.map(phys)
     val bloomColP = bloomCol.map(phys)
-    val partitionColsP = partitionCols.map(phys)
+    val partitionColsP = partitionCols.map {
+      case BucketKeyPattern(n, inner) => bucketPartKey(n.toInt, phys(inner))
+      case c => phys(c)
+    }
     val allStats = requested.filter(c => zoneExpr(written, c).isDefined)
     requested.filterNot(allStats.contains)
       .filterNot(bloomColP.contains)
@@ -461,7 +475,17 @@ object SnapshotLog {
         // null — a file with any null must keep those rows)
         count(when(col(c).isNull, lit(1))).as(s"snull_$i"))
     }) ++ partitionColsP.zipWithIndex.map { case (c, i) =>
-      slice(sort_array(collect_set(col(c).cast("string"))),
+      // DERIVED partition keys: a `bucket(n,col)` entry records each
+      // file's modulo-bucket id set under the composite key — the
+      // storage-partitioned-join channel (the Iceberg bucket-transform
+      // school). The key can never collide with a real column filter,
+      // so partKeeps stays inert for user predicates.
+      val pexpr = c match {
+        case BucketKeyPattern(n, inner) =>
+          pmod(col(inner).cast("long"), lit(n.toInt)).cast("string")
+        case _ => col(c).cast("string")
+      }
+      slice(sort_array(collect_set(pexpr)),
         1, MaxPartValuesPerFile + 1).as(s"pvals_$i")
     }) ++ bloomColP.map(c => graft.functions.GraftFunctions
       .bloom_build(keyAsLong(written, c), BloomBits, BloomHashes).as("bloom"))

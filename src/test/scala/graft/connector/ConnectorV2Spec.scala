@@ -108,16 +108,18 @@ class ConnectorV2Spec extends AnyFunSuite {
       sources.GreaterThanOrEqual("id", 2100L),
       sources.LessThan("id", 2200L)))
     sb.build() match {
-      case b: GraftBridgeScan =>
+      // mask-free single-epoch: the r13 FAST path — a real vectorized
+      // parquet Batch, statically pruned from manifest zones
+      case b: GraftV2BatchScan =>
         assert(b.description().contains("files=1"), b.description())
         assert(b.description().contains("pruned=3"), b.description())
-      case other => fail(s"expected the bridge scan, got $other")
+      case other => fail(s"expected the batch scan, got $other")
     }
-    // SQL face: same predicate, exact rows through the bridged scan
+    // SQL face: same predicate, exact rows through the columnar scan
     val df = spark.sql("SELECT count(*) FROM gv2_prune.t " +
       "WHERE id >= 2100 AND id < 2200")
     assert(df.queryExecution.executedPlan.toString
-      .contains("GraftBridgeRelation"))
+      .contains("BatchScan"), df.queryExecution.executedPlan.toString)
     assert(df.head.getLong(0) === 100)
     // masks apply through the V2 read too
     Merge.mergeOnRead(spark, dir,
@@ -125,6 +127,113 @@ class ConnectorV2Spec extends AnyFunSuite {
       "id", deleteCol = Some("del"))
     assert(spark.sql("SELECT count(*) FROM gv2_prune.t " +
       "WHERE id >= 2100 AND id < 2200").head.getLong(0) === 95)
+  }
+
+  test("runtime filtering: a filtered dim join prunes fact FILES at execution") {
+    val wh = freshWarehouse("dpp")
+    import spark.implicits._
+    // fact: 4 single-bucket files, each recording its partition-value set
+    val fact = spark.range(0, 4000)
+      .selectExpr("id", "CAST(id DIV 1000 AS STRING) AS bucket", "id * 2 AS v")
+    for (b <- 0 until 4)
+      fact.filter(col("bucket") === b.toString).coalesce(1)
+        .write.format("graft").mode(if (b == 0) "error" else "append")
+        .option("statsCols", "id").option("partitionCols", "bucket")
+        .save(s"$wh/fact")
+    Seq(("1", "busy"), ("0", "quiet"), ("2", "quiet"), ("3", "quiet"))
+      .toDF("bucket", "tier").write.format("graft").save(s"$wh/dim")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(
+        """SELECT f.bucket, count(*) AS n, sum(f.v) AS total
+          |FROM gv2_dpp.fact f JOIN gv2_dpp.dim d ON f.bucket = d.bucket
+          |WHERE d.tier = 'busy' GROUP BY f.bucket""".stripMargin)
+      val plan = df.queryExecution.executedPlan
+      // the fact's BatchScan carries a dynamic pruning subquery fed by
+      // the dim's broadcast — the V2 SupportsRuntimeFiltering contract
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"expected a runtime filter on the fact scan:\n$plan")
+      val rows = df.collect()
+      assert(rows.length === 1 &&
+        rows.head.getString(0) === "1" && rows.head.getLong(1) === 1000L)
+      // and it PRUNED: only the busy bucket's file was read
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan }
+        .collect { case g: GraftV2BatchScan => g }
+      val factScan = scans.find(_.keptFiles.exists(_.rows >= 1000)).get
+      assert(factScan.keptFiles.size === 1,
+        s"runtime filter should keep 1 of 4 files: ${factScan.description()}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("V2 point lookup prunes files through manifest blooms") {
+    val wh = freshWarehouse("vbloom")
+    val dir = s"$wh/t"
+    // 4 round-robin files: every file spans the whole id range (zones
+    // can't prune) but each holds a disjoint residue class — only the
+    // manifest BLOOM can prove absence
+    for (r <- 0 until 4)
+      rows(0, 4000).filter(pmod(col("id"), lit(4)) === r).coalesce(1)
+        .write.format("graft").mode(if (r == 0) "error" else "append")
+        .option("statsCols", "id").option("bloomCol", "id").save(dir)
+    val sb = new GraftScanBuilder(spark, dir)
+    sb.pushFilters(Array(sources.EqualTo("id", 17L)))
+    sb.build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.keptFiles.size < 4,
+          s"bloom should prune zone-blind files: ${b.description()}")
+      case other => fail(s"expected the batch scan, got $other")
+    }
+    assert(spark.sql("SELECT v FROM gv2_vbloom.t WHERE id = 17")
+      .head.getLong(0) === 34)
+  }
+
+  test("storage-partitioned join: co-bucketed V2 tables join with zero exchange") {
+    val wh = freshWarehouse("spj")
+    import spark.implicits._
+    // two tables bucketed the same way — CTAS face for one, writer
+    // option face for the other (both declare durable bucket props)
+    spark.sql("CREATE TABLE gv2_spj.a PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k, id * 2 AS va FROM range(0, 1000)")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/b")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        """SELECT a.k, a.va, b.vb FROM gv2_spj.a a
+          |JOIN gv2_spj.b b ON a.k = b.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed graft tables must join WITHOUT a shuffle:\n$plan")
+      assert(df.count() === 1000)
+      assert(df.filter(col("k") === 7).head.getLong(2) === 21)
+      // correctness guard: the SPJ answer equals the plain shuffled join
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = spark.sql(
+        """SELECT a.k, a.va, b.vb FROM gv2_spj.a a
+          |JOIN gv2_spj.b b ON a.k = b.k""".stripMargin)
+      assert(df.exceptAll(shuffled).isEmpty && shuffled.exceptAll(df).isEmpty)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // a table whose files DON'T provably hold one residue never reports
+    // the layout: plain writes to a third table → UnknownPartitioning
+    Seq((1L, 1L)).toDF("k", "v").write.format("graft").save(s"$wh/plain")
+    val sb = new GraftScanBuilder(spark, s"$wh/plain")
+    sb.build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
+      case other => fail(s"expected the batch scan, got $other")
+    }
   }
 
   test("V2 time travel: VERSION AS OF id and tag pin the snapshot") {
@@ -155,10 +264,10 @@ class ConnectorV2Spec extends AnyFunSuite {
     val sb = new GraftScanBuilder(spark, dir)
     assert(!sb.pushLimit(10), "partial pushdown: the engine keeps its Limit")
     sb.build() match {
-      case b: GraftBridgeScan =>
+      case b: GraftV2BatchScan =>
         assert(b.description().contains("files=1"), b.description())
         assert(b.description().contains("pruned=3"), b.description())
-      case other => fail(s"expected the bridge scan, got $other")
+      case other => fail(s"expected the batch scan, got $other")
     }
     assert(spark.sql("SELECT * FROM gv2_limit.t LIMIT 10").count() === 10)
     assert(spark.sql("SELECT count(*) FROM (SELECT * FROM gv2_limit.t LIMIT 3500) s")
@@ -180,11 +289,11 @@ class ConnectorV2Spec extends AnyFunSuite {
       .option("statsCols", "id").save(s"$wh/t")
     val sb = new GraftScanBuilder(spark, s"$wh/t")
     sb.build() match {
-      case b: GraftBridgeScan =>
+      case b: GraftV2BatchScan =>
         val st = b.estimateStatistics()
         assert(st.numRows().getAsLong === 500)
         assert(st.sizeInBytes().getAsLong > 0)
-      case other => fail(s"expected the bridge scan, got $other")
+      case other => fail(s"expected the batch scan, got $other")
     }
   }
 
