@@ -56,7 +56,7 @@ import graft.table.SnapshotLog
   * RENAME/DROP, widening-only TYPE changes). Both faces share one
   * optimistic log, so V1 and V2 writers interleave safely. */
 final class GraftCatalog extends TableCatalog with StagingTableCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -73,32 +73,55 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   private def spark = SparkSession.active
 
+  /** Namespace segments map to nested DIRECTORIES under the warehouse
+    * root (marked by a `_graft_namespace` file — see the
+    * SupportsNamespaces face below). `default` / empty alias the root,
+    * so flat-era tables resolve unchanged. Segment names exclude dots:
+    * a dotted segment would be ambiguous with a nested path when the
+    * engine round-trips identifiers through quoted strings. */
+  private def nsSegments(namespace: Array[String]): Seq[String] =
+    namespace.toSeq match {
+      case Seq("default") => Nil
+      case other =>
+        other.foreach(s => require(
+          s.matches("[A-Za-z0-9_-]{1,128}"),
+          s"catalog $catName: namespace segment '$s' must be 1-128 " +
+            "chars of [A-Za-z0-9_-]"))
+        other
+    }
+
+  private def nsDir(segments: Seq[String]): String =
+    (warehouse +: segments).mkString("/")
+
   private def dirOf(ident: Identifier): String = {
-    require(ident.namespace().isEmpty ||
-      (ident.namespace().length == 1 && ident.namespace()(0) == "default"),
-      s"catalog $catName has a single flat namespace, got " +
-        ident.namespace().mkString("."))
-    // table names map to DIRECT children of the warehouse root — a
+    val ns = nsSegments(ident.namespace())
+    // table names map to DIRECT children of their namespace dir — a
     // backquoted name carrying '/' or '..' would otherwise escape it
     // (DROP TABLE would then recursively delete a foreign directory)
     require(ident.name().matches("[A-Za-z0-9._-]{1,128}") &&
       !ident.name().contains(".."),
       s"catalog $catName: table name '${ident.name()}' must be 1-128 " +
         "chars of [A-Za-z0-9._-] without '..'")
-    s"$warehouse/${ident.name()}"
+    s"${nsDir(ns)}/${ident.name()}"
   }
+
+  private def fs(path: String): org.apache.hadoop.fs.FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def isTable(dir: String): Boolean = {
     val p = new Path(s"$dir/_graft_log")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private def isNamespaceDir(dir: String): Boolean =
+    fs(dir).exists(new Path(s"$dir/_graft_namespace"))
+
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val root = new Path(warehouse)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Array.empty
-    else fs.listStatus(root).toSeq
+    val root = new Path(nsDir(nsSegments(namespace)))
+    val lfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!lfs.exists(root)) Array.empty
+    else lfs.listStatus(root).toSeq
       .filter(s => s.isDirectory && isTable(s.getPath.toString))
       .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
   }
@@ -148,6 +171,9 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val dir = dirOf(ident)
+    require(namespaceExists(ident.namespace()),
+      s"catalog $catName: namespace ${ident.namespace().mkString(".")} " +
+        "does not exist — CREATE NAMESPACE it first")
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         Array(catName) ++ ident.namespace() :+ ident.name())
@@ -258,6 +284,9 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
+    require(namespaceExists(ident.namespace()),
+      s"catalog $catName: namespace ${ident.namespace().mkString(".")} " +
+        "does not exist — CREATE NAMESPACE it first")
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         Array(catName) ++ ident.namespace() :+ ident.name())
@@ -283,6 +312,9 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
                                     partitions: Array[Transform],
                                     properties: util.Map[String, String])
       : StagedTable = {
+    require(namespaceExists(ident.namespace()),
+      s"catalog $catName: namespace ${ident.namespace().mkString(".")} " +
+        "does not exist — CREATE NAMESPACE it first")
     new GraftStagedTable(spark, dirOf(ident), schema, replace = true,
       orCreate = true, withPartitionProps(partitions, properties))
   }
@@ -312,6 +344,90 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
       s"catalog $catName: RENAME of graft tables is not supported — " +
         "manifests reference absolute data-file paths; copy with CTAS " +
         "(CREATE TABLE … AS SELECT) instead")
+
+  // ----------------------------------------------- SupportsNamespaces
+
+  /** Namespaces are DIRECTORIES under the warehouse root marked by an
+    * empty `_graft_namespace` file (the marker separates deliberate
+    * namespaces from incidental directories, exactly as `_graft_log`
+    * separates tables from parquet dumps). `default` aliases the root —
+    * it always exists and cannot be created or dropped; flat-era tables
+    * keep resolving unchanged. Nesting is arbitrary-depth
+    * (`cat.raw.events.t`); a table name never collides with a namespace
+    * name because the markers differ. */
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = nsSegments(namespace)
+    if (ns.nonEmpty && !isNamespaceDir(nsDir(ns)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(Array(catName) ++ namespace)
+    val root = new Path(nsDir(ns))
+    val lfs = fs(nsDir(ns))
+    if (!lfs.exists(root)) Array.empty
+    else lfs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && isNamespaceDir(s.getPath.toString))
+      .map(s => (ns :+ s.getPath.getName).toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    nsSegments(namespace) match {
+      case Nil => true // the root ('default') always exists
+      case segs => isNamespaceDir(nsDir(segs))
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(Array(catName) ++ namespace)
+    Map("location" -> nsDir(nsSegments(namespace))).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(!namespace.sameElements(Array("default")),
+      s"catalog $catName: 'default' is the root namespace — it always exists")
+    val segs = nsSegments(namespace)
+    require(segs.nonEmpty, s"catalog $catName: empty namespace")
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(Array(catName) ++ namespace)
+    // parents must already exist (the engine creates level by level)
+    if (segs.length > 1)
+      require(isNamespaceDir(nsDir(segs.dropRight(1))),
+        s"catalog $catName: parent namespace " +
+          s"${segs.dropRight(1).mkString(".")} does not exist")
+    val dir = nsDir(segs)
+    fs(dir).mkdirs(new Path(dir))
+    fs(dir).create(new Path(s"$dir/_graft_namespace"), false).close()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog $catName: namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val segs = nsSegments(namespace)
+    require(segs.nonEmpty,
+      s"catalog $catName: cannot drop the root namespace")
+    val dir = nsDir(segs)
+    if (!isNamespaceDir(dir)) false
+    else {
+      val contents = fs(dir).listStatus(new Path(dir)).toSeq
+        .filter(s => s.isDirectory &&
+          (isTable(s.getPath.toString) || isNamespaceDir(s.getPath.toString)))
+      if (contents.nonEmpty && !cascade)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(Array(catName) ++ namespace)
+      contents.map(_.getPath.toString).filter(isTable)
+        .foreach(SnapshotLog.invalidateDurableMeta)
+      fs(dir).delete(new Path(dir), true)
+    }
+  }
 
   // ------------------------------------------------- FunctionCatalog
 
@@ -470,9 +586,17 @@ private[connector] final class GraftV2Table(dir: String,
     require(asOf.isEmpty,
       s"graft table $dir: cannot stream from a time-travel pinned relation")
     val tid = v2Ident match {
-      case Some((cat, id)) => org.apache.spark.sql.catalyst.TableIdentifier(
-        id.name(), Some(id.namespace().lastOption.getOrElse("default")),
-        Some(cat))
+      case Some((cat, id)) =>
+        // TableIdentifier carries (catalog, database, table) — at most
+        // ONE namespace level round-trips through the engine's
+        // refreshTable(name); deeper-nested tables must stream by path
+        require(id.namespace().length <= 1,
+          s"graft table $dir: streaming by name supports at most one " +
+            "namespace level — use format(\"graft\") with the path for " +
+            s"${(Seq(cat) ++ id.namespace() :+ id.name()).mkString(".")}")
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          id.name(), Some(id.namespace().lastOption.getOrElse("default")),
+          Some(cat))
       case None => org.apache.spark.sql.catalyst.TableIdentifier(
         new Path(dir).getName)
     }

@@ -198,6 +198,18 @@ object ScaleCurve {
         }
         settle(); (spark.read.parquet(out).count(), t)
       }
+      // r13: CDF PRE-IMAGE curve (the one r12 perf claim left uncurved):
+      // drain the same three rowdelta commits as update_preimage /
+      // update_postimage pairs — each commit resolves its delta keys'
+      // pre-images against its PARENT state (prune → mask-apply →
+      // semi-join, zone∧bloom-bounded). The claim this measures: the
+      // per-commit driver probe jobs cost O(delta keys), so the wall
+      // stays ~flat while the standing table grows ×10 — events/s is
+      // the amortized rate the graded conn_cdf_preimages constant
+      // buys at size.
+      val (nPre, tPre) = timed(
+        SnapshotLog.changes(spark, applyTbl, 1L, None, preImages = true)
+          .get.count()); settle()
       // r9: bloom point-lookup curve — one snapshot of ~constant-size
       // ingest-ordered files (≈2k keys/file, the 4 KB manifest bloom's
       // design point), every file spanning the whole key space via the
@@ -351,6 +363,7 @@ object ScaleCurve {
         s"pos_delete=${posMasks.map(_.rows).sum}pos/0rw/${s(tPosDel)}s " +
         s"pos_read=${s(tPosRead)}s " +
         s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
+        s"cdf_preimages=$nPre/${s(tPre)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
         s"log_manifest_bytes=$manifestBytes log_live_files=$liveN " +
         s"log_resolve=${s(tResolve)}s ckpt_json=${s(tCkptJson)}s " +

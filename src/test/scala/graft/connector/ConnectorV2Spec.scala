@@ -236,6 +236,41 @@ class ConnectorV2Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-level namespaces: lifecycle, nested tables, flat tables unchanged") {
+    val wh = freshWarehouse("ns")
+    // flat table at the root — must stay reachable throughout
+    rows(0, 5).write.format("graft").save(s"$wh/flat")
+    assert(spark.sql("SELECT count(*) FROM gv2_ns.flat").head.getLong(0) === 5)
+    spark.sql("CREATE NAMESPACE gv2_ns.raw")
+    spark.sql("CREATE NAMESPACE gv2_ns.raw.events")
+    assert(spark.sql("SHOW NAMESPACES IN gv2_ns").collect()
+      .map(_.getString(0)).toSet === Set("raw"))
+    assert(spark.sql("SHOW NAMESPACES IN gv2_ns.raw").collect()
+      .map(_.getString(0)).contains("raw.events"))
+    // tables nest: CTAS into a namespace, listed there, DML works
+    spark.sql("CREATE TABLE gv2_ns.raw.orders AS SELECT id, id * 2 AS v " +
+      "FROM range(0, 10)")
+    assert(spark.sql("SHOW TABLES IN gv2_ns.raw").collect()
+      .map(_.getString(1)).toSet === Set("orders"))
+    spark.sql("INSERT INTO gv2_ns.raw.orders VALUES (10, 20)")
+    spark.sql("DELETE FROM gv2_ns.raw.orders WHERE id = 0")
+    assert(spark.sql("SELECT count(*) FROM gv2_ns.raw.orders")
+      .head.getLong(0) === 10)
+    // the root listing shows only root tables (namespaces are not tables)
+    assert(spark.sql("SHOW TABLES IN gv2_ns").collect()
+      .map(_.getString(1)).toSet === Set("flat"))
+    // a table in a non-existent namespace refuses loudly
+    val eNs = intercept[Exception] {
+      spark.sql("CREATE TABLE gv2_ns.nope.t (x INT)") }
+    assert(eNs.getMessage.contains("does not exist") ||
+      eNs.getMessage.toLowerCase.contains("namespace"), eNs.getMessage)
+    // DROP refuses while non-empty, cascades when asked
+    intercept[Exception] { spark.sql("DROP NAMESPACE gv2_ns.raw") }
+    spark.sql("DROP NAMESPACE gv2_ns.raw CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN gv2_ns").collect().isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gv2_ns.flat").head.getLong(0) === 5)
+  }
+
   test("V2 time travel: VERSION AS OF id and tag pin the snapshot") {
     val wh = freshWarehouse("tt")
     val dir = s"$wh/t"
