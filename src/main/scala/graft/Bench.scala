@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.Trigger
 
 object Bench {
 
+  /** Monotonic per-process counter for probe-unique catalog names. */
+  private val probeSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Streaming throughput probe: replay the events table through the
     * watermarked windowed-count pipeline
     * ([[graft.stream.StreamSync.windowedCounts]]) with AvailableNow and
@@ -151,13 +154,17 @@ object Bench {
       val t0 = System.nanoTime()
       // the stream tails the table BY V2 NAME (readStream.table through
       // the catalog face) — same plan as format("graft")+path, and the
-      // reader options (CDF vocabulary, startingVersion) pass through
-      spark.conf.set("spark.sql.catalog.gbench_cdf",
+      // reader options (CDF vocabulary, startingVersion) pass through.
+      // The catalog NAME is unique per probe pass: CatalogManager caches
+      // the plugin instance per name, so re-pointing one name's
+      // warehouse conf would keep tailing the FIRST pass's table
+      val cat = s"gbench_cdf_${Bench.probeSeq.incrementAndGet()}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.connector.GraftCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gbench_cdf.warehouse", tmp)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp)
       val q = spark.readStream
         .option("readChangeFeed", "true").option("startingVersion", "1")
-        .table("gbench_cdf.t")
+        .table(s"$cat.t")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .start()

@@ -770,15 +770,17 @@ object ConnectorQueries {
               |WHERE d.tier = 'busy'
               |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
     }),
-    // co-bucketed join through V2 names with SPJ reporting enabled:
-    // the bucketed layout (durable props + per-file residue keys) may
-    // only change the PLAN (ConnectorV2Spec pins zero-exchange), never
-    // the answer — the oracle replays the plain join
+    // co-bucketed join through V2 names: the bucketed layout (durable
+    // props + per-file residue keys) may only change the PLAN, never
+    // the answer — the oracle replays the plain join. SPJ reporting
+    // itself is pinned in ConnectorV2Spec (zero-exchange SMJ under
+    // spark.sql.sources.v2.bucketing.enabled); this entry deliberately
+    // leaves session confs at their defaults — a query must never leak
+    // planner flags into the suite's other entries
     "conn_colocated_join" -> ((s, d) => {
       val root = spjWarehouse(s, d)
       s.conf.set("spark.sql.catalog.graft_spj", classOf[GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graft_spj.warehouse", root)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql("""SELECT c.c_nationkey, count(*) AS n,
               |  round(sum(o.o_totalprice), 2) AS total,
               |  max(o.o_orderkey) AS max_key

@@ -118,7 +118,11 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
 
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val root = new Path(nsDir(nsSegments(namespace)))
+    val ns = nsSegments(namespace)
+    if (ns.nonEmpty && !isNamespaceDir(nsDir(ns)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(Array(catName) ++ namespace)
+    val root = new Path(nsDir(ns))
     val lfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!lfs.exists(root)) Array.empty
     else lfs.listStatus(root).toSeq
@@ -174,14 +178,18 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     require(namespaceExists(ident.namespace()),
       s"catalog $catName: namespace ${ident.namespace().mkString(".")} " +
         "does not exist — CREATE NAMESPACE it first")
+    require(!isNamespaceDir(dir),
+      s"catalog $catName: '${ident.name()}' is a NAMESPACE — a table " +
+        "cannot occupy a namespace directory")
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         Array(catName) ++ ident.namespace() :+ ident.name())
+    val (idCols, bucket) = GraftCatalog.splitPartitionTransforms(catName, partitions)
+    GraftCatalog.validateBucket(catName, schema, bucket)
     val carrier = GraftMaintenance.writeSchemaCarrier(spark, dir, schema)
     // the isTable check above is check-then-act; the CAS at snapshot 1 is
     // the real arbiter — a racing creator surfaces as the SAME analysis
     // exception a pre-existing table does, not a raw commit conflict
-    val (idCols, bucket) = GraftCatalog.splitPartitionTransforms(catName, partitions)
     try SnapshotLog.commitAt(spark, dir, 1L, "append", Seq(carrier), Seq.empty,
       Map("created_by" -> "v2-catalog") ++
         GraftCatalog.durableProps(properties, idCols, bucket))
@@ -287,6 +295,11 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     require(namespaceExists(ident.namespace()),
       s"catalog $catName: namespace ${ident.namespace().mkString(".")} " +
         "does not exist — CREATE NAMESPACE it first")
+    require(!isNamespaceDir(dir),
+      s"catalog $catName: '${ident.name()}' is a NAMESPACE — a table " +
+        "cannot occupy a namespace directory")
+    GraftCatalog.validateBucket(catName, schema,
+      GraftCatalog.splitPartitionTransforms(catName, partitions)._2)
     if (isTable(dir)) throw new org.apache.spark.sql.catalyst.analysis
       .TableAlreadyExistsException(
         Array(catName) ++ ident.namespace() :+ ident.name())
@@ -304,6 +317,8 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (!isTable(dir))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catName) ++ ident.namespace() :+ ident.name())
+    GraftCatalog.validateBucket(catName, schema,
+      GraftCatalog.splitPartitionTransforms(catName, partitions)._2)
     new GraftStagedTable(spark, dir, schema, replace = true,
       orCreate = false, withPartitionProps(partitions, properties))
   }
@@ -315,12 +330,22 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     require(namespaceExists(ident.namespace()),
       s"catalog $catName: namespace ${ident.namespace().mkString(".")} " +
         "does not exist — CREATE NAMESPACE it first")
+    require(!isNamespaceDir(dirOf(ident)),
+      s"catalog $catName: '${ident.name()}' is a NAMESPACE — a table " +
+        "cannot occupy a namespace directory")
+    GraftCatalog.validateBucket(catName, schema,
+      GraftCatalog.splitPartitionTransforms(catName, partitions)._2)
     new GraftStagedTable(spark, dirOf(ident), schema, replace = true,
       orCreate = true, withPartitionProps(partitions, properties))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
+    // a mixed directory (legacy table + namespace marker) must never be
+    // recursively deleted as a table — the subtree may hold foreign tables
+    require(!isNamespaceDir(dir),
+      s"catalog $catName: '${ident.name()}' is (also) a NAMESPACE — drop " +
+        "its contents / DROP NAMESPACE instead")
     if (!isTable(dir)) false
     else {
       val p = new Path(dir)
@@ -353,8 +378,9 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     * separates tables from parquet dumps). `default` aliases the root —
     * it always exists and cannot be created or dropped; flat-era tables
     * keep resolving unchanged. Nesting is arbitrary-depth
-    * (`cat.raw.events.t`); a table name never collides with a namespace
-    * name because the markers differ. */
+    * (`cat.raw.events.t`); create paths refuse a table over a namespace
+    * directory and vice versa, so the two marker kinds never share a
+    * directory. */
   override def listNamespaces(): Array[Array[String]] =
     listNamespaces(Array.empty)
 
@@ -394,6 +420,9 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(Array(catName) ++ namespace)
+    require(!isTable(nsDir(segs)),
+      s"catalog $catName: '${segs.mkString(".")}' is a TABLE — a " +
+        "namespace cannot occupy a table directory")
     // parents must already exist (the engine creates level by level)
     if (segs.length > 1)
       require(isNamespaceDir(nsDir(segs.dropRight(1))),
@@ -513,6 +542,21 @@ private[connector] object GraftCatalog {
     }
     (ids, bucket)
   }
+
+  /** Declared bucket column must exist and be integral — validated at
+    * DECLARATION (CREATE/CTAS/RTAS): an insert-time surprise (all-null
+    * residues collapsing every file into one bucket) or a scan-time
+    * function-bind failure would blame the wrong statement. */
+  private[connector] def validateBucket(catName: String, schema: StructType,
+      bucket: Option[(String, Int)]): Unit =
+    bucket.foreach { case (c, _) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog $catName: bucket column '$c' is not a table column"))
+      require(SnapshotLog.bucketable(f.dataType),
+        s"catalog $catName: bucket column '$c' must be integral " +
+          s"(byte/short/int/long), got ${f.dataType.simpleString}")
+    }
 
   /** SET/UNSET TBLPROPERTIES: ONE fileless metadata commit carrying the
     * complete updated map, CAS'd at the pinned successor id (a racing
@@ -840,10 +884,16 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
         val props = SnapshotLog.tableProps(spark, dir)
         def prop(k: String): Option[String] = props.collectFirst {
           case (kk, v) if kk.equalsIgnoreCase(k) => v }
-        val bucketSpec = for {
+        val bucketSpec = (for {
           c <- prop("bucketCol")
           n <- prop("bucketCount").flatMap(_.toIntOption)
-        } yield (c, n)
+        } yield (c, n))
+          // a stale/dead spec (column dropped, widened to non-integral,
+          // malformed count) silently disables reporting — the bucket
+          // function could not bind on it and no manifest proof can hold
+          .filter { case (c, _) => visible.fields.exists(f =>
+            f.name.equalsIgnoreCase(c) &&
+              SnapshotLog.bucketable(f.dataType)) }
         new GraftV2BatchScan(spark, dir, visible, required, pushed,
           kept, staticPruned = data.size - kept.size,
           bucketSpec = bucketSpec)

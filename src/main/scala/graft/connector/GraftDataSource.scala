@@ -181,12 +181,19 @@ final class GraftDataSource extends RelationProvider
             Map("bucketCol" -> c, "bucketCount" -> n.toString)))
         case _ => Map.empty[String, String]
       })
+    bucketBy.foreach { case (c, n) =>
+      val f = data.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucketBy column '$c' is not a column of the frame " +
+            s"(${data.schema.fieldNames.mkString(", ")})"))
+      require(SnapshotLog.bucketable(f.dataType),
+        s"bucketBy column '$c' must be integral (byte/short/int/long), " +
+          s"got ${f.dataType.simpleString} — a non-integral residue would " +
+          "silently collapse every file into one bucket")
+    }
     def write(): Seq[SnapshotLog.DataFile] = {
       val arranged = bucketBy match {
-        case Some((c, n)) => data.repartitionByRange(n,
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.col(c).cast("long"),
-            org.apache.spark.sql.functions.lit(n)))
+        case Some((c, n)) => SnapshotLog.bucketArrange(data, c, n)
         case None =>
           if (zcols.isEmpty) data
           else graft.cdc.Compaction.zorderArrange(data, zcols,
@@ -529,12 +536,15 @@ object GraftDataSource {
     val bucketSpec: Option[(String, Int)] = {
       def prop(key: String): Option[String] = props.collectFirst {
         case (k, v) if k.equalsIgnoreCase(key) => v }
-      (for { c <- prop("bucketCol"); n <- prop("bucketCount") }
-        yield (c, n.toInt))
+      (for { c <- prop("bucketCol"); n <- prop("bucketCount")
+               .flatMap(_.toIntOption) } yield (c, n))
         .orElse(parts1.collectFirst {
           case SnapshotLog.BucketKeyPattern(n, inner) => (inner, n.toInt) })
-        .filter { case (c, _) =>
-          visible.fieldNames.exists(_.equalsIgnoreCase(c)) }
+        // a declared spec over a missing or non-integral column never
+        // arranges (conservative: the scan's manifest proof simply
+        // won't hold, it degrades to UnknownPartitioning)
+        .filter { case (c, _) => visible.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) && SnapshotLog.bucketable(f.dataType)) }
     }
     val parts = bucketSpec match {
       case Some((c, n)) =>
@@ -543,9 +553,7 @@ object GraftDataSource {
       case None => parts1
     }
     val arranged = bucketSpec match {
-      case Some((c, n)) => aligned.repartitionByRange(n,
-        org.apache.spark.sql.functions.pmod(col(c).cast("long"),
-          org.apache.spark.sql.functions.lit(n)))
+      case Some((c, n)) => SnapshotLog.bucketArrange(aligned, c, n)
       case None => aligned
     }
     val added = SnapshotLog.writeData(arranged, dir,

@@ -88,26 +88,38 @@ private[connector] final class GraftV2BatchScan(
 
   // -------------------------------------- storage-partitioned reporting
 
-  /** Bucket-id groups of the CURRENT file list, defined only when the
-    * declared layout provably holds: every row-bearing kept file records
-    * the synthetic `bucket(n,col)` manifest key with EXACTLY one value.
-    * A multi-residue or unrecorded file disables reporting (correct,
-    * just unoptimized) — reporting a layout the files don't have would
-    * mis-join, so the manifest is the proof, never the declaration. */
+  /** The grouping DECISION is made ONCE, over the statically-pruned file
+    * list: the declared layout provably holds when every row-bearing
+    * kept file records the synthetic `bucket(n,col)` manifest key with
+    * EXACTLY one value. A multi-residue or unrecorded file disables
+    * reporting (correct, just unoptimized) — the manifest is the proof,
+    * never the declaration. The decision must be STICKY across runtime
+    * filtering: once the scan reported KeyGroupedPartitioning, every
+    * re-planned partition must still carry a partition key (the engine
+    * allows DROPPING groups — the subset rule — but throws on partitions
+    * that lost HasPartitionKey; a runtime filter that pruned every
+    * row-bearing file must therefore yield zero KEYED partitions, not a
+    * fallback to plain FilePartitions). */
+  private val bucketedAtPlan: Boolean = bucketSpec.exists { case (c, n) =>
+    val key = SnapshotLog.bucketPartKey(n, c)
+    val bearing = staticKept.filter(_.rows > 0)
+    bearing.nonEmpty && bearing.forall(f => f.parts.get(key) match {
+      case Some(Seq(one)) => one.toIntOption.isDefined
+      case _ => false
+    })
+  }
+
+  /** Bucket-id groups of the CURRENT (possibly runtime-filtered) file
+    * list — row-bearing files only; a zero-row carrier contributes
+    * nothing to any read. Defined iff [[bucketedAtPlan]]. */
   private def bucketGroups: Option[Seq[(Int, Seq[DataFile])]] =
-    bucketSpec.flatMap { case (c, n) =>
+    if (!bucketedAtPlan) None
+    else bucketSpec.map { case (c, n) =>
       val key = SnapshotLog.bucketPartKey(n, c)
-      val bearing = kept.filter(_.rows > 0)
-      if (bearing.isEmpty) None
-      else {
-        val ids = bearing.map(f => f.parts.get(key) match {
-          case Some(Seq(one)) => one.toIntOption
-          case _ => None
-        })
-        if (ids.exists(_.isEmpty)) None
-        else Some(bearing.zip(ids.map(_.get)).groupBy(_._2).toSeq
-          .sortBy(_._1).map { case (b, fs) => (b, fs.map(_._1)) })
-      }
+      kept.filter(_.rows > 0)
+        .map(f => (f.parts(key).head.toInt, f))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, fs) => (b, fs.map(_._2)) }
     }
 
   /** The engine consults this under `spark.sql.sources.v2.bucketing

@@ -172,10 +172,7 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
                 n <- prop("bucketCount").flatMap(_.toIntOption)
               } yield (c, n)
               val arranged = bucket match {
-                case Some((c, n)) => data.repartitionByRange(n,
-                  org.apache.spark.sql.functions.pmod(
-                    org.apache.spark.sql.functions.col(c).cast("long"),
-                    org.apache.spark.sql.functions.lit(n)))
+                case Some((c, n)) => SnapshotLog.bucketArrange(data, c, n)
                 case None => data
               }
               staged = SnapshotLog.writeData(arranged, dir,

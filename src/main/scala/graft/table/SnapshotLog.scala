@@ -107,6 +107,29 @@ object SnapshotLog {
   private[graft] def bucketPartKey(n: Int, col: String): String =
     s"bucket($n,$col)"
 
+  /** Is `dt` a type the modulo-bucket layout accepts? The residue is
+    * `pmod(cast(col AS long), n)`; non-integral casts are null or lossy,
+    * which would silently collapse every insert into one bucket. */
+  private[graft] def bucketable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** The ONE write-side bucket arrangement every bucketed writer shares
+    * (V1 `bucketBy` option, SQL INSERT inheritance, staged CTAS): rows
+    * range-partition on the modulo residue so each output file holds
+    * exactly one bucket — the layout [[bucketPartKey]] records and
+    * [[graft.connector.GraftBucketFunction]] names for the engine. The
+    * residue formula lives HERE and nowhere else. */
+  private[graft] def bucketArrange(df: DataFrame, col0: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    df.repartitionByRange(n, pmod(col(col0).cast("long"), lit(n)))
+  }
+
   /** Commit-summary key persisting a CREATE TABLE–declared lineage key
     * (`OPTIONS (lineageKey 'id')`) in the LOG itself: the catalog-carried
     * declaration is invisible to faces that bypass the session catalog

@@ -234,6 +234,26 @@ class ConnectorV2Spec extends AnyFunSuite {
           org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
       case other => fail(s"expected the batch scan, got $other")
     }
+    // CREATE-then-INSERT: the zero-row schema carrier must not break the
+    // manifest proof (carriers contribute nothing to any read)
+    spark.sql("CREATE TABLE gv2_spj.c (k BIGINT, vc BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gv2_spj.c SELECT id, id * 5 FROM range(0, 100)")
+    new GraftScanBuilder(spark, s"$wh/c").build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+          b.description())
+      case other => fail(s"expected the batch scan, got $other")
+    }
+    // a non-integral bucket column refuses at DECLARATION, both faces
+    val eDecl = intercept[Exception] { spark.sql(
+      "CREATE TABLE gv2_spj.bad (s STRING) PARTITIONED BY (bucket(4, s))") }
+    assert(eDecl.getMessage.contains("integral"), eDecl.getMessage)
+    val eOpt = intercept[Exception] {
+      Seq(("x", 1L)).toDF("s", "v").write.format("graft")
+        .option("bucketBy", "4,s").save(s"$wh/bad2") }
+    assert(eOpt.getMessage.contains("integral"), eOpt.getMessage)
   }
 
   test("multi-level namespaces: lifecycle, nested tables, flat tables unchanged") {
@@ -264,6 +284,19 @@ class ConnectorV2Spec extends AnyFunSuite {
       spark.sql("CREATE TABLE gv2_ns.nope.t (x INT)") }
     assert(eNs.getMessage.contains("does not exist") ||
       eNs.getMessage.toLowerCase.contains("namespace"), eNs.getMessage)
+    // COLLISION gates: a table can never occupy a namespace directory
+    // (DROP TABLE would recursively delete the subtree) and vice versa
+    val eTbl = intercept[Exception] {
+      spark.sql("CREATE TABLE gv2_ns.raw (x INT)") }
+    assert(eTbl.getMessage.contains("NAMESPACE"), eTbl.getMessage)
+    val eTbl2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gv2_ns.raw AS SELECT 1 AS x") }
+    assert(eTbl2.getMessage.contains("NAMESPACE"), eTbl2.getMessage)
+    val eNs2 = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gv2_ns.flat") }
+    assert(eNs2.getMessage.contains("TABLE"), eNs2.getMessage)
+    // a typo'd namespace is an ERROR, not an empty listing
+    intercept[Exception] { spark.sql("SHOW TABLES IN gv2_ns.nope") }
     // DROP refuses while non-empty, cascades when asked
     intercept[Exception] { spark.sql("DROP NAMESPACE gv2_ns.raw") }
     spark.sql("DROP NAMESPACE gv2_ns.raw CASCADE")
