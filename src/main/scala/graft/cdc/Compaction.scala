@@ -232,11 +232,31 @@ object Compaction {
       if (delFiles.isEmpty) dataFiles.map(_.rows).sum
       else df.count() // masked logical count — manifests alone can't know it
     val hasOffset = df.columns.contains("kafka_offset")
+    // a BUCKETED table (live files carry a bucket(n,col) manifest key)
+    // must not lose its layout to maintenance: an explicit clusterBy /
+    // Z-order request CONFLICTS with the declared layout and refuses
+    // loudly; the default (mask-materializing / registry-resetting)
+    // rewrite re-arranges BY BUCKET so every rewritten file keeps one
+    // residue and the storage-partitioned-join proof survives
+    val bucketSpec: Option[(String, Int)] =
+      dataFiles.flatMap(_.parts.keys).distinct.collectFirst {
+        case k @ SnapshotLog.BucketKeyPattern(n, inner)
+            if df.columns.contains(inner) => (inner, n.toInt)
+      }
+    require(bucketSpec.isEmpty ||
+      (clusterBy.isEmpty && clusterZOrder.isEmpty),
+      s"$table is bucket-clustered (${bucketSpec.get._1} into " +
+        s"${bucketSpec.get._2} buckets) — clusterBy/Z-order would destroy " +
+        "the storage-partitioned-join layout; UNSET the bucket " +
+        "TBLPROPERTIES first if the re-layout is intended")
     val arranged = (clusterBy, clusterZOrder) match {
       case (Some(c), _) =>
         df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
       case (None, zs) if zs.nonEmpty => zorderArrange(df, zs, targetFiles)
-      case _ => df.repartition(targetFiles)
+      case _ => bucketSpec match {
+        case Some((c, n)) => SnapshotLog.bucketArrange(df, c, n)
+        case None => df.repartition(targetFiles)
+      }
     }
     val rewritten = SnapshotLog.writeData(arranged, dir,
       statsCol = clusterBy.orElse(clusterZOrder.headOption)
@@ -246,10 +266,16 @@ object Compaction {
       // not blind readPartitions); an unclustered rewrite may mix values
       // per file — over-cap sets simply stop recording (conservative).
       // Registry tables translate the recorded (physical) keys to the
-      // frame's logical names — which this rewrite then makes physical
+      // frame's logical names — which this rewrite then makes physical.
+      // Synthetic bucket(n,col) keys survive when their INNER column
+      // does (writeData re-derives the residue from the data itself).
       partitionCols = dataFiles.flatMap(_.parts.keys).distinct
         .map(c => reg.flatMap(_.logicalOf(c)).getOrElse(c)).distinct
-        .filter(df.columns.contains),
+        .filter {
+          case SnapshotLog.BucketKeyPattern(_, inner) =>
+            df.columns.contains(inner)
+          case c => df.columns.contains(c)
+        },
       // the frame is in its FINAL name space (logical names become the
       // rewritten files' stored names); no further translation
       rawPhysical = true)
@@ -318,33 +344,53 @@ object Compaction {
     if (small.size <= 1) return noOp
     val classes = graft.table.SnapshotLog.epochGroups(spark, small)
       .groupBy(_._1).toSeq.map { case (sch, gs) => sch -> gs.flatMap(_._2) }
-    val packed = classes.flatMap { case (_, cls) =>
-      val clsBytes = cls.map(_.bytes).sum
-      val bins = math.max(1L, (clsBytes + targetBytes - 1) / targetBytes).toInt
-      if (cls.size <= bins) None // this class's debt is already paid
-      else {
-        val df = spark.read.parquet(cls.map(_.path): _*)
-        val statKeys = cls.flatMap(_.stats.keys).distinct.filter(df.columns.contains)
-        // keep the legacy first-stats slot on kafka_offset when the
-        // COLUMN is present (readRange's offset pruning — even files
-        // committed by pre-stats writers gain the zone here), then the
-        // rest of the recorded zone columns
-        val ordered =
-          if (df.columns.contains("kafka_offset"))
-            "kafka_offset" +: statKeys.filterNot(_ == "kafka_offset")
-          else statKeys
-        val bloom = cls.flatMap(_.blooms.keys).distinct
-          .filter(df.columns.contains).headOption
-        val partCols = cls.flatMap(_.parts.keys).distinct
-          .filter(df.columns.contains)
-        val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
-          statsCol = ordered.headOption, statsCols = ordered.drop(1),
-          bloomCol = bloom, partitionCols = partCols,
-          rawPhysical = true) // raw class read: names are already physical
-        val (nOld, nNew) = (cls.map(_.rows).sum, rewritten.map(_.rows).sum)
-        require(nNew == nOld,
-          s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")
-        Some((cls, rewritten))
+    val packed = classes.flatMap { case (_, cls0) =>
+      // a bucket-clustered class packs WITHIN buckets: merging two
+      // residues into one file would break the storage-partitioned-join
+      // proof (the manifest key goes multi-valued and the scan degrades
+      // to UnknownPartitioning). Files without a singleton bucket value
+      // pack together as their own subgroup — already unproven layout,
+      // the merge changes nothing.
+      val bucketOf: graft.table.SnapshotLog.DataFile => Option[Int] = f =>
+        f.parts.collectFirst {
+          case (SnapshotLog.BucketKeyPattern(_, _), Seq(one))
+              if one.toIntOption.isDefined => one.toInt
+        }
+      val subgroups: Seq[Seq[graft.table.SnapshotLog.DataFile]] =
+        if (cls0.forall(bucketOf(_).isEmpty)) Seq(cls0)
+        else cls0.groupBy(bucketOf).values.toSeq
+      subgroups.flatMap { cls =>
+        val clsBytes = cls.map(_.bytes).sum
+        val bins = math.max(1L, (clsBytes + targetBytes - 1) / targetBytes).toInt
+        if (cls.size <= bins) None // this subgroup's debt is already paid
+        else {
+          val df = spark.read.parquet(cls.map(_.path): _*)
+          val statKeys = cls.flatMap(_.stats.keys).distinct.filter(df.columns.contains)
+          // keep the legacy first-stats slot on kafka_offset when the
+          // COLUMN is present (readRange's offset pruning — even files
+          // committed by pre-stats writers gain the zone here), then the
+          // rest of the recorded zone columns
+          val ordered =
+            if (df.columns.contains("kafka_offset"))
+              "kafka_offset" +: statKeys.filterNot(_ == "kafka_offset")
+            else statKeys
+          val bloom = cls.flatMap(_.blooms.keys).distinct
+            .filter(df.columns.contains).headOption
+          val partCols = cls.flatMap(_.parts.keys).distinct
+            .filter {
+              case SnapshotLog.BucketKeyPattern(_, inner) =>
+                df.columns.contains(inner)
+              case c => df.columns.contains(c)
+            }
+          val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,
+            statsCol = ordered.headOption, statsCols = ordered.drop(1),
+            bloomCol = bloom, partitionCols = partCols,
+            rawPhysical = true) // raw class read: names are already physical
+          val (nOld, nNew) = (cls.map(_.rows).sum, rewritten.map(_.rows).sum)
+          require(nNew == nOld,
+            s"bin-pack row-count mismatch for $table: $nOld -> $nNew; not committing")
+          Some((cls, rewritten))
+        }
       }
     }
     if (packed.isEmpty) return noOp

@@ -13,18 +13,21 @@ import org.apache.spark.sql.types._
   * zip them without an exchange (the Iceberg SPJ function-catalog
   * design).
   *
-  * The bucket of an integral value is `floorMod(v, n)` — deliberately
-  * the plain modulo, not a hash: it matches Spark's `pmod(col, n)` on
-  * the write side ([[GraftDataSource]]'s `bucketBy` arrangement) and is
-  * replayable in ANSI SQL for the oracle. A hash bucketing would swap
-  * one expression here and one in the writer; the alignment contract is
-  * the canonical name, not the formula. */
+  * The bucket of an integral value is
+  * `floorMod(murmur3(floorMod(v, n)), n)` — the residue hashed with
+  * Spark's own Murmur3 (seed 42), i.e. EXACTLY the shuffle-partition id
+  * `SnapshotLog.bucketArrange`'s hash-repartition assigns. That identity
+  * is what makes the per-file manifest recording a singleton BY
+  * CONSTRUCTION (no range-sampling fragility under skew); the plain
+  * residue was rejected for exactly that reason. The write-side twin is
+  * [[graft.table.SnapshotLog.bucketIdExpr]]; the alignment contract
+  * across scans is the canonical name. */
 object GraftBucketFunction extends UnboundFunction {
 
   override def name(): String = "bucket"
 
   override def description(): String =
-    "bucket(n, col) - modulo bucket id of an integral column"
+    "bucket(n, col) - hashed-residue bucket id of an integral column"
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2,
@@ -47,7 +50,13 @@ object GraftBucketFunction extends UnboundFunction {
           case _: IntegerType => input.getInt(1).toLong
           case _ => input.getLong(1)
         }
-        Math.floorMod(v, n.toLong).toInt
+        val residue = Math.floorMod(v, n.toLong)
+        // Spark's hash(longResidue) = Murmur3 hashLong with seed 42 —
+        // byte-identical to both the writer's partitioner and the
+        // manifest recording expression
+        Math.floorMod(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(residue, 42),
+          n)
       }
     }
   }

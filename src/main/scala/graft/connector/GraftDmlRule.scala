@@ -450,13 +450,27 @@ object GraftDml {
                              reg: Option[graft.table.FieldRegistry])
       : Seq[DataFile] = {
     val present = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
-    def keep(k: String) = present(k.toLowerCase(java.util.Locale.ROOT))
+    def keep(k: String) = k match {
+      // synthetic bucket(n,col) keys inherit when their INNER column is
+      // present — a COW rewrite must not decay the bucketed layout
+      case SnapshotLog.BucketKeyPattern(_, inner) =>
+        present(inner.toLowerCase(java.util.Locale.ROOT))
+      case _ => present(k.toLowerCase(java.util.Locale.ROOT))
+    }
     val data = live.filter(_.kind == "data")
     val stats = data.flatMap(_.stats.keys).distinct.filter(keep)
     val bloom = data.flatMap(_.blooms.keys).distinct.filter(keep).headOption
     val parts = data.flatMap(_.parts.keys).distinct.filter(keep)
     def phys(c: String) = reg.flatMap(_.physicalOf(c)).getOrElse(c)
-    SnapshotLog.writeData(reg.map(_.toPhysical(df)).getOrElse(df), dir,
+    // a bucketed layout also re-ARRANGES the rewrite: the touched rows of
+    // several files would otherwise land in one mixed-residue output and
+    // flip the storage-partitioned-join proof off
+    val arranged = parts.collectFirst {
+      case SnapshotLog.BucketKeyPattern(n, inner)
+          if df.columns.exists(_.equalsIgnoreCase(inner)) =>
+        SnapshotLog.bucketArrange(df, inner, n.toInt)
+    }.getOrElse(df)
+    SnapshotLog.writeData(reg.map(_.toPhysical(arranged)).getOrElse(arranged), dir,
       statsCols = stats.map(phys), bloomCol = bloom.map(phys),
       partitionCols = parts.map(phys), rawPhysical = true)
   }

@@ -96,12 +96,13 @@ object SnapshotLog {
     * (conservative — pruning may only skip, never lose). */
   val MaxPartValuesPerFile: Int = 8
 
-  /** Manifest key of a file's modulo-BUCKET id for a `bucket(n, col)`
+  /** Manifest key of a file's BUCKET id for a `bucket(n, col)`
     * clustered layout — a synthetic partition-value entry (the Iceberg
-    * bucket-transform posture): `bucket(8,o_custkey)` records the set of
-    * `pmod(o_custkey, 8)` values the file holds. Written by bucketed
-    * writers, consumed by the V2 scan's storage-partitioned-join
-    * reporting; inert for ordinary column predicates. */
+    * bucket-transform posture): `bucket(8,o_custkey)` records the set
+    * of [[bucketIdExpr]] values (hashed residues) the file holds.
+    * Written by bucketed writers, consumed by the V2 scan's
+    * storage-partitioned-join reporting; inert for ordinary column
+    * predicates. */
   private[graft] val BucketKeyPattern = """bucket\((\d+),(.+)\)""".r
 
   private[graft] def bucketPartKey(n: Int, col: String): String =
@@ -120,14 +121,30 @@ object SnapshotLog {
     }
 
   /** The ONE write-side bucket arrangement every bucketed writer shares
-    * (V1 `bucketBy` option, SQL INSERT inheritance, staged CTAS): rows
-    * range-partition on the modulo residue so each output file holds
-    * exactly one bucket — the layout [[bucketPartKey]] records and
-    * [[graft.connector.GraftBucketFunction]] names for the engine. The
-    * residue formula lives HERE and nowhere else. */
+    * (V1 `bucketBy` option, SQL INSERT inheritance, staged CTAS, COW
+    * DML rewrites, compaction): HASH-repartition on the modulo residue.
+    * Every row of output partition p then satisfies
+    * `pmod(hash(pmod(k, n)), n) == p` BY CONSTRUCTION (the partitioner
+    * and [[bucketIdExpr]] compute the identical Murmur3 of the identical
+    * residue), so each file provably holds ONE bucket id regardless of
+    * skew or data size — a range partition would merge residues whenever
+    * sampling or weight-balancing said so, silently flipping the
+    * storage-partitioned-join proof off. The formula lives HERE and in
+    * [[graft.connector.GraftBucketFunction]] (the engine-facing twin)
+    * and nowhere else. */
   private[graft] def bucketArrange(df: DataFrame, col0: String, n: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
-    df.repartitionByRange(n, pmod(col(col0).cast("long"), lit(n)))
+    df.repartition(n, pmod(col(col0).cast("long"), lit(n.toLong)))
+  }
+
+  /** The bucket ID of a row — `pmod(hash(pmod(k, n)), n)`, where `hash`
+    * is Spark's own Murmur3 (seed 42): exactly the partition id
+    * [[bucketArrange]]'s hash-repartition assigns, which is what makes
+    * the per-file recorded set a singleton by construction. */
+  private[graft] def bucketIdExpr(col0: org.apache.spark.sql.Column, n: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(pmod(col0.cast("long"), lit(n.toLong))), lit(n))
   }
 
   /** Commit-summary key persisting a CREATE TABLE–declared lineage key
@@ -505,7 +522,7 @@ object SnapshotLog {
       // so partKeeps stays inert for user predicates.
       val pexpr = c match {
         case BucketKeyPattern(n, inner) =>
-          pmod(col(inner).cast("long"), lit(n.toInt)).cast("string")
+          bucketIdExpr(col(inner), n.toInt).cast("string")
         case _ => col(c).cast("string")
       }
       slice(sort_array(collect_set(pexpr)),

@@ -254,6 +254,41 @@ class ConnectorV2Spec extends AnyFunSuite {
       Seq(("x", 1L)).toDF("s", "v").write.format("graft")
         .option("bucketBy", "4,s").save(s"$wh/bad2") }
     assert(eOpt.getMessage.contains("integral"), eOpt.getMessage)
+    // MAINTENANCE must not decay the layout: many small bucketed
+    // appends, then OPTIMIZE — files shrink, the key-grouped proof
+    // survives (bin-pack merges WITHIN buckets), and a conflicting
+    // clusterBy refuses loudly
+    for (i <- 0 until 6)
+      spark.range(i * 50, (i + 1) * 50).selectExpr("id AS k", "id AS vd")
+        .write.format("graft")
+        .mode(if (i == 0) "error" else "append")
+        .option("bucketBy", "4,k").save(s"$wh/d")
+    val before = graft.table.SnapshotLog.filesAt(spark, s"$wh/d")
+      .count(_.kind == "data")
+    val res = graft.cdc.Compaction.compactDir(spark, s"$wh/d")
+    assert(res.filesAfter < before, s"$res vs $before files")
+    new GraftScanBuilder(spark, s"$wh/d").build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+          s"OPTIMIZE must keep the bucket proof: ${b.description()}")
+      case other => fail(s"expected the batch scan, got $other")
+    }
+    val eCl = intercept[Exception] {
+      graft.cdc.Compaction.compactDir(spark, s"$wh/d",
+        clusterBy = Some("vd")) }
+    assert(eCl.getMessage.contains("bucket-clustered"), eCl.getMessage)
+    // COW DML keeps the proof too: the rewrite re-arranges by bucket
+    spark.sql("UPDATE gv2_spj.d SET vd = 0 WHERE k = 3")
+    assert(spark.sql("SELECT vd FROM gv2_spj.d WHERE k = 3")
+      .head.getLong(0) === 0)
+    new GraftScanBuilder(spark, s"$wh/d").build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+          s"COW DML must keep the bucket proof: ${b.description()}")
+      case other => fail(s"expected the batch scan, got $other")
+    }
   }
 
   test("multi-level namespaces: lifecycle, nested tables, flat tables unchanged") {
