@@ -232,23 +232,35 @@ object Compaction {
       if (delFiles.isEmpty) dataFiles.map(_.rows).sum
       else df.count() // masked logical count — manifests alone can't know it
     val hasOffset = df.columns.contains("kafka_offset")
-    // a BUCKETED table (live files carry a bucket(n,col) manifest key)
-    // must not lose its layout to maintenance: an explicit clusterBy /
-    // Z-order request CONFLICTS with the declared layout and refuses
-    // loudly; the default (mask-materializing / registry-resetting)
-    // rewrite re-arranges BY BUCKET so every rewritten file keeps one
-    // residue and the storage-partitioned-join proof survives
-    val bucketSpec: Option[(String, Int)] =
-      dataFiles.flatMap(_.parts.keys).distinct.collectFirst {
-        case k @ SnapshotLog.BucketKeyPattern(n, inner)
-            if df.columns.contains(inner) => (inner, n.toInt)
-      }
+    // the DECLARED bucket layout (durable bucketCol/bucketCount props —
+    // the declaration, resolved case-insensitively against the frame's
+    // LOGICAL columns, so renames and case drift can't silently bypass
+    // it) must not be lost to maintenance: an explicit clusterBy /
+    // Z-order request CONFLICTS and refuses loudly; the default
+    // (mask-materializing / registry-resetting) rewrite re-arranges BY
+    // BUCKET so every rewritten file keeps one id and the storage-
+    // partitioned-join proof survives. An UNDECLARED layout (props
+    // UNSET, or the bucket column renamed away) is dead: its stale
+    // manifest keys are dropped here — compaction is the garbage
+    // collector that makes `UNSET TBLPROPERTIES then OPTIMIZE` the real
+    // road to a re-layout.
+    val bucketSpec: Option[(String, Int)] = {
+      val props = SnapshotLog.tableProps(spark, dir)
+      def prop(k: String) = props.collectFirst {
+        case (kk, v) if kk.equalsIgnoreCase(k) => v }
+      for {
+        c0 <- prop("bucketCol")
+        n <- prop("bucketCount").flatMap(_.toIntOption)
+        c <- df.columns.find(_.equalsIgnoreCase(c0))
+      } yield (c, n)
+    }
     require(bucketSpec.isEmpty ||
       (clusterBy.isEmpty && clusterZOrder.isEmpty),
       s"$table is bucket-clustered (${bucketSpec.get._1} into " +
         s"${bucketSpec.get._2} buckets) — clusterBy/Z-order would destroy " +
-        "the storage-partitioned-join layout; UNSET the bucket " +
-        "TBLPROPERTIES first if the re-layout is intended")
+        "the storage-partitioned-join layout; UNSET TBLPROPERTIES " +
+        "('bucketCol','bucketCount') first if the re-layout is intended " +
+        "(the next OPTIMIZE then retires the per-file bucket keys)")
     val arranged = (clusterBy, clusterZOrder) match {
       case (Some(c), _) =>
         df.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
@@ -258,24 +270,28 @@ object Compaction {
         case None => df.repartition(targetFiles)
       }
     }
+    // a bucketed rewrite has exactly n partitions; target-sized FILES
+    // come from the per-partition row cap instead (splitting one bucket
+    // partition into several files keeps every file single-id)
+    val rowCap = bucketSpec.map { _ =>
+      math.max(1L, nOld * targetBytes / math.max(1L, totalBytes)) }
     val rewritten = SnapshotLog.writeData(arranged, dir,
       statsCol = clusterBy.orElse(clusterZOrder.headOption)
         .orElse(if (hasOffset) Some("kafka_offset") else None),
       statsCols = clusterZOrder,
+      maxRecordsPerFile = rowCap,
       // partition-value metadata survives the rewrite (a compaction must
       // not blind readPartitions); an unclustered rewrite may mix values
       // per file — over-cap sets simply stop recording (conservative).
       // Registry tables translate the recorded (physical) keys to the
       // frame's logical names — which this rewrite then makes physical.
-      // Synthetic bucket(n,col) keys survive when their INNER column
-      // does (writeData re-derives the residue from the data itself).
-      partitionCols = dataFiles.flatMap(_.parts.keys).distinct
+      // Bucket keys are NOT inherited: the declared spec re-records its
+      // canonical key; undeclared (stale) keys retire with the rewrite.
+      partitionCols = (dataFiles.flatMap(_.parts.keys).distinct
+        .filterNot(SnapshotLog.BucketKeyPattern.matches)
         .map(c => reg.flatMap(_.logicalOf(c)).getOrElse(c)).distinct
-        .filter {
-          case SnapshotLog.BucketKeyPattern(_, inner) =>
-            df.columns.contains(inner)
-          case c => df.columns.contains(c)
-        },
+        .filter(df.columns.contains)) ++
+        bucketSpec.map { case (c, n) => SnapshotLog.bucketPartKey(n, c) },
       // the frame is in its FINAL name space (logical names become the
       // rewritten files' stored names); no further translation
       rawPhysical = true)
@@ -344,21 +360,25 @@ object Compaction {
     if (small.size <= 1) return noOp
     val classes = graft.table.SnapshotLog.epochGroups(spark, small)
       .groupBy(_._1).toSeq.map { case (sch, gs) => sch -> gs.flatMap(_._2) }
+    // the DECLARED layout (durable props) decides the packing topology:
+    // declared → merge WITHIN recorded bucket ids (merging two ids into
+    // one file would break the storage-partitioned-join proof);
+    // undeclared → pack freely and drop stale bucket keys below (the
+    // declaration is gone; its keys retire with the debt)
+    val bucketDeclared: Boolean = {
+      val props = SnapshotLog.tableProps(spark, dir)
+      props.keys.exists(_.equalsIgnoreCase("bucketCol")) &&
+        props.keys.exists(_.equalsIgnoreCase("bucketCount"))
+    }
     val packed = classes.flatMap { case (_, cls0) =>
-      // a bucket-clustered class packs WITHIN buckets: merging two
-      // residues into one file would break the storage-partitioned-join
-      // proof (the manifest key goes multi-valued and the scan degrades
-      // to UnknownPartitioning). Files without a singleton bucket value
-      // pack together as their own subgroup — already unproven layout,
-      // the merge changes nothing.
       val bucketOf: graft.table.SnapshotLog.DataFile => Option[Int] = f =>
         f.parts.collectFirst {
           case (SnapshotLog.BucketKeyPattern(_, _), Seq(one))
               if one.toIntOption.isDefined => one.toInt
         }
       val subgroups: Seq[Seq[graft.table.SnapshotLog.DataFile]] =
-        if (cls0.forall(bucketOf(_).isEmpty)) Seq(cls0)
-        else cls0.groupBy(bucketOf).values.toSeq
+        if (bucketDeclared) cls0.groupBy(bucketOf).values.toSeq
+        else Seq(cls0)
       subgroups.flatMap { cls =>
         val clsBytes = cls.map(_.bytes).sum
         val bins = math.max(1L, (clsBytes + targetBytes - 1) / targetBytes).toInt
@@ -379,7 +399,7 @@ object Compaction {
           val partCols = cls.flatMap(_.parts.keys).distinct
             .filter {
               case SnapshotLog.BucketKeyPattern(_, inner) =>
-                df.columns.contains(inner)
+                bucketDeclared && df.columns.contains(inner)
               case c => df.columns.contains(c)
             }
           val rewritten = SnapshotLog.writeData(df.repartition(bins), dir,

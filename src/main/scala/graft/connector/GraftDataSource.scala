@@ -152,10 +152,11 @@ final class GraftDataSource extends RelationProvider
       s"zorderBy takes at least two comma-separated columns, got: " +
         zcols.mkString(","))
     // bucketBy=n,col — the storage-partitioned-join layout: rows
-    // range-partition on pmod(col, n) so each file holds ONE bucket
-    // residue, the synthetic bucket(n,col) key is recorded per file,
-    // and (on table creation) the layout persists as durable props so
-    // every later INSERT keeps it
+    // HASH-repartition on the modulo residue (SnapshotLog.bucketArrange)
+    // so each file holds ONE bucket id by construction, the synthetic
+    // bucket(n,col) key records that id per file, and (on table
+    // creation) the layout persists as durable props so every later
+    // INSERT keeps it
     val bucketBy: Option[(String, Int)] = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("bucketBy") => v }.map { s =>
         val ps = s.split(",", 2).map(_.trim)
@@ -529,10 +530,13 @@ object GraftDataSource {
     val parts1 = if (parts0.nonEmpty) parts0 else propCols("partitionCols")
     // a declared BUCKET layout (durable bucketCol/bucketCount props from
     // `PARTITIONED BY (bucket(n, col))`, or an inherited bucket(n,col)
-    // manifest key) clusters every insert: rows range-partition on the
-    // modulo residue so each file holds ONE bucket, and the synthetic
-    // key is recorded — the layout the V2 scan reports for
-    // storage-partitioned joins must never decay through one insert
+    // manifest key) clusters every insert: rows hash-repartition on the
+    // modulo residue (bucketArrange — one bucket id per file by
+    // construction), and the synthetic key is recorded — the layout the
+    // V2 scan reports for storage-partitioned joins must never decay
+    // through one insert. (Stale keys on a props-UNSET table are
+    // garbage-collected by the next OPTIMIZE, which is also when
+    // inserts stop re-recording them.)
     val bucketSpec: Option[(String, Int)] = {
       def prop(key: String): Option[String] = props.collectFirst {
         case (k, v) if k.equalsIgnoreCase(key) => v }

@@ -450,29 +450,40 @@ object GraftDml {
                              reg: Option[graft.table.FieldRegistry])
       : Seq[DataFile] = {
     val present = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
-    def keep(k: String) = k match {
-      // synthetic bucket(n,col) keys inherit when their INNER column is
-      // present — a COW rewrite must not decay the bucketed layout
-      case SnapshotLog.BucketKeyPattern(_, inner) =>
-        present(inner.toLowerCase(java.util.Locale.ROOT))
-      case _ => present(k.toLowerCase(java.util.Locale.ROOT))
-    }
+    def keep(k: String) = present(k.toLowerCase(java.util.Locale.ROOT))
     val data = live.filter(_.kind == "data")
     val stats = data.flatMap(_.stats.keys).distinct.filter(keep)
     val bloom = data.flatMap(_.blooms.keys).distinct.filter(keep).headOption
-    val parts = data.flatMap(_.parts.keys).distinct.filter(keep)
+    val parts0 = data.flatMap(_.parts.keys).distinct
+      .filterNot(SnapshotLog.BucketKeyPattern.matches).filter(keep)
     def phys(c: String) = reg.flatMap(_.physicalOf(c)).getOrElse(c)
-    // a bucketed layout also re-ARRANGES the rewrite: the touched rows of
-    // several files would otherwise land in one mixed-residue output and
-    // flip the storage-partitioned-join proof off
-    val arranged = parts.collectFirst {
-      case SnapshotLog.BucketKeyPattern(n, inner)
-          if df.columns.exists(_.equalsIgnoreCase(inner)) =>
-        SnapshotLog.bucketArrange(df, inner, n.toInt)
-    }.getOrElse(df)
+    // the DECLARED bucket layout (durable props, resolved against the
+    // frame's logical columns) both re-ARRANGES the rewrite — touched
+    // rows of several files would otherwise land in one mixed-id output
+    // and flip the storage-partitioned-join proof off — and re-records
+    // its canonical key; stale (undeclared) keys retire with the rewrite
+    val bucketSpec: Option[(String, Int)] = {
+      val props = SnapshotLog.tableProps(spark, dir)
+      def prop(k: String) = props.collectFirst {
+        case (kk, v) if kk.equalsIgnoreCase(k) => v }
+      for {
+        c0 <- prop("bucketCol")
+        n <- prop("bucketCount").flatMap(_.toIntOption)
+        c <- df.columns.find(_.equalsIgnoreCase(c0))
+      } yield (c, n)
+    }
+    val parts = parts0 ++ bucketSpec.map { case (c, n) =>
+      SnapshotLog.bucketPartKey(n, c) }
+    val arranged = bucketSpec
+      .map { case (c, n) => SnapshotLog.bucketArrange(df, c, n) }
+      .getOrElse(df)
     SnapshotLog.writeData(reg.map(_.toPhysical(arranged)).getOrElse(arranged), dir,
       statsCols = stats.map(phys), bloomCol = bloom.map(phys),
-      partitionCols = parts.map(phys), rawPhysical = true)
+      partitionCols = parts.map {
+        case SnapshotLog.BucketKeyPattern(n, inner) =>
+          SnapshotLog.bucketPartKey(n.toInt, phys(inner))
+        case c => phys(c)
+      }, rawPhysical = true)
   }
 
   private def lineageSummary(lin: Option[String],

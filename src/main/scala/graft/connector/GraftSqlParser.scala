@@ -568,6 +568,16 @@ final case class GraftRenameColumnCommand(target: String, from: String,
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
     val (dir, ident) = GraftMaintenance.resolveTarget(spark, target)
+    // a renamed bucket column orphans the durable bucketCol declaration:
+    // the layout LAPSES (scan stops reporting, the next OPTIMIZE retires
+    // the per-file keys) — loud, because the user likely wants to
+    // redeclare under the new name
+    if (graft.table.SnapshotLog.tableProps(spark, dir).exists {
+        case (k, v) => k.equalsIgnoreCase("bucketCol") &&
+          v.equalsIgnoreCase(from) })
+      System.err.println(s"[graft] WARNING: '$from' is $target's declared " +
+        s"bucket column — the storage-partitioned layout lapses with this " +
+        s"rename; SET TBLPROPERTIES ('bucketCol'='$to') to redeclare it")
     GraftMaintenance.commitRegistryChange(spark, dir, ident,
       Map("rename_column" -> s"$from->$to"))(_.rename(from, to))
     Seq.empty

@@ -105,6 +105,12 @@ object SnapshotLog {
     * predicates. */
   private[graft] val BucketKeyPattern = """bucket\((\d+),(.+)\)""".r
 
+  /** FORMULA-VERSIONING CONTRACT: the values recorded under this key
+    * are [[bucketIdExpr]] outputs. Any future change to that formula
+    * MUST also change this key's NAME — re-recording a new formula
+    * under the old key would let two mixed-era tables both report the
+    * same transform and silently drop matches from a storage-
+    * partitioned join. */
   private[graft] def bucketPartKey(n: Int, col: String): String =
     s"bucket($n,$col)"
 
@@ -457,7 +463,12 @@ object SnapshotLog {
                 statsCols: Seq[String] = Nil,
                 bloomCol: Option[String] = None,
                 partitionCols: Seq[String] = Nil,
-                rawPhysical: Boolean = false): Seq[DataFile] = {
+                rawPhysical: Boolean = false,
+                /** Per-file row cap (parquet `maxRecordsPerFile`) — how a
+                  * bucketed rewrite emits target-SIZED files from its
+                  * n fixed partitions (splitting one bucket partition
+                  * keeps every file single-id). */
+                maxRecordsPerFile: Option[Long] = None): Seq[DataFile] = {
     require(kind == "data" || kind == "eqdelete" || kind == "posdelete",
       s"unknown file kind: $kind")
     val spark = df.sparkSession
@@ -467,7 +478,9 @@ object SnapshotLog {
     def phys(c: String): String = reg.flatMap(_.physicalOf(c)).getOrElse(c)
     val uuid = java.util.UUID.randomUUID().toString
     val dst = s"$tableDir/data/$uuid"
-    dfP.write.mode("error").parquet(dst)
+    maxRecordsPerFile
+      .fold(dfP.write)(cap => dfP.write.option("maxRecordsPerFile", cap))
+      .mode("error").parquet(dst)
     val fs = fsOf(spark, tableDir)
     val sizes = fs.listStatus(new Path(dst)).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

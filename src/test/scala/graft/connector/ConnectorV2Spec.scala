@@ -278,6 +278,27 @@ class ConnectorV2Spec extends AnyFunSuite {
       graft.cdc.Compaction.compactDir(spark, s"$wh/d",
         clusterBy = Some("vd")) }
     assert(eCl.getMessage.contains("bucket-clustered"), eCl.getMessage)
+    // THREE-WAY formula identity: the manifest recording expression,
+    // the engine-facing ScalarFunction, and the writer's partitioner
+    // all compute one bucket id — drift in any pair silently mis-joins
+    // at scale, so pin it over a key grid including negatives
+    val fn = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    for (n <- Seq(1, 3, 4, 8, 32)) {
+      val keys = Seq(-1000003L, -7L, -1L, 0L, 1L, 17L, 63L, 1000000007L)
+      val viaExpr = spark.createDataset(keys)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("k")
+        .select(expr(s"pmod(hash(pmod(CAST(k AS LONG), ${n}L)), $n)"))
+        .collect().map(_.getInt(0)).toSeq
+      val viaFn = keys.map(k => fn.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, k))).intValue())
+      assert(viaExpr == viaFn, s"n=$n expr=$viaExpr fn=$viaFn")
+    }
     // COW DML keeps the proof too: the rewrite re-arranges by bucket
     spark.sql("UPDATE gv2_spj.d SET vd = 0 WHERE k = 3")
     assert(spark.sql("SELECT vd FROM gv2_spj.d WHERE k = 3")
