@@ -328,6 +328,61 @@ object ScaleCurve {
       settle()
       val mdelC = SnapshotLog.commits(spark, dmlDir).last
       spark.sql(s"DROP TABLE scale_mdel_x$k")
+      // r13: storage-partitioned-join curve — two co-bucketed tables of
+      // the ×k keyed state joined on the bucket column, measured with
+      // SPJ reporting ON (zero exchange — the ConnectorV2Spec plan pin)
+      // vs OFF (two full shuffles). The saving should GROW with the
+      // table: the shuffled join moves ×k rows twice, the SPJ join
+      // moves none.
+      // (walls at fixture scale are ~comparable — local in-memory
+      // shuffle is nearly free; the measured CLAIM is the shuffle BYTES
+      // the SPJ plan never writes, which at 100 TB is the whole fact
+      // crossing the network twice)
+      val spjProbe = {
+        val (aDir, bDir) = (s"$tfBase/spj_a", s"$tfBase/spj_b")
+        state.write.format("graft").option("bucketBy", "16,id").save(aDir)
+        state.select(col("id"), (col("v") * 2).as("w"))
+          .write.format("graft").option("bucketBy", "16,id").save(bDir)
+        val cat = s"gscale_spj_x$k"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.connector.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", tfBase)
+        val prevB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              shuffled.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        def joinOnce(): (Long, Long, Double) = {
+          shuffled.set(0L)
+          val (n, t) = timed(spark.sql(
+            s"""SELECT count(*) AS n FROM $cat.spj_a a
+               |JOIN $cat.spj_b b ON a.id = b.id""".stripMargin)
+            .head().getLong(0))
+          Thread.sleep(800) // listener events drain asynchronously
+          (n, shuffled.get(), t)
+        }
+        try {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          val (nSpj, bSpj, tSpj) = joinOnce(); settle()
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          val (nShuf, bShuf, tShuf) = joinOnce(); settle()
+          require(nSpj == nShuf && nSpj >= nState,
+            s"SPJ join must equal the shuffled join: $nSpj vs $nShuf " +
+              s"(state rows $nState)")
+          (bSpj, tSpj, bShuf, tShuf)
+        } finally {
+          spark.sparkContext.removeSparkListener(listener)
+          prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+        }
+      }
       // r11: OCC rebase curve — a pinned replace that loses its id race
       // to j interleaved appends must rebase in O(j) MANIFEST reads:
       // wall time ~flat while the table (live rows and files) grows ×k,
@@ -375,7 +430,9 @@ object ScaleCurve {
         s"meta_delete=${mdelC.summary("files_dropped_metadata")}dropped/" +
         s"${mdelC.summary("files_touched")}f/" +
         s"${mdelC.summary("rows_deleted")}rd/${s(tMetaDel)}s " +
-        s"occ_rebase_j1=${s(occTimes(1))}s occ_rebase_j8=${s(occTimes(8))}s")
+        s"occ_rebase_j1=${s(occTimes(1))}s occ_rebase_j8=${s(occTimes(8))}s " +
+        s"spj_join=${spjProbe._1}B/${s(spjProbe._2)}s " +
+        s"shuffled_join=${spjProbe._3}B/${s(spjProbe._4)}s")
     }
     spark.stop()
   }

@@ -234,6 +234,30 @@ class ConnectorV2Spec extends AnyFunSuite {
           org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning])
       case other => fail(s"expected the batch scan, got $other")
     }
+    // SPJ composes with AQE and with a PARTIALLY-populated side: table p
+    // holds only one residue class, so whole bucket groups are missing;
+    // with pushPartValues the engine aligns/pads groups instead of
+    // falling back to a shuffle, and AQE stays on (the production shape)
+    spark.range(0, 1000).filter(pmod(col("id"), lit(4)) === 1)
+      .selectExpr("id AS k", "id AS vp")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/p")
+    val confs2 = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev2 = confs2.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs2.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dfp = spark.sql(
+        """SELECT a.k, a.va, p.vp FROM gv2_spj.a a
+          |JOIN gv2_spj.p p ON a.k = p.k""".stripMargin)
+      val rows = dfp.collect()
+      assert(rows.length === 250 && rows.forall(_.getLong(0) % 4 == 1))
+      val finalPlan = dfp.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("Exchange"),
+        s"partially-populated SPJ must not shuffle:\n$finalPlan")
+    } finally prev2.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     // CREATE-then-INSERT: the zero-row schema carrier must not break the
     // manifest proof (carriers contribute nothing to any read)
     spark.sql("CREATE TABLE gv2_spj.c (k BIGINT, vc BIGINT) " +
