@@ -155,6 +155,26 @@ object ConnectorQueries {
       base
     }
 
+  /** A table living in a NESTED NAMESPACE (`cat.raw.orders_ns`), built
+    * through CREATE NAMESPACE + CTAS + INSERT INTO by qualified name —
+    * the multi-level-namespace face under the oracle: organizing tables
+    * into namespaces may only change the NAME, never the rows. */
+  private def nsWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "ns") { base =>
+      s.conf.set("spark.sql.catalog.graft_ns", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ns.warehouse", base)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ns.raw")
+      orders(s, d).filter(col("o_orderstatus") === "F")
+        .createOrReplaceTempView("conn_ns_src_f")
+      orders(s, d).filter(col("o_orderstatus") =!= "F")
+        .createOrReplaceTempView("conn_ns_src_rest")
+      s.sql("CREATE TABLE graft_ns.raw.orders_ns AS " +
+        "SELECT * FROM conn_ns_src_f")
+      s.sql("INSERT INTO graft_ns.raw.orders_ns " +
+        "SELECT * FROM conn_ns_src_rest")
+      base
+    }
+
   /** A warehouse assembled through the SQL DDL face alone: CREATE TABLE
     * USING graft, then INSERT INTO from a view — the analyzer-rewrite
     * insert path (log commits, inherited pruning metadata) under the
@@ -788,6 +808,19 @@ object ConnectorQueries {
               |JOIN graft_spj.cust_b c ON o.o_custkey = c.c_custkey
               |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
     }),
+    // a nested-namespace table (cat.raw.t — CREATE NAMESPACE + CTAS +
+    // INSERT by qualified name) must read back exactly as the raw
+    // input: namespaces organize, they never change rows
+    "conn_ns_read" -> ((s, d) => {
+      val root = nsWarehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_ns", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_ns.warehouse", root)
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM graft_ns.raw.orders_ns
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     // metadata-only aggregates: an unfiltered count(*)/min/max over the
     // connector relation answers from manifest row counts and zones
     // alone — ConnectorSpec pins that the optimized plan is a
@@ -990,6 +1023,11 @@ object ConnectorQueries {
         |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "conn_ns_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_insert_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
