@@ -30,6 +30,24 @@ object ConnectorQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
 
+  /** Register (idempotently) a [[GraftCatalog]] over `root` under a name
+    * DERIVED FROM THE ROOT: the engine's CatalogManager caches the
+    * plugin instance per NAME, so a fixed name would silently pin the
+    * first dataset's warehouse for the whole session — a second sf dir
+    * would read the first one's tables (the pitfall Bench's
+    * probe-unique names work around). Deriving the name from the root
+    * gives every warehouse its own catalog instance, and both the
+    * fixture builder and the query recompute the same name from the
+    * same root. */
+  private def catalogFor(s: SparkSession, prefix: String,
+                         root: String): String = {
+    val name = prefix + "_" +
+      java.lang.Long.toUnsignedString(SnapshotLog.hashStringKey(root), 36)
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", root)
+    name
+  }
+
   /** Two appends THROUGH the writer face: epoch 1 = even orderkeys
     * (snapshot 1), epoch 2 = odd (snapshot 2). */
   private def ordersWarehouse(s: SparkSession, d: String): String =
@@ -99,14 +117,12 @@ object ConnectorQueries {
       ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)
         .write.format("graft").mode("append")
         .option("statsCols", "o_orderkey").save(s"$base/src")
-      s.conf.set("spark.sql.catalog.graft_vstream",
-        classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_vstream.warehouse", base)
-      val q = s.readStream.table("graft_vstream.src")
+      val cat = catalogFor(s, "graft_vstream", base)
+      val q = s.readStream.table(s"$cat.src")
         .writeStream.format("graft")
         .option("checkpointLocation", s"$base/cp")
         .option("statsCols", "o_orderkey")
-        .toTable("graft_vstream.dst")
+        .toTable(s"$cat.dst")
       try q.processAllAvailable() finally q.stop()
       base
     }
@@ -161,16 +177,15 @@ object ConnectorQueries {
     * into namespaces may only change the NAME, never the rows. */
   private def nsWarehouse(s: SparkSession, d: String): String =
     cached(s, d, "ns") { base =>
-      s.conf.set("spark.sql.catalog.graft_ns", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_ns.warehouse", base)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ns.raw")
+      val cat = catalogFor(s, "graft_ns", base)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.raw")
       orders(s, d).filter(col("o_orderstatus") === "F")
         .createOrReplaceTempView("conn_ns_src_f")
       orders(s, d).filter(col("o_orderstatus") =!= "F")
         .createOrReplaceTempView("conn_ns_src_rest")
-      s.sql("CREATE TABLE graft_ns.raw.orders_ns AS " +
+      s.sql(s"CREATE TABLE $cat.raw.orders_ns AS " +
         "SELECT * FROM conn_ns_src_f")
-      s.sql("INSERT INTO graft_ns.raw.orders_ns " +
+      s.sql(s"INSERT INTO $cat.raw.orders_ns " +
         "SELECT * FROM conn_ns_src_rest")
       base
     }
@@ -410,6 +425,29 @@ object ConnectorQueries {
       dir
     }
 
+  /** A merge-on-read warehouse under POSITIONAL masks (deletion
+    * vectors) behind `conn_mor_read`: seed = all orders in 4
+    * range-clustered files, then two `Merge.deleteWhere` commits record
+    * (file, ordinal) masks — every 7th orderkey, then the P-status
+    * rows. The build REQUIRES the read to plan as the VECTORIZED masked
+    * batch scan (the r13 `weak` flag's fix: standing MOR reads between
+    * compactions must stay columnar, never the Row bridge); the oracle
+    * then pins that the mask filter loses and keeps exactly the right
+    * rows. */
+  private def morWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "mor") { base =>
+      val dir = s"$base/orders_mor"
+      orders(s, d).repartitionByRange(4, col("o_orderkey"))
+        .write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      graft.table.Merge.deleteWhere(s, dir, pmod(col("o_orderkey"), lit(7)) === 0)
+      graft.table.Merge.deleteWhere(s, dir, col("o_orderstatus") === "P")
+      val scan = new GraftScanBuilder(s, dir).build()
+      require(scan.isInstanceOf[GraftV2BatchScan] &&
+        scan.description().contains("maskedFiles="),
+        s"the masked read must plan VECTORIZED, got ${scan.description()}")
+      base
+    }
+
   /** The V2-catalog warehouse behind `conn_v2_agg`: one orders table
     * under a [[GraftCatalog]] root; the query goes through the V2
     * TableCatalog + complete aggregate pushdown (manifest-only answers —
@@ -430,17 +468,16 @@ object ConnectorQueries {
     * final read proves the whole write path against the DuckDB oracle. */
   private def v2WriteWarehouse(s: SparkSession, d: String): String =
     cached(s, d, "v2w") { base =>
-      s.conf.set("spark.sql.catalog.graft_v2w", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_v2w.warehouse", base)
+      val cat = catalogFor(s, "graft_v2w", base)
       orders(s, d).createOrReplaceTempView("v2w_src")
-      s.sql("""CREATE TABLE graft_v2w.orders_w
+      s.sql(s"""CREATE TABLE $cat.orders_w
               |TBLPROPERTIES ('statsCols' = 'o_orderkey') AS
               |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
               |FROM v2w_src WHERE o_orderkey % 2 = 0""".stripMargin)
-      s.sql("""INSERT INTO graft_v2w.orders_w
+      s.sql(s"""INSERT INTO $cat.orders_w
               |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
               |FROM v2w_src WHERE o_orderkey % 2 = 1""".stripMargin)
-      s.sql("DELETE FROM graft_v2w.orders_w " +
+      s.sql(s"DELETE FROM $cat.orders_w " +
         "WHERE o_orderkey < 300 OR o_orderstatus = 'P'")
       base
     }
@@ -579,12 +616,9 @@ object ConnectorQueries {
     // pushed down (manifest-only, zero files opened) through the
     // engine's own SupportsPushDownAggregates contract
     "conn_v2_agg" -> ((s, d) => {
-      val root = v2Warehouse(s, d)
-      s.conf.set("spark.sql.catalog.graft_v2",
-        classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_v2.warehouse", root)
+      val cat = catalogFor(s, "graft_v2", v2Warehouse(s, d))
       s.sql("SELECT count(*) AS n, min(o_orderkey) AS min_key, " +
-        "max(o_orderkey) AS max_key FROM graft_v2.orders_v2")
+        s"max(o_orderkey) AS max_key FROM $cat.orders_v2")
     }),
     // partition listing from MANIFESTS alone (the Iceberg `partitions`
     // metadata table as a TVF): per-value row counts over a
@@ -611,13 +645,11 @@ object ConnectorQueries {
     // DELETE) must read back exactly as the declarative SQL over the
     // raw input — writes may only change the LOG, never the answer
     "conn_v2_write" -> ((s, d) => {
-      val root = v2WriteWarehouse(s, d)
-      s.conf.set("spark.sql.catalog.graft_v2w", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_v2w.warehouse", root)
-      s.sql("""SELECT o_orderstatus, count(*) AS n,
+      val cat = catalogFor(s, "graft_v2w", v2WriteWarehouse(s, d))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
               |  round(sum(o_totalprice), 2) AS total,
               |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-              |FROM graft_v2w.orders_w
+              |FROM $cat.orders_w
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
     // the branch-head read: a two-commit staged chain folds over the
@@ -764,14 +796,11 @@ object ConnectorQueries {
     // (catalog-first, no path strings anywhere) — the streamed-by-name
     // copy must aggregate exactly like the raw input
     "conn_stream_table" -> ((s, d) => {
-      val root = tableStreamWarehouse(s, d)
-      s.conf.set("spark.sql.catalog.graft_vstream",
-        classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_vstream.warehouse", root)
-      s.sql("""SELECT o_orderstatus, count(*) AS n,
+      val cat = catalogFor(s, "graft_vstream", tableStreamWarehouse(s, d))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
               |  round(sum(o_totalprice), 2) AS total,
               |  max(o_custkey) AS max_cust
-              |FROM graft_vstream.dst
+              |FROM $cat.dst
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
     // V2 runtime filtering (DPP for the table format): the fact scan
@@ -779,14 +808,12 @@ object ConnectorQueries {
     // (ConnectorV2Spec pins kept=1); the oracle pins that runtime
     // pruning only SKIPPED — the filtered join equals the plain SQL
     "conn_dpp_join" -> ((s, d) => {
-      val root = dppWarehouse(s, d)
-      s.conf.set("spark.sql.catalog.graft_dpp", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_dpp.warehouse", root)
-      s.sql("""SELECT f.o_orderstatus, count(*) AS n,
+      val cat = catalogFor(s, "graft_dpp", dppWarehouse(s, d))
+      s.sql(s"""SELECT f.o_orderstatus, count(*) AS n,
               |  round(sum(f.o_totalprice), 2) AS total,
               |  max(f.o_orderkey) AS max_key
-              |FROM graft_dpp.fact f
-              |JOIN graft_dpp.dim d ON f.o_orderstatus = d.o_orderstatus
+              |FROM $cat.fact f
+              |JOIN $cat.dim d ON f.o_orderstatus = d.o_orderstatus
               |WHERE d.tier = 'busy'
               |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
     }),
@@ -798,27 +825,35 @@ object ConnectorQueries {
     // leaves session confs at their defaults — a query must never leak
     // planner flags into the suite's other entries
     "conn_colocated_join" -> ((s, d) => {
-      val root = spjWarehouse(s, d)
-      s.conf.set("spark.sql.catalog.graft_spj", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_spj.warehouse", root)
-      s.sql("""SELECT c.c_nationkey, count(*) AS n,
+      val cat = catalogFor(s, "graft_spj", spjWarehouse(s, d))
+      s.sql(s"""SELECT c.c_nationkey, count(*) AS n,
               |  round(sum(o.o_totalprice), 2) AS total,
               |  max(o.o_orderkey) AS max_key
-              |FROM graft_spj.orders_b o
-              |JOIN graft_spj.cust_b c ON o.o_custkey = c.c_custkey
+              |FROM $cat.orders_b o
+              |JOIN $cat.cust_b c ON o.o_custkey = c.c_custkey
               |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
     }),
     // a nested-namespace table (cat.raw.t — CREATE NAMESPACE + CTAS +
     // INSERT by qualified name) must read back exactly as the raw
     // input: namespaces organize, they never change rows
     "conn_ns_read" -> ((s, d) => {
-      val root = nsWarehouse(s, d)
-      s.conf.set("spark.sql.catalog.graft_ns", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_ns.warehouse", root)
-      s.sql("""SELECT o_orderstatus, count(*) AS n,
+      val cat = catalogFor(s, "graft_ns", nsWarehouse(s, d))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
               |  round(sum(o_totalprice), 2) AS total,
               |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-              |FROM graft_ns.raw.orders_ns
+              |FROM $cat.raw.orders_ns
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+    // the VECTORIZED merge-on-read path (r14): positional masks filter
+    // inside the columnar scan (zero-copy row selection, no Row
+    // bridge — the fixture build refuses any other plan); the oracle
+    // pins that deletion vectors lose exactly the deleted rows
+    "conn_mor_read" -> ((s, d) => {
+      val cat = catalogFor(s, "graft_mor", morWarehouse(s, d))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM $cat.orders_mor
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
     // metadata-only aggregates: an unfiltered count(*)/min/max over the
@@ -1031,6 +1066,13 @@ object ConnectorQueries {
     "conn_insert_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_mor_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -44,6 +44,14 @@ object GraftBucketFunction extends UnboundFunction {
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
+        // NULL keys mirror the writer exactly: bucketArrange's
+        // pmod(cast(col AS long), n) is null on a null key, and Spark's
+        // hash(null) contributes nothing — the hash stays at its seed
+        // (42) — so the writer places null rows in pmod(42, n). The
+        // engine-evaluated placement must agree or v2 bucketed-shuffle
+        // planning (spark.sql.sources.v2.bucketing.shuffle.enabled)
+        // would route null rows to a different partition than storage.
+        if (input.isNullAt(1)) return Math.floorMod(42, n)
         val v = colType match {
           case _: ByteType => input.getByte(1).toLong
           case _: ShortType => input.getShort(1).toLong

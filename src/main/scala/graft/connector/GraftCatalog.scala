@@ -430,7 +430,21 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
           s"${segs.dropRight(1).mkString(".")} does not exist")
     val dir = nsDir(segs)
     fs(dir).mkdirs(new Path(dir))
-    fs(dir).create(new Path(s"$dir/_graft_namespace"), false).close()
+    // the marker create (overwrite=false) is the ARBITER of the create
+    // race — the namespaceExists check above is check-then-act, so the
+    // loser of two concurrent creators surfaces the same analysis
+    // exception a pre-existing namespace does, never a raw FS error
+    try fs(dir).create(new Path(s"$dir/_graft_namespace"), false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NamespaceAlreadyExistsException(Array(catName) ++ namespace)
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("exist") =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NamespaceAlreadyExistsException(Array(catName) ++ namespace)
+    }
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -452,8 +466,19 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
       if (contents.nonEmpty && !cascade)
         throw new org.apache.spark.sql.catalyst.analysis
           .NonEmptyNamespaceException(Array(catName) ++ namespace)
-      contents.map(_.getPath.toString).filter(isTable)
-        .foreach(SnapshotLog.invalidateDurableMeta)
+      // a cascade deletes the WHOLE subtree: every table under every
+      // nested child namespace must drop its memoized durable metadata
+      // too, or a recreate at the same path would race a stale cache
+      // entry (the incarnation token would refuse to serve it, but the
+      // cache must not carry tombstoned state at all)
+      def tablesUnder(d: String): Seq[String] =
+        fs(d).listStatus(new Path(d)).toSeq.filter(_.isDirectory)
+          .map(_.getPath.toString)
+          .flatMap(c =>
+            if (isTable(c)) Seq(c)
+            else if (isNamespaceDir(c)) tablesUnder(c)
+            else Seq.empty)
+      tablesUnder(dir).foreach(SnapshotLog.invalidateDurableMeta)
       fs(dir).delete(new Path(dir), true)
     }
   }
@@ -869,16 +894,43 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
           if (need < 0) zoneKept else zoneKept.take(need + 1)
         case None => zoneKept
       }
-      // the fast path (same gate as the V1 relation's): mask-free,
-      // registry-free, one bearing epoch whose column TYPES survive the
-      // visible merge — a REAL vectorized parquet Batch with runtime
-      // file filtering; anything else reads through the V1 bridge
-      val fastPath = dels.isEmpty && reg.isEmpty &&
+      // the fast path: registry-free, one bearing epoch whose column
+      // TYPES survive the visible merge — a REAL vectorized parquet
+      // Batch with runtime file filtering. Since r14 POSITIONAL masks
+      // stay ON this path (the deletion-vector read): positions name
+      // physical rows exactly, so a per-file row-index filter inside
+      // the vectorized read replaces the Row-bridge anti-join — gated
+      // by a mask-debt budget (the manifests state it up front) so the
+      // plan-time position load stays bounded driver metadata; debt
+      // beyond the budget (compact overdue) reads via the bridge.
+      // Equality masks still bridge: their seq-rule fold needs the
+      // key-join semantics, not physical addressing.
+      val posDebt = dels.iterator.filter(_.kind == "posdelete")
+        .map(_.rows).sum
+      val maskBudget = spark.conf
+        .getOption("graft.v2.maskedScan.maxPositions")
+        .flatMap(_.toLongOption).getOrElse(4L * 1024 * 1024)
+      val fastPath = reg.isEmpty &&
+        (dels.isEmpty ||
+          (dels.forall(_.kind == "posdelete") && posDebt <= maskBudget)) &&
         epochSchemas.distinct.size <= 1 &&
         epochSchemas.headOption.forall(_.fields.forall(f =>
           visible.fields.exists(v =>
             v.name == f.name && v.dataType == f.dataType)))
       if (fastPath) {
+        // ONE bounded plan-time job loads the recorded positions
+        // (≤ maskBudget rows by the manifest gate above) into the
+        // per-file sorted ordinal arrays the reader filter consumes;
+        // keys normalize to the manifests' scheme-less representation
+        val masks: Map[String, Array[Long]] =
+          if (dels.isEmpty) Map.empty
+          else spark.read.parquet(dels.map(_.path): _*)
+            .select(org.apache.spark.sql.functions.col(SnapshotLog.PosFileCol),
+              org.apache.spark.sql.functions.col(SnapshotLog.PosOrdCol))
+            .distinct()
+            .collect() // bounded by maskBudget — mask debt, never data
+            .groupBy(r => new java.net.URI(r.getString(0)).getPath)
+            .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
         // declared bucket layout (durable props) → the scan can report
         // key-grouped partitioning for storage-partitioned joins
         val props = SnapshotLog.tableProps(spark, dir)
@@ -896,7 +948,7 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
               SnapshotLog.bucketable(f.dataType)) }
         new GraftV2BatchScan(spark, dir, visible, required, pushed,
           kept, staticPruned = data.size - kept.size,
-          bucketSpec = bucketSpec)
+          bucketSpec = bucketSpec, masks = masks)
       }
       else
         new GraftBridgeScan(dir, kept, dels, reg, required,

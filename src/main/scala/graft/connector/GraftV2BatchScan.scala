@@ -16,10 +16,13 @@ import graft.table.SnapshotLog.DataFile
   * codegen-friendly), with [[SupportsRuntimeFiltering]] — the V2 face of
   * dynamic partition pruning for the table format. Eligibility mirrors
   * the V1 relation's fast path ([[GraftDataSource.relationFor]]):
-  * mask-free, registry-free, one bearing schema epoch whose column types
-  * survive the visible merge (parquet null-fills later-declared columns
-  * natively). Everything else stays on the always-correct
-  * [[GraftBridgeScan]].
+  * registry-free, one bearing schema epoch whose column types survive
+  * the visible merge (parquet null-fills later-declared columns
+  * natively) — and, since r14, POSITIONAL masks within the debt budget
+  * ride this path too (see `masks` below): the standing MOR read
+  * traffic between compactions stays columnar instead of degrading to
+  * the Row bridge. Equality-masked, multi-epoch and registry shapes
+  * stay on the always-correct [[GraftBridgeScan]].
   *
   * RUNTIME file pruning: when this scan sits under a join whose other
   * side is selectively filtered, Catalyst's partition-pruning rule sees
@@ -49,7 +52,15 @@ private[connector] final class GraftV2BatchScan(
     /** Declared `bucket(n, col)` layout (durable bucketCol/bucketCount
       * props) — reported as [[KeyGroupedPartitioning]] when every kept
       * file provably holds ONE bucket residue. */
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    /** Pending POSITIONAL delete masks, file path → sorted deleted row
+      * ordinals (r14): the deletion-vector read. Non-empty masks keep
+      * the scan on the vectorized columnar path — masked files read
+      * through a per-batch zero-copy selection wrapper
+      * ([[org.apache.spark.sql.graftshim.GraftSelectedColumnVector]])
+      * instead of falling back to the Row bridge. Loaded once at plan
+      * time, bounded by `graft.v2.maskedScan.maxPositions`. */
+    masks: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -66,7 +77,11 @@ private[connector] final class GraftV2BatchScan(
 
   override def description(): String =
     s"GraftBatchScan(files=${kept.size}, pruned=$staticPruned, " +
-      s"rtPruned=$runtimePruned, cols=${required.fieldNames.mkString(",")})"
+      s"rtPruned=$runtimePruned, " +
+      (if (masks.nonEmpty)
+        s"maskedFiles=${masks.size}, maskedRows=${masks.valuesIterator.map(_.length.toLong).sum}, "
+       else "") +
+      s"cols=${required.fieldNames.mkString(",")})"
 
   /** Columns a runtime filter could prune files on: anything with a zone
     * map, manifest bloom or partition-value set on some kept file —
@@ -100,14 +115,15 @@ private[connector] final class GraftV2BatchScan(
     * that lost HasPartitionKey; a runtime filter that pruned every
     * row-bearing file must therefore yield zero KEYED partitions, not a
     * fallback to plain FilePartitions). */
-  private val bucketedAtPlan: Boolean = bucketSpec.exists { case (c, n) =>
-    val key = SnapshotLog.bucketPartKey(n, c)
-    val bearing = staticKept.filter(_.rows > 0)
-    bearing.nonEmpty && bearing.forall(f => f.parts.get(key) match {
-      case Some(Seq(one)) => one.toIntOption.isDefined
-      case _ => false
-    })
-  }
+  private val bucketedAtPlan: Boolean = masks.isEmpty &&
+    bucketSpec.exists { case (c, n) =>
+      val key = SnapshotLog.bucketPartKey(n, c)
+      val bearing = staticKept.filter(_.rows > 0)
+      bearing.nonEmpty && bearing.forall(f => f.parts.get(key) match {
+        case Some(Seq(one)) => one.toIntOption.isDefined
+        case _ => false
+      })
+    }
 
   /** Bucket-id groups of the CURRENT (possibly runtime-filtered) file
     * list — row-bearing files only; a zero-row carrier contributes
@@ -143,19 +159,37 @@ private[connector] final class GraftV2BatchScan(
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f => (f.path, f.bytes))) },
         visible, required, pushed)
+    case None if masks.nonEmpty =>
+      // masked files (one partition each, mask filtered in the reader)
+      // + unmasked files on the plain packed batch — all vectorized
+      val (maskedF, plainF) = kept.partition(f =>
+        masks.get(f.path).exists(_.nonEmpty))
+      if (maskedF.isEmpty)
+        org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
+          spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
+      else
+        org.apache.spark.sql.graftshim.GraftParquetShim.maskedBatch(
+          spark, plainF.map(f => (f.path, f.bytes)),
+          maskedF.map(f => (f.path, f.bytes, masks(f.path))),
+          visible, required, pushed)
     case None =>
       org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
         spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
   }
 
   /** Manifest-exact statistics over the CURRENT (runtime-filtered) file
-    * list — the fast path never carries masks, so manifest rows ARE the
-    * logical rows. */
+    * list; pending positional masks subtract their recorded (distinct)
+    * ordinals — each names one physical row of one live file, so the
+    * difference IS the logical row count. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, kept.map(_.bytes).sum))
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(kept.map(_.rows).sum)
+    override def numRows(): java.util.OptionalLong = {
+      val masked = kept.iterator
+        .flatMap(f => masks.get(f.path)).map(_.length.toLong).sum
+      java.util.OptionalLong.of(
+        math.max(0L, kept.map(_.rows).sum - masked))
+    }
   }
 }
 

@@ -6,14 +6,15 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, VariantExtraction}
 import org.apache.spark.sql.execution.datasources.{FilePartition, NoopCache, PartitionedFile, PartitioningAwareFileIndex, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
 
 /** Bridge constructing the ENGINE's own vectorized parquet [[Batch]] over
   * an explicit, manifest-pinned file list — the read machinery behind the
@@ -73,6 +74,70 @@ object GraftParquetShim {
       pushedVariantExtractions = Array.empty[VariantExtraction])
   }
 
+  /** The MASKED vectorized variant — the deletion-vector read (the
+    * Iceberg vectorized position-delete / Delta DV design): files with
+    * pending positional masks stay ON the engine's vectorized columnar
+    * parquet reader; the read schema additionally requests the engine's
+    * own row-index generator column (`ParquetFileFormat.
+    * ROW_INDEX_TEMPORARY_COLUMN_NAME` — populated by the vectorized
+    * reader itself, page-skipping-safe, never read from the file), and a
+    * per-batch SELECTION WRAPPER drops exactly the masked ordinals
+    * without copying a single value ([[GraftSelectedColumnVector]]:
+    * logical row → surviving physical row through an int indirection).
+    * Unmasked files read through the plain packed batch with no
+    * row-index column and zero wrapper overhead. Downstream stays
+    * columnar either way — no InternalRow bridge, no whole-stage-codegen
+    * break.
+    *
+    * Each masked file gets its OWN input partition: the row-index
+    * column resets per file, so the reader must know which file's mask
+    * applies (the same one-file-per-task shape Delta's DV scan uses);
+    * unmasked files keep the engine's `maxPartitionBytes` packing. */
+  def maskedBatch(spark: SparkSession,
+                  plain: Seq[(String, Long)],
+                  masked: Seq[(String, Long, Array[Long])],
+                  dataSchema: StructType,
+                  readDataSchema: StructType,
+                  pushedFilters: Array[Filter]): Batch = {
+    require(masked.nonEmpty, "maskedBatch with no masked files")
+    val plainBatch =
+      if (plain.isEmpty) None
+      else Some(parquetBatch(spark, plain, dataSchema, readDataSchema,
+        pushedFilters))
+    // the TEMPORARY row-index column: the parquet readers recognize it
+    // by name, exclude it from the file's requested schema, and
+    // populate it with each row's file ordinal (page-skipping-safe)
+    // nullable: the column is never IN the file — the requested parquet
+    // schema must mark it optional (a required missing column refuses at
+    // reader init); the generator then overwrites the null vector with
+    // real ordinals before every batch is handed out
+    val readWithIdx = StructType(readDataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val maskedInner = parquetBatch(spark,
+      masked.map { case (p, len, _) => (p, len) },
+      dataSchema, readWithIdx, pushedFilters)
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val pp = plainBatch.map(_.planInputPartitions())
+          .getOrElse(Array.empty[InputPartition])
+        pp ++ masked.zipWithIndex.map { case ((p, len, positions), i) =>
+          val pf = PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len,
+            Map.empty)
+          GraftMaskedPartition(positions,
+            FilePartition(pp.length + i, Array(pf))): InputPartition
+        }
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftMaskedReaderFactory(
+          plainBatch.map(_.createReaderFactory()),
+          maskedInner.createReaderFactory(),
+          readDataSchema)
+    }
+  }
+
   /** The KEY-GROUPED variant for storage-partitioned joins: one input
     * partition per bucket group, each carrying its bucket id as the
     * [[HasPartitionKey]] row — `EnsureRequirements` then aligns two
@@ -112,6 +177,149 @@ private[graftshim] final case class GraftBucketedPartition(
     files: FilePartition) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
   override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** One MASKED data file: its sorted deleted row ordinals plus the
+  * single-file [[FilePartition]] the stock parquet reader consumes. */
+private[graftshim] final case class GraftMaskedPartition(
+    positions: Array[Long],
+    files: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Routes plain partitions to the untouched packed reader and masked
+  * partitions through the row-index selection filter. `readDataSchema`
+  * is the OUTPUT schema (no row-index column); masked inner readers see
+  * one extra trailing long column the wrapper consumes and drops. */
+private[graftshim] final class GraftMaskedReaderFactory(
+    plain: Option[PartitionReaderFactory],
+    maskedInner: PartitionReaderFactory,
+    readDataSchema: StructType) extends PartitionReaderFactory {
+
+  private def dataCols: Int = readDataSchema.length
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case m: GraftMaskedPartition => maskedInner.supportColumnarReads(m.files)
+    case other => plain.get.supportColumnarReads(other)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = p match {
+    case m: GraftMaskedPartition =>
+      val inner = maskedInner.createColumnarReader(m.files)
+      val cols = dataCols
+      new PartitionReader[ColumnarBatch] {
+        private var current: ColumnarBatch = _
+        override def next(): Boolean = {
+          if (!inner.next()) return false
+          current = GraftMaskedReaderFactory
+            .filterBatch(inner.get(), m.positions, cols)
+          true
+        }
+        override def get(): ColumnarBatch = current
+        override def close(): Unit = inner.close()
+      }
+    case other => plain.get.createColumnarReader(other)
+  }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case m: GraftMaskedPartition =>
+      // row-based fallback (schemas the vectorized reader declines):
+      // skip masked ordinals by the trailing row-index field, then
+      // project it away so the output matches readDataSchema exactly
+      val inner = maskedInner.createReader(m.files)
+      val cols = dataCols
+      val drop = UnsafeProjection.create(
+        readDataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, nullable = true)
+        })
+      new PartitionReader[InternalRow] {
+        private var row: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            val r = inner.get()
+            if (java.util.Arrays.binarySearch(
+                m.positions, r.getLong(cols)) < 0) {
+              row = r
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = drop(row)
+        override def close(): Unit = inner.close()
+      }
+    case other => plain.get.createReader(other)
+  }
+}
+
+private[graftshim] object GraftMaskedReaderFactory {
+  /** Drop masked ordinals from one columnar batch: the row-index vector
+    * (last column) names each row's file ordinal; surviving ordinals
+    * become the selection map of zero-copy wrapper vectors. A fully
+    * surviving batch passes the inner vectors through untouched (minus
+    * the index column) — between-mask files in a masked scan pay
+    * nothing per value. */
+  private[graftshim] def filterBatch(b: ColumnarBatch, positions: Array[Long],
+                                     dataCols: Int): ColumnarBatch = {
+    val idx = b.column(dataCols)
+    val n = b.numRows()
+    val sel = new Array[Int](n)
+    var out = 0
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(positions, idx.getLong(i)) < 0) {
+        sel(out) = i
+        out += 1
+      }
+      i += 1
+    }
+    if (out == n)
+      new ColumnarBatch(Array.tabulate[ColumnVector](dataCols)(b.column), n)
+    else {
+      val selTrim = java.util.Arrays.copyOf(sel, out)
+      new ColumnarBatch(Array.tabulate[ColumnVector](dataCols)(c =>
+        new GraftSelectedColumnVector(b.column(c), selTrim)), out)
+    }
+  }
+}
+
+/** A zero-copy SELECTION view of a column vector: logical row `i` reads
+  * the inner vector's physical row `sel(i)`. Children (struct fields)
+  * wrap recursively with the same map, so nested access and the default
+  * interval/variant getters (which recurse through [[getChild]]) stay
+  * correct; array/map getters remap the row BEFORE delegating, and the
+  * returned views reference the inner child data directly (element
+  * storage is physical and untouched by row selection). Never closes
+  * the inner vector — the parquet reader owns it. */
+private[graftshim] final class GraftSelectedColumnVector(
+    inner: ColumnVector, sel: Array[Int])
+    extends ColumnVector(inner.dataType()) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = inner.hasNull
+  // may overcount after selection — safe direction (consumers use it
+  // only to decide whether null checks are needed)
+  override def numNulls(): Int = inner.numNulls()
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = inner.getByte(sel(i))
+  override def getShort(i: Int): Short = inner.getShort(sel(i))
+  override def getInt(i: Int): Int = inner.getInt(sel(i))
+  override def getLong(i: Int): Long = inner.getLong(sel(i))
+  override def getFloat(i: Int): Float = inner.getFloat(sel(i))
+  override def getDouble(i: Int): Double = inner.getDouble(sel(i))
+  override def getArray(i: Int): ColumnarArray = inner.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = inner.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    inner.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(sel(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    new GraftSelectedColumnVector(inner.getChild(ordinal), sel)
 }
 
 /** Unwraps [[GraftBucketedPartition]]s back to the [[FilePartition]]s
