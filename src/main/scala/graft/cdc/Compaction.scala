@@ -294,7 +294,12 @@ object Compaction {
         bucketSpec.map { case (c, n) => SnapshotLog.bucketPartKey(n, c) },
       // the frame is in its FINAL name space (logical names become the
       // rewritten files' stored names); no further translation
-      rawPhysical = true)
+      rawPhysical = true,
+      // both key-clustered layouts leave every partition ascending by
+      // the cluster column, and the per-file row cap splits a sorted
+      // stream into sorted files — stamp the order the readers' SMJ can
+      // then skip re-sorting
+      sortedBy = clusterBy.orElse(bucketSpec.map(_._1)))
     val nNew = rewritten.map(_.rows).sum
     require(nNew == nOld,
       s"compaction row-count mismatch for $table: $nOld -> $nNew; not committing")

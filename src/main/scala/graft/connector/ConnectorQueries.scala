@@ -171,6 +171,56 @@ object ConnectorQueries {
       base
     }
 
+  /** Two tables CO-BUCKETED on a STRING join key (r14 — the uuid /
+    * natural-key case): the writer hashes the key through xxhash64 into
+    * the same residue layout integral keys use, so string-keyed tables
+    * storage-partition-join too. The oracle pins that the hashed layout
+    * changed nothing about the answer. */
+  private def spjStrWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "spjstr") { base =>
+      graft.schema.Tables(s, d, "orders")
+        .select(concat(lit("c-"), col("o_custkey")).as("ck"),
+          col("o_orderkey"), col("o_totalprice"))
+        .write.format("graft").option("bucketBy", "8,ck")
+        .option("bloomCol", "ck").save(s"$base/orders_sb")
+      graft.schema.Tables(s, d, "customer")
+        .select(concat(lit("c-"), col("c_custkey")).as("ck"),
+          col("c_nationkey"))
+        .write.format("graft").option("bucketBy", "8,ck")
+        .option("bloomCol", "ck").save(s"$base/cust_sb")
+      base
+    }
+
+  /** A bucket-declared table built END TO END through the REAL V2 write
+    * (r14): CREATE TABLE … PARTITIONED BY (bucket(8, o_custkey)) then
+    * INSERT INTO by V2 name — the engine plans the clustering exchange
+    * from the write's RequiresDistributionAndOrdering and executors
+    * write single-bucket, key-sorted files with inline manifest stats.
+    * The build REQUIRES the layout proof (singleton bucket ids, sorted
+    * stamps); the oracle pins the rows. */
+  private def v2BucketWriteWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "v2bw") { base =>
+      val cat = catalogFor(s, "graft_v2bw", base)
+      s.sql(s"""CREATE TABLE $cat.orders_bw (
+              |  o_orderkey BIGINT, o_custkey BIGINT,
+              |  o_orderstatus STRING, o_totalprice DOUBLE)
+              |PARTITIONED BY (bucket(8, o_custkey))
+              |TBLPROPERTIES ('statsCols' = 'o_orderkey')""".stripMargin)
+      orders(s, d).createOrReplaceTempView("v2bw_src")
+      s.sql(s"""INSERT INTO $cat.orders_bw
+              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              |FROM v2bw_src""".stripMargin)
+      val key = SnapshotLog.bucketPartKey(8, "o_custkey")
+      val files = SnapshotLog.filesAt(s, s"$base/orders_bw")
+        .filter(f => f.kind == "data" && f.rows > 0)
+      require(files.nonEmpty &&
+        files.forall(_.parts.get(key).exists(_.size == 1)) &&
+        files.forall(_.sortedBy.contains("o_custkey")),
+        s"the V2 write must land single-bucket sorted files: " +
+          files.map(f => (f.parts.get(key), f.sortedBy)).mkString(", "))
+      base
+    }
+
   /** A table living in a NESTED NAMESPACE (`cat.raw.orders_ns`), built
     * through CREATE NAMESPACE + CTAS + INSERT INTO by qualified name —
     * the multi-level-namespace face under the oracle: organizing tables
@@ -844,6 +894,30 @@ object ConnectorQueries {
               |FROM $cat.raw.orders_ns
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // co-bucketed STRING keys (r14): the xxhash64-residue layout may
+    // only change the PLAN (zero-exchange SMJ pinned in
+    // ConnectorV2Spec) — the oracle replays the join on the raw keys
+    "conn_colocated_join_str" -> ((s, d) => {
+      val cat = catalogFor(s, "graft_spjstr", spjStrWarehouse(s, d))
+      s.sql(s"""SELECT c.c_nationkey, count(*) AS n,
+              |  round(sum(o.o_totalprice), 2) AS total,
+              |  max(o.o_orderkey) AS max_key
+              |FROM $cat.orders_sb o
+              |JOIN $cat.cust_sb c ON o.ck = c.ck
+              |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+    }),
+    // the REAL V2 bucketed write (r14): engine-planned exchange +
+    // inline-stats single-bucket files (layout proof required at
+    // build) — the written table must aggregate exactly like the raw
+    // input
+    "conn_v2_bucket_write" -> ((s, d) => {
+      val cat = catalogFor(s, "graft_v2bw", v2BucketWriteWarehouse(s, d))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM $cat.orders_bw
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     // the VECTORIZED merge-on-read path (r14): positional masks filter
     // inside the columnar scan (zero-copy row selection, no Row
     // bridge — the fixture build refuses any other plan); the oracle
@@ -1073,6 +1147,17 @@ object ConnectorQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_colocated_join_str" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM orders JOIN customer
+        |  ON 'c-' || o_custkey = 'c-' || c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "conn_v2_bucket_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -27,15 +27,16 @@ object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
 
   override def description(): String =
-    "bucket(n, col) - hashed-residue bucket id of an integral column"
+    "bucket(n, col) - hashed-residue bucket id of an integral or string column"
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2,
       s"graft bucket(n, col) takes 2 arguments, got ${inputType.length}")
     val colType = inputType.fields(1).dataType
     require(colType.isInstanceOf[ByteType] || colType.isInstanceOf[ShortType] ||
-      colType.isInstanceOf[IntegerType] || colType.isInstanceOf[LongType],
-      s"graft bucket(n, col): col must be integral, got $colType")
+      colType.isInstanceOf[IntegerType] || colType.isInstanceOf[LongType] ||
+      colType.isInstanceOf[StringType],
+      s"graft bucket(n, col): col must be integral or string, got $colType")
     new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
       override def resultType(): DataType = IntegerType
@@ -44,21 +45,37 @@ object GraftBucketFunction extends UnboundFunction {
       override def isResultNullable: Boolean = false
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
-        // NULL keys mirror the writer exactly: bucketArrange's
-        // pmod(cast(col AS long), n) is null on a null key, and Spark's
-        // hash(null) contributes nothing — the hash stays at its seed
-        // (42) — so the writer places null rows in pmod(42, n). The
-        // engine-evaluated placement must agree or v2 bucketed-shuffle
-        // planning (spark.sql.sources.v2.bucketing.shuffle.enabled)
-        // would route null rows to a different partition than storage.
-        if (input.isNullAt(1)) return Math.floorMod(42, n)
-        val v = colType match {
-          case _: ByteType => input.getByte(1).toLong
-          case _: ShortType => input.getShort(1).toLong
-          case _: IntegerType => input.getInt(1).toLong
-          case _ => input.getLong(1)
+        val residue: Long = colType match {
+          case _: StringType =>
+            // string residue = pmod(xxhash64(col), n), the SQL twin of
+            // SnapshotLog.hashStringKey; xxhash64 of a NULL is its seed
+            // (42), so a null string key holds residue pmod(42, n)
+            val h =
+              if (input.isNullAt(1)) 42L
+              else {
+                val u = input.getUTF8String(1)
+                org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                    u.numBytes, 42L)
+              }
+            Math.floorMod(h, n.toLong)
+          case _ =>
+            // NULL integral keys mirror the writer exactly: the residue
+            // pmod(cast(col AS long), n) is null, and Spark's hash(null)
+            // contributes nothing — the hash stays at its seed (42) —
+            // so the writer places null rows in pmod(42, n). The
+            // engine-evaluated placement must agree or v2 bucketed-
+            // shuffle planning would route null rows to a different
+            // partition than storage.
+            if (input.isNullAt(1)) return Math.floorMod(42, n)
+            val v = colType match {
+              case _: ByteType => input.getByte(1).toLong
+              case _: ShortType => input.getShort(1).toLong
+              case _: IntegerType => input.getInt(1).toLong
+              case _ => input.getLong(1)
+            }
+            Math.floorMod(v, n.toLong)
         }
-        val residue = Math.floorMod(v, n.toLong)
         // Spark's hash(longResidue) = Murmur3 hashLong with seed 42 —
         // byte-identical to both the writer's partitioner and the
         // manifest recording expression

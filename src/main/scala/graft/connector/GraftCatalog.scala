@@ -580,7 +580,7 @@ private[connector] object GraftCatalog {
           s"catalog $catName: bucket column '$c' is not a table column"))
       require(SnapshotLog.bucketable(f.dataType),
         s"catalog $catName: bucket column '$c' must be integral " +
-          s"(byte/short/int/long), got ${f.dataType.simpleString}")
+          s"(byte/short/int/long) or string, got ${f.dataType.simpleString}")
     }
 
   /** SET/UNSET TBLPROPERTIES: ONE fileless metadata commit carrying the
@@ -678,10 +678,29 @@ private[connector] final class GraftV2Table(dir: String,
       provider = Some("graft"))
   }
 
+  /** The real-V2-write plan of a bucket-declared table (r14): when
+    * defined, appends and INSERT OVERWRITE run as genuine distributed
+    * V2 writes — engine-planned bucket exchange + inline manifest
+    * stats — and V1_BATCH_WRITE must NOT be declared (the engine
+    * refuses a non-V1 write under that capability). Pinned per table
+    * instance so the capability decision and the write builder can
+    * never disagree. */
+  private lazy val bucketWritePlan: Option[Boolean =>
+      org.apache.spark.sql.connector.write.Write] =
+    if (asOf.isDefined) None
+    else GraftBucketWrite.planFor(spark, dir, state._4)
+
   /** A time-travel-pinned table is READ-ONLY (no write capabilities at
-    * all, so INSERT/DELETE refuse at analysis, not at commit time). */
+    * all, so INSERT/DELETE refuse at analysis, not at commit time).
+    * An eligible bucket-declared table drops V1_BATCH_WRITE (real V2
+    * writes) and with it OVERWRITE_BY_FILTER — its replaceWhere face is
+    * the V1 writer option until a delta-based row-level write exists;
+    * every other table keeps the V1-fallback contract unchanged. */
   override def capabilities(): util.Set[TableCapability] =
     (if (asOf.isDefined) Set(TableCapability.BATCH_READ)
+     else if (bucketWritePlan.isDefined)
+       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+         TableCapability.TRUNCATE)
      else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
        TableCapability.OVERWRITE_BY_FILTER)).asJava
@@ -698,7 +717,7 @@ private[connector] final class GraftV2Table(dir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"graft table $dir: cannot write to a time-travel relation")
-    new GraftV2WriteBuilder(dir, state._4)
+    new GraftV2WriteBuilder(dir, state._4, bucketWritePlan)
   }
 
   /** `TRUNCATE TABLE cat.t` — one metadata commit removing every live

@@ -188,9 +188,9 @@ final class GraftDataSource extends RelationProvider
           s"bucketBy column '$c' is not a column of the frame " +
             s"(${data.schema.fieldNames.mkString(", ")})"))
       require(SnapshotLog.bucketable(f.dataType),
-        s"bucketBy column '$c' must be integral (byte/short/int/long), " +
-          s"got ${f.dataType.simpleString} — a non-integral residue would " +
-          "silently collapse every file into one bucket")
+        s"bucketBy column '$c' must be integral (byte/short/int/long) " +
+          s"or string, got ${f.dataType.simpleString} — a lossy residue " +
+          "cast would silently collapse every file into one bucket")
     }
     def write(): Seq[SnapshotLog.DataFile] = {
       val arranged = bucketBy match {
@@ -204,7 +204,9 @@ final class GraftDataSource extends RelationProvider
         statsCols = (GraftDataSource.csv(parameters, "statsCols") ++ zcols).distinct,
         bloomCol = parameters.get("bloomCol"),
         partitionCols = GraftDataSource.csv(parameters, "partitionCols") ++
-          bucketBy.map { case (c, n) => SnapshotLog.bucketPartKey(n, c) })
+          bucketBy.map { case (c, n) => SnapshotLog.bucketPartKey(n, c) },
+        // bucketArrange leaves each partition (= file) key-ascending
+        sortedBy = bucketBy.map(_._1))
     }
     // Delta-style replaceWhere: predicate-scoped ATOMIC overwrite — one
     // commit deletes the matching slice and adds the incoming data
@@ -561,7 +563,9 @@ object GraftDataSource {
       case None => aligned
     }
     val added = SnapshotLog.writeData(arranged, dir,
-      statsCols = stats, bloomCol = bloom, partitionCols = parts)
+      statsCols = stats, bloomCol = bloom, partitionCols = parts,
+      // bucketArrange leaves each partition (= file) key-ascending
+      sortedBy = bucketSpec.map(_._1))
     if (overwrite)
       replaceAll(spark, dir, added, Map("mode" -> "insert-overwrite"))
     else

@@ -483,7 +483,9 @@ object GraftDml {
         case SnapshotLog.BucketKeyPattern(n, inner) =>
           SnapshotLog.bucketPartKey(n.toInt, phys(inner))
         case c => phys(c)
-      }, rawPhysical = true)
+      }, rawPhysical = true,
+      // bucketArrange leaves each partition (= file) key-ascending
+      sortedBy = bucketSpec.map { case (c, _) => phys(c) })
   }
 
   private def lineageSummary(lin: Option[String],

@@ -1,7 +1,7 @@
 package graft.connector
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources
@@ -63,7 +63,7 @@ private[connector] final class GraftV2BatchScan(
     masks: Map[String, Array[Long]] = Map.empty)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportOrdering {
 
   @volatile private var kept: Seq[DataFile] = staticKept
   @volatile private var runtimePruned: Int = 0
@@ -149,6 +149,29 @@ private[connector] final class GraftV2BatchScan(
         Array(Expressions.bucket(n, c)), gs.size)
     case None => new UnknownPartitioning(0)
   }
+
+  /** SORTED buckets (r14): when the key-grouped reporting holds AND
+    * every row-bearing kept file is manifest-stamped `sortedBy` the
+    * bucket column AND each bucket group holds exactly ONE file (a
+    * concatenation of two sorted files is not sorted), each scan
+    * partition is provably ascending by the key — reported so the SMJ
+    * over two co-located scans drops its per-task Sort as well as its
+    * Exchange. Decided ONCE over the statically-pruned list: runtime
+    * filtering only drops whole files, which can never unsort a
+    * partition (a 1-file group shrinks to 0 files, still sorted). */
+  private val sortedAtPlan: Boolean = bucketedAtPlan && bucketSpec.exists {
+    case (c, n) =>
+      val key = SnapshotLog.bucketPartKey(n, c)
+      val bearing = staticKept.filter(_.rows > 0)
+      bearing.forall(_.sortedBy.exists(_.equalsIgnoreCase(c))) &&
+        bearing.groupBy(_.parts(key).head).forall(_._2.size == 1)
+  }
+
+  override def outputOrdering(): Array[SortOrder] =
+    if (sortedAtPlan)
+      Array(Expressions.sort(Expressions.column(bucketSpec.get._1),
+        SortDirection.ASCENDING))
+    else Array.empty
 
   override def planInputPartitions(): Array[InputPartition] = inner().planInputPartitions()
 

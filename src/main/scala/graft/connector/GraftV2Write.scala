@@ -7,9 +7,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{expressions => cexpr}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.graftshim.{GraftBucketWriterFactory, GraftColSpec, GraftWriteShim, GraftWriteTaskResult}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 import graft.table.SnapshotLog
 
@@ -42,7 +45,9 @@ import graft.table.SnapshotLog
   * history (time travel to the pre-replace snapshot still works).
   */
 private[connector] final class GraftV2WriteBuilder(dir: String,
-    visible: StructType) extends WriteBuilder
+    visible: StructType,
+    /** The table-pinned real-V2-write plan (None → the V1 bridge). */
+    realWrite: Option[Boolean => Write] = None) extends WriteBuilder
     with SupportsTruncate with SupportsOverwrite {
 
   private var overwrite = false
@@ -74,15 +79,37 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
     overwrite = true; overwriteFilters = filters; this
   }
 
-  override def build(): Write = new V1Write {
+  /** Bucket-declared APPEND / INSERT OVERWRITE writes return the REAL
+    * V2 [[GraftBucketWrite]] — the engine then honors its
+    * `RequiresDistributionAndOrdering` (the V1-fallback exec runs the
+    * pre-optimization `analyzedQuery` BY DESIGN, so a V1Write can never
+    * receive an engine-planned exchange) and executors write files +
+    * inline manifest stats directly. Everything else — unbucketed
+    * tables, predicate replaceWhere, metadata shapes the inline stats
+    * writer can't serve — stays on the V1 bridge below. */
+  override def build(): Write = {
+    val isTruncate = overwriteFilters.isEmpty ||
+      overwriteFilters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    val replaceWhere = overwrite && !isTruncate
+    realWrite match {
+      // the table's capabilities dropped V1_BATCH_WRITE when the plan
+      // exists, and OVERWRITE_BY_FILTER with it — replaceWhere cannot
+      // reach an eligible table's builder
+      case Some(mk) if !replaceWhere => mk(overwrite)
+      case _ => v1Write()
+    }
+  }
+
+  private def v1Write(): Write = new V1Write {
     private val ow = overwrite
     private val fs = overwriteFilters
+    private def isTruncate = fs.isEmpty ||
+      fs.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {
           val spark = data.sparkSession
-          val isTruncate = fs.isEmpty ||
-            fs.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
           if (ow && !isTruncate) {
             // predicate-scoped atomic overwrite (V2 replaceWhere)
             val t = GraftDml.v1Target(spark, dir)
@@ -105,6 +132,185 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
     override def toString: String =
       s"GraftV1Write($dir, ${if (ow) "overwrite" else "append"}" +
         (if (fs.nonEmpty) s", where=${fs.mkString(" AND ")}" else "") + ")"
+  }
+}
+
+/** The REAL DataSourceV2 batch write of a BUCKET-DECLARED graft table
+  * (r14) — the engine-contract path the V1 bridge cannot express:
+  *
+  *  1. `RequiresDistributionAndOrdering` reports
+  *     `clustered(bucket(n, col))` + a `(bucket(n, col), col)` local
+  *     ordering; the engine resolves the transform through
+  *     [[GraftBucketFunction]] (the SAME bound formula the scan reports
+  *     and the manifest records) and plans the exchange + sort itself —
+  *     AQE-sized, fused with the query, instead of the V1 path's
+  *     writer-internal `bucketArrange` repartition.
+  *  2. Executors write parquet through the engine's own
+  *     `OutputWriterFactory`, FANNED OUT one file per bucket id with
+  *     every manifest statistic computed INLINE
+  *     ([[org.apache.spark.sql.graftshim.GraftBucketWriterFactory]]) —
+  *     no post-write stats read-back pass at all, which at 100 TB
+  *     halves the write's IO.
+  *  3. `commit` turns the per-task results into ONE manifest CAS
+  *     (append, or the atomic whole-live-set replacement for INSERT
+  *     OVERWRITE); aborted tasks leave only unreferenced bytes the
+  *     grace-gated sweep reclaims.
+  *
+  * Correctness never depends on the engine honoring the distribution
+  * (non-strict): the fanout writer keeps every file single-id under ANY
+  * incoming distribution, and stamps `sortedBy` only after verifying
+  * each file's order row-by-row. */
+private[connector] final class GraftBucketWrite(
+    spark: SparkSession, dir: String,
+    logicalBucketCol: String, bucketN: Int,
+    overwriteAll: Boolean,
+    physicalSchema: StructType, bucketOrdinal: Int, bucketTag: Int,
+    statsSpecs: Seq[GraftColSpec], partSpecs: Seq[GraftColSpec],
+    bloomSpec: Option[GraftColSpec])
+    extends Write with BatchWrite with RequiresDistributionAndOrdering {
+
+  private val physicalBucketCol = physicalSchema.fields(bucketOrdinal).name
+
+  override def toBatch: BatchWrite = this
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.bucket(bucketN, logicalBucketCol)))
+
+  /** Local (bucket-id, key) sort: rows reach each task bucket-contiguous
+    * and key-ascending, so the fanout writes ONE file per bucket and the
+    * verified `sortedBy` stamp holds — which is what lets the read-side
+    * SMJ drop its per-task Sort ([[GraftV2BatchScan]]'s
+    * SupportsReportOrdering). */
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.bucket(bucketN, logicalBucketCol),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+    Expressions.sort(Expressions.column(logicalBucketCol),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+
+  override def requiredNumPartitions(): Int = 0 // AQE sizes the exchange
+  override def distributionStrictlyRequired(): Boolean = false
+
+  private val writeUuid = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val (owf, conf) = GraftWriteShim.prepareFactory(spark, physicalSchema)
+    new GraftBucketWriterFactory(s"$dir/data/$writeUuid", physicalSchema,
+      bucketOrdinal, bucketTag, bucketN, statsSpecs, partSpecs, bloomSpec,
+      SnapshotLog.BloomBits, SnapshotLog.BloomHashes, owf, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val results = messages.toSeq
+      .collect { case m: GraftWriteTaskResult => m.files }.flatten
+    val bucketKey = SnapshotLog.bucketPartKey(bucketN, physicalBucketCol)
+    val files = results.map { r =>
+      val stats = r.mins.keys.map(c => c -> (r.mins(c), r.maxs(c))).toMap
+      val first = statsSpecs.headOption.map(_.name).flatMap(stats.get)
+      SnapshotLog.DataFile(r.path, r.rows, r.bytes,
+        first.map(_._1), first.map(_._2), kind = "data",
+        stats = stats,
+        blooms = (for { s <- bloomSpec; b <- r.bloom } yield
+          s.name -> java.util.Base64.getEncoder.encodeToString(b)).toMap,
+        parts = r.parts + (bucketKey -> Seq(r.bucketId.toString)),
+        nulls = r.nulls.filter { case (c, _) => stats.contains(c) },
+        sortedBy = if (r.sorted) Some(physicalBucketCol) else None)
+    }
+    if (overwriteAll)
+      GraftDataSource.replaceAll(spark, dir, files,
+        Map("mode" -> "insert-overwrite"))
+    else
+      SnapshotLog.commitRetrying(spark, dir, files,
+        summary = Map("mode" -> "insert-into"))
+    spark.sessionState.catalog.invalidateAllCachedTables()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    messages.toSeq.collect { case m: GraftWriteTaskResult => m.files }
+      .flatten.foreach { r =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(r.path)
+          p.getFileSystem(conf).delete(p, false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+  }
+
+  override def toString: String =
+    s"GraftBucketWrite($dir, bucket($bucketN, $logicalBucketCol), " +
+      s"${if (overwriteAll) "overwrite" else "append"})"
+}
+
+private[connector] object GraftBucketWrite {
+
+  /** The real-V2-write plan for `dir`, when the table declares a bucket
+    * layout AND every inherited metadata column is inline-computable
+    * (long-domain zones, string/integral partition values and bloom
+    * keys). Any other shape returns None — the V1 bridge serves it
+    * exactly as before (correct, just without the engine exchange).
+    * Computed ONCE per table instance (the capability decision and the
+    * builder must agree — a fresh evaluation at build time could race a
+    * concurrent metadata commit into a capability/write mismatch). */
+  def planFor(spark: SparkSession, dir: String, visible: StructType)
+      : Option[Boolean => Write] = {
+    val props = SnapshotLog.tableProps(spark, dir)
+    def prop(k: String): Option[String] = props.collectFirst {
+      case (kk, v) if kk.equalsIgnoreCase(k) => v }
+    def propCols(key: String): Seq[String] = prop(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .filter(c => visible.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val bucketSpec = (for { c <- prop("bucketCol")
+      n <- prop("bucketCount").flatMap(_.toIntOption) } yield (c, n))
+      .filter { case (c, _) => visible.fields.exists(f =>
+        f.name.equalsIgnoreCase(c) && SnapshotLog.bucketable(f.dataType)) }
+    bucketSpec.flatMap { case (c0, n) =>
+      // inherit the table's pruning metadata exactly as the V1 insert
+      // does; the synthetic bucket key is recorded by the writer itself
+      val (stats0, bloom0, parts0) =
+        GraftDataSource.inheritedMeta(spark, dir, visible)
+      val stats = (if (stats0.nonEmpty) stats0 else propCols("statsCols"))
+      val bloom = bloom0.orElse(propCols("bloomCol").headOption)
+      val parts = (if (parts0.nonEmpty) parts0 else propCols("partitionCols"))
+        .filterNot(SnapshotLog.BucketKeyPattern.matches)
+      // LOGICAL → physical naming + row ordinals (row layout is the
+      // visible schema; a field registry renames stored columns only)
+      val reg = SnapshotLog.registryAt(spark, dir).filterNot(_.isIdentity)
+      def phys(c: String): String = reg.flatMap(_.physicalOf(c)).getOrElse(c)
+      val physicalSchema = StructType(visible.fields.map(f =>
+        f.copy(name = phys(f.name), nullable = true)))
+      def ordOf(c: String): Option[Int] =
+        visible.fields.indexWhere(_.name.equalsIgnoreCase(c)) match {
+          case -1 => None
+          case i => Some(i)
+        }
+      def spec(c: String, tag: org.apache.spark.sql.types.DataType => Option[Int])
+          : Option[GraftColSpec] =
+        for { i <- ordOf(c); t <- tag(visible.fields(i).dataType) }
+          yield GraftColSpec(phys(c), i, t)
+      val bucketColType = ordOf(c0).map(i => visible.fields(i).dataType)
+      val bucketTag = bucketColType.flatMap {
+        case StringType => Some(GraftWriteShim.TString)
+        case dt => GraftWriteShim.zoneTagOf(dt)
+      }
+      // stats columns without an inline zone kind: strings with a
+      // bloom are fine (indexed there, like writeData); anything else
+      // falls back to the V1 path so the WARN + recording semantics
+      // stay exactly the V1 writer's
+      val statsSpecs = stats.flatMap(c => spec(c, GraftWriteShim.zoneTagOf))
+      val statsOk = stats.forall(c =>
+        spec(c, GraftWriteShim.zoneTagOf).isDefined ||
+          (visible.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+            f.dataType == StringType) && bloom.exists(_.equalsIgnoreCase(c))))
+      val partSpecs = parts.flatMap(c => spec(c, GraftWriteShim.partTagOf))
+      val bloomSpec = bloom.flatMap(c => spec(c, GraftWriteShim.bloomTagOf))
+      val eligible = bucketTag.isDefined && statsOk &&
+        partSpecs.size == parts.size &&
+        bloomSpec.isDefined == bloom.isDefined
+      if (!eligible) None
+      else Some((overwriteAll: Boolean) =>
+        new GraftBucketWrite(spark, dir, c0, n, overwriteAll,
+          physicalSchema, ordOf(c0).get, bucketTag.get,
+          statsSpecs, partSpecs, bloomSpec))
+    }
   }
 }
 
@@ -166,7 +372,11 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
               // PARTITIONED BY (bucket(n, col)) CTAS: arrange the query
               // result so each staged file holds one residue, and record
               // the synthetic bucket key — the SPJ layout holds from the
-              // table's very first commit
+              // table's very first commit. The arrangement stays
+              // writer-internal here: the engine's CTAS path never
+              // consults RequiresDistributionAndOrdering (V2Writes plans
+              // only AppendData/Overwrite*), so unlike the INSERT path
+              // there is no engine exchange to defer to.
               val bucket = for {
                 c <- prop("bucketCol")
                 n <- prop("bucketCount").flatMap(_.toIntOption)
@@ -178,7 +388,9 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
               staged = SnapshotLog.writeData(arranged, dir,
                 statsCols = stats, bloomCol = prop("bloomCol"),
                 partitionCols = parts ++ bucket.map { case (c, n) =>
-                  SnapshotLog.bucketPartKey(n, c) })
+                  SnapshotLog.bucketPartKey(n, c) },
+                // bucketArrange leaves each partition key-ascending
+                sortedBy = bucket.map(_._1))
               wrote = true
             }
           }

@@ -81,13 +81,21 @@ object SnapshotLog {
     * file of null rows; the null count is what lets a predicate-covered
     * file be dropped METADATA-ONLY by SQL DELETE (nulls fail every SQL
     * comparison, so a file with any would wrongly lose them). */
+  /** `sortedBy` (r14): the PHYSICAL column this file's rows ascend by
+    * (nulls first) — stamped by writers whose arrangement provably
+    * produced the order (the Iceberg sort-order-id posture: the writer
+    * that performed the sort is the authority; no read-back can verify
+    * order cheaply). Consumed by the V2 scan's SupportsReportOrdering
+    * so co-located bucket joins drop their per-task Sort. Absent on
+    * pre-r14 manifests = unknown, never "unsorted". */
   final case class DataFile(path: String, rows: Long, bytes: Long,
                             statsMin: Option[Long], statsMax: Option[Long],
                             kind: String = "data", seq: Long = 0L,
                             stats: Map[String, (Long, Long)] = Map.empty,
                             blooms: Map[String, String] = Map.empty,
                             parts: Map[String, Seq[String]] = Map.empty,
-                            nulls: Map[String, Long] = Map.empty)
+                            nulls: Map[String, Long] = Map.empty,
+                            sortedBy: Option[String] = None)
 
   /** Cap on distinct partition values recorded per file per column: a
     * file that genuinely belongs to a partitioned layout holds one (or
@@ -114,17 +122,36 @@ object SnapshotLog {
   private[graft] def bucketPartKey(n: Int, col: String): String =
     s"bucket($n,$col)"
 
-  /** Is `dt` a type the modulo-bucket layout accepts? The residue is
-    * `pmod(cast(col AS long), n)`; non-integral casts are null or lossy,
-    * which would silently collapse every insert into one bucket. */
+  /** Is `dt` a type the modulo-bucket layout accepts? Integrals take
+    * the residue `pmod(cast(col AS long), n)`; STRINGS (r14 — uuid /
+    * natural keys) hash through the shared xxhash64 first
+    * (`pmod(xxhash64(col), n)` — SQL twin of [[hashStringKey]]), so
+    * string-keyed tables co-locate too. Other types stay refused: a
+    * lossy cast would silently collapse every insert into one bucket. */
   private[graft] def bucketable(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
       case _ => false
     }
+
+  /** The shared residue of a bucket key — the ONE expression both the
+    * write-side partitioner and the recorded id hash: integrals
+    * `pmod(cast(col AS long), n)` (null key → null residue); strings
+    * `pmod(xxhash64(col), n)` (xxhash64 of a null is its seed, 42 — a
+    * null string key lands in the NON-null residue `pmod(42, n)`).
+    * [[graft.connector.GraftBucketFunction]] mirrors both branches
+    * byte-for-byte. */
+  private def bucketResidueExpr(c: org.apache.spark.sql.Column,
+                                isString: Boolean, n: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    if (isString) pmod(xxhash64(c), lit(n.toLong))
+    else pmod(c.cast("long"), lit(n.toLong))
+  }
 
   /** The ONE write-side bucket arrangement every bucketed writer shares
     * (V1 `bucketBy` option, SQL INSERT inheritance, staged CTAS, COW
@@ -139,18 +166,29 @@ object SnapshotLog {
     * [[graft.connector.GraftBucketFunction]] (the engine-facing twin)
     * and nowhere else. */
   private[graft] def bucketArrange(df: DataFrame, col0: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
-    df.repartition(n, pmod(col(col0).cast("long"), lit(n.toLong)))
+    import org.apache.spark.sql.functions.col
+    val isString = df.schema.fields
+      .find(_.name.equalsIgnoreCase(col0))
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    // the local key sort after the shuffle is what lets every bucketed
+    // file record `sortedBy` — the SMJ over co-located buckets then
+    // drops its per-task Sort (SupportsReportOrdering); the sort is
+    // in-partition only, no extra exchange
+    df.repartition(n, bucketResidueExpr(col(col0), isString, n))
+      .sortWithinPartitions(col(col0))
   }
 
-  /** The bucket ID of a row — `pmod(hash(pmod(k, n)), n)`, where `hash`
-    * is Spark's own Murmur3 (seed 42): exactly the partition id
-    * [[bucketArrange]]'s hash-repartition assigns, which is what makes
-    * the per-file recorded set a singleton by construction. */
-  private[graft] def bucketIdExpr(col0: org.apache.spark.sql.Column, n: Int)
+  /** The bucket ID of a row — `pmod(hash(residue), n)`, where `hash` is
+    * Spark's own Murmur3 (seed 42) and the residue is
+    * [[bucketResidueExpr]]: exactly the partition id [[bucketArrange]]'s
+    * hash-repartition assigns, which is what makes the per-file recorded
+    * set a singleton by construction. `isString` selects the string
+    * residue branch — callers dispatch on the COLUMN's type. */
+  private[graft] def bucketIdExpr(col0: org.apache.spark.sql.Column, n: Int,
+                                  isString: Boolean = false)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{hash, lit, pmod}
-    pmod(hash(pmod(col0.cast("long"), lit(n.toLong))), lit(n))
+    pmod(hash(bucketResidueExpr(col0, isString, n)), lit(n))
   }
 
   /** Commit-summary key persisting a CREATE TABLE–declared lineage key
@@ -346,19 +384,22 @@ object SnapshotLog {
       blooms: Map[String, String], parts: Map[String, Seq[String]],
       // per-zone-column null counts (r11); pre-r11 parquet checkpoints
       // lack the column and read back as empty = unknown
-      nulls: Map[String, Long]) {
+      nulls: Map[String, Long],
+      // within-file sort column (r14); pre-r14 checkpoints lack the
+      // column and read back as None = unknown
+      sortedBy: Option[String]) {
     def toDataFile: DataFile = DataFile(path, rows, bytes, statsMin, statsMax,
       kind = kind, seq = seq,
       stats = statsCols.indices.map(i =>
         statsCols(i) -> (statsMins(i), statsMaxs(i))).toMap,
-      blooms = blooms, parts = parts, nulls = nulls)
+      blooms = blooms, parts = parts, nulls = nulls, sortedBy = sortedBy)
   }
 
   private def toCheckpointRow(f: DataFile): CheckpointRow = {
     val cols = f.stats.keys.toSeq.sorted
     CheckpointRow(f.path, f.rows, f.bytes, f.statsMin, f.statsMax, f.kind,
       f.seq, cols, cols.map(f.stats(_)._1), cols.map(f.stats(_)._2),
-      f.blooms, f.parts, f.nulls)
+      f.blooms, f.parts, f.nulls, f.sortedBy)
   }
 
   private[table] val mapper = new ObjectMapper()
@@ -468,7 +509,11 @@ object SnapshotLog {
                   * bucketed rewrite emits target-SIZED files from its
                   * n fixed partitions (splitting one bucket partition
                   * keeps every file single-id). */
-                maxRecordsPerFile: Option[Long] = None): Seq[DataFile] = {
+                maxRecordsPerFile: Option[Long] = None,
+                /** The PHYSICAL column the caller's arrangement left each
+                  * file ascending by — stamped verbatim on every entry
+                  * (see [[DataFile.sortedBy]]). */
+                sortedBy: Option[String] = None): Seq[DataFile] = {
     require(kind == "data" || kind == "eqdelete" || kind == "posdelete",
       s"unknown file kind: $kind")
     val spark = df.sparkSession
@@ -476,6 +521,7 @@ object SnapshotLog {
       else registryAt(spark, tableDir).filterNot(_.isIdentity)
     val dfP = reg.map(_.toPhysical(df)).getOrElse(df)
     def phys(c: String): String = reg.flatMap(_.physicalOf(c)).getOrElse(c)
+    val sortedByP = sortedBy.map(phys)
     val uuid = java.util.UUID.randomUUID().toString
     val dst = s"$tableDir/data/$uuid"
     maxRecordsPerFile
@@ -535,7 +581,10 @@ object SnapshotLog {
       // so partKeeps stays inert for user predicates.
       val pexpr = c match {
         case BucketKeyPattern(n, inner) =>
-          bucketIdExpr(col(inner), n.toInt).cast("string")
+          val isString = written.schema.fields
+            .find(_.name.equalsIgnoreCase(inner))
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)
+          bucketIdExpr(col(inner), n.toInt, isString).cast("string")
         case _ => col(c).cast("string")
       }
       slice(sort_array(collect_set(pexpr)),
@@ -570,7 +619,8 @@ object SnapshotLog {
         val first = allStats.headOption.flatMap(stats.get)
         DataFile(path, r.getAs[Long]("rows"), sizes.getOrElse(path, 0L),
           first.map(_._1), first.map(_._2), kind = kind, stats = stats,
-          blooms = blooms, parts = parts, nulls = nulls)
+          blooms = blooms, parts = parts, nulls = nulls,
+          sortedBy = sortedByP)
       }
   }
 
@@ -801,6 +851,7 @@ object SnapshotLog {
         val arr = pn.putArray(c); vs.foreach(arr.add)
       }
     }
+    f.sortedBy.foreach(n.put("sorted_by", _))
   }
 
   /** Publish the full live file set at snapshot `id` as a checkpoint —
@@ -933,7 +984,8 @@ object SnapshotLog {
         Option(f.get("stats_max")).map(_.asLong()),
         kind = Option(f.get("kind")).map(_.asText()).getOrElse("data"),
         seq = Option(f.get("seq")).map(_.asLong()).getOrElse(0L),
-        stats = stats, blooms = blooms, parts = parts, nulls = nulls)
+        stats = stats, blooms = blooms, parts = parts, nulls = nulls,
+        sortedBy = Option(f.get("sorted_by")).map(_.asText()))
     }
   }
 
@@ -980,10 +1032,14 @@ object SnapshotLog {
           val raw = spark.read.parquet(dir.toString)
           // pre-r11 parquet checkpoints lack the null-count column:
           // fill with empty (= unknown) so the row decodes
-          val compat =
+          val compat0 =
             if (raw.columns.contains("nulls")) raw
             else raw.withColumn("nulls",
               typedLit(Map.empty[String, Long]))
+          val compat =
+            if (compat0.columns.contains("sortedBy")) compat0
+            else compat0.withColumn("sortedBy",
+              org.apache.spark.sql.functions.lit(null).cast("string"))
           compat.as[CheckpointRow]
             .collect().toSeq.map(_.toDataFile) // one row per live FILE: metadata
         }

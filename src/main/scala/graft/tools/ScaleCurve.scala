@@ -143,6 +143,28 @@ object ScaleCurve {
       val (_, tPosRead) = timed(
         SnapshotLog.read(spark, posTbl).get.count()); settle()
       require(posId.isDefined, "posdelete curve: the ranged DELETE matched nothing")
+      // r14: read-rate-vs-mask-debt curve for the VECTORIZED masked V2
+      // scan. The mask debt grows ~×k with the table (fixed key-space
+      // fraction, fixed modulus); the vectorized read must hold its
+      // per-row rate — masked files pay a binary search per row, not a
+      // Row bridge — while the bridge twin (budget 0) prices the old
+      // path at identical debt. Answers must agree exactly.
+      val morCat = s"gsc_mor_x$k"
+      spark.conf.set(s"spark.sql.catalog.$morCat",
+        classOf[graft.connector.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$morCat.warehouse", tfBase)
+      val posDebt = posMasks.map(_.rows).sum
+      val (nVec, tVecRead) = timed(
+        spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $morCat.pos")
+          .collect()(0)); settle()
+      spark.conf.set("graft.v2.maskedScan.maxPositions", "0")
+      val (nBridge, tBridgeRead) =
+        try timed(spark.sql(
+          s"SELECT count(*) AS n, sum(v) AS s FROM $morCat.pos").collect()(0))
+        finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
+      settle()
+      require(nVec == nBridge,
+        s"vectorized masked read diverged from the bridge: $nVec vs $nBridge")
       // r9: CDC apply-rate curve — a ~constant-size (~100k-row)
       // update-dominated delta drained through the STREAMING upsert sink
       // against the ×k table. The apply path costs O(delta + file
@@ -417,6 +439,8 @@ object ScaleCurve {
         s"mor_read=${s(tMorRead)}s " +
         s"pos_delete=${posMasks.map(_.rows).sum}pos/0rw/${s(tPosDel)}s " +
         s"pos_read=${s(tPosRead)}s " +
+        s"mask_debt=$posDebt v2_masked_vec=${s(tVecRead)}s " +
+        s"v2_masked_bridge=${s(tBridgeRead)}s " +
         s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
         s"cdf_preimages=$nPre/${s(tPre)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +

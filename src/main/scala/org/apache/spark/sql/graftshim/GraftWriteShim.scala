@@ -1,0 +1,303 @@
+package org.apache.spark.sql.graftshim
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Task-side machinery of the REAL DataSourceV2 batch write (the r14
+  * engine-planned bucketed INSERT): each task writes parquet through the
+  * engine's own `OutputWriterFactory` (ParquetFileFormat.prepareWrite —
+  * codec, write support, everything stock), FANNED OUT one file per
+  * bucket id, computing every manifest statistic INLINE while the rows
+  * stream past — zone min/max, null counts, partition-value sets, the
+  * manifest bloom, the bucket-id singleton, and a verified sortedness
+  * flag. At 100 TB this kills the V1 write path's whole second pass
+  * (writeData re-reads everything it just wrote to aggregate stats);
+  * here stats cost one comparison per row per column, in the task that
+  * already holds the row.
+  *
+  * Lives in this package for `ParquetFileFormat.prepareWrite`
+  * (`private[sql]`) and `SerializableConfiguration` (`private[spark]`);
+  * contains no Spark-derived code — it only instantiates. */
+object GraftWriteShim {
+
+  // metadata-extraction type tags (keep the task-side row access
+  // branch-cheap and serialization trivial)
+  final val TInt = 0; final val TLong = 1; final val TByte = 2
+  final val TShort = 3; final val TDate = 4; final val TTs = 5
+  final val TFloat = 6; final val TDouble = 7; final val TString = 8
+
+  /** Tag for a column the inline writer can compute ZONE stats for (the
+    * long domains [[graft.table.SnapshotLog]] records: numerics cast,
+    * dates epoch days, timestamps epoch micros — all of which ARE the
+    * InternalRow representations). None = no inline zone kind. */
+  def zoneTagOf(dt: DataType): Option[Int] = dt match {
+    case IntegerType => Some(TInt)
+    case LongType => Some(TLong)
+    case ByteType => Some(TByte)
+    case ShortType => Some(TShort)
+    case DateType => Some(TDate)
+    case TimestampType => Some(TTs)
+    case FloatType => Some(TFloat)
+    case DoubleType => Some(TDouble)
+    case _ => None
+  }
+
+  /** Tag for a column recordable as a partition-value set (the
+    * `cast(col AS string)` domain — exact for strings and integrals). */
+  def partTagOf(dt: DataType): Option[Int] = dt match {
+    case StringType => Some(TString)
+    case IntegerType => Some(TInt)
+    case LongType => Some(TLong)
+    case ByteType => Some(TByte)
+    case ShortType => Some(TShort)
+    case _ => None
+  }
+
+  /** Tag for a bloom key column (the xxhash64/identity long domain of
+    * `SnapshotLog.keyAsLong`). */
+  def bloomTagOf(dt: DataType): Option[Int] = dt match {
+    case StringType => Some(TString)
+    case IntegerType => Some(TInt)
+    case LongType => Some(TLong)
+    case ByteType => Some(TByte)
+    case ShortType => Some(TShort)
+    case _ => None
+  }
+
+  /** Zone-domain long of row(ord) under `tag` (row must be non-null
+    * there). Float/double truncate toward zero — Catalyst cast-to-long
+    * semantics. */
+  private[graftshim] def longOf(row: InternalRow, ord: Int, tag: Int): Long =
+    tag match {
+      case TInt | TDate => row.getInt(ord).toLong
+      case TLong | TTs => row.getLong(ord)
+      case TByte => row.getByte(ord).toLong
+      case TShort => row.getShort(ord).toLong
+      case TFloat => row.getFloat(ord).toLong
+      case TDouble => row.getDouble(ord).toLong
+      case TString => xxh64(row.getUTF8String(ord))
+      case _ => throw new IllegalStateException(s"bad tag $tag")
+    }
+
+  private[graftshim] def stringOf(row: InternalRow, ord: Int, tag: Int): String =
+    tag match {
+      case TString => row.getUTF8String(ord).toString
+      case TInt | TDate => row.getInt(ord).toString
+      case TLong | TTs => row.getLong(ord).toString
+      case TByte => row.getByte(ord).toString
+      case TShort => row.getShort(ord).toString
+      case _ => throw new IllegalStateException(s"bad tag $tag")
+    }
+
+  private[graftshim] def xxh64(u: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+
+  /** The engine's parquet [[OutputWriterFactory]] (serializable) plus
+    * the prepared hadoop conf — built once on the driver, shipped to
+    * every task. */
+  def prepareFactory(spark: SparkSession, schema: StructType)
+      : (OutputWriterFactory, SerializableConfiguration) = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    (factory, new SerializableConfiguration(job.getConfiguration))
+  }
+}
+
+/** One metadata column the task writer tracks: physical name, row
+  * ordinal, extraction tag. */
+final case class GraftColSpec(name: String, ordinal: Int, tag: Int)
+
+/** Per-file write result shipped task → driver (bounded metadata: one
+  * entry per written FILE). */
+final case class GraftFileResult(
+    path: String, rows: Long, bytes: Long, bucketId: Int,
+    mins: Map[String, Long], maxs: Map[String, Long],
+    nulls: Map[String, Long],
+    parts: Map[String, Seq[String]],
+    bloom: Option[Array[Byte]],
+    sorted: Boolean) extends Serializable
+
+final case class GraftWriteTaskResult(files: Seq[GraftFileResult])
+    extends WriterCommitMessage
+
+/** The serializable task factory: fans each task's rows out one parquet
+  * file per bucket id (the singleton-per-file proof holds structurally,
+  * whatever the incoming distribution), tracking all manifest metadata
+  * inline. */
+final class GraftBucketWriterFactory(
+    dataDir: String,
+    physicalSchema: StructType,
+    bucketOrdinal: Int,
+    bucketTag: Int,
+    bucketCount: Int,
+    statsCols: Seq[GraftColSpec],
+    partCols: Seq[GraftColSpec],
+    bloomCol: Option[GraftColSpec],
+    bloomBits: Int,
+    bloomHashes: Int,
+    writerFactory: OutputWriterFactory,
+    val conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new GraftBucketDataWriter(this, partitionId, taskId)
+
+  private[graftshim] def newOutputWriter(path: String, partitionId: Int,
+                                         taskId: Long)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft-v2-write", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    writerFactory.newInstance(path, physicalSchema,
+      new TaskAttemptContextImpl(conf.value, attempt))
+  }
+
+  private[graftshim] def specs = (bucketOrdinal, bucketTag, bucketCount,
+    statsCols, partCols, bloomCol, bloomBits, bloomHashes, dataDir)
+}
+
+private[graftshim] final class GraftBucketDataWriter(
+    factory: GraftBucketWriterFactory, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val (bucketOrd, bucketTag, n, statsCols, partCols, bloomCol,
+    bloomBits, bloomHashes, dataDir) = factory.specs
+
+  /** The shared bucket-id formula: murmur3(seed 42) of the key residue,
+    * floorMod n — byte-identical to the SQL recording expression
+    * ([[graft.table.SnapshotLog.bucketIdExpr]]) and the catalog
+    * function ([[graft.connector.GraftBucketFunction]]); null keys
+    * follow each branch's null-residue rule. */
+  private def bucketIdOf(row: InternalRow): Int = {
+    val residue: Long =
+      if (bucketTag == GraftWriteShim.TString) {
+        val h = if (row.isNullAt(bucketOrd)) 42L
+          else GraftWriteShim.xxh64(row.getUTF8String(bucketOrd))
+        Math.floorMod(h, n.toLong)
+      } else {
+        if (row.isNullAt(bucketOrd)) return Math.floorMod(42, n)
+        Math.floorMod(GraftWriteShim.longOf(row, bucketOrd, bucketTag), n.toLong)
+      }
+    Math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(residue, 42), n)
+  }
+
+  private final class FileState(val bucket: Int) {
+    val path = s"$dataDir/part-$partitionId-$taskId-b$bucket.parquet"
+    val writer = factory.newOutputWriter(path, partitionId, taskId)
+    var rows = 0L
+    val mins = mutable.Map.empty[String, Long]
+    val maxs = mutable.Map.empty[String, Long]
+    val nulls = mutable.Map.empty[String, Long]
+    // partition-value sets; null marks an over-cap column (stop
+    // collecting, record nothing — conservative, matches writeData)
+    val parts = mutable.Map.empty[String, mutable.Set[String]]
+    partCols.foreach(c => parts(c.name) = mutable.Set.empty)
+    val bloom: Option[Array[Long]] = bloomCol.map(_ => new Array[Long](bloomBits / 64))
+    // sortedness verified, never assumed: ascending nulls-first by the
+    // bucket key — a violated file simply loses the stamp
+    var sorted = true
+    var sawNonNullKey = false
+    var lastLong = Long.MinValue
+    var lastStr: UTF8String = _
+
+    def update(row: InternalRow): Unit = {
+      rows += 1
+      statsCols.foreach { c =>
+        if (row.isNullAt(c.ordinal))
+          nulls(c.name) = nulls.getOrElse(c.name, 0L) + 1L
+        else {
+          val v = GraftWriteShim.longOf(row, c.ordinal, c.tag)
+          if (!mins.contains(c.name) || v < mins(c.name)) mins(c.name) = v
+          if (!maxs.contains(c.name) || v > maxs(c.name)) maxs(c.name) = v
+          if (!nulls.contains(c.name)) nulls(c.name) = 0L
+        }
+      }
+      partCols.foreach { c =>
+        val set = parts(c.name)
+        if (set != null && !row.isNullAt(c.ordinal)) {
+          set += GraftWriteShim.stringOf(row, c.ordinal, c.tag)
+          if (set.size > graft.table.SnapshotLog.MaxPartValuesPerFile)
+            parts(c.name) = null // over-cap: record nothing for c
+        }
+      }
+      bloomCol.foreach { c =>
+        if (!row.isNullAt(c.ordinal))
+          bloom.foreach(bits => graft.functions.BloomFilterOps.set(
+            bits, GraftWriteShim.longOf(row, c.ordinal, c.tag), bloomHashes))
+      }
+      if (sorted) checkOrder(row)
+    }
+
+    private def checkOrder(row: InternalRow): Unit = {
+      if (row.isNullAt(bucketOrd)) {
+        // asc nulls FIRST: a null after any non-null key breaks order
+        if (sawNonNullKey) sorted = false
+      } else if (bucketTag == GraftWriteShim.TString) {
+        val v = row.getUTF8String(bucketOrd)
+        if (sawNonNullKey && lastStr.compareTo(v) > 0) sorted = false
+        else lastStr = v.clone() // row buffers are reused — copy out
+        sawNonNullKey = true
+      } else {
+        val v = GraftWriteShim.longOf(row, bucketOrd, bucketTag)
+        if (sawNonNullKey && lastLong > v) sorted = false
+        else lastLong = v
+        sawNonNullKey = true
+      }
+    }
+
+    def finish(): GraftFileResult = {
+      writer.close()
+      val p = new Path(path)
+      val bytes = p.getFileSystem(factory.conf.value).getFileStatus(p).getLen
+      GraftFileResult(p.toUri.getPath, rows, bytes, bucket,
+        mins.toMap, maxs.toMap, nulls.toMap,
+        parts.toSeq.collect {
+          case (c, s) if s != null && s.nonEmpty => c -> s.toSeq.sorted }.toMap,
+        bloom.map { bits =>
+          val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.asLongBuffer().put(bits)
+          bb.array()
+        },
+        sorted)
+    }
+
+    def abort(): Unit = {
+      try writer.close() catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        val p = new Path(path)
+        p.getFileSystem(factory.conf.value).delete(p, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  private val open = mutable.Map.empty[Int, FileState]
+
+  override def write(row: InternalRow): Unit = {
+    val b = bucketIdOf(row)
+    val st = open.getOrElseUpdate(b, new FileState(b))
+    st.update(row)
+    st.writer.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftWriteTaskResult(open.values.toSeq.sortBy(_.bucket).map(_.finish()))
+
+  override def abort(): Unit = open.values.foreach(_.abort())
+
+  override def close(): Unit = ()
+}

@@ -270,12 +270,13 @@ class ConnectorV2Spec extends AnyFunSuite {
           b.description())
       case other => fail(s"expected the batch scan, got $other")
     }
-    // a non-integral bucket column refuses at DECLARATION, both faces
+    // a non-bucketable column type refuses at DECLARATION, both faces
+    // (strings bucket through xxhash64 since r14 — doubles still can't)
     val eDecl = intercept[Exception] { spark.sql(
-      "CREATE TABLE gv2_spj.bad (s STRING) PARTITIONED BY (bucket(4, s))") }
+      "CREATE TABLE gv2_spj.bad (s DOUBLE) PARTITIONED BY (bucket(4, s))") }
     assert(eDecl.getMessage.contains("integral"), eDecl.getMessage)
     val eOpt = intercept[Exception] {
-      Seq(("x", 1L)).toDF("s", "v").write.format("graft")
+      Seq((1.5, 1L)).toDF("s", "v").write.format("graft")
         .option("bucketBy", "4,s").save(s"$wh/bad2") }
     assert(eOpt.getMessage.contains("integral"), eOpt.getMessage)
     // MAINTENANCE must not decay the layout: many small bucketed
@@ -333,6 +334,153 @@ class ConnectorV2Spec extends AnyFunSuite {
           org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
           s"COW DML must keep the bucket proof: ${b.description()}")
       case other => fail(s"expected the batch scan, got $other")
+    }
+  }
+
+  test("engine-planned bucket write: INSERT reports the layout, files stay single-id") {
+    val wh = freshWarehouse("dwr")
+    spark.sql("CREATE TABLE gv2_dwr.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // the write DECLARES clustered(bucket(4, k)): V2Writes resolves the
+    // transform through the catalog's bucket function and plans the
+    // exchange — the insert's own plan must carry it (no writer-internal
+    // repartition anywhere on this path)
+    val ins = spark.sql(
+      "INSERT INTO gv2_dwr.t SELECT id, id * 7 FROM range(0, 1000)")
+    val insPlan = ins.queryExecution.executedPlan.toString
+    assert(insPlan.toLowerCase.contains("bucket"),
+      s"the insert must shuffle by the DECLARED bucket transform:\n$insPlan")
+    // fanout split: every written file provably holds ONE bucket id and
+    // is stamped key-sorted; one file per bucket (engine clustered)
+    val files = graft.table.SnapshotLog.filesAt(spark, s"$wh/t")
+      .filter(f => f.kind == "data" && f.rows > 0)
+    val key = graft.table.SnapshotLog.bucketPartKey(4, "k")
+    assert(files.nonEmpty && files.forall(_.parts.get(key).exists(_.size == 1)),
+      files.map(_.parts).toString)
+    assert(files.map(_.parts(key).head).distinct.size === files.size,
+      s"engine-clustered insert writes ONE file per bucket: ${files.size}")
+    assert(files.forall(_.sortedBy.contains("k")), files.map(_.sortedBy).toString)
+    // the layout the write produced is the one the scan reports
+    new GraftScanBuilder(spark, s"$wh/t").build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+          b.description())
+        assert(b.outputOrdering().nonEmpty,
+          "single-file sorted buckets must report ordering")
+      case other => fail(s"expected the batch scan, got $other")
+    }
+    // answers stay exact through the engine-planned path
+    assert(spark.sql("SELECT sum(v) FROM gv2_dwr.t").head.getLong(0) ===
+      (0L until 1000L).map(_ * 7).sum)
+    assert(spark.sql("SELECT v FROM gv2_dwr.t WHERE k = 13").head.getLong(0) === 91)
+  }
+
+  test("sorted buckets: the co-located SMJ drops its per-task Sort") {
+    val wh = freshWarehouse("sort")
+    import spark.implicits._
+    spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS va")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/a")
+    spark.range(0, 2000).selectExpr("id AS k", "id * 3 AS vb")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/b")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        s"""SELECT a.k, a.va, b.vb FROM gv2_sort.a a
+           |JOIN gv2_sort.b b ON a.k = b.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"zero-exchange:\n$plan")
+      // the r14 claim: manifest-stamped single-file sorted buckets
+      // satisfy the SMJ's ordering requirement — NO Sort node at all
+      assert(!plan.contains("Sort "),
+        s"sorted buckets must drop the per-task Sort:\n$plan")
+      assert(df.count() === 2000)
+      assert(df.filter(col("k") === 42).head.getLong(2) === 126)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // a MULTI-file bucket group never claims ordering (concatenation of
+    // two sorted files is not sorted): append a second batch to one
+    // bucket layout and the ordering report must drop while the
+    // key-grouped report survives
+    spark.range(2000, 2400).selectExpr("id AS k", "id * 2 AS va")
+      .write.format("graft").mode("append")
+      .option("bucketBy", "4,k").save(s"$wh/a")
+    new GraftScanBuilder(spark, s"$wh/a").build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+        assert(b.outputOrdering().isEmpty,
+          "two files per bucket must not report sorted")
+      case other => fail(s"expected the batch scan, got $other")
+    }
+  }
+
+  test("string bucket keys: uuid-keyed tables co-locate; formula identity holds") {
+    val wh = freshWarehouse("sbk")
+    import spark.implicits._
+    // string keys derived from ids (uuid-ish), same key set both sides
+    spark.range(0, 1000).selectExpr("concat('user-', id) AS k", "id AS va")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/a")
+    spark.range(0, 1000).selectExpr("concat('user-', id) AS k", "id * 3 AS vb")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/b")
+    // every file holds ONE hashed-residue id, stamped sorted by key
+    val key = graft.table.SnapshotLog.bucketPartKey(4, "k")
+    val files = graft.table.SnapshotLog.filesAt(spark, s"$wh/a")
+      .filter(f => f.kind == "data" && f.rows > 0)
+    assert(files.nonEmpty && files.forall(_.parts.get(key).exists(_.size == 1)))
+    assert(files.forall(_.sortedBy.contains("k")))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        """SELECT a.k, a.va, b.vb FROM gv2_sbk.a a
+          |JOIN gv2_sbk.b b ON a.k = b.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed STRING-keyed tables must join without a shuffle:\n$plan")
+      assert(df.count() === 1000)
+      assert(df.filter(col("k") === "user-7").head.getLong(2) === 21)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // THREE-WAY formula identity for the STRING branch: manifest
+    // recording expression == ScalarFunction == writer partitioner,
+    // including the null key (xxhash64(NULL) = seed 42)
+    val fn = GraftBucketFunction.bind(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    for (n <- Seq(1, 4, 8, 32)) {
+      val keys = Seq("", "a", "user-7", "ед-юникод", "x" * 100)
+      val viaExpr = keys.toDF("k")
+        .select(expr(s"pmod(hash(pmod(xxhash64(k), ${n}L)), $n)"))
+        .collect().map(_.getInt(0)).toSeq
+      val viaFn = keys.map(k => fn.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, org.apache.spark.unsafe.types.UTF8String.fromString(k))))
+        .intValue())
+      assert(viaExpr == viaFn, s"n=$n expr=$viaExpr fn=$viaFn")
+      val nullViaExpr = spark.sql(
+        s"SELECT pmod(hash(pmod(xxhash64(CAST(NULL AS STRING)), ${n}L)), $n)")
+        .head.getInt(0)
+      val nullViaFn = fn.produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, null))).intValue()
+      assert(nullViaExpr === nullViaFn, s"null key at n=$n")
     }
   }
 
