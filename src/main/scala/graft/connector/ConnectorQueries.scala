@@ -221,6 +221,34 @@ object ConnectorQueries {
       base
     }
 
+  /** A table mutated through the ENGINE-CONTRACT row-level face (r14
+    * SupportsRowLevelOperations): a VANILLA session (no graft
+    * extensions — what any stock Spark distribution runs) issues a
+    * non-convertible DELETE and an UPDATE; the engine's own
+    * RewriteDeleteFromTable/RewriteUpdateTable rules plan delta writes
+    * that land positional masks + re-inserted rows in guarded
+    * `rowdelta` commits. The build REQUIRES the rowdelta commit shape;
+    * the oracle pins the surviving rows. */
+  private def rowDeltaWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "rowdelta") { base =>
+      val dir = s"$base/orders_rd"
+      orders(s, d).write.format("graft")
+        .option("statsCols", "o_orderkey").save(dir)
+      val v = org.apache.spark.sql.graftshim.GraftSqlShim
+        .vanillaSession(s.sparkContext)
+      val cat = "graft_rd_" +
+        java.lang.Long.toUnsignedString(SnapshotLog.hashStringKey(base), 36)
+      v.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      v.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+      v.sql(s"DELETE FROM $cat.orders_rd WHERE o_orderkey % 9 = 4")
+      v.sql(s"UPDATE $cat.orders_rd SET o_totalprice = o_totalprice * 3 " +
+        "WHERE o_orderstatus = 'P'")
+      val ops = SnapshotLog.commits(s, dir).map(_.op)
+      require(ops.count(_ == "rowdelta") == 2,
+        s"both statements must land as delta commits, got $ops")
+      dir
+    }
+
   /** A table living in a NESTED NAMESPACE (`cat.raw.orders_ns`), built
     * through CREATE NAMESPACE + CTAS + INSERT INTO by qualified name —
     * the multi-level-namespace face under the oracle: organizing tables
@@ -894,6 +922,19 @@ object ConnectorQueries {
               |FROM $cat.raw.orders_ns
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // the engine-contract row-level face (r14): a VANILLA session's
+    // DELETE + UPDATE through SupportsRowLevelOperations (positional
+    // masks + delta inserts, rowdelta commits REQUIREd by the build)
+    // must read back exactly as the declarative mutation — through the
+    // ordinary extensions-loaded session
+    "conn_row_delta" -> ((s, d) => {
+      s.read.format("graft").load(rowDeltaWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // co-bucketed STRING keys (r14): the xxhash64-residue layout may
     // only change the PLAN (zero-exchange SMJ pinned in
     // ConnectorV2Spec) — the oracle replays the join on the raw keys
@@ -1158,6 +1199,13 @@ object ConnectorQueries {
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_row_delta" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 3
+        |                 ELSE o_totalprice END), 2) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 9 <> 4
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -621,6 +621,7 @@ private[connector] final class GraftV2Table(dir: String,
                                             v2Ident: Option[(String, Identifier)] = None)
     extends Table with SupportsRead with SupportsWrite
     with TruncatableTable with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations
     with org.apache.spark.sql.graftshim.GraftV1FallbackBridge
     with GraftStreamableTable {
 
@@ -710,6 +711,45 @@ private[connector] final class GraftV2Table(dir: String,
   override def properties(): util.Map[String, String] =
     (SnapshotLog.tableProps(spark, dir) ++
       Map("provider" -> "graft", "location" -> dir)).asJava
+
+  /** The two SCAN-METADATA columns every graft row addresses itself by
+    * (r14): the physical data file and the 0-based row ordinal within
+    * it — `SELECT _graft_file, _graft_pos FROM cat.t` works like
+    * Iceberg's `_file`/`_pos`, and they are the ROW IDs the delta-based
+    * row-level operations below record as positional deletes. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = SnapshotLog.PosFileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    },
+    new MetadataColumn {
+      override def name(): String = SnapshotLog.PosOrdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "0-based row ordinal within the file"
+    })
+
+  /** DELTA-based row-level operations (r14) — the engine-contract
+    * DELETE/UPDATE/MERGE face a VANILLA session (no graft extensions)
+    * resolves through `RewriteDeleteFromTable`/`RewriteUpdateTable`/
+    * `RewriteMergeIntoTable`: the operation scans the pinned snapshot
+    * WITH row ids, and the delta writer records deletes as positional
+    * masks + inserts as new data files — ONE `rowdelta` commit, zero
+    * data files rewritten (the deletion-vector school the masked reads
+    * already serve). Sessions WITH the extensions never reach this:
+    * [[GraftDmlRule]] rewrites the DML in the resolution batch first
+    * (keeping lineage stamping and COW layout preservation). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"graft table $dir: cannot modify a time-travel relation")
+    () => new GraftRowLevelOperation(spark, dir, info.command())
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, dir, state)
@@ -929,7 +969,13 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       val maskBudget = spark.conf
         .getOption("graft.v2.maskedScan.maxPositions")
         .flatMap(_.toLongOption).getOrElse(4L * 1024 * 1024)
-      val fastPath = reg.isEmpty &&
+      // requested scan-metadata columns (_graft_file/_graft_pos — the
+      // row-id face) read through the bridge: only the per-epoch V1
+      // read can attach `_metadata` projections today
+      val needPos = required.fieldNames.exists(n =>
+        n.equalsIgnoreCase(SnapshotLog.PosFileCol) ||
+          n.equalsIgnoreCase(SnapshotLog.PosOrdCol))
+      val fastPath = !needPos && reg.isEmpty &&
         (dels.isEmpty ||
           (dels.forall(_.kind == "posdelete") && posDebt <= maskBudget)) &&
         epochSchemas.distinct.size <= 1 &&
@@ -971,7 +1017,7 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       }
       else
         new GraftBridgeScan(dir, kept, dels, reg, required,
-          prunedAway = data.size - kept.size)
+          prunedAway = data.size - kept.size, withPos = needPos)
   }
 }
 
@@ -1000,7 +1046,11 @@ private[connector] final class GraftMetadataAggScan(aggSchema: StructType,
 private[connector] final class GraftBridgeScan(dir: String,
     kept: Seq[SnapshotLog.DataFile], dels: Seq[SnapshotLog.DataFile],
     pinnedReg: Option[graft.table.FieldRegistry],
-    required: StructType, prunedAway: Int)
+    required: StructType, prunedAway: Int,
+    /** Attach the (_graft_file, _graft_pos) scan-metadata columns to
+      * every surviving row — the row-id read of the delta-based
+      * row-level operations and of explicit metadata-column SELECTs. */
+    withPos: Boolean = false)
     extends V1Scan with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -1031,7 +1081,9 @@ private[connector] final class GraftBridgeScan(dir: String,
           if (files.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cols)
           else {
-            val full = SnapshotLog.applyMasks(spark, files, masks)
+            val full =
+              if (withPos) SnapshotLog.applyMasksWithPos(spark, files, masks)
+              else SnapshotLog.applyMasks(spark, files, masks)
             // the registry PINNED with the file set — resolving latest
             // here would rename a time-travel read's columns forward
             val logical = pinnedReg.map(_.toLogical(full)).getOrElse(full)

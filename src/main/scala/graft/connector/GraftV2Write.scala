@@ -202,19 +202,11 @@ private[connector] final class GraftBucketWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val results = messages.toSeq
       .collect { case m: GraftWriteTaskResult => m.files }.flatten
-    val bucketKey = SnapshotLog.bucketPartKey(bucketN, physicalBucketCol)
-    val files = results.map { r =>
-      val stats = r.mins.keys.map(c => c -> (r.mins(c), r.maxs(c))).toMap
-      val first = statsSpecs.headOption.map(_.name).flatMap(stats.get)
-      SnapshotLog.DataFile(r.path, r.rows, r.bytes,
-        first.map(_._1), first.map(_._2), kind = "data",
-        stats = stats,
-        blooms = (for { s <- bloomSpec; b <- r.bloom } yield
-          s.name -> java.util.Base64.getEncoder.encodeToString(b)).toMap,
-        parts = r.parts + (bucketKey -> Seq(r.bucketId.toString)),
-        nulls = r.nulls.filter { case (c, _) => stats.contains(c) },
-        sortedBy = if (r.sorted) Some(physicalBucketCol) else None)
-    }
+    val files = GraftBucketWrite.toDataFiles(results,
+      bucketKey = Some(SnapshotLog.bucketPartKey(bucketN, physicalBucketCol)),
+      firstStats = statsSpecs.headOption.map(_.name),
+      bloomName = bloomSpec.map(_.name),
+      sortedCol = Some(physicalBucketCol))
     if (overwriteAll)
       GraftDataSource.replaceAll(spark, dir, files,
         Map("mode" -> "insert-overwrite"))
@@ -241,6 +233,28 @@ private[connector] final class GraftBucketWrite(
 }
 
 private[connector] object GraftBucketWrite {
+
+  /** Task [[org.apache.spark.sql.graftshim.GraftFileResult]]s → manifest
+    * [[SnapshotLog.DataFile]] entries — shared by the bucketed batch
+    * write and the delta write's insert side. */
+  private[connector] def toDataFiles(
+      results: Seq[org.apache.spark.sql.graftshim.GraftFileResult],
+      bucketKey: Option[String],
+      firstStats: Option[String],
+      bloomName: Option[String],
+      sortedCol: Option[String]): Seq[SnapshotLog.DataFile] =
+    results.map { r =>
+      val stats = r.mins.keys.map(c => c -> (r.mins(c), r.maxs(c))).toMap
+      val first = firstStats.flatMap(stats.get)
+      SnapshotLog.DataFile(r.path, r.rows, r.bytes,
+        first.map(_._1), first.map(_._2), kind = "data",
+        stats = stats,
+        blooms = (for { c <- bloomName; b <- r.bloom } yield
+          c -> java.util.Base64.getEncoder.encodeToString(b)).toMap,
+        parts = r.parts ++ bucketKey.map(_ -> Seq(r.bucketId.toString)),
+        nulls = r.nulls.filter { case (c, _) => stats.contains(c) },
+        sortedBy = if (r.sorted) sortedCol else None)
+    }
 
   /** The real-V2-write plan for `dir`, when the table declares a bucket
     * layout AND every inherited metadata column is inline-computable

@@ -1346,13 +1346,30 @@ object SnapshotLog {
     * file is live). */
   private[graft] def applyMasks(spark: SparkSession, data: Seq[DataFile],
                                 dels: Seq[DataFile],
-                                renames: Map[String, String] = Map.empty): DataFrame = {
+                                renames: Map[String, String] = Map.empty): DataFrame =
+    applyMasksKeepPos(spark, data, dels, renames, keepPos = false)
+
+  /** [[applyMasks]] variant RETAINING the ([[PosFileCol]], [[PosOrdCol]])
+    * scan-metadata columns on every surviving row — the read a
+    * DELTA-based row-level operation scans (r14 SupportsRowLevelOperations):
+    * the engine filters/joins the visible rows, and the surviving
+    * positions become the posdelete entries the delta writer records. */
+  private[graft] def applyMasksWithPos(spark: SparkSession, data: Seq[DataFile],
+                                       dels: Seq[DataFile],
+                                       renames: Map[String, String] = Map.empty): DataFrame =
+    applyMasksKeepPos(spark, data, dels, renames, keepPos = true)
+
+  private def applyMasksKeepPos(spark: SparkSession, data: Seq[DataFile],
+                                dels: Seq[DataFile],
+                                renames: Map[String, String],
+                                keepPos: Boolean): DataFrame = {
     val (posDels, eqDels) = dels.partition(_.kind == "posdelete")
+    val needPos = keepPos || posDels.nonEmpty
     val bySeq = data.groupBy(_.seq).toSeq.sortBy(_._1)
     val withSeq = unionEpochs(bySeq.map { case (seq, fs) =>
       val raw = spark.read.parquet(fs.map(_.path): _*)
       val df =
-        if (posDels.isEmpty) raw
+        if (!needPos) raw
         else raw.select(col("*"),
           col("_metadata.file_path").as(PosFileCol),
           col("_metadata.row_index").as(PosOrdCol))
@@ -1370,11 +1387,13 @@ object SnapshotLog {
       }
     val posApplied =
       if (posDels.isEmpty) eqApplied
-      else eqApplied
-        .join(broadcast(spark.read.parquet(posDels.map(_.path): _*)
-            .select(col(PosFileCol), col(PosOrdCol)).distinct()),
-          Seq(PosFileCol, PosOrdCol), "left_anti")
-        .drop(PosFileCol, PosOrdCol)
+      else {
+        val applied = eqApplied
+          .join(broadcast(spark.read.parquet(posDels.map(_.path): _*)
+              .select(col(PosFileCol), col(PosOrdCol)).distinct()),
+            Seq(PosFileCol, PosOrdCol), "left_anti")
+        if (keepPos) applied else applied.drop(PosFileCol, PosOrdCol)
+      }
     posApplied.drop("_graft_seq")
   }
 

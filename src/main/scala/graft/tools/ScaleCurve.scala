@@ -154,13 +154,14 @@ object ScaleCurve {
         classOf[graft.connector.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$morCat.warehouse", tfBase)
       val posDebt = posMasks.map(_.rows).sum
-      val (nVec, tVecRead) = timed(
-        spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $morCat.pos")
-          .collect()(0)); settle()
+      // integer checksum: a double sum's value depends on reduction
+      // order, which legitimately differs between the two plans
+      val morQ = "SELECT count(*) AS n, " +
+        s"sum(CAST(v * 100 AS BIGINT)) AS s FROM $morCat.pos"
+      val (nVec, tVecRead) = timed(spark.sql(morQ).collect()(0)); settle()
       spark.conf.set("graft.v2.maskedScan.maxPositions", "0")
       val (nBridge, tBridgeRead) =
-        try timed(spark.sql(
-          s"SELECT count(*) AS n, sum(v) AS s FROM $morCat.pos").collect()(0))
+        try timed(spark.sql(morQ).collect()(0))
         finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
       settle()
       require(nVec == nBridge,

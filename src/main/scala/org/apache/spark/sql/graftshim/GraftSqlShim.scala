@@ -73,4 +73,15 @@ object GraftSqlShim {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
 
+  /** An EXTENSION-FREE session on the shared context — what a stock
+    * Spark distribution gives a user. Drives (and oracle-checks) the
+    * engine-contract faces that only engage when the graft analyzer
+    * rules are absent: the delta-based SupportsRowLevelOperations DML
+    * path (with the extensions loaded, [[graft.connector.GraftDmlRule]]
+    * rewrites DML first, so the V2 contract would otherwise run
+    * untested). The constructor is `private[sql]`, hence this forward. */
+  def vanillaSession(sc: org.apache.spark.SparkContext)
+      : org.apache.spark.sql.SparkSession =
+    new org.apache.spark.sql.classic.SparkSession(sc)
+
 }

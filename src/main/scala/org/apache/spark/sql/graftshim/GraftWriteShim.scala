@@ -136,7 +136,9 @@ final case class GraftWriteTaskResult(files: Seq[GraftFileResult])
 /** The serializable task factory: fans each task's rows out one parquet
   * file per bucket id (the singleton-per-file proof holds structurally,
   * whatever the incoming distribution), tracking all manifest metadata
-  * inline. */
+  * inline. `bucketOrdinal = -1` = UNBUCKETED mode (one file per task,
+  * no bucket recording, no sortedness claim) — the delta write's insert
+  * side on plain tables. */
 final class GraftBucketWriterFactory(
     dataDir: String,
     physicalSchema: StructType,
@@ -182,6 +184,7 @@ private[graftshim] final class GraftBucketDataWriter(
     * function ([[graft.connector.GraftBucketFunction]]); null keys
     * follow each branch's null-residue rule. */
   private def bucketIdOf(row: InternalRow): Int = {
+    if (bucketOrd < 0) return 0 // unbucketed: one file per task
     val residue: Long =
       if (bucketTag == GraftWriteShim.TString) {
         val h = if (row.isNullAt(bucketOrd)) 42L
@@ -208,8 +211,9 @@ private[graftshim] final class GraftBucketDataWriter(
     partCols.foreach(c => parts(c.name) = mutable.Set.empty)
     val bloom: Option[Array[Long]] = bloomCol.map(_ => new Array[Long](bloomBits / 64))
     // sortedness verified, never assumed: ascending nulls-first by the
-    // bucket key — a violated file simply loses the stamp
-    var sorted = true
+    // bucket key — a violated file simply loses the stamp; unbucketed
+    // writes claim nothing
+    var sorted = bucketOrd >= 0
     var sawNonNullKey = false
     var lastLong = Long.MinValue
     var lastStr: UTF8String = _
@@ -297,7 +301,92 @@ private[graftshim] final class GraftBucketDataWriter(
   override def commit(): WriterCommitMessage =
     GraftWriteTaskResult(open.values.toSeq.sortBy(_.bucket).map(_.finish()))
 
+  private[graftshim] def finishFiles(): Seq[GraftFileResult] =
+    open.values.toSeq.sortBy(_.bucket).map(_.finish())
+
   override def abort(): Unit = open.values.foreach(_.abort())
 
   override def close(): Unit = ()
+}
+
+/** One posdelete file written by a delta task (path, recorded
+  * positions, bytes). */
+final case class GraftPosFileResult(path: String, rows: Long, bytes: Long)
+    extends Serializable
+
+/** A delta task's combined result: new data files + the task's
+  * positional-delete file, if any rows were deleted. */
+final case class GraftDeltaTaskResult(
+    data: Seq[GraftFileResult],
+    pos: Option[GraftPosFileResult]) extends WriterCommitMessage
+
+/** Task factory of the DELTA-based row-level write (r14
+  * SupportsRowLevelOperations): INSERT rows fan through the same
+  * inline-stats data writer the batch write uses; DELETE rows record
+  * their (file, ordinal) row ids into one positional-delete parquet
+  * file per task — the deletion-vector form every masked read already
+  * consumes. UPDATEs never reach the writer (the operation declares
+  * representUpdateAsDeleteAndInsert). */
+final class GraftDeltaWriterFactory(
+    dataFactory: GraftBucketWriterFactory,
+    posDir: String,
+    posSchema: StructType,
+    posFactory: OutputWriterFactory,
+    conf: SerializableConfiguration) extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val inner = new GraftBucketDataWriter(dataFactory, partitionId, taskId)
+      private var posWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private val posPath = s"$posDir/delete-$partitionId-$taskId.parquet"
+      private var posRows = 0L
+
+      override def insert(row: InternalRow): Unit = inner.write(row)
+
+      /** `id` is the rowId projection in DECLARED order: (file, pos) —
+        * exactly the posdelete file schema; written verbatim. */
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        if (posWriter == null) {
+          val attempt = new TaskAttemptID(
+            new TaskID(new JobID("graft-v2-delta", 0), TaskType.MAP, partitionId),
+            (taskId % Int.MaxValue).toInt)
+          posWriter = posFactory.newInstance(posPath, posSchema,
+            new TaskAttemptContextImpl(conf.value, attempt))
+        }
+        posWriter.write(id)
+        posRows += 1
+      }
+
+      override def update(metadata: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft delta write: updates arrive as delete+insert " +
+            "(representUpdateAsDeleteAndInsert)")
+
+      override def commit(): WriterCommitMessage = {
+        val pos =
+          if (posWriter == null) None
+          else {
+            posWriter.close()
+            val p = new Path(posPath)
+            Some(GraftPosFileResult(p.toUri.getPath, posRows,
+              p.getFileSystem(conf.value).getFileStatus(p).getLen))
+          }
+        GraftDeltaTaskResult(inner.finishFiles(), pos)
+      }
+
+      override def abort(): Unit = {
+        inner.abort()
+        if (posWriter != null) {
+          try posWriter.close() catch { case scala.util.control.NonFatal(_) => () }
+          try {
+            val p = new Path(posPath)
+            p.getFileSystem(conf.value).delete(p, false)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+
+      override def close(): Unit = ()
+    }
 }
