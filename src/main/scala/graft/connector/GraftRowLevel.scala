@@ -182,10 +182,15 @@ private[connector] final class GraftDeltaWrite(
       guard = SnapshotLog.ConflictGuard(
         // any interleaved row-bearing append conflicts: the operation's
         // predicate might have covered its rows (no range pruning
-        // metadata survives to narrow this); interleaved masks compose
+        // metadata survives to narrow this). Interleaved masks compose
+        // ONLY with a pure DELETE (a double-delete is a no-op); an
+        // insert-bearing delta (UPDATE/MERGE) re-creates rows it read
+        // from the pinned state at a HIGHER seq — an interleaved mask
+        // that deleted those rows would be silently resurrected, so it
+        // must conflict (the Delta ConcurrentDeleteRead rule).
         mayReadAdded = Some(fs => fs),
         readPaths = state._2.map(_.path).toSet,
-        masksOnly = true))
+        masksOnly = dataFiles.isEmpty))
     spark.sessionState.catalog.invalidateAllCachedTables()
   }
 

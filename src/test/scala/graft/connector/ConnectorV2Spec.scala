@@ -374,6 +374,19 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(v) FROM gv2_dwr.t").head.getLong(0) ===
       (0L until 1000L).map(_ * 7).sum)
     assert(spark.sql("SELECT v FROM gv2_dwr.t WHERE k = 13").head.getLong(0) === 91)
+    // INSERT OVERWRITE rides the same real write: one atomic
+    // whole-live-set replacement, the layout intact after the swap
+    spark.sql("INSERT OVERWRITE gv2_dwr.t SELECT id, id FROM range(0, 200)")
+    assert(spark.sql("SELECT count(*), sum(v) FROM gv2_dwr.t").head.toSeq ===
+      Seq(200L, (0L until 200L).sum))
+    val owFiles = graft.table.SnapshotLog.filesAt(spark, s"$wh/t")
+      .filter(f => f.kind == "data" && f.rows > 0)
+    assert(owFiles.nonEmpty &&
+      owFiles.forall(_.parts.get(key).exists(_.size == 1)),
+      s"the overwrite must keep the bucket layout: ${owFiles.map(_.parts)}")
+    // pre-overwrite snapshots stay travelable
+    assert(spark.read.format("graft").option("versionAsOf", "2")
+      .load(s"$wh/t").count() === 1000)
   }
 
   test("sorted buckets: the co-located SMJ drops its per-task Sort") {
