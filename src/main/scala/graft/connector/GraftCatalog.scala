@@ -984,18 +984,24 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
             v.name == f.name && v.dataType == f.dataType)))
       if (fastPath) {
         // ONE bounded plan-time job loads the recorded positions
-        // (≤ maskBudget rows by the manifest gate above) into the
-        // per-file sorted ordinal arrays the reader filter consumes;
-        // keys normalize to the manifests' scheme-less representation
+        // (≤ maskBudget by the manifest gate above) into the per-file
+        // sorted ordinal arrays the reader filter consumes. The
+        // dedup+sort+group runs DISTRIBUTED and the driver collects
+        // one row per masked FILE (8 bytes per position — ~32 MB at
+        // the full default budget), never one row per position; keys
+        // normalize to the manifests' scheme-less representation
         val masks: Map[String, Array[Long]] =
           if (dels.isEmpty) Map.empty
-          else spark.read.parquet(dels.map(_.path): _*)
-            .select(org.apache.spark.sql.functions.col(SnapshotLog.PosFileCol),
-              org.apache.spark.sql.functions.col(SnapshotLog.PosOrdCol))
-            .distinct()
-            .collect() // bounded by maskBudget — mask debt, never data
-            .groupBy(r => new java.net.URI(r.getString(0)).getPath)
-            .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
+          else {
+            import org.apache.spark.sql.functions.{col => c, collect_set, sort_array}
+            spark.read.parquet(dels.map(_.path): _*)
+              .groupBy(c(SnapshotLog.PosFileCol))
+              .agg(sort_array(collect_set(c(SnapshotLog.PosOrdCol))).as("ps"))
+              .collect() // one row per masked FILE — bounded metadata
+              .map(r => new java.net.URI(r.getString(0)).getPath ->
+                r.getSeq[Long](1).toArray)
+              .toMap
+          }
         // declared bucket layout (durable props) → the scan can report
         // key-grouped partitioning for storage-partitioned joins
         val props = SnapshotLog.tableProps(spark, dir)
