@@ -197,6 +197,15 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // UNTIMED warm pass before the measured ones (r15): a handful of
+    // entries memoize one-time JVM-scale state on first touch (the
+    // spherical k-means fit, the PQ code table) — without warming, their
+    // pass-1 sample is structurally inflated by the build and min-of-N
+    // degenerates to a SINGLE later sample with no steal protection
+    // (exactly how r14 reported sim_ivf_trained_topk 6.1 s on unchanged
+    // code: one unlucky pass-2 sample). Warming makes every entry's
+    // samples all-warm, so the min estimator holds for all of them.
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM", "1").toInt
     def runOnce(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -212,6 +221,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       name -> (if (ok) dt else -1.0)
     }.toMap
+    (1 to warmPasses).foreach(_ => runOnce()) // discarded — state warm-up
     val allPasses = (1 to passes).map(_ => runOnce())
     val results = ordered.map { case (name, _) =>
       val samples = allPasses.map(_(name))
