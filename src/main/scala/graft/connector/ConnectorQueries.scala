@@ -171,6 +171,73 @@ object ConnectorQueries {
       base
     }
 
+  /** The SPJ-under-masks warehouse (r15): the [[spjWarehouse]] layout
+    * with POSITIONAL deletes landed on both sides — the merge-on-read
+    * state every co-bucketed table spends most of its life in between
+    * compactions. The build REQUIRES masks to exist AND the scan to
+    * still report the key-grouped layout (a mask filters rows within
+    * files and can never change bucket membership); the oracle pins
+    * that the zero-exchange masked join changed NOTHING about the
+    * answer. */
+  private def spjMorWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "spjmor") { base =>
+      graft.schema.Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.format("graft").option("bucketBy", "8,o_custkey")
+        .option("statsCols", "o_custkey").save(s"$base/orders_m")
+      graft.schema.Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .write.format("graft").option("bucketBy", "8,c_custkey")
+        .option("statsCols", "c_custkey").save(s"$base/cust_m")
+      graft.table.Merge.deleteWhere(s, s"$base/orders_m",
+        col("o_orderkey") % 7 === 0)
+      graft.table.Merge.deleteWhere(s, s"$base/cust_m",
+        col("c_custkey") % 5 === 0)
+      for (t <- Seq("orders_m", "cust_m")) {
+        require(SnapshotLog.filesAt(s, s"$base/$t")
+            .exists(_.kind == "posdelete"),
+          s"$t: the delete must land as a positional mask")
+        new GraftScanBuilder(s, s"$base/$t").build() match {
+          case b: GraftV2BatchScan =>
+            require(b.outputPartitioning().isInstanceOf[
+              org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+              s"$t must keep key-grouped reporting under masks: " +
+                b.description())
+          case other => throw new IllegalStateException(
+            s"$t: expected the masked batch scan, got $other")
+        }
+      }
+      base
+    }
+
+  /** The UNBUCKETED real-V2-write warehouse (r15): CREATE TABLE +
+    * INSERT INTO by V2 name on a plain (no bucket) table — the write
+    * must plan as the REAL engine write (inline manifest stats, no V1
+    * bridge, no post-write stats read-back pass), REQUIREd from the
+    * INSERT's own executed plan and the committed files' metadata; the
+    * oracle pins the rows. */
+  private def v2UnbucketedWriteWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "v2uw") { base =>
+      val cat = catalogFor(s, "graft_v2uw", base)
+      s.sql(s"""CREATE TABLE $cat.orders_uw (
+              |  o_orderkey BIGINT, o_custkey BIGINT,
+              |  o_orderstatus STRING, o_totalprice DOUBLE)
+              |TBLPROPERTIES ('statsCols' = 'o_orderkey')""".stripMargin)
+      orders(s, d).createOrReplaceTempView("v2uw_src")
+      val ins = s.sql(s"""INSERT INTO $cat.orders_uw
+              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              |FROM v2uw_src""".stripMargin)
+      val plan = ins.queryExecution.executedPlan.toString
+      require(plan.contains("GraftBucketWrite") &&
+          plan.contains("unbucketed") && !plan.contains("GraftV1Write"),
+        s"the INSERT must plan the real V2 write:\n$plan")
+      val files = SnapshotLog.filesAt(s, s"$base/orders_uw")
+        .filter(f => f.kind == "data" && f.rows > 0)
+      require(files.nonEmpty && files.forall(_.stats.contains("o_orderkey")),
+        s"inline stats must ride the real write: ${files.map(_.stats)}")
+      base
+    }
+
   /** Two tables CO-BUCKETED on a STRING join key (r14 — the uuid /
     * natural-key case): the writer hashes the key through xxhash64 into
     * the same residue layout integral keys use, so string-keyed tables
@@ -911,6 +978,30 @@ object ConnectorQueries {
               |JOIN $cat.cust_b c ON o.o_custkey = c.c_custkey
               |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
     }),
+    // SPJ under MASKS (r15): the same co-bucketed join after positional
+    // deletes on both sides — key-grouped reporting held through the
+    // merge-on-read state (REQUIREd by the build), and the masked
+    // zero-exchange join changes nothing about the answer
+    "conn_colocated_join_mor" -> ((s, d) => {
+      val cat = catalogFor(s, "graft_spjmor", spjMorWarehouse(s, d))
+      s.sql(s"""SELECT c.c_nationkey, count(*) AS n,
+              |  round(sum(o.o_totalprice), 2) AS total,
+              |  max(o.o_orderkey) AS max_key
+              |FROM $cat.orders_m o
+              |JOIN $cat.cust_m c ON o.o_custkey = c.c_custkey
+              |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+    }),
+    // the UNBUCKETED real-V2 write (r15): CREATE + INSERT INTO by V2
+    // name planned as the engine write with inline manifest stats — the
+    // read proves the whole path against the oracle
+    "conn_v2_unbucketed_write" -> ((s, d) => {
+      val cat = catalogFor(s, "graft_v2uw", v2UnbucketedWriteWarehouse(s, d))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM $cat.orders_uw
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     // a nested-namespace table (cat.raw.t — CREATE NAMESPACE + CTAS +
     // INSERT by qualified name) must read back exactly as the raw
     // input: namespaces organize, they never change rows
@@ -1173,6 +1264,17 @@ object ConnectorQueries {
         |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "conn_colocated_join_mor" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 7 <> 0 AND c_custkey % 5 <> 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "conn_v2_unbucketed_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_ns_read" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

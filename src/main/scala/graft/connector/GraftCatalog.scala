@@ -679,32 +679,38 @@ private[connector] final class GraftV2Table(dir: String,
       provider = Some("graft"))
   }
 
-  /** The real-V2-write plan of a bucket-declared table (r14): when
-    * defined, appends and INSERT OVERWRITE run as genuine distributed
-    * V2 writes — engine-planned bucket exchange + inline manifest
+  /** The real-V2-write plan (r14 bucket-declared, r15 any
+    * inline-computable metadata shape): when defined, appends, INSERT
+    * OVERWRITE and (lineage-free) replaceWhere run as genuine
+    * distributed V2 writes — engine-planned exchange + inline manifest
     * stats — and V1_BATCH_WRITE must NOT be declared (the engine
     * refuses a non-V1 write under that capability). Pinned per table
     * instance so the capability decision and the write builder can
     * never disagree. */
-  private lazy val bucketWritePlan: Option[Boolean =>
-      org.apache.spark.sql.connector.write.Write] =
+  private lazy val bucketWritePlan: Option[GraftRealWritePlan] =
     if (asOf.isDefined) None
     else GraftBucketWrite.planFor(spark, dir, state._4)
 
   /** A time-travel-pinned table is READ-ONLY (no write capabilities at
     * all, so INSERT/DELETE refuse at analysis, not at commit time).
-    * An eligible bucket-declared table drops V1_BATCH_WRITE (real V2
-    * writes) and with it OVERWRITE_BY_FILTER — its replaceWhere face is
-    * the V1 writer option until a delta-based row-level write exists;
-    * every other table keeps the V1-fallback contract unchanged. */
+    * An eligible real-write table drops V1_BATCH_WRITE (real V2
+    * writes), keeping OVERWRITE_BY_FILTER through the real write's own
+    * replaceWhere unless lineage stamping demands the V1 face; every
+    * other table keeps the V1-fallback contract unchanged. */
   override def capabilities(): util.Set[TableCapability] =
     (if (asOf.isDefined) Set(TableCapability.BATCH_READ)
-     else if (bucketWritePlan.isDefined)
-       Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-         TableCapability.TRUNCATE)
-     else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-       TableCapability.OVERWRITE_BY_FILTER)).asJava
+     else bucketWritePlan match {
+       case Some(plan) =>
+         Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+           TableCapability.TRUNCATE) ++
+           (if (plan.replaceWhereSupported)
+             Set(TableCapability.OVERWRITE_BY_FILTER)
+            else Set.empty[TableCapability])
+       case None =>
+         Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+           TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+           TableCapability.OVERWRITE_BY_FILTER)
+     }).asJava
 
   /** Provider/location plus the DURABLE log-persisted properties — what
     * `SHOW TBLPROPERTIES cat.t` and `DESCRIBE EXTENDED` surface. */
@@ -970,12 +976,14 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
         .getOption("graft.v2.maskedScan.maxPositions")
         .flatMap(_.toLongOption).getOrElse(4L * 1024 * 1024)
       // requested scan-metadata columns (_graft_file/_graft_pos — the
-      // row-id face) read through the bridge: only the per-epoch V1
-      // read can attach `_metadata` projections today
+      // row-id face, every vanilla-session DELETE/UPDATE/MERGE's source
+      // scan) stay ON the fast path since r15: the vectorized read
+      // synthesizes them per file (the row-index generator column + a
+      // per-partition constant), no Row bridge
       val needPos = required.fieldNames.exists(n =>
         n.equalsIgnoreCase(SnapshotLog.PosFileCol) ||
           n.equalsIgnoreCase(SnapshotLog.PosOrdCol))
-      val fastPath = !needPos && reg.isEmpty &&
+      val fastPath = reg.isEmpty &&
         (dels.isEmpty ||
           (dels.forall(_.kind == "posdelete") && posDebt <= maskBudget)) &&
         epochSchemas.distinct.size <= 1 &&
@@ -989,10 +997,16 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
         // dedup+sort+group runs DISTRIBUTED and the driver collects
         // one row per masked FILE (8 bytes per position — ~32 MB at
         // the full default budget), never one row per position; keys
-        // normalize to the manifests' scheme-less representation
+        // normalize to the manifests' scheme-less representation.
+        // MEMOIZED on the posdelete file set (r15): the set is
+        // content-addressed snapshot state — standing read traffic
+        // re-planning the same snapshot pays ZERO jobs, and any commit
+        // that adds or compacts masks changes the key
         val masks: Map[String, Array[Long]] =
           if (dels.isEmpty) Map.empty
-          else {
+          else GraftMaskCache.getOrLoad(
+            dels.map(d => s"${d.path}#${d.rows}#${d.bytes}")
+              .sorted.mkString("|")) {
             import org.apache.spark.sql.functions.{col => c, collect_set, sort_array}
             spark.read.parquet(dels.map(_.path): _*)
               .groupBy(c(SnapshotLog.PosFileCol))
@@ -1017,14 +1031,73 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
           .filter { case (c, _) => visible.fields.exists(f =>
             f.name.equalsIgnoreCase(c) &&
               SnapshotLog.bucketable(f.dataType)) }
-        new GraftV2BatchScan(spark, dir, visible, required, pushed,
+        // filters naming the synthesized metadata columns must not
+        // reach the parquet reader (they are not data columns); the
+        // engine re-applies them as residuals above the scan
+        val pushedData =
+          if (!needPos) pushed
+          else pushed.filterNot(_.references.exists(r =>
+            r.equalsIgnoreCase(SnapshotLog.PosFileCol) ||
+              r.equalsIgnoreCase(SnapshotLog.PosOrdCol)))
+        new GraftV2BatchScan(spark, dir, visible, required, pushedData,
           kept, staticPruned = data.size - kept.size,
-          bucketSpec = bucketSpec, masks = masks)
+          bucketSpec = bucketSpec, masks = masks, withPos = needPos)
       }
       else
         new GraftBridgeScan(dir, kept, dels, reg, required,
           prunedAway = data.size - kept.size, withPos = needPos)
   }
+}
+
+/** Process-wide memo of loaded positional masks (r15), keyed by the
+  * posdelete file SET (path + rows + bytes of every mask file): the
+  * loaded per-file ordinal arrays are a pure function of those
+  * immutable files, so the key is content-addressed snapshot state —
+  * no explicit invalidation exists or is needed (a commit adding masks
+  * or a compaction clearing them produces a DIFFERENT key; orphaned
+  * entries age out of the LRU). Bounded by TOTAL cached positions so
+  * standing traffic over many masked tables cannot hoard the driver
+  * heap (~8 bytes/position + key strings). */
+private[connector] object GraftMaskCache {
+  private val MaxCachedPositions = 32L * 1024 * 1024
+  private val cache =
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](
+      16, 0.75f, true)
+  private var cachedPositions = 0L
+
+  private def sizeOf(v: Map[String, Array[Long]]): Long =
+    v.valuesIterator.map(_.length.toLong).sum
+
+  def getOrLoad(key: String)(miss: => Map[String, Array[Long]])
+      : Map[String, Array[Long]] = {
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val v = miss
+    cache.synchronized {
+      if (!cache.containsKey(key)) {
+        cache.put(key, v)
+        cachedPositions += sizeOf(v)
+        // evict from the LRU end; the just-added key is most recent,
+        // so it survives unless it is the sole (over-budget) entry
+        val it = cache.entrySet().iterator()
+        while (cachedPositions > MaxCachedPositions && cache.size() > 1 &&
+            it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            cachedPositions -= sizeOf(e.getValue)
+            it.remove()
+          }
+        }
+      }
+    }
+    v
+  }
+
+  /** Test face: entry count (the job-count pin asserts a second plan
+    * of the same snapshot is a pure cache hit). */
+  private[connector] def entries: Int = cache.synchronized(cache.size())
 }
 
 /** A completely-pushed-down aggregate: one precomputed row, zero files

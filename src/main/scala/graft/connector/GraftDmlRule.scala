@@ -752,6 +752,36 @@ object GraftDml {
     refreshAfter(spark, t)
   }
 
+  /** The commit half of the REAL-V2 replaceWhere (r15): the incoming
+    * slice was already written by the engine-planned batch write (inline
+    * stats, per-row predicate validation in the tasks), so all that
+    * remains is the same predicate-scoped slice swap the V1 face runs —
+    * metadata-covered file drops, boundary rewrites, one pinned commit.
+    * Lineage-stamped tables never reach here (the capability gate routes
+    * them to the V1 stamping path); the require is the backstop. */
+  private[connector] def replaceWhereFiles(spark: SparkSession, dir: String,
+      added: Seq[DataFile], filters: Array[org.apache.spark.sql.sources.Filter],
+      predLabel: String): Unit = {
+    val t = v1Target(spark, dir)
+    val cond = filters.toSeq
+      .map(f => sourceFilterExpr(f, t.output).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft table $dir: cannot overwrite by filter $f")))
+      .reduceOption[Expression](And)
+      .getOrElse(Literal.TrueLiteral)
+    checkExpr(cond, "replaceWhere")
+    val (baseId, live, reg) = pinned(spark, t, "replaceWhere").getOrElse(
+      throw new IllegalArgumentException(s"not a graft table: $dir"))
+    val lin = effectiveLineage(spark, t)
+    require(lin.isEmpty,
+      s"graft table $dir: the real-V2 replaceWhere cannot stamp lineage " +
+        "— this table's plan must not have declared OVERWRITE_BY_FILTER")
+    removeSliceCommit(spark, t, cond, baseId, live, reg, lin,
+      added = added, mode = "replace-where",
+      extra = Map("predicate" -> predLabel), idStamped = false)
+    refreshAfter(spark, t)
+  }
+
   /** The conflict guard a predicate-scoped DML rewrite hands
     * [[SnapshotLog.commitPinned]]: interleaved ADDED files prune against
     * the same zone/bloom/partition constraints that picked the

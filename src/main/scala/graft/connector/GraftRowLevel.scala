@@ -118,11 +118,16 @@ private[connector] final class GraftDeltaWrite(
         : Option[GraftColSpec] =
       for { i <- ordOf(c); t <- tag(rowSchema.fields(i).dataType) }
         yield GraftColSpec(phys(c), i, t)
+    // a pure DELETE's write schema carries no data columns (only row
+    // ids reach the writer) — no data file can be written, so missing
+    // stats specs are structural, not degradation worth warning about
+    val writesData = visible.fieldNames.exists(n =>
+      rowSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
     def specsOf(cols: Seq[String],
                 tag: org.apache.spark.sql.types.DataType => Option[Int],
                 what: String): Seq[GraftColSpec] = cols.flatMap { c =>
       val s = spec(c, tag)
-      if (s.isEmpty) System.err.println(
+      if (s.isEmpty && writesData) System.err.println(
         s"[graft] WARNING: $what column '$c' of $dir is not inline-" +
           "computable by the delta writer — this commit's new files " +
           "won't record it (pruning degrades until the next OPTIMIZE)")

@@ -60,7 +60,13 @@ private[connector] final class GraftV2BatchScan(
       * ([[org.apache.spark.sql.graftshim.GraftSelectedColumnVector]])
       * instead of falling back to the Row bridge. Loaded once at plan
       * time, bounded by `graft.v2.maskedScan.maxPositions`. */
-    masks: Map[String, Array[Long]] = Map.empty)
+    masks: Map[String, Array[Long]] = Map.empty,
+    /** Projection includes the scan-metadata columns (`_graft_file`/
+      * `_graft_pos`, r15): the vectorized ROW-ID read — one partition
+      * per file (the file is a per-partition constant, the row index
+      * resets per file), so key-grouped reporting is withheld. This is
+      * the scan under every vanilla-session DELETE/UPDATE/MERGE. */
+    withPos: Boolean = false)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -81,6 +87,7 @@ private[connector] final class GraftV2BatchScan(
       (if (masks.nonEmpty)
         s"maskedFiles=${masks.size}, maskedRows=${masks.valuesIterator.map(_.length.toLong).sum}, "
        else "") +
+      (if (withPos) "rowIds=true, " else "") +
       s"cols=${required.fieldNames.mkString(",")})"
 
   /** Columns a runtime filter could prune files on: anything with a zone
@@ -115,7 +122,11 @@ private[connector] final class GraftV2BatchScan(
     * that lost HasPartitionKey; a runtime filter that pruned every
     * row-bearing file must therefore yield zero KEYED partitions, not a
     * fallback to plain FilePartitions). */
-  private val bucketedAtPlan: Boolean = masks.isEmpty &&
+  // masks do NOT disable key-grouped reporting (r15): a positional mask
+  // filters rows within a file and can never change bucket membership
+  // (the bucket is a pure function of the key), so two co-bucketed MOR
+  // tables keep their zero-exchange join between compactions
+  private val bucketedAtPlan: Boolean = !withPos &&
     bucketSpec.exists { case (c, n) =>
       val key = SnapshotLog.bucketPartKey(n, c)
       val bearing = staticKept.filter(_.rows > 0)
@@ -178,6 +189,19 @@ private[connector] final class GraftV2BatchScan(
   override def createReaderFactory(): PartitionReaderFactory = inner().createReaderFactory()
 
   private def inner(): Batch = bucketGroups match {
+    case _ if withPos =>
+      // ROW-ID read: every file its own partition, masks applied by
+      // original ordinal, metadata columns synthesized in the reader
+      org.apache.spark.sql.graftshim.GraftParquetShim.posBatch(
+        spark, kept.map(f =>
+          (f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long]))),
+        visible, required,
+        SnapshotLog.PosFileCol, SnapshotLog.PosOrdCol, pushed)
+    case Some(gs) if masks.nonEmpty =>
+      org.apache.spark.sql.graftshim.GraftParquetShim.bucketedMaskedBatch(
+        spark, gs.map { case (b, fs) => (b, fs.map(f =>
+          (f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long])))) },
+        visible, required, pushed)
     case Some(gs) =>
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f => (f.path, f.bytes))) },

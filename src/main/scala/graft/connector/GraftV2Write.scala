@@ -47,7 +47,7 @@ import graft.table.SnapshotLog
 private[connector] final class GraftV2WriteBuilder(dir: String,
     visible: StructType,
     /** The table-pinned real-V2-write plan (None → the V1 bridge). */
-    realWrite: Option[Boolean => Write] = None) extends WriteBuilder
+    realWrite: Option[GraftRealWritePlan] = None) extends WriteBuilder
     with SupportsTruncate with SupportsOverwrite {
 
   private var overwrite = false
@@ -79,23 +79,28 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
     overwrite = true; overwriteFilters = filters; this
   }
 
-  /** Bucket-declared APPEND / INSERT OVERWRITE writes return the REAL
-    * V2 [[GraftBucketWrite]] — the engine then honors its
-    * `RequiresDistributionAndOrdering` (the V1-fallback exec runs the
-    * pre-optimization `analyzedQuery` BY DESIGN, so a V1Write can never
-    * receive an engine-planned exchange) and executors write files +
-    * inline manifest stats directly. Everything else — unbucketed
-    * tables, predicate replaceWhere, metadata shapes the inline stats
-    * writer can't serve — stays on the V1 bridge below. */
+  /** Eligible tables (r14 bucket-declared; r15 any inline-computable
+    * metadata shape) return the REAL V2 [[GraftBucketWrite]] — the
+    * engine then honors its `RequiresDistributionAndOrdering` (the
+    * V1-fallback exec runs the pre-optimization `analyzedQuery` BY
+    * DESIGN, so a V1Write can never receive an engine-planned exchange)
+    * and executors write files + inline manifest stats directly —
+    * including predicate replaceWhere when the plan supports it (r15:
+    * rows validate against the predicate IN the write task, the commit
+    * is the same predicate-scoped slice swap as the V1 face). Metadata
+    * shapes the inline writer can't serve stay on the V1 bridge. */
   override def build(): Write = {
     val isTruncate = overwriteFilters.isEmpty ||
       overwriteFilters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
     val replaceWhere = overwrite && !isTruncate
     realWrite match {
-      // the table's capabilities dropped V1_BATCH_WRITE when the plan
-      // exists, and OVERWRITE_BY_FILTER with it — replaceWhere cannot
-      // reach an eligible table's builder
-      case Some(mk) if !replaceWhere => mk(overwrite)
+      case Some(plan) if !replaceWhere => plan.mk(overwrite, None)
+      case Some(plan) if plan.replaceWhereSupported =>
+        plan.mk(false, Some((overwriteFilters,
+          overwriteFilters.mkString(" AND "))))
+      // a real-write table whose plan can't serve replaceWhere (lineage
+      // stamping) never declares OVERWRITE_BY_FILTER, so the engine
+      // refuses at analysis; this arm is a defensive fallback
       case _ => v1Write()
     }
   }
@@ -135,26 +140,49 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
   }
 }
 
-/** The REAL DataSourceV2 batch write of a BUCKET-DECLARED graft table
-  * (r14) — the engine-contract path the V1 bridge cannot express:
+/** A table's pinned real-V2-write plan: `mk(overwriteAll,
+  * replaceWhere)` builds the [[GraftBucketWrite]]; `replaceWhereSupported`
+  * gates the OVERWRITE_BY_FILTER capability (false on lineage-stamped
+  * tables, whose replaceWhere must ride the V1 face's stamping path). */
+private[connector] final case class GraftRealWritePlan(
+    mk: (Boolean, Option[(Array[Filter], String)]) => Write,
+    replaceWhereSupported: Boolean)
+
+/** The declared bucket layout of a real-V2 write: logical key column,
+  * its row ordinal, extraction tag, bucket count. */
+private[connector] final case class GraftWriteBucketSpec(
+    logicalCol: String, ordinal: Int, tag: Int, n: Int)
+
+/** The REAL DataSourceV2 batch write of a graft table (r14 bucketed;
+  * r15 generalized to every inline-computable metadata shape and to
+  * predicate replaceWhere) — the engine-contract path the V1 bridge
+  * cannot express:
   *
   *  1. `RequiresDistributionAndOrdering` reports
   *     `clustered(bucket(n, col))` + a `(bucket(n, col), col)` local
-  *     ordering; the engine resolves the transform through
-  *     [[GraftBucketFunction]] (the SAME bound formula the scan reports
-  *     and the manifest records) and plans the exchange + sort itself —
-  *     AQE-sized, fused with the query, instead of the V1 path's
-  *     writer-internal `bucketArrange` repartition.
+  *     ordering on bucket-declared tables; the engine resolves the
+  *     transform through [[GraftBucketFunction]] (the SAME bound
+  *     formula the scan reports and the manifest records) and plans the
+  *     exchange + sort itself — AQE-sized, fused with the query.
+  *     Unbucketed tables require nothing (the incoming distribution is
+  *     already right: data moves zero extra times).
   *  2. Executors write parquet through the engine's own
-  *     `OutputWriterFactory`, FANNED OUT one file per bucket id with
-  *     every manifest statistic computed INLINE
+  *     `OutputWriterFactory` (FANNED OUT one file per bucket id when
+  *     bucketed) with every manifest statistic computed INLINE
   *     ([[org.apache.spark.sql.graftshim.GraftBucketWriterFactory]]) —
   *     no post-write stats read-back pass at all, which at 100 TB
-  *     halves the write's IO.
-  *  3. `commit` turns the per-task results into ONE manifest CAS
-  *     (append, or the atomic whole-live-set replacement for INSERT
-  *     OVERWRITE); aborted tasks leave only unreferenced bytes the
-  *     grace-gated sweep reclaims.
+  *     halves the write's IO vs the V1 `writeData` path.
+  *  3. `commit` turns the per-task results into ONE manifest CAS —
+  *     append, the atomic whole-live-set replacement for INSERT
+  *     OVERWRITE, or the predicate-scoped slice swap for replaceWhere
+  *     ([[GraftDml.replaceWhereFiles]]: metadata-covered file drops +
+  *     boundary rewrites, O(touched + incoming)); aborted tasks leave
+  *     only unreferenced bytes the grace-gated sweep reclaims.
+  *
+  * replaceWhere validation moves INTO the write task (r15): each row
+  * checks the predicate as it streams past — one comparison per row in
+  * the task that already holds it — instead of the V1 path's persist +
+  * second validation pass over the incoming frame.
   *
   * Correctness never depends on the engine honoring the distribution
   * (non-strict): the fanout writer keeps every file single-id under ANY
@@ -162,57 +190,102 @@ private[connector] final class GraftV2WriteBuilder(dir: String,
   * each file's order row-by-row. */
 private[connector] final class GraftBucketWrite(
     spark: SparkSession, dir: String,
-    logicalBucketCol: String, bucketN: Int,
+    bucket: Option[GraftWriteBucketSpec],
     overwriteAll: Boolean,
-    physicalSchema: StructType, bucketOrdinal: Int, bucketTag: Int,
+    replaceWhere: Option[(Array[Filter], String)],
+    logicalSchema: StructType, physicalSchema: StructType,
     statsSpecs: Seq[GraftColSpec], partSpecs: Seq[GraftColSpec],
     bloomSpec: Option[GraftColSpec])
     extends Write with BatchWrite with RequiresDistributionAndOrdering {
 
-  private val physicalBucketCol = physicalSchema.fields(bucketOrdinal).name
+  private def physicalBucketCol: String =
+    physicalSchema.fields(bucket.get.ordinal).name
 
   override def toBatch: BatchWrite = this
 
-  override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.bucket(bucketN, logicalBucketCol)))
+  override def requiredDistribution(): Distribution = bucket match {
+    case Some(b) =>
+      Distributions.clustered(Array(Expressions.bucket(b.n, b.logicalCol)))
+    case None => Distributions.unspecified()
+  }
 
   /** Local (bucket-id, key) sort: rows reach each task bucket-contiguous
     * and key-ascending, so the fanout writes ONE file per bucket and the
     * verified `sortedBy` stamp holds — which is what lets the read-side
     * SMJ drop its per-task Sort ([[GraftV2BatchScan]]'s
     * SupportsReportOrdering). */
-  override def requiredOrdering(): Array[SortOrder] = Array(
-    Expressions.sort(Expressions.bucket(bucketN, logicalBucketCol),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
-    Expressions.sort(Expressions.column(logicalBucketCol),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+  override def requiredOrdering(): Array[SortOrder] = bucket match {
+    case Some(b) => Array(
+      Expressions.sort(Expressions.bucket(b.n, b.logicalCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column(b.logicalCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    case None => Array.empty
+  }
 
   override def requiredNumPartitions(): Int = 0 // AQE sizes the exchange
   override def distributionStrictlyRequired(): Boolean = false
 
   private val writeUuid = java.util.UUID.randomUUID().toString
 
+  /** The replaceWhere predicate BOUND to the incoming row layout — built
+    * once on the driver, compiled per task. Filters speak the table's
+    * logical column names (canOverwrite gated convertibility). */
+  private def boundPredicate: Option[(cexpr.Expression, String)] =
+    replaceWhere.map { case (filters, label) =>
+      val attrs: Seq[cexpr.Attribute] = logicalSchema.fields.toSeq.map(f =>
+        cexpr.AttributeReference(f.name, f.dataType, nullable = true)())
+      val cond = filters.toSeq
+        .map(f => GraftDml.sourceFilterExpr(f, attrs).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft table $dir: cannot overwrite by filter $f")))
+        .reduceOption[cexpr.Expression](cexpr.And)
+        .getOrElse(cexpr.Literal.TrueLiteral)
+      (cexpr.BindReferences.bindReference(cond, attrs.toIndexedSeq), label)
+    }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val (owf, conf) = GraftWriteShim.prepareFactory(spark, physicalSchema)
-    new GraftBucketWriterFactory(s"$dir/data/$writeUuid", physicalSchema,
-      bucketOrdinal, bucketTag, bucketN, statsSpecs, partSpecs, bloomSpec,
+    val inner = new GraftBucketWriterFactory(s"$dir/data/$writeUuid",
+      physicalSchema,
+      bucket.map(_.ordinal).getOrElse(-1),
+      bucket.map(_.tag).getOrElse(-1),
+      bucket.map(_.n).getOrElse(0),
+      statsSpecs, partSpecs, bloomSpec,
       SnapshotLog.BloomBits, SnapshotLog.BloomHashes, owf, conf)
+    boundPredicate match {
+      case Some((pred, label)) =>
+        new GraftValidatingWriterFactory(inner, pred, label)
+      case None => inner
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val results = messages.toSeq
       .collect { case m: GraftWriteTaskResult => m.files }.flatten
     val files = GraftBucketWrite.toDataFiles(results,
-      bucketKey = Some(SnapshotLog.bucketPartKey(bucketN, physicalBucketCol)),
+      bucketKey = bucket.map(b =>
+        SnapshotLog.bucketPartKey(b.n, physicalBucketCol)),
       firstStats = statsSpecs.headOption.map(_.name),
       bloomName = bloomSpec.map(_.name),
-      sortedCol = Some(physicalBucketCol))
-    if (overwriteAll)
-      GraftDataSource.replaceAll(spark, dir, files,
-        Map("mode" -> "insert-overwrite"))
-    else
-      SnapshotLog.commitRetrying(spark, dir, files,
-        summary = Map("mode" -> "insert-into"))
+      sortedCol = bucket.map(_ => physicalBucketCol))
+    replaceWhere match {
+      case Some((filters, label)) =>
+        GraftDml.replaceWhereFiles(spark, dir, files, filters, label)
+      case None if overwriteAll =>
+        // an empty OVERWRITE still truncates — but the schema must
+        // survive on a zero-row carrier (the V1 path's empty part file)
+        val committed =
+          if (files.nonEmpty) files
+          else Seq(GraftMaintenance.writeSchemaCarrier(spark, dir,
+            physicalSchema))
+        GraftDataSource.replaceAll(spark, dir, committed,
+          Map("mode" -> "insert-overwrite"))
+      case None if files.isEmpty => return // zero-row append: no commit
+      case None =>
+        SnapshotLog.commitRetrying(spark, dir, files,
+          summary = Map("mode" -> "insert-into"))
+    }
     spark.sessionState.catalog.invalidateAllCachedTables()
   }
 
@@ -228,8 +301,45 @@ private[connector] final class GraftBucketWrite(
   }
 
   override def toString: String =
-    s"GraftBucketWrite($dir, bucket($bucketN, $logicalBucketCol), " +
-      s"${if (overwriteAll) "overwrite" else "append"})"
+    s"GraftBucketWrite($dir, " +
+      bucket.fold("unbucketed")(b => s"bucket(${b.n}, ${b.logicalCol})") +
+      (replaceWhere match {
+        case Some((_, label)) => s", replaceWhere=$label)"
+        case None => s", ${if (overwriteAll) "overwrite" else "append"})"
+      })
+}
+
+/** Wraps the inline-stats writer with the replaceWhere slice check:
+  * every incoming row must satisfy the predicate (null → reject — it
+  * would land outside the slice being replaced), enforced in the task
+  * that already holds the row. A violation fails the task, the engine
+  * aborts the write, and [[GraftBucketWrite.abort]] deletes the
+  * written bytes — the table never saw any of it. */
+private[connector] final class GraftValidatingWriterFactory(
+    inner: DataWriterFactory,
+    pred: cexpr.Expression,
+    label: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = cexpr.Predicate.create(pred)
+    p.initialize(partitionId)
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (!p.eval(row)) throw new IllegalArgumentException(
+          s"replaceWhere '$label': the written data contains rows that " +
+            "do NOT satisfy the predicate — they would land outside the " +
+            "slice being replaced")
+        w.write(row)
+      }
+      override def commit(): WriterCommitMessage = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
 }
 
 private[connector] object GraftBucketWrite {
@@ -256,16 +366,20 @@ private[connector] object GraftBucketWrite {
         sortedBy = if (r.sorted) sortedCol else None)
     }
 
-  /** The real-V2-write plan for `dir`, when the table declares a bucket
-    * layout AND every inherited metadata column is inline-computable
-    * (long-domain zones, string/integral partition values and bloom
-    * keys). Any other shape returns None — the V1 bridge serves it
-    * exactly as before (correct, just without the engine exchange).
+  /** The real-V2-write plan for `dir` (r15: ANY table whose inherited
+    * metadata columns are inline-computable — long-domain zones,
+    * string/integral partition values and bloom keys — bucketed or
+    * not). Any other shape returns None — the V1 bridge serves it
+    * exactly as before (correct, just with the post-write stats
+    * read-back pass). `replaceWhereSupported` additionally requires the
+    * table NOT be lineage-stamped: the V1 replaceWhere stamps incoming
+    * rows with the commit id, which the inline writer does not — a
+    * silent stamp drop would downgrade the change feed.
     * Computed ONCE per table instance (the capability decision and the
     * builder must agree — a fresh evaluation at build time could race a
     * concurrent metadata commit into a capability/write mismatch). */
   def planFor(spark: SparkSession, dir: String, visible: StructType)
-      : Option[Boolean => Write] = {
+      : Option[GraftRealWritePlan] = {
     val props = SnapshotLog.tableProps(spark, dir)
     def prop(k: String): Option[String] = props.collectFirst {
       case (kk, v) if kk.equalsIgnoreCase(k) => v }
@@ -276,54 +390,70 @@ private[connector] object GraftBucketWrite {
       n <- prop("bucketCount").flatMap(_.toIntOption) } yield (c, n))
       .filter { case (c, _) => visible.fields.exists(f =>
         f.name.equalsIgnoreCase(c) && SnapshotLog.bucketable(f.dataType)) }
-    bucketSpec.flatMap { case (c0, n) =>
-      // inherit the table's pruning metadata exactly as the V1 insert
-      // does; the synthetic bucket key is recorded by the writer itself
-      val (stats0, bloom0, parts0) =
-        GraftDataSource.inheritedMeta(spark, dir, visible)
-      val stats = (if (stats0.nonEmpty) stats0 else propCols("statsCols"))
-      val bloom = bloom0.orElse(propCols("bloomCol").headOption)
-      val parts = (if (parts0.nonEmpty) parts0 else propCols("partitionCols"))
-        .filterNot(SnapshotLog.BucketKeyPattern.matches)
-      // LOGICAL → physical naming + row ordinals (row layout is the
-      // visible schema; a field registry renames stored columns only)
-      val reg = SnapshotLog.registryAt(spark, dir).filterNot(_.isIdentity)
-      def phys(c: String): String = reg.flatMap(_.physicalOf(c)).getOrElse(c)
-      val physicalSchema = StructType(visible.fields.map(f =>
-        f.copy(name = phys(f.name), nullable = true)))
-      def ordOf(c: String): Option[Int] =
-        visible.fields.indexWhere(_.name.equalsIgnoreCase(c)) match {
-          case -1 => None
-          case i => Some(i)
-        }
-      def spec(c: String, tag: org.apache.spark.sql.types.DataType => Option[Int])
-          : Option[GraftColSpec] =
-        for { i <- ordOf(c); t <- tag(visible.fields(i).dataType) }
-          yield GraftColSpec(phys(c), i, t)
-      val bucketColType = ordOf(c0).map(i => visible.fields(i).dataType)
-      val bucketTag = bucketColType.flatMap {
-        case StringType => Some(GraftWriteShim.TString)
-        case dt => GraftWriteShim.zoneTagOf(dt)
+    // inherit the table's pruning metadata exactly as the V1 insert
+    // does; the synthetic bucket key is recorded by the writer itself
+    val (stats0, bloom0, parts0) =
+      GraftDataSource.inheritedMeta(spark, dir, visible)
+    val stats = (if (stats0.nonEmpty) stats0 else propCols("statsCols"))
+    val bloom = bloom0.orElse(propCols("bloomCol").headOption)
+    val parts = (if (parts0.nonEmpty) parts0 else propCols("partitionCols"))
+      .filterNot(SnapshotLog.BucketKeyPattern.matches)
+    // LOGICAL → physical naming + row ordinals (row layout is the
+    // visible schema; a field registry renames stored columns only)
+    val reg = SnapshotLog.registryAt(spark, dir).filterNot(_.isIdentity)
+    def phys(c: String): String = reg.flatMap(_.physicalOf(c)).getOrElse(c)
+    val physicalSchema = StructType(visible.fields.map(f =>
+      f.copy(name = phys(f.name), nullable = true)))
+    def ordOf(c: String): Option[Int] =
+      visible.fields.indexWhere(_.name.equalsIgnoreCase(c)) match {
+        case -1 => None
+        case i => Some(i)
       }
-      // stats columns without an inline zone kind: strings with a
-      // bloom are fine (indexed there, like writeData); anything else
-      // falls back to the V1 path so the WARN + recording semantics
-      // stay exactly the V1 writer's
-      val statsSpecs = stats.flatMap(c => spec(c, GraftWriteShim.zoneTagOf))
-      val statsOk = stats.forall(c =>
-        spec(c, GraftWriteShim.zoneTagOf).isDefined ||
-          (visible.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-            f.dataType == StringType) && bloom.exists(_.equalsIgnoreCase(c))))
-      val partSpecs = parts.flatMap(c => spec(c, GraftWriteShim.partTagOf))
-      val bloomSpec = bloom.flatMap(c => spec(c, GraftWriteShim.bloomTagOf))
-      val eligible = bucketTag.isDefined && statsOk &&
-        partSpecs.size == parts.size &&
-        bloomSpec.isDefined == bloom.isDefined
-      if (!eligible) None
-      else Some((overwriteAll: Boolean) =>
-        new GraftBucketWrite(spark, dir, c0, n, overwriteAll,
-          physicalSchema, ordOf(c0).get, bucketTag.get,
-          statsSpecs, partSpecs, bloomSpec))
+    def spec(c: String, tag: org.apache.spark.sql.types.DataType => Option[Int])
+        : Option[GraftColSpec] =
+      for { i <- ordOf(c); t <- tag(visible.fields(i).dataType) }
+        yield GraftColSpec(phys(c), i, t)
+    // a DECLARED bucket layout must bind (tag resolvable) or the table
+    // stays on the V1 path — a real write that silently dropped the
+    // declared clustering would decay the SPJ layout
+    val bucket: Option[GraftWriteBucketSpec] = bucketSpec match {
+      case Some((c0, n)) =>
+        val tag = ordOf(c0).map(i => visible.fields(i).dataType).flatMap {
+          case StringType => Some(GraftWriteShim.TString)
+          case dt => GraftWriteShim.zoneTagOf(dt)
+        }
+        tag.map(t => GraftWriteBucketSpec(c0, ordOf(c0).get, t, n))
+      case None => None
+    }
+    val bucketOk = bucketSpec.isEmpty == bucket.isEmpty
+    // stats columns without an inline zone kind: strings with a
+    // bloom are fine (indexed there, like writeData); anything else
+    // falls back to the V1 path so the WARN + recording semantics
+    // stay exactly the V1 writer's
+    val statsSpecs = stats.flatMap(c => spec(c, GraftWriteShim.zoneTagOf))
+    val statsOk = stats.forall(c =>
+      spec(c, GraftWriteShim.zoneTagOf).isDefined ||
+        (visible.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+          f.dataType == StringType) && bloom.exists(_.equalsIgnoreCase(c))))
+    val partSpecs = parts.flatMap(c => spec(c, GraftWriteShim.partTagOf))
+    val bloomSpec = bloom.flatMap(c => spec(c, GraftWriteShim.bloomTagOf))
+    val eligible = bucketOk && statsOk &&
+      partSpecs.size == parts.size &&
+      bloomSpec.isDefined == bloom.isDefined
+    if (!eligible) None
+    else {
+      // lineage posture: appends never stamp on ANY path (insertInto
+      // doesn't), but replaceWhere does — route it back to V1 stamping
+      // by not declaring the capability when lineage is in force
+      val (history, logDeclared, dProps) = SnapshotLog.durableMeta(spark, dir)
+      val lineage = history.isDefined || logDeclared.isDefined ||
+        dProps.keysIterator.exists(_.equalsIgnoreCase("lineageKey"))
+      Some(GraftRealWritePlan(
+        mk = (overwriteAll, replaceWhere) =>
+          new GraftBucketWrite(spark, dir, bucket, overwriteAll,
+            replaceWhere, visible, physicalSchema,
+            statsSpecs, partSpecs, bloomSpec),
+        replaceWhereSupported = !lineage))
     }
   }
 }

@@ -1269,8 +1269,33 @@ object SnapshotLog {
   private[graft] def epochGroups(spark: SparkSession, files: Seq[DataFile])
       : Seq[(org.apache.spark.sql.types.StructType, Seq[DataFile])] =
     files.groupBy(_.seq).toSeq.sortBy(_._1).map { case (_, fs) =>
-      spark.read.parquet(fs.head.path).schema -> fs
+      epochSchemaOf(spark, fs.head) -> fs
     }
+
+  /** Footer schema of one immutable data file, memoized process-wide
+    * (r15): `spark.read.parquet(path).schema` runs a (tiny) Spark JOB
+    * per call, and [[epochGroups]] runs per PLAN — so standing read
+    * traffic was paying one job per epoch per query for a value that
+    * can never change (files are content-immutable under uuid naming;
+    * bytes join the key as a belt-and-braces guard). LRU-bounded. */
+  private val epochSchemaCache =
+    new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+          : Boolean = size() > 4096
+    }
+  private def epochSchemaOf(spark: SparkSession, f: DataFile)
+      : org.apache.spark.sql.types.StructType = {
+    val key = s"${f.path}#${f.bytes}"
+    epochSchemaCache.synchronized {
+      val hit = epochSchemaCache.get(key)
+      if (hit != null) return hit
+    }
+    val v = spark.read.parquet(f.path).schema
+    epochSchemaCache.synchronized(epochSchemaCache.put(key, v))
+    v
+  }
 
   /** Read a set of live data files SAFELY across schema epochs: uniform
     * schemas (and no renames) read as one multi-path relation — the

@@ -118,6 +118,26 @@ object GraftParquetShim {
     val maskedInner = parquetBatch(spark,
       masked.map { case (p, len, _) => (p, len) },
       dataSchema, readWithIdx, pushedFilters)
+    // Vectorization is decided PER SCHEMA (field count, types), and the
+    // two inner factories differ by the appended row-index column — at
+    // the codegen maxFields boundary one can answer columnar while the
+    // other answers row-based, and the engine's DataSourceV2ScanExecBase
+    // requires ONE answer for the whole scan ("Cannot mix row-based and
+    // columnar partitions"). Decide ONCE here over representative
+    // partitions of both shapes; on disagreement every partition takes
+    // the row-based path (always available) instead of failing the query.
+    val plainFactory = plainBatch.map(_.createReaderFactory())
+    val maskedFactory = maskedInner.createReaderFactory()
+    val uniformColumnar = {
+      val maskedProbe = masked.headOption.forall { case (p, len, _) =>
+        maskedFactory.supportColumnarReads(FilePartition(0, Array(
+          PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p),
+            0L, len, Array.empty, 0L, len, Map.empty))))
+      }
+      val plainProbe = plainBatch.forall(
+        _.planInputPartitions().forall(plainFactory.get.supportColumnarReads))
+      maskedProbe && plainProbe
+    }
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
         val pp = plainBatch.map(_.planInputPartitions())
@@ -131,10 +151,74 @@ object GraftParquetShim {
         }
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new GraftMaskedReaderFactory(
-          plainBatch.map(_.createReaderFactory()),
-          maskedInner.createReaderFactory(),
-          readDataSchema)
+        new GraftMaskedReaderFactory(plainFactory, maskedFactory,
+          readDataSchema, uniformColumnar)
+    }
+  }
+
+  /** The ROW-ID vectorized variant (r15): serves scans whose projection
+    * includes the scan-metadata columns (`_graft_file`/`_graft_pos` —
+    * the row-id face of the delta-based row-level operations, and
+    * explicit metadata-column SELECTs), keeping the read columnar
+    * instead of degrading to the Row bridge. Every file gets its OWN
+    * partition (the row index resets per file and the file path is a
+    * per-partition CONSTANT): the inner vectorized read requests the
+    * engine's row-index generator column, and the wrapper emits
+    *   - `_graft_pos` as that vector (selection-filtered under a mask —
+    *     surviving rows keep their ORIGINAL file ordinal, which is what
+    *     a posdelete entry must name), and
+    *   - `_graft_file` as a zero-copy constant string vector carrying
+    *     the same qualified-URI rendering the V1 `_metadata.file_path`
+    *     read emits (pinned in RowLevelSpec), so both paths' row ids
+    *     are byte-identical.
+    * `outputSchema` is the scan's declared output with the metadata
+    * columns at their requested ordinals; data columns keep their
+    * relative order. */
+  def posBatch(spark: SparkSession,
+               files: Seq[(String, Long, Array[Long])],
+               dataSchema: StructType,
+               outputSchema: StructType,
+               fileColName: String, posColName: String,
+               pushedFilters: Array[Filter]): Batch = {
+    def isMeta(n: String): Boolean =
+      n.equalsIgnoreCase(fileColName) || n.equalsIgnoreCase(posColName)
+    val dataFields = outputSchema.fields.filterNot(f => isMeta(f.name))
+    val readWithIdx = StructType(dataFields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    // output ordinal → inner ordinal; FileCode/PosCode mark the two
+    // synthesized columns
+    val colMap: Array[Int] = {
+      var next = 0
+      outputSchema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(fileColName)) GraftPosReaderFactory.FileCode
+        else if (f.name.equalsIgnoreCase(posColName)) GraftPosReaderFactory.PosCode
+        else { val i = next; next += 1; i }
+      }
+    }
+    val inner = parquetBatch(spark, files.map { case (p, len, _) => (p, len) },
+      dataSchema, readWithIdx, pushedFilters)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        files.zipWithIndex.map { case ((p, len, positions), i) =>
+          val raw = new Path(p)
+          // the emitted _graft_file value — the same qualified Path
+          // rendering ("file:/x", Path.toString) the V1 read's
+          // _metadata.file_path carries for this file (pinned against
+          // it in RowLevelSpec)
+          val qualified = raw.getFileSystem(hadoopConf)
+            .makeQualified(raw).toString
+          val pf = PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len,
+            Map.empty)
+          GraftPosPartition(qualified, positions,
+            FilePartition(i, Array(pf))): InputPartition
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftPosReaderFactory(inner.createReaderFactory(),
+          outputSchema, colMap, dataFields.length)
     }
   }
 
@@ -168,6 +252,60 @@ object GraftParquetShim {
         new GraftUnwrapReaderFactory(inner.createReaderFactory())
     }
   }
+
+  /** Key-grouped + MASKED (r15): storage-partitioned joins on a
+    * merge-on-read table between compactions. Masks filter rows WITHIN
+    * files and can never change a row's bucket membership (the bucket
+    * is a pure function of the key), so key-grouped reporting stays
+    * sound — each bucket keeps ONE [[HasPartitionKey]] partition, whose
+    * reader concatenates its files sequentially: masked files through
+    * the row-index selection read, unmasked through the plain packed
+    * read. Selection preserves row order, so a sorted single-file
+    * bucket stays sorted under its mask. */
+  def bucketedMaskedBatch(spark: SparkSession,
+                          groups: Seq[(Int, Seq[(String, Long, Array[Long])])],
+                          dataSchema: StructType,
+                          readDataSchema: StructType,
+                          pushedFilters: Array[Filter]): Batch = {
+    val plainInner = parquetBatch(spark,
+      groups.flatMap(_._2).map { case (p, len, _) => (p, len) },
+      dataSchema, readDataSchema, pushedFilters)
+    val readWithIdx = StructType(readDataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val maskedInner = parquetBatch(spark,
+      groups.flatMap(_._2).collect { case (p, len, m) if m.nonEmpty => (p, len) },
+      dataSchema, readWithIdx, pushedFilters)
+    val plainFactory = plainInner.createReaderFactory()
+    val maskedFactory = maskedInner.createReaderFactory()
+    // one pre-agreed columnar answer for the whole scan (the engine
+    // refuses mixed row/columnar partitions) — the two factories'
+    // schemas differ by the row-index column, so probe both
+    def probePartition(p: String, len: Long): FilePartition =
+      FilePartition(0, Array(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len,
+        Map.empty)))
+    val uniformColumnar =
+      groups.flatMap(_._2).headOption.forall { case (p, len, _) =>
+        plainFactory.supportColumnarReads(probePartition(p, len)) } &&
+      groups.flatMap(_._2).collectFirst {
+        case (p, len, m) if m.nonEmpty => (p, len) }
+        .forall { case (p, len) =>
+          maskedFactory.supportColumnarReads(probePartition(p, len)) }
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        groups.sortBy(_._1).zipWithIndex.map { case ((bucket, fs), i) =>
+          GraftBucketedMaskedPartition(
+            new GenericInternalRow(Array[Any](bucket)), i,
+            fs.map { case (p, len, m) => GraftMaskedFileRef(p, len, m) })
+            : InputPartition
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftBucketedMaskedReaderFactory(plainFactory, maskedFactory,
+          readDataSchema, uniformColumnar)
+    }
+  }
 }
 
 /** One bucket group of a key-grouped graft scan: the partition key is
@@ -177,6 +315,120 @@ private[graftshim] final case class GraftBucketedPartition(
     files: FilePartition) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
   override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** One file of a key-grouped masked scan: path, length, sorted deleted
+  * ordinals (empty = unmasked). */
+private[graftshim] final case class GraftMaskedFileRef(
+    path: String, len: Long, positions: Array[Long])
+
+/** One bucket group of a key-grouped MASKED scan (r15): the partition
+  * key is the bucket id; files read sequentially within the task,
+  * masked ones through the selection read. */
+private[graftshim] final case class GraftBucketedMaskedPartition(
+    key: InternalRow, index: Int,
+    files: Seq[GraftMaskedFileRef]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Reader factory of [[GraftParquetShim.bucketedMaskedBatch]]: per
+  * partition, a sequential concatenation of per-file readers — plain
+  * files on the packed factory, masked files on the row-index factory
+  * with the zero-copy selection filter. */
+private[graftshim] final class GraftBucketedMaskedReaderFactory(
+    plain: PartitionReaderFactory,
+    maskedInner: PartitionReaderFactory,
+    readDataSchema: StructType,
+    uniformColumnar: Boolean) extends PartitionReaderFactory {
+
+  private def dataCols: Int = readDataSchema.length
+
+  private def filePartition(f: GraftMaskedFileRef): FilePartition =
+    FilePartition(0, Array(PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(f.path), 0L, f.len, Array.empty, 0L, f.len,
+      Map.empty)))
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    uniformColumnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val g = p.asInstanceOf[GraftBucketedMaskedPartition]
+    val cols = dataCols
+    new PartitionReader[ColumnarBatch] {
+      private val it = g.files.iterator
+      private var reader: PartitionReader[ColumnarBatch] = _
+      private var positions: Array[Long] = _
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) {
+            if (!it.hasNext) return false
+            val f = it.next()
+            positions = f.positions
+            reader =
+              if (f.positions.isEmpty) plain.createColumnarReader(filePartition(f))
+              else maskedInner.createColumnarReader(filePartition(f))
+          }
+          if (reader.next()) {
+            val b = reader.get()
+            current =
+              if (positions.isEmpty) b
+              else GraftMaskedReaderFactory.filterBatch(b, positions, cols)
+            return true
+          }
+          reader.close(); reader = null
+        }
+        false
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val g = p.asInstanceOf[GraftBucketedMaskedPartition]
+    val cols = dataCols
+    val drop = UnsafeProjection.create(
+      readDataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, nullable = true)
+      })
+    new PartitionReader[InternalRow] {
+      private val it = g.files.iterator
+      private var reader: PartitionReader[InternalRow] = _
+      private var positions: Array[Long] = _
+      private var row: InternalRow = _
+      private var masked = false
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null) {
+            if (!it.hasNext) return false
+            val f = it.next()
+            positions = f.positions
+            masked = f.positions.nonEmpty
+            reader =
+              if (masked) maskedInner.createReader(filePartition(f))
+              else plain.createReader(filePartition(f))
+          }
+          var advanced = false
+          while (!advanced && reader.next()) {
+            val r = reader.get()
+            if (!masked || java.util.Arrays.binarySearch(
+                positions, r.getLong(cols)) < 0) {
+              row = r
+              advanced = true
+            }
+          }
+          if (advanced) return true
+          reader.close(); reader = null
+        }
+        false
+      }
+      override def get(): InternalRow = if (masked) drop(row) else row
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
 }
 
 /** One MASKED data file: its sorted deleted row ordinals plus the
@@ -194,14 +446,15 @@ private[graftshim] final case class GraftMaskedPartition(
 private[graftshim] final class GraftMaskedReaderFactory(
     plain: Option[PartitionReaderFactory],
     maskedInner: PartitionReaderFactory,
-    readDataSchema: StructType) extends PartitionReaderFactory {
+    readDataSchema: StructType,
+    /** ONE pre-agreed answer for every partition (the engine refuses
+      * mixed row/columnar scans); false routes everything row-based. */
+    uniformColumnar: Boolean) extends PartitionReaderFactory {
 
   private def dataCols: Int = readDataSchema.length
 
-  override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case m: GraftMaskedPartition => maskedInner.supportColumnarReads(m.files)
-    case other => plain.get.supportColumnarReads(other)
-  }
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    uniformColumnar
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = p match {
@@ -320,6 +573,148 @@ private[graftshim] final class GraftSelectedColumnVector(
   override def getBinary(i: Int): Array[Byte] = inner.getBinary(sel(i))
   override def getChild(ordinal: Int): ColumnVector =
     new GraftSelectedColumnVector(inner.getChild(ordinal), sel)
+}
+
+/** One file of a ROW-ID scan: the qualified-URI string its rows carry
+  * as `_graft_file`, the sorted deleted ordinals (empty = unmasked),
+  * and the single-file [[FilePartition]] the stock reader consumes. */
+private[graftshim] final case class GraftPosPartition(
+    fileValue: String,
+    positions: Array[Long],
+    files: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Reader factory of [[GraftParquetShim.posBatch]]: the inner reader
+  * sees the data columns + the trailing row-index generator column;
+  * the wrapper reorders data columns to their output ordinals and
+  * synthesizes the two metadata columns — `_graft_file` as a constant
+  * string vector, `_graft_pos` as the row-index vector itself (both
+  * selection-filtered under a mask, so surviving rows keep their
+  * original file ordinals). Columnar support is a per-scan constant
+  * (one schema for every partition), so the engine's uniformity
+  * requirement holds structurally. */
+private[graftshim] final class GraftPosReaderFactory(
+    inner: PartitionReaderFactory,
+    outputSchema: StructType,
+    colMap: Array[Int],
+    dataCols: Int) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case g: GraftPosPartition => inner.supportColumnarReads(g.files)
+    case other => inner.supportColumnarReads(other)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val g = p.asInstanceOf[GraftPosPartition]
+    val innerR = inner.createColumnarReader(g.files)
+    val fileU8 = org.apache.spark.unsafe.types.UTF8String
+      .fromString(g.fileValue)
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (!innerR.next()) return false
+        val b = innerR.get()
+        val idx = b.column(dataCols)
+        val n = b.numRows()
+        val sel: Array[Int] =
+          if (g.positions.isEmpty) null
+          else {
+            val s = new Array[Int](n)
+            var out = 0; var i = 0
+            while (i < n) {
+              if (java.util.Arrays.binarySearch(
+                  g.positions, idx.getLong(i)) < 0) { s(out) = i; out += 1 }
+              i += 1
+            }
+            if (out == n) null else java.util.Arrays.copyOf(s, out)
+          }
+        val rows = if (sel == null) n else sel.length
+        def view(v: ColumnVector): ColumnVector =
+          if (sel == null) v else new GraftSelectedColumnVector(v, sel)
+        current = new ColumnarBatch(colMap.map {
+          case GraftPosReaderFactory.FileCode =>
+            new GraftConstantStringVector(fileU8): ColumnVector
+          case GraftPosReaderFactory.PosCode => view(idx)
+          case c => view(b.column(c))
+        }, rows)
+        true
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = innerR.close()
+    }
+  }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val g = p.asInstanceOf[GraftPosPartition]
+    val innerR = inner.createReader(g.files)
+    val proj = UnsafeProjection.create(
+      outputSchema.fields.toIndexedSeq.zip(colMap).map {
+        case (_, GraftPosReaderFactory.FileCode) =>
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(g.fileValue),
+            org.apache.spark.sql.types.StringType)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        case (_, GraftPosReaderFactory.PosCode) =>
+          BoundReference(dataCols, org.apache.spark.sql.types.LongType,
+            nullable = false)
+        case (f, c) => BoundReference(c, f.dataType, nullable = true)
+      })
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        while (innerR.next()) {
+          val r = innerR.get()
+          if (g.positions.isEmpty || java.util.Arrays.binarySearch(
+              g.positions, r.getLong(dataCols)) < 0) {
+            row = r
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(row)
+      override def close(): Unit = innerR.close()
+    }
+  }
+}
+
+private[graftshim] object GraftPosReaderFactory {
+  final val FileCode = -1
+  final val PosCode = -2
+}
+
+/** A constant non-null string column — the per-partition `_graft_file`
+  * value, one shared UTF8String however many rows read it. */
+private[graftshim] final class GraftConstantStringVector(
+    value: org.apache.spark.unsafe.types.UTF8String)
+    extends ColumnVector(org.apache.spark.sql.types.StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls(): Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getBoolean(i: Int): Boolean =
+    throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getLong(i: Int): Long = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int): ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = value
+  override def getBinary(i: Int): Array[Byte] = value.getBytes
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException
 }
 
 /** Unwraps [[GraftBucketedPartition]]s back to the [[FilePartition]]s

@@ -198,8 +198,12 @@ private[graftshim] final class GraftBucketDataWriter(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(residue, 42), n)
   }
 
-  private final class FileState(val bucket: Int) {
-    val path = s"$dataDir/part-$partitionId-$taskId-b$bucket.parquet"
+  private final class FileState(val bucket: Int, roll: Int) {
+    /** LRU stamp for the open-writer cap (monotonic write counter). */
+    var lastUse = 0L
+    val path =
+      if (roll == 0) s"$dataDir/part-$partitionId-$taskId-b$bucket.parquet"
+      else s"$dataDir/part-$partitionId-$taskId-b$bucket-r$roll.parquet"
     val writer = factory.newOutputWriter(path, partitionId, taskId)
     var rows = 0L
     val mins = mutable.Map.empty[String, Long]
@@ -290,21 +294,60 @@ private[graftshim] final class GraftBucketDataWriter(
   }
 
   private val open = mutable.Map.empty[Int, FileState]
+  /** Files already closed by the open-writer cap (rolled), plus each
+    * bucket's next roll index — a re-touched bucket opens a NEW file
+    * (both individually sorted/stated; only the 1-file-per-bucket SMJ
+    * sort elision is lost, never correctness). */
+  private val rolled = mutable.ArrayBuffer.empty[GraftFileResult]
+  private val rollIdx = mutable.Map.empty[Int, Int]
+  private var writeSeq = 0L
+  /** Cap on concurrently-open parquet writers per task (each holds
+    * ~MBs of column buffers + a file handle): the engine-planned
+    * clustered+sorted distribution keeps this at 1 in practice, but the
+    * delta insert side and an engine that ignored the non-strict
+    * distribution could otherwise fan out bucketCount writers at once
+    * (the Iceberg fanout-writer hazard). Exceeding it closes the
+    * least-recently-written file and rolls. */
+  private val MaxOpenWriters = 16
 
   override def write(row: InternalRow): Unit = {
     val b = bucketIdOf(row)
-    val st = open.getOrElseUpdate(b, new FileState(b))
+    val st = open.getOrElseUpdate(b, {
+      if (open.size >= MaxOpenWriters) {
+        val lru = open.values.minBy(_.lastUse)
+        rolled += lru.finish()
+        open.remove(lru.bucket)
+      }
+      val r = rollIdx.getOrElse(b, 0)
+      rollIdx(b) = r + 1
+      new FileState(b, r)
+    })
+    writeSeq += 1
+    st.lastUse = writeSeq
     st.update(row)
     st.writer.write(row)
   }
 
   override def commit(): WriterCommitMessage =
-    GraftWriteTaskResult(open.values.toSeq.sortBy(_.bucket).map(_.finish()))
+    GraftWriteTaskResult(finishFiles())
 
-  private[graftshim] def finishFiles(): Seq[GraftFileResult] =
-    open.values.toSeq.sortBy(_.bucket).map(_.finish())
+  private[graftshim] def finishFiles(): Seq[GraftFileResult] = {
+    val out = (rolled.toSeq ++ open.values.toSeq.map(_.finish()))
+      .sortBy(_.bucketId)
+    open.clear(); rolled.clear()
+    out
+  }
 
-  override def abort(): Unit = open.values.foreach(_.abort())
+  override def abort(): Unit = {
+    open.values.foreach(_.abort())
+    // rolled files are already closed — delete their bytes too
+    rolled.foreach { r =>
+      try {
+        val p = new Path(r.path)
+        p.getFileSystem(factory.conf.value).delete(p, false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
   override def close(): Unit = ()
 }

@@ -337,6 +337,99 @@ class ConnectorV2Spec extends AnyFunSuite {
     }
   }
 
+  test("SPJ survives positional masks: co-bucketed MOR tables join with zero exchange (r15)") {
+    val wh = freshWarehouse("spjmor")
+    spark.sql("CREATE TABLE gv2_spjmor.a PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k, id * 2 AS va FROM range(0, 1000)")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/b")
+    // positional masks on BOTH sides — merge-on-read deletes between
+    // compactions; membership is a pure function of the key, so the
+    // key-grouped proof must survive
+    Merge.deleteWhere(spark, s"$wh/a", col("k") % 10 === 3)
+    Merge.deleteWhere(spark, s"$wh/b", col("k") % 10 === 7)
+    assert(SnapshotLog.filesAt(spark, s"$wh/a").exists(_.kind == "posdelete"),
+      "the delete must have landed as a positional mask")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        """SELECT a.k, a.va, b.vb FROM gv2_spjmor.a a
+          |JOIN gv2_spjmor.b b ON a.k = b.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"masked co-bucketed tables must join WITHOUT a shuffle:\n$plan")
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val expected = (0L until 1000L)
+        .filterNot(k => k % 10 == 3 || k % 10 == 7)
+        .map(k => (k, k * 2, k * 3)).sorted.toSeq
+      assert(got === expected,
+        "the zero-exchange join must see exactly the surviving rows")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("unbucketed INSERT INTO takes the real V2 write: inline stats match the V1 writer (r15)") {
+    val wh = freshWarehouse("uw")
+    import spark.implicits._
+    val dir = s"$wh/t"
+    // seed through the V1 writer with the full metadata surface
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v",
+      "CASE WHEN id < 50 THEN 'a' ELSE 'b' END AS ds")
+      .coalesce(1).write.format("graft").option("statsCols", "id,v")
+      .option("bloomCol", "id").option("partitionCols", "ds").save(dir)
+    // the INSERT INTO through the V2 catalog must be a REAL engine-
+    // planned write (AppendDataExec, never the V1 fallback)
+    spark.range(100, 200).selectExpr("id", "id * 2 AS v", "'b' AS ds")
+      .coalesce(1).createOrReplaceTempView("gv2_uw_src")
+    val ins = spark.sql("INSERT INTO gv2_uw.t SELECT * FROM gv2_uw_src")
+    val insPlan = ins.queryExecution.executedPlan.toString
+    assert(insPlan.contains("GraftBucketWrite") &&
+        insPlan.contains("unbucketed") && !insPlan.contains("GraftV1Write"),
+      s"unbucketed INSERT must take the real V2 write:\n$insPlan")
+    // manifest-stats PARITY: the same single-partition frame written
+    // through the V1 path must record byte-identical pruning metadata
+    spark.range(100, 200).selectExpr("id", "id * 2 AS v", "'b' AS ds")
+      .coalesce(1).write.format("graft").option("statsCols", "id,v")
+      .option("bloomCol", "id").option("partitionCols", "ds")
+      .mode("append").save(s"$wh/twin")
+    def lastAdded(d: String) =
+      SnapshotLog.commits(spark, d).last.added.filter(_.rows > 0)
+    val (v2f, v1f) = (lastAdded(dir), lastAdded(s"$wh/twin"))
+    assert(v2f.size === 1 && v1f.size === 1, (v2f, v1f).toString)
+    assert(v2f.head.stats === v1f.head.stats, "zone parity")
+    assert(v2f.head.blooms === v1f.head.blooms, "bloom parity")
+    assert(v2f.head.parts === v1f.head.parts, "partition-value parity")
+    assert(v2f.head.nulls === v1f.head.nulls, "null-count parity")
+    assert(v2f.head.rows === 100 && v2f.head.rows === v1f.head.rows)
+    // the written table answers exactly, pruning included
+    assert(spark.sql("SELECT count(*) FROM gv2_uw.t").head.getLong(0) === 200)
+    assert(spark.sql("SELECT v FROM gv2_uw.t WHERE id = 150")
+      .head.getLong(0) === 300)
+    // V2-native replaceWhere on the unbucketed real-write table: swap
+    // the 'a' slice atomically, reject out-of-slice rows in the task
+    spark.range(0, 5).selectExpr("id + 5000 AS id", "id AS v", "'a' AS ds")
+      .writeTo("gv2_uw.t").overwrite(col("ds") === "a")
+    assert(spark.sql("SELECT count(*), min(id) FROM gv2_uw.t WHERE ds = 'a'")
+      .head.toSeq === Seq(5L, 5000L))
+    val e = intercept[Exception] {
+      spark.range(0, 2).selectExpr("id", "id AS v", "'b' AS ds")
+        .writeTo("gv2_uw.t").overwrite(col("ds") === "a") }
+    assert(e.getMessage.contains("do NOT satisfy"), e.getMessage)
+    // zero-row INSERT OVERWRITE still truncates and keeps the schema
+    spark.sql("INSERT OVERWRITE gv2_uw.t " +
+      "SELECT * FROM gv2_uw_src WHERE id < 0")
+    assert(spark.sql("SELECT count(*) FROM gv2_uw.t").head.getLong(0) === 0)
+    assert(spark.table("gv2_uw.t").columns.toSeq === Seq("id", "v", "ds"))
+  }
+
   test("engine-planned bucket write: INSERT reports the layout, files stay single-id") {
     val wh = freshWarehouse("dwr")
     spark.sql("CREATE TABLE gv2_dwr.t (k BIGINT, v BIGINT) " +

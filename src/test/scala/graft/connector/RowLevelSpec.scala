@@ -148,4 +148,78 @@ class RowLevelSpec extends AnyFunSuite {
       "SELECT count(*) FROM grl_bkt.t WHERE v = 0 AND k <> 0")
       .head.getLong(0) === 76)
   }
+
+  test("row-id scans ride the vectorized batch scan, not the Row bridge (r15)") {
+    val (t, dir) = freshTable("vecpos")
+    // plan face: metadata-column projection keeps the columnar fast path
+    val df = vanilla.sql(s"SELECT k, _graft_file, _graft_pos FROM $t")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("rowIds=true"),
+      s"row-id read must be the batch scan:\n$plan")
+    assert(!plan.toString.contains("GraftBridgeRelation"),
+      s"no Row bridge under a row-id projection:\n$plan")
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "the row-id scan must read columnar")
+    // value face: (_graft_file, _graft_pos, k) triples must be
+    // byte-identical to the engine's own _metadata read of the same
+    // files — the row-id contract the posdelete entries depend on
+    val got = df.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0))).sorted.toSeq
+    val files = SnapshotLog.filesAt(vanilla, dir)
+      .filter(f => f.kind == "data" && f.rows > 0).map(_.path)
+    val expected = main.read.parquet(files: _*)
+      .select(col("_metadata.file_path"), col("_metadata.row_index"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === expected)
+    // masked row-id read: surviving rows keep their ORIGINAL ordinals
+    vanilla.sql(s"DELETE FROM $t WHERE k % 10 = 3")
+    val after = vanilla.sql(s"SELECT k, _graft_file, _graft_pos FROM $t")
+    assert(after.queryExecution.executedPlan.toString.contains("rowIds=true"))
+    val afterRows = after.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0))).sorted.toSeq
+    assert(afterRows === expected.filterNot(_._3 % 10 == 3),
+      "masked row-id reads must keep original file ordinals")
+    // and a second DML on the masked table still lands exactly
+    vanilla.sql(s"DELETE FROM $t WHERE k % 10 = 4")
+    assert(vanilla.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 800)
+  }
+
+  test("mask load memoizes per posdelete set: re-planning runs zero jobs (r15)") {
+    val (t, _) = freshTable("maskmemo")
+    vanilla.sql(s"DELETE FROM $t WHERE k % 9 = 2")
+    // first plan of this snapshot loads the masks (a bounded job)
+    vanilla.sql(s"SELECT k FROM $t WHERE k < 10")
+      .queryExecution.executedPlan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(j.stageInfos.map(si =>
+          si.name + "@" + si.details.linesIterator.take(3).mkString("|"))
+          .mkString(";"))
+      }
+    }
+    vanilla.sparkContext.addSparkListener(listener)
+    try {
+      // a DIFFERENT query over the same snapshot: planning must be a
+      // pure cache hit — zero Spark jobs until execution
+      vanilla.sql(s"SELECT v FROM $t WHERE k > 500")
+        .queryExecution.executedPlan
+      // prove listener delivery with one marker job, then require the
+      // marker to be the ONLY job seen (the bus is FIFO: any plan-time
+      // job would have been counted before the marker's event)
+      vanilla.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get() === 1,
+        "re-planning the same masked snapshot must not re-run the mask " +
+          s"load (jobs: ${sites.toArray.mkString(", ")})")
+    } finally vanilla.sparkContext.removeSparkListener(listener)
+  }
 }
