@@ -210,6 +210,38 @@ object ConnectorQueries {
       base
     }
 
+  /** The EQUALITY-masked merge-on-read warehouse (r15): a mergeOnRead
+    * delete-only delta lands eqdelete masks, then a LATER append
+    * re-inserts half the deleted keys — the seq-rule state (a key's
+    * delete applies only to rows whose file predates it). The build
+    * REQUIRES the masks and the VECTORIZED eq-masked scan (`eqKeys=` in
+    * the batch-scan description, never the Row bridge); the oracle pins
+    * that the per-batch key probe loses exactly the dead rows and keeps
+    * every re-insert. */
+  private def eqMorWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "eqmor") { base =>
+      val dir = s"$base/orders_eqmor"
+      orders(s, d).write.format("graft")
+        .option("statsCols", "o_orderkey").save(dir)
+      graft.table.Merge.mergeOnRead(s, dir,
+        orders(s, d).filter(col("o_orderkey") % 11 === 3)
+          .withColumn("_del", lit(true)),
+        "o_orderkey", deleteCol = Some("_del"))
+      orders(s, d).filter(col("o_orderkey") % 22 === 3)
+        .write.format("graft").mode("append")
+        .option("statsCols", "o_orderkey").save(dir)
+      require(SnapshotLog.filesAt(s, dir).exists(_.kind == "eqdelete"),
+        "the delete-only delta must land as an equality mask")
+      new GraftScanBuilder(s, dir).build() match {
+        case b: GraftV2BatchScan =>
+          require(b.description().contains("eqKeys="),
+            s"the eq-masked read must vectorize: ${b.description()}")
+        case other => throw new IllegalStateException(
+          s"expected the eq-masked batch scan, got $other")
+      }
+      dir
+    }
+
   /** The UNBUCKETED real-V2-write warehouse (r15): CREATE TABLE +
     * INSERT INTO by V2 name on a plain (no bucket) table — the write
     * must plan as the REAL engine write (inline manifest stats, no V1
@@ -1062,6 +1094,21 @@ object ConnectorQueries {
               |FROM $cat.orders_mor
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // the VECTORIZED equality-mask path (r15): eqdelete keys filter by
+    // per-batch key probe against the folded (key → delete seq) arrays,
+    // and a LATER re-insert of half the deleted keys survives the seq
+    // rule — the fixture refuses any non-vectorized plan; the oracle
+    // pins dead rows lost, re-inserts kept
+    "conn_eq_mor_read" -> ((s, d) => {
+      val base = eqMorWarehouse(s, d)
+      val cat = catalogFor(s, "graft_eqmor",
+        base.stripSuffix("/orders_eqmor"))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM $cat.orders_eqmor
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     // metadata-only aggregates: an unfiltered count(*)/min/max over the
     // connector relation answers from manifest row counts and zones
     // alone — ConnectorSpec pins that the optimized plan is a
@@ -1291,6 +1338,15 @@ object ConnectorQueries {
         |FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_eq_mor_read" ->
+      """WITH live AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 11 <> 3
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey % 22 = 3)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "conn_colocated_join_str" ->
       """SELECT c_nationkey, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key

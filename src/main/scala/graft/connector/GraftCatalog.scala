@@ -970,8 +970,9 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       // beyond the budget (compact overdue) reads via the bridge.
       // Equality masks still bridge: their seq-rule fold needs the
       // key-join semantics, not physical addressing.
-      val posDebt = dels.iterator.filter(_.kind == "posdelete")
-        .map(_.rows).sum
+      val (posDels, eqDels) = dels.partition(_.kind == "posdelete")
+      val posDebt = posDels.map(_.rows).sum
+      val eqDebt = eqDels.map(_.rows).sum
       val maskBudget = spark.conf
         .getOption("graft.v2.maskedScan.maxPositions")
         .flatMap(_.toLongOption).getOrElse(4L * 1024 * 1024)
@@ -983,13 +984,28 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
       val needPos = required.fieldNames.exists(n =>
         n.equalsIgnoreCase(SnapshotLog.PosFileCol) ||
           n.equalsIgnoreCase(SnapshotLog.PosOrdCol))
+      // EQUALITY masks vectorize too (r15): the fold-to-(key → max
+      // delete seq) runs ONCE (memoized on the eqdelete file set,
+      // budget-gated like positions) and ships in the reader factory;
+      // unsupported key shapes (non-integral/non-string, key column
+      // absent) and row-id reads keep the always-correct bridge
+      lazy val eqLoaded: Option[org.apache.spark.sql.graftshim.GraftEqMask] =
+        GraftEqMaskCache.getOrLoad(
+          eqDels.map(d => s"${d.path}#${d.rows}#${d.bytes}")
+            .sorted.mkString("|")) {
+          GraftEqMaskCache.load(spark, eqDels, visible)
+        }
+      // eqOk LAST in the gate chain: the memoized load job runs only
+      // when every cheaper condition already passed
+      def eqOk: Boolean = eqDels.isEmpty ||
+        (!needPos && eqLoaded.isDefined)
       val fastPath = reg.isEmpty &&
-        (dels.isEmpty ||
-          (dels.forall(_.kind == "posdelete") && posDebt <= maskBudget)) &&
+        (dels.isEmpty || posDebt + eqDebt <= maskBudget) &&
         epochSchemas.distinct.size <= 1 &&
         epochSchemas.headOption.forall(_.fields.forall(f =>
           visible.fields.exists(v =>
-            v.name == f.name && v.dataType == f.dataType)))
+            v.name == f.name && v.dataType == f.dataType))) &&
+        eqOk
       if (fastPath) {
         // ONE bounded plan-time job loads the recorded positions
         // (≤ maskBudget by the manifest gate above) into the per-file
@@ -1003,12 +1019,12 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
         // re-planning the same snapshot pays ZERO jobs, and any commit
         // that adds or compacts masks changes the key
         val masks: Map[String, Array[Long]] =
-          if (dels.isEmpty) Map.empty
+          if (posDels.isEmpty) Map.empty
           else GraftMaskCache.getOrLoad(
-            dels.map(d => s"${d.path}#${d.rows}#${d.bytes}")
+            posDels.map(d => s"${d.path}#${d.rows}#${d.bytes}")
               .sorted.mkString("|")) {
             import org.apache.spark.sql.functions.{col => c, collect_set, sort_array}
-            spark.read.parquet(dels.map(_.path): _*)
+            spark.read.parquet(posDels.map(_.path): _*)
               .groupBy(c(SnapshotLog.PosFileCol))
               .agg(sort_array(collect_set(c(SnapshotLog.PosOrdCol))).as("ps"))
               .collect() // one row per masked FILE — bounded metadata
@@ -1041,7 +1057,8 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
               r.equalsIgnoreCase(SnapshotLog.PosOrdCol)))
         new GraftV2BatchScan(spark, dir, visible, required, pushedData,
           kept, staticPruned = data.size - kept.size,
-          bucketSpec = bucketSpec, masks = masks, withPos = needPos)
+          bucketSpec = bucketSpec, masks = masks, withPos = needPos,
+          eqMask = if (eqDels.isEmpty) None else eqLoaded)
       }
       else
         new GraftBridgeScan(dir, kept, dels, reg, required,
@@ -1098,6 +1115,76 @@ private[connector] object GraftMaskCache {
   /** Test face: entry count (the job-count pin asserts a second plan
     * of the same snapshot is a pure cache hit). */
   private[connector] def entries: Int = cache.synchronized(cache.size())
+}
+
+/** Process-wide memo of folded EQUALITY masks (r15), keyed like
+  * [[GraftMaskCache]] by the content-addressed eqdelete file set. The
+  * cached value is Option: None records "this mask set cannot
+  * vectorize" (unsupported key type / absent column) so the probe is
+  * not re-paid per plan either. Bounded by total cached keys. */
+private[connector] object GraftEqMaskCache {
+  private val MaxCachedKeys = 16L * 1024 * 1024
+  private val cache = new java.util.LinkedHashMap[
+    String, Option[org.apache.spark.sql.graftshim.GraftEqMask]](16, 0.75f, true)
+  private var cachedKeys = 0L
+
+  private def sizeOf(v: Option[org.apache.spark.sql.graftshim.GraftEqMask]): Long =
+    v.map(_.delSeqs.length.toLong).getOrElse(1L)
+
+  def getOrLoad(key: String)(
+      miss: => Option[org.apache.spark.sql.graftshim.GraftEqMask])
+      : Option[org.apache.spark.sql.graftshim.GraftEqMask] = {
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    val v = miss
+    cache.synchronized {
+      if (!cache.containsKey(key)) {
+        cache.put(key, v)
+        cachedKeys += sizeOf(v)
+        val it = cache.entrySet().iterator()
+        while (cachedKeys > MaxCachedKeys && cache.size() > 1 && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            cachedKeys -= sizeOf(e.getValue)
+            it.remove()
+          }
+        }
+      }
+    }
+    v
+  }
+
+  /** Fold the pending eqdelete files to the shippable (sorted key →
+    * max delete seq) arrays — ONE bounded distributed job + a
+    * keys-count collect. Returns None for key shapes the vectorized
+    * filter can't serve (the bridge handles those). Null keys drop
+    * (SQL join semantics: null never matches). */
+  def load(spark: SparkSession, eqDels: Seq[SnapshotLog.DataFile],
+           visible: StructType)
+      : Option[org.apache.spark.sql.graftshim.GraftEqMask] = {
+    import org.apache.spark.sql.types._
+    val (delAgg, keyCol) = SnapshotLog.foldMasks(spark, eqDels)
+    val keyField = visible.fields.find(_.name.equalsIgnoreCase(keyCol))
+    keyField.map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        val rows = delAgg.collect().filter(!_.isNullAt(0))
+        val pairs = rows.map(r =>
+          (r.get(0).asInstanceOf[Number].longValue(), r.getLong(1)))
+          .sortBy(_._1)
+        Some(org.apache.spark.sql.graftshim.GraftEqMask(
+          keyField.get.name, pairs.map(_._1), Array.empty, pairs.map(_._2)))
+      case Some(StringType) =>
+        val rows = delAgg.collect().filter(!_.isNullAt(0))
+        val u8 = org.apache.spark.unsafe.types.UTF8String.fromString _
+        val pairs = rows.map(r => (r.getString(0), r.getLong(1)))
+          .sortWith((a, b) => u8(a._1).compareTo(u8(b._1)) < 0)
+        Some(org.apache.spark.sql.graftshim.GraftEqMask(
+          keyField.get.name, Array.empty, pairs.map(_._1), pairs.map(_._2)))
+      case _ => None // absent or non-integral/non-string key: bridge
+    }
+  }
 }
 
 /** A completely-pushed-down aggregate: one precomputed row, zero files

@@ -66,13 +66,26 @@ private[connector] final class GraftV2BatchScan(
       * per file (the file is a per-partition constant, the row index
       * resets per file), so key-grouped reporting is withheld. This is
       * the scan under every vanilla-session DELETE/UPDATE/MERGE. */
-    withPos: Boolean = false)
+    withPos: Boolean = false,
+    /** Folded EQUALITY mask (r15): (sorted key → max delete seq)
+      * arrays, budget-gated driver metadata. Files whose commit seq is
+      * below some key's delete seq filter rows per batch inside the
+      * columnar read; newer files (re-inserts) pay nothing. */
+    eqMask: Option[org.apache.spark.sql.graftshim.GraftEqMask] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
 
   @volatile private var kept: Seq[DataFile] = staticKept
   @volatile private var runtimePruned: Int = 0
+
+  /** Highest delete seq of the equality mask — a file whose seq is at
+    * or above it can contain no masked row (re-inserts survive by the
+    * `del_seq <= file_seq` rule). */
+  private val eqMaxDelSeq: Long =
+    eqMask.map(_.delSeqs.max).getOrElse(Long.MinValue)
+  private def eqApplies(f: DataFile): Boolean =
+    eqMask.isDefined && f.seq < eqMaxDelSeq
 
   /** Test face: the CURRENT file list (post runtime filtering). */
   private[connector] def keptFiles: Seq[DataFile] = kept
@@ -88,6 +101,7 @@ private[connector] final class GraftV2BatchScan(
         s"maskedFiles=${masks.size}, maskedRows=${masks.valuesIterator.map(_.length.toLong).sum}, "
        else "") +
       (if (withPos) "rowIds=true, " else "") +
+      eqMask.fold("")(e => s"eqKeys=${e.delSeqs.length}, ") +
       s"cols=${required.fieldNames.mkString(",")})"
 
   /** Columns a runtime filter could prune files on: anything with a zone
@@ -122,11 +136,12 @@ private[connector] final class GraftV2BatchScan(
     * that lost HasPartitionKey; a runtime filter that pruned every
     * row-bearing file must therefore yield zero KEYED partitions, not a
     * fallback to plain FilePartitions). */
-  // masks do NOT disable key-grouped reporting (r15): a positional mask
+  // POSITIONAL masks do NOT disable key-grouped reporting (r15): a mask
   // filters rows within a file and can never change bucket membership
   // (the bucket is a pure function of the key), so two co-bucketed MOR
-  // tables keep their zero-exchange join between compactions
-  private val bucketedAtPlan: Boolean = !withPos &&
+  // tables keep their zero-exchange join between compactions. Equality
+  // masks withhold it (their reader shape has no bucketed variant yet).
+  private val bucketedAtPlan: Boolean = !withPos && eqMask.isEmpty &&
     bucketSpec.exists { case (c, n) =>
       val key = SnapshotLog.bucketPartKey(n, c)
       val bearing = staticKept.filter(_.rows > 0)
@@ -206,19 +221,23 @@ private[connector] final class GraftV2BatchScan(
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f => (f.path, f.bytes))) },
         visible, required, pushed)
-    case None if masks.nonEmpty =>
-      // masked files (one partition each, mask filtered in the reader)
-      // + unmasked files on the plain packed batch — all vectorized
+    case None if masks.nonEmpty || eqMask.isDefined =>
+      // masked files (one partition each, positional ordinals and/or
+      // the equality key set filtered in the reader) + untouched files
+      // on the plain packed batch — all vectorized
       val (maskedF, plainF) = kept.partition(f =>
-        masks.get(f.path).exists(_.nonEmpty))
+        masks.get(f.path).exists(_.nonEmpty) || eqApplies(f))
       if (maskedF.isEmpty)
         org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
           spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
       else
         org.apache.spark.sql.graftshim.GraftParquetShim.maskedBatch(
           spark, plainF.map(f => (f.path, f.bytes)),
-          maskedF.map(f => (f.path, f.bytes, masks(f.path))),
-          visible, required, pushed)
+          maskedF.map(f => org.apache.spark.sql.graftshim.GraftMaskedFileSpec(
+            f.path, f.bytes,
+            masks.getOrElse(f.path, Array.empty[Long]),
+            f.seq, eqApplies(f))),
+          visible, required, pushed, eqMask = eqMask)
     case None =>
       org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
         spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
@@ -231,12 +250,16 @@ private[connector] final class GraftV2BatchScan(
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, kept.map(_.bytes).sum))
-    override def numRows(): java.util.OptionalLong = {
-      val masked = kept.iterator
-        .flatMap(f => masks.get(f.path)).map(_.length.toLong).sum
-      java.util.OptionalLong.of(
-        math.max(0L, kept.map(_.rows).sum - masked))
-    }
+    override def numRows(): java.util.OptionalLong =
+      // an equality mask's subtraction is unknowable from metadata (a
+      // key may match zero or many rows) — like the bridge, report none
+      if (eqMask.isDefined) java.util.OptionalLong.empty()
+      else {
+        val masked = kept.iterator
+          .flatMap(f => masks.get(f.path)).map(_.length.toLong).sum
+        java.util.OptionalLong.of(
+          math.max(0L, kept.map(_.rows).sum - masked))
+      }
   }
 }
 

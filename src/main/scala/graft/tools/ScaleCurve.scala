@@ -166,6 +166,36 @@ object ScaleCurve {
       settle()
       require(nVec == nBridge,
         s"vectorized masked read diverged from the bridge: $nVec vs $nBridge")
+      // r15: ROW-ID scan curve — the same masked table read WITH the
+      // scan-metadata columns (what every vanilla-session DML source
+      // scan projects). The vectorized row-id read must hold its rate
+      // while table+debt grow ×k; the bridge twin prices the r14 path.
+      // sum(_graft_pos) is an exact integer checksum BOTH plans must
+      // agree on (survivors keep original file ordinals on both).
+      val ridQ = "SELECT count(*) AS n, sum(_graft_pos) AS s " +
+        s"FROM $morCat.pos"
+      val (ridVec, tRidVec) = timed(spark.sql(ridQ).collect()(0)); settle()
+      spark.conf.set("graft.v2.maskedScan.maxPositions", "0")
+      val (ridBridge, tRidBridge) =
+        try timed(spark.sql(ridQ).collect()(0))
+        finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
+      settle()
+      require(ridVec == ridBridge,
+        s"row-id reads diverged: $ridVec vs $ridBridge")
+      // r15: EQUALITY-mask read curve — the write-amplification section's
+      // mor table carries eqdelete masks; the vectorized read probes the
+      // folded key set per batch (binary search) where the bridge pays
+      // a broadcast join on the Row bridge. Checksums must agree.
+      val eqQ = "SELECT count(*) AS n, " +
+        s"sum(CAST(v * 100 AS BIGINT)) AS s FROM $morCat.mor"
+      val (eqVec, tEqVec) = timed(spark.sql(eqQ).collect()(0)); settle()
+      spark.conf.set("graft.v2.maskedScan.maxPositions", "0")
+      val (eqBridge, tEqBridge) =
+        try timed(spark.sql(eqQ).collect()(0))
+        finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
+      settle()
+      require(eqVec == eqBridge,
+        s"vectorized equality-mask read diverged: $eqVec vs $eqBridge")
       // r9: CDC apply-rate curve — a ~constant-size (~100k-row)
       // update-dominated delta drained through the STREAMING upsert sink
       // against the ×k table. The apply path costs O(delta + file
@@ -398,13 +428,77 @@ object ScaleCurve {
           require(nSpj == nShuf && nSpj >= nState,
             s"SPJ join must equal the shuffled join: $nSpj vs $nShuf " +
               s"(state rows $nState)")
-          (bSpj, tSpj, bShuf, tShuf)
+          // r15: the same co-located join AFTER positional deletes land
+          // on both sides — the merge-on-read state between compactions.
+          // Key-grouped reporting must hold (masks never change bucket
+          // membership): shuffle bytes stay ~zero while the shuffled
+          // twin's keep growing ×k, and both see the same masked rows.
+          graft.table.Merge.deleteWhere(spark, aDir, pmod(col("id"), lit(9)) === 4)
+          graft.table.Merge.deleteWhere(spark, bDir, pmod(col("id"), lit(11)) === 5)
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          // first masked plan pays the ONE-TIME mask-load shuffle
+          // (memoized per snapshot); the steady-state join traffic is
+          // the SECOND run's bytes
+          joinOnce(); settle()
+          val (nSpjM, bSpjM, tSpjM) = joinOnce(); settle()
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          val (nShufM, bShufM, tShufM) = joinOnce(); settle()
+          require(nSpjM == nShufM && nSpjM < nSpj,
+            s"masked SPJ join must equal its shuffled twin and shrink: " +
+              s"$nSpjM vs $nShufM (clean $nSpj)")
+          (bSpj, tSpj, bShuf, tShuf, bSpjM, tSpjM, bShufM, tShufM)
         } finally {
           spark.sparkContext.removeSparkListener(listener)
           prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
             spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
         }
+      }
+      // r15: write READ-BACK curve — the V1 writeData path re-reads
+      // every byte it just wrote to aggregate manifest stats (a second
+      // IO pass ∝ data written), while the real V2 write computes stats
+      // INLINE in the writing task. Measured as task input bytes during
+      // each write of the SAME ×k frame — the V1 number grows ×k
+      // (minus source-read bytes, identical in both), the V2 one reads
+      // the source alone. At 100 TB the difference is the write's IO
+      // halving.
+      val writeProbe = {
+        val readBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        val rlistener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              readBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        }
+        spark.sparkContext.addSparkListener(rlistener)
+        def measured[A](f: => A): (Long, Double) = {
+          readBytes.set(0L)
+          val (_, t) = timed(f)
+          Thread.sleep(800) // listener events drain asynchronously
+          (readBytes.get(), t)
+        }
+        try {
+          // full metadata surface (two zone columns + a bloom): the V1
+          // read-back pass prunes to exactly these columns, so a
+          // single-column declaration would understate it
+          val (v1B, v1T) = measured {
+            state.write.format("graft").option("statsCols", "id,v")
+              .option("bloomCol", "id").save(s"$tfBase/w_v1")
+          }
+          val wcat = s"gsc_w_x$k"
+          spark.conf.set(s"spark.sql.catalog.$wcat",
+            classOf[graft.connector.GraftCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$wcat.warehouse", tfBase)
+          spark.sql(s"CREATE TABLE $wcat.w_v2 (id BIGINT, v DOUBLE) " +
+            "TBLPROPERTIES ('statsCols' = 'id,v', 'bloomCol' = 'id')")
+          state.createOrReplaceTempView(s"gsc_w_src_x$k")
+          val (v2B, v2T) = measured {
+            spark.sql(s"INSERT INTO $wcat.w_v2 SELECT id, v FROM gsc_w_src_x$k")
+          }
+          require(spark.sql(s"SELECT count(*) FROM $wcat.w_v2")
+            .head.getLong(0) == nState, "real V2 write row-count parity")
+          (v1B, v1T, v2B, v2T)
+        } finally spark.sparkContext.removeSparkListener(rlistener)
       }
       // r11: OCC rebase curve — a pinned replace that loses its id race
       // to j interleaved appends must rebase in O(j) MANIFEST reads:
@@ -442,6 +536,8 @@ object ScaleCurve {
         s"pos_read=${s(tPosRead)}s " +
         s"mask_debt=$posDebt v2_masked_vec=${s(tVecRead)}s " +
         s"v2_masked_bridge=${s(tBridgeRead)}s " +
+        s"rowid_vec=${s(tRidVec)}s rowid_bridge=${s(tRidBridge)}s " +
+        s"eq_vec=${s(tEqVec)}s eq_bridge=${s(tEqBridge)}s " +
         s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
         s"cdf_preimages=$nPre/${s(tPre)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
@@ -457,7 +553,11 @@ object ScaleCurve {
         s"${mdelC.summary("rows_deleted")}rd/${s(tMetaDel)}s " +
         s"occ_rebase_j1=${s(occTimes(1))}s occ_rebase_j8=${s(occTimes(8))}s " +
         s"spj_join=${spjProbe._1}B/${s(spjProbe._2)}s " +
-        s"shuffled_join=${spjProbe._3}B/${s(spjProbe._4)}s")
+        s"shuffled_join=${spjProbe._3}B/${s(spjProbe._4)}s " +
+        s"spj_mor_join=${spjProbe._5}B/${s(spjProbe._6)}s " +
+        s"shuffled_mor_join=${spjProbe._7}B/${s(spjProbe._8)}s " +
+        s"v1_write_read=${writeProbe._1}B/${s(writeProbe._2)}s " +
+        s"v2_write_read=${writeProbe._3}B/${s(writeProbe._4)}s")
     }
     spark.stop()
   }

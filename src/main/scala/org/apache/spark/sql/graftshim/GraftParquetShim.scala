@@ -89,21 +89,47 @@ object GraftParquetShim {
     * columnar either way — no InternalRow bridge, no whole-stage-codegen
     * break.
     *
+    * EQUALITY masks (r15) ride the same wrapper: the folded
+    * (key → max delete seq) table ships ONCE per executor inside the
+    * reader factory ([[GraftEqMask]], budget-gated driver metadata);
+    * an eq-affected file additionally reads its key column (appended to
+    * the inner schema when the projection pruned it) and the selection
+    * drops rows whose key's delete seq exceeds the FILE's commit seq —
+    * exactly [[graft.table.SnapshotLog]]'s `_graft_del_seq <=
+    * _graft_seq` survival rule, evaluated per batch instead of through
+    * a broadcast join on the Row bridge.
+    *
     * Each masked file gets its OWN input partition: the row-index
     * column resets per file, so the reader must know which file's mask
     * applies (the same one-file-per-task shape Delta's DV scan uses);
     * unmasked files keep the engine's `maxPartitionBytes` packing. */
   def maskedBatch(spark: SparkSession,
                   plain: Seq[(String, Long)],
-                  masked: Seq[(String, Long, Array[Long])],
+                  masked: Seq[GraftMaskedFileSpec],
                   dataSchema: StructType,
                   readDataSchema: StructType,
-                  pushedFilters: Array[Filter]): Batch = {
+                  pushedFilters: Array[Filter],
+                  eqMask: Option[GraftEqMask] = None): Batch = {
     require(masked.nonEmpty, "maskedBatch with no masked files")
     val plainBatch =
       if (plain.isEmpty) None
       else Some(parquetBatch(spark, plain, dataSchema, readDataSchema,
         pushedFilters))
+    // the equality key column joins the masked inner read when the
+    // projection pruned it; the wrapper consumes and drops it
+    val needKey = eqMask.filter(e =>
+      !readDataSchema.fieldNames.exists(_.equalsIgnoreCase(e.keyCol)))
+    val keyOrdinal = eqMask.map(e =>
+      readDataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(e.keyCol)) match {
+        case -1 => readDataSchema.length // appended just below
+        case i => i
+      })
+    val withKey = needKey match {
+      case Some(e) => StructType(readDataSchema.fields :+
+        dataSchema.fields.find(_.name.equalsIgnoreCase(e.keyCol)).get
+          .copy(nullable = true))
+      case None => readDataSchema
+    }
     // the TEMPORARY row-index column: the parquet readers recognize it
     // by name, exclude it from the file's requested schema, and
     // populate it with each row's file ordinal (page-skipping-safe)
@@ -111,12 +137,12 @@ object GraftParquetShim {
     // schema must mark it optional (a required missing column refuses at
     // reader init); the generator then overwrites the null vector with
     // real ordinals before every batch is handed out
-    val readWithIdx = StructType(readDataSchema.fields :+
+    val readWithIdx = StructType(withKey.fields :+
       org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true))
     val maskedInner = parquetBatch(spark,
-      masked.map { case (p, len, _) => (p, len) },
+      masked.map(m => (m.path, m.len)),
       dataSchema, readWithIdx, pushedFilters)
     // Vectorization is decided PER SCHEMA (field count, types), and the
     // two inner factories differ by the appended row-index column — at
@@ -129,10 +155,10 @@ object GraftParquetShim {
     val plainFactory = plainBatch.map(_.createReaderFactory())
     val maskedFactory = maskedInner.createReaderFactory()
     val uniformColumnar = {
-      val maskedProbe = masked.headOption.forall { case (p, len, _) =>
+      val maskedProbe = masked.headOption.forall { m =>
         maskedFactory.supportColumnarReads(FilePartition(0, Array(
-          PartitionedFile(InternalRow.empty, SparkPath.fromPathString(p),
-            0L, len, Array.empty, 0L, len, Map.empty))))
+          PartitionedFile(InternalRow.empty, SparkPath.fromPathString(m.path),
+            0L, m.len, Array.empty, 0L, m.len, Map.empty))))
       }
       val plainProbe = plainBatch.forall(
         _.planInputPartitions().forall(plainFactory.get.supportColumnarReads))
@@ -142,17 +168,17 @@ object GraftParquetShim {
       override def planInputPartitions(): Array[InputPartition] = {
         val pp = plainBatch.map(_.planInputPartitions())
           .getOrElse(Array.empty[InputPartition])
-        pp ++ masked.zipWithIndex.map { case ((p, len, positions), i) =>
+        pp ++ masked.zipWithIndex.map { case (m, i) =>
           val pf = PartitionedFile(InternalRow.empty,
-            SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len,
-            Map.empty)
-          GraftMaskedPartition(positions,
+            SparkPath.fromPathString(m.path), 0L, m.len, Array.empty, 0L,
+            m.len, Map.empty)
+          GraftMaskedPartition(m.positions, m.fileSeq, m.eqApplies,
             FilePartition(pp.length + i, Array(pf))): InputPartition
         }
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftMaskedReaderFactory(plainFactory, maskedFactory,
-          readDataSchema, uniformColumnar)
+          readDataSchema, uniformColumnar, eqMask, keyOrdinal.getOrElse(-1))
     }
   }
 
@@ -374,7 +400,8 @@ private[graftshim] final class GraftBucketedMaskedReaderFactory(
             val b = reader.get()
             current =
               if (positions.isEmpty) b
-              else GraftMaskedReaderFactory.filterBatch(b, positions, cols)
+              else GraftMaskedReaderFactory.filterBatch(b, positions, cols,
+                cols, None, -1, 0L)
             return true
           }
           reader.close(); reader = null
@@ -431,27 +458,80 @@ private[graftshim] final class GraftBucketedMaskedReaderFactory(
   }
 }
 
-/** One MASKED data file: its sorted deleted row ordinals plus the
-  * single-file [[FilePartition]] the stock parquet reader consumes. */
+/** One masked file handed to [[GraftParquetShim.maskedBatch]]: sorted
+  * deleted row ordinals (may be empty when only the equality mask
+  * applies), the file's commit seq, and whether the equality mask can
+  * affect it (some key's delete seq exceeds the file's). */
+final case class GraftMaskedFileSpec(
+    path: String, len: Long, positions: Array[Long],
+    fileSeq: Long, eqApplies: Boolean)
+
+/** The folded EQUALITY mask (r15), shipped once per executor in the
+  * reader factory: aligned (sorted key → max delete seq) arrays. A row
+  * with key k in a file of commit seq s is deleted iff
+  * delSeq(k) > s — the broadcast-join survival rule
+  * (`_graft_del_seq <= _graft_seq` keeps), evaluated per batch.
+  * Integral keys normalize to longs; string keys compare in UTF8String
+  * binary order (the driver sorted them that way). Null keys never
+  * match (SQL join semantics). */
+final case class GraftEqMask(
+    keyCol: String,
+    longKeys: Array[Long],
+    strKeys: Array[String],
+    delSeqs: Array[Long]) {
+  @transient lazy val strKeysU8: Array[org.apache.spark.unsafe.types.UTF8String] =
+    strKeys.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  def isString: Boolean = strKeys.nonEmpty
+  /** delete seq of `k`, Long.MinValue when unmasked. */
+  def delSeqOfLong(k: Long): Long = {
+    val i = java.util.Arrays.binarySearch(longKeys, k)
+    if (i < 0) Long.MinValue else delSeqs(i)
+  }
+  def delSeqOfStr(k: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val i = java.util.Arrays.binarySearch(
+      strKeysU8.asInstanceOf[Array[AnyRef]], k.asInstanceOf[AnyRef],
+      GraftEqMask.U8Order.asInstanceOf[java.util.Comparator[AnyRef]])
+    if (i < 0) Long.MinValue else delSeqs(i)
+  }
+}
+
+object GraftEqMask {
+  val U8Order: java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] =
+    (a, b) => a.compareTo(b)
+}
+
+/** One MASKED data file: its sorted deleted row ordinals, commit seq +
+  * equality-mask applicability, plus the single-file [[FilePartition]]
+  * the stock parquet reader consumes. */
 private[graftshim] final case class GraftMaskedPartition(
     positions: Array[Long],
+    fileSeq: Long,
+    eqApplies: Boolean,
     files: FilePartition) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
 /** Routes plain partitions to the untouched packed reader and masked
-  * partitions through the row-index selection filter. `readDataSchema`
-  * is the OUTPUT schema (no row-index column); masked inner readers see
-  * one extra trailing long column the wrapper consumes and drops. */
+  * partitions through the row-index (+ equality-key) selection filter.
+  * `readDataSchema` is the OUTPUT schema; masked inner readers see up
+  * to two extra trailing columns (the eq key when the projection pruned
+  * it, then the row index) the wrapper consumes and drops. */
 private[graftshim] final class GraftMaskedReaderFactory(
     plain: Option[PartitionReaderFactory],
     maskedInner: PartitionReaderFactory,
     readDataSchema: StructType,
     /** ONE pre-agreed answer for every partition (the engine refuses
       * mixed row/columnar scans); false routes everything row-based. */
-    uniformColumnar: Boolean) extends PartitionReaderFactory {
+    uniformColumnar: Boolean,
+    eq: Option[GraftEqMask] = None,
+    /** Ordinal of the eq key column in the masked INNER schema (-1 when
+      * no equality mask rides this scan). */
+    keyOrdinal: Int = -1) extends PartitionReaderFactory {
 
   private def dataCols: Int = readDataSchema.length
+  /** the row-index generator column is always LAST in the inner schema */
+  private def idxOrdinal: Int =
+    if (eq.isDefined && keyOrdinal == dataCols) dataCols + 1 else dataCols
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     uniformColumnar
@@ -461,12 +541,14 @@ private[graftshim] final class GraftMaskedReaderFactory(
     case m: GraftMaskedPartition =>
       val inner = maskedInner.createColumnarReader(m.files)
       val cols = dataCols
+      val idxOrd = idxOrdinal
+      val eqFor = if (m.eqApplies) eq else None
       new PartitionReader[ColumnarBatch] {
         private var current: ColumnarBatch = _
         override def next(): Boolean = {
           if (!inner.next()) return false
-          current = GraftMaskedReaderFactory
-            .filterBatch(inner.get(), m.positions, cols)
+          current = GraftMaskedReaderFactory.filterBatch(inner.get(),
+            m.positions, cols, idxOrd, eqFor, keyOrdinal, m.fileSeq)
           true
         }
         override def get(): ColumnarBatch = current
@@ -479,10 +561,17 @@ private[graftshim] final class GraftMaskedReaderFactory(
       : PartitionReader[InternalRow] = p match {
     case m: GraftMaskedPartition =>
       // row-based fallback (schemas the vectorized reader declines):
-      // skip masked ordinals by the trailing row-index field, then
-      // project it away so the output matches readDataSchema exactly
+      // skip masked ordinals by the trailing row-index field and eq-
+      // masked keys, then project the extras away so the output matches
+      // readDataSchema exactly
       val inner = maskedInner.createReader(m.files)
       val cols = dataCols
+      val idxOrd = idxOrdinal
+      val eqFor = if (m.eqApplies) eq else None
+      val keySchema = eq.map(e => readDataSchema.fields
+        .find(_.name.equalsIgnoreCase(e.keyCol))
+        .map(_.dataType)
+        .getOrElse(org.apache.spark.sql.types.LongType))
       val drop = UnsafeProjection.create(
         readDataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
           BoundReference(i, f.dataType, nullable = true)
@@ -492,8 +581,18 @@ private[graftshim] final class GraftMaskedReaderFactory(
         override def next(): Boolean = {
           while (inner.next()) {
             val r = inner.get()
-            if (java.util.Arrays.binarySearch(
-                m.positions, r.getLong(cols)) < 0) {
+            val posKeep = m.positions.isEmpty ||
+              java.util.Arrays.binarySearch(m.positions, r.getLong(idxOrd)) < 0
+            val eqKeep = eqFor.forall { e =>
+              r.isNullAt(keyOrdinal) || {
+                val ds =
+                  if (e.isString) e.delSeqOfStr(r.getUTF8String(keyOrdinal))
+                  else e.delSeqOfLong(
+                    GraftMaskedReaderFactory.keyAsLong(r, keyOrdinal, keySchema.get))
+                ds <= m.fileSeq
+              }
+            }
+            if (posKeep && eqKeep) {
               row = r
               return true
             }
@@ -508,21 +607,60 @@ private[graftshim] final class GraftMaskedReaderFactory(
 }
 
 private[graftshim] object GraftMaskedReaderFactory {
-  /** Drop masked ordinals from one columnar batch: the row-index vector
-    * (last column) names each row's file ordinal; surviving ordinals
-    * become the selection map of zero-copy wrapper vectors. A fully
-    * surviving batch passes the inner vectors through untouched (minus
-    * the index column) — between-mask files in a masked scan pay
-    * nothing per value. */
+
+  private[graftshim] def keyAsLong(r: InternalRow, ord: Int,
+                                   dt: org.apache.spark.sql.types.DataType): Long =
+    dt match {
+      case org.apache.spark.sql.types.LongType => r.getLong(ord)
+      case org.apache.spark.sql.types.IntegerType => r.getInt(ord).toLong
+      case org.apache.spark.sql.types.ShortType => r.getShort(ord).toLong
+      case org.apache.spark.sql.types.ByteType => r.getByte(ord).toLong
+      case other => throw new IllegalStateException(s"bad eq key type $other")
+    }
+
+  /** Drop masked rows from one columnar batch: positional ordinals by
+    * the row-index vector, equality-masked keys by the factory's folded
+    * (key → delete seq) arrays against the FILE's commit seq. Surviving
+    * ordinals become the selection map of zero-copy wrapper vectors. A
+    * fully surviving batch passes the inner vectors through untouched
+    * (minus the extras) — between-mask files pay nothing per value. */
   private[graftshim] def filterBatch(b: ColumnarBatch, positions: Array[Long],
-                                     dataCols: Int): ColumnarBatch = {
-    val idx = b.column(dataCols)
+                                     dataCols: Int, idxOrd: Int,
+                                     eq: Option[GraftEqMask], keyOrd: Int,
+                                     fileSeq: Long): ColumnarBatch = {
+    val idx = if (positions.isEmpty) null else b.column(idxOrd)
+    val key = eq.map(_ => b.column(keyOrd)).orNull
+    val isStr = eq.exists(_.isString)
+    val keyLongType = if (eq.isDefined && !isStr)
+      b.column(keyOrd).dataType() else null
     val n = b.numRows()
     val sel = new Array[Int](n)
     var out = 0
     var i = 0
     while (i < n) {
-      if (java.util.Arrays.binarySearch(positions, idx.getLong(i)) < 0) {
+      val posKeep = idx == null ||
+        java.util.Arrays.binarySearch(positions, idx.getLong(i)) < 0
+      val eqKeep = eq match {
+        case None => true
+        case Some(e) =>
+          key.isNullAt(i) || {
+            val ds =
+              if (isStr) e.delSeqOfStr(key.getUTF8String(i))
+              else {
+                val k = keyLongType match {
+                  case org.apache.spark.sql.types.LongType => key.getLong(i)
+                  case org.apache.spark.sql.types.IntegerType => key.getInt(i).toLong
+                  case org.apache.spark.sql.types.ShortType => key.getShort(i).toLong
+                  case org.apache.spark.sql.types.ByteType => key.getByte(i).toLong
+                  case other => throw new IllegalStateException(
+                    s"bad eq key type $other")
+                }
+                e.delSeqOfLong(k)
+              }
+            ds <= fileSeq
+          }
+      }
+      if (posKeep && eqKeep) {
         sel(out) = i
         out += 1
       }

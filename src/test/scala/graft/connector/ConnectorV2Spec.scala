@@ -748,14 +748,81 @@ class ConnectorV2Spec extends AnyFunSuite {
         "debt beyond the budget must fall back to the bridge")
       assert(spark.sql("SELECT count(*) FROM gv2_mor.t").head.getLong(0) === 2801)
     } finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
-    // EQUALITY masks keep bridging: their seq-rule fold is key-join
-    // semantics, not physical addressing
+    // EQUALITY masks vectorize too since r15 (the seq-rule fold ships
+    // in the reader factory as sorted key → max-delete-seq arrays)
     Merge.mergeOnRead(spark, dir,
       rows(100, 110).withColumn("_del", lit(true)), "id",
       deleteCol = Some("_del"))
     val sb3 = new GraftScanBuilder(spark, dir)
-    assert(sb3.build().isInstanceOf[GraftBridgeScan],
-      "an equality mask must read through the bridge")
+    sb3.build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.description().contains("eqKeys=10"), b.description())
+      case other => fail(s"expected the eq-masked batch scan, got $other")
+    }
+    // 9 live rows leave (key 103 was already positionally deleted)
+    assert(spark.sql("SELECT count(*) FROM gv2_mor.t").head.getLong(0) === 2792)
+  }
+
+  test("vectorized equality-mask read: seq rule, re-inserts and budget fallback (r15)") {
+    val wh = freshWarehouse("eqv")
+    val dir = s"$wh/t"
+    for (b <- 0 until 3)
+      rows(b * 1000L, (b + 1) * 1000L).coalesce(1).write.format("graft")
+        .mode(if (b == 0) "error" else "append")
+        .option("statsCols", "id").save(dir)
+    // equality delete of 200 keys (mergeOnRead delete-only delta)
+    Merge.mergeOnRead(spark, dir,
+      rows(0, 3000).filter(col("id") % 15 === 2).withColumn("_del", lit(true)),
+      "id", deleteCol = Some("_del"))
+    // RE-INSERT 30 of the deleted keys in a LATER commit: the seq rule
+    // (del_seq <= file_seq keeps) must let exactly those survive
+    rows(0, 450).filter(col("id") % 15 === 2).coalesce(1)
+      .write.format("graft").mode("append")
+      .option("statsCols", "id").save(dir)
+    val expected = (0L until 3000L).filterNot(_ % 15 == 2).size +
+      (0L until 450L).count(_ % 15 == 2)
+    // plan face: batch scan with the folded key set, no Row bridge
+    val sb = new GraftScanBuilder(spark, dir)
+    sb.build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.description().contains("eqKeys=200"), b.description())
+        assert(!b.estimateStatistics().numRows().isPresent,
+          "eq-masked row counts are unknowable from metadata")
+      case other => fail(s"expected the eq-masked batch scan, got $other")
+    }
+    val df = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM gv2_eqv.t")
+    val r = df.collect()(0)
+    val expectedSum = (0L until 3000L).filterNot(_ % 15 == 2).sum +
+      (0L until 450L).filter(_ % 15 == 2).sum
+    assert((r.getLong(0), r.getLong(1)) === ((expected.toLong, expectedSum)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") && !plan.contains("GraftBridgeRelation"),
+      s"eq-masked read must stay columnar:\n$plan")
+    // column pruning away the KEY still filters correctly (the key
+    // column joins the inner read and is dropped by the wrapper)
+    val vOnly = spark.sql("SELECT v FROM gv2_eqv.t WHERE id >= 0").collect()
+    assert(vOnly.length === expected)
+    // the bridge twin answers identically (budget 0 forces it)
+    spark.conf.set("graft.v2.maskedScan.maxPositions", "0")
+    try {
+      assert(new GraftScanBuilder(spark, dir).build()
+        .isInstanceOf[GraftBridgeScan],
+        "debt beyond the budget must fall back to the bridge")
+      assert(spark.sql("SELECT count(*) FROM gv2_eqv.t").head.getLong(0)
+        === expected.toLong)
+    } finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
+    // POS + EQ masks COMPOSE on the vectorized path: a positional
+    // delete on top of the equality state
+    Merge.deleteWhere(spark, dir, col("id") >= 2900 && col("id") < 3000)
+    val afterPos = expected - (2900L until 3000L).count(_ % 15 != 2)
+    new GraftScanBuilder(spark, dir).build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.description().contains("eqKeys=200") &&
+          b.description().contains("maskedFiles="), b.description())
+      case other => fail(s"expected the combined masked scan, got $other")
+    }
+    assert(spark.sql("SELECT count(*) FROM gv2_eqv.t").head.getLong(0)
+      === afterPos.toLong)
   }
 
   test("CBO statistics come from manifests (exact rows on mask-free tables)") {
