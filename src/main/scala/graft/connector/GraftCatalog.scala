@@ -959,17 +959,15 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
           if (need < 0) zoneKept else zoneKept.take(need + 1)
         case None => zoneKept
       }
-      // the fast path: registry-free, one bearing epoch whose column
-      // TYPES survive the visible merge — a REAL vectorized parquet
-      // Batch with runtime file filtering. Since r14 POSITIONAL masks
-      // stay ON this path (the deletion-vector read): positions name
-      // physical rows exactly, so a per-file row-index filter inside
-      // the vectorized read replaces the Row-bridge anti-join — gated
-      // by a mask-debt budget (the manifests state it up front) so the
-      // plan-time position load stays bounded driver metadata; debt
-      // beyond the budget (compact overdue) reads via the bridge.
-      // Equality masks still bridge: their seq-rule fold needs the
-      // key-join semantics, not physical addressing.
+      // the fast path: one bearing epoch whose column TYPES survive
+      // the visible merge — a REAL vectorized parquet Batch with
+      // runtime file filtering. POSITIONAL (r14) and EQUALITY (r15)
+      // masks stay ON this path (deletion-vector / folded-key reads),
+      // gated by a shared mask-debt budget (the manifests state it up
+      // front) so the plan-time loads stay bounded driver metadata;
+      // debt beyond the budget (compact overdue) reads via the bridge.
+      // Live field registries ride too (r15): inner reads request
+      // PHYSICAL names; only multi-epoch drift still bridges.
       val (posDels, eqDels) = dels.partition(_.kind == "posdelete")
       val posDebt = posDels.map(_.rows).sum
       val eqDebt = eqDels.map(_.rows).sum
@@ -993,13 +991,18 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
         GraftEqMaskCache.getOrLoad(
           eqDels.map(d => s"${d.path}#${d.rows}#${d.bytes}")
             .sorted.mkString("|")) {
-          GraftEqMaskCache.load(spark, eqDels, visible)
+          GraftEqMaskCache.load(spark, eqDels, visible, reg)
         }
       // eqOk LAST in the gate chain: the memoized load job runs only
       // when every cheaper condition already passed
       def eqOk: Boolean = eqDels.isEmpty ||
         (!needPos && eqLoaded.isDefined)
-      val fastPath = reg.isEmpty &&
+      // a live FIELD REGISTRY (renamed/dropped columns) rides the fast
+      // path too since r15: the epoch schemas above are already LOGICAL
+      // (visibleState translates), so the conditions compare the right
+      // space — the scan only has to request PHYSICAL names from the
+      // files and emit the vectors as-is (vectors carry no names)
+      val fastPath =
         (dels.isEmpty || posDebt + eqDebt <= maskBudget) &&
         epochSchemas.distinct.size <= 1 &&
         epochSchemas.headOption.forall(_.fields.forall(f =>
@@ -1044,21 +1047,34 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
           // a stale/dead spec (column dropped, widened to non-integral,
           // malformed count) silently disables reporting — the bucket
           // function could not bind on it and no manifest proof can hold
-          .filter { case (c, _) => visible.fields.exists(f =>
-            f.name.equalsIgnoreCase(c) &&
-              SnapshotLog.bucketable(f.dataType)) }
+          // (registry tables also withhold: the declared name and the
+          // manifest key live in different name spaces)
+          .filter { case (c, _) => reg.isEmpty &&
+            visible.fields.exists(f =>
+              f.name.equalsIgnoreCase(c) &&
+                SnapshotLog.bucketable(f.dataType)) }
         // filters naming the synthesized metadata columns must not
         // reach the parquet reader (they are not data columns); the
-        // engine re-applies them as residuals above the scan
-        val pushedData =
-          if (!needPos) pushed
-          else pushed.filterNot(_.references.exists(r =>
-            r.equalsIgnoreCase(SnapshotLog.PosFileCol) ||
-              r.equalsIgnoreCase(SnapshotLog.PosOrdCol)))
+        // engine re-applies them as residuals above the scan. On
+        // registry tables the remaining filters TRANSLATE to physical
+        // names for the parquet row-group pushdown (untranslatable
+        // shapes drop — they stay residual above the scan).
+        val pushedData = {
+          val noMeta =
+            if (!needPos) pushed
+            else pushed.filterNot(_.references.exists(r =>
+              r.equalsIgnoreCase(SnapshotLog.PosFileCol) ||
+                r.equalsIgnoreCase(SnapshotLog.PosOrdCol)))
+          reg match {
+            case Some(r) => noMeta.flatMap(
+              GraftFilterRename.translate(_, n => r.physicalOf(n).getOrElse(n)))
+            case None => noMeta
+          }
+        }
         new GraftV2BatchScan(spark, dir, visible, required, pushedData,
           kept, staticPruned = data.size - kept.size,
           bucketSpec = bucketSpec, masks = masks, withPos = needPos,
-          eqMask = if (eqDels.isEmpty) None else eqLoaded)
+          eqMask = if (eqDels.isEmpty) None else eqLoaded, reg = reg)
       }
       else
         new GraftBridgeScan(dir, kept, dels, reg, required,
@@ -1117,6 +1133,39 @@ private[connector] object GraftMaskCache {
   private[connector] def entries: Int = cache.synchronized(cache.size())
 }
 
+/** Renames the column references of a pushed `sources.Filter` into the
+  * files' PHYSICAL name space (r15 registry fast path) — parquet
+  * row-group pushdown speaks file-column names. Untranslatable shapes
+  * return None and simply drop from the pushdown (safe: the engine
+  * re-applies every pushed filter residually above the scan); a
+  * conjunction keeps its translatable side. */
+private[connector] object GraftFilterRename {
+  import org.apache.spark.sql.sources._
+  def translate(f: Filter, phys: String => String): Option[Filter] = f match {
+    case And(l, r) =>
+      (translate(l, phys), translate(r, phys)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b) // conjunct subset: still only narrows
+      }
+    case Or(l, r) => for { a <- translate(l, phys); b <- translate(r, phys) }
+      yield Or(a, b)
+    case Not(c) => translate(c, phys).map(Not)
+    case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+    case EqualNullSafe(a, v) => Some(EqualNullSafe(phys(a), v))
+    case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+    case LessThan(a, v) => Some(LessThan(phys(a), v))
+    case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+    case In(a, vs) => Some(In(phys(a), vs))
+    case IsNull(a) => Some(IsNull(phys(a)))
+    case IsNotNull(a) => Some(IsNotNull(phys(a)))
+    case StringStartsWith(a, v) => Some(StringStartsWith(phys(a), v))
+    case StringEndsWith(a, v) => Some(StringEndsWith(phys(a), v))
+    case StringContains(a, v) => Some(StringContains(phys(a), v))
+    case _ => None
+  }
+}
+
 /** Process-wide memo of folded EQUALITY masks (r15), keyed like
   * [[GraftMaskCache]] by the content-addressed eqdelete file set. The
   * cached value is Option: None records "this mask set cannot
@@ -1162,11 +1211,18 @@ private[connector] object GraftEqMaskCache {
     * filter can't serve (the bridge handles those). Null keys drop
     * (SQL join semantics: null never matches). */
   def load(spark: SparkSession, eqDels: Seq[SnapshotLog.DataFile],
-           visible: StructType)
+           visible: StructType,
+           reg: Option[graft.table.FieldRegistry] = None)
       : Option[org.apache.spark.sql.graftshim.GraftEqMask] = {
     import org.apache.spark.sql.types._
     val (delAgg, keyCol) = SnapshotLog.foldMasks(spark, eqDels)
-    val keyField = visible.fields.find(_.name.equalsIgnoreCase(keyCol))
+    // the eqdelete key column carries the files' PHYSICAL name; its
+    // TYPE lives in the logical visible schema
+    val logicalKey = reg.flatMap(_.logicalOf(keyCol)).getOrElse(keyCol)
+    val keyField = visible.fields.find(_.name.equalsIgnoreCase(logicalKey))
+      // GraftEqMask.keyCol must stay PHYSICAL: the shim resolves it
+      // against the physical inner read schema
+      .map(_.copy(name = keyCol))
     keyField.map(_.dataType) match {
       case Some(ByteType | ShortType | IntegerType | LongType) =>
         val rows = delAgg.collect().filter(!_.isNullAt(0))

@@ -16,13 +16,15 @@ import graft.table.SnapshotLog.DataFile
   * codegen-friendly), with [[SupportsRuntimeFiltering]] — the V2 face of
   * dynamic partition pruning for the table format. Eligibility mirrors
   * the V1 relation's fast path ([[GraftDataSource.relationFor]]):
-  * registry-free, one bearing schema epoch whose column types survive
-  * the visible merge (parquet null-fills later-declared columns
-  * natively) — and, since r14, POSITIONAL masks within the debt budget
-  * ride this path too (see `masks` below): the standing MOR read
-  * traffic between compactions stays columnar instead of degrading to
-  * the Row bridge. Equality-masked, multi-epoch and registry shapes
-  * stay on the always-correct [[GraftBridgeScan]].
+  * one bearing schema epoch whose column types survive the visible
+  * merge (parquet null-fills later-declared columns natively) — and,
+  * since r14/r15, POSITIONAL and EQUALITY masks within the debt
+  * budget, row-id projections, and live FIELD REGISTRIES (renames /
+  * drops — the inner read requests physical names) all ride this path
+  * too: the standing read traffic stays columnar instead of degrading
+  * to the Row bridge. Multi-epoch drifted schemas, over-budget debt
+  * and non-integral/non-string equality keys stay on the
+  * always-correct [[GraftBridgeScan]].
   *
   * RUNTIME file pruning: when this scan sits under a join whose other
   * side is selectively filtered, Catalyst's partition-pruning rule sees
@@ -71,7 +73,13 @@ private[connector] final class GraftV2BatchScan(
       * arrays, budget-gated driver metadata. Files whose commit seq is
       * below some key's delete seq filter rows per batch inside the
       * columnar read; newer files (re-inserts) pay nothing. */
-    eqMask: Option[org.apache.spark.sql.graftshim.GraftEqMask] = None)
+    eqMask: Option[org.apache.spark.sql.graftshim.GraftEqMask] = None,
+    /** Live FIELD REGISTRY (r15): the scan's OUTPUT stays logical, but
+      * the files hold physical names — inner parquet reads request the
+      * translated schemas (vectors carry no names, so emitting them
+      * under the logical readSchema is pure metadata), and file-
+      * metadata pruning translates per file like the static path. */
+    reg: Option[graft.table.FieldRegistry] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsReportOrdering {
@@ -86,6 +94,16 @@ private[connector] final class GraftV2BatchScan(
     eqMask.map(_.delSeqs.max).getOrElse(Long.MinValue)
   private def eqApplies(f: DataFile): Boolean =
     eqMask.isDefined && f.seq < eqMaxDelSeq
+
+  /** The files' PHYSICAL twins of the logical schemas — what every
+    * inner parquet read requests (identity when no registry lives). */
+  private def toPhys(s: StructType): StructType = reg match {
+    case Some(r) => StructType(s.fields.map(f =>
+      f.copy(name = r.physicalOf(f.name).getOrElse(f.name))))
+    case None => s
+  }
+  private val physVisible: StructType = toPhys(visible)
+  private val physRequired: StructType = toPhys(required)
 
   /** Test face: the CURRENT file list (post runtime filtering). */
   private[connector] def keptFiles: Seq[DataFile] = kept
@@ -109,16 +127,22 @@ private[connector] final class GraftV2BatchScan(
     * restricted to the scan's OUTPUT (the engine resolves these against
     * the column-pruned relation; naming a pruned-away column throws). */
   override def filterAttributes(): Array[NamedReference] = {
+    // manifest metadata keys are PHYSICAL; the engine resolves these
+    // names against the LOGICAL output — translate before intersecting
     val prunable = kept.iterator
       .flatMap(f => f.stats.keysIterator ++ f.blooms.keysIterator ++
-        f.parts.keysIterator).toSet
+        f.parts.keysIterator)
+      .map(k => reg.flatMap(_.logicalOf(k)).getOrElse(k)).toSet
     required.fieldNames.filter(prunable.contains).map(Expressions.column)
   }
 
   override def filter(filters: Array[Filter]): Unit = {
     val cs = GraftSourceConstraints.from(filters, visible)
     val before = kept.size
-    kept = kept.filter(cs.keeps)
+    // runtime filters speak LOGICAL names; file metadata is physical —
+    // translate per file exactly like the static pushdown does
+    kept = kept.filter(f =>
+      cs.keeps(reg.map(_.translateMeta(f)).getOrElse(f)))
     runtimePruned += before - kept.size
   }
 
@@ -210,17 +234,18 @@ private[connector] final class GraftV2BatchScan(
       org.apache.spark.sql.graftshim.GraftParquetShim.posBatch(
         spark, kept.map(f =>
           (f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long]))),
-        visible, required,
-        SnapshotLog.PosFileCol, SnapshotLog.PosOrdCol, pushed)
+        physVisible, required,
+        SnapshotLog.PosFileCol, SnapshotLog.PosOrdCol, pushed,
+        physOutputSchema = physRequired)
     case Some(gs) if masks.nonEmpty =>
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedMaskedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f =>
           (f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long])))) },
-        visible, required, pushed)
+        physVisible, physRequired, pushed)
     case Some(gs) =>
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f => (f.path, f.bytes))) },
-        visible, required, pushed)
+        physVisible, physRequired, pushed)
     case None if masks.nonEmpty || eqMask.isDefined =>
       // masked files (one partition each, positional ordinals and/or
       // the equality key set filtered in the reader) + untouched files
@@ -229,7 +254,8 @@ private[connector] final class GraftV2BatchScan(
         masks.get(f.path).exists(_.nonEmpty) || eqApplies(f))
       if (maskedF.isEmpty)
         org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
-          spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
+          spark, kept.map(f => (f.path, f.bytes)), physVisible, physRequired,
+          pushed)
       else
         org.apache.spark.sql.graftshim.GraftParquetShim.maskedBatch(
           spark, plainF.map(f => (f.path, f.bytes)),
@@ -237,10 +263,11 @@ private[connector] final class GraftV2BatchScan(
             f.path, f.bytes,
             masks.getOrElse(f.path, Array.empty[Long]),
             f.seq, eqApplies(f))),
-          visible, required, pushed, eqMask = eqMask)
+          physVisible, physRequired, pushed, eqMask = eqMask)
     case None =>
       org.apache.spark.sql.graftshim.GraftParquetShim.parquetBatch(
-        spark, kept.map(f => (f.path, f.bytes)), visible, required, pushed)
+        spark, kept.map(f => (f.path, f.bytes)), physVisible, physRequired,
+        pushed)
   }
 
   /** Manifest-exact statistics over the CURRENT (runtime-filtered) file

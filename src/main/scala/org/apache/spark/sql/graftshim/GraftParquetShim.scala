@@ -205,10 +205,15 @@ object GraftParquetShim {
                dataSchema: StructType,
                outputSchema: StructType,
                fileColName: String, posColName: String,
-               pushedFilters: Array[Filter]): Batch = {
+               pushedFilters: Array[Filter],
+               /** The PHYSICAL twin of `outputSchema` on registry tables
+                 * (same field order, files' column names) — what the
+                 * inner parquet read requests; defaults to the output. */
+               physOutputSchema: StructType = null): Batch = {
     def isMeta(n: String): Boolean =
       n.equalsIgnoreCase(fileColName) || n.equalsIgnoreCase(posColName)
-    val dataFields = outputSchema.fields.filterNot(f => isMeta(f.name))
+    val physOut = Option(physOutputSchema).getOrElse(outputSchema)
+    val dataFields = physOut.fields.filterNot(f => isMeta(f.name))
     val readWithIdx = StructType(dataFields :+
       org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,

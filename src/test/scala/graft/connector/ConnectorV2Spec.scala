@@ -825,6 +825,64 @@ class ConnectorV2Spec extends AnyFunSuite {
       === afterPos.toLong)
   }
 
+  test("registry (renamed) tables ride the vectorized fast path (r15)") {
+    val wh = freshWarehouse("reg")
+    val dir = s"$wh/t"
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS price")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft").option("statsCols", "id,price").save(dir)
+    spark.sql(s"CREATE TABLE gv2reg_wh USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE gv2reg_wh RENAME COLUMN price TO cost")
+      // a post-rename INSERT writes under the pinned PHYSICAL name
+      spark.sql(
+        "INSERT INTO gv2reg_wh SELECT id, id * 2 AS cost FROM range(1000, 1200)")
+    } finally spark.sql("DROP TABLE gv2reg_wh")
+    // builder face: the live registry no longer forces the Row bridge
+    val sb = new GraftScanBuilder(spark, dir)
+    sb.build() match {
+      case b: GraftV2BatchScan => assert(b.readSchema().fieldNames.toSeq
+        === Seq("id", "cost"), b.readSchema().treeString)
+      case other => fail(s"a renamed table must take the batch scan, got $other")
+    }
+    // plan + value face through the catalog name
+    val df = spark.sql("SELECT cost FROM gv2_reg.t WHERE id = 500")
+    assert(df.head.getLong(0) === 1000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") && !plan.contains("GraftBridgeRelation"),
+      s"renamed-table reads must stay columnar:\n$plan")
+    assert(spark.sql("SELECT sum(cost) FROM gv2_reg.t").head.getLong(0)
+      === (0L until 1200L).map(_ * 2).sum)
+    // file pruning through the rename: a zone filter on the NEW name
+    // must prune against the OLD physical stats
+    val sb2 = new GraftScanBuilder(spark, dir)
+    sb2.pushFilters(Array(sources.EqualTo("cost", 1000L)))
+    sb2.build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.keptFiles.size < 5,
+          s"renamed zone pruning must engage: ${b.description()}")
+      case other => fail(s"expected the batch scan, got $other")
+    }
+    // positional masks compose with the registry on the vectorized path
+    Merge.deleteWhere(spark, dir, col("id") % 10 === 7)
+    val after = spark.sql("SELECT count(*) AS n, sum(cost) AS s FROM gv2_reg.t")
+    val live = (0L until 1200L).filterNot(_ % 10 == 7)
+    assert(after.head.toSeq === Seq(live.size.toLong, live.map(_ * 2).sum))
+    assert(!after.queryExecution.executedPlan.toString
+      .contains("GraftBridgeRelation"))
+    // a DROPPED-and-READDED namesake must NOT resurrect old values:
+    // old files lack the new field id, so the column null-fills there
+    spark.sql(s"CREATE TABLE gv2reg_wh2 USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE gv2reg_wh2 DROP COLUMN cost")
+      spark.sql("ALTER TABLE gv2reg_wh2 ADD COLUMNS (cost BIGINT)")
+    } finally spark.sql("DROP TABLE gv2reg_wh2")
+    val readded = spark.sql(
+      "SELECT count(*) AS n, count(cost) AS c FROM gv2_reg.t")
+    assert(readded.head.toSeq === Seq(live.size.toLong, 0L),
+      "re-added namesake must read null everywhere, never old values")
+  }
+
   test("CBO statistics come from manifests (exact rows on mask-free tables)") {
     val wh = freshWarehouse("stats")
     rows(0, 500).coalesce(1).write.format("graft")

@@ -187,6 +187,23 @@ class RowLevelSpec extends AnyFunSuite {
     assert(vanilla.sql(s"SELECT count(*) FROM $t").head.getLong(0) === 800)
   }
 
+  test("vanilla-session DML on a RENAMED table stays exact (registry row-id scan, r15)") {
+    val (t, dir) = freshTable("ren")
+    main.sql(s"CREATE TABLE grlren_wh USING graft OPTIONS (path '$dir')")
+    try main.sql("ALTER TABLE grlren_wh RENAME COLUMN v TO w")
+    finally main.sql("DROP TABLE grlren_wh")
+    // the vanilla UPDATE's source scan reads the renamed schema with
+    // row ids — vectorized (registry + row-id composition)
+    val upd = vanilla.sql(s"UPDATE $t SET w = w + 5 WHERE k % 4 = 1")
+    val plan = upd.queryExecution.executedPlan.toString
+    assert(plan.contains("rowIds=true") && !plan.contains("GraftBridgeRelation"),
+      s"the renamed row-id scan must vectorize:\n$plan")
+    val r = vanilla.sql(s"SELECT sum(w) AS s, count(*) AS n FROM $t").head
+    val expected = (0L until 1000L)
+      .map(k => k * 2 + (if (k % 4 == 1) 5 else 0)).sum
+    assert(r.getLong(1) === 1000 && r.getLong(0) === expected)
+  }
+
   test("mask load memoizes per posdelete set: re-planning runs zero jobs (r15)") {
     val (t, _) = freshTable("maskmemo")
     vanilla.sql(s"DELETE FROM $t WHERE k % 9 = 2")
