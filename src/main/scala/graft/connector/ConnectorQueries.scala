@@ -242,6 +242,117 @@ object ConnectorQueries {
       dir
     }
 
+  /** The SPJ-under-EQUALITY-masks warehouse (r15): the co-bucketed
+    * layout with an eqdelete mask on the orders side and a LATER
+    * re-insert of half the deleted keys (the seq-rule MOR state). The
+    * build REQUIRES the eq mask, the key-grouped reporting to HOLD
+    * (an eq-delete removes rows, never moves them between buckets) and
+    * the vectorized eq probe (`eqKeys=` in the scan description); the
+    * oracle pins the zero-exchange masked join changed NOTHING. */
+  private def spjEqMorWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "spjeq") { base =>
+      val o3 = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      o3.write.format("graft").option("bucketBy", "8,o_custkey")
+        .option("statsCols", "o_custkey").save(s"$base/orders_e")
+      graft.schema.Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .write.format("graft").option("bucketBy", "8,c_custkey")
+        .option("statsCols", "c_custkey").save(s"$base/cust_e")
+      graft.table.Merge.mergeOnRead(s, s"$base/orders_e",
+        o3.filter(col("o_orderkey") % 13 === 5).withColumn("_del", lit(true)),
+        "o_orderkey", deleteCol = Some("_del"))
+      o3.filter(col("o_orderkey") % 26 === 5)
+        .write.format("graft").mode("append")
+        .option("bucketBy", "8,o_custkey")
+        .option("statsCols", "o_custkey").save(s"$base/orders_e")
+      require(SnapshotLog.filesAt(s, s"$base/orders_e")
+          .exists(_.kind == "eqdelete"),
+        "the delete-only delta must land as an equality mask")
+      new GraftScanBuilder(s, s"$base/orders_e").build() match {
+        case b: GraftV2BatchScan =>
+          require(b.description().contains("eqKeys="),
+            s"the eq-masked read must vectorize: ${b.description()}")
+          require(b.outputPartitioning().isInstanceOf[
+            org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+            "orders_e must keep key-grouped reporting under the eq mask: " +
+              b.description())
+        case other => throw new IllegalStateException(
+          s"expected the eq-masked batch scan, got $other")
+      }
+      base
+    }
+
+  /** The DATE-keyed equality-mask warehouse (r15): the table carries a
+    * proper DATE column (`o_odate`) and the delete-only mergeOnRead
+    * delta keys on IT — temporal keys fold to their internal long
+    * domain (epoch days) and probe vectorized like integrals. The build
+    * REQUIRES the vectorized plan; the oracle pins every order on a
+    * masked date lost, everything else kept. */
+  private def eqDateWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "eqdate") { base =>
+      val dir = s"$base/orders_eqd"
+      val o = graft.schema.Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate").cast("date").as("o_odate"))
+      o.write.format("graft").option("statsCols", "o_orderkey").save(dir)
+      graft.table.Merge.mergeOnRead(s, dir,
+        o.filter(dayofmonth(col("o_odate")) <= 3)
+          .withColumn("_del", lit(true)),
+        "o_odate", deleteCol = Some("_del"))
+      require(SnapshotLog.filesAt(s, dir).exists(_.kind == "eqdelete"),
+        "the delete-only delta must land as an equality mask")
+      new GraftScanBuilder(s, dir).build() match {
+        case b: GraftV2BatchScan =>
+          require(b.description().contains("eqKeys="),
+            s"the DATE-keyed eq read must vectorize: ${b.description()}")
+        case other => throw new IllegalStateException(
+          s"expected the eq-masked batch scan, got $other")
+      }
+      dir
+    }
+
+  /** The vanilla-session row-level DML warehouse ON an eq-masked table
+    * (r15): the upsert-ingest MOR state, then a stock session's DELETE
+    * + UPDATE through SupportsRowLevelOperations — whose source scan
+    * projects row ids OVER the pending equality mask. The build
+    * REQUIRES that composed scan to be the vectorized batch scan
+    * (`rowIds=true` + `eqKeys=`, never the Row bridge) and both
+    * statements to land as guarded rowdelta commits; the oracle pins
+    * the surviving rows. */
+  private def eqRowDeltaWarehouse(s: SparkSession, d: String): String =
+    cached(s, d, "eqrowdelta") { base =>
+      val dir = s"$base/orders_erd"
+      orders(s, d).write.format("graft")
+        .option("statsCols", "o_orderkey").save(dir)
+      graft.table.Merge.mergeOnRead(s, dir,
+        orders(s, d).filter(col("o_orderkey") % 11 === 3)
+          .withColumn("_del", lit(true)),
+        "o_orderkey", deleteCol = Some("_del"))
+      val v = org.apache.spark.sql.graftshim.GraftSqlShim
+        .vanillaSession(s.sparkContext)
+      val cat = "graft_erd_" +
+        java.lang.Long.toUnsignedString(SnapshotLog.hashStringKey(base), 36)
+      v.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      v.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+      // the row-id + eq-mask composition must stay columnar — the exact
+      // scan every DML below reads through
+      val probe = v.sql(
+        s"SELECT o_orderkey, _graft_file, _graft_pos FROM $cat.orders_erd")
+        .queryExecution.executedPlan.toString
+      require(probe.contains("rowIds=true") && probe.contains("eqKeys=") &&
+          !probe.contains("GraftBridgeRelation"),
+        s"the eq-masked row-id scan must vectorize:\n$probe")
+      v.sql(s"DELETE FROM $cat.orders_erd WHERE o_orderkey % 9 = 4")
+      v.sql(s"UPDATE $cat.orders_erd SET o_totalprice = o_totalprice * 3 " +
+        "WHERE o_orderstatus = 'P'")
+      // 3 rowdelta commits: the mergeOnRead ingest + the two statements
+      val ops = SnapshotLog.commits(s, dir).map(_.op)
+      require(ops.count(_ == "rowdelta") == 3,
+        s"both statements must land as delta commits, got $ops")
+      dir
+    }
+
   /** The UNBUCKETED real-V2-write warehouse (r15): CREATE TABLE +
     * INSERT INTO by V2 name on a plain (no bucket) table — the write
     * must plan as the REAL engine write (inline manifest stats, no V1
@@ -1109,6 +1220,44 @@ object ConnectorQueries {
               |FROM $cat.orders_eqmor
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // SPJ under EQUALITY masks (r15): the co-bucketed join with an
+    // eqdelete mask + re-insert on one side — key-grouped reporting
+    // held (REQUIREd by the build: masks filter rows, never move
+    // them), and the zero-exchange eq-probed join changes nothing
+    "conn_colocated_join_eqmor" -> ((s, d) => {
+      val cat = catalogFor(s, "graft_spjeq", spjEqMorWarehouse(s, d))
+      s.sql(s"""SELECT c.c_nationkey, count(*) AS n,
+              |  round(sum(o.o_totalprice), 2) AS total,
+              |  max(o.o_orderkey) AS max_key
+              |FROM $cat.orders_e o
+              |JOIN $cat.cust_e c ON o.o_custkey = c.c_custkey
+              |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin)
+    }),
+    // DATE-keyed equality masks (r15): temporal keys fold to epoch days
+    // and probe vectorized (REQUIREd by the build) — every order on a
+    // masked date lost, everything else kept
+    "conn_eq_date_read" -> ((s, d) => {
+      val dir = eqDateWarehouse(s, d)
+      val cat = catalogFor(s, "graft_eqdate", dir.stripSuffix("/orders_eqd"))
+      s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+              |  round(sum(o_totalprice), 2) AS total,
+              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+              |FROM $cat.orders_eqd
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+    // vanilla-session DML ON an eq-masked table (r15): the row-id
+    // source scan composes with the pending equality mask on the
+    // vectorized path (REQUIREd by the build) and both statements land
+    // as guarded rowdelta commits — the surviving rows prove the
+    // whole composition
+    "conn_eq_row_delta" -> ((s, d) => {
+      s.read.format("graft").load(eqRowDeltaWarehouse(s, d))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // metadata-only aggregates: an unfiltered count(*)/min/max over the
     // connector relation answers from manifest row counts and zones
     // alone — ConnectorSpec pins that the optimized plan is a
@@ -1364,6 +1513,30 @@ object ConnectorQueries {
         |                 ELSE o_totalprice END), 2) AS total,
         |  max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 9 <> 4
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_colocated_join_eqmor" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 13 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 26 = 5)
+        |SELECT c_nationkey, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, max(o_orderkey) AS max_key
+        |FROM o JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "conn_eq_date_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE day(CAST(o_orderdate AS DATE)) > 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "conn_eq_row_delta" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 3
+        |                 ELSE o_totalprice END), 2) AS total,
+        |  max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 11 <> 3 AND o_orderkey % 9 <> 4
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -871,13 +871,15 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
   // ------------------------------------------------------ agg pushdown
 
   /** Exactness gate, mirroring [[GraftMetadataAggRule]]'s preconditions:
-    * mask-free, registry-free, no residual filters, no grouping; count
-    * only as count(*); min/max only on lossless-zone columns with a zone
-    * on EVERY row-bearing file. */
+    * mask-free, no residual filters, no grouping; count only as
+    * count(*); min/max only on lossless-zone columns with a zone on
+    * EVERY row-bearing file. Registry tables answer too (r15): file
+    * metadata translates to logical names first, exactly like pruning. */
   private def answerable(aggregation: Aggregation): Option[(StructType, Row)] = {
-    if (dels.nonEmpty || reg.nonEmpty || pushed.nonEmpty) return None
+    if (dels.nonEmpty || pushed.nonEmpty) return None
     if (aggregation.groupByExpressions().nonEmpty) return None
     val bearing = data.filter(_.rows > 0)
+      .map(f => reg.map(_.translateMeta(f)).getOrElse(f))
     def lossless(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType |
            DateType | TimestampType => true
@@ -984,9 +986,11 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
           n.equalsIgnoreCase(SnapshotLog.PosOrdCol))
       // EQUALITY masks vectorize too (r15): the fold-to-(key → max
       // delete seq) runs ONCE (memoized on the eqdelete file set,
-      // budget-gated like positions) and ships in the reader factory;
-      // unsupported key shapes (non-integral/non-string, key column
-      // absent) and row-id reads keep the always-correct bridge
+      // budget-gated like positions) and ships in the reader factory —
+      // including under ROW-ID projections (the DML source scan of an
+      // eq-masked table) and temporal keys; unsupported key shapes
+      // (key column absent, non-integral/non-string/non-temporal) keep
+      // the always-correct bridge
       lazy val eqLoaded: Option[org.apache.spark.sql.graftshim.GraftEqMask] =
         GraftEqMaskCache.getOrLoad(
           eqDels.map(d => s"${d.path}#${d.rows}#${d.bytes}")
@@ -995,19 +999,32 @@ private[connector] final class GraftScanBuilder(spark: SparkSession,
         }
       // eqOk LAST in the gate chain: the memoized load job runs only
       // when every cheaper condition already passed
-      def eqOk: Boolean = eqDels.isEmpty ||
-        (!needPos && eqLoaded.isDefined)
+      def eqOk: Boolean = eqDels.isEmpty || eqLoaded.isDefined
       // a live FIELD REGISTRY (renamed/dropped columns) rides the fast
       // path too since r15: the epoch schemas above are already LOGICAL
       // (visibleState translates), so the conditions compare the right
       // space — the scan only has to request PHYSICAL names from the
-      // files and emit the vectors as-is (vectors carry no names)
+      // files and emit the vectors as-is (vectors carry no names).
+      // DRIFTED epochs also ride (r15): the engine's vectorized parquet
+      // reader natively PROMOTES a file's narrower type to the
+      // requested merged type (int→long, float→double, …) and
+      // null-fills requested-but-absent columns, so any epoch mix whose
+      // fields all promote into the visible merge reads as ONE
+      // columnar scan; only genuinely incompatible drift bridges.
+      def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (a, b) if a == b => true
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
       val fastPath =
         (dels.isEmpty || posDebt + eqDebt <= maskBudget) &&
-        epochSchemas.distinct.size <= 1 &&
-        epochSchemas.headOption.forall(_.fields.forall(f =>
+        epochSchemas.forall(_.fields.forall(f =>
           visible.fields.exists(v =>
-            v.name == f.name && v.dataType == f.dataType))) &&
+            v.name == f.name && promotes(f.dataType, v.dataType)))) &&
         eqOk
       if (fastPath) {
         // ONE bounded plan-time job loads the recorded positions
@@ -1238,7 +1255,22 @@ private[connector] object GraftEqMaskCache {
           .sortWith((a, b) => u8(a._1).compareTo(u8(b._1)) < 0)
         Some(org.apache.spark.sql.graftshim.GraftEqMask(
           keyField.get.name, Array.empty, pairs.map(_._1), pairs.map(_._2)))
-      case _ => None // absent or non-integral/non-string key: bridge
+      case Some(DateType | TimestampType) =>
+        // temporal keys (r15) fold DISTRIBUTED-side into the internal
+        // long domain the key vectors carry — dates epoch days,
+        // timestamps epoch micros — so the probe compares raw cells
+        val toLong =
+          if (keyField.get.dataType == DateType) "unix_date"
+          else "unix_micros"
+        val rows = delAgg
+          .selectExpr(s"$toLong(`${keyCol}`) AS k", "_graft_del_seq")
+          .collect().filter(!_.isNullAt(0))
+        val pairs = rows.map(r =>
+          (r.get(0).asInstanceOf[Number].longValue(), r.getLong(1)))
+          .sortBy(_._1)
+        Some(org.apache.spark.sql.graftshim.GraftEqMask(
+          keyField.get.name, pairs.map(_._1), Array.empty, pairs.map(_._2)))
+      case _ => None // absent or unsupported key type: bridge
     }
   }
 }

@@ -20,11 +20,12 @@ import graft.table.SnapshotLog.DataFile
   * merge (parquet null-fills later-declared columns natively) — and,
   * since r14/r15, POSITIONAL and EQUALITY masks within the debt
   * budget, row-id projections, and live FIELD REGISTRIES (renames /
-  * drops — the inner read requests physical names) all ride this path
-  * too: the standing read traffic stays columnar instead of degrading
-  * to the Row bridge. Multi-epoch drifted schemas, over-budget debt
-  * and non-integral/non-string equality keys stay on the
-  * always-correct [[GraftBridgeScan]].
+  * drops — the inner read requests physical names), type-promoting
+  * drifted epochs, temporal equality keys and row-id reads of
+  * eq-masked tables all ride this path too: the standing read traffic
+  * stays columnar instead of degrading to the Row bridge. Over-budget
+  * debt, genuinely incompatible drift and unsupported equality-key
+  * types stay on the always-correct [[GraftBridgeScan]].
   *
   * RUNTIME file pruning: when this scan sits under a join whose other
   * side is selectively filtered, Catalyst's partition-pruning rule sees
@@ -160,12 +161,13 @@ private[connector] final class GraftV2BatchScan(
     * that lost HasPartitionKey; a runtime filter that pruned every
     * row-bearing file must therefore yield zero KEYED partitions, not a
     * fallback to plain FilePartitions). */
-  // POSITIONAL masks do NOT disable key-grouped reporting (r15): a mask
-  // filters rows within a file and can never change bucket membership
-  // (the bucket is a pure function of the key), so two co-bucketed MOR
-  // tables keep their zero-exchange join between compactions. Equality
-  // masks withhold it (their reader shape has no bucketed variant yet).
-  private val bucketedAtPlan: Boolean = !withPos && eqMask.isEmpty &&
+  // MASKS do NOT disable key-grouped reporting (r15): positional AND
+  // equality masks filter rows within a file and can never change
+  // bucket membership (the bucket is a pure function of the key; an
+  // eq-delete removes rows, never moves them), so two co-bucketed MOR
+  // tables keep their zero-exchange join between compactions. Row-id
+  // projections withhold it (one partition per file by construction).
+  private val bucketedAtPlan: Boolean = !withPos &&
     bucketSpec.exists { case (c, n) =>
       val key = SnapshotLog.bucketPartKey(n, c)
       val bearing = staticKept.filter(_.rows > 0)
@@ -229,19 +231,24 @@ private[connector] final class GraftV2BatchScan(
 
   private def inner(): Batch = bucketGroups match {
     case _ if withPos =>
-      // ROW-ID read: every file its own partition, masks applied by
-      // original ordinal, metadata columns synthesized in the reader
+      // ROW-ID read: every file its own partition, masks (positional
+      // AND equality) applied by original ordinal, metadata columns
+      // synthesized in the reader
       org.apache.spark.sql.graftshim.GraftParquetShim.posBatch(
         spark, kept.map(f =>
-          (f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long]))),
+          org.apache.spark.sql.graftshim.GraftPosFileSpec(
+            f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long]),
+            f.seq, eqApplies(f))),
         physVisible, required,
         SnapshotLog.PosFileCol, SnapshotLog.PosOrdCol, pushed,
-        physOutputSchema = physRequired)
-    case Some(gs) if masks.nonEmpty =>
+        physOutputSchema = physRequired, eqMask = eqMask)
+    case Some(gs) if masks.nonEmpty || eqMask.isDefined =>
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedMaskedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f =>
-          (f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long])))) },
-        physVisible, physRequired, pushed)
+          org.apache.spark.sql.graftshim.GraftMaskedFileRef(
+            f.path, f.bytes, masks.getOrElse(f.path, Array.empty[Long]),
+            f.seq, eqApplies(f)))) },
+        physVisible, physRequired, pushed, eqMask = eqMask)
     case Some(gs) =>
       org.apache.spark.sql.graftshim.GraftParquetShim.bucketedBatch(
         spark, gs.map { case (b, fs) => (b, fs.map(f => (f.path, f.bytes))) },

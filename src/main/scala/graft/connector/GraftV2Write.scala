@@ -195,7 +195,10 @@ private[connector] final class GraftBucketWrite(
     replaceWhere: Option[(Array[Filter], String)],
     logicalSchema: StructType, physicalSchema: StructType,
     statsSpecs: Seq[GraftColSpec], partSpecs: Seq[GraftColSpec],
-    bloomSpec: Option[GraftColSpec])
+    bloomSpec: Option[GraftColSpec],
+    /** CTAS/RTAS staging (r15): record the written files here instead
+      * of committing — the staging transaction owns the manifest. */
+    stageOnly: Option[Seq[SnapshotLog.DataFile] => Unit] = None)
     extends Write with BatchWrite with RequiresDistributionAndOrdering {
 
   private def physicalBucketCol: String =
@@ -269,6 +272,12 @@ private[connector] final class GraftBucketWrite(
       firstStats = statsSpecs.headOption.map(_.name),
       bloomName = bloomSpec.map(_.name),
       sortedCol = bucket.map(_ => physicalBucketCol))
+    // a STAGED write (CTAS/RTAS) only records its files — the manifest
+    // commit is the staging transaction's, in commitStagedChanges
+    stageOnly match {
+      case Some(record) => record(files); return
+      case None => ()
+    }
     replaceWhere match {
       case Some((filters, label)) =>
         GraftDml.replaceWhereFiles(spark, dir, files, filters, label)
@@ -458,6 +467,54 @@ private[connector] object GraftBucketWrite {
   }
 }
 
+private[connector] object GraftStagedWrite {
+
+  /** The STAGED real-V2 write plan (r15): CTAS/RTAS of an UNBUCKETED
+    * table whose declared metadata (TBLPROPERTIES) is inline-computable
+    * writes through the engine-contract batch write — stats in the
+    * writing task, no post-write read-back — and only RECORDS its files
+    * (the staging transaction commits them). Bucketed declarations keep
+    * the V1 staged path: the CTAS exec never consults
+    * RequiresDistributionAndOrdering, so the fanout would write
+    * tasks×buckets files where `bucketArrange` writes bucketCount. */
+  def planFor(spark: SparkSession, dir: String, declared: StructType,
+              prop: String => Option[String],
+              stage: Seq[SnapshotLog.DataFile] => Unit): Option[Write] = {
+    if (prop("bucketCol").isDefined || prop("bucketCount").isDefined)
+      return None
+    def propCols(key: String): Seq[String] = prop(key).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .filter(c => declared.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val stats = propCols("statsCols")
+    val bloom = propCols("bloomCol").headOption
+    val parts = propCols("partitionCols")
+      .filterNot(SnapshotLog.BucketKeyPattern.matches)
+    val physicalSchema = StructType(declared.fields.map(_.copy(nullable = true)))
+    def ordOf(c: String): Option[Int] =
+      declared.fields.indexWhere(_.name.equalsIgnoreCase(c)) match {
+        case -1 => None
+        case i => Some(i)
+      }
+    def spec(c: String, tag: org.apache.spark.sql.types.DataType => Option[Int])
+        : Option[GraftColSpec] =
+      for { i <- ordOf(c); t <- tag(declared.fields(i).dataType) }
+        yield GraftColSpec(declared.fields(i).name, i, t)
+    val statsSpecs = stats.flatMap(c => spec(c, GraftWriteShim.zoneTagOf))
+    val statsOk = stats.forall(c =>
+      spec(c, GraftWriteShim.zoneTagOf).isDefined ||
+        (declared.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+          f.dataType == StringType) && bloom.exists(_.equalsIgnoreCase(c))))
+    val partSpecs = parts.flatMap(c => spec(c, GraftWriteShim.partTagOf))
+    val bloomSpec = bloom.flatMap(c => spec(c, GraftWriteShim.bloomTagOf))
+    val eligible = statsOk && partSpecs.size == parts.size &&
+      bloomSpec.isDefined == bloom.isDefined
+    if (!eligible) None
+    else Some(new GraftBucketWrite(spark, dir, None, false, None,
+      declared, physicalSchema, statsSpecs, partSpecs, bloomSpec,
+      stageOnly = Some(stage)))
+  }
+}
+
 /** A table staged by CTAS / RTAS: collects the query's written files
   * and commits them — with the staged DDL — only in
   * `commitStagedChanges()`. Until then nothing references the files,
@@ -485,8 +542,10 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
   override def schema(): StructType = declared
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    (if (stagedRealWrite) Set(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+     else Set(TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)).asJava
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "location" -> dir).asJava
@@ -495,13 +554,25 @@ private[connector] final class GraftStagedTable(spark: SparkSession,
     Option(properties).flatMap(p => p.asScala.collectFirst {
       case (k, v) if k.equalsIgnoreCase(key) => v })
 
+  /** Whether this staging's query writes through the REAL batch write
+    * (r15): unbucketed + inline-computable declared metadata. Decided
+    * once — capabilities and the builder must agree. */
+  private lazy val stagedRealWrite: Boolean =
+    GraftStagedWrite.planFor(spark, dir, declared, prop,
+      fs => { staged = fs; wrote = true }).isDefined
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       // RTAS arrives as OverwriteByExpression(true) → truncate(); the
       // replace decision already lives in the staged mode, so this is
       // a no-op acknowledgement, not state
       override def truncate(): WriteBuilder = this
-      override def build(): Write = new V1Write {
+      override def build(): Write =
+        if (stagedRealWrite)
+          GraftStagedWrite.planFor(spark, dir, declared, prop,
+            fs => { staged = fs; wrote = true }).get
+        else v1StagedWrite()
+      private def v1StagedWrite(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {

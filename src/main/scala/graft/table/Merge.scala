@@ -106,15 +106,15 @@ object Merge {
     * lineage merge. [[SnapshotLog.read]] hides the column. */
   val LineageCol = "_graft_updated_seq"
 
-  /** The delta's distinct keys in the PROBE DOMAIN (long values for long
-    * keys, xxhash64 for string/UUID keys — [[SnapshotLog.keyAsLong]]),
+  /** The delta's distinct keys in the PROBE DOMAIN ([[probeKeyExpr]]:
+    * the manifest zones' long domains; xxhash64 for string/UUID keys),
     * split into a physical strategy by size: Left(sorted driver array)
     * when ≤ maxDriverKeys (probed with one limit-bounded collect — no
     * count job), Right(distinct-key frame, eagerly checkpointed for its
     * multiple consumers) beyond. */
   private def keySet(delta: DataFrame, keyCol: String,
                      maxDriverKeys: Int): Either[Array[Long], DataFrame] = {
-    val keyDf = delta.select(SnapshotLog.keyAsLong(delta, keyCol).as("k")).distinct()
+    val keyDf = delta.select(probeKeyExpr(delta, keyCol).as("k")).distinct()
     val rows = keyDf.limit(maxDriverKeys + 1).collect()
     // a NULL merge key has no defined merge semantics (equality never
     // matches it; pruning cannot see it) — refuse with a clear message
@@ -125,6 +125,40 @@ object Merge {
     val probe = rows.map(_.getLong(0))
     if (probe.length <= maxDriverKeys) Left(probe.sorted)
     else Right(keyDf.localCheckpoint(true))
+  }
+
+  /** The probe-domain key expression (r15): the SAME long domain the
+    * manifest ZONES record ([[SnapshotLog]]'s writer domains) —
+    * numerics cast, dates epoch DAYS, timestamps epoch MICROS, strings
+    * xxhash64. The legacy `cast(col AS long)` read SECONDS for
+    * timestamps and refused dates at analysis, so a temporal-keyed
+    * merge either failed outright (date) or probed zones cross-domain
+    * (timestamp: seconds against micro zones — present keys wrongly
+    * classified as pure inserts, silently lost deletes once the key
+    * column carried stats). */
+  private def probeKeyExpr(df: DataFrame, keyCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case StringType => xxhash64(col(keyCol))
+      case DateType =>
+        datediff(col(keyCol), to_date(lit("1970-01-01"))).cast("long")
+      case TimestampType => unix_micros(col(keyCol))
+      case _ => col(keyCol).cast("long")
+    }
+  }
+
+  /** Temporal keys never probe manifest BLOOMs: blooms are built in
+    * [[SnapshotLog.keyAsLong]]'s cast domain (epoch seconds for
+    * timestamps; dates cannot build one at all), not the zone domain
+    * the probe keys carry — a cross-domain bloom probe would report
+    * false negatives and silently lose rows. Zone probes stay on (the
+    * zone domain IS the probe domain). */
+  private def temporalKey(df: DataFrame, keyCol: String): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case DateType | TimestampType => true
+      case _ => false
+    }
   }
 
   /** Cap on driver-side (file × key) bloom probes: past this the driver
@@ -161,12 +195,13 @@ object Merge {
     * bloom when one was written. Thousands of rows at 100 TB:
     * metadata, not data. */
   private def fileStatsDf(spark: SparkSession, keyCol: String,
-                          stated: Seq[SnapshotLog.DataFile]): DataFrame = {
+                          stated: Seq[SnapshotLog.DataFile],
+                          useBloom: Boolean = true): DataFrame = {
     import spark.implicits._
     stated.zipWithIndex.map { case (f, i) =>
       val zone = keyZone(f, keyCol)
       (i, zone.map(_._1), zone.map(_._2),
-        f.blooms.get(keyCol)
+        f.blooms.get(keyCol).filter(_ => useBloom)
           .map(java.util.Base64.getDecoder.decode).orNull)
     }.toDF("idx", "mn", "mx", "bloom")
   }
@@ -183,13 +218,14 @@ object Merge {
   /** Driver-side twin of [[probeCond]] for one file against the sorted
     * key array (bloom skipped when over the probe budget). */
   private def driverKeeps(f: SnapshotLog.DataFile, keyCol: String,
-                          arr: Array[Long], bloomBudget: Boolean): Boolean = {
+                          arr: Array[Long], bloomBudget: Boolean,
+                          useBloom: Boolean = true): Boolean = {
     val zoneOk = keyZone(f, keyCol) match {
       case Some((mn, mx)) => hits(arr, mn, mx)
       case None => true
     }
     zoneOk && (f.blooms.get(keyCol) match {
-      case Some(b64) if bloomBudget =>
+      case Some(b64) if bloomBudget && useBloom =>
         val bytes = java.util.Base64.getDecoder.decode(b64)
         arr.exists(graft.functions.BloomFilterOps
           .mightContain(bytes, _, SnapshotLog.BloomHashes))
@@ -210,17 +246,20 @@ object Merge {
     * bloom are conservatively touched on both paths. */
   private def touchedFiles(spark: SparkSession, keyCol: String,
                            live: Seq[SnapshotLog.DataFile],
-                           keys: Either[Array[Long], DataFrame])
+                           keys: Either[Array[Long], DataFrame],
+                           useBloom: Boolean = true)
       : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile]) = {
     val (stated, unstated) = live.partition(prunable(_, keyCol))
     keys match {
       case Left(arr) =>
         val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
-        val (t, u) = stated.partition(driverKeeps(_, keyCol, arr, budget))
+        val (t, u) = stated.partition(
+          driverKeeps(_, keyCol, arr, budget, useBloom))
         (unstated ++ t, u)
       case Right(keyDf) =>
         val hit = keyDf
-          .join(broadcast(fileStatsDf(spark, keyCol, stated)), probeCond(col("k")))
+          .join(broadcast(fileStatsDf(spark, keyCol, stated, useBloom)),
+            probeCond(col("k")))
           .select(col("idx")).distinct()
           .collect().map(_.getInt(0)).toSet
         val (t, u) = stated.zipWithIndex.partition { case (_, i) => hit(i) }
@@ -280,7 +319,8 @@ object Merge {
     require(live.nonEmpty, s"cannot merge into empty table $tableDir")
     val keys = keySet(delta0, keyColP, maxDriverKeys)
     val nKeys = keys.fold(_.length.toLong, _.count())
-    val (touched, untouched) = touchedFiles(spark, keyColP, live, keys)
+    val useBloom = !temporalKey(delta0, keyColP)
+    val (touched, untouched) = touchedFiles(spark, keyColP, live, keys, useBloom)
     // tombstones drop out of the written rows; their keys still anti-join.
     // A NULL flag is NOT a delete (`!NULL` is NULL, which a bare filter
     // silently drops — the row's key would anti-join its old version
@@ -322,7 +362,8 @@ object Merge {
     // picked `touched`. Lineage merges stamped intendedId into rows, so
     // they refuse any other id.
     val guard = SnapshotLog.ConflictGuard(
-      mayReadAdded = Some(fs => touchedFiles(spark, keyColP, fs, keys)._1),
+      mayReadAdded = Some(fs =>
+        touchedFiles(spark, keyColP, fs, keys, useBloom)._1),
       idStamped = lineage)
     val id = SnapshotLog.commitPinned(spark, tableDir, baseId, "upsert", written,
       removed = touched.map(_.path),
@@ -346,7 +387,8 @@ object Merge {
       : (Seq[SnapshotLog.DataFile], Seq[SnapshotLog.DataFile]) = {
     val c = keys.columns.head
     touchedFiles(spark, keyCol, live,
-      keySet(keys.filter(col(c).isNotNull), c, maxDriverKeys))
+      keySet(keys.filter(col(c).isNotNull), c, maxDriverKeys),
+      useBloom = !temporalKey(keys, c))
   }
 
   /** The touched files with row lineage resolved: rows keep their
@@ -451,6 +493,7 @@ object Merge {
 
     // the delta keys that MIGHT exist in `live` data (mask entries); pure
     // inserts — provably outside every file's zone ∧ bloom — get none
+    val useBloom = !temporalKey(delta0, keyColP)
     def maskKeyDf(live: Seq[SnapshotLog.DataFile]): DataFrame = {
       val stated = live.filter(prunable(_, keyColP))
       val unstated = live.size > stated.size
@@ -465,7 +508,7 @@ object Merge {
               // zone ∧ bloom
               val budget = arr.length.toLong * stated.size <= MaxDriverBloomProbes
               val probes = stated.map(f => (keyZone(f, keyColP),
-                f.blooms.get(keyColP).filter(_ => budget)
+                f.blooms.get(keyColP).filter(_ => budget && useBloom)
                   .map(java.util.Base64.getDecoder.decode)))
               arr.toSeq.filter(k => probes.exists { case (zone, bloom) =>
                 zone.forall { case (mn, mx) => k >= mn && k <= mx } &&
@@ -476,7 +519,8 @@ object Merge {
           masks.toDF("k")
         case Right(keyDf) =>
           if (unstated) keyDf
-          else keyDf.join(broadcast(fileStatsDf(spark, keyColP, stated)),
+          else keyDf.join(
+              broadcast(fileStatsDf(spark, keyColP, stated, useBloom)),
               probeCond(col("k")), "left_semi")
       }
     }
@@ -493,13 +537,17 @@ object Merge {
       val live = if (attempt == 0) live0
         else SnapshotLog.filesAt(spark, tableDir).filter(_.kind == "data")
       // (metadata keys stay physical — keyColP probes them directly)
-      val mk = maskKeyDf(live)
+      // the mask frame's column renames away from "k" before the join:
+      // a table whose key column is ITSELF named `k` would otherwise
+      // make the join condition ambiguous
+      val mk = maskKeyDf(live).toDF("_graft_mk")
       val keyProj = delta0.select(col(keyColP)).distinct()
       val delFiles =
         if (mk.isEmpty) Seq.empty
         else SnapshotLog.writeData(
           keyProj
-            .join(mk, SnapshotLog.keyAsLong(keyProj, keyColP) === col("k"), "left_semi")
+            .join(mk, probeKeyExpr(keyProj, keyColP) === col("_graft_mk"),
+              "left_semi")
             .coalesce(1),
           tableDir, statsCol = Some(keyColP), kind = "eqdelete",
           bloomCol = keyBloom, rawPhysical = true)

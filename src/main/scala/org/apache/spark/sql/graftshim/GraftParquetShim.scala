@@ -178,7 +178,8 @@ object GraftParquetShim {
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftMaskedReaderFactory(plainFactory, maskedFactory,
-          readDataSchema, uniformColumnar, eqMask, keyOrdinal.getOrElse(-1))
+          readDataSchema, uniformColumnar, eqMask, keyOrdinal.getOrElse(-1),
+          keyOrdinal.map(withKey(_).dataType).orNull)
     }
   }
 
@@ -201,7 +202,7 @@ object GraftParquetShim {
     * columns at their requested ordinals; data columns keep their
     * relative order. */
   def posBatch(spark: SparkSession,
-               files: Seq[(String, Long, Array[Long])],
+               files: Seq[GraftPosFileSpec],
                dataSchema: StructType,
                outputSchema: StructType,
                fileColName: String, posColName: String,
@@ -209,12 +210,34 @@ object GraftParquetShim {
                /** The PHYSICAL twin of `outputSchema` on registry tables
                  * (same field order, files' column names) — what the
                  * inner parquet read requests; defaults to the output. */
-               physOutputSchema: StructType = null): Batch = {
+               physOutputSchema: StructType = null,
+               /** Folded EQUALITY mask (r15): row-id reads of eq-masked
+                 * tables — the vanilla-session DML source scan between
+                 * upsert ingests — stay vectorized; surviving rows keep
+                 * their ORIGINAL file ordinals (selection filters by
+                 * position, exactly like the positional mask). */
+               eqMask: Option[GraftEqMask] = None): Batch = {
     def isMeta(n: String): Boolean =
       n.equalsIgnoreCase(fileColName) || n.equalsIgnoreCase(posColName)
     val physOut = Option(physOutputSchema).getOrElse(outputSchema)
     val dataFields = physOut.fields.filterNot(f => isMeta(f.name))
-    val readWithIdx = StructType(dataFields :+
+    // the eq key column joins the inner read when the projection pruned
+    // it (GraftEqMask.keyCol is PHYSICAL — compare in the files' space)
+    val needKey = eqMask.filter(e =>
+      !dataFields.exists(_.name.equalsIgnoreCase(e.keyCol)))
+    val keyOrdinal = eqMask.map(e =>
+      dataFields.indexWhere(_.name.equalsIgnoreCase(e.keyCol)) match {
+        case -1 => dataFields.length // appended just below
+        case i => i
+      }).getOrElse(-1)
+    val withKey = needKey match {
+      case Some(e) => dataFields :+
+        dataSchema.fields.find(_.name.equalsIgnoreCase(e.keyCol)).get
+          .copy(nullable = true)
+      case None => dataFields
+    }
+    val idxOrdinal = withKey.length
+    val readWithIdx = StructType(withKey :+
       org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true))
@@ -228,13 +251,13 @@ object GraftParquetShim {
         else { val i = next; next += 1; i }
       }
     }
-    val inner = parquetBatch(spark, files.map { case (p, len, _) => (p, len) },
+    val inner = parquetBatch(spark, files.map(f => (f.path, f.len)),
       dataSchema, readWithIdx, pushedFilters)
     val hadoopConf = spark.sessionState.newHadoopConf()
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        files.zipWithIndex.map { case ((p, len, positions), i) =>
-          val raw = new Path(p)
+        files.zipWithIndex.map { case (f, i) =>
+          val raw = new Path(f.path)
           // the emitted _graft_file value — the same qualified Path
           // rendering ("file:/x", Path.toString) the V1 read's
           // _metadata.file_path carries for this file (pinned against
@@ -242,14 +265,15 @@ object GraftParquetShim {
           val qualified = raw.getFileSystem(hadoopConf)
             .makeQualified(raw).toString
           val pf = PartitionedFile(InternalRow.empty,
-            SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len,
-            Map.empty)
-          GraftPosPartition(qualified, positions,
+            SparkPath.fromPathString(f.path), 0L, f.len, Array.empty, 0L,
+            f.len, Map.empty)
+          GraftPosPartition(qualified, f.positions, f.fileSeq, f.eqApplies,
             FilePartition(i, Array(pf))): InputPartition
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftPosReaderFactory(inner.createReaderFactory(),
-          outputSchema, colMap, dataFields.length)
+          outputSchema, colMap, idxOrdinal, eqMask, keyOrdinal,
+          if (keyOrdinal >= 0) withKey(keyOrdinal).dataType else null)
     }
   }
 
@@ -285,56 +309,75 @@ object GraftParquetShim {
   }
 
   /** Key-grouped + MASKED (r15): storage-partitioned joins on a
-    * merge-on-read table between compactions. Masks filter rows WITHIN
-    * files and can never change a row's bucket membership (the bucket
-    * is a pure function of the key), so key-grouped reporting stays
-    * sound — each bucket keeps ONE [[HasPartitionKey]] partition, whose
-    * reader concatenates its files sequentially: masked files through
-    * the row-index selection read, unmasked through the plain packed
-    * read. Selection preserves row order, so a sorted single-file
-    * bucket stays sorted under its mask. */
+    * merge-on-read table between compactions. Masks — positional AND
+    * equality — filter rows WITHIN files and can never change a row's
+    * bucket membership (the bucket is a pure function of the key; an
+    * eq-delete removes rows, never moves them), so key-grouped
+    * reporting stays sound — each bucket keeps ONE [[HasPartitionKey]]
+    * partition, whose reader concatenates its files sequentially:
+    * masked files through the row-index selection read, unmasked
+    * through the plain packed read. Selection preserves row order, so a
+    * sorted single-file bucket stays sorted under its mask. */
   def bucketedMaskedBatch(spark: SparkSession,
-                          groups: Seq[(Int, Seq[(String, Long, Array[Long])])],
+                          groups: Seq[(Int, Seq[GraftMaskedFileRef])],
                           dataSchema: StructType,
                           readDataSchema: StructType,
-                          pushedFilters: Array[Filter]): Batch = {
+                          pushedFilters: Array[Filter],
+                          eqMask: Option[GraftEqMask] = None): Batch = {
+    def needsMask(f: GraftMaskedFileRef): Boolean =
+      f.positions.nonEmpty || f.eqApplies
     val plainInner = parquetBatch(spark,
-      groups.flatMap(_._2).map { case (p, len, _) => (p, len) },
+      groups.flatMap(_._2).map(f => (f.path, f.len)),
       dataSchema, readDataSchema, pushedFilters)
-    val readWithIdx = StructType(readDataSchema.fields :+
+    // the eq key joins the masked inner read when the projection pruned
+    // it; the wrapper consumes and drops it (same shape as maskedBatch)
+    val needKey = eqMask.filter(e =>
+      !readDataSchema.fieldNames.exists(_.equalsIgnoreCase(e.keyCol)))
+    val keyOrdinal = eqMask.map(e =>
+      readDataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(e.keyCol)) match {
+        case -1 => readDataSchema.length
+        case i => i
+      }).getOrElse(-1)
+    val withKey = needKey match {
+      case Some(e) => StructType(readDataSchema.fields :+
+        dataSchema.fields.find(_.name.equalsIgnoreCase(e.keyCol)).get
+          .copy(nullable = true))
+      case None => readDataSchema
+    }
+    val idxOrdinal = withKey.length
+    val readWithIdx = StructType(withKey.fields :+
       org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true))
     val maskedInner = parquetBatch(spark,
-      groups.flatMap(_._2).collect { case (p, len, m) if m.nonEmpty => (p, len) },
+      groups.flatMap(_._2).collect { case f if needsMask(f) => (f.path, f.len) },
       dataSchema, readWithIdx, pushedFilters)
     val plainFactory = plainInner.createReaderFactory()
     val maskedFactory = maskedInner.createReaderFactory()
     // one pre-agreed columnar answer for the whole scan (the engine
     // refuses mixed row/columnar partitions) — the two factories'
-    // schemas differ by the row-index column, so probe both
+    // schemas differ by the appended columns, so probe both
     def probePartition(p: String, len: Long): FilePartition =
       FilePartition(0, Array(PartitionedFile(InternalRow.empty,
         SparkPath.fromPathString(p), 0L, len, Array.empty, 0L, len,
         Map.empty)))
     val uniformColumnar =
-      groups.flatMap(_._2).headOption.forall { case (p, len, _) =>
-        plainFactory.supportColumnarReads(probePartition(p, len)) } &&
-      groups.flatMap(_._2).collectFirst {
-        case (p, len, m) if m.nonEmpty => (p, len) }
-        .forall { case (p, len) =>
-          maskedFactory.supportColumnarReads(probePartition(p, len)) }
+      groups.flatMap(_._2).headOption.forall(f =>
+        plainFactory.supportColumnarReads(probePartition(f.path, f.len))) &&
+      groups.flatMap(_._2).find(needsMask)
+        .forall(f =>
+          maskedFactory.supportColumnarReads(probePartition(f.path, f.len)))
     new Batch {
       override def planInputPartitions(): Array[InputPartition] =
         groups.sortBy(_._1).zipWithIndex.map { case ((bucket, fs), i) =>
           GraftBucketedMaskedPartition(
-            new GenericInternalRow(Array[Any](bucket)), i,
-            fs.map { case (p, len, m) => GraftMaskedFileRef(p, len, m) })
+            new GenericInternalRow(Array[Any](bucket)), i, fs)
             : InputPartition
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftBucketedMaskedReaderFactory(plainFactory, maskedFactory,
-          readDataSchema, uniformColumnar)
+          readDataSchema, uniformColumnar, idxOrdinal, eqMask, keyOrdinal,
+          if (keyOrdinal >= 0) withKey(keyOrdinal).dataType else null)
     }
   }
 }
@@ -349,9 +392,11 @@ private[graftshim] final case class GraftBucketedPartition(
 }
 
 /** One file of a key-grouped masked scan: path, length, sorted deleted
-  * ordinals (empty = unmasked). */
-private[graftshim] final case class GraftMaskedFileRef(
-    path: String, len: Long, positions: Array[Long])
+  * ordinals (empty = no positional mask), commit seq + equality-mask
+  * applicability. */
+final case class GraftMaskedFileRef(
+    path: String, len: Long, positions: Array[Long],
+    fileSeq: Long = Long.MaxValue, eqApplies: Boolean = false)
 
 /** One bucket group of a key-grouped MASKED scan (r15): the partition
   * key is the bucket id; files read sequentially within the task,
@@ -370,9 +415,20 @@ private[graftshim] final class GraftBucketedMaskedReaderFactory(
     plain: PartitionReaderFactory,
     maskedInner: PartitionReaderFactory,
     readDataSchema: StructType,
-    uniformColumnar: Boolean) extends PartitionReaderFactory {
+    uniformColumnar: Boolean,
+    /** Ordinal of the row-index generator column in the masked inner
+      * schema (after the appended eq key, when one rides). */
+    idxOrd: Int,
+    eqMask: Option[GraftEqMask] = None,
+    keyOrd: Int = -1,
+    /** INNER-schema type of the eq key column (null without one). */
+    keyType: org.apache.spark.sql.types.DataType = null)
+    extends PartitionReaderFactory {
 
   private def dataCols: Int = readDataSchema.length
+
+  private def needsMask(f: GraftMaskedFileRef): Boolean =
+    f.positions.nonEmpty || f.eqApplies
 
   private def filePartition(f: GraftMaskedFileRef): FilePartition =
     FilePartition(0, Array(PartitionedFile(InternalRow.empty,
@@ -389,24 +445,24 @@ private[graftshim] final class GraftBucketedMaskedReaderFactory(
     new PartitionReader[ColumnarBatch] {
       private val it = g.files.iterator
       private var reader: PartitionReader[ColumnarBatch] = _
-      private var positions: Array[Long] = _
+      private var file: GraftMaskedFileRef = _
       private var current: ColumnarBatch = _
       override def next(): Boolean = {
         while (true) {
           if (reader == null) {
             if (!it.hasNext) return false
-            val f = it.next()
-            positions = f.positions
+            file = it.next()
             reader =
-              if (f.positions.isEmpty) plain.createColumnarReader(filePartition(f))
-              else maskedInner.createColumnarReader(filePartition(f))
+              if (!needsMask(file)) plain.createColumnarReader(filePartition(file))
+              else maskedInner.createColumnarReader(filePartition(file))
           }
           if (reader.next()) {
             val b = reader.get()
             current =
-              if (positions.isEmpty) b
-              else GraftMaskedReaderFactory.filterBatch(b, positions, cols,
-                cols, None, -1, 0L)
+              if (!needsMask(file)) b
+              else GraftMaskedReaderFactory.filterBatch(b, file.positions,
+                cols, idxOrd, if (file.eqApplies) eqMask else None, keyOrd,
+                file.fileSeq)
             return true
           }
           reader.close(); reader = null
@@ -429,25 +485,35 @@ private[graftshim] final class GraftBucketedMaskedReaderFactory(
     new PartitionReader[InternalRow] {
       private val it = g.files.iterator
       private var reader: PartitionReader[InternalRow] = _
-      private var positions: Array[Long] = _
+      private var file: GraftMaskedFileRef = _
       private var row: InternalRow = _
       private var masked = false
       override def next(): Boolean = {
         while (true) {
           if (reader == null) {
             if (!it.hasNext) return false
-            val f = it.next()
-            positions = f.positions
-            masked = f.positions.nonEmpty
+            file = it.next()
+            masked = needsMask(file)
             reader =
-              if (masked) maskedInner.createReader(filePartition(f))
-              else plain.createReader(filePartition(f))
+              if (masked) maskedInner.createReader(filePartition(file))
+              else plain.createReader(filePartition(file))
           }
           var advanced = false
           while (!advanced && reader.next()) {
             val r = reader.get()
-            if (!masked || java.util.Arrays.binarySearch(
-                positions, r.getLong(cols)) < 0) {
+            val posKeep = !masked || file.positions.isEmpty ||
+              java.util.Arrays.binarySearch(
+                file.positions, r.getLong(idxOrd)) < 0
+            val eqKeep = !masked || !file.eqApplies || eqMask.forall { e =>
+              r.isNullAt(keyOrd) || {
+                val ds =
+                  if (e.isString) e.delSeqOfStr(r.getUTF8String(keyOrd))
+                  else e.delSeqOfLong(GraftMaskedReaderFactory.keyAsLong(
+                    r, keyOrd, keyType))
+                ds <= file.fileSeq
+              }
+            }
+            if (posKeep && eqKeep) {
               row = r
               advanced = true
             }
@@ -531,7 +597,12 @@ private[graftshim] final class GraftMaskedReaderFactory(
     eq: Option[GraftEqMask] = None,
     /** Ordinal of the eq key column in the masked INNER schema (-1 when
       * no equality mask rides this scan). */
-    keyOrdinal: Int = -1) extends PartitionReaderFactory {
+    keyOrdinal: Int = -1,
+    /** INNER-schema type of the eq key column (null without one) — the
+      * row-based probe's access type; the OUTPUT schema may have pruned
+      * the key away, so it is never looked up there. */
+    keyType: org.apache.spark.sql.types.DataType = null)
+    extends PartitionReaderFactory {
 
   private def dataCols: Int = readDataSchema.length
   /** the row-index generator column is always LAST in the inner schema */
@@ -573,10 +644,6 @@ private[graftshim] final class GraftMaskedReaderFactory(
       val cols = dataCols
       val idxOrd = idxOrdinal
       val eqFor = if (m.eqApplies) eq else None
-      val keySchema = eq.map(e => readDataSchema.fields
-        .find(_.name.equalsIgnoreCase(e.keyCol))
-        .map(_.dataType)
-        .getOrElse(org.apache.spark.sql.types.LongType))
       val drop = UnsafeProjection.create(
         readDataSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
           BoundReference(i, f.dataType, nullable = true)
@@ -593,7 +660,7 @@ private[graftshim] final class GraftMaskedReaderFactory(
                 val ds =
                   if (e.isString) e.delSeqOfStr(r.getUTF8String(keyOrdinal))
                   else e.delSeqOfLong(
-                    GraftMaskedReaderFactory.keyAsLong(r, keyOrdinal, keySchema.get))
+                    GraftMaskedReaderFactory.keyAsLong(r, keyOrdinal, keyType))
                 ds <= m.fileSeq
               }
             }
@@ -620,6 +687,23 @@ private[graftshim] object GraftMaskedReaderFactory {
       case org.apache.spark.sql.types.IntegerType => r.getInt(ord).toLong
       case org.apache.spark.sql.types.ShortType => r.getShort(ord).toLong
       case org.apache.spark.sql.types.ByteType => r.getByte(ord).toLong
+      // temporal keys (r15): the internal representations ARE the fold's
+      // long domain — dates epoch days (int), timestamps epoch micros
+      case org.apache.spark.sql.types.DateType => r.getInt(ord).toLong
+      case org.apache.spark.sql.types.TimestampType => r.getLong(ord)
+      case other => throw new IllegalStateException(s"bad eq key type $other")
+    }
+
+  /** Internal-representation long of one key vector cell — the eq
+    * probe's read side, shared by every columnar filter loop. */
+  private[graftshim] def vecKeyAsLong(v: ColumnVector, i: Int): Long =
+    v.dataType() match {
+      case org.apache.spark.sql.types.LongType => v.getLong(i)
+      case org.apache.spark.sql.types.IntegerType => v.getInt(i).toLong
+      case org.apache.spark.sql.types.ShortType => v.getShort(i).toLong
+      case org.apache.spark.sql.types.ByteType => v.getByte(i).toLong
+      case org.apache.spark.sql.types.DateType => v.getInt(i).toLong
+      case org.apache.spark.sql.types.TimestampType => v.getLong(i)
       case other => throw new IllegalStateException(s"bad eq key type $other")
     }
 
@@ -636,8 +720,6 @@ private[graftshim] object GraftMaskedReaderFactory {
     val idx = if (positions.isEmpty) null else b.column(idxOrd)
     val key = eq.map(_ => b.column(keyOrd)).orNull
     val isStr = eq.exists(_.isString)
-    val keyLongType = if (eq.isDefined && !isStr)
-      b.column(keyOrd).dataType() else null
     val n = b.numRows()
     val sel = new Array[Int](n)
     var out = 0
@@ -651,17 +733,7 @@ private[graftshim] object GraftMaskedReaderFactory {
           key.isNullAt(i) || {
             val ds =
               if (isStr) e.delSeqOfStr(key.getUTF8String(i))
-              else {
-                val k = keyLongType match {
-                  case org.apache.spark.sql.types.LongType => key.getLong(i)
-                  case org.apache.spark.sql.types.IntegerType => key.getInt(i).toLong
-                  case org.apache.spark.sql.types.ShortType => key.getShort(i).toLong
-                  case org.apache.spark.sql.types.ByteType => key.getByte(i).toLong
-                  case other => throw new IllegalStateException(
-                    s"bad eq key type $other")
-                }
-                e.delSeqOfLong(k)
-              }
+              else e.delSeqOfLong(GraftMaskedReaderFactory.vecKeyAsLong(key, i))
             ds <= fileSeq
           }
       }
@@ -718,30 +790,49 @@ private[graftshim] final class GraftSelectedColumnVector(
     new GraftSelectedColumnVector(inner.getChild(ordinal), sel)
 }
 
-/** One file of a ROW-ID scan: the qualified-URI string its rows carry
-  * as `_graft_file`, the sorted deleted ordinals (empty = unmasked),
-  * and the single-file [[FilePartition]] the stock reader consumes. */
+/** One file of a ROW-ID scan: path, length, sorted deleted ordinals
+  * (empty = unmasked), the file's commit seq, and whether the equality
+  * mask can affect it. */
+final case class GraftPosFileSpec(
+    path: String, len: Long, positions: Array[Long],
+    fileSeq: Long = Long.MaxValue, eqApplies: Boolean = false)
+
+/** One partition of a ROW-ID scan: the qualified-URI string its rows
+  * carry as `_graft_file`, the sorted deleted ordinals (empty =
+  * unmasked), the file's commit seq + equality-mask applicability, and
+  * the single-file [[FilePartition]] the stock reader consumes. */
 private[graftshim] final case class GraftPosPartition(
     fileValue: String,
     positions: Array[Long],
+    fileSeq: Long,
+    eqApplies: Boolean,
     files: FilePartition) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
 /** Reader factory of [[GraftParquetShim.posBatch]]: the inner reader
-  * sees the data columns + the trailing row-index generator column;
-  * the wrapper reorders data columns to their output ordinals and
-  * synthesizes the two metadata columns — `_graft_file` as a constant
-  * string vector, `_graft_pos` as the row-index vector itself (both
-  * selection-filtered under a mask, so surviving rows keep their
-  * original file ordinals). Columnar support is a per-scan constant
-  * (one schema for every partition), so the engine's uniformity
-  * requirement holds structurally. */
+  * sees the data columns (+ the eq key when the projection pruned it)
+  * + the trailing row-index generator column; the wrapper reorders data
+  * columns to their output ordinals and synthesizes the two metadata
+  * columns — `_graft_file` as a constant string vector, `_graft_pos` as
+  * the row-index vector itself (both selection-filtered under a mask,
+  * so surviving rows keep their original file ordinals). Columnar
+  * support is a per-scan constant (one schema for every partition), so
+  * the engine's uniformity requirement holds structurally. */
 private[graftshim] final class GraftPosReaderFactory(
     inner: PartitionReaderFactory,
     outputSchema: StructType,
     colMap: Array[Int],
-    dataCols: Int) extends PartitionReaderFactory {
+    /** Ordinal of the row-index generator column in the inner schema
+      * (last; after the appended eq key, when one rides). */
+    idxOrd: Int,
+    eq: Option[GraftEqMask] = None,
+    keyOrd: Int = -1,
+    /** INNER-schema type of the eq key column (null without an eq
+      * mask) — the row-based probe's access type; never looked up in
+      * the output schema, which may have pruned the key away. */
+    keyType: org.apache.spark.sql.types.DataType = null)
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case g: GraftPosPartition => inner.supportColumnarReads(g.files)
@@ -754,21 +845,37 @@ private[graftshim] final class GraftPosReaderFactory(
     val innerR = inner.createColumnarReader(g.files)
     val fileU8 = org.apache.spark.unsafe.types.UTF8String
       .fromString(g.fileValue)
+    val eqFor = if (g.eqApplies) eq else None
+    val isStr = eqFor.exists(_.isString)
     new PartitionReader[ColumnarBatch] {
       private var current: ColumnarBatch = _
       override def next(): Boolean = {
         if (!innerR.next()) return false
         val b = innerR.get()
-        val idx = b.column(dataCols)
+        val idx = b.column(idxOrd)
+        val key = eqFor.map(_ => b.column(keyOrd)).orNull
         val n = b.numRows()
         val sel: Array[Int] =
-          if (g.positions.isEmpty) null
+          if (g.positions.isEmpty && eqFor.isEmpty) null
           else {
             val s = new Array[Int](n)
             var out = 0; var i = 0
             while (i < n) {
-              if (java.util.Arrays.binarySearch(
-                  g.positions, idx.getLong(i)) < 0) { s(out) = i; out += 1 }
+              val posKeep = g.positions.isEmpty ||
+                java.util.Arrays.binarySearch(
+                  g.positions, idx.getLong(i)) < 0
+              val eqKeep = eqFor match {
+                case None => true
+                case Some(e) =>
+                  key.isNullAt(i) || {
+                    val ds =
+                      if (isStr) e.delSeqOfStr(key.getUTF8String(i))
+                      else e.delSeqOfLong(
+                        GraftMaskedReaderFactory.vecKeyAsLong(key, i))
+                    ds <= g.fileSeq
+                  }
+              }
+              if (posKeep && eqKeep) { s(out) = i; out += 1 }
               i += 1
             }
             if (out == n) null else java.util.Arrays.copyOf(s, out)
@@ -793,6 +900,7 @@ private[graftshim] final class GraftPosReaderFactory(
       : PartitionReader[InternalRow] = {
     val g = p.asInstanceOf[GraftPosPartition]
     val innerR = inner.createReader(g.files)
+    val eqFor = if (g.eqApplies) eq else None
     val proj = UnsafeProjection.create(
       outputSchema.fields.toIndexedSeq.zip(colMap).map {
         case (_, GraftPosReaderFactory.FileCode) =>
@@ -801,7 +909,7 @@ private[graftshim] final class GraftPosReaderFactory(
             org.apache.spark.sql.types.StringType)
             : org.apache.spark.sql.catalyst.expressions.Expression
         case (_, GraftPosReaderFactory.PosCode) =>
-          BoundReference(dataCols, org.apache.spark.sql.types.LongType,
+          BoundReference(idxOrd, org.apache.spark.sql.types.LongType,
             nullable = false)
         case (f, c) => BoundReference(c, f.dataType, nullable = true)
       })
@@ -810,8 +918,19 @@ private[graftshim] final class GraftPosReaderFactory(
       override def next(): Boolean = {
         while (innerR.next()) {
           val r = innerR.get()
-          if (g.positions.isEmpty || java.util.Arrays.binarySearch(
-              g.positions, r.getLong(dataCols)) < 0) {
+          val posKeep = g.positions.isEmpty ||
+            java.util.Arrays.binarySearch(
+              g.positions, r.getLong(idxOrd)) < 0
+          val eqKeep = eqFor.forall { e =>
+            r.isNullAt(keyOrd) || {
+              val ds =
+                if (e.isString) e.delSeqOfStr(r.getUTF8String(keyOrd))
+                else e.delSeqOfLong(GraftMaskedReaderFactory.keyAsLong(
+                  r, keyOrd, keyType))
+              ds <= g.fileSeq
+            }
+          }
+          if (posKeep && eqKeep) {
             row = r
             return true
           }

@@ -94,6 +94,35 @@ class ConnectorV2Spec extends AnyFunSuite {
     assert((masked.head.getLong(0), masked.head.getLong(1)) === ((995L, 1009L)))
   }
 
+  test("registry tables answer complete aggregate pushdown too (r15)") {
+    val wh = freshWarehouse("regagg")
+    val dir = s"$wh/t"
+    rows(10, 1010).coalesce(2).write.format("graft")
+      .option("statsCols", "id,v").save(dir)
+    spark.sql(s"CREATE TABLE gv2regagg_wh USING graft OPTIONS (path '$dir')")
+    try spark.sql("ALTER TABLE gv2regagg_wh RENAME COLUMN v TO w")
+    finally spark.sql("DROP TABLE gv2regagg_wh")
+    // min/max on the RENAMED column: file metadata keys are physical
+    // (`v`), the aggregate speaks logical (`w`) — the answer must come
+    // from manifests alone, translated through the pinned registry
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(w) AS lo, max(w) AS hi FROM gv2_regagg.t")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMetadataAggRelation"),
+      s"renamed-table aggregate must plan as the metadata scan:\n$plan")
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1000L, 20L, 2018L)))
+    // a re-added NAMESAKE must NOT answer from the dead column's zones
+    spark.sql(s"CREATE TABLE gv2regagg_wh2 USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE gv2regagg_wh2 DROP COLUMN w")
+      spark.sql("ALTER TABLE gv2regagg_wh2 ADD COLUMNS (w BIGINT)")
+    } finally spark.sql("DROP TABLE gv2regagg_wh2")
+    val r2 = spark.sql("SELECT count(*) AS n, max(w) AS hi FROM gv2_regagg.t").head
+    assert(r2.getLong(0) === 1000 && r2.isNullAt(1),
+      "the re-added namesake has no values — max must be NULL, never 2018")
+  }
+
   test("pushed V2 filters prune files from manifest zones; results stay exact") {
     val wh = freshWarehouse("prune")
     val dir = s"$wh/t"
@@ -374,6 +403,110 @@ class ConnectorV2Spec extends AnyFunSuite {
         "the zero-exchange join must see exactly the surviving rows")
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("SPJ survives equality masks: eq-probed co-bucketed join, zero exchange (r15)") {
+    val wh = freshWarehouse("spjeq")
+    spark.sql("CREATE TABLE gv2_spjeq.a PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k, id * 2 AS va FROM range(0, 1000)")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+      .write.format("graft").option("bucketBy", "4,k").save(s"$wh/b")
+    // an EQUALITY delete on one side (the upsert-ingest MOR state),
+    // then a later re-insert of half the deleted keys — the seq rule
+    // must keep exactly those; eq masks remove rows, never move them,
+    // so the key-grouped proof must survive
+    Merge.mergeOnRead(spark, s"$wh/a",
+      spark.range(0, 1000).filter(col("id") % 10 === 3)
+        .selectExpr("id AS k", "id * 2 AS va")
+        .withColumn("_del", lit(true)), "k", deleteCol = Some("_del"))
+    spark.range(0, 1000).filter(col("id") % 20 === 3)
+      .selectExpr("id AS k", "id * 2 AS va")
+      .write.format("graft").mode("append")
+      .option("bucketBy", "4,k").save(s"$wh/a")
+    assert(SnapshotLog.filesAt(spark, s"$wh/a").exists(_.kind == "eqdelete"),
+      "the delete-only delta must have landed as an equality mask")
+    new GraftScanBuilder(spark, s"$wh/a").build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.description().contains("eqKeys=100"), b.description())
+        assert(b.outputPartitioning().isInstanceOf[
+          org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+          s"eq masks must not disable key-grouped reporting: ${b.description()}")
+      case other => fail(s"expected the eq-masked batch scan, got $other")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.sql(
+        """SELECT a.k, a.va, b.vb FROM gv2_spjeq.a a
+          |JOIN gv2_spjeq.b b ON a.k = b.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"eq-masked co-bucketed tables must join WITHOUT a shuffle:\n$plan")
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val expected = (0L until 1000L)
+        .filter(k => k % 10 != 3 || k % 20 == 3)
+        .map(k => (k, k * 2, k * 3)).sorted.toSeq
+      assert(got === expected,
+        "the zero-exchange eq-probed join must see exactly the survivors")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    // projection that PRUNES the eq key: the bucketed masked read
+    // appends the key to the inner scan and drops it after the probe
+    val vaOnly = spark.sql("SELECT va FROM gv2_spjeq.a").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(vaOnly === (0L until 1000L)
+      .filter(k => k % 10 != 3 || k % 20 == 3).map(_ * 2).sorted.toSeq)
+  }
+
+  test("temporal equality keys fold to internal domains and vectorize (r15)") {
+    val wh = freshWarehouse("eqts")
+    val dir = s"$wh/t"
+    // one DATE and one TIMESTAMP column; the eq key is the TIMESTAMP
+    spark.range(0, 500)
+      .selectExpr("id",
+        "date_add(DATE '2024-01-01', CAST(id % 50 AS INT)) AS d",
+        "timestamp_seconds(1700000000 + id % 40 * 3600) AS ts")
+      .coalesce(1).write.format("graft").option("statsCols", "id").save(dir)
+    Merge.mergeOnRead(spark, dir,
+      spark.range(0, 500).filter(col("id") % 40 < 5)
+        .selectExpr("id",
+          "date_add(DATE '2024-01-01', CAST(id % 50 AS INT)) AS d",
+          "timestamp_seconds(1700000000 + id % 40 * 3600) AS ts")
+        .withColumn("_del", lit(true)), "ts", deleteCol = Some("_del"))
+    new GraftScanBuilder(spark, dir).build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.description().contains("eqKeys=5"), b.description())
+      case other => fail(s"timestamp eq keys must vectorize, got $other")
+    }
+    val df = spark.sql("SELECT count(*) AS n, sum(id) AS s FROM gv2_eqts.t")
+    val live = (0L until 500L).filterNot(_ % 40 < 5)
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((live.size.toLong, live.sum)))
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("GraftBridgeRelation"))
+    // a DATE-keyed mask folds to epoch days the same way
+    val dir2 = s"$wh/t2"
+    spark.range(0, 300)
+      .selectExpr("id", "date_add(DATE '2024-03-01', CAST(id % 30 AS INT)) AS d")
+      .coalesce(1).write.format("graft").option("statsCols", "id").save(dir2)
+    Merge.mergeOnRead(spark, dir2,
+      spark.range(0, 300).filter(col("id") % 30 >= 27)
+        .selectExpr("id", "date_add(DATE '2024-03-01', CAST(id % 30 AS INT)) AS d")
+        .withColumn("_del", lit(true)), "d", deleteCol = Some("_del"))
+    new GraftScanBuilder(spark, dir2).build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.description().contains("eqKeys=3"), b.description())
+      case other => fail(s"date eq keys must vectorize, got $other")
+    }
+    assert(spark.sql("SELECT count(*) FROM gv2_eqts.t2").head.getLong(0)
+      === (0L until 300L).count(_ % 30 < 27))
   }
 
   test("unbucketed INSERT INTO takes the real V2 write: inline stats match the V1 writer (r15)") {
@@ -881,6 +1014,89 @@ class ConnectorV2Spec extends AnyFunSuite {
       "SELECT count(*) AS n, count(cost) AS c FROM gv2_reg.t")
     assert(readded.head.toSeq === Seq(live.size.toLong, 0L),
       "re-added namesake must read null everywhere, never old values")
+  }
+
+  test("CTAS takes the real staged write: no post-write stats read-back (r15)") {
+    val wh = freshWarehouse("sctas")
+    Thread.sleep(1000) // let earlier statements' task events drain
+    val readBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          readBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql("CREATE TABLE gv2_sctas.t TBLPROPERTIES " +
+        "('statsCols' = 'a', 'bloomCol' = 'a') AS " +
+        "SELECT id AS a, id * 2 AS b FROM range(0, 10000)")
+      Thread.sleep(1000) // task events drain asynchronously
+      // the source is range (zero input bytes): ANY bytes read would be
+      // the V1 staged path's stats pass re-reading what it just wrote
+      assert(readBytes.get() === 0L,
+        s"the real staged write must not re-read its output " +
+          s"(read ${readBytes.get()} B)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // inline manifest stats rode the staged write
+    val files = SnapshotLog.filesAt(spark, s"$wh/t").filter(_.rows > 0)
+    assert(files.nonEmpty && files.forall(f =>
+      f.stats.contains("a") && f.blooms.contains("a")),
+      files.map(f => (f.stats, f.blooms.keys)).toString)
+    assert(spark.sql("SELECT count(*) FROM gv2_sctas.t").head.getLong(0) === 10000)
+    assert(spark.sql("SELECT b FROM gv2_sctas.t WHERE a = 5").head.getLong(0) === 10)
+    // a BUCKETED CTAS keeps the arranged V1 staged path (bucketCount
+    // files, one residue each) — the CTAS exec plans no engine exchange
+    spark.sql("CREATE TABLE gv2_sctas.bk PARTITIONED BY (bucket(4, a)) AS " +
+      "SELECT id AS a, id AS v FROM range(0, 1000)")
+    val key = SnapshotLog.bucketPartKey(4, "a")
+    val bkFiles = SnapshotLog.filesAt(spark, s"$wh/bk").filter(_.rows > 0)
+    // residues can collide in the murmur bucket map, so <= bucketCount
+    // files; every file must hold exactly ONE bucket id
+    assert(bkFiles.nonEmpty && bkFiles.size <= 4 &&
+      bkFiles.forall(_.parts.get(key).exists(_.size == 1)),
+      s"bucketed CTAS must keep the arranged layout: " +
+        bkFiles.map(_.parts).toString)
+  }
+
+  test("drifted epochs vectorize when every type promotes (r15)") {
+    val wh = freshWarehouse("drift")
+    val dir = s"$wh/t"
+    spark.range(0, 100)
+      .selectExpr("CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b")
+      .coalesce(1).write.format("graft").option("statsCols", "a").save(dir)
+    spark.sql(s"CREATE TABLE gv2drift_wh USING graft OPTIONS (path '$dir')")
+    try {
+      spark.sql("ALTER TABLE gv2drift_wh ALTER COLUMN a TYPE BIGINT")
+      spark.sql("ALTER TABLE gv2drift_wh ALTER COLUMN b TYPE DOUBLE")
+      spark.sql("ALTER TABLE gv2drift_wh ADD COLUMNS (c STRING)")
+      spark.range(0, 100).selectExpr("id + 1000 AS a",
+        "CAST(id AS DOUBLE) AS b", "CAST(id AS STRING) AS c")
+        .createOrReplaceTempView("gv2drift_src")
+      spark.sql("INSERT INTO gv2drift_wh SELECT a, b, c FROM gv2drift_src")
+    } finally spark.sql("DROP TABLE gv2drift_wh")
+    // the int/float epoch PROMOTES into the widened merge inside the
+    // vectorized reader — no Row bridge, no per-epoch union
+    new GraftScanBuilder(spark, dir).build() match {
+      case b: GraftV2BatchScan =>
+        assert(b.readSchema().fields.map(_.dataType.typeName).toSeq
+          === Seq("long", "double", "string"), b.readSchema().treeString)
+      case other => fail(s"promotable drift must take the batch scan, got $other")
+    }
+    val df = spark.sql(
+      "SELECT sum(a) AS sa, sum(b) AS sb, count(c) AS nc FROM gv2_drift.t")
+    val r = df.collect()(0) // collect (not head): finalizes the AQE plan
+    assert(r.getLong(0) === (0L until 100L).sum + (1000L until 1100L).sum)
+    assert(r.getDouble(1) === 2.0 * (0 until 100).sum)
+    assert(r.getLong(2) === 100, "the old epoch null-fills the added column")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow") && !plan.contains("GraftBridgeRelation"),
+      s"promotable drift must stay columnar:\n$plan")
+    // positional masks compose with the drift
+    Merge.deleteWhere(spark, dir, col("a") >= 1050L)
+    assert(spark.sql("SELECT count(*) FROM gv2_drift.t").head.getLong(0) === 150)
+    assert(!spark.sql("SELECT a FROM gv2_drift.t WHERE a >= 1000")
+      .queryExecution.executedPlan.toString.contains("GraftBridgeRelation"))
   }
 
   test("CBO statistics come from manifests (exact rows on mask-free tables)") {

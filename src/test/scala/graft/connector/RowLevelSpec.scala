@@ -204,6 +204,50 @@ class RowLevelSpec extends AnyFunSuite {
     assert(r.getLong(1) === 1000 && r.getLong(0) === expected)
   }
 
+  test("vanilla-session DML on an EQ-masked table: row-id scan stays vectorized (r15)") {
+    val (t, dir) = freshTable("eqrid")
+    // the upsert-ingest MOR state: an equality delete of 100 keys
+    graft.table.Merge.mergeOnRead(main, dir,
+      main.range(0, 1000).filter(col("id") % 10 === 6)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .withColumn("_del", lit(true)), "k", deleteCol = Some("_del"))
+    // the row-id + eq-mask composition must stay columnar — the scan
+    // every vanilla DELETE/UPDATE/MERGE on this table reads through
+    val probe = vanilla.sql(s"SELECT k, _graft_file, _graft_pos FROM $t")
+    val pplan = probe.queryExecution.executedPlan
+    assert(pplan.toString.contains("rowIds=true") &&
+      pplan.toString.contains("eqKeys=100") &&
+      !pplan.toString.contains("GraftBridgeRelation"),
+      s"the eq-masked row-id scan must vectorize:\n$pplan")
+    val scans = pplan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "the eq-masked row-id scan must read columnar")
+    // surviving rows keep ORIGINAL ordinals even under the eq filter
+    // (posdelete entries written against them must address the file)
+    val trip = probe.collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0))).sorted.toSeq
+    val files = SnapshotLog.filesAt(vanilla, dir)
+      .filter(f => f.kind == "data" && f.rows > 0).map(_.path)
+    val expected = main.read.parquet(files: _*)
+      .select(col("_metadata.file_path"), col("_metadata.row_index"), col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filterNot(_._3 % 10 == 6).sorted.toSeq
+    assert(trip === expected,
+      "eq-filtered row ids must keep original file ordinals")
+    // the DML itself: a positional DELETE lands ON TOP of the eq mask
+    vanilla.sql(s"DELETE FROM $t WHERE k % 9 = 4")
+    val c = SnapshotLog.commits(vanilla, dir).last
+    assert(c.op === "rowdelta", c.toString)
+    val live = (0L until 1000L).filter(k => k % 10 != 6 && k % 9 != 4)
+    val r = vanilla.sql(s"SELECT count(*) AS n, sum(v) AS s FROM $t").head
+    assert((r.getLong(0), r.getLong(1)) === ((live.size.toLong, live.map(_ * 2).sum)))
+    // and an UPDATE composes on the same state
+    vanilla.sql(s"UPDATE $t SET v = 0 WHERE k % 7 = 1")
+    val r2 = vanilla.sql(s"SELECT sum(v) AS s FROM $t").head
+    assert(r2.getLong(0) === live.filterNot(_ % 7 == 1).map(_ * 2).sum)
+  }
+
   test("mask load memoizes per posdelete set: re-planning runs zero jobs (r15)") {
     val (t, _) = freshTable("maskmemo")
     vanilla.sql(s"DELETE FROM $t WHERE k % 9 = 2")
