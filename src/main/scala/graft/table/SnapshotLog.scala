@@ -524,20 +524,9 @@ object SnapshotLog {
     val sortedByP = sortedBy.map(phys)
     val uuid = java.util.UUID.randomUUID().toString
     val dst = s"$tableDir/data/$uuid"
-    maxRecordsPerFile
-      .fold(dfP.write)(cap => dfP.write.option("maxRecordsPerFile", cap))
-      .mode("error").parquet(dst)
     val fs = fsOf(spark, tableDir)
-    val sizes = fs.listStatus(new Path(dst)).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
-    // an EMPTY frame emits no part files at all — return no entries
-    // instead of failing the stats read-back on a fileless directory
-    // (write-first-then-discard callers depend on this: deleteWhere)
-    if (sizes.isEmpty) { fs.delete(new Path(dst), true); return Seq.empty }
-    val written = spark.read.parquet(dst)
     // every requested stats column rides the same one-pass per-file
-    // aggregate — a per-COLUMN zone map, the Iceberg metrics posture.
+    // metadata — a per-COLUMN zone map, the Iceberg metrics posture.
     // Long zones exist for NUMERIC columns (cast), TIMESTAMP (epoch
     // micros) and DATE (epoch days) — readers probe those domains via
     // [[zoneDomain]]. Strings get no long zone (a lexicographic range
@@ -552,6 +541,58 @@ object SnapshotLog {
       case BucketKeyPattern(n, inner) => bucketPartKey(n.toInt, phys(inner))
       case c => phys(c)
     }
+    // ------------------------------------------------- INLINE fast path
+    // (r15): when every requested statistic is computable in the writing
+    // task (the type-tag surface of [[GraftWriteShim]] — long-domain
+    // zones, string/integral partition values and bloom keys, derived
+    // bucket ids), the frame writes through the SAME inline-stats task
+    // writers the real V2 write uses, via one runJob — no post-write
+    // read-back pass at all. At 100 TB this halves EVERY write path's
+    // IO (merge deltas, compactions, branches, the streaming sink), not
+    // just the V2-name INSERT's. Ineligible shapes (decimal zones,
+    // temporal blooms, exotic partition types, absent columns) keep the
+    // write-then-aggregate path below, byte-identical to before.
+    val inlineEnabled = spark.conf.getOption("graft.write.inlineStats")
+      .forall(_.toBoolean)
+    (if (inlineEnabled)
+       inlineWritePlan(dfP, tableDir, requested, bloomColP, partitionColsP)
+     else None).foreach {
+      case (statsSpecs, partSpecs, bucketSpecs, bloomSpec) =>
+        {
+          val results = org.apache.spark.sql.graftshim.GraftWriteShim
+            .writeInline(spark, dfP, dst, statsSpecs, partSpecs,
+              bucketSpecs, bloomSpec,
+              maxRecordsPerFile.getOrElse(Long.MaxValue))
+          if (results.isEmpty) {
+            fs.delete(new Path(dst), true)
+            return Seq.empty
+          }
+          val inlineStatNames = statsSpecs.map(_.name)
+          return results.map { r =>
+            val stats = r.mins.keys.map(c => c -> (r.mins(c), r.maxs(c))).toMap
+            val first = inlineStatNames.headOption.flatMap(stats.get)
+            DataFile(r.path, r.rows, r.bytes,
+              first.map(_._1), first.map(_._2), kind = kind, stats = stats,
+              blooms = (for { c <- bloomColP; b <- r.bloom } yield
+                c -> java.util.Base64.getEncoder.encodeToString(b)).toMap,
+              parts = r.parts, nulls = r.nulls.filter {
+                case (c, _) => stats.contains(c) },
+              sortedBy = sortedByP)
+          }
+        }
+    }
+    // --------------------------------------- legacy write-then-aggregate
+    maxRecordsPerFile
+      .fold(dfP.write)(cap => dfP.write.option("maxRecordsPerFile", cap))
+      .mode("error").parquet(dst)
+    val sizes = fs.listStatus(new Path(dst)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.toUri.getPath -> f.getLen).toMap
+    // an EMPTY frame emits no part files at all — return no entries
+    // instead of failing the stats read-back on a fileless directory
+    // (write-first-then-discard callers depend on this: deleteWhere)
+    if (sizes.isEmpty) { fs.delete(new Path(dst), true); return Seq.empty }
+    val written = spark.read.parquet(dst)
     val allStats = requested.filter(c => zoneExpr(written, c).isDefined)
     requested.filterNot(allStats.contains)
       .filterNot(bloomColP.contains)
@@ -622,6 +663,85 @@ object SnapshotLog {
           blooms = blooms, parts = parts, nulls = nulls,
           sortedBy = sortedByP)
       }
+  }
+
+  /** The inline-write eligibility decision (r15): Some(specs) when
+    * every statistic [[writeData]] was asked for is computable by the
+    * task-side writer ([[org.apache.spark.sql.graftshim.GraftWriteShim]]
+    * type tags); None → the legacy write-then-aggregate path. Mirrors
+    * legacy semantics exactly: a zone-less stats column (string) WARNS
+    * and drops from zones rather than disqualifying, but a column the
+    * LEGACY aggregate could zone that the writer cannot (decimal), a
+    * bloom/partition type outside the tag surface, or a named column
+    * absent from the frame (legacy throws its own error) all fall back. */
+  private def inlineWritePlan(dfP: DataFrame, tableDir: String,
+      requested: Seq[String], bloomColP: Option[String],
+      partitionColsP: Seq[String])
+      : Option[(Seq[org.apache.spark.sql.graftshim.GraftColSpec],
+                Seq[org.apache.spark.sql.graftshim.GraftColSpec],
+                Seq[org.apache.spark.sql.graftshim.GraftBucketPartSpec],
+                Option[org.apache.spark.sql.graftshim.GraftColSpec])] = {
+    import org.apache.spark.sql.graftshim.{GraftBucketPartSpec, GraftColSpec, GraftWriteShim => WS}
+    val fields = dfP.schema.fields
+    def ordOf(c: String): Option[Int] =
+      fields.indexWhere(_.name == c) match {
+        case -1 => fields.indexWhere(_.name.equalsIgnoreCase(c)) match {
+          case -1 => None
+          case i => Some(i)
+        }
+        case i => Some(i)
+      }
+    val stats = scala.collection.mutable.ArrayBuffer.empty[GraftColSpec]
+    // warnings buffer until the decision succeeds — a later column may
+    // still fall the whole write back to legacy, which warns itself
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (c <- requested) ordOf(c) match {
+      case None => return None // absent column: legacy throws its error
+      case Some(i) =>
+        val dt = fields(i).dataType
+        if (zoneExpr(dfP, fields(i).name).isDefined) {
+          WS.zoneTagOf(dt) match {
+            case Some(t) => stats += GraftColSpec(c, i, t)
+            case None => return None // e.g. decimal: legacy zones it
+          }
+        } else if (!bloomColP.contains(c)) {
+          warnings +=
+            s"[graft] WARNING: stats column '$c' of $tableDir is " +
+              s"${dt.simpleString} — no long zone kind exists for it and " +
+              "no bloom was requested; readRange/readWhere/merge pruning " +
+              "will NOT engage on this column"
+        }
+    }
+    val bloom = bloomColP match {
+      case None => None
+      case Some(c) => ordOf(c) match {
+        case None => return None
+        case Some(i) => WS.bloomTagOf(fields(i).dataType) match {
+          case Some(t) => Some(GraftColSpec(c, i, t))
+          case None => return None // e.g. temporal bloom: legacy domain
+        }
+      }
+    }
+    val parts = scala.collection.mutable.ArrayBuffer.empty[GraftColSpec]
+    val buckets = scala.collection.mutable.ArrayBuffer.empty[GraftBucketPartSpec]
+    for (c <- partitionColsP) c match {
+      case BucketKeyPattern(nStr, inner) => ordOf(inner) match {
+        case None => return None
+        case Some(i) => WS.partTagOf(fields(i).dataType) match {
+          case Some(t) => buckets += GraftBucketPartSpec(c, i, t, nStr.toInt)
+          case None => return None
+        }
+      }
+      case c0 => ordOf(c0) match {
+        case None => return None
+        case Some(i) => WS.partTagOf(fields(i).dataType) match {
+          case Some(t) => parts += GraftColSpec(c0, i, t)
+          case None => return None // legacy casts any type to string
+        }
+      }
+    }
+    warnings.foreach(System.err.println)
+    Some((stats.toSeq, parts.toSeq, buckets.toSeq, bloom))
   }
 
   /** Atomically publish a new snapshot: next id = current + 1, manifest

@@ -196,6 +196,21 @@ object ScaleCurve {
       settle()
       require(eqVec == eqBridge,
         s"vectorized equality-mask read diverged: $eqVec vs $eqBridge")
+      // r15 pass 2: ROW-ID + EQUALITY composed curve — the eq-masked mor
+      // table read WITH the scan-metadata columns, i.e. the source scan
+      // of every vanilla-session DML on an upsert-ingest table
+      // (conn_eq_row_delta's shape). sum(_graft_pos) is the exact
+      // integer checksum both plans must agree on.
+      val eqRidQ = "SELECT count(*) AS n, sum(_graft_pos) AS s " +
+        s"FROM $morCat.mor"
+      val (eqRidVec, tEqRidVec) = timed(spark.sql(eqRidQ).collect()(0)); settle()
+      spark.conf.set("graft.v2.maskedScan.maxPositions", "0")
+      val (eqRidBridge, tEqRidBridge) =
+        try timed(spark.sql(eqRidQ).collect()(0))
+        finally spark.conf.unset("graft.v2.maskedScan.maxPositions")
+      settle()
+      require(eqRidVec == eqRidBridge,
+        s"eq-masked row-id reads diverged: $eqRidVec vs $eqRidBridge")
       // r9: CDC apply-rate curve — a ~constant-size (~100k-row)
       // update-dominated delta drained through the STREAMING upsert sink
       // against the ×k table. The apply path costs O(delta + file
@@ -446,7 +461,25 @@ object ScaleCurve {
           require(nSpjM == nShufM && nSpjM < nSpj,
             s"masked SPJ join must equal its shuffled twin and shrink: " +
               s"$nSpjM vs $nShufM (clean $nSpj)")
-          (bSpj, tSpj, bShuf, tShuf, bSpjM, tSpjM, bShufM, tShufM)
+          // r15 pass 2: EQUALITY masks on top of the positional state —
+          // the upsert-ingest shape. Key-grouped reporting must hold
+          // (eq-deletes remove rows, never move them between buckets);
+          // pos + eq masks compose in the bucketed reader, and the
+          // steady-state (fold-memoized) SPJ traffic stays ~zero while
+          // the shuffled twin keeps moving the whole table.
+          graft.table.Merge.mergeOnRead(spark, aDir,
+            state.filter(pmod(col("id"), lit(13)) === 6)
+              .withColumn("_del", lit(true)), "id", deleteCol = Some("_del"))
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          joinOnce(); settle() // one-time eq fold, memoized per snapshot
+          val (nSpjE, bSpjE, tSpjE) = joinOnce(); settle()
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          val (nShufE, bShufE, tShufE) = joinOnce(); settle()
+          require(nSpjE == nShufE && nSpjE < nSpjM,
+            s"eq-masked SPJ join must equal its shuffled twin and shrink: " +
+              s"$nSpjE vs $nShufE (pos-masked $nSpjM)")
+          (bSpj, tSpj, bShuf, tShuf, bSpjM, tSpjM, bShufM, tShufM,
+            bSpjE, tSpjE, bShufE, tShufE)
         } finally {
           spark.sparkContext.removeSparkListener(listener)
           prevB.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
@@ -538,6 +571,7 @@ object ScaleCurve {
         s"v2_masked_bridge=${s(tBridgeRead)}s " +
         s"rowid_vec=${s(tRidVec)}s rowid_bridge=${s(tRidBridge)}s " +
         s"eq_vec=${s(tEqVec)}s eq_bridge=${s(tEqBridge)}s " +
+        s"eq_rowid_vec=${s(tEqRidVec)}s eq_rowid_bridge=${s(tEqRidBridge)}s " +
         s"apply=$nApply/${s(tApply)}s cdf_tail=$nCdf/${s(tCdf)}s " +
         s"cdf_preimages=$nPre/${s(tPre)}s " +
         s"bloom_files=$nFiles zone_kept=$zoneKept bloom_kept=$bloomKept " +
@@ -556,6 +590,8 @@ object ScaleCurve {
         s"shuffled_join=${spjProbe._3}B/${s(spjProbe._4)}s " +
         s"spj_mor_join=${spjProbe._5}B/${s(spjProbe._6)}s " +
         s"shuffled_mor_join=${spjProbe._7}B/${s(spjProbe._8)}s " +
+        s"spj_eq_join=${spjProbe._9}B/${s(spjProbe._10)}s " +
+        s"shuffled_eq_join=${spjProbe._11}B/${s(spjProbe._12)}s " +
         s"v1_write_read=${writeProbe._1}B/${s(writeProbe._2)}s " +
         s"v2_write_read=${writeProbe._3}B/${s(writeProbe._4)}s")
     }

@@ -104,6 +104,79 @@ object GraftWriteShim {
     org.apache.spark.sql.catalyst.expressions.XXH64
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
 
+  /** The shared bucket-id formula at (row, ordinal): murmur3(seed 42)
+    * of the key residue, floorMod n — byte-identical to the SQL
+    * recording expression ([[graft.table.SnapshotLog]]'s
+    * `bucketIdExpr`, incl. both null branches: `hash(NULL)` is its
+    * seed 42 for integral keys, `xxhash64(NULL)` is 42 pre-residue for
+    * string keys) and the catalog function. */
+  private[graftshim] def bucketIdAt(row: InternalRow, ord: Int, tag: Int,
+                                    n: Int): Int = {
+    if (tag == TString) {
+      val h = if (row.isNullAt(ord)) 42L else xxh64(row.getUTF8String(ord))
+      Math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(Math.floorMod(h, n.toLong), 42), n)
+    } else {
+      if (row.isNullAt(ord)) Math.floorMod(42, n)
+      else Math.floorMod(org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashLong(Math.floorMod(longOf(row, ord, tag), n.toLong), 42), n)
+    }
+  }
+
+  /** The INLINE V1 write (r15): run `df` through the same task-side
+    * inline-stats writers the real V2 write uses, via one plain
+    * `runJob` — every manifest statistic (zones, null counts,
+    * partition-value sets incl. derived bucket ids, the bloom) computed
+    * while the rows stream past, killing [[graft.table.SnapshotLog]]
+    * `writeData`'s whole post-write read-back pass. One file per
+    * non-empty partition, rolled at `maxRowsPerFile`. File names are
+    * attempt-unique (`taskAttemptId`), so a retried/speculated task can
+    * never collide; loser files are invisible (manifests pin explicit
+    * paths) and the orphan sweep reclaims them. */
+  def writeInline(spark: SparkSession,
+                  df: org.apache.spark.sql.DataFrame,
+                  dstDir: String,
+                  statsCols: Seq[GraftColSpec],
+                  partCols: Seq[GraftColSpec],
+                  bucketParts: Seq[GraftBucketPartSpec],
+                  bloomCol: Option[GraftColSpec],
+                  maxRowsPerFile: Long = Long.MaxValue): Seq[GraftFileResult] = {
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val (owf, conf) = prepareFactory(spark, schema)
+    val factory = new GraftBucketWriterFactory(dstDir, schema, -1, -1, 0,
+      statsCols, partCols, bloomCol,
+      graft.table.SnapshotLog.BloomBits, graft.table.SnapshotLog.BloomHashes,
+      owf, conf, bucketParts, maxRowsPerFile)
+    val qe = df.queryExecution
+    val rdd = qe.toRdd
+    if (rdd.getNumPartitions == 0) return Seq.empty
+    // a NAMED SQL execution, not a bare runJob: `observe()` metrics in
+    // the frame (CollectMetricsExec accumulators) deliver to their
+    // Observation through the QueryExecutionListener bus ONLY when the
+    // job runs under a named execution id — a raw runJob would leave
+    // every `Observation.get` downstream blocked forever (the CDC
+    // sync's max-offset watermark reads one). This also gives the
+    // write a proper SQL-UI execution node.
+    val results = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(qe, Some("graftWriteInline")) {
+        spark.sparkContext.runJob(rdd,
+          (ctx: org.apache.spark.TaskContext, iter: Iterator[InternalRow]) => {
+            val w = factory.createWriter(ctx.partitionId(), ctx.taskAttemptId())
+            try {
+              iter.foreach(w.write)
+              w.commit().asInstanceOf[GraftWriteTaskResult].files
+            } catch {
+              case t: Throwable =>
+                try w.abort() catch {
+                  case scala.util.control.NonFatal(_) => ()
+                }
+                throw t
+            }
+          })
+      }
+    results.toSeq.flatten
+  }
+
   /** The engine's parquet [[OutputWriterFactory]] (serializable) plus
     * the prepared hadoop conf — built once on the driver, shipped to
     * every task. */
@@ -119,6 +192,16 @@ object GraftWriteShim {
 /** One metadata column the task writer tracks: physical name, row
   * ordinal, extraction tag. */
 final case class GraftColSpec(name: String, ordinal: Int, tag: Int)
+
+/** One DERIVED bucket partition-value column (r15, the inline V1
+  * writeData path): the writer records the SET of `bucket(n, col)` ids
+  * each file holds under `key` — the unarranged-frame generalization of
+  * the bucketed writer's singleton (a plain writeData frame may mix
+  * residues within one file; the manifest then carries the multi-value
+  * set, exactly as the legacy SQL recording did). `isString` selects the
+  * xxhash64 residue branch. */
+final case class GraftBucketPartSpec(
+    key: String, ordinal: Int, tag: Int, n: Int)
 
 /** Per-file write result shipped task → driver (bounded metadata: one
   * entry per written FILE). */
@@ -151,7 +234,14 @@ final class GraftBucketWriterFactory(
     bloomBits: Int,
     bloomHashes: Int,
     writerFactory: OutputWriterFactory,
-    val conf: SerializableConfiguration) extends DataWriterFactory {
+    val conf: SerializableConfiguration,
+    /** Derived bucket partition-value sets to record per file (r15,
+      * the inline V1 path — an unarranged frame may hold many ids). */
+    bucketParts: Seq[GraftBucketPartSpec] = Nil,
+    /** Per-file row cap (the V1 `maxRecordsPerFile` twin): a file
+      * reaching it closes and rolls — how a clustered rewrite emits
+      * target-SIZED files from fixed partitions. */
+    maxRowsPerFile: Long = Long.MaxValue) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
@@ -168,7 +258,8 @@ final class GraftBucketWriterFactory(
   }
 
   private[graftshim] def specs = (bucketOrdinal, bucketTag, bucketCount,
-    statsCols, partCols, bloomCol, bloomBits, bloomHashes, dataDir)
+    statsCols, partCols, bloomCol, bloomBits, bloomHashes, dataDir,
+    bucketParts, maxRowsPerFile)
 }
 
 private[graftshim] final class GraftBucketDataWriter(
@@ -176,26 +267,15 @@ private[graftshim] final class GraftBucketDataWriter(
     extends DataWriter[InternalRow] {
 
   private val (bucketOrd, bucketTag, n, statsCols, partCols, bloomCol,
-    bloomBits, bloomHashes, dataDir) = factory.specs
+    bloomBits, bloomHashes, dataDir, bucketParts, maxRowsPerFile) =
+    factory.specs
 
-  /** The shared bucket-id formula: murmur3(seed 42) of the key residue,
-    * floorMod n — byte-identical to the SQL recording expression
-    * ([[graft.table.SnapshotLog.bucketIdExpr]]) and the catalog
-    * function ([[graft.connector.GraftBucketFunction]]); null keys
-    * follow each branch's null-residue rule. */
+  /** The shared bucket-id formula ([[GraftWriteShim.bucketIdAt]]):
+    * murmur3(seed 42) of the key residue, floorMod n — byte-identical
+    * to the SQL recording expression and the catalog function. */
   private def bucketIdOf(row: InternalRow): Int = {
     if (bucketOrd < 0) return 0 // unbucketed: one file per task
-    val residue: Long =
-      if (bucketTag == GraftWriteShim.TString) {
-        val h = if (row.isNullAt(bucketOrd)) 42L
-          else GraftWriteShim.xxh64(row.getUTF8String(bucketOrd))
-        Math.floorMod(h, n.toLong)
-      } else {
-        if (row.isNullAt(bucketOrd)) return Math.floorMod(42, n)
-        Math.floorMod(GraftWriteShim.longOf(row, bucketOrd, bucketTag), n.toLong)
-      }
-    Math.floorMod(
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(residue, 42), n)
+    GraftWriteShim.bucketIdAt(row, bucketOrd, bucketTag, n)
   }
 
   private final class FileState(val bucket: Int, roll: Int) {
@@ -213,6 +293,7 @@ private[graftshim] final class GraftBucketDataWriter(
     // collecting, record nothing — conservative, matches writeData)
     val parts = mutable.Map.empty[String, mutable.Set[String]]
     partCols.foreach(c => parts(c.name) = mutable.Set.empty)
+    bucketParts.foreach(bp => parts(bp.key) = mutable.Set.empty)
     val bloom: Option[Array[Long]] = bloomCol.map(_ => new Array[Long](bloomBits / 64))
     // sortedness verified, never assumed: ascending nulls-first by the
     // bucket key — a violated file simply loses the stamp; unbucketed
@@ -240,6 +321,15 @@ private[graftshim] final class GraftBucketDataWriter(
           set += GraftWriteShim.stringOf(row, c.ordinal, c.tag)
           if (set.size > graft.table.SnapshotLog.MaxPartValuesPerFile)
             parts(c.name) = null // over-cap: record nothing for c
+        }
+      }
+      bucketParts.foreach { bp =>
+        val set = parts(bp.key)
+        if (set != null) {
+          // every row has a bucket id (both null branches land one)
+          set += GraftWriteShim.bucketIdAt(row, bp.ordinal, bp.tag, bp.n).toString
+          if (set.size > graft.table.SnapshotLog.MaxPartValuesPerFile)
+            parts(bp.key) = null // over-cap: record nothing
         }
       }
       bloomCol.foreach { c =>
@@ -326,6 +416,11 @@ private[graftshim] final class GraftBucketDataWriter(
     st.lastUse = writeSeq
     st.update(row)
     st.writer.write(row)
+    // per-file row cap (maxRecordsPerFile twin): close and roll
+    if (st.rows >= maxRowsPerFile) {
+      rolled += st.finish()
+      open.remove(b)
+    }
   }
 
   override def commit(): WriterCommitMessage =
