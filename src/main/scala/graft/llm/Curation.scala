@@ -420,6 +420,7 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val evBytes = graft.ops.GlobalRank.inputBytes(ev)
     val bounds = ev.agg(min(col("tus")).as("t0"), max(col("tus")).as("t1"),
       min(col("user_id")).as("u0"), max(col("user_id")).as("u1"))
     // Min-max-normalize each dimension to the same 8-bit width before
@@ -441,8 +442,21 @@ object Curation {
       val uHit = col("u_max") >= uLo && col("u_min") <= uHi
       val tHit = col("t_max") >= expr("ym_max div 4") &&
         col("t_min") <= expr("ym_max div 4 + 1439")
-      dimmed
-        .withColumn("file_id", ntile(nFiles).over(Window.orderBy(ord: _*)))
+      // ntile over a GLOBAL order without the single-partition WindowExec
+      // (the whole-corpus sort on one task that WindowExec warns about):
+      // above one scan-split of input, GlobalRank.ntileRanked
+      // range-partitions on the same total order and reproduces NTile's
+      // bucket arithmetic — identical file_id per row (RankSpec pins the
+      // equality), parallel at any scale; below it the one-task window
+      // sort is cheaper than the distributed rank's extra jobs
+      // (GlobalRank.distributedWorthIt — the AQE-style size switch)
+      val fileId =
+        if (graft.ops.GlobalRank.distributedWorthIt(dimmed, evBytes))
+          graft.ops.GlobalRank.ntileRanked(dimmed, ord, nFiles,
+            spark.sparkContext.defaultParallelism)
+        else dimmed.withColumn("file_id",
+          ntile(nFiles).over(Window.orderBy(ord: _*)))
+      fileId
         .groupBy(col("file_id"))
         .agg(min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
              min(col("ym")).as("t_min"), max(col("ym")).as("t_max"),

@@ -199,22 +199,27 @@ object Events {
     * per-step reshuffle at scale), no window over the raw event stream,
     * and the event table is filtered by type BEFORE any join. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
+    // ONE scan + ONE user-keyed exchange (was: six scans of the events
+    // table through a chain of per-stage self-joins — at scale, five
+    // redundant corpus reads and three extra corpus shuffles). Each
+    // user's stage timestamps fold from its collected per-type event
+    // times: t_click = first click at/after signup, t_purchase = first
+    // purchase at/after that click — same chained-min semantics, null
+    // when a stage never happens. Per-user arrays are |that user's
+    // events|-sized — the bounded-fanout assumption every per-user
+    // funnel already makes.
     val ev = Tables.events(spark, dir)
-    def firstAfter(eventType: String, lower: DataFrame, lowerTs: String, outTs: String) =
-      ev.filter(col("event_type") === eventType)
-        .join(lower.select(col("user_id").as("u"), col(lowerTs)),
-          col("user_id") === col("u") && col("ts") >= col(lowerTs))
-        .groupBy(col("user_id"))
-        .agg(min(col("ts")).as(outTs))
-    val signup = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
-    val click = firstAfter("click", signup, "t_signup", "t_click")
-    val purchase = firstAfter("purchase", click, "t_click", "t_purchase")
-    signup
-      .join(click.select(col("user_id").as("cu"), col("t_click")),
-        col("user_id") === col("cu"), "left")
-      .join(purchase.select(col("user_id").as("pu"), col("t_purchase")),
-        col("user_id") === col("pu"), "left")
+    ev.filter(col("event_type").isin("signup", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
+      .filter(col("t_signup").isNotNull)
+      .withColumn("t_click",
+        array_min(filter(col("clicks"), c => c >= col("t_signup"))))
+      .withColumn("t_purchase",
+        array_min(filter(col("purchases"), p => p >= col("t_click"))))
       .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
         (lit(1) + col("t_click").isNotNull.cast("int") +
           col("t_purchase").isNotNull.cast("int")).as("stage"))
@@ -231,24 +236,22 @@ object Events {
     * SHRINK and the scale posture only improves. */
   def windowedFunnel(spark: SparkSession, dir: String,
                      clickHours: Int = 48, purchaseHours: Int = 48): DataFrame = {
+    // same one-scan/one-exchange fold as [[funnel]]; the conversion
+    // window is two more predicates inside the per-user array filters
     val ev = Tables.events(spark, dir)
-    def firstWithin(eventType: String, lower: DataFrame, lowerTs: String,
-                    outTs: String, hours: Int) =
-      ev.filter(col("event_type") === eventType)
-        .join(lower.select(col("user_id").as("u"), col(lowerTs)),
-          col("user_id") === col("u") && col("ts") >= col(lowerTs) &&
-            col("ts") <= col(lowerTs) + expr(s"INTERVAL $hours HOURS"))
-        .groupBy(col("user_id"))
-        .agg(min(col("ts")).as(outTs))
-    val signup = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
-    val click = firstWithin("click", signup, "t_signup", "t_click", clickHours)
-    val purchase = firstWithin("purchase", click, "t_click", "t_purchase", purchaseHours)
-    signup
-      .join(click.select(col("user_id").as("cu"), col("t_click")),
-        col("user_id") === col("cu"), "left")
-      .join(purchase.select(col("user_id").as("pu"), col("t_purchase")),
-        col("user_id") === col("pu"), "left")
+    ev.filter(col("event_type").isin("signup", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
+      .filter(col("t_signup").isNotNull)
+      .withColumn("t_click",
+        array_min(filter(col("clicks"), c => c >= col("t_signup") &&
+          c <= col("t_signup") + expr(s"INTERVAL $clickHours HOURS"))))
+      .withColumn("t_purchase",
+        array_min(filter(col("purchases"), p => p >= col("t_click") &&
+          p <= col("t_click") + expr(s"INTERVAL $purchaseHours HOURS"))))
       .select(col("user_id"), col("t_signup"), col("t_click"), col("t_purchase"),
         (lit(1) + col("t_click").isNotNull.cast("int") +
           col("t_purchase").isNotNull.cast("int")).as("stage"))

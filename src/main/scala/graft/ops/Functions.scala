@@ -226,14 +226,18 @@ object Functions {
       .groupBy(date_trunc("month", col("l_shipdate")).as("epoch"))
       .agg(quantile_sketch(col("price")).as("sk"))
       .agg(quantile_merge(col("sk")).as("msk"))
-    val direct = li.agg(
-      quantile_sketch(col("price")).as("dsk"),
-      expr("percentile(price, array(0.25, 0.5, 0.75, 0.95))").as("exact"))
-    val ests = direct.crossJoin(merged).select(
-      round(element_at(col("exact"), 1), 4).as("price_p25"),
-      round(element_at(col("exact"), 2), 4).as("price_p50"),
-      round(element_at(col("exact"), 3), 4).as("price_p75"),
-      round(element_at(col("exact"), 4), 4).as("price_p95"),
+    val direct = li.agg(quantile_sketch(col("price")).as("dsk"))
+    // exact percentiles by distributed rank selection (identical doubles
+    // to percentile(price, array(...)) — see GlobalRank.exactPercentiles):
+    // the single-buffer OpenHashMap-of-every-distinct-price aggregate was
+    // this query's dominant cost AND its one non-scalable stage
+    val exact = GlobalRank.exactPercentiles(li, col("price"),
+      Seq(0.25, 0.5, 0.75, 0.95), spark.sparkContext.defaultParallelism)
+    val ests = direct.crossJoin(exact).crossJoin(merged).select(
+      round(col("p0"), 4).as("price_p25"),
+      round(col("p1"), 4).as("price_p50"),
+      round(col("p2"), 4).as("price_p75"),
+      round(col("p3"), 4).as("price_p95"),
       quantile_value(col("dsk"), 0.25).as("d25"),
       quantile_value(col("dsk"), 0.50).as("d50"),
       quantile_value(col("dsk"), 0.75).as("d75"),
