@@ -531,14 +531,22 @@ object Curation {
       .select(substring(col("source"), 4, 10).cast("int").as("epoch"),
         explode(graft.llm.TextOps.shingles(col("text"))).as("gram"))
       .distinct()
-      .localCheckpoint(true) // feeds both the first-seen agg and the join
-    val first = grams.groupBy(col("gram")).agg(min(col("epoch")).as("first_epoch"))
-    grams.join(first, "gram")
-      .groupBy(col("epoch"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum((col("epoch") === col("first_epoch")).cast("long")).as("n_new"))
-      .select(col("epoch"), col("n_grams"), col("n_new"),
-        floor(col("n_new").cast("double") / col("n_grams") * 1e6)
+      .localCheckpoint(true) // feeds both per-epoch aggregates below
+    // per-epoch totals and per-epoch first-seen counts fold SEPARATELY to
+    // ~|epochs| rows and join there — the previous corpus-scale join-back
+    // (every distinct (epoch, gram) row against the gram→first_epoch
+    // table) shuffled the whole gram table once more for a result that
+    // only needed two epoch-keyed counts; n_new(e) = |grams whose min
+    // epoch is e| is the same number without re-attaching first_epoch to
+    // every row
+    val perEpoch = grams.groupBy(col("epoch")).agg(count(lit(1)).as("n_grams"))
+    val firstCounts = grams.groupBy(col("gram")).agg(min(col("epoch")).as("epoch"))
+      .groupBy(col("epoch")).agg(count(lit(1)).as("n_new"))
+    perEpoch.join(firstCounts, Seq("epoch"), "left")
+      .select(col("epoch"), col("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        floor(coalesce(col("n_new"), lit(0L)).cast("double") /
+            col("n_grams") * 1e6)
           .cast("long").as("novelty_ppm"))
       .orderBy(col("epoch"))
   }

@@ -450,15 +450,22 @@ object Dedup {
       .localCheckpoint(true) // feeds postings AND both |shingles| lookups
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("nsh"))
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val rare = postings.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("g"))
-    val capped = postings.join(rare, "g")
-    val shared = capped.as("a")
-      .join(capped.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE gram-keyed aggregation replaces the r6 df-count + semi-join +
+    // self-join chain (3 exchanges + a join of the postings against
+    // themselves → 1 exchange): each gram's ≤ maxDf posting list is
+    // collected once, the df cap is a size() filter on it, and the
+    // in-bucket (a < b) pairs unfold from the SORTED list map-side.
+    // The pair arrays are bounded by maxDf²/2 (≤ 1 225 here), so the
+    // interpreted HOF runs on tiny arrays far off the per-row hot path.
+    // Same pair multiset as the join (ids are distinct per gram), so
+    // n_shared is unchanged — the oracle replays the identical cap.
+    val shared = postings.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     val directed = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a")), "doc_a")

@@ -182,7 +182,11 @@ object TextOps {
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
+    // the |vocab|-row count table is read twice (the broadcast join and
+    // its own total); checkpointing it stops the corpus re-tokenizing
+    // per consumer — the sourceDrift pattern
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = counts.agg(sum(col("cnt")).as("n_total"))
     toks.join(broadcast(counts), "token")
       .crossJoin(broadcast(total))
@@ -272,11 +276,17 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // tf feeds both the df aggregate and the scored join: materialize it
+    // once (the SparkEntry multi-consumer checkpoint discipline) — the
+    // un-checkpointed plan re-tokenized the corpus per consumer (measured
+    // ~2× this query's cost; AQE exchange reuse does not bridge the two
+    // differently-pruned subtrees)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val score = col("tf") * log(col("n_docs").cast("double") / col("df"))
     tf.join(broadcast(df), "token")
@@ -337,11 +347,14 @@ object TextOps {
                terms: Seq[String] = Seq("join", "stream", "window"),
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = Tables(spark, dir, "documents")
+    // three consumers (dl, df, the scored join) — one materialization,
+    // same rationale as [[tfidfTopK]]
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val df = tf.filter(col("token").isin(terms: _*))

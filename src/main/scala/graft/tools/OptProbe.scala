@@ -185,6 +185,71 @@ object OptProbe {
       println("PROBE zq: " + graft.llm.Curation.zorderLayout(spark, dir).collect().mkString("; "))
     }
 
+    if (want("containment")) {
+      (1 to 3).foreach { pass =>
+        val sh0 = Tables.parallelized(Tables(spark, dir, "documents"))
+          .select(col("doc_id"), graft.llm.TextOps.shingles(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val t0 = System.nanoTime()
+        val sh = sh0.localCheckpoint(true)
+        println(f"PROBE c.checkpoint p$pass: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+        timeNoop(s"c.postings p$pass")(postings)
+        val rare = postings.groupBy(col("g"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select(col("g"))
+        timeNoop(s"c.rare p$pass")(rare)
+        val capped = postings.join(rare, "g")
+        timeNoop(s"c.capped p$pass")(capped)
+        val shared = capped.as("a")
+          .join(capped.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        timeNoop(s"c.shared p$pass")(shared)
+        timeNoop(s"c.full p$pass")(graft.llm.Dedup.containment(spark, dir))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+    }
+
+    if (want("text")) {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir, "documents")
+      (1 to 3).foreach { pass =>
+        timeNoop(s"t.tfidf_asis p$pass")(graft.llm.TextOps.tfidfTopK(spark, dir))
+        // variant: checkpoint tf
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint(true)
+        val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val score = col("tf") * log(col("n_docs").cast("double") / col("df"))
+        timeNoop(s"t.tfidf_ckpt p$pass")(
+          tf.join(broadcast(dfr), "token")
+            .crossJoin(broadcast(nDocs))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(score.desc, col("token"))))
+            .filter(col("rk") <= 3)
+            .select(col("doc_id"), col("rk"), col("token"), round(score, 6).as("tfidf"))
+            .orderBy(col("doc_id"), col("rk")))
+        timeNoop(s"t.bm25_asis p$pass")(graft.llm.TextOps.bm25TopK(spark, dir))
+        // tokenize-only floor
+        timeNoop(s"t.tokenize p$pass")(
+          docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= "")
+            .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+        // parallelized tokenize
+        timeNoop(s"t.tokenize_par p$pass")(
+          Tables.parallelized(docs).select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= "")
+            .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+    }
+
     if (want("zplan")) {
       // the at-scale (distributed-rank) plan of cur_zorder_layout — the
       // adaptive guard takes the window path on the tiny local fixture,
