@@ -115,21 +115,25 @@ object Dedup {
     * signature payload is projected out first and joined back to the
     * (small) pair set afterwards where needed.
     */
-  private def candidatePairs(keys: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val capped = keys
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val l = capped.as("l")
-    val r = capped.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+  private def candidatePairs(keys: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    // ONE key-keyed aggregation (was: a window count to cap + the keys
+    // self-joined on (band, bucket) — two sorted passes over the same
+    // partitioning): each bucket's ≤ maxBucket member list collects
+    // once, the cap is a size() filter on it, and the (a < b) pairs
+    // unfold map-side from the sorted list — same pair multiset, so the
+    // distinct()'d candidate set is unchanged. Bucket lists are bounded
+    // by the cap itself (8 KB at the default 1000), so the interpreted
+    // pair HOF runs on capped arrays; a degenerate bucket materializes
+    // at most maxBucket²/2 pairs (~8 MB) in the task that owns it —
+    // the same rows the join streamed, without re-sorting the keys
+    keys.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** (doc_id, band, bucket) LSH keys straight from (doc_id, text) rows —
     * shared by the batch incremental admission and the streaming dedup

@@ -250,6 +250,30 @@ object OptProbe {
       }
     }
 
+    if (want("lsh")) {
+      import graft.functions.GraftFunctions
+      import graft.llm.TextOps
+      (1 to 3).foreach { pass =>
+        val docs = Tables.parallelized(Tables(spark, dir, "documents"))
+        val t0 = System.nanoTime()
+        val sigs = docs
+          .select(col("doc_id"),
+            GraftFunctions.minhash_signature(TextOps.shingleHashes(col("text")), 128).as("sig"))
+          .filter(col("sig").isNotNull)
+          .localCheckpoint(true)
+        println(f"PROBE l.signatures p$pass: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val t1 = System.nanoTime()
+        val sh = docs
+          .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+          .localCheckpoint(true)
+        println(f"PROBE l.shingles p$pass: ${(System.nanoTime() - t1) / 1e9}%.3f s")
+        timeNoop(s"l.jaccard_full p$pass")(graft.llm.Dedup.ngramJaccard(spark, dir))
+        timeNoop(s"l.minhash_cands p$pass")(graft.llm.Dedup.minhashCandidates(spark, dir))
+        timeNoop(s"l.keepers p$pass")(graft.llm.Dedup.resolveKeepers(spark, dir))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+    }
+
     if (want("zplan")) {
       // the at-scale (distributed-rank) plan of cur_zorder_layout — the
       // adaptive guard takes the window path on the tiny local fixture,
