@@ -323,35 +323,56 @@ case class BloomBuildAgg(
   * worst case — ≈ 2% at k=256, n=10^6 — bounded at 5% in the
   * registered query.
   */
+/** Growable PRIMITIVE double buffer — the sketch's level storage.
+  * `ArrayBuffer[Double]` boxes every element (one allocation per
+  * update() on the aggregation hot path); this keeps the identical
+  * insertion-order semantics on a raw Array[Double]. */
+final class DoubleBuf(initial: Int = 16) {
+  var arr: Array[Double] = new Array[Double](initial)
+  var size: Int = 0
+  def add(v: Double): Unit = {
+    if (size == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(size) = v; size += 1
+  }
+  def apply(i: Int): Double = arr(i)
+  def clear(): Unit = size = 0
+  def sortInPlace(): Unit = java.util.Arrays.sort(arr, 0, size)
+  def addAll(o: DoubleBuf): Unit = {
+    if (size + o.size > arr.length)
+      arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, size + o.size))
+    System.arraycopy(o.arr, 0, arr, size, o.size); size += o.size
+  }
+}
+
 final class QuantileSketch(val k: Int) {
   import scala.collection.mutable.ArrayBuffer
-  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+  val levels: ArrayBuffer[DoubleBuf] = ArrayBuffer(new DoubleBuf)
   var n: Long = 0L
   var flips: Long = 0L // alternating compaction-offset counter
 
   def update(v: Double): Unit = {
-    levels(0) += v; n += 1
+    levels(0).add(v); n += 1
     if (levels(0).size >= 2 * k) compact(0)
   }
 
   private def compact(level: Int): Unit = {
     val buf = levels(level)
     buf.sortInPlace()
-    if (levels.size == level + 1) levels += ArrayBuffer.empty[Double]
+    if (levels.size == level + 1) levels += new DoubleBuf
     val next = levels(level + 1)
     var i = (flips & 1L).toInt
     flips += 1
-    while (i < buf.size) { next += buf(i); i += 2 }
+    while (i < buf.size) { next.add(buf(i)); i += 2 }
     buf.clear()
     if (next.size >= 2 * k) compact(level + 1)
   }
 
   def mergeIn(o: QuantileSketch): Unit = {
     n += o.n; flips += o.flips
-    while (levels.size < o.levels.size) levels += ArrayBuffer.empty[Double]
+    while (levels.size < o.levels.size) levels += new DoubleBuf
     var i = 0
     while (i < o.levels.size) {
-      levels(i) ++= o.levels(i)
+      levels(i).addAll(o.levels(i))
       if (levels(i).size >= 2 * k) compact(i)
       i += 1
     }
@@ -359,34 +380,51 @@ final class QuantileSketch(val k: Int) {
 
   /** Value whose weighted rank first reaches q·(total weight). */
   def quantile(q: Double): Double = {
-    val items = ArrayBuffer.empty[(Double, Long)]
+    var total0 = 0
     var lv = 0
+    while (lv < levels.size) { total0 += levels(lv).size; lv += 1 }
+    if (total0 == 0) return Double.NaN
+    val vals = new Array[Double](total0)
+    val wts = new Array[Long](total0)
+    var j = 0
+    lv = 0
     while (lv < levels.size) {
       val w = 1L << lv
-      levels(lv).foreach(v => items += ((v, w)))
+      val l = levels(lv)
+      var i = 0
+      while (i < l.size) { vals(j) = l(i); wts(j) = w; j += 1; i += 1 }
       lv += 1
     }
-    if (items.isEmpty) return Double.NaN
-    val sorted = items.sortBy(_._1)
-    val total = sorted.iterator.map(_._2).sum
-    val target = q * total
+    // stable index sort by value (ties keep level order, exactly like
+    // the previous boxed sortBy; a rank query landing in a tie run
+    // returns the tied value either way)
+    val order = (0 until total0).toArray.sortBy(vals(_))
     var cum = 0L
+    var total = 0L
     var i = 0
-    while (i < sorted.size) {
-      cum += sorted(i)._2
-      if (cum >= target) return sorted(i)._1
+    while (i < total0) { total += wts(i); i += 1 }
+    val target = q * total
+    i = 0
+    while (i < total0) {
+      cum += wts(order(i))
+      if (cum >= target) return vals(order(i))
       i += 1
     }
-    sorted.last._1
+    vals(order(total0 - 1))
   }
 
   def serialized: Array[Byte] = {
-    val sizes = levels.map(_.size)
+    var total = 0
+    levels.foreach(total += _.size)
     val bb = java.nio.ByteBuffer
-      .allocate(4 + 8 + 8 + 4 + sizes.size * 4 + sizes.sum * 8)
+      .allocate(4 + 8 + 8 + 4 + levels.size * 4 + total * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(k).putLong(n).putLong(flips).putInt(levels.size)
-    levels.foreach { l => bb.putInt(l.size); l.foreach(bb.putDouble) }
+    levels.foreach { l =>
+      bb.putInt(l.size)
+      var i = 0
+      while (i < l.size) { bb.putDouble(l(i)); i += 1 }
+    }
     bb.array()
   }
 }
@@ -403,10 +441,10 @@ object QuantileSketch {
     val numLevels = bb.getInt
     var i = 0
     while (i < numLevels) {
-      if (sk.levels.size == i) sk.levels += scala.collection.mutable.ArrayBuffer.empty[Double]
+      if (sk.levels.size == i) sk.levels += new DoubleBuf
       val sz = bb.getInt
       var j = 0
-      while (j < sz) { sk.levels(i) += bb.getDouble; j += 1 }
+      while (j < sz) { sk.levels(i).add(bb.getDouble); j += 1 }
       i += 1
     }
     sk

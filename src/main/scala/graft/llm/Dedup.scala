@@ -349,16 +349,23 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("hop_label")))
       val changed = hopped.filter(col("hop_label") =!= col("old_label"))
         .limit(1).count() // scalar convergence probe, not a data collect
-      // Pointer jump: hop_label is always some node's id, so resolving it
-      // through that node's own hop label halves the remaining depth —
-      // O(log diameter) rounds overall instead of O(diameter).
-      val (next, nextIds) = checkpointed(hopped.as("h")
-        .join(hopped.select(col("doc_id").as("t_id"), col("hop_label").as("t_label")),
-          col("h.hop_label") === col("t_id"))
-        .select(col("h.doc_id").as("doc_id"), col("t_label").as("label")))
-      free(labelIds); free(hopIds) // next (materialized) read both
-      labels = next; labelIds = nextIds
-      converged = changed == 0
+      if (changed == 0) {
+        // converged: every hop_label equals its old label, so the pointer
+        // jump below would resolve each label through a fixed point —
+        // identical mapping. Skip the final round's join + checkpoint.
+        free(hopIds)
+        converged = true
+      } else {
+        // Pointer jump: hop_label is always some node's id, so resolving
+        // it through that node's own hop label halves the remaining depth
+        // — O(log diameter) rounds overall instead of O(diameter).
+        val (next, nextIds) = checkpointed(hopped.as("h")
+          .join(hopped.select(col("doc_id").as("t_id"), col("hop_label").as("t_label")),
+            col("h.hop_label") === col("t_id"))
+          .select(col("h.doc_id").as("doc_id"), col("t_label").as("label")))
+        free(labelIds); free(hopIds) // next (materialized) read both
+        labels = next; labelIds = nextIds
+      }
       iters += 1
     }
     free(edgeIds)
