@@ -118,16 +118,21 @@ object Dedup {
   private def candidatePairs(keys: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
     // ONE key-keyed aggregation (was: a window count to cap + the keys
     // self-joined on (band, bucket) — two sorted passes over the same
-    // partitioning): each bucket's ≤ maxBucket member list collects
-    // once, the cap is a size() filter on it, and the (a < b) pairs
-    // unfold map-side from the sorted list — same pair multiset, so the
-    // distinct()'d candidate set is unchanged. Bucket lists are bounded
-    // by the cap itself (8 KB at the default 1000), so the interpreted
-    // pair HOF runs on capped arrays; a degenerate bucket materializes
-    // at most maxBucket²/2 pairs (~8 MB) in the task that owns it —
-    // the same rows the join streamed, without re-sorting the keys
+    // partitioning): each bucket's member list aggregates through the
+    // BOUNDED-heap topk_by at maxBucket+1 — a bucket past the cap
+    // surfaces as a (maxBucket+1)-sized list and is dropped by the same
+    // size() filter that the window count expressed, while an in-cap
+    // bucket's list is provably complete; no task ever holds more than
+    // cap+1 ids per bucket (collect_list would buffer a degenerate
+    // boilerplate bucket unboundedly before the filter could run).
+    // The (a < b) pairs unfold map-side from the ascending list — same
+    // pair multiset, so the distinct()'d candidate set is unchanged. A
+    // degenerate in-cap bucket materializes at most maxBucket²/2 pairs
+    // (~8 MB) in the task that owns it — the same rows the join
+    // streamed, without re-sorting the keys
     keys.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(reverse(graft.functions.GraftFunctions.topk_by(
+        col("doc_id"), col("doc_id"), maxBucket + 1)).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
@@ -463,15 +468,20 @@ object Dedup {
     val postings = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     // ONE gram-keyed aggregation replaces the r6 df-count + semi-join +
     // self-join chain (3 exchanges + a join of the postings against
-    // themselves → 1 exchange): each gram's ≤ maxDf posting list is
-    // collected once, the df cap is a size() filter on it, and the
-    // in-bucket (a < b) pairs unfold from the SORTED list map-side.
-    // The pair arrays are bounded by maxDf²/2 (≤ 1 225 here), so the
-    // interpreted HOF runs on tiny arrays far off the per-row hot path.
-    // Same pair multiset as the join (ids are distinct per gram), so
-    // n_shared is unchanged — the oracle replays the identical cap.
+    // themselves → 1 exchange): each gram's posting list aggregates
+    // through the BOUNDED-heap topk_by at maxDf+1 — an over-cap gram
+    // surfaces as a (maxDf+1)-sized list and is dropped by the size()
+    // filter; an in-cap gram's list is provably complete, and no task
+    // ever buffers a boilerplate gram's unbounded postings (which
+    // collect_list would). The in-bucket (a < b) pairs unfold from the
+    // ASCENDING list map-side; pair arrays are bounded by maxDf²/2
+    // (≤ 1 225 here), so the interpreted HOF runs on tiny arrays far
+    // off the per-row hot path. Same pair multiset as the join (ids
+    // are distinct per gram), so n_shared is unchanged — the oracle
+    // replays the identical cap.
     val shared = postings.groupBy(col("g"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(reverse(graft.functions.GraftFunctions.topk_by(
+        col("doc_id"), col("doc_id"), maxDf + 1)).as("ids"))
       .filter(size(col("ids")) <= maxDf)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
