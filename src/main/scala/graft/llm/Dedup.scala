@@ -586,22 +586,33 @@ object Dedup {
     * regardless of document length. */
   def fuzzyPrefix(spark: SparkSession, dir: String, maxDist: Int = 10,
                   maxBlock: Int = 200): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         substring(norm, 1, 40).as("prefix"),
         concat_ws(" ", slice(split(norm, " "), 1, 2)).as("block"))
-    val capped = docs
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy(col("block"))))
-      .filter(col("block_n") <= maxBlock)
-      .drop("block_n")
-    val l = capped.as("l")
-    val r = capped.as("r")
-    l.join(r, col("l.block") === col("r.block") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        levenshtein(col("l.prefix"), col("r.prefix")).as("edit_dist"))
+    // same bounded bucket fold as [[candidatePairs]]/[[containment]]:
+    // one block-keyed aggregation through the bounded-heap topk_by at
+    // maxBlock+1 (over-cap blocks surface as cap+1-sized lists and drop
+    // exactly where the window count dropped them; in-cap lists are
+    // complete, and no task buffers a degenerate block unboundedly),
+    // then the (a < b) pairs + their prefix edit distances unfold
+    // map-side from the ascending member list — the window + self-join
+    // exchanges are gone, the levenshtein count per block is unchanged
+    val pairs = docs.groupBy(col("block"))
+      .agg(reverse(GraftFunctions.topk_by(col("doc_id"),
+        struct(col("doc_id"), col("prefix")), maxBlock + 1)).as("ms"))
+      .filter(size(col("ms")) <= maxBlock)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            levenshtein(x.getField("prefix"), y.getField("prefix"))
+              .as("edit_dist")))))).as("p"))
+    pairs
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.edit_dist").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
